@@ -1,0 +1,94 @@
+"""Local replica of the driver's DuckDB-oracle differential check.
+
+Runs each registry query through Spark AND its oracle SQL through DuckDB
+on the same parquet tables, then compares row count, column names, and
+order-insensitive values EXACTLY (floats included — the engine rounds
+deterministically on both sides, so any mismatch is a real parity bug,
+not noise).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    # normalize cell values to comparable primitives
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    s_cols = sorted(c.lower() for c in spark_pdf.columns)
+    o_cols = sorted(c.lower() for c in oracle_pdf.columns)
+    if s_cols != o_cols:
+        problems.append(f"columns: spark={s_cols} oracle={o_cols}")
+        return problems
+    if problems:
+        return problems
+    s = _canon(spark_pdf)
+    o = _canon(oracle_pdf)
+    for c in s.columns:
+        sv, ov = s[c].tolist(), o[c].tolist()
+        n_bad = 0
+        first = None
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            equal = (
+                (a is None and b is None)
+                or a == b
+                or (
+                    isinstance(a, float)
+                    and isinstance(b, float)
+                    and (math.isnan(a) and math.isnan(b) or a == b)
+                )
+            )
+            if not equal:
+                n_bad += 1
+                if first is None:
+                    first = (i, a, b)
+        if n_bad:
+            problems.append(f"col {c}: {n_bad} mismatched values, first={first}")
+    return problems
+
+
+def run_query(spark, con, name, spec, sf_dir: str):
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    if spec.sql is None:
+        return sdf, None, ["(rows-only)"] if len(sdf) == 0 else []
+    odf = con.sql(spec.sql).df()
+    return sdf, odf, compare(sdf, odf)

@@ -1,0 +1,67 @@
+"""Dedup operator tests: exact, MinHash LSH, SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uni_mannheim_masters_thesis_spark.operators.dedup import (
+    add_simhash,
+    dedup_stats,
+    exact_dedup,
+    hamming64,
+    minhash_lsh_pairs,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, ["spark", "query", "engine", "fast", "scale"]),
+        (2, ["spark", "query", "engine", "fast", "scale"]),          # exact dup of 1
+        (3, ["spark", "query", "engine", "fast", "scalable"]),       # near dup of 1
+        (4, ["completely", "different", "topic", "entirely", "here"]),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "tokens"])
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["id", "text"]
+    )
+    assert exact_dedup(df, ["text"]).count() == 2
+
+
+def test_dedup_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "g"), (2, "a", "g"), (3, "b", "g")], ["id", "text", "grp"]
+    )
+    row = dedup_stats(df, "text", ["grp"]).first()
+    assert (row.n_rows, row.n_distinct, row.n_duplicates) == (3, 2, 1)
+
+
+def test_minhash_finds_exact_and_near_dups(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_dist
+        for r in minhash_lsh_pairs(_docs(spark), threshold=0.7).collect()
+    }
+    assert pairs.get((1, 2)) == 0.0          # exact dup: jaccard distance 0
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup found
+    assert all(k != (1, 4) for k in pairs)   # disjoint docs not paired
+
+
+def test_simhash_deterministic_and_near(spark):
+    out = add_simhash(_docs(spark), "tokens")
+    vals = {r.doc_id: r.simhash for r in out.collect()}
+    assert vals[1] == vals[2]  # identical token sets → identical simhash
+    # near-dup hamming distance < disjoint hamming distance
+    d = (
+        out.alias("a")
+        .join(out.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("h"),
+        )
+    )
+    dist = {(r.ia, r.ib): r.h for r in d.collect()}
+    assert dist[(1, 2)] == 0
+    assert dist[(1, 3)] < dist[(1, 4)]

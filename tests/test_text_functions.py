@@ -1,0 +1,49 @@
+"""Golden-output tests for the text-cleaning pipeline — semantics derived
+from the reference (Read_And_Clean.py:53-86, polysemous_words.py:71-75)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uni_mannheim_masters_thesis_spark.functions.text import (
+    clean_string,
+    tokenize,
+    tokens_pipeline,
+)
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], ["t"]).select(col.alias("out")).first()[0]
+
+
+def test_clean_string_strips_punct_symbols_and_lowers(spark):
+    out = _one(spark, "Hello, Wörld! 42 (Test)—done.", clean_string(F.col("t")))
+    assert out == "hello wörld 42 test done"
+
+
+def test_clean_string_collapses_whitespace_runs(spark):
+    out = _one(spark, "a\t\tb\n\nc   d", clean_string(F.col("t")))
+    assert out == "a b c d"
+
+
+def test_tokenize_empty_string_gives_empty_array(spark):
+    assert _one(spark, "", tokenize(F.col("t"))) == []
+    assert _one(spark, "!!!", tokenize(F.col("t"))) == []
+
+
+def test_pipeline_removes_digits_stopwords_short_tokens(spark):
+    # "the" = stopword; "a1b" → "ab" (len 2, dropped); "42" → "" dropped;
+    # "cat" kept; "running" kept
+    out = _one(spark, "The a1b 42 cat running", tokens_pipeline(F.col("t")))
+    assert out == ["cat", "running"]
+
+
+def test_pipeline_preserves_duplicates_and_order(spark):
+    out = _one(spark, "data spark data spark data", tokens_pipeline(F.col("t")))
+    assert out == ["data", "spark", "data", "spark", "data"]
+
+
+def test_pipeline_unicode_category_classes(spark):
+    # math symbols (Sm), currency (Sc), control chars (Cc) all stripped
+    out = _one(spark, "x\u2260y $100 a\x00b price", tokens_pipeline(F.col("t")))
+    assert out == ["price"]

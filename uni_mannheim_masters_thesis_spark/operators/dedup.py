@@ -1,0 +1,130 @@
+"""Deduplication operators — exact and near-duplicate, at scale.
+
+Generalizes the reference's ``list(set(train_corpus))`` exact-text dedup
+(``supervised_classifier.py:174-175``, D1) into the dedup family a
+training-data pipeline needs:
+
+- ``exact_dedup`` / ``dedup_stats`` — hash-groupBy exact dedup. At 100 TB
+  this is one shuffle on a fingerprint (hash the text, never shuffle the
+  full text for the comparison).
+- ``minhash_lsh_pairs`` — MinHash + LSH near-dup candidate pairs via
+  MLlib's ``MinHashLSH.approxSimilarityJoin`` over binarized token-set
+  vectors: shingle → minhash band → bucket-join. The join shuffles only
+  (bucket, id) pairs, not documents.
+- ``simhash64`` — 64-bit SimHash of a token array as a pure Column
+  expression (xxhash64 per token, bitwise majority vote per bit plane);
+  near-dups = hamming distance ≤ r, computed with bit ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.ml.feature import CountVectorizer, MinHashLSH
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Exact dedup on ``cols`` (D1: dropDuplicates)."""
+    return df.dropDuplicates(list(cols))
+
+
+def dedup_stats(df: DataFrame, text_col: str, by: Sequence[str]) -> DataFrame:
+    """Per-group duplicate accounting: rows, distinct texts, dup rows.
+
+    Distinctness is computed on a fingerprint (md5) so the aggregation
+    state is 16 bytes/row regardless of document size.
+    """
+    return df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col(text_col)))).alias(
+            "n_duplicates"
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    threshold: float = 0.6,
+    num_hash_tables: int = 8,
+    vocab_size: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (Jaccard distance ≤ threshold).
+
+    Returns DataFrame[id_a, id_b, jaccard_dist] with id_a < id_b.
+    """
+    # MinHashLSH requires ≥1 non-zero entry; with minDF=1 every token is
+    # in-vocabulary, so non-empty token arrays guarantee that.
+    docs = docs.filter(F.size(tokens_col) > 0)
+    cv = CountVectorizer(
+        inputCol=tokens_col, outputCol="tf", vocabSize=vocab_size, binary=True
+    )
+    model = cv.fit(docs)
+    vecs = model.transform(docs).select(id_col, "tf")
+    mh = MinHashLSH(
+        inputCol="tf", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    mh_model = mh.fit(vecs)
+    pairs = mh_model.approxSimilarityJoin(vecs, vecs, threshold, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def simhash_bit_counts(tokens: Column) -> Column:
+    """Per-bit-plane majority counters for SimHash (64-slot int array).
+
+    Per token: xxhash64; per bit plane i: +1 if bit set else -1. All
+    JVM-side (aggregate HOF over a 64-slot counter array) — no UDF, so it
+    runs inside codegen at full scan speed. Shift amounts are Python-level
+    literals (Spark's shiftright requires a constant).
+    """
+    return F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)).cast("int")
+                    for i in range(64)
+                ]
+            ),
+            lambda c, b: c + F.when(b == 1, 1).otherwise(-1),
+        ),
+    )
+
+
+def add_simhash(
+    df: DataFrame, tokens_col: str = "tokens", out_col: str = "simhash"
+) -> DataFrame:
+    """Append a 64-bit SimHash column computed from a token-array column.
+
+    Two projection steps (counters, then the bit fold) so the counter
+    array is a named column and its aggregate expression is evaluated
+    once per row instead of 64 times.
+    """
+    counted = df.withColumn("__sh_counts", simhash_bit_counts(F.col(tokens_col)))
+    acc = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(
+            F.element_at("__sh_counts", i + 1) > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        acc = acc.bitwiseOR(bit)
+    return counted.withColumn(out_col, acc).drop("__sh_counts")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit SimHash columns (bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))

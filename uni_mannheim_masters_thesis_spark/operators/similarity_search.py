@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns.
+
+- ``knn_bruteforce`` — exact cosine top-k: probes × corpus cross join
+  with the probe side broadcast, cosine via zip_with/aggregate HOFs
+  (JVM-side, no UDF), row_number window for top-k. This is the baseline
+  path: at 100 TB the corpus scan is embarrassingly parallel and the
+  probe set broadcasts; the only shuffle is the final (tiny) top-k.
+- ``lsh_ann`` — the scale path: ``BucketedRandomProjectionLSH`` buckets
+  both sides so candidate generation is a bucket equi-join instead of a
+  cross product (generalizes reference M14 kNN, SURVEY §2.11).
+
+Cosine math is done in float64 after an explicit cast from the stored
+float32, with a left-to-right sequential fold — deterministic and
+oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import BucketedRandomProjectionLSH
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine_similarity
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each probe (self-matches excluded).
+
+    Returns DataFrame[probe_id, neighbor_id, cosine_sim], deterministic
+    tie-break on neighbor id.
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("probe_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cand_vec"),
+    )
+    pairs = (
+        F.broadcast(p)
+        .crossJoin(c)
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_similarity(F.col("probe_vec"), F.col("cand_vec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("probe_id", "neighbor_id", F.round("sim", ndigits).alias("cosine_sim"))
+    )
+
+
+def lsh_ann(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate NN via random-projection LSH (Euclidean buckets).
+
+    Candidate generation is a bucket equi-join; exact distance is then
+    computed only on candidates. Returns
+    DataFrame[probe_id, neighbor_id, eucl_dist].
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(id_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    p = probes.select(id_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(c)
+    joined = model.approxSimilarityJoin(p, c, float("inf"), distCol="eucl_dist")
+    pairs = joined.select(
+        F.col(f"datasetA.{id_col}").alias("probe_id"),
+        F.col(f"datasetB.{id_col}").alias("neighbor_id"),
+        "eucl_dist",
+    ).filter(F.col("probe_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("probe_id").orderBy("eucl_dist", "neighbor_id")
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,1197 @@
+"""Driver-facing query registry: every operator exposed through
+``__spark_entry__.queries()``, with a DuckDB oracle SQL twin where the
+semantics are SQL-expressible (the driver's correctness gate).
+
+Parity rules that keep the order-insensitive value-hash exact:
+
+- **Exact arithmetic for big sums.** Money columns are 2-decimal doubles;
+  both sides cast to DECIMAL before summing (exact, order-independent),
+  then cast back to double and round. Distributed double summation would
+  differ from DuckDB's sequential kernel by ~1e-3 at sf0.1 — far above
+  any rounding rescue.
+- **Identical aliases + explicit integer casts.** DuckDB ``sum(int)`` is
+  HUGEINT → always CAST to BIGINT; Spark count/sum(int) is long already.
+- **Timestamps as epoch micros** (bigint) — avoids ns-vs-us formatting
+  drift between engines.
+- **Deterministic total orders** in every top-k / per-group-first
+  (explicit tiebreaker keys), so LIMIT contents are unique.
+- **Per-row float math in float64 with a sequential fold** (cosine),
+  bit-identical between Spark's aggregate HOF and DuckDB's list kernels;
+  rounded to 6 digits for safety.
+
+Spark side uses the DataFrame API (Catalyst plans joins/pushdown); the
+SQL strings target DuckDB only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    MIN_DOC_WORDS,
+    STOPWORDS,
+    clean_string,
+    sql_clean_string,
+    sql_stopword_list,
+    tokens_pipeline,
+)
+from ..functions.similarity import cosine_similarity, jaro_winkler
+from ..operators.dedup import add_simhash, dedup_stats, minhash_lsh_pairs
+from ..operators.evaluation import classification_metrics, confusion_matrix
+from ..operators.relational import per_group_first, topk_per_group
+from ..operators.similarity_search import knn_bruteforce
+from ..operators import textstats as TS
+from ..sources.testdata import load_table
+from ..streaming.events import streaming_hourly_event_stats
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    sql: str | None  # DuckDB oracle; None → rows-only check
+    survey: str      # SURVEY.md §2 operator ids covered
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, sql: str | None, survey: str, doc: str):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(fn=fn, sql=sql, survey=survey, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col: str | F.Column, prec: str = "decimal(18,2)") -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(prec)
+
+
+def _dsum(expr: F.Column, ndigits: int = 2) -> F.Column:
+    """Exact decimal sum → double, rounded."""
+    return F.round(F.sum(expr).cast("double"), ndigits)
+
+
+# --- SQL fragments -------------------------------------------------------
+
+_SQL_TOKENS = None
+
+
+def sql_tokens_pipeline(expr: str) -> str:
+    """DuckDB twin of functions.text.tokens_pipeline."""
+    clean = sql_clean_string(expr)
+    split = f"CASE WHEN {clean} = '' THEN [] ELSE str_split({clean}, ' ') END"
+    dedigit = f"list_transform({split}, t -> regexp_replace(t, '[0-9]', '', 'g'))"
+    nostop = f"list_filter({dedigit}, t -> t NOT IN {sql_stopword_list(STOPWORDS)})"
+    return f"list_filter({nostop}, t -> length(t) >= 3 AND t != '')"
+
+
+def sql_simple_tokens(expr: str) -> str:
+    """DuckDB twin of functions.text.tokenize (clean + split, no filters)."""
+    clean = sql_clean_string(expr)
+    return f"CASE WHEN {clean} = '' THEN [] ELSE str_split({clean}, ' ') END"
+
+
+# =========================================================================
+# Relational core (scans, filters, joins, aggs, windows, set ops)
+# =========================================================================
+
+
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "A4-A6, P-filters, S-scan",
+    "TPC-H Q1-style pricing summary: predicate pushdown + 8-agg groupBy.",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = _dec("l_quantity")
+    price = _dec("l_extendedprice")
+    disc = _dec("l_discount", "decimal(4,2)")
+    tax = _dec("l_tax", "decimal(4,2)")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(qty).alias("sum_qty"),
+            _dsum(price).alias("sum_base_price"),
+            _dsum(price * (F.lit(1) - disc)).alias("sum_disc_price"),
+            _dsum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / n, 6).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "top_brands_by_revenue",
+    """
+    SELECT p_brand,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY revenue DESC, p_brand
+    LIMIT 10
+    """,
+    "J4 (broadcast dim join), A-aggs, O4 top-k",
+    "Fact-to-dim broadcast join + top-10 brands by exact-decimal revenue.",
+)
+def q_top_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "decimal(4,2)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(_dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), "p_brand")
+        .limit(10)
+    )
+
+
+@_register(
+    "revenue_by_nation",
+    """
+    SELECT r_name, n_name,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    "J4/J5 (multi-hop dim joins)",
+    "Three-way snowflake join, dims broadcast, grouped revenue.",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(_dec("o_totalprice")).alias("total_revenue"),
+        )
+    )
+
+
+@_register(
+    "customer_order_class",
+    """
+    WITH per_cust AS (
+        SELECT c_custkey,
+               MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS has_f,
+               MAX(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS has_any
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT CASE WHEN has_f = 1 THEN 1 WHEN has_any = 1 THEN 2 ELSE 0 END AS label,
+           COUNT(*) AS n_customers
+    FROM per_cust GROUP BY 1
+    """,
+    "J8 (membership classification: two lookups + CASE)",
+    "Reference evaluate.py:160-168 membership labeling re-expressed "
+    "relationally: label 1/2/0 by order-status membership.",
+)
+def q_customer_order_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("has_f"),
+            F.max(F.when(F.col("o_orderkey").isNotNull(), 1).otherwise(0)).alias(
+                "has_any"
+            ),
+        )
+    )
+    return (
+        per_cust.select(
+            F.when(F.col("has_f") == 1, 1)
+            .when(F.col("has_any") == 1, 2)
+            .otherwise(0)
+            .alias("label")
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@_register(
+    "first_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_ts_us
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    "J1/O3 (per-group LIMIT 1)",
+    "Reference Read_And_Clean.py:114-124 'first triple per context' as a "
+    "row_number window; deterministic via (date, key) total order.",
+)
+def q_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    first = per_group_first(
+        orders, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")]
+    )
+    return first.select(
+        "o_custkey", "o_orderkey", F.unix_micros("o_orderdate").alias("order_ts_us")
+    )
+
+
+@_register(
+    "top3_lineitems_per_supplier",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        FROM lineitem
+    ) WHERE rn <= 3
+    """,
+    "O1/O2/O4 (top-k per group)",
+    "Per-group descending top-k (reference's sorted topic lists, "
+    "polysemous_words.py:82) over a fact table.",
+)
+def q_top3_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    top = topk_per_group(
+        li,
+        ["l_suppkey"],
+        [F.desc("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        3,
+    )
+    return top.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@_register(
+    "running_order_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
+    FROM orders
+    """,
+    "§2.9 window (running aggregate)",
+    "Cumulative per-customer revenue; exact decimal window sum.",
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(_dec("o_totalprice")).over(w).cast("double"), 2).alias(
+            "running_total"
+        ),
+    )
+
+
+@_register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "J6 (set difference / anti join)",
+    "Reference evaluate.py:135 set difference as a left-anti join.",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@_register(
+    "customers_with_both_statuses",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "J7/D3 (set intersection)",
+    "Reference evaluate.py:138 set intersection (INTERSECT dedups).",
+)
+def q_customers_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+@_register(
+    "distinct_user_event_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    "D2 (distinct)",
+    "Set dedup over the events stream table.",
+)
+def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@_register(
+    "acctbal_stats_by_segment",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_bal,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS std_bal,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    "A7/A8 (mean ± std, extremes)",
+    "Reference supervised_classifier.py:527-537 fold statistics as "
+    "grouped aggregates.",
+)
+def q_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    n = F.count(F.lit(1))
+    return cust.groupBy("c_mktsegment").agg(
+        n.alias("n_customers"),
+        F.round(F.sum(_dec("c_acctbal")).cast("double") / n, 6).alias("avg_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@_register(
+    "region_nation_rollup",
+    """
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "§2.9 grouping sets / rollup",
+    "Hierarchical rollup region → nation → grand total.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(_dec("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+@_register(
+    "segment_counts_pivot",
+    """
+    SELECT n_name,
+           CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS automobile,
+           CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS building,
+           CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS furniture,
+           CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS household,
+           CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS machinery
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    "A9 (class-composition counts) / pivot",
+    "Pivot via conditional aggregation (portable across engines).",
+)
+def q_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+
+    def cnt(seg: str) -> F.Column:
+        return F.sum(F.when(F.col("c_mktsegment") == seg, 1).otherwise(0)).cast("long")
+
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            cnt("AUTOMOBILE").alias("automobile"),
+            cnt("BUILDING").alias("building"),
+            cnt("FURNITURE").alias("furniture"),
+            cnt("HOUSEHOLD").alias("household"),
+            cnt("MACHINERY").alias("machinery"),
+        )
+    )
+
+
+# =========================================================================
+# Evaluation operators (confusion matrix + derived metrics)
+# =========================================================================
+
+_CM_SQL_BASE = """
+        SELECT CAST(SUM(CASE WHEN gold AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN NOT gold AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN NOT gold AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+               CAST(SUM(CASE WHEN gold AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM (SELECT event_type = 'purchase' AS gold, value > 150 AS pred FROM events)
+"""
+
+
+@_register(
+    "confusion_matrix_events",
+    _CM_SQL_BASE,
+    "A4 (confusion-matrix counts)",
+    "Reference evaluate.py:176-215 TP/FP/TN/FN tallies as four "
+    "conditional sums in one pass (pred: value>150, gold: purchase).",
+)
+def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return confusion_matrix(
+        ev, pred=F.col("value") > 150, gold=F.col("event_type") == "purchase"
+    )
+
+
+@_register(
+    "classification_metrics_events",
+    f"""
+    SELECT tp, fp, tn, fn,
+           ROUND(CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+           ROUND(CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+           ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 6) AS accuracy,
+           ROUND(CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END)
+                         + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END) = 0 THEN 0.0
+                 ELSE 2 * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END)
+                         * (CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END)
+                       / ((CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END)
+                         + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END)) END, 6) AS f1
+    FROM ({_CM_SQL_BASE})
+    """,
+    "A5 (derived metrics: P/R/Acc/F1)",
+    "Reference EVResult (evaluate.py:21-63) as scalar expressions over "
+    "the confusion-matrix row.",
+)
+def q_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cm = confusion_matrix(
+        ev, pred=F.col("value") > 150, gold=F.col("event_type") == "purchase"
+    )
+    return classification_metrics(cm)
+
+
+# =========================================================================
+# Text analysis over documents (cleaning pipeline + stats + vocabulary)
+# =========================================================================
+
+
+@_register(
+    "clean_documents",
+    f"SELECT doc_id, {sql_clean_string('text')} AS clean_text FROM documents",
+    "T1/T2 (lower + Unicode punctuation strip)",
+    "The reference cleanString (polysemous_words.py:71-75) as one "
+    "codegen'd Column expression.",
+)
+def q_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", clean_string(F.col("text")).alias("clean_text"))
+
+
+@_register(
+    "tokenized_documents",
+    f"""
+    SELECT doc_id,
+           array_to_string({sql_tokens_pipeline('text')}, ' ') AS clean_tokens,
+           len({sql_tokens_pipeline('text')}) AS n_tokens
+    FROM documents
+    """,
+    "T3/T4/T7, P4/P5/P8 (full token pipeline)",
+    "Full 10-stage cleaning pipeline (Read_And_Clean.py:53-86); output "
+    "re-joined to a string for engine-portable comparison.",
+)
+def q_tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_pipeline(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", toks).alias("clean_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
+@_register(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           len({sql_simple_tokens('text')}) AS n_words,
+           len(list_distinct({sql_simple_tokens('text')})) AS n_distinct_words,
+           ROUND(CASE WHEN len({sql_simple_tokens('text')}) = 0 THEN 0.0
+                 ELSE CAST(list_aggregate(list_transform({sql_simple_tokens('text')}, t -> length(t)), 'sum') AS DOUBLE)
+                      / len({sql_simple_tokens('text')}) END, 6) AS avg_word_len
+    FROM documents
+    """,
+    "T4/T7 + §2.11 text analysis (token counting)",
+    "Per-document token statistics, all HOF expressions.",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.word_count(F.col("text")).cast("long").alias("n_words"),
+        TS.distinct_word_count(F.col("text")).cast("long").alias("n_distinct_words"),
+        F.round(TS.avg_word_length(F.col("text")), 6).alias("avg_word_len"),
+    )
+
+
+@_register(
+    "doc_length_classes",
+    f"""
+    SELECT lang,
+           CASE WHEN len({sql_tokens_pipeline('text')}) < {MIN_DOC_WORDS} THEN 'short'
+                WHEN len({sql_tokens_pipeline('text')}) <= 40 THEN 'medium'
+                ELSE 'long' END AS length_class,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+    "P3 (doc-length range predicate)",
+    "Reference MIN_DOC_WORDS admission filter (webisalod_lda.py:28,32-33) "
+    "as a bucketing expression.",
+)
+def q_doc_length_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(tokens_pipeline(F.col("text")))
+    cls = (
+        F.when(n < MIN_DOC_WORDS, "short").when(n <= 40, "medium").otherwise("long")
+    )
+    return (
+        docs.select("lang", cls.alias("length_class"))
+        .groupBy("lang", "length_class")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_register(
+    "vocabulary",
+    f"""
+    SELECT token,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docfreq,
+           COUNT(*) AS collfreq
+    FROM (SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents)
+    GROUP BY token
+    HAVING COUNT(DISTINCT doc_id) >= 3
+    """,
+    "A1/A3 (vocabulary group-count + extremes filter)",
+    "gensim Dictionary build (webisalod_lda.py:41-48) as explode + "
+    "group-count with a minDF filter.",
+)
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
+    )
+    return (
+        exploded.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("docfreq"),
+            F.count(F.lit(1)).alias("collfreq"),
+        )
+        .filter(F.col("docfreq") >= 3)
+    )
+
+
+@_register(
+    "term_frequency",
+    f"""
+    SELECT doc_id, token, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents)
+    WHERE doc_id < 50
+    GROUP BY doc_id, token
+    """,
+    "A2 (doc2bow term-frequency vectorization)",
+    "BoW counts per (doc, term) — the relational core of doc2bow "
+    "(webisalod_lda.py:50).",
+)
+def q_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        docs.select("doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+@_register(
+    "tfidf",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token,
+           ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE tf.doc_id < 20
+    """,
+    "A10 (TF-IDF weighting, MLlib IDF formula)",
+    "TF-IDF with MLlib's smoothed idf = ln((N+1)/(df+1)), computed "
+    "relationally so the oracle can check it exactly.",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; broadcast into the expression
+    return (
+        tf.join(F.broadcast(df), "token")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@_register(
+    "document_fingerprints",
+    f"SELECT doc_id, md5({sql_clean_string('text')}) AS fingerprint FROM documents",
+    "§2.11 text analysis (document fingerprinting)",
+    "Deterministic md5 fingerprint of the normalized text (exact-dedup key).",
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@_register(
+    "dedup_stats_by_source",
+    """
+    SELECT source,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           COUNT(*) - CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_duplicates
+    FROM documents GROUP BY source
+    """,
+    "D1 (exact dedup accounting)",
+    "Reference list(set(corpus)) dedup (supervised_classifier.py:174-175) "
+    "as fingerprint-based group accounting.",
+)
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_stats(docs, "text", ["source"])
+
+
+@_register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           n_chars,
+           len({sql_simple_tokens('text')}) AS n_words,
+           ROUND(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(text) - length(regexp_replace(text, '[\\p{{P}}\\p{{S}}]', '', 'g')) AS DOUBLE)
+                      / length(text) END, 6) AS punct_ratio,
+           ROUND(CASE WHEN len({sql_simple_tokens('text')}) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter({sql_simple_tokens('text')}, t -> t IN {sql_stopword_list(STOPWORDS)})) AS DOUBLE)
+                      / len({sql_simple_tokens('text')}) END, 6) AS stopword_ratio
+    FROM documents
+    """,
+    "§2.11 text analysis (quality scoring)",
+    "Length / punctuation / stopword-ratio quality signals, all "
+    "codegen'd expressions.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        TS.word_count(F.col("text")).cast("long").alias("n_words"),
+        F.round(TS.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(TS.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+    )
+
+
+def _sql_lang_hits(code: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TS.LANG_MARKERS[code])
+    return (
+        f"len(list_filter({sql_simple_tokens('text')}, t -> t IN ({words})))"
+    )
+
+
+def _sql_langid() -> str:
+    codes = sorted(TS.LANG_MARKERS)
+    clauses = []
+    for i, c in enumerate(codes):
+        conds = [f"{_sql_lang_hits(c)} > 0"]
+        for other in codes[i + 1 :]:
+            conds.append(f"{_sql_lang_hits(c)} >= {_sql_lang_hits(other)}")
+        for other in codes[:i]:
+            conds.append(f"{_sql_lang_hits(c)} > {_sql_lang_hits(other)}")
+        clauses.append(f"WHEN {' AND '.join(conds)} THEN '{c}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+@_register(
+    "language_id",
+    f"""
+    SELECT lang, {_sql_langid()} AS predicted_lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+    "§2.11 text analysis (language ID heuristic)",
+    "Marker-word language ID vs the labeled lang column (confusion table).",
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TS.langid(F.col("text")).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# =========================================================================
+# Fuzzy matching / near-dup (Jaro-Winkler, n-gram Jaccard)
+# =========================================================================
+
+
+@_register(
+    "jaro_winkler_pairs",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           ROUND(jaro_winkler_similarity(a.n_name, b.n_name), 4) AS jw_sim
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE jaro_winkler_similarity(a.n_name, b.n_name) >= 0.5
+    """,
+    "T9 (Jaro-Winkler fuzzy match)",
+    "Reference evaluate.py:100-106 JW name matching; engine side is an "
+    "Arrow-vectorized pandas_udf.",
+)
+def q_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    a = nation.select(
+        F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("name_a")
+    )
+    b = nation.select(
+        F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("name_b")
+    )
+    pairs = a.join(b, F.col("key_a") < F.col("key_b"))
+    sim = jaro_winkler(F.col("name_a"), F.col("name_b"))
+    return (
+        pairs.withColumn("jw_sim_raw", sim)
+        .filter(F.col("jw_sim_raw") >= 0.5)
+        .select("name_a", "name_b", F.round("jw_sim_raw", 4).alias("jw_sim"))
+    )
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    """
+    WITH grams AS (
+        SELECT n_nationkey AS key, n_name AS name,
+               list_distinct(list_transform(range(1, length(n_name) - 1),
+                                            i -> substring(n_name, i, 3))) AS g
+        FROM nation
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           ROUND(CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)
+                 / (len(a.g) + len(b.g) - len(list_filter(a.g, x -> list_contains(b.g, x)))), 6) AS jaccard
+    FROM grams a JOIN grams b ON a.key < b.key
+    WHERE len(list_filter(a.g, x -> list_contains(b.g, x))) > 0
+    """,
+    "§2.11 dedup (n-gram Jaccard near-dup)",
+    "Character-trigram Jaccard similarity between names — the scoring "
+    "kernel of shingle-based near-dup.",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    grams = nation.select(
+        F.col("n_nationkey").alias("key"),
+        F.col("n_name").alias("name"),
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, length(n_name) - 2), i -> substring(n_name, i, 3))"
+            )
+        ).alias("g"),
+    )
+    a = grams.select(
+        F.col("key").alias("key_a"), F.col("name").alias("name_a"), F.col("g").alias("ga")
+    )
+    b = grams.select(
+        F.col("key").alias("key_b"), F.col("name").alias("name_b"), F.col("g").alias("gb")
+    )
+    pairs = a.join(b, F.col("key_a") < F.col("key_b"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    return (
+        pairs.withColumn("inter", inter)
+        .filter(F.col("inter") > 0)
+        .select(
+            "name_a",
+            "name_b",
+            F.round(F.col("inter").cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+# =========================================================================
+# Embeddings: similarity search, vector stats, polysemy rule shape
+# =========================================================================
+
+
+@_register(
+    "knn_bruteforce_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+    pairs AS (
+        SELECT probe_id, e.vec_id AS neighbor_id,
+               list_dot_product(pv, e.v)
+                 / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+        FROM probes CROSS JOIN e
+        WHERE e.vec_id != probe_id
+    )
+    SELECT probe_id, neighbor_id, ROUND(sim, 6) AS cosine_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+    "§2.11 similarity search (brute-force cosine top-k), M14 shape",
+    "Exact kNN: probe broadcast × corpus scan, cosine via zip_with/"
+    "aggregate HOFs (no UDF), window top-k.",
+)
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return knn_bruteforce(emb, probes, k=5)
+
+
+@_register(
+    "embedding_norm_stats",
+    """
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+    "§2.11 multimodal columns (vector stats)",
+    "Per-label embedding L2-norm statistics, float64 sequential fold.",
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return (
+        emb.select("label", F.sqrt(dot(v, v)).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+@_register(
+    "polysemy_rule_vectors",
+    """
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN len(list_filter(embedding, p -> p >= 0.0575)) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_polysemous,
+           ROUND(CAST(SUM(len(list_filter(embedding, p -> p >= 0.0575))) AS DOUBLE) / COUNT(*), 6) AS avg_above
+    FROM embeddings GROUP BY label
+    """,
+    "M4/P10 (threshold rule over a probability/score vector)",
+    "The polysemy decision rule (polysemous_words.py:84: #entries ≥ "
+    "0.0575 > 2) applied to the embedding vectors — same expression "
+    "shape the LDA path uses on topicDistribution.",
+)
+def q_polysemy_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    n_above = F.size(F.filter(F.col("embedding"), lambda p: p >= F.lit(0.0575)))
+    return (
+        emb.select("label", n_above.alias("n_above"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("n_above") > 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_polysemous"),
+            F.round(F.sum("n_above").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_above"
+            ),
+        )
+    )
+
+
+# =========================================================================
+# Events: time windows, sessionization, JSON, streaming
+# =========================================================================
+
+
+@_register(
+    "events_hourly",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "§2.9/§2.11 (event-time tumbling window, batch)",
+    "Hourly per-type event rollup; epoch-micros keys for oracle parity.",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_start_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(_dec("value")).alias("sum_value"),
+        )
+    )
+
+
+@_register(
+    "events_sessionization",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(1 + SUM(CASE WHEN prev_us IS NOT NULL AND epoch_us(ts) - prev_us > 1800000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM (SELECT user_id, ts,
+                 LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events)
+    GROUP BY user_id
+    """,
+    "§2.11 sessionization (lag + gap threshold)",
+    "Session counting with a 30-minute inactivity gap — the batch twin "
+    "of session_window.",
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1_800_000_000
+        ).alias("new_session"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (1 + F.sum(F.when(F.col("new_session"), 1).otherwise(0))).cast("long").alias(
+            "n_sessions"
+        ),
+    )
+
+
+@_register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    "§2.11 JSON functions over the props column",
+    "get_json_object extraction + integer aggregation.",
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
+        )
+    )
+
+
+@_register(
+    "event_type_share",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM events GROUP BY event_type
+    """,
+    "§2.9 window-over-aggregate",
+    "Per-type share of total events (window over an aggregate).",
+)
+def q_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy()
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("n_events").cast("double") / F.sum("n_events").over(w), 6).alias(
+            "share"
+        ),
+    )
+
+
+@_register(
+    "top_users_by_value",
+    """
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 10
+    """,
+    "O4 (global top-k after aggregation)",
+    "Top-10 users by exact-decimal total event value.",
+)
+def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            _dsum(_dec("value")).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(10)
+    )
+
+
+# =========================================================================
+# Rows-only checks (ML / LSH / streaming — not SQL-expressible)
+# =========================================================================
+
+
+@_register(
+    "flagship_polysemy",
+    None,
+    "M1/M3/M4/A1/A2 end-to-end",
+    "documents → clean → CountVectorizer → LDA(k=10) → polysemy rule → "
+    "per-lang report (rows-only: LDA is seed/implementation-sensitive).",
+)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .flagship import flagship_polysemy
+
+    return flagship_polysemy(spark, sf_dir)
+
+
+@_register(
+    "minhash_neardup_pairs",
+    None,
+    "§2.11 dedup (MinHash LSH), M14 shape",
+    "MinHashLSH approxSimilarityJoin candidate pairs over token sets "
+    "(rows-only: hash-seed dependent).",
+)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select(
+        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
+    )
+    return minhash_lsh_pairs(toks, threshold=0.5)
+
+
+@_register(
+    "simhash_documents",
+    None,
+    "§2.11 dedup (SimHash)",
+    "64-bit SimHash per document via bitwise-majority HOF expression "
+    "(rows-only: xxhash64 seed is Spark-specific).",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_pipeline(F.col("text")).alias("tokens"))
+    return add_simhash(toks, "tokens").select("doc_id", "simhash")
+
+
+@_register(
+    "streaming_events_hourly",
+    None,
+    "§2.9 Structured Streaming (watermark + tumbling window)",
+    "The events_hourly aggregation executed as a streaming query "
+    "(memory sink, processAllAvailable) — rows-only but equal to the "
+    "batch result by construction.",
+)
+def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_hourly_event_stats(spark, sf_dir)
+
+
+@_register(
+    "nquads_provenance",
+    None,
+    "S1, J1-J3, P1/P2 (N-Quads scan + two-hop provenance traversal)",
+    "Parses an inline WebIsALOD-shaped N-Quads sample and runs the "
+    "two-hop wasDerivedFrom/value traversal (rows-only: synthetic input "
+    "embedded in code, no oracle table).",
+)
+def q_nquads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.nquads import parse_nquads_lines, provenance_sentences
+
+    prefix = "http://example.org/concept/"
+    lines = []
+    for i in range(20):
+        g = f"http://example.org/prov/{i}"
+        concept = f"{prefix}thing_{i % 5}_"
+        lines.append(f"<{concept}> <http://example.org/skos#broader> <{prefix}parent_> <{g}> .")
+        lines.append(
+            f"<{g}> <http://www.w3.org/ns/prov#wasDerivedFrom> <http://example.org/deriv/{i}> ."
+        )
+        lines.append(
+            f'<http://example.org/deriv/{i}> <http://www.w3.org/ns/prov#value> '
+            f'"a thing {i % 5} is an example sentence number {i}." .'
+        )
+    raw = spark.createDataFrame([(line,) for line in lines], ["value"])
+    quads = parse_nquads_lines(raw)
+    return provenance_sentences(quads, prefix)

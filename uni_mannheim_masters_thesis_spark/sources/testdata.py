@@ -1,0 +1,63 @@
+"""Loaders for the driver's synthetic testdata tables.
+
+Tables (one parquet each, see TESTDATA.md / FIXTURES.md §B):
+``region nation customer supplier part orders lineitem events documents
+embeddings``.
+
+The generator wrote timestamp columns as parquet ``TIMESTAMP(NANOS)``,
+which Spark's vectorized reader rejects. We read them via
+``spark.sql.legacy.parquet.nanosAsLong`` and convert losslessly to
+``timestamp`` (microsecond precision; the data carries no sub-microsecond
+digits). Integer division (`div`) keeps the arithmetic exact — a
+float division would lose precision above 2^53 ns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_engine_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# timestamp-typed columns per table (stored as TIMESTAMP(NANOS) in parquet)
+_NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with proper timestamp types."""
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in _NS_TIMESTAMP_COLS.get(name, ()):
+        if dtypes.get(c) == "bigint":  # TIMESTAMP(NANOS) read under nanosAsLong
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp")
+            )
+        elif dtypes.get(c) == "timestamp_ntz":  # TIMESTAMP(MICROS, utc=false)
+            # values are UTC wall-clock; session TZ is pinned UTC, so the
+            # cast is value-preserving and enables unix_micros etc.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each table as a temp view (mirrors the DuckDB oracle setup)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
