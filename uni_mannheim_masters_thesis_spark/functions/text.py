@@ -106,6 +106,29 @@ def tokens_pipeline(col: Column, stopwords=STOPWORDS, min_len: int = MIN_TOKEN_L
     return drop_empty(toks)
 
 
+def rule_lemmatize(tokens: Column) -> Column:
+    """Rule-based lemmatizer (T5 analogue of WordNet morphy,
+    Read_And_Clean.py:38-43): suffix-strip rules expressed as a CASE
+    chain so the semantics are deterministic, broadcast-free, and
+    mirrorable in oracle SQL. Rules: -ing (len>5) → stem; -s (len>3,
+    not -ss) → singular.
+    """
+    def lemma(t: Column) -> Column:
+        return (
+            F.when(
+                t.endswith("ing") & (F.length(t) > 5),
+                t.substr(F.lit(1), F.length(t) - 3),
+            )
+            .when(
+                t.endswith("s") & ~t.endswith("ss") & (F.length(t) > 3),
+                t.substr(F.lit(1), F.length(t) - 1),
+            )
+            .otherwise(t)
+        )
+
+    return F.transform(tokens, lemma)
+
+
 # --- DuckDB-oracle SQL fragments (same constants, same semantics) -------
 
 def sql_clean_string(expr: str) -> str:

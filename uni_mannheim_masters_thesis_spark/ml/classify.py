@@ -1,0 +1,230 @@
+"""Supervised-classifier battery (reference ``supervised_classifier.py``).
+
+Maps the reference's sklearn pipeline (M5-M24) to MLlib:
+
+- feature extraction M5 (``getTrainVecs``, supervised_classifier.py:159-183):
+  topic-distribution vector + optional doc-length feature → VectorAssembler.
+- scaling M19 (StandardScaler fit on train only,
+  supervised_classifier.py:586-589).
+- splits M17 (80/20 seed 42, supervised_classifier.py:576) and
+  stratified k-fold M18 (supervised_classifier.py:629-691): fold =
+  row_number within label (ordered by a seeded hash) mod k — fully
+  distributed, no driver loop over rows.
+- the classifier battery M6-M16 in MLlib-native form; kernel-SVM (M9)
+  and modified-Huber (M8) map to LinearSVC, kNN (M14) to LSH
+  (documented deviations, SURVEY §2.8).
+- resampling M20/M21: class-weight column (the distributed-safe
+  default) + sampleBy over/undersampling variants.
+- evaluation M23 (binary F1) via the same A4/A5 confusion-matrix
+  aggregations the rule path uses.
+
+Everything is DataFrame-in/DataFrame-out; the only driver-side loop is
+over folds/models (small), never over rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml.classification import (
+    DecisionTreeClassifier,
+    GBTClassifier,
+    LinearSVC,
+    LogisticRegression,
+    MultilayerPerceptronClassifier,
+    NaiveBayes,
+    RandomForestClassifier,
+)
+from pyspark.ml.feature import StandardScaler, VectorAssembler
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.evaluation import classification_metrics, confusion_matrix
+
+SEED = 42  # reference uses random_state=42 throughout
+
+
+def assemble_features(
+    df: DataFrame,
+    topic_col: str = "topicDistribution",
+    length_col: str | None = "doc_len",
+    out_col: str = "features",
+) -> DataFrame:
+    """M5: topic vector (+ length feature if ADD_LENGTH_FEATURE)."""
+    cols = [topic_col] + ([length_col] if length_col else [])
+    va = VectorAssembler(inputCols=cols, outputCol=out_col)
+    return va.transform(df)
+
+
+def scale_features(
+    train: DataFrame, test: DataFrame, in_col: str = "features"
+) -> tuple[DataFrame, DataFrame]:
+    """M19: StandardScaler fit on train, applied to both splits."""
+    scaler = StandardScaler(
+        inputCol=in_col, outputCol=f"{in_col}_scaled", withMean=True, withStd=True
+    )
+    model = scaler.fit(train)
+    return model.transform(train), model.transform(test)
+
+
+def train_test_split(
+    df: DataFrame, test_frac: float = 0.2, seed: int = SEED
+) -> tuple[DataFrame, DataFrame]:
+    """M17: randomSplit 80/20 (reference seed 42)."""
+    train, test = df.randomSplit([1.0 - test_frac, test_frac], seed=seed)
+    return train, test
+
+
+def add_stratified_fold(
+    df: DataFrame, k: int = 10, label_col: str = "label", id_col: str = "doc_id",
+    seed: int = SEED,
+) -> DataFrame:
+    """M18: stratified k-fold assignment as a column — per-label
+    row_number (ordered by a seeded hash for shuffling) mod k. Each fold
+    gets an equal share of every class; assignment is deterministic
+    given the seed and fully distributed (one window shuffle)."""
+    w = Window.partitionBy(label_col).orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+    return df.withColumn("fold", ((F.row_number().over(w) - 1) % k).cast("int"))
+
+
+def add_hash_fold(df: DataFrame, k: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Engine-portable deterministic fold assignment: fold =
+    int(md5(id)[:8], 16) % k. Unlike M18's per-label window, this needs
+    NO shuffle at all (pure map) — the 100 TB-scale default; stratification
+    is approximate but converges by the law of large numbers."""
+    hashed = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    return df.withColumn("fold", (hashed.cast("long") % k).cast("int"))
+
+
+def add_class_weights(df: DataFrame, label_col: str = "label") -> DataFrame:
+    """'balanced' class weights (reference class_weight='balanced'):
+    w(c) = n_total / (n_classes * n_c), computed distributedly and
+    broadcast-joined back."""
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_c"))
+    n_classes = counts.count()
+    total = df.count()
+    weights = counts.select(
+        label_col, (F.lit(total) / (F.lit(n_classes) * F.col("n_c"))).alias("weight")
+    )
+    return df.join(F.broadcast(weights), label_col)
+
+
+def oversample_minority(
+    df: DataFrame, label_col: str = "label", seed: int = SEED
+) -> DataFrame:
+    """M20 fallback: per-class sampleBy oversampling to near-balance
+    (faithful SMOTE interpolation is the LSH-kNN variant; this is the
+    shippable distributed default, documented deviation)."""
+    counts = {r[label_col]: r["cnt"] for r in
+              df.groupBy(label_col).agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    if not counts:
+        return df
+    majority = max(counts.values())
+    extra = []
+    for lbl, cnt in counts.items():
+        if cnt < majority:
+            frac = (majority - cnt) / cnt
+            sampled = df.filter(F.col(label_col) == lbl)
+            # sample with replacement to synthesize the shortfall
+            extra.append(sampled.sample(withReplacement=True, fraction=frac, seed=seed))
+    out = df
+    for e in extra:
+        out = out.unionByName(e)
+    return out
+
+
+def undersample_majority(
+    df: DataFrame, label_col: str = "label", seed: int = SEED
+) -> DataFrame:
+    """M21 fallback: downsample majority classes to the minority size
+    (Tomek-links pair-dropping is the LSH variant; same deviation note)."""
+    counts = {r[label_col]: r["cnt"] for r in
+              df.groupBy(label_col).agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    if not counts:
+        return df
+    minority = min(counts.values())
+    fractions = {lbl: min(1.0, minority / cnt) for lbl, cnt in counts.items()}
+    return df.sampleBy(label_col, fractions, seed=seed)
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    estimator: object
+    survey: str
+
+
+def classifier_battery(
+    features_col: str = "features", label_col: str = "label", seed: int = SEED
+) -> list[ModelSpec]:
+    """The M6-M16 battery in MLlib-native order (SURVEY §7.1 M4).
+
+    Deviations (documented in SURVEY §2.8): M7 SGD-log-loss ≡ M6
+    LogisticRegression (solver is not semantics); M8 modified-Huber and
+    M9 kernel SVM → LinearSVC; M14 kNN lives in
+    operators.similarity_search (LSH).
+    """
+    common = dict(featuresCol=features_col, labelCol=label_col)
+    return [
+        ModelSpec("logistic_regression", LogisticRegression(
+            maxIter=50, regParam=0.1, weightCol="weight", **common), "M6/M7"),
+        ModelSpec("linear_svc", LinearSVC(maxIter=50, regParam=0.1, **common), "M8/M9/M11"),
+        ModelSpec("gaussian_nb", NaiveBayes(modelType="gaussian", **common), "M10"),
+        ModelSpec("decision_tree", DecisionTreeClassifier(seed=seed, **common), "M15"),
+        ModelSpec("random_forest", RandomForestClassifier(
+            numTrees=100, seed=seed, **common), "M12"),
+        ModelSpec("gbt", GBTClassifier(maxIter=20, seed=seed, **common), "M13"),
+    ]
+
+
+def mlp_spec(n_features: int, features_col: str = "features",
+             label_col: str = "label", seed: int = SEED) -> ModelSpec:
+    """M16: MLP with the reference's (140,140,140) hidden layers
+    (supervised_classifier.py:471-490)."""
+    return ModelSpec(
+        "mlp",
+        MultilayerPerceptronClassifier(
+            layers=[n_features, 140, 140, 140, 2],
+            seed=seed,
+            maxIter=60,
+            featuresCol=features_col,
+            labelCol=label_col,
+        ),
+        "M16",
+    )
+
+
+def evaluate_binary(predictions: DataFrame, label_col: str = "label",
+                    pred_col: str = "prediction") -> DataFrame:
+    """M23/A4/A5: one-row P/R/Acc/F1 from a scored DataFrame."""
+    cm = confusion_matrix(
+        predictions, pred=F.col(pred_col) == 1.0, gold=F.col(label_col) == 1.0
+    )
+    return classification_metrics(cm)
+
+
+def run_battery(
+    train: DataFrame,
+    test: DataFrame,
+    include_mlp: bool = False,
+    n_features: int | None = None,
+) -> DataFrame:
+    """Fit every battery model on train, score on test, return one row
+    per model: [model, tp, fp, tn, fn, precision, recall, accuracy, f1].
+
+    The driver loop is over ~7 models (each fit is distributed Spark
+    jobs); train/test are expected to be cached by the caller.
+    """
+    specs = classifier_battery()
+    if include_mlp and n_features:
+        specs = specs + [mlp_spec(n_features)]
+    weighted = add_class_weights(train)
+    out = None
+    for spec in specs:
+        fit_on = weighted if spec.name == "logistic_regression" else train
+        model = spec.estimator.fit(fit_on)
+        scored = model.transform(test)
+        row = evaluate_binary(scored).withColumn("model", F.lit(spec.name))
+        out = row if out is None else out.unionByName(row)
+    return out.select("model", "tp", "fp", "tn", "fn",
+                      "precision", "recall", "accuracy", "f1")

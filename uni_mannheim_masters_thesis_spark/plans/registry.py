@@ -1195,3 +1195,630 @@ def q_nquads(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.createDataFrame([(line,) for line in lines], ["value"])
     quads = parse_nquads_lines(raw)
     return provenance_sentences(quads, prefix)
+
+
+# =========================================================================
+# Batch 2: string rewrites, lemmatization, windows, percentiles, cube,
+# range joins, sliding windows, documents/embeddings dedup, minhash
+# signatures, portable folds
+# =========================================================================
+
+
+def _sql_rule_lemma(list_expr: str) -> str:
+    """DuckDB twin of functions.text.rule_lemmatize."""
+    return (
+        f"list_transform({list_expr}, t -> "
+        "CASE WHEN t LIKE '%ing' AND length(t) > 5 THEN substring(t, 1, length(t) - 3) "
+        "WHEN t LIKE '%s' AND t NOT LIKE '%ss' AND length(t) > 3 THEN substring(t, 1, length(t) - 1) "
+        "ELSE t END)"
+    )
+
+
+@_register(
+    "lemmatized_tokens",
+    f"""
+    SELECT doc_id,
+           array_to_string({_sql_rule_lemma(sql_tokens_pipeline('text'))}, ' ') AS lemmas
+    FROM documents
+    """,
+    "T5 (lemmatization, rule-based morphy analogue)",
+    "Suffix-strip lemmatizer over the cleaned token stream "
+    "(Read_And_Clean.py:38-43,71).",
+)
+def q_lemmatized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import rule_lemmatize
+
+    docs = _t(spark, sf_dir, "documents")
+    lemmas = rule_lemmatize(tokens_pipeline(F.col("text")))
+    return docs.select("doc_id", F.concat_ws(" ", lemmas).alias("lemmas"))
+
+
+@_register(
+    "replace_rewrite",
+    "SELECT doc_id, md5(replace(text, 'spark', 'engine')) AS rewritten_hash FROM documents",
+    "S2/T6 (line rewrite: literal substring replace)",
+    "fix_dataset_uris.py:1-12 semantics: scan → replace(old, new) → sink "
+    "(hash of the rewritten line keeps comparison compact).",
+)
+def q_replace_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.expr("replace(text, 'spark', 'engine')")).alias("rewritten_hash")
+    )
+
+
+@_register(
+    "concat_segment_name",
+    """
+    SELECT c_custkey, concat_ws(' ', c_mktsegment, c_name) AS seg_name
+    FROM customer
+    """,
+    "T8 (string concat of columns)",
+    "ADD_NAME_IN_DOC-style prefix concat (supervised_classifier.py:132-133).",
+)
+def q_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey", F.concat_ws(" ", "c_mktsegment", "c_name").alias("seg_name")
+    )
+
+
+@_register(
+    "order_window_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           LAG(o_orderkey) OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "§2.9 window functions (row_number, lag, lead, ntile)",
+    "Full ranking/offset window surface over a deterministic total order.",
+)
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@_register(
+    "acctbal_percentiles",
+    """
+    SELECT c_mktsegment,
+           ROUND(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+           ROUND(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+           ROUND(quantile_cont(c_acctbal, 0.75), 4) AS p75
+    FROM customer GROUP BY c_mktsegment
+    """,
+    "§2.11 quantiles (exact interpolated percentiles)",
+    "Exact linear-interpolation percentiles (Spark percentile ≡ DuckDB "
+    "quantile_cont).",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(c_acctbal, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("p75"),
+    )
+
+
+@_register(
+    "order_status_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "§2.9 grouping sets (CUBE)",
+    "Full cube over status × priority with exact decimal sums.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(_dec("o_totalprice")).alias("total_price"),
+    )
+
+
+@_register(
+    "value_bucket_range_join",
+    """
+    SELECT bucket, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1000000.0))
+         b(bucket, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY bucket
+    """,
+    "§2.11 range join (non-equi band join)",
+    "Banding join against a broadcast range dimension — the pattern "
+    "behind as-of/range joins at scale.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e6)],
+        ["bucket", "lo", "hi"],
+    )
+    return (
+        ev.join(
+            F.broadcast(buckets),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(_dec("value")).alias("sum_value"),
+        )
+    )
+
+
+@_register(
+    "customers_with_open_order",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+    "J7 (semi join / EXISTS)",
+    "Left-semi membership (the EXISTS twin of customers_without_orders).",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@_register(
+    "union_all_entity_counts",
+    """
+    SELECT 'events' AS entity, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events
+    UNION ALL
+    SELECT 'orders' AS entity, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n FROM orders
+    """,
+    "D3 (union)",
+    "UNION ALL of two aggregated branches.",
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").agg(
+        F.lit("events").alias("entity"), F.countDistinct("user_id").alias("n")
+    )
+    orders = _t(spark, sf_dir, "orders").agg(
+        F.lit("orders").alias("entity"), F.countDistinct("o_custkey").alias("n")
+    )
+    return ev.unionByName(orders)
+
+
+@_register(
+    "embedding_centroid_norm",
+    """
+    WITH pos AS (
+        SELECT label, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding::DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    dims AS (SELECT label, pos, AVG(v) AS m FROM pos GROUP BY label, pos)
+    SELECT label, ROUND(sqrt(SUM(m * m)), 6) AS centroid_norm
+    FROM dims GROUP BY label
+    """,
+    "§2.11 similarity (per-class centroid — the IVF coarse quantizer step)",
+    "Element-wise mean vector per label via positional explode, then its "
+    "L2 norm. This is the centroid computation an IVF index build uses.",
+)
+def q_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    dims = pos.groupBy("label", "pos").agg(F.avg("v").alias("m"))
+    return dims.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
+    )
+
+
+@_register(
+    "bpe_subword_counts",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}')) AS n_subwords,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words
+    FROM documents
+    """,
+    "§2.11 text analysis (token counting, BPE-ish regex)",
+    "Greedy ≤4-char subword chunking — the regex analogue of BPE token "
+    "counting for budget estimation.",
+)
+def q_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]{1,4}', 0)"))
+        .cast("long")
+        .alias("n_subwords"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("long")
+        .alias("n_words"),
+    )
+
+
+@_register(
+    "winnowing_fingerprint",
+    f"""
+    SELECT doc_id,
+           CASE WHEN length({sql_clean_string('text')}) >= 8
+                THEN list_min(list_transform(range(1, length({sql_clean_string('text')}) - 6),
+                                             i -> md5(substring({sql_clean_string('text')}, i, 8))))
+                ELSE md5({sql_clean_string('text')}) END AS shingle_fp
+    FROM documents
+    """,
+    "§2.11 text analysis (rolling-hash / winnowing fingerprint)",
+    "Min-of-rolling-8-gram-hashes document fingerprint (winnowing-lite): "
+    "robust to small edits, unlike the exact md5.",
+)
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = docs.select("doc_id", clean_string(F.col("text")).alias("c"))
+    rolled = F.expr(
+        "array_min(transform(sequence(1, length(c) - 7), i -> md5(substring(c, i, 8))))"
+    )
+    return cleaned.select(
+        "doc_id",
+        F.when(F.length("c") >= 8, rolled).otherwise(F.md5(F.col("c"))).alias(
+            "shingle_fp"
+        ),
+    )
+
+
+@_register(
+    "supplier_part_reach",
+    """
+    SELECT s_name,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    HAVING COUNT(DISTINCT l_partkey) >= 5
+    """,
+    "J2/J3 shape (fact-dim hop + distinct-count + HAVING)",
+    "Two-hop reach aggregation (the relational shape of the provenance "
+    "traversal on warehouse data).",
+)
+def q_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .filter(F.col("n_parts") >= 5)
+    )
+
+
+@_register(
+    "events_sliding_window",
+    """
+    SELECT epoch_us(date_trunc('hour', ts) - off * INTERVAL 1 HOUR) AS win_start_us,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events, (VALUES (0), (1)) o(off)
+    GROUP BY 1, 2
+    """,
+    "§2.9 sliding window (2h window, 1h slide)",
+    "Sliding event-time windows: each event lands in two overlapping "
+    "2-hour windows (Spark window(ts, '2 hours', '1 hour')).",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+_DOC_SHINGLES = (
+    f"list_distinct(list_transform(range(1, len({sql_tokens_pipeline('text')})), "
+    f"i -> {sql_tokens_pipeline('text')}[i] || ' ' || {sql_tokens_pipeline('text')}[i + 1]))"
+)
+
+
+@_register(
+    "document_jaccard_neardup",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_DOC_SHINGLES} AS g
+        FROM documents
+        WHERE doc_id < 60 AND len({sql_tokens_pipeline('text')}) >= 2
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)
+                 / (len(a.g) + len(b.g) - len(list_filter(a.g, x -> list_contains(b.g, x)))) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+    FROM pairs WHERE j >= 0.2
+    """,
+    "§2.11 dedup (word-bigram shingle Jaccard on documents)",
+    "Near-duplicate detection on the documents table: word-bigram "
+    "shingles, exact Jaccard, threshold 0.2.",
+)
+def q_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = docs.select("doc_id", tokens_pipeline(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    a = shingles.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = shingles.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("j", inter.cast("double") / union)
+        .filter(F.col("j") >= 0.2)
+        .select("id_a", "id_b", F.round("j", 6).alias("jaccard"))
+    )
+
+
+@_register(
+    "embedding_cosine_neardup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(sim, 6) AS cosine_sim
+    FROM pairs WHERE sim >= 0.3
+    """,
+    "§2.11 dedup (embedding-cosine near-dup)",
+    "All-pairs cosine near-duplicate candidates over the embeddings "
+    "table (bounded probe set; the LSH variant is the scale path).",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+        "sim", cosine_similarity(F.col("va"), F.col("vb"))
+    )
+    return (
+        pairs.filter(F.col("sim") >= 0.3)
+        .select("id_a", "id_b", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
+def _sql_minhash_sig(seed: int) -> str:
+    return (
+        f"list_min(list_transform({sql_tokens_pipeline('text')}, "
+        f"t -> md5(t || '#{seed}')))"
+    )
+
+
+@_register(
+    "minhash_signatures",
+    f"""
+    SELECT doc_id,
+           {_sql_minhash_sig(1)} AS sig1,
+           {_sql_minhash_sig(2)} AS sig2,
+           {_sql_minhash_sig(3)} AS sig3,
+           {_sql_minhash_sig(4)} AS sig4
+    FROM documents
+    """,
+    "§2.11 dedup (MinHash signatures, engine-portable md5 permutations)",
+    "Four md5-permutation MinHash signatures per document — the "
+    "band-hash input for LSH bucketing, oracle-exact across engines.",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_pipeline(F.col("text"))
+
+    def sig(seed: int) -> F.Column:
+        suffix = F.lit(f"#{seed}")
+        # single-arg lambda: a two-arg lambda would receive the array
+        # INDEX as the second argument, not the closure value
+        return F.array_min(F.transform(toks, lambda t: F.md5(F.concat(t, suffix))))
+
+    return docs.select(
+        "doc_id", *[sig(s).alias(f"sig{s}") for s in (1, 2, 3, 4)]
+    )
+
+
+@_register(
+    "fold_assignment",
+    """
+    SELECT lang,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS fold,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+    "M18 (deterministic fold assignment, hash-mod variant)",
+    "Engine-portable k-fold assignment (md5-mod — the shuffle-free "
+    "100 TB default; the per-label window variant is ml.classify."
+    "add_stratified_fold).",
+)
+def q_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.classify import add_hash_fold
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        add_hash_fold(docs, k=10)
+        .groupBy("lang", "fold")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# =========================================================================
+# Batch 2 rows-only: classifier battery, topic quality, HDP, multimodal
+# =========================================================================
+
+
+@_register(
+    "classifier_battery",
+    None,
+    "M5-M17, M19, M23 (supervised suite end-to-end)",
+    "documents → LDA features (+length) → 80/20 split → StandardScaler → "
+    "LR/LinearSVC/GaussianNB/DT/RF/GBT battery → per-model P/R/Acc/F1 "
+    "(rows-only: model fitting is seed/implementation-sensitive).",
+)
+def q_classifier_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .supervised import supervised_battery_report
+
+    return supervised_battery_report(spark, sf_dir)
+
+
+@_register(
+    "stratified_fold_balance",
+    None,
+    "M18 (stratified k-fold, per-label window variant)",
+    "Per-(fold, label) counts from the stratified assignment — every "
+    "fold must carry an equal share of each class (±1).",
+)
+def q_stratified_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.classify import add_stratified_fold
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") >= 300).cast("int").alias("label")
+    )
+    return (
+        add_stratified_fold(docs, k=5)
+        .groupBy("fold", "label")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_register(
+    "topic_coherence_umass",
+    None,
+    "M26 (u_mass topic coherence)",
+    "Per-topic u_mass coherence of the flagship LDA — DataFrame "
+    "aggregation over describeTopics ⋈ doc-term incidence "
+    "(coherence_log_perplexity.py:45-52).",
+)
+def q_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.topic_quality import umass_coherence
+    from ..ml.topics import fit_lda, vectorize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    _, corpus = vectorize(toks, vocab_size=1 << 16)
+    corpus = corpus.cache()
+    model = fit_lda(corpus, k=5, max_iter=5)
+    return umass_coherence(model, corpus, top_n=5)
+
+
+@_register(
+    "lda_log_perplexity",
+    None,
+    "M25 (log-perplexity)",
+    "Held-out log-perplexity of the flagship LDA "
+    "(coherence_log_perplexity.py:36-43).",
+)
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.topic_quality import log_perplexity
+    from ..ml.topics import fit_lda, vectorize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    _, corpus = vectorize(toks, vocab_size=1 << 16)
+    corpus = corpus.cache()
+    model = fit_lda(corpus, k=5, max_iter=5)
+    lp = log_perplexity(model, corpus)
+    return spark.createDataFrame([(float(lp),)], "log_perplexity double")
+
+
+@_register(
+    "hdp_topic_mass",
+    None,
+    "M2 (HDP emulation: LDA at truncation + mass pruning)",
+    "Corpus-level topic-mass table with kept/pruned flags — the "
+    "suggested_lda_model analogue (wiki_hdp.py:19-26).",
+)
+def q_hdp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.topic_quality import hdp_emulation
+    from ..ml.topics import vectorize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    _, corpus = vectorize(toks, vocab_size=1 << 16)
+    corpus = corpus.cache()
+    _, masses = hdp_emulation(corpus, truncation_k=20, max_iter=5)
+    return masses
+
+
+@_register(
+    "multimodal_decode",
+    None,
+    "§2.11 multimodal columns (binary payload → metadata + features)",
+    "Arrow-batched mapInPandas over a binary column: deterministic "
+    "stub decoder (real image/audio libs not in container) producing "
+    "dims + an 8-dim feature vector; the Spark plumbing is real.",
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_binary_column, documents_as_binary
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_binary_column(documents_as_binary(docs))
+
+
+@_register(
+    "lsh_ann_neighbors",
+    None,
+    "M14/§2.11 (LSH approximate nearest neighbors — the scale path)",
+    "BucketedRandomProjectionLSH approx kNN for 5 probes (rows-only: "
+    "hash-seed dependent; brute-force twin is knn_bruteforce_cosine).",
+)
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity_search import lsh_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return lsh_ann(emb, probes, k=5)

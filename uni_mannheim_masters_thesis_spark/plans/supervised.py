@@ -1,0 +1,66 @@
+"""End-to-end supervised pipeline (reference ``supervised_classifier.py``
+__main__, lines 755-796): documents → topics → features → classifier
+battery → per-model metrics.
+
+The testdata has no gold polysemy table, so the pipeline derives a
+learnable binary label (long-document indicator) — the plumbing (M5
+features, M17 split, M19 scaling, M6-M16 battery, M23 evaluation) is
+identical to the reference's; only the label source differs, exactly as
+FIXTURES.md §A3 anticipates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_pipeline
+from ..ml.classify import (
+    assemble_features,
+    run_battery,
+    scale_features,
+    train_test_split,
+)
+from ..ml.topics import fit_lda, infer_topics, vectorize
+from ..sources.testdata import load_table
+
+
+def build_feature_table(
+    spark: SparkSession, sf_dir: str, k: int = 10, max_iter: int = 10
+) -> DataFrame:
+    """documents → tokens → TF vectors → LDA topics → assembled features
+    with a derived binary label (n_chars above the corpus median)."""
+    docs = load_table(spark, sf_dir, "documents")
+    median_chars = docs.agg(F.expr("percentile_approx(n_chars, 0.5)")).first()[0]
+    toks = docs.select(
+        "doc_id",
+        "n_chars",
+        tokens_pipeline(F.col("text")).alias("tokens"),
+    ).filter(F.size("tokens") > 0)
+    _, corpus = vectorize(toks, vocab_size=1 << 16)
+    corpus = corpus.cache()
+    model = fit_lda(corpus, k=k, max_iter=max_iter)
+    dist = infer_topics(model, corpus)
+    feats = dist.withColumn("doc_len", F.size("tokens").cast("double")).withColumn(
+        "label", (F.col("n_chars") >= F.lit(median_chars)).cast("double")
+    )
+    return assemble_features(
+        feats.select("doc_id", "label", "topicDistribution", "doc_len")
+    )
+
+
+def supervised_battery_report(
+    spark: SparkSession, sf_dir: str, include_mlp: bool = False
+) -> DataFrame:
+    """One row per classifier with P/R/Acc/F1 on the held-out split."""
+    data = build_feature_table(spark, sf_dir)
+    train, test = train_test_split(data)
+    train, test = scale_features(train, test)
+    train = train.withColumnRenamed("features", "features_raw").withColumnRenamed(
+        "features_scaled", "features"
+    ).cache()
+    test = test.withColumnRenamed("features", "features_raw").withColumnRenamed(
+        "features_scaled", "features"
+    ).cache()
+    n_features = len(train.select("features").first()["features"])
+    return run_battery(train, test, include_mlp=include_mlp, n_features=n_features)
