@@ -1,0 +1,115 @@
+"""Invariant tests for batch-3 operators: resampling (M20/M21), format
+roundtrips (S5-S11), IVF ANN, and the stateful streaming counters."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from conftest import SF_DIR
+from uni_mannheim_masters_thesis_spark.ml.resample import (
+    remove_tomek_links,
+    smote,
+    tomek_links,
+)
+from uni_mannheim_masters_thesis_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def binarized(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    return emb.select(
+        "vec_id", "embedding", (F.col("label") == 0).cast("int").alias("label")
+    ).cache()
+
+
+def test_smote_reaches_parity(spark, binarized):
+    out = smote(binarized, minority_label=1)
+    counts = {r["label"]: r["n"] for r in
+              out.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts[1] == counts[0]
+
+
+def test_smote_synthetic_rows_marked_and_minority(spark, binarized):
+    out = smote(binarized, minority_label=1)
+    synth = out.filter(F.col("vec_id") < 0)
+    assert synth.count() > 0
+    assert synth.filter(F.col("label") != 1).count() == 0
+    # synthetic vectors have the same dimensionality
+    dims = synth.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [64]
+
+
+def test_smote_deterministic(spark, binarized):
+    a = sorted(smote(binarized, minority_label=1)
+               .filter(F.col("vec_id") < 0)
+               .select(F.round(F.element_at("embedding", 1), 6).alias("x"))
+               .toPandas()["x"].tolist())
+    b = sorted(smote(binarized, minority_label=1)
+               .filter(F.col("vec_id") < 0)
+               .select(F.round(F.element_at("embedding", 1), 6).alias("x"))
+               .toPandas()["x"].tolist())
+    assert a == b
+
+
+def test_tomek_links_are_cross_class(spark, binarized):
+    links = tomek_links(binarized).collect()
+    assert len(links) > 0
+    for r in links:
+        assert r["label_a"] != r["label_b"]
+        assert r["id_a"] < r["id_b"]
+
+
+def test_tomek_removal_only_drops_majority(spark, binarized):
+    before = {r["label"]: r["n"] for r in
+              binarized.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    cleaned = remove_tomek_links(binarized, majority_label=0)
+    after = {r["label"]: r["n"] for r in
+             cleaned.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert after[1] == before[1]          # minority untouched
+    assert after[0] < before[0]           # some majority members dropped
+
+
+def test_dictionary_text_roundtrip_preserves_rows(spark):
+    from uni_mannheim_masters_thesis_spark.sources.formats import (
+        read_dictionary_text,
+        write_dictionary_text,
+    )
+
+    vocab = spark.createDataFrame(
+        [(0, "alpha", 10), (1, "beta", 3), (2, "gamma", 7)],
+        "id int, token string, docfreq long",
+    )
+    target = write_dictionary_text(vocab, num_docs=42)
+    back = read_dictionary_text(spark, target)
+    assert sorted(back.collect()) == sorted(vocab.collect())
+
+
+def test_matrix_market_roundtrip_exact(spark):
+    from uni_mannheim_masters_thesis_spark.sources.formats import (
+        read_matrix_market,
+        write_matrix_market,
+    )
+
+    trip = spark.createDataFrame(
+        [(0, 0, 1.5), (0, 3, 0.25), (2, 1, 3.125)],
+        "row_id long, col_id long, value double",
+    )
+    target = write_matrix_market(trip, n_rows=3, n_cols=4)
+    back = read_matrix_market(spark, target)
+    assert sorted(back.collect()) == sorted(trip.collect())
+
+
+def test_ivf_ann_subset_of_cells(spark):
+    from uni_mannheim_masters_thesis_spark.operators.similarity_search import ivf_ann
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = ivf_ann(emb, probes, k=5, n_lists=4, n_probe=2)
+    rows = out.collect()
+    assert len(rows) == 15  # 3 probes × 5 neighbors
+    # each probe's neighbors come from at most n_probe cells
+    cells_per_probe = {}
+    for r in rows:
+        cells_per_probe.setdefault(r["probe_id"], set()).add(r["cell"])
+    assert all(len(c) <= 2 for c in cells_per_probe.values())

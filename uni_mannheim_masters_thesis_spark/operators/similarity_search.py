@@ -16,7 +16,9 @@ oracle-exact.
 
 from __future__ import annotations
 
+from pyspark.ml.clustering import KMeans
 from pyspark.ml.feature import BucketedRandomProjectionLSH
+from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -97,4 +99,71 @@ def lsh_ann(
         pairs.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans partitions the corpus into
+    ``n_lists`` cells; each probe searches only its ``n_probe`` nearest
+    cells, so the scan cost drops from O(corpus) to
+    O(corpus * n_probe / n_lists) per probe.
+
+    At scale the cell assignment is the partitioning key: write the
+    corpus bucketed/partitioned by ``cell`` once, and every probe batch
+    touches only the matching partitions (partition pruning on the
+    equi-join below). The centroid table is tiny and broadcasts.
+
+    Returns DataFrame[probe_id, neighbor_id, cosine_sim, cell].
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cand_vec"),
+    ).withColumn("features", array_to_vector("cand_vec"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(c)
+    assigned = model.transform(c).select("neighbor_id", "cand_vec", "cell").cache()
+
+    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("probe_vec"),
+    )
+    # nearest n_probe cells per probe: tiny cross join vs the centroid table
+    d2 = F.aggregate(
+        F.zip_with("probe_vec", "centroid", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wc = Window.partitionBy("probe_id").orderBy("cell_dist", "cell")
+    probe_cells = (
+        p.crossJoin(F.broadcast(cent_df))
+        .withColumn("cell_dist", d2)
+        .withColumn("__cr", F.row_number().over(wc))
+        .filter(F.col("__cr") <= n_probe)
+        .select("probe_id", "probe_vec", "cell")
+    )
+    # candidate join restricted to the selected cells (partition-pruned at scale)
+    cand = F.broadcast(probe_cells).join(assigned, "cell").filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn(
+        "sim", cosine_similarity(F.col("probe_vec"), F.col("cand_vec"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("probe_id", "neighbor_id", F.round("sim", 6).alias("cosine_sim"), "cell")
     )

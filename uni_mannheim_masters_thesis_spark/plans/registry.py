@@ -1822,3 +1822,493 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
     return lsh_ann(emb, probes, k=5)
+
+
+# =========================================================================
+# Batch 3: set operators, grouping sets, source/sink format roundtrips
+# (CSV / JSON / gensim dictionary / Matrix Market / model save-load),
+# resampling (SMOTE / Tomek), grid search, hold-out transfer, kNN vote,
+# IVF ANN, MLP, stateful streaming
+# =========================================================================
+
+
+@_register(
+    "nation_presence_intersect",
+    """
+    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+    INTERSECT
+    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    """,
+    "J7/D3 (set intersection)",
+    "Nations with both customers and suppliers — the evaluate.py:138 "
+    "set-intersection pattern as a relational INTERSECT.",
+)
+def q_nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    with_cust = nation.join(
+        cust, nation.n_nationkey == cust.c_nationkey
+    ).select("n_name")
+    with_supp = nation.join(
+        supp, nation.n_nationkey == supp.s_nationkey
+    ).select("n_name")
+    return with_cust.intersect(with_supp)
+
+
+@_register(
+    "nation_presence_except",
+    """
+    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+    WHERE c_acctbal < -950
+    EXCEPT
+    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    WHERE s_acctbal < 0
+    """,
+    "J6/D3 (set difference)",
+    "Nations with deep-negative-balance customers but no "
+    "negative-balance suppliers — evaluate.py:135 set difference as "
+    "relational EXCEPT (set semantics: subtract, not exceptAll).",
+)
+def q_nation_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < -950)
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    with_cust = nation.join(
+        cust, nation.n_nationkey == cust.c_nationkey
+    ).select("n_name")
+    with_supp = nation.join(
+        supp, nation.n_nationkey == supp.s_nationkey
+    ).select("n_name")
+    return with_cust.subtract(with_supp)
+
+
+@_register(
+    "orders_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+    """,
+    "§2.9 (grouping sets)",
+    "Multi-granularity aggregate in one pass — Catalyst expands grouping "
+    "sets into a single Expand+Aggregate (one shuffle, not three).",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    view = f"orders_gs_{abs(hash(sf_dir)) % 10_000}"
+    orders.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+        FROM {view}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@_register(
+    "csv_metrics_roundtrip",
+    """
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    "S6/S7 (CSV sink + scan)",
+    "Metrics-log roundtrip (polysemous_words.py:164-178 sink, "
+    "evaluate.py:78-86 scan): aggregate → write headered CSV → read back "
+    "with explicit schema. The oracle checks the post-roundtrip values, "
+    "so type fidelity through the text format is part of the contract.",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.formats import csv_roundtrip
+
+    cust = _t(spark, sf_dir, "customer")
+    metrics = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _dsum(_dec("c_acctbal")).alias("total_acctbal"),
+    )
+    return csv_roundtrip(
+        metrics, "segment string, n_customers long, total_acctbal double"
+    )
+
+
+@_register(
+    "json_artifact_roundtrip",
+    """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source, lang
+    """,
+    "S5 (JSON artifact write/read)",
+    "jsonpickle-style artifact persistence (polysemous_words.py:111-126) "
+    "as a JSON-lines roundtrip with explicit schema on read.",
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.formats import json_roundtrip
+
+    docs = _t(spark, sf_dir, "documents")
+    gold = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return json_roundtrip(
+        gold, "source string, lang string, n_docs long, total_chars long"
+    )
+
+
+@_register(
+    "dictionary_text_roundtrip",
+    f"""
+    WITH vocab AS (
+        SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docfreq
+        FROM (SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents)
+        GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 3
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS INT) AS id, token, docfreq
+    FROM vocab
+    """,
+    "S9 (gensim dictionary text format)",
+    "Dictionary.load_from_text format (wiki_lda.py:13): vocabulary with "
+    "deterministic ids → `num_docs` header + id\\ttoken\\tdocfreq lines → "
+    "parsed back. Oracle recomputes the table directly.",
+)
+def q_dictionary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.formats import read_dictionary_text, write_dictionary_text
+
+    docs = _t(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
+    )
+    vocab = (
+        exploded.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("docfreq"))
+        .filter(F.col("docfreq") >= 3)
+    )
+    w = Window.orderBy("token")
+    with_ids = vocab.withColumn(
+        "id", (F.row_number().over(w) - 1).cast("int")
+    ).select("id", "token", "docfreq")
+    target = write_dictionary_text(with_ids, num_docs=docs.count())
+    return read_dictionary_text(spark, target)
+
+
+@_register(
+    "matrix_market_roundtrip",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY token),
+    ids AS (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) AS term_id FROM df),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id AS row_id, ids.term_id AS col_id,
+           ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS value
+    FROM tf JOIN df USING (token) JOIN ids USING (token) CROSS JOIN n
+    WHERE tf.doc_id < 20
+    """,
+    "S10 (Matrix Market corpus scan/sink)",
+    "MmCorpus roundtrip (wiki_lda.py:14): TF-IDF triplets → "
+    "`%%MatrixMarket` coordinate text → parsed back to (row, col, value). "
+    "Oracle recomputes the triplets directly.",
+)
+def q_matrix_market_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.formats import read_matrix_market, write_matrix_market
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    ids = dfreq.select(
+        "token", (F.row_number().over(Window.orderBy("token")) - 1).cast("long").alias("term_id")
+    )
+    n_docs = docs.count()
+    triplets = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(ids), "token")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            F.col("doc_id").alias("row_id"),
+            F.col("term_id").alias("col_id"),
+            F.round(
+                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("value"),
+        )
+    )
+    n_terms = ids.count()
+    target = write_matrix_market(triplets, n_rows=n_docs, n_cols=n_terms)
+    return read_matrix_market(spark, target)
+
+
+@_register(
+    "knn_classifier_vote",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 20 = 0),
+    corpus AS (SELECT * FROM e WHERE vec_id % 20 != 0),
+    pairs AS (
+        SELECT probe_id, corpus.vec_id AS neighbor_id, corpus.label,
+               list_dot_product(pv, corpus.v)
+                 / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(corpus.v, corpus.v))) AS sim
+        FROM probes CROSS JOIN corpus
+    ),
+    topk AS (
+        SELECT probe_id, neighbor_id, label
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+              FROM pairs)
+        WHERE rn <= 5
+    ),
+    votes AS (
+        SELECT probe_id, label, COUNT(*) AS n_votes
+        FROM topk GROUP BY probe_id, label
+    )
+    SELECT probe_id, CAST(label AS INT) AS predicted_label, CAST(n_votes AS BIGINT) AS n_votes
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY n_votes DESC, label) AS vr
+          FROM votes)
+    WHERE vr = 1
+    """,
+    "M14 (kNN classifier, majority vote)",
+    "KNeighborsClassifier(n=5) semantics (supervised_classifier.py:427-446): "
+    "brute-force 5-NN by cosine, majority vote over neighbor labels, "
+    "deterministic tie-break on smallest label.",
+)
+def q_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    nn = knn_bruteforce(corpus, probes, k=5)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        nn.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("probe_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("n_votes"), "label")
+    return (
+        votes.withColumn("__vr", F.row_number().over(w))
+        .filter(F.col("__vr") == 1)
+        .select(
+            "probe_id",
+            F.col("label").cast("int").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+
+
+@_register(
+    "stateful_user_counts",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    "§2.9 streaming (custom stateful operator, applyInPandasWithState)",
+    "Per-user running counters kept in GroupState across micro-batches "
+    "(integer-cents accumulation for exactness); the oracle checks the "
+    "final state equals the batch GROUP BY.",
+)
+def q_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import stateful_user_counts
+
+    return stateful_user_counts(spark, sf_dir)
+
+
+@_register(
+    "streaming_sessionization",
+    None,
+    "§2.9 streaming (session_window state merging)",
+    "Gap-based sessions (30 min) maintained in the streaming state store "
+    "via native session_window; rows-only check (the batch twin "
+    "events_sessionization is the hash-checked variant).",
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import streaming_sessionization
+
+    return streaming_sessionization(spark, sf_dir)
+
+
+@_register(
+    "smote_class_balance",
+    None,
+    "M20 (SMOTE oversampling, LSH/kNN + interpolation)",
+    "Faithful distributed SMOTE (supervised_classifier.py:578-581): "
+    "minority = binarized label 0 (~10%), kNN within class, seeded "
+    "interpolation on connecting segments. Returns per-class counts "
+    "before/after (invariant: classes reach parity; synthetic ids < 0).",
+)
+def q_smote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.resample import smote
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("label") == 0).cast("int").alias("label")
+    )
+    before = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_before"))
+    after = (
+        smote(emb, minority_label=1)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_after"),
+            F.sum((F.col("vec_id") < 0).cast("long")).alias("n_synthetic"),
+        )
+    )
+    return (
+        before.join(after, "label")
+        .select("label", "n_before", "n_after", "n_synthetic")
+        .orderBy("label")
+    )
+
+
+@_register(
+    "tomek_link_removal",
+    None,
+    "M21 (Tomek-links undersampling)",
+    "Mutual-1-NN cross-class pairs; majority member dropped "
+    "(supervised_classifier.py:582-584, default-enabled in the "
+    "reference). Returns per-class counts before/after.",
+)
+def q_tomek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.resample import remove_tomek_links
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("label") == 0).cast("int").alias("label")
+    )
+    before = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_before"))
+    cleaned = remove_tomek_links(emb, majority_label=0)
+    after = cleaned.groupBy("label").agg(F.count(F.lit(1)).alias("n_after"))
+    return (
+        before.join(after, "label")
+        .select("label", "n_before", "n_after")
+        .orderBy("label")
+    )
+
+
+def _embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared helper: embeddings as MLlib features with a binary label."""
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        (F.col("label") < 5).cast("double").alias("label"),
+    )
+
+
+@_register(
+    "grid_search_lr",
+    None,
+    "M22 (hyperparameter search, CrossValidator + ParamGrid)",
+    "BayesSearchCV surrogate (supervised_classifier.py:227-234, "
+    "documented deviation → grid): 3-fold CV over LR regParam × "
+    "elasticNet, one row per grid point with avg F1 and best flag.",
+)
+def q_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.search import grid_search_logistic
+
+    data = _embedding_features(spark, sf_dir).cache()
+    return grid_search_logistic(data)
+
+
+@_register(
+    "holdout_transfer_report",
+    None,
+    "M24 (hold-out transfer test)",
+    "testModelonExcluded (supervised_classifier.py:546-561): fit on "
+    "length-admitted docs (n_chars ≤ median via doc join), score the "
+    "length-excluded partition; P/R/Acc/F1 per split.",
+)
+def q_holdout_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.search import holdout_transfer
+
+    data = _embedding_features(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "n_chars"
+    )
+    joined = data.join(docs, "vec_id")
+    median = joined.agg(F.expr("percentile_approx(n_chars, 0.5)")).first()[0]
+    admitted = joined.filter(F.col("n_chars") <= median).cache()
+    excluded = joined.filter(F.col("n_chars") > median).cache()
+    return holdout_transfer(admitted, excluded)
+
+
+@_register(
+    "mlp_classifier",
+    None,
+    "M16 (multilayer perceptron, 140-140-140)",
+    "MultilayerPerceptronClassifier with the reference's hidden layers "
+    "(supervised_classifier.py:471-490) on embedding features; one row "
+    "of confusion counts + P/R/Acc/F1 on the 20% holdout.",
+)
+def q_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.classify import evaluate_binary, mlp_spec, train_test_split
+
+    data = _embedding_features(spark, sf_dir)
+    train, test = train_test_split(data)
+    train = train.cache()
+    spec = mlp_spec(n_features=64)
+    model = spec.estimator.fit(train)
+    scored = model.transform(test)
+    return evaluate_binary(scored).select(
+        "tp", "fp", "tn", "fn", "precision", "recall", "accuracy", "f1"
+    )
+
+
+@_register(
+    "ivf_ann_recall",
+    None,
+    "§2.11 similarity search (IVF ANN: KMeans cells + n_probe search)",
+    "Inverted-file ANN over embeddings: KMeans(8) partitions the corpus; "
+    "probes search their 2 nearest cells only. Reports recall@5 against "
+    "the exact brute-force neighbors (scan cost drops ~4× at n_probe=2).",
+)
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity_search import ivf_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = knn_bruteforce(emb, probes, k=5).select("probe_id", "neighbor_id")
+    approx = ivf_ann(emb, probes, k=5).select("probe_id", "neighbor_id")
+    hits = exact.join(approx, ["probe_id", "neighbor_id"]).count()
+    total = exact.count()
+    return spark.createDataFrame(
+        [(int(total), int(hits), round(hits / max(total, 1), 4))],
+        "n_exact long, n_hit long, recall_at_5 double",
+    )
+
+
+@_register(
+    "model_save_load",
+    None,
+    "S11 (MLlib model persistence)",
+    "CountVectorizerModel save/load roundtrip (gensim model.save/load, "
+    "webisalod_lda.py:48,57): vocabulary survives persistence verbatim; "
+    "returns [n_vocab, n_match] (invariant: equal).",
+)
+def q_model_save_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import CountVectorizer, CountVectorizerModel
+
+    from ..sources.formats import model_save_load_roundtrip
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
+    )
+    cv = CountVectorizer(inputCol="tokens", outputCol="tf", minDF=3.0)
+    model = cv.fit(toks)
+    loaded = model_save_load_roundtrip(model, CountVectorizerModel)
+    orig, back = model.vocabulary, loaded.vocabulary
+    n_match = sum(1 for a, b in zip(orig, back) if a == b)
+    return spark.createDataFrame(
+        [(len(orig), len(back), n_match)],
+        "n_vocab long, n_loaded long, n_match long",
+    )

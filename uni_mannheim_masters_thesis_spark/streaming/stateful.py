@@ -1,0 +1,151 @@
+"""Stateful streaming operators over the events table (SURVEY §2.9/§2.11).
+
+- ``streaming_sessionization``: native ``session_window`` (30-min gap)
+  over the event stream with a watermark — the state store holds one
+  open session per (user, gap-window), merged as events arrive; bounded
+  by active users, not input volume.
+- ``stateful_user_counts``: a *custom* stateful operator via
+  ``applyInPandasWithState`` — per-user running counters kept in
+  ``GroupState`` across micro-batches (the engine's template for
+  operators Structured Streaming lacks natively). Arrow-batched, one
+  state row per user.
+
+Both drive the stream synchronously to completion (memory sink +
+``processAllAvailable``) and return the final batch result so the
+driver/oracle can check them like any other query.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..session import ensure_engine_confs
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp"))
+    )
+
+
+def _drain(agg: DataFrame, output_mode: str) -> DataFrame:
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return agg.sparkSession.table(name)
+
+
+def streaming_sessionization(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user session stats via native session_window state merging.
+
+    Returns [user_id, session_start_us, n_events, sum_value]; identical
+    semantics to the batch sessionization query (gap-based sessions), so
+    the two can be cross-checked.
+    """
+    ensure_engine_confs(spark)
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_d"),
+        )
+    )
+    out = _drain(agg, "complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        "n_events",
+        F.round(F.col("sum_value_d").cast("double"), 2).alias("sum_value"),
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n_events", LongType()), StructField("value_cents", LongType())]
+)
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_cents", LongType()),
+    ]
+)
+
+
+def _update_user_counts(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """GroupState update: accumulate (count, integer-cents sum) per user.
+
+    Cents (int64) keep the accumulation exact and order-independent —
+    float accumulation in state would drift across micro-batch orders.
+    """
+    (user_id,) = key
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(round(pdf["value"].astype(float).sum() * 100))
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [int(user_id)], "n_events": [n], "value_cents": [cents]}
+    )
+
+
+def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    applyInPandasWithState (update mode, no timeout).
+
+    Returns the final per-user counters [user_id, n_events, sum_value].
+    """
+    ensure_engine_confs(spark)
+    stream = _event_stream(spark, sf_dir).select(
+        "user_id", F.col("value").cast("double").alias("value")
+    )
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_counts,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _drain(counted, "update")
+    # update-mode memory sink may hold one row per micro-batch per user;
+    # the final state per user is the max counter pair
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("value_cents").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("value_cents") / 100.0, 2).alias("sum_value"),
+        )
+    )
