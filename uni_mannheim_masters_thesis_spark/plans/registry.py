@@ -2312,3 +2312,213 @@ def q_model_save_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(orig), len(back), n_match)],
         "n_vocab long, n_loaded long, n_match long",
     )
+
+
+# =========================================================================
+# Batch 4: XML corpus ingest (S12), per-fold metric stats (A7), 3-way
+# membership classification (J8), multimodal frame sampling, stream-static
+# join
+# =========================================================================
+
+
+@_register(
+    "xml_corpus_roundtrip",
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+    "S12 (XML dump ingest)",
+    "Wikipedia-XML-dump ingest path (README.md:15-33) on Spark's native "
+    "XML source: write the corpus metadata as <doc> rows, read it back "
+    "with rowTag + explicit schema. Oracle checks the parsed rows.",
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    target = os.path.join(tempfile.mkdtemp(prefix="xml_corpus_"), "dump")
+    (
+        docs.write.format("xml")
+        .option("rootTag", "corpus")
+        .option("rowTag", "doc")
+        .mode("overwrite")
+        .save(target)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, lang string, source string, n_chars long")
+        .load(target)
+    )
+
+
+@_register(
+    "fold_metric_stats",
+    """
+    WITH scored AS (
+        SELECT ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold,
+               len(list_filter(embedding, p -> p >= 0.0575)) > 2 AS pred,
+               label = 0 AS gold
+        FROM embeddings
+    ),
+    per_fold AS (
+        SELECT fold,
+               CAST(SUM(CASE WHEN pred AND gold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM scored GROUP BY fold
+    ),
+    f1s AS (
+        SELECT fold,
+               CASE WHEN 2*tp + fp + fn = 0 THEN 0.0
+                    ELSE 2.0*tp / (2*tp + fp + fn) END AS f1
+        FROM per_fold
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_folds,
+           ROUND(AVG(f1), 6) AS mean_f1,
+           ROUND(stddev_samp(f1), 6) AS std_f1
+    FROM f1s
+    """,
+    "A7 (mean ± std over folds)",
+    "np.mean/np.std of per-fold F1 (supervised_classifier.py:527-537): "
+    "the M4 threshold rule scored per hash-fold, folded to mean±std — "
+    "one aggregation tree, no driver loop.",
+)
+def q_fold_metric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    hashed = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+    scored = emb.select(
+        (hashed.cast("long") % 5).alias("fold"),
+        (F.size(F.filter(F.col("embedding"), lambda p: p >= F.lit(0.0575))) > 2).alias("pred"),
+        (F.col("label") == 0).alias("gold"),
+    )
+    per_fold = scored.groupBy("fold").agg(
+        F.sum(F.when(F.col("pred") & F.col("gold"), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("gold"), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("gold"), 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    f1 = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+    )
+    return (
+        per_fold.select(f1.alias("f1"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_folds"),
+            F.round(F.avg("f1"), 6).alias("mean_f1"),
+            F.round(F.stddev_samp("f1"), 6).alias("std_f1"),
+        )
+    )
+
+
+@_register(
+    "membership_classification",
+    """
+    WITH open_parts AS (
+        SELECT DISTINCT l_partkey FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey WHERE o_orderstatus = 'O' AND l_quantity >= 49
+    ),
+    any_parts AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 45)
+    SELECT CASE WHEN op.l_partkey IS NOT NULL THEN 1
+                WHEN ap.l_partkey IS NOT NULL THEN 2
+                ELSE 0 END AS membership,
+           COUNT(*) AS n_parts
+    FROM part
+    LEFT JOIN open_parts op ON op.l_partkey = p_partkey
+    LEFT JOIN any_parts ap ON ap.l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    "J8 (two-left-join CASE membership classification)",
+    "The gold-label assignment shape (evaluate.py:160-168: in "
+    "disambiguation → 1, in wiki → 2, else 0) over parts: in an open "
+    "order → 1, ordered at all → 2, never ordered → 0.",
+)
+def q_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    open_parts = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter((F.col("o_orderstatus") == "O") & (F.col("l_quantity") >= 49))
+        .select(F.col("l_partkey").alias("op_key"))
+        .distinct()
+    )
+    any_parts = (
+        li.filter(F.col("l_quantity") >= 45)
+        .select(F.col("l_partkey").alias("ap_key"))
+        .distinct()
+    )
+    return (
+        part.join(open_parts, part.p_partkey == F.col("op_key"), "left")
+        .join(any_parts, part.p_partkey == F.col("ap_key"), "left")
+        .select(
+            F.when(F.col("op_key").isNotNull(), 1)
+            .when(F.col("ap_key").isNotNull(), 2)
+            .otherwise(0)
+            .alias("membership")
+        )
+        .groupBy("membership")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@_register(
+    "multimodal_frame_sample",
+    """
+    WITH payloads AS (
+        -- the corpus text is pure ASCII, so VARCHAR chunking here equals
+        -- the byte chunking Spark does on the binary payload
+        SELECT doc_id, text AS payload FROM documents WHERE doc_id < 50
+    ),
+    frames AS (
+        SELECT doc_id, i AS frame_idx,
+               substring(payload, CAST(1 + i * 32 AS BIGINT), 32) AS frame
+        FROM payloads, unnest(range(0, 1 + CAST(floor((length(payload) - 1) / 32) AS BIGINT), 4)) AS t(i)
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(octet_length(encode(frame)) AS INT) AS frame_bytes,
+           sha256(frame) AS frame_sha256
+    FROM frames WHERE length(frame) > 0
+    """,
+    "§2.11 multimodal (frame sampling over a binary column)",
+    "Video-style frame sampling as pure relational ops: the opaque "
+    "binary payload is chunked into fixed 32-byte 'frames', every 4th "
+    "frame is sampled (sequence + substring — no UDF), each fingerprinted "
+    "with sha256. The decode stub stays in operators.multimodal; this is "
+    "the samping plan the real decoder plugs into.",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    n_frames = (F.floor((F.octet_length("payload") - 1) / 32) + 1).cast("long")
+    frames = payloads.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1, F.lit(4).cast("long"))).alias("frame_idx"),
+        "payload",
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.expr("substring(payload, 1 + frame_idx * 32, 32)").alias("frame"),
+    )
+    return frames.filter(F.octet_length("frame") > 0).select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").cast("int").alias("frame_bytes"),
+        F.sha2(F.col("frame"), 256).alias("frame_sha256"),
+    )
+
+
+@_register(
+    "streaming_events_by_segment",
+    """
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY c_mktsegment
+    """,
+    "§2.9 streaming (stream-static broadcast join)",
+    "The event stream enriched against the static customer dimension "
+    "(broadcast per micro-batch, no stream-side shuffle), aggregated per "
+    "segment; oracle-checked against the equivalent batch join.",
+)
+def q_streaming_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import streaming_events_by_segment
+
+    return streaming_events_by_segment(spark, sf_dir)
