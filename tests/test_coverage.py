@@ -1,0 +1,52 @@
+"""Coverage-map integrity: every SURVEY §2 operator ID is mapped, every
+claimed query exists in the registry, every claimed implementation
+imports, and COVERAGE.md is current."""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from coverage_map import ALL_IDS, COVERAGE, generate_markdown
+from uni_mannheim_masters_thesis_spark.plans.registry import REGISTRY
+
+
+def test_every_survey_id_is_mapped():
+    missing = [i for i in ALL_IDS if i not in COVERAGE]
+    assert not missing, f"unmapped SURVEY §2 ids: {missing}"
+
+
+def test_every_claimed_query_exists():
+    for op_id, (_, queries) in COVERAGE.items():
+        for q in queries:
+            assert q in REGISTRY, f"{op_id} claims unknown query {q}"
+
+
+def test_every_claimed_impl_imports():
+    pkg = "uni_mannheim_masters_thesis_spark"
+    for op_id, (impl, _) in COVERAGE.items():
+        if impl.startswith("excluded:"):
+            continue
+        target = impl.split("#")[0].strip()
+        mod_name, attr = target.split(":")
+        mod = importlib.import_module(f"{pkg}.{mod_name}")
+        assert hasattr(mod, attr), f"{op_id}: {target} does not resolve"
+
+
+def test_non_excluded_ids_have_queries():
+    for op_id, (impl, queries) in COVERAGE.items():
+        if impl.startswith("excluded:"):
+            continue
+        assert queries, f"{op_id} has no registry query"
+
+
+def test_coverage_md_is_current():
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(repo, "COVERAGE.md")) as f:
+        on_disk = f.read()
+    assert on_disk == generate_markdown(), (
+        "COVERAGE.md is stale — run `python tools/coverage_map.py`"
+    )

@@ -1,0 +1,212 @@
+"""SURVEY §2 coverage map: every operator ID → implementation + registry
+queries. ``python tools/coverage_map.py`` regenerates ``COVERAGE.md``;
+``tests/test_coverage.py`` asserts the map is complete and every claim
+resolves (query exists in the registry, impl imports).
+
+Format: ID -> (impl path "module:attr" or note, [registry query names]).
+IDs whose impl starts with "excluded:" are documented out-of-scope items.
+"""
+
+from __future__ import annotations
+
+COVERAGE: dict[str, tuple[str, list[str]]] = {
+    # --- §2.1 scans / sources / sinks -----------------------------------
+    "S1": ("sources.nquads:read_nquads", ["nquads_provenance"]),
+    "S2": ("pipeline:fix_dataset_uris", ["replace_rewrite"]),
+    "S3": ("sources.testdata:load_table", ["clean_documents"]),
+    "S4": (
+        "pipeline:read_and_clean  # one partitioned table replaces "
+        "file-per-concept (SCALING §1)",
+        ["clean_documents"],
+    ),
+    "S5": ("sources.formats:json_roundtrip", ["json_artifact_roundtrip"]),
+    "S6": ("sources.formats:csv_roundtrip", ["csv_metrics_roundtrip"]),
+    "S7": ("sources.formats:csv_roundtrip", ["csv_metrics_roundtrip"]),
+    "S8": ("operators.dedup:exact_dedup  # line-set scan = text read + distinct",
+           ["distinct_user_event_pairs"]),
+    "S9": ("sources.formats:read_dictionary_text", ["dictionary_text_roundtrip"]),
+    "S10": ("sources.formats:read_matrix_market", ["matrix_market_roundtrip"]),
+    "S11": ("sources.formats:model_save_load_roundtrip", ["model_save_load"]),
+    "S12": ("plans.registry:q_xml_roundtrip", ["xml_corpus_roundtrip"]),
+    "S13": (
+        "excluded: network metrics sink (Neptune.ai) — metrics are a "
+        "DataFrame; any df.write sink applies (SURVEY §2.1 S13)",
+        [],
+    ),
+    # --- §2.2 projections / filters -------------------------------------
+    "P1": ("sources.nquads:provenance_sentences", ["nquads_provenance"]),
+    "P2": ("sources.nquads:provenance_sentences", ["nquads_provenance"]),
+    "P3": ("pipeline:build_corpus", ["flagship_polysemy", "doc_length_classes"]),
+    "P4": ("functions.text:remove_stopwords", ["tokenized_documents"]),
+    "P5": ("functions.text:drop_short_tokens", ["tokenized_documents"]),
+    "P6": ("plans.registry:q_spellcheck", ["spellcheck_filtered"]),
+    "P7": ("plans.registry:q_spellcheck", ["spellcheck_filtered"]),
+    "P8": ("functions.text:drop_empty", ["tokenized_documents"]),
+    "P9": (
+        "sources.testdata:load_table  # table model has no missing files; "
+        "dropna at ingest",
+        ["clean_documents"],
+    ),
+    "P10": ("ml.topics:polysemy_n_topics", ["polysemy_rule_vectors"]),
+    # --- §2.3 string/text functions -------------------------------------
+    "T1": ("functions.text:clean_string", ["clean_documents"]),
+    "T2": ("functions.text:clean_string", ["clean_documents"]),
+    "T3": ("functions.text:remove_numbers", ["tokenized_documents"]),
+    "T4": ("functions.text:tokenize", ["tokenized_documents"]),
+    "T5": ("functions.text:rule_lemmatize", ["lemmatized_tokens"]),
+    "T6": ("pipeline:fix_dataset_uris", ["replace_rewrite"]),
+    "T7": ("functions.text:tokenize", ["tokenized_documents", "lemmatized_tokens"]),
+    "T8": ("plans.registry:q_concat", ["concat_segment_name"]),
+    "T9": ("functions.similarity:jaro_winkler", ["jaro_winkler_pairs"]),
+    "T10": ("sources.nquads:provenance_sentences  # key mangling at ingest",
+            ["nquads_provenance"]),
+    # --- §2.4 joins ------------------------------------------------------
+    "J1": ("operators.relational:per_group_first",
+           ["first_order_per_customer", "nquads_provenance"]),
+    "J2": ("sources.nquads:provenance_sentences", ["nquads_provenance"]),
+    "J3": ("sources.nquads:provenance_sentences", ["nquads_provenance"]),
+    "J4": ("pipeline:evaluate_predictions", ["classification_metrics_events"]),
+    "J5": ("pipeline:evaluate_predictions  # broadcast dim lookup",
+           ["revenue_by_nation"]),
+    "J6": ("plans.registry:q_nation_except", ["nation_presence_except"]),
+    "J7": ("plans.registry:q_nation_intersect", ["nation_presence_intersect"]),
+    "J8": ("plans.registry:q_membership", ["membership_classification"]),
+    "J9": ("operators.evaluation:confusion_matrix", ["confusion_matrix_events"]),
+    # --- §2.5 aggregations -----------------------------------------------
+    "A1": ("ml.topics:vectorize", ["vocabulary"]),
+    "A2": ("ml.topics:vectorize", ["term_frequency"]),
+    "A3": ("pipeline:build_corpus", ["vocabulary"]),
+    "A4": ("operators.evaluation:confusion_matrix", ["confusion_matrix_events"]),
+    "A5": ("operators.evaluation:classification_metrics",
+           ["classification_metrics_events"]),
+    "A6": ("operators.textstats:word_count", ["token_stats", "dedup_stats_by_source"]),
+    "A7": ("plans.registry:q_fold_metric_stats", ["fold_metric_stats"]),
+    "A8": ("ml.search:grid_search_logistic  # max over model scores",
+           ["grid_search_lr", "top_brands_by_revenue"]),
+    "A9": ("ml.classify:add_stratified_fold", ["stratified_fold_balance"]),
+    "A10": ("plans.registry:q_tfidf", ["tfidf"]),
+    # --- §2.6 sorts / limits / top-k -------------------------------------
+    "O1": ("operators.relational:topk_per_group", ["top3_lineitems_per_supplier"]),
+    "O2": ("plans.registry:q_sorted_vectors", ["sorted_topic_vectors"]),
+    "O3": ("operators.relational:per_group_first", ["first_order_per_customer"]),
+    "O4": ("operators.relational:topk_per_group",
+           ["top_users_by_value", "knn_bruteforce_cosine"]),
+    # --- §2.7 set ops / dedup --------------------------------------------
+    "D1": ("operators.dedup:exact_dedup", ["dedup_stats_by_source"]),
+    "D2": ("operators.dedup:exact_dedup", ["distinct_user_event_pairs"]),
+    "D3": ("plans.registry:q_nation_intersect",
+           ["nation_presence_intersect", "nation_presence_except",
+            "union_all_entity_counts"]),
+    # --- §2.8 ML ---------------------------------------------------------
+    "M1": ("ml.topics:fit_lda", ["flagship_polysemy", "lda_log_perplexity"]),
+    "M2": ("ml.topic_quality:hdp_emulation", ["hdp_topic_mass"]),
+    "M3": ("ml.topics:infer_topics", ["flagship_polysemy"]),
+    "M4": ("ml.topics:polysemy_flag", ["polysemy_rule_vectors", "flagship_polysemy"]),
+    "M5": ("ml.classify:assemble_features", ["classifier_battery"]),
+    "M6": ("ml.classify:classifier_battery", ["classifier_battery"]),
+    "M7": ("ml.classify:classifier_battery  # deviation: ≡ M6 (solver ≠ semantics)",
+           ["classifier_battery"]),
+    "M8": ("ml.classify:classifier_battery  # deviation: LinearSVC",
+           ["classifier_battery"]),
+    "M9": ("ml.classify:classifier_battery  # deviation: LinearSVC (no distributed kernels)",
+           ["classifier_battery"]),
+    "M10": ("ml.classify:classifier_battery", ["classifier_battery"]),
+    "M11": ("ml.classify:classifier_battery", ["classifier_battery"]),
+    "M12": ("ml.classify:classifier_battery", ["classifier_battery"]),
+    "M13": ("ml.classify:classifier_battery", ["classifier_battery"]),
+    "M14": ("operators.similarity_search:knn_bruteforce",
+            ["knn_classifier_vote", "lsh_ann_neighbors"]),
+    "M15": ("ml.classify:classifier_battery", ["classifier_battery"]),
+    "M16": ("ml.classify:mlp_spec", ["mlp_classifier"]),
+    "M17": ("ml.classify:train_test_split", ["classifier_battery"]),
+    "M18": ("ml.classify:add_stratified_fold",
+            ["stratified_fold_balance", "fold_assignment"]),
+    "M19": ("ml.classify:scale_features", ["classifier_battery"]),
+    "M20": ("ml.resample:smote", ["smote_class_balance"]),
+    "M21": ("ml.resample:remove_tomek_links", ["tomek_link_removal"]),
+    "M22": ("ml.search:grid_search_logistic  # deviation: grid, not Bayesian",
+            ["grid_search_lr"]),
+    "M23": ("ml.classify:evaluate_binary", ["classifier_battery"]),
+    "M24": ("ml.search:holdout_transfer", ["holdout_transfer_report"]),
+    "M25": ("ml.topic_quality:log_perplexity", ["lda_log_perplexity"]),
+    "M26": ("ml.topic_quality:umass_coherence", ["topic_coherence_umass"]),
+    # --- §2.11 extended (BASELINE.json north star) -----------------------
+    "X-dedup-exact": ("operators.dedup:exact_dedup", ["dedup_stats_by_source"]),
+    "X-dedup-minhash": ("operators.dedup:minhash_lsh_pairs",
+                        ["minhash_neardup_pairs", "minhash_signatures"]),
+    "X-dedup-simhash": ("operators.dedup:add_simhash", ["simhash_documents"]),
+    "X-dedup-ngram-jaccard": ("plans.registry:q_ngram_jaccard",
+                              ["ngram_jaccard_pairs", "document_jaccard_neardup"]),
+    "X-dedup-embedding": ("functions.similarity:cosine_similarity",
+                          ["embedding_cosine_neardup"]),
+    "X-ann-bruteforce": ("operators.similarity_search:knn_bruteforce",
+                         ["knn_bruteforce_cosine"]),
+    "X-ann-lsh": ("operators.similarity_search:lsh_ann", ["lsh_ann_neighbors"]),
+    "X-ann-ivf": ("operators.similarity_search:ivf_ann", ["ivf_ann_recall"]),
+    "X-multimodal-decode": ("operators.multimodal:decode_binary_column",
+                            ["multimodal_decode"]),
+    "X-multimodal-frames": ("plans.registry:q_frame_sample",
+                            ["multimodal_frame_sample"]),
+    "X-text-langid": ("operators.textstats:langid", ["language_id"]),
+    "X-text-quality": ("operators.textstats:stopword_ratio", ["text_quality"]),
+    "X-text-tokens": ("operators.textstats:word_count",
+                      ["token_stats", "bpe_subword_counts"]),
+    "X-text-fingerprint": ("operators.textstats:fingerprint",
+                           ["document_fingerprints", "winnowing_fingerprint"]),
+    "X-stream-window": ("streaming.events:streaming_hourly_event_stats",
+                        ["streaming_events_hourly", "events_sliding_window"]),
+    "X-stream-session": ("streaming.stateful:streaming_sessionization",
+                         ["streaming_sessionization", "events_sessionization"]),
+    "X-stream-stateful": ("streaming.stateful:stateful_user_counts",
+                          ["stateful_user_counts"]),
+    "X-stream-static-join": ("streaming.events:streaming_events_by_segment",
+                             ["streaming_events_by_segment"]),
+}
+
+# the full SURVEY §2 inventory the map must cover
+ALL_IDS = (
+    [f"S{i}" for i in range(1, 14)]
+    + [f"P{i}" for i in range(1, 11)]
+    + [f"T{i}" for i in range(1, 11)]
+    + [f"J{i}" for i in range(1, 10)]
+    + [f"A{i}" for i in range(1, 11)]
+    + [f"O{i}" for i in range(1, 5)]
+    + [f"D{i}" for i in range(1, 4)]
+    + [f"M{i}" for i in range(1, 27)]
+)
+
+
+def generate_markdown() -> str:
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from uni_mannheim_masters_thesis_spark.plans.registry import REGISTRY
+
+    lines = [
+        "# COVERAGE — SURVEY §2 operator inventory → implementation",
+        "",
+        "Generated by `python tools/coverage_map.py`; checked by",
+        "`tests/test_coverage.py`. `[oracle]` = DuckDB-hash-verified query,",
+        "`[rows]` = rows-only driver check.",
+        "",
+        "| ID | Implementation | Registry queries |",
+        "|---|---|---|",
+    ]
+    for op_id in ALL_IDS + [k for k in COVERAGE if k.startswith("X-")]:
+        impl, queries = COVERAGE[op_id]
+        qcells = []
+        for q in queries:
+            mode = "oracle" if REGISTRY[q].sql is not None else "rows"
+            qcells.append(f"`{q}` [{mode}]")
+        lines.append(f"| {op_id} | `{impl}` | {', '.join(qcells) or '—'} |")
+    lines.append("")
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    import os
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "COVERAGE.md")
+    with open(out, "w") as f:
+        f.write(generate_markdown())
+    print(f"wrote {out}")

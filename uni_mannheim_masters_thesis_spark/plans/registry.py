@@ -2522,3 +2522,71 @@ def q_streaming_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import streaming_events_by_segment
 
     return streaming_events_by_segment(spark, sf_dir)
+
+
+@_register(
+    "spellcheck_filtered",
+    f"""
+    WITH vocab AS (
+        SELECT token FROM (
+            SELECT token, COUNT(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents)
+            GROUP BY token
+        ) WHERE df >= 3
+    ),
+    exploded AS (
+        SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents
+    )
+    SELECT doc_id, list_sort(list(DISTINCT token)) AS known_tokens
+    FROM exploded SEMI JOIN vocab USING (token)
+    GROUP BY doc_id
+    """,
+    "P6/P7 (spelling / lexicon filter via semi-join)",
+    "The reference drops tokens unknown to the spellchecker / English "
+    "lexicon via Python set difference (Read_And_Clean.py:19-29,77,80). "
+    "Distributed form: explode tokens, LEFT SEMI join against the "
+    "(broadcastable) lexicon — here the corpus vocabulary at df ≥ 3 — "
+    "and re-collect per doc (sorted set, deterministic).",
+)
+def q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
+    )
+    vocab = (
+        exploded.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("token")
+    )
+    return (
+        exploded.join(F.broadcast(vocab), "token", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("token")).alias("known_tokens"))
+    )
+
+
+@_register(
+    "sorted_topic_vectors",
+    """
+    SELECT vec_id,
+           list_transform(
+               list_reverse_sort(embedding::DOUBLE[])[1:5],
+               p -> round(p, 6)
+           ) AS top5_desc
+    FROM embeddings WHERE vec_id < 100
+    """,
+    "O2 (descending sort of a score vector)",
+    "SORT_TOPICS (supervised_classifier.py:163-164,716): the per-doc "
+    "score vector sorted descending before feature assembly — array_sort "
+    "with inverted comparator, top-5 slice for compactness.",
+)
+def q_sorted_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    desc_sorted = F.sort_array(F.col("embedding").cast("array<double>"), asc=False)
+    return emb.select(
+        "vec_id",
+        F.transform(F.slice(desc_sorted, 1, 5), lambda p: F.round(p, 6)).alias(
+            "top5_desc"
+        ),
+    )
