@@ -113,3 +113,24 @@ def test_ivf_ann_subset_of_cells(spark):
     for r in rows:
         cells_per_probe.setdefault(r["probe_id"], set()).add(r["cell"])
     assert all(len(c) <= 2 for c in cells_per_probe.values())
+
+
+def test_asof_join_tie_and_missing(spark):
+    from uni_mannheim_masters_thesis_spark.operators.relational import asof_join
+
+    quotes = spark.createDataFrame(
+        [(1, 100, 10, 1.0), (1, 200, 11, 2.0), (2, 500, 12, 9.0)],
+        "user_id long, ts_us long, event_id long, value double",
+    )
+    probes = spark.createDataFrame(
+        [(1, 150, 20), (1, 200, 21), (1, 50, 22), (3, 999, 23)],
+        "user_id long, ts_us long, event_id long",
+    )
+    out = {r["event_id"]: r for r in asof_join(
+        probes, quotes, on="user_id", ts_col="ts_us",
+        value_cols=["value"], seq_col="event_id",
+    ).collect()}
+    assert out[20]["asof_value"] == 1.0        # latest quote before 150
+    assert out[21]["asof_value"] == 2.0        # tie: quote at equal ts matches
+    assert out[22]["asof_value"] is None       # no quote precedes 50
+    assert out[23]["asof_value"] is None       # key with no quotes at all

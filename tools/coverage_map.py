@@ -161,6 +161,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                           ["stateful_user_counts"]),
     "X-stream-static-join": ("streaming.events:streaming_events_by_segment",
                              ["streaming_events_by_segment"]),
+    "X-asof-join": ("operators.relational:asof_join", ["events_asof_join"]),
+    "X-range-join": ("plans.registry:q_range_join", ["value_bucket_range_join"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

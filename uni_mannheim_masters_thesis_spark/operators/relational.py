@@ -46,3 +46,74 @@ def topk_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def asof_join(
+    probes: DataFrame,
+    quotes: DataFrame,
+    on: str,
+    ts_col: str,
+    value_cols: Sequence[str],
+    seq_col: str | None = None,
+) -> DataFrame:
+    """As-of join: for each probe row, the latest quote row of the same
+    key with ``quote.ts <= probe.ts``.
+
+    Spark has no native as-of join; the naive form (range join + per-probe
+    max) explodes to |probes|×|quotes-per-key|. This is the scalable
+    union-merge form instead: tag both sides, union, ONE window over
+    (key, ts) carrying the quote values forward with
+    ``last(..., ignorenulls=True)`` — a single shuffle on the key, linear
+    in rows, no pair blowup. Ties (quote.ts == probe.ts) match because
+    quotes sort before probes at equal ts (tag 0 < 1); pass ``seq_col``
+    (a unique id present on both sides) to make the order total and the
+    result fully deterministic.
+
+    Returns the probe rows + ``asof_<ts_col>`` + carried value columns
+    (null where no quote precedes the probe).
+    """
+    seq = (F.col(seq_col) if seq_col else F.monotonically_increasing_id())
+    q = quotes.select(
+        on,
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        seq.alias("__seq"),
+        F.col(ts_col).alias("__q_ts"),
+        *[F.col(c).alias(f"__q_{c}") for c in value_cols],
+    )
+    p = probes.select(
+        on,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        seq.alias("__seq"),
+        F.lit(None).cast(q.schema["__q_ts"].dataType).alias("__q_ts"),
+        *[
+            F.lit(None).cast(q.schema[f"__q_{c}"].dataType).alias(f"__q_{c}")
+            for c in value_cols
+        ],
+        *[c for c in probes.columns if c not in (on, ts_col)],
+    )
+    merged = q.select(*[F.lit(None).cast(p.schema[c].dataType).alias(c)
+                        if c not in q.columns else F.col(c)
+                        for c in p.columns]).unionByName(p)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__tag", "__seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "*",
+        F.last("__q_ts", ignorenulls=True).over(w).alias(f"asof_{ts_col}"),
+        *[
+            F.last(f"__q_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    keep = [on, "__ts", f"asof_{ts_col}"] + [f"asof_{c}" for c in value_cols] + [
+        c for c in probes.columns if c not in (on, ts_col)
+    ]
+    return (
+        carried.filter(F.col("__tag") == 1)
+        .select(*keep)
+        .withColumnRenamed("__ts", ts_col)
+    )

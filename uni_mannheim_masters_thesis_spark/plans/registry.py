@@ -2590,3 +2590,59 @@ def q_sorted_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top5_desc"
         ),
     )
+
+
+@_register(
+    "events_asof_join",
+    """
+    WITH tagged AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, 0 AS tag, event_id,
+               epoch_us(ts) AS q_ts, value AS q_value
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, epoch_us(ts) AS ts_us, 1 AS tag, event_id,
+               NULL AS q_ts, NULL AS q_value
+        FROM events WHERE event_type = 'click'
+    ),
+    carried AS (
+        SELECT user_id, ts_us, tag, event_id,
+               last_value(q_ts IGNORE NULLS) OVER w AS asof_ts_us,
+               last_value(q_value IGNORE NULLS) OVER w AS asof_value
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts_us AS click_ts_us, asof_ts_us,
+           ROUND(CAST(asof_value AS DOUBLE), 2) AS asof_value
+    FROM carried WHERE tag = 1
+    """,
+    "§2.11 custom temporal operator (as-of join)",
+    "For every click, the user's latest purchase at-or-before it. "
+    "Union-merge form: one window over (user, ts) with carry-forward — "
+    "single shuffle, linear in rows, no range-join pair blowup (the "
+    "100 TB-safe as-of pattern). Oracle runs the identical window "
+    "program in DuckDB.",
+)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", ts_col="ts_us",
+        value_cols=["value"], seq_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+        F.col("asof_ts_us"),
+        F.round(F.col("asof_value").cast("double"), 2).alias("asof_value"),
+    )
