@@ -38,19 +38,28 @@ def knn_bruteforce(
     Returns DataFrame[probe_id, neighbor_id, cosine_sim], deterministic
     tie-break on neighbor id.
     """
+    from ..functions.similarity import dot
+
+    # norms are precomputed ONCE per row (not per pair): the pair loop
+    # then does a single dot-product fold — 3× less HOF work, and the
+    # cosine value is bit-identical (sqrt(dot(v,v)) either way)
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).cast("array<double>").alias("probe_vec"),
-    )
+    ).withColumn("probe_norm", F.sqrt(dot(F.col("probe_vec"), F.col("probe_vec"))))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cand_vec"),
-    )
+    ).withColumn("cand_norm", F.sqrt(dot(F.col("cand_vec"), F.col("cand_vec"))))
     pairs = (
         F.broadcast(p)
         .crossJoin(c)
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine_similarity(F.col("probe_vec"), F.col("cand_vec")))
+        .withColumn(
+            "sim",
+            dot(F.col("probe_vec"), F.col("cand_vec"))
+            / (F.col("probe_norm") * F.col("cand_norm")),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return (
