@@ -2024,29 +2024,41 @@ def q_matrix_market_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.formats import read_matrix_market, write_matrix_market
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    # tf is only needed for the exported docs — push the doc_id predicate
+    # into that branch (reaches the parquet scan); document frequencies
+    # still come from the full corpus, cached (vocab-sized) because the
+    # id assignment and the term count reuse it
+    toks_small = docs.filter(F.col("doc_id") < 20).select(
         "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    ids = dfreq.select(
-        "token", (F.row_number().over(Window.orderBy("token")) - 1).cast("long").alias("term_id")
+    tf = toks_small.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    toks_all = docs.select(
+        "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
     )
-    n_docs = docs.count()
-    triplets = (
-        tf.join(F.broadcast(dfreq), "token")
-        .join(F.broadcast(ids), "token")
-        .filter(F.col("doc_id") < 20)
-        .select(
-            F.col("doc_id").alias("row_id"),
-            F.col("term_id").alias("col_id"),
-            F.round(
-                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
-            ).alias("value"),
+    dfreq = toks_all.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    ).cache()
+    try:
+        ids = dfreq.select(
+            "token",
+            (F.row_number().over(Window.orderBy("token")) - 1).cast("long").alias("term_id"),
         )
-    )
-    n_terms = ids.count()
-    target = write_matrix_market(triplets, n_rows=n_docs, n_cols=n_terms)
+        n_docs = docs.count()
+        triplets = (
+            tf.join(F.broadcast(dfreq), "token")
+            .join(F.broadcast(ids), "token")
+            .select(
+                F.col("doc_id").alias("row_id"),
+                F.col("term_id").alias("col_id"),
+                F.round(
+                    F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+                ).alias("value"),
+            )
+        )
+        n_terms = dfreq.count()
+        target = write_matrix_market(triplets, n_rows=n_docs, n_cols=n_terms)
+    finally:
+        dfreq.unpersist()
     return read_matrix_market(spark, target)
 
 

@@ -72,8 +72,30 @@ def write_dictionary_text(
                     F.col("docfreq").cast("string")).alias("value")
     )
     # tiny by construction (vocab-capped) → single shard like gensim's
-    header.unionByName(body).coalesce(1).write.mode("overwrite").text(target)
+    _write_single_text(header, body, target)
     return target
+
+
+def _write_single_text(header: DataFrame, body: DataFrame, target: str) -> None:
+    """One-shard text write with the header guaranteed first.
+
+    ``repartition(1)`` (a real shuffle) lets the upstream plan run
+    parallel and only the final write is single-task — ~2× faster than
+    ``coalesce(1)``, which would drag the whole DAG into one thread. The
+    shuffle does not preserve row order, so an explicit sort key pins the
+    header lines to the top."""
+    h = header.withColumn(
+        "__ord", F.monotonically_increasing_id().cast("long")
+    )
+    b = body.withColumn("__ord", F.lit(1 << 60).cast("long"))
+    (
+        h.unionByName(b)
+        .repartition(1)
+        .sortWithinPartitions("__ord")
+        .select("value")
+        .write.mode("overwrite")
+        .text(target)
+    )
 
 
 def read_dictionary_text(spark: SparkSession, target: str) -> DataFrame:
@@ -105,6 +127,7 @@ def write_matrix_market(
     path = path or _tmpdir("mm_corpus_")
     target = os.path.join(path, "corpus.mm")
     spark = triplets.sparkSession
+    triplets = triplets.cache()  # read twice: nnz header + body write
     nnz = triplets.count()
     header = spark.createDataFrame(
         [("%%MatrixMarket matrix coordinate real general",),
@@ -119,7 +142,8 @@ def write_matrix_market(
             F.format_string("%.6f", F.col(val_col).cast("double")),
         ).alias("value")
     )
-    header.unionByName(body).coalesce(1).write.mode("overwrite").text(target)
+    _write_single_text(header, body, target)
+    triplets.unpersist()
     return target
 
 
