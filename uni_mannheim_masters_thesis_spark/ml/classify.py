@@ -219,12 +219,20 @@ def run_battery(
     if include_mlp and n_features:
         specs = specs + [mlp_spec(n_features)]
     weighted = add_class_weights(train)
-    out = None
+    rows = []
     for spec in specs:
         fit_on = weighted if spec.name == "logistic_regression" else train
         model = spec.estimator.fit(fit_on)
         scored = model.transform(test)
-        row = evaluate_binary(scored).withColumn("model", F.lit(spec.name))
-        out = row if out is None else out.unionByName(row)
-    return out.select("model", "tp", "fp", "tn", "fn",
-                      "precision", "recall", "accuracy", "f1")
+        # one aggregated row per model — materialize the scalars now so
+        # the report is a local relation (consumers don't re-trigger the
+        # transform+aggregate chain per read)
+        r = evaluate_binary(scored).first()
+        rows.append((spec.name, r["tp"], r["fp"], r["tn"], r["fn"],
+                     r["precision"], r["recall"], r["accuracy"], r["f1"]))
+    spark = train.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "model string, tp long, fp long, tn long, fn long, "
+        "precision double, recall double, accuracy double, f1 double",
+    )

@@ -26,8 +26,11 @@ from ..sources.testdata import load_table
 
 
 def build_feature_table(
-    spark: SparkSession, sf_dir: str, k: int = 10, max_iter: int = 10
+    spark: SparkSession, sf_dir: str, k: int = 10, max_iter: int = 5
 ) -> DataFrame:
+    # max_iter=5 matches the reference's LdaMulticore(passes=5)
+    # (webisalod_lda.py:55); the topic vectors only feed the classifier
+    # battery here, so extra EM iterations buy nothing downstream
     """documents → tokens → TF vectors → LDA topics → assembled features
     with a derived binary label (n_chars above the corpus median)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -53,7 +56,7 @@ def supervised_battery_report(
     spark: SparkSession, sf_dir: str, include_mlp: bool = False
 ) -> DataFrame:
     """One row per classifier with P/R/Acc/F1 on the held-out split."""
-    data = build_feature_table(spark, sf_dir)
+    data = build_feature_table(spark, sf_dir).cache()
     train, test = train_test_split(data)
     train, test = scale_features(train, test)
     train = train.withColumnRenamed("features", "features_raw").withColumnRenamed(
