@@ -5,6 +5,7 @@ parquet, column pruning, broadcast joins for dimension sides, partial
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from conftest import SF_DIR
@@ -62,3 +63,61 @@ def test_single_shuffle_window_plans(spark, name):
     # window (AQE may add read-side coalescing, never extra shuffles)
     plan = _formatted_plan(spark, name)
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_salted_join_equals_plain_join(spark):
+    from uni_mannheim_masters_thesis_spark.operators.relational import salted_join
+    from uni_mannheim_masters_thesis_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    dim = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = ev.join(dim, "user_id")
+    salted = salted_join(ev, dim, "user_id", n_salts=4)
+    assert salted.count() == plain.count()
+    a = {(r["event_id"], r["c_mktsegment"]) for r in salted.collect()}
+    b = {(r["event_id"], r["c_mktsegment"]) for r in plain.collect()}
+    assert a == b
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # bucketing both sides on the join key co-locates the join: the
+    # compiled plan must contain NO Exchange (SCALING §3). AQE is
+    # irrelevant here — bucketed scans report the hash distribution.
+    import uuid
+
+    db = f"bucketdb_{uuid.uuid4().hex[:6]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/wh'")
+    try:
+        from uni_mannheim_masters_thesis_spark.sources.testdata import load_table
+
+        orders = load_table(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+            f"{db}.orders_b"
+        )
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+            f"{db}.lineitem_b"
+        )
+        ob = spark.table(f"{db}.orders_b")
+        lb = spark.table(f"{db}.lineitem_b")
+        # disable auto-broadcast so the planner exercises the bucketed
+        # sort-merge path (with broadcast on, these tiny tables would
+        # broadcast and bucketing is moot)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan  # co-located
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")

@@ -98,7 +98,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
            ["nation_presence_intersect", "nation_presence_except",
             "union_all_entity_counts"]),
     # --- §2.8 ML ---------------------------------------------------------
-    "M1": ("ml.topics:fit_lda", ["flagship_polysemy", "lda_log_perplexity"]),
+    "M1": ("ml.topics:fit_lda",
+           ["flagship_polysemy", "lda_log_perplexity", "lda_k_sweep"]),
     "M2": ("ml.topic_quality:hdp_emulation", ["hdp_topic_mass"]),
     "M3": ("ml.topics:infer_topics", ["flagship_polysemy"]),
     "M4": ("ml.topics:polysemy_flag", ["polysemy_rule_vectors", "flagship_polysemy"]),

@@ -117,3 +117,28 @@ def asof_join(
         .select(*keep)
         .withColumnRenamed("__ts", ts_col)
     )
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: spread a hot key across ``n_salts`` reducer
+    partitions (SURVEY §7.3 concept skew; SCALING §3).
+
+    The large side gets a deterministic salt from a hash of the full row;
+    the small side is exploded ×``n_salts`` so every (key, salt) pair
+    still matches. Use when AQE's skew splitting isn't enough (e.g. one
+    concept holding 10% of all sentences). Result equals the plain join.
+    """
+    salt = F.pmod(
+        F.xxhash64(F.struct(*[F.col(c) for c in large.columns])), F.lit(n_salts)
+    ).cast("int")
+    l_salted = large.withColumn("__salt", salt)
+    s_exploded = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l_salted.join(s_exploded, [key, "__salt"], how).drop("__salt")

@@ -2658,3 +2658,40 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_ts_us"),
         F.round(F.col("asof_value").cast("double"), 2).alias("asof_value"),
     )
+
+
+@_register(
+    "lda_k_sweep",
+    None,
+    "M1/M25/A8 (LDA k-sweep + model selection)",
+    "The reference's hallmark loop (wiki_lda.py:17-21: k = 10..990): fit "
+    "LDA per k over the CACHED corpus, score each by held-out "
+    "log-perplexity, flag the argmin (A8 max-over-scores shape). Sweep "
+    "bounded to k ∈ {5,10,15} at bench scale; each fit is distributed, "
+    "the loop is the driver's.",
+)
+def q_lda_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.topics import fit_lda, vectorize
+
+    # sweep on a bounded subset (the reference likewise sweeps on
+    # pre-split subsets, Utils/Filename.py:17); predicate reaches the scan
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    toks = docs.select(
+        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    _, corpus = vectorize(toks, vocab_size=1 << 16)
+    corpus = corpus.cache()
+    try:
+        rows = []
+        for k in (5, 10, 15):
+            model = fit_lda(corpus, k=k, max_iter=3)
+            rows.append((k, float(model.logPerplexity(corpus))))
+    finally:
+        corpus.unpersist()
+    best = min(r[1] for r in rows)
+    out = spark.createDataFrame(rows, "k int, log_perplexity double")
+    return out.select(
+        "k",
+        F.round("log_perplexity", 4).alias("log_perplexity"),
+        (F.col("log_perplexity") <= F.lit(best)).alias("is_best"),
+    )
