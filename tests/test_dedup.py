@@ -65,3 +65,17 @@ def test_simhash_deterministic_and_near(spark):
     dist = {(r.ia, r.ib): r.h for r in d.collect()}
     assert dist[(1, 2)] == 0
     assert dist[(1, 3)] < dist[(1, 4)]
+
+
+def test_connected_components_known_graph(spark):
+    from uni_mannheim_masters_thesis_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # path 1-2-3-4, separate pair 10-11, triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["cluster"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

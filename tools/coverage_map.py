@@ -163,6 +163,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "X-stream-static-join": ("streaming.events:streaming_events_by_segment",
                              ["streaming_events_by_segment"]),
     "X-asof-join": ("operators.relational:asof_join", ["events_asof_join"]),
+    "X-dedup-clusters": ("operators.dedup:connected_components",
+                         ["neardup_clusters"]),
     "X-range-join": ("plans.registry:q_range_join", ["value_bucket_range_join"]),
 }
 

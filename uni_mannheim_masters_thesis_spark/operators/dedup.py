@@ -128,3 +128,68 @@ def add_simhash(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit SimHash columns (bit_count)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: min-label
+    propagation to fixpoint. Returns DataFrame[node, cluster] where
+    cluster = the smallest node id reachable from ``node``.
+
+    This is the step that turns pairwise dedup (MinHash/cosine
+    candidates) into keep-one-per-cluster semantics. Each iteration is
+    one join + group-min (both shuffles on node id — co-partitioned
+    after the first); convergence is checked with a cheap changed-count.
+    At 100 TB the same loop runs with the label table checkpointed every
+    few rounds to cut lineage; iterations are bounded by component
+    diameter, which for near-dup graphs is small (dups cluster densely).
+    """
+    # localCheckpoint (NOT cache+unpersist) is load-bearing here: an
+    # iterative loop over cached frames hits cascading cache
+    # invalidation — unpersisting iteration N's labels also drops
+    # iteration N+1's cache (it derives from N), so every round replays
+    # the whole lineage and the wall-clock goes exponential. Checkpoints
+    # truncate the lineage instead; old blocks are GC'd automatically.
+    both = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        both.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("cluster").alias("nb_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("nb_cluster"), F.col("cluster")),
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "cluster")

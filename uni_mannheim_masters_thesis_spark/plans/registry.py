@@ -2695,3 +2695,53 @@ def q_lda_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("log_perplexity", 4).alias("log_perplexity"),
         (F.col("log_perplexity") <= F.lit(best)).alias("is_best"),
     )
+
+
+@_register(
+    "neardup_clusters",
+    """
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, m) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT eg.v, r.m FROM reach r JOIN edges eg ON eg.u = r.node
+    )
+    SELECT node, MIN(m) AS cluster FROM reach GROUP BY node
+    """,
+    "§2.11 dedup (near-dup clustering, connected components)",
+    "Pairwise near-dup candidates → duplicate CLUSTERS: iterative "
+    "min-label propagation to fixpoint (cluster id = smallest reachable "
+    "node). The oracle computes exact transitive closure with a "
+    "recursive CTE — the distributed loop must land on identical "
+    "components. This is the keep-one-per-cluster step real dedup "
+    "pipelines need after MinHash/cosine candidate generation.",
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("va"), F.col("vb")) >= 0.3)
+        .select("id_a", "id_b")
+    )
+    return connected_components(pairs)
