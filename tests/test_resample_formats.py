@@ -134,3 +134,46 @@ def test_asof_join_tie_and_missing(spark):
     assert out[21]["asof_value"] == 2.0        # tie: quote at equal ts matches
     assert out[22]["asof_value"] is None       # no quote precedes 50
     assert out[23]["asof_value"] is None       # key with no quotes at all
+
+
+def test_smote_extreme_shortfall_reaches_parity(spark):
+    # n_min=3, n_maj=40: quota per point (14,13,13) exceeds the 2
+    # available neighbor edges — edges must be reused (resampling with
+    # replacement), still reaching exact parity
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.random() for _ in range(8)], 0) for i in range(40)]
+    rows += [(100 + i, [random.random() for _ in range(8)], 1) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = smote(df, minority_label=1)
+    counts = {r["label"]: r["n"] for r in
+              out.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 40, 1: 40}
+    # all synthetic ids unique
+    synth_ids = [r["vec_id"] for r in out.filter(F.col("vec_id") < 0).collect()]
+    assert len(synth_ids) == len(set(synth_ids)) == 37
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest as _pytest
+
+    from uni_mannheim_masters_thesis_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest as _pytest
+
+    from uni_mannheim_masters_thesis_spark.operators.relational import salted_join
+
+    df = spark.createDataFrame([(1, "a")], "k long, x string")
+    with _pytest.raises(ValueError, match="join type"):
+        salted_join(df, df, "k", how="full")

@@ -95,3 +95,13 @@ def dot(a: Column, b: Column) -> Column:
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns (JVM-side)."""
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance of two array<double> columns
+    (left-to-right HOF fold, same determinism contract as ``dot``)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -32,12 +32,10 @@ SEED = 42
 
 
 def _sq_dist(a, b):
-    """Squared euclidean distance of two array<double> columns (HOF fold)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    """Shared HOF kernel — see functions.similarity.sq_dist."""
+    from ..functions.similarity import sq_dist
+
+    return sq_dist(a, b)
 
 
 def knn_within(
@@ -144,16 +142,35 @@ def smote(
     n_min = counts.get(minority_label, 0)
     n_maj = max((n for lbl, n in counts.items() if lbl != minority_label), default=0)
     shortfall = n_maj - n_min
-    if shortfall <= 0 or n_min == 0:
+    if shortfall <= 0 or n_min < 2:  # <2: no neighbor segment to interpolate
         return df
 
     minority = df.filter(F.col(label_col) == minority_label)
-    # each minority point contributes one synthetic per neighbor edge, so
-    # k must cover ceil(shortfall / n_min) edges (imblearn resamples
-    # neighbors with replacement; widening k is the set-based equivalent)
-    k_needed = -(-shortfall // n_min)
-    k = max(k, min(k_needed, n_min - 1))
-    nn = knn_within(minority, k=k, id_col=id_col, vec_col=vec_col)
+    # Per-point quotas: point i synthesizes q_i points with
+    # sum(q_i) == shortfall exactly (base = shortfall // n_min, the first
+    # `shortfall % n_min` points take one extra). Edges come from the
+    # point's k nearest neighbors; when a point's quota exceeds its k
+    # available edges the edges are REUSED with a different seeded `u`
+    # per repetition (imblearn's resample-with-replacement equivalent),
+    # so parity is reached for ANY shortfall, not just small ones.
+    k_eff = min(max(k, -(-shortfall // n_min)), n_min - 1)
+    per_point_max = -(-shortfall // n_min)  # = max possible quota (base+1)
+    reps = -(-per_point_max // k_eff)
+    nn = knn_within(minority, k=k_eff, id_col=id_col, vec_col=vec_col)
+
+    base_q, rem = divmod(shortfall, n_min)
+    # the rank window runs over the n_min minority POINTS (not the
+    # n_min*k edge set) — the minority class is small by the module's
+    # broadcast contract, so this single-partition sort is bounded
+    wp = Window.orderBy("id")
+    quotas = (
+        minority.select(F.col(id_col).alias("id"))
+        .withColumn("__pr", F.row_number().over(wp))
+        .withColumn(
+            "__quota",
+            F.lit(base_q) + F.when(F.col("__pr") <= rem, 1).otherwise(0),
+        )
+    )
 
     base = minority.select(
         F.col(id_col).alias("id"),
@@ -163,10 +180,16 @@ def smote(
         F.col(id_col).alias("nn_id"),
         F.col(vec_col).cast("array<double>").alias("vb"),
     )
-    # u ∈ (0,1) from a seeded hash of the pair — deterministic plan.
-    u = (F.pmod(F.xxhash64("id", "nn_id", F.lit(seed)), F.lit(1_000_000)) + 0.5) / 1_000_000.0
+    # u ∈ (0,1) from a seeded hash of (pair, repetition) — deterministic plan
+    u = (
+        F.pmod(F.xxhash64("id", "nn_id", "__rep", F.lit(seed)), F.lit(1_000_000)) + 0.5
+    ) / 1_000_000.0
     cand = (
-        nn.join(base, "id")
+        nn.join(F.broadcast(quotas), "id")
+        .withColumn("__rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .withColumn("__edge", F.col("__rep") * k_eff + F.col("nn_rank"))
+        .filter(F.col("__edge") <= F.col("__quota"))
+        .join(base, "id")
         .join(F.broadcast(nvec), "nn_id")
         .withColumn("u", u)
         .withColumn(
@@ -174,18 +197,13 @@ def smote(
             F.zip_with("va", "vb", lambda x, y: x + F.col("u") * (y - x)),
         )
     )
-    # Keep exactly `shortfall` synthetics, spread across points: order by
-    # (nn_rank, id) so every minority point contributes its 1-NN segment
-    # before any point contributes its 2-NN segment, etc.
-    w = Window.orderBy("nn_rank", "id")
-    synth = (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= shortfall)
-        .select(
-            (-F.col("__rn")).cast("long").alias(id_col),
-            F.col("synthetic").cast(df.schema[vec_col].dataType).alias(vec_col),
-            F.lit(minority_label).cast(df.schema[label_col].dataType).alias(label_col),
-        )
+    synth = cand.select(
+        # unique negative id per synthetic row, no global edge window
+        (-((F.col("__pr") - 1) * F.lit(k_eff * reps) + F.col("__edge")))
+        .cast("long")
+        .alias(id_col),
+        F.col("synthetic").cast(df.schema[vec_col].dataType).alias(vec_col),
+        F.lit(minority_label).cast(df.schema[label_col].dataType).alias(label_col),
     )
     return df.select(id_col, vec_col, label_col).unionByName(synth)
 

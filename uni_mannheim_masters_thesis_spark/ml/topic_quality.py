@@ -59,36 +59,46 @@ def umass_coherence(
     topics = model.describeTopics(top_n).select(
         "topic", F.posexplode("termIndices").alias("rank", "term_id")
     )
-    inc = doc_term_incidence(corpus, features_col, id_col).cache()
-
-    # D(w): document frequency per term (only the top terms matter)
+    # restrict the incidence table to the k×top_n topic terms FIRST —
+    # the co-occurrence self-join below is then O(top_terms² per doc)
+    # instead of O(vocab² per doc), and the aggregated `co` table is at
+    # most (k·top_n)² rows, safely broadcastable at any corpus size
     terms = topics.select("term_id").distinct()
-    docfreq = (
-        inc.join(F.broadcast(terms), "term_id")
-        .groupBy("term_id")
-        .agg(F.countDistinct(id_col).alias("df"))
+    inc = (
+        doc_term_incidence(corpus, features_col, id_col)
+        .join(F.broadcast(terms), "term_id")
+        .cache()
     )
+    try:
+        # D(w): document frequency per top term
+        docfreq = inc.groupBy("term_id").agg(
+            F.countDistinct(id_col).alias("df")
+        )
 
-    # D(wi, wj): co-document counts for ordered pairs within a topic
-    ti = topics.select("topic", F.col("rank").alias("rank_i"), F.col("term_id").alias("term_i"))
-    tj = topics.select("topic", F.col("rank").alias("rank_j"), F.col("term_id").alias("term_j"))
-    pairs = ti.join(tj, "topic").filter(F.col("rank_i") > F.col("rank_j"))
+        # D(wi, wj): co-document counts for ordered pairs within a topic
+        ti = topics.select("topic", F.col("rank").alias("rank_i"), F.col("term_id").alias("term_i"))
+        tj = topics.select("topic", F.col("rank").alias("rank_j"), F.col("term_id").alias("term_j"))
+        pairs = ti.join(tj, "topic").filter(F.col("rank_i") > F.col("rank_j"))
 
-    inc_i = inc.select(F.col(id_col).alias("d"), F.col("term_id").alias("term_i"))
-    inc_j = inc.select(F.col(id_col).alias("d2"), F.col("term_id").alias("term_j"))
-    co = (
-        inc_i.join(inc_j, (F.col("d") == F.col("d2")))
-        .groupBy("term_i", "term_j")
-        .agg(F.count(F.lit(1)).alias("co_df"))
-    )
+        inc_i = inc.select(F.col(id_col).alias("d"), F.col("term_id").alias("term_i"))
+        inc_j = inc.select(F.col(id_col).alias("d2"), F.col("term_id").alias("term_j"))
+        co = (
+            inc_i.join(inc_j, (F.col("d") == F.col("d2")))
+            .groupBy("term_i", "term_j")
+            .agg(F.count(F.lit(1)).alias("co_df"))
+        )
 
-    scored = (
-        pairs.join(F.broadcast(co), ["term_i", "term_j"], "left")
-        .join(F.broadcast(docfreq.select(F.col("term_id").alias("term_j"), "df")), "term_j")
-        .fillna({"co_df": 0})
-        .withColumn("score", F.log((F.col("co_df") + 1.0) / F.col("df")))
-    )
-    return scored.groupBy("topic").agg(F.round(F.sum("score"), 6).alias("coherence"))
+        scored = (
+            pairs.join(F.broadcast(co), ["term_i", "term_j"], "left")
+            .join(F.broadcast(docfreq.select(F.col("term_id").alias("term_j"), "df")), "term_j")
+            .fillna({"co_df": 0})
+            .withColumn("score", F.log((F.col("co_df") + 1.0) / F.col("df")))
+        )
+        return scored.groupBy("topic").agg(
+            F.round(F.sum("score"), 6).alias("coherence")
+        ).localCheckpoint(eager=True)
+    finally:
+        inc.unpersist()
 
 
 def hdp_emulation(

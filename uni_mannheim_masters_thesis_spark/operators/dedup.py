@@ -166,6 +166,7 @@ def connected_components(
         .withColumn("cluster", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both.v == labels.node)
@@ -192,4 +193,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning here would hand the caller silently WRONG components
+        # (a chain longer than max_iter splits into several clusters)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing) — raise "
+            "max_iter (propagation needs ~component-diameter rounds)"
+        )
     return labels.select("node", "cluster")

@@ -132,8 +132,18 @@ def salted_join(
     The large side gets a deterministic salt from a hash of the full row;
     the small side is exploded ×``n_salts`` so every (key, salt) pair
     still matches. Use when AQE's skew splitting isn't enough (e.g. one
-    concept holding 10% of all sentences). Result equals the plain join.
+    concept holding 10% of all sentences). Result equals the plain join
+    for large-side-preserving join types only — right/full outer would
+    null-extend each of the ``n_salts`` small-side replicas of an
+    unmatched key, so those types are rejected.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "cross",
+               "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: join type {how!r} would duplicate unmatched "
+            f"small-side rows across salts; use one of {sorted(allowed)}"
+        )
     salt = F.pmod(
         F.xxhash64(F.struct(*[F.col(c) for c in large.columns])), F.lit(n_salts)
     ).cast("int")

@@ -150,11 +150,9 @@ def ivf_ann(
         F.col(vec_col).cast("array<double>").alias("probe_vec"),
     )
     # nearest n_probe cells per probe: tiny cross join vs the centroid table
-    d2 = F.aggregate(
-        F.zip_with("probe_vec", "centroid", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    from ..functions.similarity import sq_dist
+
+    d2 = sq_dist(F.col("probe_vec"), F.col("centroid"))
     wc = Window.partitionBy("probe_id").orderBy("cell_dist", "cell")
     probe_cells = (
         p.crossJoin(F.broadcast(cent_df))

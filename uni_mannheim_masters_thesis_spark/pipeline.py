@@ -41,10 +41,14 @@ CONCEPT_PREFIX = "http://webisa.webdatacommons.org/concept/"  # Utils/Constants.
 def fix_dataset_uris(
     spark: SparkSession, in_path: str, out_path: str, old: str, new: str
 ) -> None:
-    """``fix_dataset_uris.py:1-12``: stream lines, literal replace, sink."""
+    """``fix_dataset_uris.py:1-12``: stream lines, literal replace, sink.
+
+    ``old``/``new`` are passed as literal Columns (never interpolated
+    into SQL text) so quotes and regex/SQL metacharacters are inert.
+    """
     (
         spark.read.text(in_path)
-        .select(F.expr(f"replace(value, '{old}', '{new}')").alias("value"))
+        .select(F.replace(F.col("value"), F.lit(old), F.lit(new)).alias("value"))
         .write.mode("overwrite")
         .text(out_path)
     )

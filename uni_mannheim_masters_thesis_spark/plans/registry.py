@@ -2499,7 +2499,12 @@ def q_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    n_frames = (F.floor((F.octet_length("payload") - 1) / 32) + 1).cast("long")
+    # greatest(...,1): an empty payload would make the sequence bound
+    # (0, -1) and throw; one zero-length frame instead, which the final
+    # frame_bytes > 0 filter drops — same empty result as the oracle
+    n_frames = F.greatest(
+        (F.floor((F.octet_length("payload") - 1) / 32) + 1).cast("long"), F.lit(1)
+    )
     frames = payloads.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1, F.lit(4).cast("long"))).alias("frame_idx"),

@@ -78,7 +78,12 @@ def provenance_sentences(
         .filter(F.col("subject").startswith(concept_prefix))  # P1
         .select(
             F.col("graph").alias("g"),
-            F.regexp_replace("subject", concept_prefix, "").alias("concept"),  # P2
+            # P2: positional strip, NOT regexp_replace — the prefix is a
+            # URI full of regex metachars ('.'), and an unanchored global
+            # replace would also mangle subjects that embed the prefix
+            F.col("subject")
+            .substr(F.lit(len(concept_prefix) + 1), F.length("subject"))
+            .alias("concept"),
         )
     )
     hop1 = quads.filter(F.col("predicate") == derived_from_uri).select(

@@ -136,12 +136,15 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain(counted, "update")
     # update-mode memory sink may hold one row per micro-batch per user;
-    # the final state per user is the max counter pair
+    # the final state is the row with the highest event count — max_by,
+    # NOT per-column max, which would pair counters from different
+    # micro-batches (wrong whenever value_cents is non-monotonic, e.g.
+    # negative event values)
     return (
         out.groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.max("value_cents").alias("value_cents"),
+            F.max_by("value_cents", "n_events").alias("value_cents"),
         )
         .select(
             "user_id",
