@@ -121,3 +121,25 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_grouped_map_trend_matches_relational(spark):
+    # the applyInPandas grouped-map kernel and the native covar/var
+    # aggregation must agree (same closed form, float64, 6-digit round)
+    rel = {r["user_id"]: (r["n_events"], r["slope_per_sec"])
+           for r in REGISTRY["user_value_trend"].fn(spark, SF_DIR).collect()}
+    pnd = {r["user_id"]: (r["n_events"], r["slope_per_sec"])
+           for r in REGISTRY["grouped_trend_pandas"].fn(spark, SF_DIR).collect()}
+    assert set(rel) == set(pnd)
+    for uid, (n, s) in rel.items():
+        pn, ps = pnd[uid]
+        assert pn == n
+        assert ps == s or abs(ps - s) <= 1e-5
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    # Catalyst must rewrite the per-part scalar subquery into an
+    # aggregate+join, never a per-row subquery execution
+    plan = _formatted_plan(spark, "small_quantity_revenue")
+    assert "Subquery" not in plan or "SubqueryExec" not in plan
+    assert "HashAggregate" in plan

@@ -166,6 +166,11 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "X-dedup-clusters": ("operators.dedup:connected_components",
                          ["neardup_clusters"]),
     "X-range-join": ("plans.registry:q_range_join", ["value_bucket_range_join"]),
+    "X-subquery-decorrelation": ("plans.registry:q_small_quantity",
+                                 ["small_quantity_revenue",
+                                  "orders_with_returns_exists"]),
+    "X-grouped-regression": ("plans.registry:q_user_trend",
+                             ["user_value_trend", "grouped_trend_pandas"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -2750,3 +2750,147 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return connected_components(pairs)
+
+
+# =========================================================================
+# Batch 5: subquery decorrelation, EXISTS, per-group regression,
+# applyInPandas grouped map
+# =========================================================================
+
+
+@_register(
+    "small_quantity_revenue",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type = 'PROMO'
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    "§2.9 relational (correlated scalar subquery, TPC-H Q17 shape)",
+    "Revenue from small-quantity orders of JUMBO parts: the correlated "
+    "per-part average is written as a scalar subquery and Catalyst "
+    "DECORRELATES it into an aggregate + join (no per-row re-execution) "
+    "— visible as one extra shuffle, not |lineitem| subquery runs.",
+)
+def q_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    li.createOrReplaceTempView("li_q17")
+    part.createOrReplaceTempView("part_q17")
+    return spark.sql(
+        """
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+        FROM li_q17 JOIN part_q17 ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND l_quantity < (
+              SELECT 0.2 * AVG(l_quantity) FROM li_q17 l2 WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+@_register(
+    "orders_with_returns_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    """,
+    "§2.9 relational (correlated EXISTS, TPC-H Q4 shape)",
+    "Orders having at least one returned lineitem, counted per priority "
+    "— the correlated EXISTS plans as a LEFT SEMI join (one pass, no "
+    "row-at-a-time probing).",
+)
+def q_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_register(
+    "user_value_trend",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(covar_pop(epoch_us(ts) / 1000000.0, value)
+                 / NULLIF(var_pop(epoch_us(ts) / 1000000.0), 0), 6) AS slope_per_sec
+    FROM events GROUP BY user_id HAVING COUNT(*) >= 2
+    """,
+    "§2.11 analytics (per-group linear regression, native aggregates)",
+    "Per-user value-over-time trend: slope = covar_pop(x,y)/var_pop(x) "
+    "with x in epoch seconds. Both engines run the identical two-moment "
+    "aggregation — one shuffle, closed form, no UDF.",
+)
+def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / 1_000_000.0
+    out = (
+        ev.select("user_id", x.alias("x"), F.col("value").alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.covar_pop("x", "y")
+                / F.nullif(F.var_pop("x"), F.lit(0.0)),
+                6,
+            ).alias("slope_per_sec"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
+    return out
+
+
+@_register(
+    "grouped_trend_pandas",
+    None,
+    "§2.10 UDF surface (applyInPandas grouped map)",
+    "The same per-user trend computed by a grouped-map applyInPandas "
+    "kernel (numpy closed form, one Arrow batch per user group) — the "
+    "engine's template for per-group model scoring the reference does "
+    "with sklearn in-memory. Cross-checked against user_value_trend in "
+    "tests.",
+)
+def q_grouped_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros("ts") / 1_000_000.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def trend(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "slope_per_sec"]
+            ).astype({"user_id": "int64", "n_events": "int64", "slope_per_sec": "float64"})
+        x = pdf["x"].to_numpy(dtype=float)
+        y = pdf["y"].to_numpy(dtype=float)
+        vx = ((x - x.mean()) ** 2).mean()
+        slope = float("nan") if vx == 0 else ((x - x.mean()) * (y - y.mean())).mean() / vx
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "slope_per_sec": [round(slope, 6)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        trend, "user_id long, n_events long, slope_per_sec double"
+    )
