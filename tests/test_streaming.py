@@ -20,3 +20,42 @@ def test_streaming_equals_batch(spark):
         for r in REGISTRY["events_hourly"].fn(spark, SF_DIR).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_parquet_sink_with_checkpoint_exactly_once(spark, tmp_path):
+    """Production sink path (SCALING §8): file sink + checkpoint. A
+    restarted query must NOT re-emit data already committed — the
+    checkpoint's file-sink log makes the append exactly-once."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(start):
+        spark.range(start, start + 100).select(
+            F.col("id"), (F.col("id") % 7).alias("bucket")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_batch(0)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long, bucket long")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()                       # processes batch 1
+    write_batch(100)
+    run_once()                       # restart: must pick up ONLY batch 2
+    got = spark.read.parquet(out)
+    assert got.count() == 200        # no duplicates from the restart
+    assert got.select(F.sum("id")).first()[0] == sum(range(200))

@@ -2894,3 +2894,36 @@ def q_grouped_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         trend, "user_id long, n_events long, slope_per_sec double"
     )
+
+
+@_register(
+    "segment_balance_unpivot",
+    """
+    WITH agg AS (
+        SELECT c_mktsegment,
+               ROUND(CAST(SUM(CASE WHEN c_acctbal >= 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS pos_bal,
+               ROUND(CAST(SUM(CASE WHEN c_acctbal < 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS neg_bal
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment AS segment, kind, amount
+    FROM agg UNPIVOT (amount FOR kind IN (pos_bal, neg_bal))
+    """,
+    "§2.9 relational (unpivot / melt)",
+    "Wide→long reshape: per-segment positive/negative balance columns "
+    "unpivoted to (segment, kind, amount) rows — the inverse of the "
+    "pivot query, via DataFrame.unpivot (Expand, no shuffle).",
+)
+def q_segment_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    agg = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        _dsum(F.when(F.col("c_acctbal") >= 0, _dec("c_acctbal")).otherwise(
+            F.lit(0).cast("decimal(18,2)"))).alias("pos_bal"),
+        _dsum(F.when(F.col("c_acctbal") < 0, _dec("c_acctbal")).otherwise(
+            F.lit(0).cast("decimal(18,2)"))).alias("neg_bal"),
+    )
+    return agg.unpivot(
+        ids=["segment"],
+        values=["pos_bal", "neg_bal"],
+        variableColumnName="kind",
+        valueColumnName="amount",
+    )
