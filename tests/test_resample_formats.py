@@ -177,3 +177,25 @@ def test_salted_join_rejects_right_outer(spark):
     df = spark.createDataFrame([(1, "a")], "k long, x string")
     with _pytest.raises(ValueError, match="join type"):
         salted_join(df, df, "k", how="full")
+
+
+def test_rff_approximates_rbf_kernel(spark):
+    """E[z(x)·z(y)] = exp(-γ‖x−y‖²): the seeded RFF map must reproduce
+    the rbf kernel within the O(1/√D) Monte-Carlo error."""
+    import math
+    import random
+
+    from uni_mannheim_masters_thesis_spark.ml.kernel import rff_features
+
+    random.seed(3)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    gamma = 0.05
+    z = {r["vec_id"]: r["rff"] for r in
+         rff_features(df, n_features=512, gamma=gamma).collect()}
+    vecs = dict(rows)
+    for a, b in [(0, 1), (2, 3), (4, 5), (6, 7)]:
+        approx = sum(x * y for x, y in zip(z[a], z[b]))
+        d2 = sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+        exact = math.exp(-gamma * d2)
+        assert abs(approx - exact) < 0.12, (a, b, approx, exact)

@@ -109,8 +109,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
            ["classifier_battery"]),
     "M8": ("ml.classify:classifier_battery  # deviation: LinearSVC",
            ["classifier_battery"]),
-    "M9": ("ml.classify:classifier_battery  # deviation: LinearSVC (no distributed kernels)",
-           ["classifier_battery"]),
+    "M9": ("ml.kernel:kernel_svm_report  # rbf via Random Fourier Features",
+           ["kernel_svm_rff", "classifier_battery"]),
     "M10": ("ml.classify:classifier_battery", ["classifier_battery"]),
     "M11": ("ml.classify:classifier_battery", ["classifier_battery"]),
     "M12": ("ml.classify:classifier_battery", ["classifier_battery"]),

@@ -1,0 +1,86 @@
+"""Kernel-method approximation (reference M9, ``runSVMClassifier``
+``supervised_classifier.py:292-333``: sklearn SVC with rbf/poly kernels).
+
+No distributed exact kernel SVM exists (the kernel matrix is O(n²));
+the standard scale-out is **Random Fourier Features** (Rahimi & Recht,
+"Random Features for Large-Scale Kernel Machines", NeurIPS 2007): an
+explicit map z(x) = sqrt(2/D)·cos(Wx + b) with W ~ N(0, √(2γ)) and
+b ~ U[0, 2π] satisfies E[z(x)ᵀz(y)] = exp(−γ‖x−y‖²), so a LINEAR SVC on
+z(x) approximates the rbf-kernel SVC. W/b are seeded, generated once,
+and broadcast; the feature map itself is one matrix multiply per Arrow
+batch — embarrassingly parallel, no kernel matrix ever materializes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rff_features(
+    df: DataFrame,
+    in_col: str = "embedding",
+    out_col: str = "rff",
+    n_features: int = 128,
+    gamma: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Append the RFF map of an array<float/double> column.
+
+    The (d × D) projection is drawn once on the driver from the seed and
+    broadcast — identical on every executor and across retries.
+    """
+    import pandas as pd
+
+    first = df.select(F.size(in_col).alias("d")).first()
+    d = int(first["d"])
+    rng = np.random.RandomState(seed)
+    W = rng.normal(scale=np.sqrt(2.0 * gamma), size=(d, n_features))
+    b = rng.uniform(0.0, 2.0 * np.pi, size=n_features)
+    bc = df.sparkSession.sparkContext.broadcast((W, b))
+    scale = np.sqrt(2.0 / n_features)
+    cols = df.columns
+
+    def mapper(batches):
+        Wv, bv = bc.value
+        for pdf in batches:
+            X = np.stack(pdf[in_col].to_numpy()).astype(np.float64)
+            Z = scale * np.cos(X @ Wv + bv)
+            out = pdf.copy()
+            out[out_col] = list(Z)
+            yield out
+
+    schema = ", ".join(f"{c} {t}" for c, t in df.dtypes) + f", {out_col} array<double>"
+    return df.mapInPandas(mapper, schema)
+
+
+def kernel_svm_report(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    n_features: int = 128,
+    gamma: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """M9: rbf-SVC approximation = RFF map + LinearSVC, scored with the
+    A4/A5 confusion metrics on an 80/20 split."""
+    from pyspark.ml.classification import LinearSVC
+    from pyspark.ml.functions import array_to_vector
+
+    from .classify import evaluate_binary, train_test_split
+
+    feats = rff_features(df, in_col=vec_col, n_features=n_features,
+                         gamma=gamma, seed=seed)
+    data = feats.select(
+        array_to_vector(F.col("rff")).alias("features"),
+        F.col(label_col).cast("double").alias("label"),
+    )
+    train, test = train_test_split(data)
+    train = train.cache()
+    model = LinearSVC(maxIter=50, regParam=0.1).fit(train)
+    scored = model.transform(test)
+    return evaluate_binary(scored).select(
+        "tp", "fp", "tn", "fn", "precision", "recall", "accuracy", "f1"
+    )

@@ -34,7 +34,7 @@ def flagship_polysemy(
     spark: SparkSession,
     sf_dir: str,
     k: int = 10,
-    max_iter: int = 10,
+    max_iter: int = 5,  # reference LdaMulticore passes=5 (webisalod_lda.py:55)
     min_probability: float = MIN_TOPIC_PROBABILITY,
     min_topics: int = MIN_TOPICS_POLYSEMOUS,
 ) -> DataFrame:

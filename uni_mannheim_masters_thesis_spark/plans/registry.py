@@ -2567,9 +2567,12 @@ def q_streaming_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    # the token explode feeds both the lexicon build and the semi join —
+    # cache it for the duration of the query (localCheckpoint so the
+    # returned plan doesn't depend on a cache the caller can't manage)
     exploded = docs.select(
         "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
-    )
+    ).localCheckpoint(eager=True)
     vocab = (
         exploded.groupBy("token")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -2927,3 +2930,22 @@ def q_segment_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="kind",
         valueColumnName="amount",
     )
+
+
+@_register(
+    "kernel_svm_rff",
+    None,
+    "M9 (kernel SVM via Random Fourier Features + LinearSVC)",
+    "rbf-kernel SVC approximation (supervised_classifier.py:292-333): "
+    "seeded RFF map z(x)=sqrt(2/D)cos(Wx+b) broadcast to executors, one "
+    "matmul per Arrow batch, then LinearSVC on z — the Rahimi-Recht "
+    "scale-out; no O(n^2) kernel matrix. One metrics row on the 20% "
+    "holdout (binary label: embeddings label < 5).",
+)
+def q_kernel_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.kernel import kernel_svm_report
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("label") < 5).cast("int").alias("label")
+    )
+    return kernel_svm_report(emb)
