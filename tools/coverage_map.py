@@ -125,8 +125,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "M19": ("ml.classify:scale_features", ["classifier_battery"]),
     "M20": ("ml.resample:smote", ["smote_class_balance"]),
     "M21": ("ml.resample:remove_tomek_links", ["tomek_link_removal"]),
-    "M22": ("ml.search:grid_search_logistic  # deviation: grid, not Bayesian",
-            ["grid_search_lr"]),
+    "M22": ("ml.search:adaptive_search_logistic  # sequential zoom (forest_minimize analogue)",
+            ["adaptive_search_lr", "grid_search_lr"]),
     "M23": ("ml.classify:evaluate_binary", ["classifier_battery"]),
     "M24": ("ml.search:holdout_transfer", ["holdout_transfer_report"]),
     "M25": ("ml.topic_quality:log_perplexity", ["lda_log_perplexity"]),

@@ -111,3 +111,40 @@ def holdout_transfer(
     return out.select(
         "split", "n", "tp", "fp", "tn", "fn", "precision", "recall", "accuracy", "f1"
     )
+
+
+def adaptive_search_logistic(
+    data: DataFrame,
+    coarse=(0.001, 0.01, 0.1, 1.0),
+    refine_factor: float = 3.0,
+    num_folds: int = 3,
+    features_col: str = "features",
+    label_col: str = "label",
+    seed: int = SEED,
+) -> DataFrame:
+    """M22, sequential variant: the reference's ``skopt.forest_minimize``
+    (polysemous_words.py:271-281) is a sequential model-based search —
+    each trial conditions on previous results. Full surrogate modeling
+    adds nothing at this grid size, so this is the honest distributed
+    middle ground (documented deviation): a coarse CV sweep, then a
+    second sweep zoomed around the coarse argmax (±refine_factor in log
+    space). Returns one row per trial with the stage that produced it.
+    """
+    stage1 = grid_search_logistic(
+        data, reg_params=coarse, elastic_net=(0.0,),
+        num_folds=num_folds, features_col=features_col,
+        label_col=label_col, seed=seed,
+    ).withColumn("stage", F.lit(1))
+    best = stage1.orderBy(F.desc("avg_f1"), "reg_param").first()["reg_param"]
+    refined = sorted({best / refine_factor, best, best * refine_factor})
+    stage2 = grid_search_logistic(
+        data, reg_params=refined, elastic_net=(0.0, 0.5),
+        num_folds=num_folds, features_col=features_col,
+        label_col=label_col, seed=seed,
+    ).withColumn("stage", F.lit(2))
+    trials = stage1.unionByName(stage2)
+    top = trials.agg(F.max("avg_f1")).first()[0]
+    return trials.select(
+        "stage", "reg_param", "elastic_net_param", "avg_f1",
+        (F.col("avg_f1") >= F.lit(top)).alias("is_best"),
+    )

@@ -2949,3 +2949,19 @@ def q_kernel_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", (F.col("label") < 5).cast("int").alias("label")
     )
     return kernel_svm_report(emb)
+
+
+@_register(
+    "adaptive_search_lr",
+    None,
+    "M22 (sequential adaptive search, forest_minimize analogue)",
+    "Two-stage zoom search: coarse CV sweep over regParam, then a "
+    "refined sweep around the coarse argmax — the sequential-refinement "
+    "shape of the reference's skopt loop (polysemous_words.py:271-281), "
+    "every fit distributed. One row per trial with stage + best flag.",
+)
+def q_adaptive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.search import adaptive_search_logistic
+
+    data = _embedding_features(spark, sf_dir).cache()
+    return adaptive_search_logistic(data)
