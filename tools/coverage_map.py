@@ -162,6 +162,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                           ["stateful_user_counts"]),
     "X-stream-static-join": ("streaming.events:streaming_events_by_segment",
                              ["streaming_events_by_segment"]),
+    "X-stream-dedup": ("plans.registry:q_streaming_dedup",
+                       ["streaming_first_event_per_user_type"]),
     "X-asof-join": ("operators.relational:asof_join", ["events_asof_join"]),
     "X-dedup-clusters": ("operators.dedup:connected_components",
                          ["neardup_clusters"]),
