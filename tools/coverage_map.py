@@ -130,7 +130,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "M23": ("ml.classify:evaluate_binary", ["classifier_battery"]),
     "M24": ("ml.search:holdout_transfer", ["holdout_transfer_report"]),
     "M25": ("ml.topic_quality:log_perplexity", ["lda_log_perplexity"]),
-    "M26": ("ml.topic_quality:umass_coherence", ["topic_coherence_umass"]),
+    "M26": ("ml.topic_quality:umass_coherence",
+            ["topic_coherence_umass", "topic_coherence_cv"]),
     # --- §2.11 extended (BASELINE.json north star) -----------------------
     "X-dedup-exact": ("operators.dedup:exact_dedup", ["dedup_stats_by_source"]),
     "X-dedup-minhash": ("operators.dedup:minhash_lsh_pairs",

@@ -128,3 +128,95 @@ def hdp_emulation(
         "kept", F.col("corpus_mass") >= F.lit(mass_threshold)
     )
     return model, masses
+
+
+def cv_coherence(
+    model: LDAModel,
+    tokens_df: DataFrame,
+    vocabulary: list,
+    top_n: int = 10,
+    window: int = 110,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """c_v topic coherence (Röder et al. 2015) — the reference defines it
+    but ships it disabled (``coherence_log_perplexity.py:45-52``,
+    ``coherence='c_v'`` commented out).
+
+    Distributed shape: (1) token positions → boolean windows (documented
+    deviation: tumbling windows of ``window`` tokens instead of gensim's
+    step-1 sliding window — same estimator family, ~110× fewer virtual
+    documents); (2) window⋈top-term incidence → P(w), P(wi,wj) by
+    window counts (two aggregations); (3) NPMI matrix + per-term cosine
+    against the topic's summed NPMI vector — k×top_n×top_n scalars,
+    finished with numpy on the driver.
+
+    Returns DataFrame[topic, cv_coherence].
+    """
+    import numpy as np
+
+    spark = tokens_df.sparkSession
+    topics = model.describeTopics(top_n).select(
+        "topic", F.posexplode("termIndices").alias("rank", "term_id")
+    ).collect()
+    term_ids = sorted({r["term_id"] for r in topics})
+    id2tok = {t: vocabulary[t] for t in term_ids}
+    terms_df = spark.createDataFrame(
+        [(tok, tid) for tid, tok in id2tok.items()], "token string, term_id int"
+    )
+
+    pos = tokens_df.select(
+        id_col, F.posexplode(tokens_col).alias("pos", "token")
+    )
+    win = pos.withColumn(
+        "win", F.concat_ws("#", F.col(id_col).cast("string"),
+                           F.floor(F.col("pos") / window).cast("string"))
+    )
+    n_windows = win.select("win").distinct().count()
+    occ = (
+        win.join(F.broadcast(terms_df), "token")
+        .select("win", "term_id")
+        .distinct()
+        .cache()
+    )
+    try:
+        wcount = {r["term_id"]: r["n"] for r in
+                  occ.groupBy("term_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+        a = occ.select(F.col("win"), F.col("term_id").alias("ti"))
+        b = occ.select(F.col("win"), F.col("term_id").alias("tj"))
+        pair_rows = (
+            a.join(b, "win")
+            .filter(F.col("ti") < F.col("tj"))
+            .groupBy("ti", "tj")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    finally:
+        occ.unpersist()
+    co = {(r["ti"], r["tj"]): r["n"] for r in pair_rows}
+
+    eps = 1e-12
+    def npmi(i, j):
+        if i == j:
+            return 1.0
+        key = (min(i, j), max(i, j))
+        pij = co.get(key, 0) / n_windows
+        pi = wcount.get(i, 0) / n_windows
+        pj = wcount.get(j, 0) / n_windows
+        if pij <= 0 or pi <= 0 or pj <= 0:
+            return 0.0
+        return float(np.log((pij + eps) / (pi * pj)) / -np.log(pij + eps))
+
+    by_topic: dict[int, list[int]] = {}
+    for r in topics:
+        by_topic.setdefault(r["topic"], []).append(r["term_id"])
+    out = []
+    for t, terms in sorted(by_topic.items()):
+        M = np.array([[npmi(i, j) for j in terms] for i in terms])
+        topic_vec = M.sum(axis=0)
+        sims = []
+        for i in range(len(terms)):
+            nv, nt = np.linalg.norm(M[i]), np.linalg.norm(topic_vec)
+            sims.append(float(M[i] @ topic_vec / (nv * nt)) if nv > 0 and nt > 0 else 0.0)
+        out.append((t, round(float(np.mean(sims)), 6)))
+    return spark.createDataFrame(out, "topic int, cv_coherence double")

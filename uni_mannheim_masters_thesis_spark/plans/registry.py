@@ -3056,3 +3056,30 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+@_register(
+    "topic_coherence_cv",
+    None,
+    "M26 (c_v coherence — defined-but-disabled reference surface)",
+    "c_v topic coherence (coherence_log_perplexity.py:45-52 ships it "
+    "commented out): boolean token windows → NPMI matrix per topic → "
+    "mean per-term cosine vs the topic vector. Windowing is tumbling "
+    "(documented deviation from gensim's step-1 sliding window). One "
+    "row per topic; c_v values lie in [0,1]-ish range by construction.",
+)
+def q_cv_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.topic_quality import cv_coherence
+    from ..ml.topics import fit_lda, vectorize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    cv_model, corpus = vectorize(toks, vocab_size=1 << 16)
+    corpus = corpus.cache()
+    try:
+        model = fit_lda(corpus, k=5, max_iter=5)
+        return cv_coherence(model, toks, cv_model.vocabulary, top_n=10)
+    finally:
+        corpus.unpersist()
