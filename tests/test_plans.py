@@ -141,5 +141,8 @@ def test_correlated_subquery_is_decorrelated(spark):
     # Catalyst must rewrite the per-part scalar subquery into an
     # aggregate+join, never a per-row subquery execution
     plan = _formatted_plan(spark, "small_quantity_revenue")
-    assert "Subquery" not in plan or "SubqueryExec" not in plan
+    # no Subquery section may survive in the formatted physical plan
+    # (`or` here would be vacuous: "SubqueryExec" never appears in
+    # formatted explain output, so the disjunction always held)
+    assert "Subquery" not in plan
     assert "HashAggregate" in plan

@@ -35,6 +35,8 @@ def rff_features(
     import pandas as pd
 
     first = df.select(F.size(in_col).alias("d")).first()
+    if first is None:
+        raise ValueError("rff_features: input DataFrame is empty")
     d = int(first["d"])
     rng = np.random.RandomState(seed)
     W = rng.normal(scale=np.sqrt(2.0 * gamma), size=(d, n_features))

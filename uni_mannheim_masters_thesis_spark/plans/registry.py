@@ -2772,7 +2772,7 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     """,
     "§2.9 relational (correlated scalar subquery, TPC-H Q17 shape)",
-    "Revenue from small-quantity orders of JUMBO parts: the correlated "
+    "Revenue from small-quantity orders of PROMO parts: the correlated "
     "per-part average is written as a scalar subquery and Catalyst "
     "DECORRELATES it into an aggregate + join (no per-row re-execution) "
     "— visible as one extra shuffle, not |lineitem| subquery runs.",
@@ -2885,12 +2885,17 @@ def q_grouped_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = pdf["x"].to_numpy(dtype=float)
         y = pdf["y"].to_numpy(dtype=float)
         vx = ((x - x.mean()) ** 2).mean()
-        slope = float("nan") if vx == 0 else ((x - x.mean()) * (y - y.mean())).mean() / vx
+        # None (→ SQL NULL), not NaN: the relational twin emits NULL via
+        # NULLIF when var_pop(x) == 0, and NaN would not match it
+        slope = (
+            None if vx == 0
+            else round(float(((x - x.mean()) * (y - y.mean())).mean() / vx), 6)
+        )
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],
                 "n_events": [len(pdf)],
-                "slope_per_sec": [round(slope, 6)],
+                "slope_per_sec": pd.Series([slope], dtype="object"),
             }
         )
 
