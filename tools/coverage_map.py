@@ -174,6 +174,10 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                                   "orders_with_returns_exists"]),
     "X-grouped-regression": ("plans.registry:q_user_trend",
                              ["user_value_trend", "grouped_trend_pandas"]),
+    "X-train-packing": ("plans.registry:q_document_packing", ["document_packing"]),
+    "X-train-splits": ("plans.registry:q_split_manifest", ["dataset_split_manifest"]),
+    "X-train-quantization": ("plans.registry:q_embedding_quant",
+                             ["embedding_quantization"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

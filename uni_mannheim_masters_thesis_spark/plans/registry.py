@@ -3088,3 +3088,154 @@ def q_cv_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cv_coherence(model, toks, cv_model.vocabulary, top_n=10)
     finally:
         corpus.unpersist()
+
+
+# =========================================================================
+# Batch 6: training-data pipeline ops — sequence packing, split
+# manifests, embedding quantization
+# =========================================================================
+
+
+@_register(
+    "document_packing",
+    """
+    WITH toks AS (
+        SELECT doc_id, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM toks
+    )
+    SELECT CAST(floor((cum - 1) / 2048) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM ordered GROUP BY 1
+    """,
+    "§2.11 training-data ops (sequence packing)",
+    "Pack short documents into ~2048-token training sequences: "
+    "cumulative token count over a deterministic order, pack = "
+    "floor(cum/target) — the distributed-friendly packing variant "
+    "(greedy first-fit needs sequential state; floor-cumsum is one "
+    "window, same fill factor on shuffled data). Whitespace token "
+    "count = the tokenizer-free estimator both engines share.",
+)
+def q_document_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered = docs.select("doc_id", n_tokens.alias("n_tokens")).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    return (
+        ordered.select(
+            F.floor((F.col("cum") - 1) / 2048).cast("long").alias("pack_id"),
+            "n_tokens",
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        )
+    )
+
+
+@_register(
+    "dataset_split_manifest",
+    """
+    WITH assigned AS (
+        SELECT doc_id,
+               CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
+              FROM documents)
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM assigned GROUP BY split
+    """,
+    "§2.11 training-data ops (deterministic split manifest)",
+    "80/10/10 train/val/test assignment from a content-stable hash — "
+    "a pure map (zero shuffles for the assignment itself), reproducible "
+    "across runs/engines, no rand() in the plan (M17/M18 generalized "
+    "to manifest form).",
+)
+def q_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    assigned = docs.select(
+        "doc_id",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
+@_register(
+    "embedding_quantization",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(greatest(-127, least(127, round(x * 64.0))) AS BIGINT)) AS qvec,
+               embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 200
+    )
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(qvec, x -> (x / 64.0) * (x / 64.0)))
+                      / len(qvec)), 6) AS dequant_rms,
+           ROUND(sqrt(list_sum(list_transform(list_zip(v, qvec),
+                      p -> (p[1] - p[2] / 64.0) * (p[1] - p[2] / 64.0))) / len(v)), 6) AS quant_err_rms
+    FROM q
+    """,
+    "§2.11 training-data ops (int8 embedding quantization)",
+    "Symmetric int8 quantization (scale 64, clamp ±127) of the "
+    "embedding column — the 4× storage cut for 100 TB vector corpora — "
+    "with per-vector dequantized RMS and quantization-error RMS so the "
+    "fidelity loss is measurable. Pure array HOFs, no UDF.",
+)
+def q_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.col("embedding").cast("array<double>")
+    qvec = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.round(x * 64.0, 0))
+        ).cast("long"),
+    )
+    dq = lambda q: q / 64.0  # noqa: E731
+    with_q = emb.select("vec_id", v.alias("v"), qvec.alias("qvec"))
+    n = F.size("v")
+    dequant_rms = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("qvec", lambda q: dq(q) * dq(q)),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / n
+        ),
+        6,
+    )
+    err_rms = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "qvec", lambda x, q: (x - dq(q)) * (x - dq(q))),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / n
+        ),
+        6,
+    )
+    return with_q.select(
+        "vec_id", dequant_rms.alias("dequant_rms"), err_rms.alias("quant_err_rms")
+    )
