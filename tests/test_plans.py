@@ -146,3 +146,10 @@ def test_correlated_subquery_is_decorrelated(spark):
     # formatted explain output, so the disjunction always held)
     assert "Subquery" not in plan
     assert "HashAggregate" in plan
+
+
+def test_hll_sketch_within_rsd(spark):
+    rows = REGISTRY["approx_distinct_sketch"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["rel_error"] <= 0.10, (r["event_type"], r["rel_error"])

@@ -166,24 +166,26 @@ def connected_components(
         .withColumn("cluster", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    changed = -1
-    for _ in range(max_iter):
+    def _propagate(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
-            both.join(labels, both.v == labels.node)
+            both.join(lbl, both.v == lbl.node)
             .groupBy("u")
             .agg(F.min("cluster").alias("nb_cluster"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster"),
-                    F.coalesce(F.col("nb_cluster"), F.col("cluster")),
-                ).alias("cluster"),
-            )
-            .localCheckpoint(eager=True)
+        return lbl.join(neighbor_min, lbl.node == neighbor_min.u, "left").select(
+            "node",
+            F.least(
+                F.col("cluster"),
+                F.coalesce(F.col("nb_cluster"), F.col("cluster")),
+            ).alias("cluster"),
         )
+
+    changed = -1
+    for _ in range(max_iter):
+        # two propagation hops per checkpoint+convergence-check round:
+        # labels travel 2 edges per round, so rounds ≈ diameter/2 and
+        # half the checkpoint/count overhead
+        new_labels = _propagate(_propagate(labels)).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -3239,3 +3239,61 @@ def q_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_q.select(
         "vec_id", dequant_rms.alias("dequant_rms"), err_rms.alias("quant_err_rms")
     )
+
+
+@_register(
+    "rolling_week_order_value",
+    """
+    SELECT o_custkey, CAST(epoch_us(o_orderdate) AS BIGINT) AS orderdate_us,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                       RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+             AS week_value
+    FROM orders WHERE o_custkey < 100
+    """,
+    "§2.9 windows (RANGE frame over event time)",
+    "Per-customer rolling 7-day order value: a RANGE frame bounded by a "
+    "time interval — value-based framing (peer rows by timestamp), "
+    "unlike the ROWS frames elsewhere; one shuffle on the partition key.",
+)
+def q_rolling_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    view = "orders_range_frame"
+    orders.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_custkey, CAST(unix_micros(o_orderdate) AS BIGINT) AS orderdate_us,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                           RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+                 AS week_value
+        FROM {view}
+        """
+    )
+
+
+@_register(
+    "approx_distinct_sketch",
+    None,
+    "§2.11 sketches (HyperLogLog approx distinct)",
+    "approx_count_distinct (HLL) vs exact COUNT(DISTINCT) per event "
+    "type: at 100 TB the sketch is the only mergeable constant-memory "
+    "option; the query reports both plus the relative error so the "
+    "accuracy contract (rsd ≤ 5%) is continuously observable.",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+    )
+    return out.select(
+        "event_type",
+        "exact_users",
+        "approx_users",
+        F.round(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            4,
+        ).alias("rel_error"),
+    )
