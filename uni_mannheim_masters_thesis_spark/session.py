@@ -46,6 +46,41 @@ def get_session(app_name: str = "umt_spark", cpus: int | None = None) -> SparkSe
     return spark
 
 
+_PYFILE_SHIPPED: set[str] = set()
+
+
+def _ship_package_to_workers(spark: SparkSession) -> None:
+    """Make this package importable inside Python WORKERS of a foreign
+    session.
+
+    A driver that imports us via file path (``__spark_entry__`` style)
+    mutates only the *driver's* sys.path; pandas_udf / mapInPandas /
+    applyInPandasWithState kernels are pickled BY REFERENCE to
+    module-level functions, so the worker process must be able to
+    ``import uni_mannheim_masters_thesis_spark`` itself — which fails
+    whenever the foreign driver's cwd is not the repo root. Shipping a
+    zip of the package via ``addPyFile`` fixes every such kernel at
+    once (workers prepend fetched files to their sys.path).
+    """
+    ctx = spark.sparkContext
+    key = ctx.applicationId
+    if key in _PYFILE_SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="umt_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(staging, "uni_mannheim_masters_thesis_spark"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    ctx.addPyFile(zip_path)
+    _PYFILE_SHIPPED.add(key)
+
+
 def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     """Set the runtime-settable confs the engine relies on.
 
@@ -60,4 +95,5 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     # them, but starting at ~cores avoids the scheduling overhead
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    _ship_package_to_workers(spark)
     return spark
