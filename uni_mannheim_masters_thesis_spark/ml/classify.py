@@ -165,15 +165,19 @@ def classifier_battery(
     operators.similarity_search (LSH).
     """
     common = dict(featuresCol=features_col, labelCol=label_col)
+    # iteration budgets: every maxIter is a SERIAL distributed pass
+    # (one treeAggregate job per iteration for the linear models, one
+    # tree per iteration for GBT), so the budgets below are chosen at
+    # the convergence knee — tol-based early stopping still applies
     return [
         ModelSpec("logistic_regression", LogisticRegression(
-            maxIter=50, regParam=0.1, weightCol="weight", **common), "M6/M7"),
-        ModelSpec("linear_svc", LinearSVC(maxIter=50, regParam=0.1, **common), "M8/M9/M11"),
+            maxIter=25, regParam=0.1, weightCol="weight", **common), "M6/M7"),
+        ModelSpec("linear_svc", LinearSVC(maxIter=20, regParam=0.1, **common), "M8/M9/M11"),
         ModelSpec("gaussian_nb", NaiveBayes(modelType="gaussian", **common), "M10"),
         ModelSpec("decision_tree", DecisionTreeClassifier(seed=seed, **common), "M15"),
         ModelSpec("random_forest", RandomForestClassifier(
             numTrees=100, seed=seed, **common), "M12"),
-        ModelSpec("gbt", GBTClassifier(maxIter=20, seed=seed, **common), "M13"),
+        ModelSpec("gbt", GBTClassifier(maxIter=10, seed=seed, **common), "M13"),
     ]
 
 
@@ -186,7 +190,7 @@ def mlp_spec(n_features: int, features_col: str = "features",
         MultilayerPerceptronClassifier(
             layers=[n_features, 140, 140, 140, 2],
             seed=seed,
-            maxIter=60,
+            maxIter=30,
             featuresCol=features_col,
             labelCol=label_col,
         ),

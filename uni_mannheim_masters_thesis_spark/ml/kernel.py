@@ -81,7 +81,7 @@ def kernel_svm_report(
     )
     train, test = train_test_split(data)
     train = train.cache()
-    model = LinearSVC(maxIter=50, regParam=0.1).fit(train)
+    model = LinearSVC(maxIter=20, regParam=0.1).fit(train)
     scored = model.transform(test)
     return evaluate_binary(scored).select(
         "tp", "fp", "tn", "fn", "precision", "recall", "accuracy", "f1"

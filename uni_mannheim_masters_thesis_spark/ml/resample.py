@@ -54,14 +54,54 @@ def knn_within(
     dense matrix (exactly like the build side of a broadcast hash join)
     and each Arrow batch of probes computes distances with one BLAS
     matmul — ~50× the HOF join on wide vectors. Requires the table to
-    fit the broadcast budget (a kNN *within one class* usually does; for
-    tables beyond it use ``operators.similarity_search.lsh_ann``).
+    fit the broadcast budget (a kNN *within one class* usually does —
+    SMOTE's minority-broadcast contract; for full tables use 'lsh').
+    ``method='lsh'``: bucketed-LSH candidate generation + exact re-rank
+    (``operators.similarity_search.lsh_ann``) — the 100 TB path: no
+    driver-side collect, no broadcast of the full table; neighbors are
+    approximate (high-recall with the default table count).
     ``method='join'``: pure-DataFrame O(n²) pair join, no numpy — the
     semantics reference.
     """
     if method == "join":
         return _knn_within_join(df, k, id_col, vec_col)
+    if method == "lsh":
+        return _knn_within_lsh(df, k, id_col, vec_col)
     return _knn_within_numpy(df, k, id_col, vec_col)
+
+
+def _knn_within_lsh(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    bucket_length: float = 5.0,
+    num_hash_tables: int = 6,
+) -> DataFrame:
+    """Scale path: random-projection LSH buckets generate candidates
+    (bucket equi-join, never a cross product), exact squared-euclidean
+    re-rank on the candidate set only. ``bucket_length``/
+    ``num_hash_tables`` are sized for high 1-NN recall: wider buckets +
+    more tables raise recall at the cost of candidate volume."""
+    from ..operators.similarity_search import lsh_ann
+
+    nn = lsh_ann(
+        df,
+        df,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        bucket_length=bucket_length,
+        num_hash_tables=num_hash_tables,
+    )
+    return nn.select(
+        F.col("probe_id").alias("id"),
+        F.col("neighbor_id").alias("nn_id"),
+        (F.col("eucl_dist") * F.col("eucl_dist")).alias("dist"),
+    ).withColumn(
+        "nn_rank",
+        F.row_number().over(Window.partitionBy("id").orderBy("dist", "nn_id")),
+    )
 
 
 def _knn_within_join(df: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
@@ -122,6 +162,40 @@ def _knn_within_numpy(df: DataFrame, k: int, id_col: str, vec_col: str) -> DataF
     )
 
 
+def _dense_index(
+    df: DataFrame, id_col: str, seed: int = SEED, n_buckets: int = 32
+) -> DataFrame:
+    """Deterministic dense 1..n index (column ``__pr``) with NO global
+    sort: hash rows into ``n_buckets``, row_number within each bucket
+    (``n_buckets`` parallel window partitions), then add cumulative
+    bucket offsets (computed from an O(n_buckets) aggregate and joined
+    back broadcast). Equivalent to a global rank by
+    (bucket, hash, id) — a permutation, which is all a quota/index
+    assignment needs."""
+    bucketed = df.withColumn(
+        "__b", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_buckets))
+    )
+    w = Window.partitionBy("__b").orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.col(id_col)
+    )
+    local = bucketed.withColumn("__lr", F.row_number().over(w))
+    counts = sorted(
+        (r["__b"], r["n"])
+        for r in local.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for b, n in counts:
+        offsets.append((b, acc))
+        acc += n
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "__b long, __off long")
+    return (
+        local.join(F.broadcast(off_df), "__b")
+        .withColumn("__pr", (F.col("__lr") + F.col("__off")).cast("int"))
+        .drop("__b", "__lr", "__off")
+    )
+
+
 def smote(
     df: DataFrame,
     label_col: str = "label",
@@ -159,17 +233,15 @@ def smote(
     nn = knn_within(minority, k=k_eff, id_col=id_col, vec_col=vec_col)
 
     base_q, rem = divmod(shortfall, n_min)
-    # the rank window runs over the n_min minority POINTS (not the
-    # n_min*k edge set) — the minority class is small by the module's
-    # broadcast contract, so this single-partition sort is bounded
-    wp = Window.orderBy("id")
-    quotas = (
-        minority.select(F.col(id_col).alias("id"))
-        .withColumn("__pr", F.row_number().over(wp))
-        .withColumn(
-            "__quota",
-            F.lit(base_q) + F.when(F.col("__pr") <= rem, 1).otherwise(0),
-        )
+    # the quota only needs a stable dense 1..n_min index, not a global
+    # sort: rank within hash buckets (parallel windows), then shift by
+    # per-bucket offsets (a bucket-count aggregate — O(n_buckets) rows on
+    # the driver, never the data). No single-partition Exchange anywhere.
+    quotas = _dense_index(
+        minority.select(F.col(id_col).alias("id")), "id", seed=seed
+    ).withColumn(
+        "__quota",
+        F.lit(base_q) + F.when(F.col("__pr") <= rem, 1).otherwise(0),
     )
 
     base = minority.select(
@@ -213,13 +285,22 @@ def tomek_links(
     label_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
 ) -> DataFrame:
     """M21: mutual 1-NN pairs with different labels.
 
     Returns DataFrame[id_a, id_b, label_a, label_b] with id_a < id_b
     (each link once).
+
+    Unlike SMOTE (whose kNN runs within the small minority class and may
+    broadcast), Tomek's 1-NN runs over the FULL table, so the default is
+    the LSH candidate path — bucket equi-join + exact re-rank, no
+    driver-side collect of the dataset at any scale. Pass
+    ``method='numpy'`` as the opt-in small-data fast path.
     """
-    nn1 = knn_within(df, k=1, id_col=id_col, vec_col=vec_col).select("id", "nn_id")
+    nn1 = knn_within(
+        df, k=1, id_col=id_col, vec_col=vec_col, method=method
+    ).select("id", "nn_id")
     labels = df.select(F.col(id_col).alias("id"), F.col(label_col).alias("lbl"))
     fwd = nn1
     rev = nn1.select(F.col("id").alias("nn_id"), F.col("nn_id").alias("id"))
@@ -244,11 +325,14 @@ def remove_tomek_links(
     majority_label=0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
 ) -> DataFrame:
     """M21 cleaning rule: drop the majority-class member of every Tomek
     link (imblearn ``TomekLinks`` with ``sampling_strategy='majority'``).
     """
-    links = tomek_links(df, label_col=label_col, id_col=id_col, vec_col=vec_col)
+    links = tomek_links(
+        df, label_col=label_col, id_col=id_col, vec_col=vec_col, method=method
+    )
     drop_a = links.filter(F.col("label_a") == majority_label).select(
         F.col("id_a").alias(id_col)
     )

@@ -44,7 +44,7 @@ def grid_search_logistic(
     (polysemous_words.py:164-178).
     """
     lr = LogisticRegression(
-        maxIter=50, featuresCol=features_col, labelCol=label_col
+        maxIter=25, featuresCol=features_col, labelCol=label_col
     )
     grid = (
         ParamGridBuilder()
@@ -61,7 +61,7 @@ def grid_search_logistic(
         evaluator=evaluator,
         numFolds=num_folds,
         seed=seed,
-        parallelism=4,
+        parallelism=8,
     )
     model = cv.fit(data)
     rows = [
@@ -96,7 +96,7 @@ def holdout_transfer(
     of in-domain (admitted 20% holdout) and transfer (excluded)."""
     train, holdout = admitted.randomSplit([0.8, 0.2], seed=SEED)
     lr = LogisticRegression(
-        maxIter=50, regParam=0.1, featuresCol=features_col, labelCol=label_col
+        maxIter=25, regParam=0.1, featuresCol=features_col, labelCol=label_col
     )
     model = lr.fit(train)
     out = None
@@ -115,36 +115,107 @@ def holdout_transfer(
 
 def adaptive_search_logistic(
     data: DataFrame,
-    coarse=(0.001, 0.01, 0.1, 1.0),
-    refine_factor: float = 3.0,
-    num_folds: int = 3,
+    n_trials: int = 15,
+    n_init: int = 5,
+    num_folds: int = 2,
+    gamma: float = 0.3,
+    n_candidates: int = 32,
+    log10_bounds: tuple = (-4.0, 1.0),
     features_col: str = "features",
     label_col: str = "label",
     seed: int = SEED,
 ) -> DataFrame:
-    """M22, sequential variant: the reference's ``skopt.forest_minimize``
-    (polysemous_words.py:271-281) is a sequential model-based search —
-    each trial conditions on previous results. Full surrogate modeling
-    adds nothing at this grid size, so this is the honest distributed
-    middle ground (documented deviation): a coarse CV sweep, then a
-    second sweep zoomed around the coarse argmax (±refine_factor in log
-    space). Returns one row per trial with the stage that produced it.
+    """M22, sequential surrogate-guided variant: the reference runs
+    ``BayesSearchCV``/``skopt.forest_minimize`` — sequential
+    model-based optimization where each trial conditions on all previous
+    results (supervised_classifier.py:210-244,
+    polysemous_words.py:271-281). This is a TPE-style implementation
+    (Bergstra et al. 2011, "Algorithms for Hyper-Parameter
+    Optimization") of the same semantics:
+
+    - search space: log10(regParam) ∈ log10_bounds, elasticNet ∈ {0, .5};
+    - after ``n_init`` seeded quasi-random warmup trials, each proposal
+      splits observed trials into good/bad by the ``gamma``-quantile of
+      F1 and scores seeded candidates by the KDE density ratio
+      l(x)/g(x), taking the argmax — the TPE acquisition;
+    - every trial = ``num_folds``-fold CV on fold splits that are
+      assigned ONCE and cached by the caller's contract (the driver loop
+      is over trials, the fits are distributed Spark jobs).
+
+    Deterministic given the seed (numpy RandomState drives warmup and
+    candidates; KDE bandwidth is Silverman's rule on the observed
+    points). Returns one row per trial:
+    [trial, reg_param, elastic_net_param, avg_f1, is_best].
     """
-    stage1 = grid_search_logistic(
-        data, reg_params=coarse, elastic_net=(0.0,),
-        num_folds=num_folds, features_col=features_col,
-        label_col=label_col, seed=seed,
-    ).withColumn("stage", F.lit(1))
-    best = stage1.orderBy(F.desc("avg_f1"), "reg_param").first()["reg_param"]
-    refined = sorted({best / refine_factor, best, best * refine_factor})
-    stage2 = grid_search_logistic(
-        data, reg_params=refined, elastic_net=(0.0, 0.5),
-        num_folds=num_folds, features_col=features_col,
-        label_col=label_col, seed=seed,
-    ).withColumn("stage", F.lit(2))
-    trials = stage1.unionByName(stage2)
-    top = trials.agg(F.max("avg_f1")).first()[0]
-    return trials.select(
-        "stage", "reg_param", "elastic_net_param", "avg_f1",
-        (F.col("avg_f1") >= F.lit(top)).alias("is_best"),
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    lo, hi = log10_bounds
+    enet_choices = (0.0, 0.5)
+
+    # fold split: assigned once, both sides of every fold cached
+    weights = [1.0 / num_folds] * num_folds
+    parts = data.randomSplit(weights, seed=seed)
+    folds = []
+    for i in range(num_folds):
+        train = None
+        for j, p in enumerate(parts):
+            if j != i:
+                train = p if train is None else train.unionByName(p)
+        folds.append((train.cache(), parts[i].cache()))
+
+    evaluator = MulticlassClassificationEvaluator(
+        labelCol=label_col, predictionCol="prediction", metricName="f1"
+    )
+
+    def cv_f1(log_reg: float, enet: float) -> float:
+        lr = LogisticRegression(
+            maxIter=25, regParam=float(10.0 ** log_reg),
+            elasticNetParam=float(enet),
+            featuresCol=features_col, labelCol=label_col,
+        )
+        scores = []
+        for train, held in folds:
+            model = lr.fit(train)
+            scores.append(evaluator.evaluate(model.transform(held)))
+        return float(np.mean(scores))
+
+    def kde_logpdf(x: float, pts: np.ndarray) -> float:
+        # 1-D Gaussian KDE with Silverman bandwidth, floored so a
+        # degenerate (single/identical-point) set stays proper
+        bw = max(1.06 * (np.std(pts) or 0.0) * len(pts) ** -0.2, 0.25)
+        z = (x - pts) / bw
+        return float(np.log(np.mean(np.exp(-0.5 * z * z)) / bw + 1e-12))
+
+    trials: list[tuple[float, float, float]] = []  # (log_reg, enet, f1)
+    for t in range(n_trials):
+        if t < n_init:
+            log_reg = float(rng.uniform(lo, hi))
+            enet = float(enet_choices[t % len(enet_choices)])
+        else:
+            obs = sorted(trials, key=lambda r: -r[2])
+            n_good = max(1, int(round(gamma * len(obs))))
+            good = np.array([r[0] for r in obs[:n_good]])
+            bad = np.array([r[0] for r in obs[n_good:]] or [0.5 * (lo + hi)])
+            cands = rng.uniform(lo, hi, size=n_candidates)
+            ei = [kde_logpdf(c, good) - kde_logpdf(c, bad) for c in cands]
+            log_reg = float(cands[int(np.argmax(ei))])
+            # discrete dim: majority label among the good trials
+            good_enets = [r[1] for r in obs[:n_good]]
+            enet = float(
+                max(enet_choices, key=lambda e: good_enets.count(e))
+            )
+        trials.append((log_reg, enet, cv_f1(log_reg, enet)))
+
+    best = max(r[2] for r in trials)
+    spark = data.sparkSession
+    out = spark.createDataFrame(
+        [
+            (i + 1, round(10.0 ** lr_, 8), en, round(f1, 6))
+            for i, (lr_, en, f1) in enumerate(trials)
+        ],
+        "trial int, reg_param double, elastic_net_param double, avg_f1 double",
+    )
+    return out.withColumn(
+        "is_best", F.col("avg_f1") >= F.lit(round(best, 6))
     )

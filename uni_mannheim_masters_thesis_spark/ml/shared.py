@@ -1,0 +1,122 @@
+"""Cross-query shared-artifact cache for expensive ML intermediates.
+
+The registry exposes one query per operator (driver contract), but
+several operators legitimately share the same expensive upstream
+artifact — e.g. ``topic_coherence_umass`` (M26), ``lda_log_perplexity``
+(M25) and ``hdp_topic_mass`` (M2) all start from the same tokenized
+corpus, and M25/M26 evaluate the *same* LDA fit in the reference
+(``coherence_log_perplexity.py:36-55`` scores one saved model with both
+metrics). Re-fitting per query would triple the wall-clock of the
+correctness/bench run without changing any result, so shared artifacts
+are memoized here per (Spark application, sf_dir, params).
+
+Cache keys include ``applicationId`` so a fresh session (new JVM, new
+test run) never sees another session's cached DataFrames. Entries hold
+cached DataFrames / fitted models only — all deterministic given the
+seed, so sharing is observationally equivalent to re-fitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CACHE: dict[tuple, object] = {}
+
+
+def _key(spark: SparkSession, sf_dir: str, tag: str) -> tuple:
+    return (spark.sparkContext.applicationId, sf_dir.rstrip("/"), tag)
+
+
+def shared_corpus(
+    spark: SparkSession, sf_dir: str, vocab_size: int = 1 << 16
+):
+    """documents → tokens_pipeline → CountVectorizer TF corpus (cached).
+
+    Returns (CountVectorizerModel, corpus DataFrame). One vocabulary
+    group-count shuffle total across every consumer query.
+    """
+    from ..functions.text import tokens_pipeline
+    from ..sources.testdata import load_table
+    from .topics import vectorize
+
+    key = _key(spark, sf_dir, f"corpus/{vocab_size}")
+    if key not in _CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
+        ).filter(F.size("tokens") > 0)
+        model, corpus = vectorize(toks, vocab_size=vocab_size)
+        _CACHE[key] = (model, corpus.cache())
+    return _CACHE[key]
+
+
+def shared_lda(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    max_iter: int = 5,
+    vocab_size: int = 1 << 16,
+):
+    """One LDA fit per (k, max_iter) over the shared corpus.
+
+    Returns (LDAModel, corpus DataFrame).
+    """
+    from .topics import fit_lda
+
+    _, corpus = shared_corpus(spark, sf_dir, vocab_size)
+    key = _key(spark, sf_dir, f"lda/{vocab_size}/{k}/{max_iter}")
+    if key not in _CACHE:
+        _CACHE[key] = fit_lda(corpus, k=k, max_iter=max_iter)
+    return _CACHE[key], corpus
+
+
+def shared_embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings → MLlib features + binary label (cached).
+
+    The shared input of the M16/M22/M24 queries (grid search, adaptive
+    search, hold-out transfer, MLP) — one scan + vector conversion total.
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    from ..sources.testdata import load_table
+
+    key = _key(spark, sf_dir, "emb_features")
+    if key not in _CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        df = emb.select(
+            "vec_id",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias(
+                "features"
+            ),
+            (F.col("label") < 5).cast("double").alias("label"),
+        )
+        _CACHE[key] = df.cache()
+    return _CACHE[key]
+
+
+def shared_embedding_split(
+    spark: SparkSession, sf_dir: str, test_frac: float = 0.2, seed: int = 42
+):
+    """Deterministic 80/20 split of the shared embedding features
+    (M17), both sides cached — shared by the MLP and transfer queries."""
+    key = _key(spark, sf_dir, f"emb_split/{test_frac}/{seed}")
+    if key not in _CACHE:
+        data = shared_embedding_features(spark, sf_dir)
+        train, test = data.randomSplit([1.0 - test_frac, test_frac], seed=seed)
+        _CACHE[key] = (train.cache(), test.cache())
+    return _CACHE[key]
+
+
+def shared_doc_feature_table(
+    spark: SparkSession, sf_dir: str, k: int = 10, max_iter: int = 5
+) -> DataFrame:
+    """The supervised pipeline's document feature table (M5: LDA topic
+    vector + length feature + derived label), cached — shared by the
+    classifier battery and any consumer that scores document features."""
+    from ..plans.supervised import build_feature_table
+
+    key = _key(spark, sf_dir, f"doc_features/{k}/{max_iter}")
+    if key not in _CACHE:
+        _CACHE[key] = build_feature_table(spark, sf_dir, k=k, max_iter=max_iter).cache()
+    return _CACHE[key]

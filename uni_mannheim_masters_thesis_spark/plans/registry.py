@@ -1738,16 +1738,12 @@ def q_stratified_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(coherence_log_perplexity.py:45-52).",
 )
 def q_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.shared import shared_lda
     from ..ml.topic_quality import umass_coherence
-    from ..ml.topics import fit_lda, vectorize
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
-    ).filter(F.size("tokens") > 0)
-    _, corpus = vectorize(toks, vocab_size=1 << 16)
-    corpus = corpus.cache()
-    model = fit_lda(corpus, k=5, max_iter=5)
+    # M25/M26 score the SAME saved model in the reference
+    # (coherence_log_perplexity.py:36-55) — the fit is shared, not re-run
+    model, corpus = shared_lda(spark, sf_dir, k=5, max_iter=5)
     return umass_coherence(model, corpus, top_n=5)
 
 
@@ -1759,16 +1755,10 @@ def q_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(coherence_log_perplexity.py:36-43).",
 )
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.shared import shared_lda
     from ..ml.topic_quality import log_perplexity
-    from ..ml.topics import fit_lda, vectorize
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
-    ).filter(F.size("tokens") > 0)
-    _, corpus = vectorize(toks, vocab_size=1 << 16)
-    corpus = corpus.cache()
-    model = fit_lda(corpus, k=5, max_iter=5)
+    model, corpus = shared_lda(spark, sf_dir, k=5, max_iter=5)
     lp = log_perplexity(model, corpus)
     return spark.createDataFrame([(float(lp),)], "log_perplexity double")
 
@@ -1781,15 +1771,10 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "suggested_lda_model analogue (wiki_hdp.py:19-26).",
 )
 def q_hdp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.shared import shared_corpus
     from ..ml.topic_quality import hdp_emulation
-    from ..ml.topics import vectorize
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
-    ).filter(F.size("tokens") > 0)
-    _, corpus = vectorize(toks, vocab_size=1 << 16)
-    corpus = corpus.cache()
+    _, corpus = shared_corpus(spark, sf_dir)
     _, masses = hdp_emulation(corpus, truncation_k=20, max_iter=5)
     return masses
 
@@ -2205,15 +2190,12 @@ def q_tomek(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared helper: embeddings as MLlib features with a binary label."""
-    from pyspark.ml.functions import array_to_vector
+    """Shared helper: embeddings as MLlib features with a binary label
+    (memoized + cached once per session/sf_dir — the M16/M22/M24 queries
+    all start from this table)."""
+    from ..ml.shared import shared_embedding_features
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
-        (F.col("label") < 5).cast("double").alias("label"),
-    )
+    return shared_embedding_features(spark, sf_dir)
 
 
 @_register(
@@ -2227,7 +2209,7 @@ def _embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.search import grid_search_logistic
 
-    data = _embedding_features(spark, sf_dir).cache()
+    data = _embedding_features(spark, sf_dir)
     return grid_search_logistic(data)
 
 
@@ -2262,11 +2244,10 @@ def q_holdout_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of confusion counts + P/R/Acc/F1 on the 20% holdout.",
 )
 def q_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.classify import evaluate_binary, mlp_spec, train_test_split
+    from ..ml.classify import evaluate_binary, mlp_spec
+    from ..ml.shared import shared_embedding_split
 
-    data = _embedding_features(spark, sf_dir)
-    train, test = train_test_split(data)
-    train = train.cache()
+    train, test = shared_embedding_split(spark, sf_dir)
     spec = mlp_spec(n_features=64)
     model = spec.estimator.fit(train)
     scored = model.transform(test)
@@ -2959,16 +2940,20 @@ def q_kernel_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "adaptive_search_lr",
     None,
-    "M22 (sequential adaptive search, forest_minimize analogue)",
-    "Two-stage zoom search: coarse CV sweep over regParam, then a "
-    "refined sweep around the coarse argmax — the sequential-refinement "
-    "shape of the reference's skopt loop (polysemous_words.py:271-281), "
-    "every fit distributed. One row per trial with stage + best flag.",
+    "M22 (sequential surrogate-guided search, BayesSearchCV analogue)",
+    "TPE-style sequential model-based search (Bergstra et al. 2011) "
+    "over log-regParam × elasticNet: seeded warmup trials, then each "
+    "proposal maximizes the good/bad KDE density ratio over the "
+    "observed F1s — the same conditioning-on-history semantics as the "
+    "reference's BayesSearchCV/forest_minimize loop "
+    "(supervised_classifier.py:210-244, polysemous_words.py:271-281); "
+    "every fit is a distributed job over cached CV folds. One row per "
+    "trial with best flag.",
 )
 def q_adaptive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.search import adaptive_search_logistic
 
-    data = _embedding_features(spark, sf_dir).cache()
+    data = _embedding_features(spark, sf_dir)
     return adaptive_search_logistic(data)
 
 
@@ -3074,20 +3059,13 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "row per topic; c_v values lie in [0,1]-ish range by construction.",
 )
 def q_cv_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.shared import shared_corpus, shared_lda
     from ..ml.topic_quality import cv_coherence
-    from ..ml.topics import fit_lda, vectorize
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
-    ).filter(F.size("tokens") > 0)
-    cv_model, corpus = vectorize(toks, vocab_size=1 << 16)
-    corpus = corpus.cache()
-    try:
-        model = fit_lda(corpus, k=5, max_iter=5)
-        return cv_coherence(model, toks, cv_model.vocabulary, top_n=10)
-    finally:
-        corpus.unpersist()
+    cv_model, corpus = shared_corpus(spark, sf_dir)
+    model, _ = shared_lda(spark, sf_dir, k=5, max_iter=5)
+    # the corpus frame still carries the tokens column for windowing
+    return cv_coherence(model, corpus, cv_model.vocabulary, top_n=10)
 
 
 # =========================================================================
