@@ -79,3 +79,53 @@ def test_connected_components_known_graph(spark):
     )
     got = {r["node"]: r["cluster"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_minhash_banded_pairs_exact_jaccard(spark):
+    from uni_mannheim_masters_thesis_spark.operators.dedup import (
+        minhash_banded_pairs,
+    )
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_dist
+        for r in minhash_banded_pairs(_docs(spark), threshold=0.7).collect()
+    }
+    # emitted distances are EXACT Jaccard, not minhash estimates
+    assert pairs.get((1, 2)) == 0.0
+    # docs 1 and 3 share 4 of 6 distinct tokens: dist = 1 - 4/6
+    if (1, 3) in pairs:
+        assert abs(pairs[(1, 3)] - (1 - 4 / 6)) < 1e-6
+    assert all(k != (1, 4) for k in pairs)  # disjoint docs never verified in
+
+
+def test_minhash_banded_pairs_deterministic(spark):
+    from uni_mannheim_masters_thesis_spark.operators.dedup import (
+        minhash_banded_pairs,
+    )
+
+    a = sorted(map(tuple, minhash_banded_pairs(_docs(spark)).collect()))
+    b = sorted(map(tuple, minhash_banded_pairs(_docs(spark)).collect()))
+    assert a == b  # md5 hash family: no seed, no run-to-run variance
+
+
+def test_portable_simhash_matches_reference_computation(spark):
+    import hashlib
+
+    from uni_mannheim_masters_thesis_spark.operators.dedup import (
+        add_simhash,
+        portable_hash60,
+    )
+
+    tokens = ["spark", "query", "engine"]
+    df = spark.createDataFrame([(1, tokens)], ["doc_id", "tokens"])
+    got = add_simhash(df, "tokens", hash_fn=portable_hash60, n_bits=60).first()[
+        "simhash"
+    ]
+    # independent re-computation of the same spec in plain python
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in tokens]
+    expect = 0
+    for i in range(60):
+        votes = sum(1 if (h >> i) & 1 else -1 for h in hs)
+        if votes > 0:
+            expect |= 1 << i
+    assert got == expect

@@ -106,3 +106,104 @@ def test_supervised_run_reports_all_models(spark):
     models = {r["model"] for r in report.collect()}
     assert {"logistic_regression", "linear_svc", "gaussian_nb",
             "decision_tree", "random_forest", "gbt"} <= models
+
+
+def test_hdp_emulation_at_reference_truncation_scale(spark):
+    """M2 T-scale behavior: the reference truncates HDP at T=1000
+    (wiki_hdp.py:19). A full T=1000 LDA is out of unit-test budget, but
+    the pruning behavior must hold as truncation grows: at T ≫ the
+    corpus's effective topic count, the kept set stabilizes (pruned
+    topics absorb ~no corpus mass) and total mass stays a distribution."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from uni_mannheim_masters_thesis_spark.functions.text import tokens_pipeline
+    from uni_mannheim_masters_thesis_spark.ml.topic_quality import hdp_emulation
+    from uni_mannheim_masters_thesis_spark.ml.topics import vectorize
+    from uni_mannheim_masters_thesis_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 120)
+    toks = docs.select(
+        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    _, corpus = vectorize(toks, vocab_size=1 << 14)
+    corpus = corpus.cache()
+    try:
+        _, m_small = hdp_emulation(corpus, truncation_k=20, max_iter=3)
+        _, m_large = hdp_emulation(corpus, truncation_k=60, max_iter=3)
+        small, large = m_small.collect(), m_large.collect()
+        # corpus mass is a distribution at every truncation level
+        assert abs(sum(r.corpus_mass for r in small) - 1.0) < 1e-6
+        assert abs(sum(r.corpus_mass for r in large) - 1.0) < 1e-6
+        kept_small = sum(r.kept for r in small)
+        kept_large = sum(r.kept for r in large)
+        # raising the truncation does not inflate the kept topic count
+        # proportionally — extra capacity lands below the mass threshold
+        # (HDP's "suggested topic count" stabilizes)
+        assert kept_large <= kept_small * 2
+        assert kept_large < 60
+    finally:
+        corpus.unpersist()
+
+
+def test_cv_coherence_sliding_window_counts_match_enumeration(spark):
+    """The interval-union window counting inside cv_coherence must equal
+    brute-force enumeration of gensim-style sliding windows. Checked via
+    a tiny corpus where enumeration is feasible in plain python."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.sql import functions as F
+
+    from uni_mannheim_masters_thesis_spark.ml.topic_quality import cv_coherence
+    from uni_mannheim_masters_thesis_spark.ml.topics import vectorize
+
+    docs = [
+        (0, ["cat", "dog", "cat", "bird", "dog", "cat", "fish", "dog"]),
+        (1, ["cat", "cat", "cat", "dog"]),
+        (2, ["bird", "fish", "bird", "fish", "bird"]),
+        (3, ["dog"]),
+    ]
+    window = 3
+    df = spark.createDataFrame(docs, ["doc_id", "tokens"])
+    cv_model, corpus = vectorize(df, vocab_size=64)
+    model = LDA(k=2, maxIter=3, seed=42, optimizer="online").fit(corpus)
+    out = cv_coherence(model, df, cv_model.vocabulary, top_n=3, window=window)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(-1.0 - 1e-9 <= r["cv_coherence"] <= 1.0 + 1e-9 for r in rows)
+
+    # independently verify the window math the implementation relies on:
+    # enumerate sliding windows and compare counts for one term pair
+    def windows(tokens):
+        n = len(tokens)
+        k = max(n - window + 1, 1)
+        return [set(tokens[s : s + window]) for s in range(k)]
+
+    all_wins = [w for _, toks in docs for w in windows(toks)]
+    n_cat = sum(1 for w in all_wins if "cat" in w)
+    n_cat_dog = sum(1 for w in all_wins if "cat" in w and "dog" in w)
+    # recompute with the interval method (same formulas as cv_coherence)
+    def interval_count(toks, term):
+        n = len(toks)
+        nw = max(n - window + 1, 1)
+        ivs = sorted(
+            (max(p - window + 1, 0), min(p, nw - 1))
+            for p, t in enumerate(toks) if t == term
+        )
+        merged, total = [], 0
+        for lo, hi in ivs:
+            if merged and lo <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+            else:
+                merged.append((lo, hi))
+        return merged, sum(hi - lo + 1 for lo, hi in merged)
+
+    got_cat = sum(interval_count(toks, "cat")[1] for _, toks in docs)
+    assert got_cat == n_cat
+    got_pair = 0
+    for _, toks in docs:
+        mi, _ = interval_count(toks, "cat")
+        mj, _ = interval_count(toks, "dog")
+        for lo_i, hi_i in mi:
+            for lo_j, hi_j in mj:
+                got_pair += max(0, min(hi_i, hi_j) - max(lo_i, lo_j) + 1)
+    assert got_pair == n_cat_dog

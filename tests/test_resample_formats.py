@@ -199,3 +199,69 @@ def test_rff_approximates_rbf_kernel(spark):
         d2 = sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
         exact = math.exp(-gamma * d2)
         assert abs(approx - exact) < 0.12, (a, b, approx, exact)
+
+
+def test_tomek_lsh_matches_exact_path(spark, binarized):
+    from uni_mannheim_masters_thesis_spark.ml.resample import tomek_links
+
+    exact = sorted(
+        (r.id_a, r.id_b)
+        for r in tomek_links(binarized, method="numpy").collect()
+    )
+    lsh = sorted(
+        (r.id_a, r.id_b)
+        for r in tomek_links(binarized, method="lsh").collect()
+    )
+    assert lsh == exact
+
+
+def test_tomek_blocked_matches_exact_path(spark, binarized):
+    """The default (blocked distributed BLAS) path is EXACT — identical
+    link set to the in-memory kernel, with no driver-side collect."""
+    from uni_mannheim_masters_thesis_spark.ml.resample import tomek_links
+
+    exact = sorted(
+        (r.id_a, r.id_b)
+        for r in tomek_links(binarized, method="numpy").collect()
+    )
+    blocked = sorted(
+        (r.id_a, r.id_b)
+        for r in tomek_links(binarized).collect()  # default method
+    )
+    assert blocked == exact
+
+
+def test_dense_index_is_permutation(spark):
+    from uni_mannheim_masters_thesis_spark.ml.resample import _dense_index
+
+    df = spark.createDataFrame([(i,) for i in range(257)], ["id"])
+    out = _dense_index(df, "id").collect()
+    assert sorted(r["__pr"] for r in out) == list(range(1, 258))
+    # deterministic across invocations
+    again = _dense_index(df, "id").collect()
+    assert {r["id"]: r["__pr"] for r in out} == {
+        r["id"]: r["__pr"] for r in again
+    }
+
+
+def test_tpe_search_deterministic_and_improves(spark):
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from uni_mannheim_masters_thesis_spark.ml.search import (
+        adaptive_search_logistic,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+        (F.col("label") < 5).cast("double").alias("label"),
+    ).cache()
+    out1 = adaptive_search_logistic(emb, n_trials=6, n_init=3).collect()
+    out2 = adaptive_search_logistic(emb, n_trials=6, n_init=3).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    assert sum(1 for r in out1 if r["is_best"]) >= 1
+    # proposals stay inside the declared search space
+    assert all(1e-4 - 1e-12 <= r["reg_param"] <= 10.0 + 1e-9 for r in out1)

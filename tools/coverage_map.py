@@ -115,8 +115,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "M11": ("ml.classify:classifier_battery", ["classifier_battery"]),
     "M12": ("ml.classify:classifier_battery", ["classifier_battery"]),
     "M13": ("ml.classify:classifier_battery", ["classifier_battery"]),
-    "M14": ("operators.similarity_search:knn_bruteforce",
-            ["knn_classifier_vote", "lsh_ann_neighbors"]),
+    "M14": ("operators.similarity_search:majority_vote",
+            ["knn_classifier_vote", "knn_vote_lsh", "lsh_ann_neighbors"]),
     "M15": ("ml.classify:classifier_battery", ["classifier_battery"]),
     "M16": ("ml.classify:mlp_spec", ["mlp_classifier"]),
     "M17": ("ml.classify:train_test_split", ["classifier_battery"]),
@@ -124,8 +124,11 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
             ["stratified_fold_balance", "fold_assignment"]),
     "M19": ("ml.classify:scale_features", ["classifier_battery"]),
     "M20": ("ml.resample:smote", ["smote_class_balance"]),
-    "M21": ("ml.resample:remove_tomek_links", ["tomek_link_removal"]),
-    "M22": ("ml.search:adaptive_search_logistic  # sequential zoom (forest_minimize analogue)",
+    "M21": ("ml.resample:remove_tomek_links  # blocked exact 1-NN "
+            "(distributed BLAS), no driver-side collect",
+            ["tomek_link_removal"]),
+    "M22": ("ml.search:adaptive_search_logistic  # TPE-style sequential "
+            "surrogate search (BayesSearchCV analogue)",
             ["adaptive_search_lr", "grid_search_lr"]),
     "M23": ("ml.classify:evaluate_binary", ["classifier_battery"]),
     "M24": ("ml.search:holdout_transfer", ["holdout_transfer_report"]),
@@ -134,7 +137,7 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
             ["topic_coherence_umass", "topic_coherence_cv"]),
     # --- §2.11 extended (BASELINE.json north star) -----------------------
     "X-dedup-exact": ("operators.dedup:exact_dedup", ["dedup_stats_by_source"]),
-    "X-dedup-minhash": ("operators.dedup:minhash_lsh_pairs",
+    "X-dedup-minhash": ("operators.dedup:minhash_banded_pairs",
                         ["minhash_neardup_pairs", "minhash_signatures"]),
     "X-dedup-simhash": ("operators.dedup:add_simhash", ["simhash_documents"]),
     "X-dedup-ngram-jaccard": ("plans.registry:q_ngram_jaccard",

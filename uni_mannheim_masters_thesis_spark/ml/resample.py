@@ -67,7 +67,87 @@ def knn_within(
         return _knn_within_join(df, k, id_col, vec_col)
     if method == "lsh":
         return _knn_within_lsh(df, k, id_col, vec_col)
+    if method == "blocked":
+        return _knn_within_blocked(df, k, id_col, vec_col)
     return _knn_within_numpy(df, k, id_col, vec_col)
+
+
+def _knn_within_blocked(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT distributed kNN with bounded per-task memory: blocked
+    all-pairs BLAS.
+
+    Rows hash into ``n_blocks`` blocks; every (probe-block i,
+    corpus-block j) pair is one ``applyInPandas`` group that computes a
+    block-local top-k with a single matmul; a final window merges the
+    per-block candidates into the global top-k. Shuffle volume is
+    2·n·n_blocks rows (each row visits n_blocks groups) and no task ever
+    holds more than two blocks — no driver-side collect, no full-table
+    broadcast, exact results. Compute is inherently O(n²) (that is what
+    exact all-pairs means); size ``n_blocks`` so a block fits executor
+    memory and scale out, or switch to 'lsh' when approximate recall is
+    acceptable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    grid = spark.range(n_blocks).select(F.col("id").alias("__g"))
+    probes = (
+        base.withColumn("__gi", F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
+        .crossJoin(F.broadcast(grid.select(F.col("__g").alias("__gj"))))
+        .withColumn("__role", F.lit(0))
+    )
+    corpus = (
+        base.withColumn("__gj", F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
+        .crossJoin(F.broadcast(grid.select(F.col("__g").alias("__gi"))))
+        .withColumn("__role", F.lit(1))
+    )
+    tagged = probes.unionByName(corpus)
+    kk = k
+
+    def block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf[pdf["__role"] == 0]
+        c = pdf[pdf["__role"] == 1]
+        if p.empty or c.empty:
+            return pd.DataFrame({"id": [], "nn_id": [], "dist": []})
+        P = np.stack(p["v"].to_numpy())
+        C = np.stack(c["v"].to_numpy())
+        pid = np.asarray(p["id"], dtype=np.int64)
+        cid = np.asarray(c["id"], dtype=np.int64)
+        d2 = (
+            (P * P).sum(axis=1)[:, None]
+            + (C * C).sum(axis=1)[None, :]
+            - 2.0 * (P @ C.T)
+        )
+        out_id, out_nn, out_d = [], [], []
+        for i in range(len(pid)):
+            drow = np.maximum(d2[i], 0.0)
+            mask = cid != pid[i]
+            ids_m, d_m = cid[mask], drow[mask]
+            order = np.lexsort((ids_m, d_m))[:kk]
+            out_id.extend([pid[i]] * len(order))
+            out_nn.extend(ids_m[order].tolist())
+            out_d.extend(d_m[order].tolist())
+        return pd.DataFrame({"id": out_id, "nn_id": out_nn, "dist": out_d})
+
+    partial = tagged.groupBy("__gi", "__gj").applyInPandas(
+        lambda key, pdf: block_knn(pdf), "id long, nn_id long, dist double"
+    )
+    w = Window.partitionBy("id").orderBy("dist", "nn_id")
+    return (
+        partial.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("id", "nn_id", "dist", "nn_rank")
+    )
 
 
 def _knn_within_lsh(
@@ -285,7 +365,7 @@ def tomek_links(
     label_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "lsh",
+    method: str = "blocked",
 ) -> DataFrame:
     """M21: mutual 1-NN pairs with different labels.
 
@@ -294,9 +374,11 @@ def tomek_links(
 
     Unlike SMOTE (whose kNN runs within the small minority class and may
     broadcast), Tomek's 1-NN runs over the FULL table, so the default is
-    the LSH candidate path — bucket equi-join + exact re-rank, no
-    driver-side collect of the dataset at any scale. Pass
-    ``method='numpy'`` as the opt-in small-data fast path.
+    the blocked exact kNN — distributed all-pairs BLAS with bounded
+    per-task memory, EXACT links, no driver-side collect and no
+    full-table broadcast. Pass ``method='lsh'`` for approximate
+    sub-quadratic candidates on data with real neighborhood structure,
+    or ``method='numpy'`` as the opt-in small-data fast path.
     """
     nn1 = knn_within(
         df, k=1, id_col=id_col, vec_col=vec_col, method=method
@@ -325,7 +407,7 @@ def remove_tomek_links(
     majority_label=0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "lsh",
+    method: str = "blocked",
 ) -> DataFrame:
     """M21 cleaning rule: drop the majority-class member of every Tomek
     link (imblearn ``TomekLinks`` with ``sampling_strategy='majority'``).

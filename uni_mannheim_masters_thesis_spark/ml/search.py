@@ -174,10 +174,20 @@ def adaptive_search_logistic(
             elasticNetParam=float(enet),
             featuresCol=features_col, labelCol=label_col,
         )
-        scores = []
-        for train, held in folds:
+
+        # the TRIALS are sequential by construction (each conditions on
+        # history), but the folds within one trial are independent —
+        # fit them concurrently (MLlib fits run in the JVM and release
+        # the GIL; this is CrossValidator's own parallelism knob)
+        def one(fold):
+            train, held = fold
             model = lr.fit(train)
-            scores.append(evaluator.evaluate(model.transform(held)))
+            return evaluator.evaluate(model.transform(held))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(folds)) as ex:
+            scores = list(ex.map(one, folds))
         return float(np.mean(scores))
 
     def kde_logpdf(x: float, pts: np.ndarray) -> float:

@@ -143,13 +143,18 @@ def cv_coherence(
     but ships it disabled (``coherence_log_perplexity.py:45-52``,
     ``coherence='c_v'`` commented out).
 
-    Distributed shape: (1) token positions → boolean windows (documented
-    deviation: tumbling windows of ``window`` tokens instead of gensim's
-    step-1 sliding window — same estimator family, ~110× fewer virtual
-    documents); (2) window⋈top-term incidence → P(w), P(wi,wj) by
-    window counts (two aggregations); (3) NPMI matrix + per-term cosine
-    against the topic's summed NPMI vector — k×top_n×top_n scalars,
-    finished with numpy on the driver.
+    Faithful to gensim's estimator: boolean SLIDING windows of size
+    ``window`` with step 1 (a doc of n tokens contributes
+    max(n − window + 1, 1) virtual documents). Enumerating n windows per
+    doc would explode the data ~110×, so window membership is counted
+    via interval unions instead: a term occurrence at position p is
+    present in windows [p−window+1, p] (clipped); per (doc, term) those
+    intervals are merged into a disjoint union (sort + fold, all HOF
+    expressions), so |windows(w)| and |windows(wi) ∩ windows(wj)| are
+    exact interval-length sums/overlaps — identical counts to explicit
+    enumeration at ~1/window the rows. Then: NPMI matrix + per-term
+    cosine against the topic's summed NPMI vector — k×top_n×top_n
+    scalars, finished with numpy on the driver.
 
     Returns DataFrame[topic, cv_coherence].
     """
@@ -165,34 +170,94 @@ def cv_coherence(
         [(tok, tid) for tid, tok in id2tok.items()], "token string, term_id int"
     )
 
+    nw = tokens_df.select(
+        F.col(id_col).alias("d"),
+        F.greatest(
+            F.size(tokens_col).cast("long") - F.lit(window - 1),
+            F.lit(1).cast("long"),
+        ).alias("nw"),
+    )
+    n_windows = nw.agg(F.sum("nw")).first()[0]
+
     pos = tokens_df.select(
-        id_col, F.posexplode(tokens_col).alias("pos", "token")
+        F.col(id_col).alias("d"), F.posexplode(tokens_col).alias("p", "token")
     )
-    win = pos.withColumn(
-        "win", F.concat_ws("#", F.col(id_col).cast("string"),
-                           F.floor(F.col("pos") / window).cast("string"))
+    # occurrence at p → window-index interval [p-window+1, p] clipped to
+    # the valid window range [0, nw-1]
+    occ_iv = (
+        pos.join(F.broadcast(terms_df), "token")
+        .join(nw, "d")
+        .select(
+            "d",
+            "term_id",
+            F.greatest(
+                F.col("p").cast("long") - F.lit(window - 1),
+                F.lit(0).cast("long"),
+            ).alias("lo"),
+            F.least(F.col("p").cast("long"), F.col("nw") - 1).alias("hi"),
+        )
     )
-    n_windows = win.select("win").distinct().count()
-    occ = (
-        win.join(F.broadcast(terms_df), "token")
-        .select("win", "term_id")
-        .distinct()
+    ivs = occ_iv.groupBy("d", "term_id").agg(
+        F.array_sort(F.collect_list(F.struct("lo", "hi"))).alias("ivs")
+    )
+    empty = F.expr("CAST(array() AS array<struct<lo:bigint,hi:bigint>>)")
+
+    def _merge(acc, iv):
+        last = F.element_at(acc, -1)
+        grown = F.concat(
+            F.slice(acc, F.lit(1), F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["lo"].alias("lo"),
+                    F.greatest(last["hi"], iv["hi"]).alias("hi"),
+                )
+            ),
+        )
+        appended = F.concat(
+            acc, F.array(F.struct(iv["lo"].alias("lo"), iv["hi"].alias("hi")))
+        )
+        return F.when(
+            (F.size(acc) > 0) & (iv["lo"] <= last["hi"]), grown
+        ).otherwise(appended)
+
+    spans = (
+        ivs.select("d", "term_id", F.aggregate("ivs", empty, _merge).alias("m"))
+        .select("d", "term_id", F.explode("m").alias("iv"))
+        .select(
+            "d", "term_id",
+            F.col("iv.lo").alias("lo"), F.col("iv.hi").alias("hi"),
+        )
         .cache()
     )
     try:
-        wcount = {r["term_id"]: r["n"] for r in
-                  occ.groupBy("term_id").agg(F.count(F.lit(1)).alias("n")).collect()}
-        a = occ.select(F.col("win"), F.col("term_id").alias("ti"))
-        b = occ.select(F.col("win"), F.col("term_id").alias("tj"))
+        wcount = {
+            r["term_id"]: r["n"]
+            for r in spans.groupBy("term_id")
+            .agg(F.sum(F.col("hi") - F.col("lo") + 1).alias("n"))
+            .collect()
+        }
+        si = spans.select(
+            "d", F.col("term_id").alias("ti"),
+            F.col("lo").alias("lo_i"), F.col("hi").alias("hi_i"),
+        )
+        sj = spans.select(
+            "d", F.col("term_id").alias("tj"),
+            F.col("lo").alias("lo_j"), F.col("hi").alias("hi_j"),
+        )
+        # both sides are disjoint unions, so the pairwise overlap sum is
+        # exactly |windows(ti) ∩ windows(tj)|
+        overlap = F.least("hi_i", "hi_j") - F.greatest("lo_i", "lo_j") + 1
         pair_rows = (
-            a.join(b, "win")
+            si.join(sj, "d")
             .filter(F.col("ti") < F.col("tj"))
+            .withColumn("ov", overlap)
+            .filter(F.col("ov") > 0)
             .groupBy("ti", "tj")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("ov").alias("n"))
             .collect()
         )
     finally:
-        occ.unpersist()
+        spans.unpersist()
     co = {(r["ti"], r["tj"]): r["n"] for r in pair_rows}
 
     eps = 1e-12

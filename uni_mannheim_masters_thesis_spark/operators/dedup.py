@@ -81,23 +81,41 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_bit_counts(tokens: Column) -> Column:
-    """Per-bit-plane majority counters for SimHash (64-slot int array).
+def portable_hash60(t: Column) -> Column:
+    """Engine-portable 60-bit token hash: the first 15 hex chars of md5
+    parsed as an integer. DuckDB computes the identical value as
+    ``('0x' || substring(md5(t), 1, 15))::BIGINT``, which is what makes
+    the portable SimHash DuckDB-oracle-checkable (16^15 = 2^60 < 2^63,
+    so the value is always a positive BIGINT in both engines)."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
 
-    Per token: xxhash64; per bit plane i: +1 if bit set else -1. All
-    JVM-side (aggregate HOF over a 64-slot counter array) — no UDF, so it
-    runs inside codegen at full scan speed. Shift amounts are Python-level
-    literals (Spark's shiftright requires a constant).
+
+def simhash_bit_counts(
+    tokens: Column, hash_fn=None, n_bits: int = 64
+) -> Column:
+    """Per-bit-plane majority counters for SimHash (n_bits-slot array).
+
+    The token hash is computed ONCE per token (a transform over the
+    array), then each bit plane votes +1/-1. All JVM-side (aggregate HOF
+    over a counter array) — no UDF, so it runs inside codegen at full
+    scan speed. Shift amounts are Python-level literals (Spark's
+    shiftright requires a constant).
+
+    ``hash_fn`` defaults to ``xxhash64`` (fastest, Spark-specific seed);
+    pass ``portable_hash60`` with ``n_bits=60`` for the engine-portable
+    variant.
     """
+    hash_fn = hash_fn or F.xxhash64
+    hashes = F.transform(tokens, lambda t: hash_fn(t))
     return F.aggregate(
-        tokens,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, t: F.zip_with(
+        hashes,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
-                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)).cast("int")
-                    for i in range(64)
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int")
+                    for i in range(n_bits)
                 ]
             ),
             lambda c, b: c + F.when(b == 1, 1).otherwise(-1),
@@ -106,23 +124,111 @@ def simhash_bit_counts(tokens: Column) -> Column:
 
 
 def add_simhash(
-    df: DataFrame, tokens_col: str = "tokens", out_col: str = "simhash"
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    out_col: str = "simhash",
+    hash_fn=None,
+    n_bits: int = 64,
 ) -> DataFrame:
-    """Append a 64-bit SimHash column computed from a token-array column.
+    """Append an n_bits-wide SimHash column computed from a token-array
+    column.
 
     Two projection steps (counters, then the bit fold) so the counter
     array is a named column and its aggregate expression is evaluated
-    once per row instead of 64 times.
+    once per row instead of n_bits times.
     """
-    counted = df.withColumn("__sh_counts", simhash_bit_counts(F.col(tokens_col)))
+    counted = df.withColumn(
+        "__sh_counts", simhash_bit_counts(F.col(tokens_col), hash_fn, n_bits)
+    )
     acc = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(
             F.element_at("__sh_counts", i + 1) > 0,
             F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
         acc = acc.bitwiseOR(bit)
     return counted.withColumn(out_col, acc).drop("__sh_counts")
+
+
+def minhash_banded_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_sig: int = 8,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Deterministic, engine-portable MinHash LSH near-dup pairs.
+
+    shingle-set → ``n_sig`` md5-permutation MinHash signatures →
+    ``n_bands`` band hashes → bucket equi-join on (band, band_hash) →
+    exact-Jaccard verification of every candidate (array_intersect /
+    union sizes), keeping pairs with Jaccard distance ≤ ``threshold``.
+
+    Unlike MLlib's ``MinHashLSH`` (seed-specific hash family), every
+    step here is md5-derived and reproducible in any engine — the DuckDB
+    oracle replays it exactly. The join shuffles only
+    (band, band_hash, id); token sets are re-joined for the verified
+    candidates only. Emitted distances are EXACT Jaccard (the MinHash
+    bands are candidate generation, not the estimate), so downstream
+    dedup thresholds behave deterministically.
+
+    Returns DataFrame[id_a, id_b, jaccard_dist] with id_a < id_b.
+    """
+    assert n_sig % n_bands == 0, "bands must evenly split the signatures"
+    rows = n_sig // n_bands
+    ts = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.col(tokens_col)).alias("ts"),
+    ).filter(F.size("ts") > 0)
+
+    def sig(s: int) -> Column:
+        suffix = F.lit(f"#{s}")
+        return F.array_min(
+            F.transform(F.col("ts"), lambda t: F.md5(F.concat(t, suffix)))
+        )
+
+    sigs = ts.select(
+        "id", *[sig(s).alias(f"s{s}") for s in range(1, n_sig + 1)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(*[F.col(f"s{b * rows + r}") for r in range(1, rows + 1)])
+            ).alias("bh"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    xa = ts.select(F.col("id").alias("id_a"), F.col("ts").alias("ta"))
+    xb = ts.select(F.col("id").alias("id_b"), F.col("ts").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    return (
+        cand.join(xa, "id_a")
+        .join(xb, "id_b")
+        .withColumn(
+            "jaccard_dist",
+            F.round(F.lit(1.0) - inter.cast("double") / union, 6),
+        )
+        .filter(F.col("jaccard_dist") <= threshold)
+        .select("id_a", "id_b", "jaccard_dist")
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

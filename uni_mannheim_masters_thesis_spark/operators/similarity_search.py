@@ -111,6 +111,39 @@ def lsh_ann(
     )
 
 
+def majority_vote(
+    nn: DataFrame,
+    labels: DataFrame,
+    neighbor_col: str = "neighbor_id",
+    probe_col: str = "probe_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN-classifier vote (M14, ``KNeighborsClassifier`` semantics,
+    supervised_classifier.py:427-446): join neighbor labels (broadcast —
+    the label table is id+label only), count votes per probe, keep the
+    majority with a deterministic tie-break on the smallest label.
+
+    Returns DataFrame[probe_id, predicted_label, n_votes]. Works over
+    ANY neighbor relation — brute-force for exactness, ``lsh_ann`` for
+    the 100 TB path.
+    """
+    votes = (
+        nn.join(F.broadcast(labels), neighbor_col)
+        .groupBy(probe_col, label_col)
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy(probe_col).orderBy(F.desc("n_votes"), label_col)
+    return (
+        votes.withColumn("__vr", F.row_number().over(w))
+        .filter(F.col("__vr") == 1)
+        .select(
+            probe_col,
+            F.col(label_col).cast("int").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+
+
 def ivf_ann(
     corpus: DataFrame,
     probes: DataFrame,
