@@ -50,3 +50,24 @@ def test_coverage_md_is_current():
     assert on_disk == generate_markdown(), (
         "COVERAGE.md is stale — run `python tools/coverage_map.py`"
     )
+
+
+def test_first_50_registry_entries_cover_every_operator():
+    """Round-1 driver evidence: only the first 50 registry entries got a
+    CORRECTNESS verdict. The first 50 must therefore cover the whole
+    SURVEY §2 + extended inventory on their own."""
+    first50 = set(list(REGISTRY)[:50])
+    missing = []
+    for op_id, (impl, queries) in COVERAGE.items():
+        if impl.startswith("excluded:"):
+            continue
+        if not any(q in first50 for q in queries):
+            missing.append(op_id)
+    assert not missing, f"operators with no query in the first 50: {missing}"
+
+
+def test_driver_priority_is_exactly_the_first_50():
+    from uni_mannheim_masters_thesis_spark.plans.registry import _DRIVER_PRIORITY
+
+    assert len(_DRIVER_PRIORITY) == 50
+    assert set(list(REGISTRY)[:50]) == set(_DRIVER_PRIORITY)

@@ -19,15 +19,15 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
         "file-per-concept (SCALING §1)",
         ["clean_documents"],
     ),
-    "S5": ("sources.formats:json_roundtrip", ["json_artifact_roundtrip"]),
-    "S6": ("sources.formats:csv_roundtrip", ["csv_metrics_roundtrip"]),
-    "S7": ("sources.formats:csv_roundtrip", ["csv_metrics_roundtrip"]),
+    "S5": ("sources.formats:json_roundtrip", ["artifact_formats_roundtrip", "json_artifact_roundtrip"]),
+    "S6": ("sources.formats:csv_roundtrip", ["artifact_formats_roundtrip", "csv_metrics_roundtrip"]),
+    "S7": ("sources.formats:csv_roundtrip", ["artifact_formats_roundtrip", "csv_metrics_roundtrip"]),
     "S8": ("operators.dedup:exact_dedup  # line-set scan = text read + distinct",
            ["distinct_user_event_pairs"]),
-    "S9": ("sources.formats:read_dictionary_text", ["dictionary_text_roundtrip"]),
-    "S10": ("sources.formats:read_matrix_market", ["matrix_market_roundtrip"]),
+    "S9": ("sources.formats:read_dictionary_text", ["artifact_formats_roundtrip", "dictionary_text_roundtrip"]),
+    "S10": ("sources.formats:read_matrix_market", ["artifact_formats_roundtrip", "matrix_market_roundtrip"]),
     "S11": ("sources.formats:model_save_load_roundtrip", ["model_save_load"]),
-    "S12": ("plans.registry:q_xml_roundtrip", ["xml_corpus_roundtrip"]),
+    "S12": ("plans.registry:q_xml_roundtrip", ["artifact_formats_roundtrip", "xml_corpus_roundtrip"]),
     "S13": (
         "excluded: network metrics sink (Neptune.ai) — metrics are a "
         "DataFrame; any df.write sink applies (SURVEY §2.1 S13)",
@@ -68,9 +68,9 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "J4": ("pipeline:evaluate_predictions", ["classification_metrics_events"]),
     "J5": ("pipeline:evaluate_predictions  # broadcast dim lookup",
            ["revenue_by_nation"]),
-    "J6": ("plans.registry:q_nation_except", ["nation_presence_except"]),
-    "J7": ("plans.registry:q_nation_intersect", ["nation_presence_intersect"]),
-    "J8": ("plans.registry:q_membership", ["membership_classification"]),
+    "J6": ("plans.registry:q_nation_except", ["set_ops_nations", "nation_presence_except"]),
+    "J7": ("plans.registry:q_nation_intersect", ["set_ops_nations", "nation_presence_intersect"]),
+    "J8": ("plans.registry:q_membership", ["set_ops_nations", "membership_classification"]),
     "J9": ("operators.evaluation:confusion_matrix", ["confusion_matrix_events"]),
     # --- §2.5 aggregations -----------------------------------------------
     "A1": ("ml.topics:vectorize", ["vocabulary"]),
@@ -95,12 +95,12 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "D1": ("operators.dedup:exact_dedup", ["dedup_stats_by_source"]),
     "D2": ("operators.dedup:exact_dedup", ["distinct_user_event_pairs"]),
     "D3": ("plans.registry:q_nation_intersect",
-           ["nation_presence_intersect", "nation_presence_except",
-            "union_all_entity_counts"]),
+           ["set_ops_nations", "nation_presence_intersect",
+            "nation_presence_except", "union_all_entity_counts"]),
     # --- §2.8 ML ---------------------------------------------------------
     "M1": ("ml.topics:fit_lda",
            ["flagship_polysemy", "lda_log_perplexity", "lda_k_sweep"]),
-    "M2": ("ml.topic_quality:hdp_emulation", ["hdp_topic_mass"]),
+    "M2": ("ml.topic_quality:hdp_emulation", ["topic_quality_suite", "hdp_topic_mass"]),
     "M3": ("ml.topics:infer_topics", ["flagship_polysemy"]),
     "M4": ("ml.topics:polysemy_flag", ["polysemy_rule_vectors", "flagship_polysemy"]),
     "M5": ("ml.classify:assemble_features", ["classifier_battery"]),
@@ -118,23 +118,24 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "M14": ("operators.similarity_search:majority_vote",
             ["knn_classifier_vote", "knn_vote_lsh", "lsh_ann_neighbors"]),
     "M15": ("ml.classify:classifier_battery", ["classifier_battery"]),
-    "M16": ("ml.classify:mlp_spec", ["mlp_classifier"]),
+    "M16": ("ml.classify:mlp_spec", ["classifier_battery", "mlp_classifier"]),
     "M17": ("ml.classify:train_test_split", ["classifier_battery"]),
     "M18": ("ml.classify:add_stratified_fold",
             ["stratified_fold_balance", "fold_assignment"]),
     "M19": ("ml.classify:scale_features", ["classifier_battery"]),
-    "M20": ("ml.resample:smote", ["smote_class_balance"]),
+    "M20": ("ml.resample:smote", ["resampling_report", "smote_class_balance"]),
     "M21": ("ml.resample:remove_tomek_links  # blocked exact 1-NN "
             "(distributed BLAS), no driver-side collect",
-            ["tomek_link_removal"]),
+            ["resampling_report", "tomek_link_removal"]),
     "M22": ("ml.search:adaptive_search_logistic  # TPE-style sequential "
             "surrogate search (BayesSearchCV analogue)",
             ["adaptive_search_lr", "grid_search_lr"]),
     "M23": ("ml.classify:evaluate_binary", ["classifier_battery"]),
     "M24": ("ml.search:holdout_transfer", ["holdout_transfer_report"]),
-    "M25": ("ml.topic_quality:log_perplexity", ["lda_log_perplexity"]),
+    "M25": ("ml.topic_quality:log_perplexity", ["topic_quality_suite", "lda_log_perplexity"]),
     "M26": ("ml.topic_quality:umass_coherence",
-            ["topic_coherence_umass", "topic_coherence_cv"]),
+            ["topic_quality_suite", "topic_coherence_umass",
+             "topic_coherence_cv"]),
     # --- §2.11 extended (BASELINE.json north star) -----------------------
     "X-dedup-exact": ("operators.dedup:exact_dedup", ["dedup_stats_by_source"]),
     "X-dedup-minhash": ("operators.dedup:minhash_banded_pairs",
@@ -153,21 +154,27 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "X-multimodal-frames": ("plans.registry:q_frame_sample",
                             ["multimodal_frame_sample"]),
     "X-text-langid": ("operators.textstats:langid", ["language_id"]),
-    "X-text-quality": ("operators.textstats:stopword_ratio", ["text_quality"]),
+    "X-text-quality": ("operators.textstats:stopword_ratio",
+                      ["text_profile", "text_quality"]),
     "X-text-tokens": ("operators.textstats:word_count",
-                      ["token_stats", "bpe_subword_counts"]),
+                      ["text_profile", "token_stats", "bpe_subword_counts"]),
     "X-text-fingerprint": ("operators.textstats:fingerprint",
-                           ["document_fingerprints", "winnowing_fingerprint"]),
+                           ["text_profile", "document_fingerprints",
+                            "winnowing_fingerprint"]),
     "X-stream-window": ("streaming.events:streaming_hourly_event_stats",
-                        ["streaming_events_hourly", "events_sliding_window"]),
+                        ["streaming_windowed_suite", "streaming_events_hourly",
+                         "events_sliding_window"]),
     "X-stream-session": ("streaming.stateful:streaming_sessionization",
-                         ["streaming_sessionization", "events_sessionization"]),
+                         ["streaming_windowed_suite", "streaming_sessionization",
+                          "events_sessionization"]),
     "X-stream-stateful": ("streaming.stateful:stateful_user_counts",
-                          ["stateful_user_counts"]),
+                          ["streaming_stateful_suite", "stateful_user_counts"]),
     "X-stream-static-join": ("streaming.events:streaming_events_by_segment",
-                             ["streaming_events_by_segment"]),
+                             ["streaming_stateful_suite",
+                              "streaming_events_by_segment"]),
     "X-stream-dedup": ("plans.registry:q_streaming_dedup",
-                       ["streaming_first_event_per_user_type"]),
+                       ["streaming_stateful_suite",
+                        "streaming_first_event_per_user_type"]),
     "X-asof-join": ("operators.relational:asof_join", ["events_asof_join"]),
     "X-dedup-clusters": ("operators.dedup:connected_components",
                          ["neardup_clusters"]),
@@ -177,10 +184,12 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                                   "orders_with_returns_exists"]),
     "X-grouped-regression": ("plans.registry:q_user_trend",
                              ["user_value_trend", "grouped_trend_pandas"]),
-    "X-train-packing": ("plans.registry:q_document_packing", ["document_packing"]),
-    "X-train-splits": ("plans.registry:q_split_manifest", ["dataset_split_manifest"]),
+    "X-train-packing": ("plans.registry:q_document_packing",
+                        ["training_prep_manifest", "document_packing"]),
+    "X-train-splits": ("plans.registry:q_split_manifest",
+                       ["training_prep_manifest", "dataset_split_manifest"]),
     "X-train-quantization": ("plans.registry:q_embedding_quant",
-                             ["embedding_quantization"]),
+                             ["training_prep_manifest", "embedding_quantization"]),
 }
 
 # the full SURVEY §2 inventory the map must cover
