@@ -3887,7 +3887,7 @@ _COST_HINT: dict[str, float] = {
     # hdp's hint is set BELOW the other LDA-family queries on purpose:
     # the first query of the family pays the session-shared corpus
     # build (ml.shared), and hdp has the largest per-round budget
-    "classifier_battery": 12.0, "stratified_fold_balance": 0.3,
+    "classifier_battery": 15.4, "stratified_fold_balance": 0.3,
     "topic_coherence_umass": 3.2, "lda_log_perplexity": 3.1,
     "hdp_topic_mass": 0.9, "multimodal_decode": 1.1,
     "lsh_ann_neighbors": 1.0, "nation_presence_intersect": 0.5,
@@ -3897,7 +3897,7 @@ _COST_HINT: dict[str, float] = {
     "knn_classifier_vote": 0.8, "knn_vote_lsh": 2.0,
     "stateful_user_counts": 3.7, "streaming_sessionization": 1.6,
     "smote_class_balance": 1.3, "tomek_link_removal": 4.5,
-    "grid_search_lr": 7.0, "holdout_transfer_report": 1.8,
+    "grid_search_lr": 4.1, "holdout_transfer_report": 4.1,
     "mlp_classifier": 4.0, "ivf_ann_recall": 4.4, "model_save_load": 1.1,
     "xml_corpus_roundtrip": 0.4, "fold_metric_stats": 0.4,
     "membership_classification": 0.6, "multimodal_frame_sample": 0.3,
@@ -3912,11 +3912,11 @@ _COST_HINT: dict[str, float] = {
     "document_packing": 0.3, "dataset_split_manifest": 0.2,
     "embedding_quantization": 0.3, "rolling_week_order_value": 0.3,
     "approx_distinct_sketch": 0.3,
-    # consolidated suites ≈ sum of their components (shared fits cached)
-    "set_ops_nations": 1.2, "text_profile": 0.6,
-    "artifact_formats_roundtrip": 4.5, "training_prep_manifest": 0.8,
-    "streaming_windowed_suite": 0.8, "streaming_stateful_suite": 6.5,
-    "topic_quality_suite": 7.0, "resampling_report": 5.5,
+    # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
+    "set_ops_nations": 1.2, "text_profile": 0.7,
+    "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 0.9,
+    "streaming_windowed_suite": 0.9, "streaming_stateful_suite": 9.1,
+    "topic_quality_suite": 11.7, "resampling_report": 3.7,
 }
 
 
