@@ -150,9 +150,9 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "X-ann-lsh": ("operators.similarity_search:lsh_ann", ["lsh_ann_neighbors"]),
     "X-ann-ivf": ("operators.similarity_search:ivf_ann", ["ivf_ann_recall"]),
     "X-multimodal-decode": ("operators.multimodal:decode_binary_column",
-                            ["multimodal_decode"]),
+                            ["multimodal_pipeline", "multimodal_decode"]),
     "X-multimodal-frames": ("plans.registry:q_frame_sample",
-                            ["multimodal_frame_sample"]),
+                            ["multimodal_pipeline", "multimodal_frame_sample"]),
     "X-text-langid": ("operators.textstats:langid", ["language_id"]),
     "X-text-quality": ("operators.textstats:stopword_ratio",
                       ["text_profile", "text_quality"]),
@@ -190,6 +190,14 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                        ["training_prep_manifest", "dataset_split_manifest"]),
     "X-train-quantization": ("plans.registry:q_embedding_quant",
                              ["training_prep_manifest", "embedding_quantization"]),
+    "X-curation-contamination": ("plans.registry:q_benchmark_contamination",
+                                 ["curation_suite", "benchmark_contamination"]),
+    "X-curation-repetition": ("plans.registry:q_repetition_quality",
+                              ["curation_suite", "repetition_quality"]),
+    "X-dedup-canonical": ("plans.registry:q_dedup_canonical",
+                          ["curation_suite", "dedup_canonical"]),
+    "X-dedup-incremental": ("plans.registry:q_cross_source_containment",
+                            ["curation_suite", "cross_source_containment"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

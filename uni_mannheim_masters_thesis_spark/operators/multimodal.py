@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DECODE_SCHEMA = (
-    "doc_id long, n_bytes long, sha1 string, width int, height int, "
+    "doc_id long, n_bytes long, sha256 string, width int, height int, "
     "feature array<double>"
 )
 
@@ -36,9 +36,11 @@ def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
 
     Real decode (image dims, pixel features) is NOT implemented in this
     container; this derives stable pseudo-metadata from the payload
-    digest so the pipeline is testable end-to-end.
+    digest so the pipeline is testable end-to-end. sha256 on purpose:
+    both Spark (sha2) and DuckDB expose it, so the stub's outputs are
+    exactly replayable by the correctness oracle.
     """
-    digest = hashlib.sha1(payload).digest()
+    digest = hashlib.sha256(payload).digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
     feature = [b / 255.0 for b in digest[2 : 2 + FEATURE_DIM]]
@@ -56,7 +58,7 @@ def decode_binary_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 {
                     "doc_id": doc_id,
                     "n_bytes": len(data),
-                    "sha1": hashlib.sha1(data).hexdigest(),
+                    "sha256": hashlib.sha256(data).hexdigest(),
                     "width": width,
                     "height": height,
                     "feature": feature,

@@ -1945,11 +1945,25 @@ def q_hdp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "multimodal_decode",
-    None,
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(64 + ('0x' || substring(sha256(text), 1, 2))::INT % 192 AS INT) AS width,
+           CAST(64 + ('0x' || substring(sha256(text), 3, 2))::INT % 192 AS INT) AS height,
+           list_transform(range(0, 8),
+               i -> ('0x' || substring(sha256(text), CAST(5 + i * 2 AS BIGINT), 2))::INT / 255.0
+           ) AS feature
+    FROM documents
+    """,
     "§2.11 multimodal columns (binary payload → metadata + features)",
     "Arrow-batched mapInPandas over a binary column: deterministic "
     "stub decoder (real image/audio libs not in container) producing "
-    "dims + an 8-dim feature vector; the Spark plumbing is real.",
+    "dims + an 8-dim feature vector; the Spark plumbing is real. The "
+    "stub derives everything from sha256(payload), which DuckDB also "
+    "exposes — so the oracle replays the decode EXACTLY (byte i of the "
+    "digest = hex pair i of the hash string), upgrading this from a "
+    "rows-only check to full hash parity.",
 )
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_binary_column, documents_as_binary
@@ -3454,6 +3468,227 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Batch 7: LLM-pipeline curation ops — contamination, repetition,
+# canonical dedup output, incremental snapshot dedup
+# =========================================================================
+
+_SQL_8GRAMS = (
+    f"list_transform(range(1, len({sql_simple_tokens('text')}) - 6), "
+    f"i -> array_to_string(list_slice({sql_simple_tokens('text')}, i, i + 7), ' '))"
+)
+
+
+@_register(
+    "benchmark_contamination",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, doc_id % 97 = 0 AS is_eval,
+               unnest({_SQL_8GRAMS}) AS sh
+        FROM documents
+    ),
+    eval_sh AS (SELECT DISTINCT doc_id, sh FROM sh WHERE is_eval),
+    corpus_sh AS (SELECT DISTINCT sh FROM sh WHERE NOT is_eval)
+    SELECT e.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(COUNT(c.sh) AS BIGINT) AS n_contaminated,
+           ROUND(CAST(COUNT(c.sh) AS DOUBLE) / COUNT(*), 6) AS contamination_ratio
+    FROM eval_sh e LEFT JOIN corpus_sh c USING (sh)
+    GROUP BY e.doc_id
+    """,
+    "§2.11 curation (benchmark-contamination check, 8-gram overlap)",
+    "Train/eval contamination audit: the held-out eval slice "
+    "(doc_id % 97 = 0) is checked for 8-gram (token shingle) overlap "
+    "against the training corpus — the decontamination step every "
+    "LLM data pipeline runs before training. Distinct-shingle "
+    "equi-join; at 100 TB the join key becomes xxhash64(shingle) "
+    "(64-bit, shuffle-compact) and the eval side — always the small "
+    "side — broadcasts; the corpus side stays partitioned, never "
+    "collected.",
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    t = tokenize(F.col("text"))
+    shingles = F.when(
+        F.size(t) >= 8,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 8),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, 8)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    sh = docs.select(
+        "doc_id", (F.col("doc_id") % 97 == 0).alias("is_eval"),
+        F.explode(shingles).alias("sh"),
+    )
+    eval_sh = sh.filter("is_eval").select("doc_id", "sh").distinct()
+    corpus_sh = sh.filter(~F.col("is_eval")).select("sh").distinct()
+    return (
+        eval_sh.join(corpus_sh.withColumn("hit", F.lit(1)), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").cast("long").alias("n_contaminated"),
+            F.round(
+                F.count("hit").cast("double") / F.count(F.lit(1)), 6
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+_SQL_BIGRAMS = (
+    f"list_transform(range(1, len({sql_simple_tokens('text')})), "
+    f"i -> array_to_string(list_slice({sql_simple_tokens('text')}, i, i + 1), ' '))"
+)
+
+
+@_register(
+    "repetition_quality",
+    f"""
+    WITH bg AS (
+        SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bigram FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS rep_ratio,
+           CAST(CASE WHEN CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.2
+                     THEN 1 ELSE 0 END AS INT) AS is_repetitive
+    FROM counts GROUP BY doc_id
+    """,
+    "§2.11 curation (repetition-based quality filter)",
+    "Gopher-style repetition signal: fraction of a document's 2-grams "
+    "taken by its single most-frequent 2-gram; docs above 0.2 are "
+    "flagged (boilerplate / degenerate repetition). Explode + two-level "
+    "aggregate — fully distributed, map-side partial aggregation on "
+    "(doc, bigram), no UDF.",
+)
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    t = tokenize(F.col("text"))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    counts = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ratio = F.max("c").cast("double") / F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("top_bigram_n"),
+        F.round(ratio, 6).alias("rep_ratio"),
+        F.when(ratio > 0.2, 1).otherwise(0).cast("int").alias("is_repetitive"),
+    )
+
+
+@_register(
+    "dedup_canonical",
+    f"""
+    WITH cc AS ({REGISTRY['neardup_clusters'].sql})
+    SELECT e.vec_id,
+           CAST(COALESCE(cc.cluster, e.vec_id) AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN COALESCE(cc.cluster, e.vec_id) = e.vec_id
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < 300) e
+    LEFT JOIN cc ON cc.node = e.vec_id
+    """,
+    "§2.11 dedup (canonical-representative selection)",
+    "The dedup OUTPUT step: after near-dup clustering "
+    "(neardup_clusters), keep exactly one canonical representative per "
+    "cluster (smallest id) and mark the rest dropped — the row-level "
+    "keep/drop manifest a 100 TB dedup job writes back. Singletons "
+    "(no near-dup edge) keep themselves via the left join; no extra "
+    "shuffle beyond the component propagation.",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("va"), F.col("vb")) >= 0.3)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs)
+    return (
+        emb.select("vec_id")
+        .join(cc, emb.vec_id == cc.node, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster"), F.col("vec_id"))
+            .cast("long")
+            .alias("cluster_id"),
+            F.when(
+                F.coalesce(F.col("cluster"), F.col("vec_id")) == F.col("vec_id"), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+@_register(
+    "cross_source_containment",
+    """
+    WITH fp AS (
+        SELECT source, md5(text) AS f FROM documents
+    ),
+    firsts AS (SELECT f, MIN(source) AS first_source FROM fp GROUP BY f)
+    SELECT fp.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN fp.source > firsts.first_source THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_prior,
+           ROUND(CAST(SUM(CASE WHEN fp.source > firsts.first_source THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS carryover_ratio
+    FROM fp JOIN firsts USING (f)
+    GROUP BY fp.source
+    """,
+    "§2.11 dedup (incremental cross-snapshot containment)",
+    "Incremental-crawl dedup accounting: sources ordered "
+    "lexicographically stand in for successive snapshots; a doc whose "
+    "exact fingerprint already appeared in an earlier snapshot is "
+    "carryover, not new data. One fingerprint aggregation + one "
+    "fingerprint-key join — both shuffle on md5(text) (never the full "
+    "text), the same movement-minimizing shape as dedup_stats_by_source.",
+)
+def q_cross_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("source", F.md5("text").alias("f"))
+    firsts = fp.groupBy("f").agg(F.min("source").alias("first_source"))
+    dup = (F.col("source") > F.col("first_source")).cast("int")
+    return (
+        fp.join(firsts, "f")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup).cast("long").alias("n_dup_prior"),
+            F.round(F.sum(dup).cast("double") / F.count(F.lit(1)), 6).alias(
+                "carryover_ratio"
+            ),
+        )
+    )
+
+
+# =========================================================================
 # Consolidated driver-coverage suites
 # =========================================================================
 #
@@ -3732,6 +3967,110 @@ def q_streaming_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_pipeline",
+    f"""
+    SELECT 'decode' AS component, doc_id, 0 AS idx, n_bytes,
+           sha256 AS sha, width AS w, height AS h, feature
+    FROM ({REGISTRY['multimodal_decode'].sql})
+    UNION ALL
+    SELECT 'frame', doc_id, frame_idx, CAST(frame_bytes AS BIGINT),
+           frame_sha256, 0, 0, CAST([] AS DOUBLE[])
+    FROM ({REGISTRY['multimodal_frame_sample'].sql})
+    """,
+    "§2.11 multimodal (decode + frame sampling)",
+    "Driver-coverage suite: the stub decode (Arrow-batched mapInPandas, "
+    "sha256-derived metadata/features) and the relational frame-sampling "
+    "plan tagged into one relation, both halves hash-exact against "
+    "DuckDB. Components: multimodal_decode, multimodal_frame_sample "
+    "(each still registered individually).",
+)
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    empty_d = F.expr("CAST(array() AS array<double>)")
+    dec = q_multimodal(spark, sf_dir).select(
+        F.lit("decode").alias("component"),
+        "doc_id",
+        F.lit(0).cast("int").alias("idx"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("sha256").alias("sha"),
+        F.col("width").cast("int").alias("w"),
+        F.col("height").cast("int").alias("h"),
+        "feature",
+    )
+    frm = q_frame_sample(spark, sf_dir).select(
+        F.lit("frame").alias("component"),
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("idx"),
+        F.col("frame_bytes").cast("long").alias("n_bytes"),
+        F.col("frame_sha256").alias("sha"),
+        F.lit(0).cast("int").alias("w"),
+        F.lit(0).cast("int").alias("h"),
+        empty_d.alias("feature"),
+    )
+    return dec.unionByName(frm)
+
+
+@_register(
+    "curation_suite",
+    f"""
+    SELECT 'contamination' AS component, CAST(doc_id AS VARCHAR) AS k,
+           n_shingles AS n1, n_contaminated AS n2,
+           contamination_ratio AS ratio
+    FROM ({REGISTRY['benchmark_contamination'].sql})
+    UNION ALL
+    SELECT 'repetition', CAST(doc_id AS VARCHAR), n_bigrams, top_bigram_n,
+           rep_ratio
+    FROM ({REGISTRY['repetition_quality'].sql})
+    UNION ALL
+    SELECT 'canonical', CAST(vec_id AS VARCHAR), cluster_id,
+           CAST(keep AS BIGINT), 0.0
+    FROM ({REGISTRY['dedup_canonical'].sql})
+    UNION ALL
+    SELECT 'containment', source, n_docs, n_dup_prior, carryover_ratio
+    FROM ({REGISTRY['cross_source_containment'].sql})
+    """,
+    "§2.11 curation (contamination + repetition + canonical dedup + "
+    "incremental containment)",
+    "Driver-coverage suite: the four corpus-curation operators — "
+    "benchmark-contamination audit, repetition-based quality filter, "
+    "canonical-representative dedup output, cross-snapshot containment "
+    "accounting — tagged into one relation with exact per-component "
+    "values. Components: benchmark_contamination, repetition_quality, "
+    "dedup_canonical, cross_source_containment (each still registered "
+    "individually).",
+)
+def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cont = q_benchmark_contamination(spark, sf_dir).select(
+        F.lit("contamination").alias("component"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_shingles").cast("long").alias("n1"),
+        F.col("n_contaminated").cast("long").alias("n2"),
+        F.col("contamination_ratio").alias("ratio"),
+    )
+    rep = q_repetition_quality(spark, sf_dir).select(
+        F.lit("repetition").alias("component"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_bigrams").cast("long").alias("n1"),
+        F.col("top_bigram_n").cast("long").alias("n2"),
+        F.col("rep_ratio").alias("ratio"),
+    )
+    canon = q_dedup_canonical(spark, sf_dir).select(
+        F.lit("canonical").alias("component"),
+        F.col("vec_id").cast("string").alias("k"),
+        F.col("cluster_id").cast("long").alias("n1"),
+        F.col("keep").cast("long").alias("n2"),
+        F.lit(0.0).alias("ratio"),
+    )
+    inc = q_cross_source_containment(spark, sf_dir).select(
+        F.lit("containment").alias("component"),
+        F.col("source").alias("k"),
+        F.col("n_docs").cast("long").alias("n1"),
+        F.col("n_dup_prior").cast("long").alias("n2"),
+        F.col("carryover_ratio").alias("ratio"),
+    )
+    return cont.unionByName(rep).unionByName(canon).unionByName(inc)
+
+
+@_register(
     "topic_quality_suite",
     None,
     "M2, M25, M26 (HDP emulation, log-perplexity, u_mass coherence)",
@@ -3825,6 +4164,7 @@ _DRIVER_SUITES: frozenset[str] = frozenset({
     "set_ops_nations", "text_profile", "artifact_formats_roundtrip",
     "training_prep_manifest", "streaming_windowed_suite",
     "streaming_stateful_suite", "topic_quality_suite", "resampling_report",
+    "multimodal_pipeline", "curation_suite",
 })
 
 _DRIVER_PRIORITY: frozenset[str] = frozenset({
@@ -3840,7 +4180,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # dedup / similarity / multimodal (oracle)
     "ngram_jaccard_pairs", "simhash_documents", "minhash_neardup_pairs",
     "knn_bruteforce_cosine", "embedding_cosine_neardup",
-    "multimodal_frame_sample", "neardup_clusters",
+    "multimodal_pipeline", "curation_suite", "neardup_clusters",
     # joins / windows / subqueries (oracle)
     "events_asof_join", "value_bucket_range_join", "small_quantity_revenue",
     "user_value_trend",
@@ -3849,7 +4189,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "training_prep_manifest", "streaming_windowed_suite",
     "streaming_stateful_suite",
     # rows-only operators (every remaining M/X id)
-    "stratified_fold_balance", "lsh_ann_neighbors", "multimodal_decode",
+    "stratified_fold_balance", "lsh_ann_neighbors",
     "model_save_load", "flagship_polysemy", "grid_search_lr",
     "holdout_transfer_report", "ivf_ann_recall", "classifier_battery",
     "topic_quality_suite", "resampling_report",
@@ -3912,11 +4252,14 @@ _COST_HINT: dict[str, float] = {
     "document_packing": 0.3, "dataset_split_manifest": 0.2,
     "embedding_quantization": 0.3, "rolling_week_order_value": 0.3,
     "approx_distinct_sketch": 0.3,
+    "benchmark_contamination": 0.8, "repetition_quality": 0.5,
+    "dedup_canonical": 4.8, "cross_source_containment": 0.3,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 0.9,
     "streaming_windowed_suite": 0.9, "streaming_stateful_suite": 9.1,
     "topic_quality_suite": 11.7, "resampling_report": 3.7,
+    "multimodal_pipeline": 1.5, "curation_suite": 6.0,
 }
 
 
