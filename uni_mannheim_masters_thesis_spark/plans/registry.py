@@ -3509,7 +3509,14 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokenize
 
     docs = _t(spark, sf_dir, "documents")
-    t = tokenize(F.col("text"))
+    # materialize tokens as a column FIRST: referencing the tokenize
+    # expression inside the transform lambda would re-run the Unicode
+    # regex once per generated shingle (~50× per row)
+    toks = docs.select(
+        "doc_id", (F.col("doc_id") % 97 == 0).alias("is_eval"),
+        tokenize(F.col("text")).alias("t"),
+    )
+    t = F.col("t")
     shingles = F.when(
         F.size(t) >= 8,
         F.transform(
@@ -3517,10 +3524,7 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(t, i + 1, 8)),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    sh = docs.select(
-        "doc_id", (F.col("doc_id") % 97 == 0).alias("is_eval"),
-        F.explode(shingles).alias("sh"),
-    )
+    sh = toks.select("doc_id", "is_eval", F.explode(shingles).alias("sh"))
     eval_sh = sh.filter("is_eval").select("doc_id", "sh").distinct()
     corpus_sh = sh.filter(~F.col("is_eval")).select("sh").distinct()
     return (
@@ -3570,7 +3574,10 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokenize
 
     docs = _t(spark, sf_dir, "documents")
-    t = tokenize(F.col("text"))
+    # tokens as a named column — see q_benchmark_contamination: lambda
+    # capture of the raw expression re-evaluates the regex per element
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    t = F.col("t")
     bigrams = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -3579,7 +3586,7 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
     counts = (
-        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        toks.select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
