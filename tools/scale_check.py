@@ -1,0 +1,121 @@
+"""Scale-up smoke check: time representative registry queries at 1x and
+Nx the input scale (default 10x) on the same local box.
+
+The Nx dataset duplicates each FACT table N times with the primary id
+shifted by a copy offset while dimension tables stay as-is, so every
+fact row still joins exactly one dimension row (no join fan-out) and
+text/embedding payloads repeat — which is exactly the stress dedup /
+curation operators must absorb (10x corpus, 10x duplicates).
+
+Usage:
+    python tools/scale_check.py [sf_dir] [factor]
+
+Writes the scaled dataset under <repo>/.scaleN/ (git-ignored) and
+prints a markdown table of per-query 1x/Nx seconds + ratio, suitable
+for SCALING.md §10.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from uni_mannheim_masters_thesis_spark.plans.registry import REGISTRY  # noqa: E402
+from uni_mannheim_masters_thesis_spark.session import get_session  # noqa: E402
+from uni_mannheim_masters_thesis_spark.sources.testdata import load_table  # noqa: E402
+
+# fact table -> primary id column shifted per copy; all other tables are
+# dimensions and are copied unchanged (foreign keys keep pointing at the
+# single original dim row — joins stay 1:1 per fact row at any factor)
+_FACT_IDS = {
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+_DIMS = ("region", "nation", "customer", "supplier", "part")
+
+# representative plan shapes: scan-agg, fact⋈dim, explode+group, window,
+# dedup accounting, curation (shingle join, bigram agg, fingerprint
+# containment), per-doc wide projection
+_QUERIES = [
+    "pricing_summary",
+    "top_brands_by_revenue",
+    "vocabulary",
+    "events_sessionization",
+    "dedup_stats_by_source",
+    "text_profile",
+    "benchmark_contamination",
+    "repetition_quality",
+    "cross_source_containment",
+    "document_packing",
+]
+
+
+def build_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    for name in _DIMS:
+        load_table(spark, sf_dir, name).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+    for name, id_col in _FACT_IDS.items():
+        base = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        offset = (base.agg(F.max(id_col)).first()[0] or 0) + 1
+        copies = [
+            base.withColumn(id_col, F.col(id_col) + F.lit(int(i * offset)))
+            for i in range(factor)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in _QUERIES:
+        t0 = time.time()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t1 = time.time() - t0
+        # re-run once and keep the min: single-JVM GC hiccups otherwise
+        # masquerade as scale effects (see bench.py)
+        t0 = time.time()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[name] = round(min(t1, time.time() - t0), 2)
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    out_dir = os.path.join(_REPO, f".scale{factor}")
+    spark = get_session("scale_check")
+    t0 = time.time()
+    build_scaled(spark, sf_dir, out_dir, factor)
+    print(f"built {factor}x dataset in {time.time() - t0:.0f}s at {out_dir}",
+          file=sys.stderr)
+    base = time_queries(spark, sf_dir)
+    scaled = time_queries(spark, out_dir)
+    print(f"| query | 1x ({os.path.basename(sf_dir.rstrip('/'))}) | {factor}x | ratio |")
+    print("|---|---|---|---|")
+    for name in _QUERIES:
+        r = scaled[name] / base[name] if base[name] > 0 else float("nan")
+        print(f"| {name} | {base[name]}s | {scaled[name]}s | {r:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
