@@ -3285,18 +3285,41 @@ def q_cv_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Pack short documents into ~2048-token training sequences: "
     "cumulative token count over a deterministic order, pack = "
     "floor(cum/target) — the distributed-friendly packing variant "
-    "(greedy first-fit needs sequential state; floor-cumsum is one "
-    "window, same fill factor on shuffled data). Whitespace token "
-    "count = the tokenizer-free estimator both engines share.",
+    "(greedy first-fit needs sequential state; floor-cumsum has the "
+    "same fill factor on shuffled data). The prefix sum is TWO-PHASE: "
+    "a partition-parallel within-bucket window (bucket = doc_id range) "
+    "plus a bucket-prefix offset joined broadcast — identical result "
+    "to a global-order window with no single-partition sort, so the "
+    "plan survives a fact-sized input. Whitespace token count = the "
+    "tokenizer-free estimator both engines share.",
 )
 def q_document_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     n_tokens = (
         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
     ).cast("long")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ordered = docs.select("doc_id", n_tokens.alias("n_tokens")).withColumn(
-        "cum", F.sum("n_tokens").over(w)
+    toks = docs.select("doc_id", n_tokens.alias("n_tokens"))
+    # phase 1: bucket by doc_id range (dense ids → ~n_buckets even
+    # slices), cumsum within each bucket in parallel
+    n_buckets = 32
+    max_id = toks.agg(F.max("doc_id")).first()[0] or 0
+    span = max(1, (int(max_id) // n_buckets) + 1)
+    bucketed = toks.withColumn("__b", (F.col("doc_id") / span).cast("long"))
+    wb = (
+        Window.partitionBy("__b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("local_cum", F.sum("n_tokens").over(wb))
+    # phase 2: bucket totals (≤ n_buckets rows) → exclusive prefix
+    # offsets; the tiny single-partition window is over n_buckets rows
+    totals = bucketed.groupBy("__b").agg(F.sum("n_tokens").alias("t"))
+    wp = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "off", F.coalesce(F.sum("t").over(wp), F.lit(0))
+    ).select("__b", "off")
+    ordered = local.join(F.broadcast(offsets), "__b").withColumn(
+        "cum", F.col("local_cum") + F.col("off")
     )
     return (
         ordered.select(
