@@ -153,3 +153,32 @@ def test_hll_sketch_within_rsd(spark):
     assert rows
     for r in rows:
         assert r["rel_error"] <= 0.10, (r["event_type"], r["rel_error"])
+
+
+def test_packing_prefix_sum_is_two_phase(spark):
+    """document_packing must not sort the full fact table in one
+    partition: the per-row cumsum window is partitioned by the id
+    bucket; only the <=32-row bucket-offset window may be global."""
+    plan = _formatted_plan(spark, "document_packing")
+    assert "windowspecdefinition(__b" in plan
+
+
+def test_contamination_join_is_not_cartesian(spark):
+    plan = _formatted_plan(spark, "benchmark_contamination")
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    # both shingle sides aggregate distinct with map-side partials
+    assert "HashAggregate" in plan
+
+
+def test_repetition_quality_partial_aggregation(spark):
+    plan = _formatted_plan(spark, "repetition_quality")
+    assert "partial_" in plan
+
+
+def test_cross_source_containment_shuffles_fingerprints_not_text(spark):
+    """The join/agg keys must be the md5 fingerprint — the full text
+    column may appear only below the first projection."""
+    plan = _formatted_plan(spark, "cross_source_containment")
+    assert "md5" in plan
+    assert "CartesianProduct" not in plan
