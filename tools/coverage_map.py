@@ -198,6 +198,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                           ["curation_suite", "dedup_canonical"]),
     "X-dedup-incremental": ("plans.registry:q_cross_source_containment",
                             ["curation_suite", "cross_source_containment"]),
+    "X-train-mixture": ("plans.registry:q_mixture_sampling",
+                        ["curation_suite", "mixture_sampling_manifest"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

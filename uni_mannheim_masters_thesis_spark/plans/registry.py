@@ -3997,6 +3997,74 @@ def q_streaming_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "mixture_sampling_manifest",
+    """
+    WITH w AS (
+        SELECT source,
+               ROUND(0.25 + 0.5 * (('0x' || substring(md5(source), 1, 4))::INT / 65535.0), 6) AS weight
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    u AS (
+        SELECT doc_id, source,
+               ('0x' || substring(md5('mix/' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT u.source,
+           w.weight,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN u.u < w.weight THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           ROUND(CAST(SUM(CASE WHEN u.u < w.weight THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS sample_rate
+    FROM u JOIN w USING (source)
+    GROUP BY u.source, w.weight
+    """,
+    "§2.11 training-data ops (mixture-sampling manifest)",
+    "Data-mixing step of an LLM training pipeline: each source gets a "
+    "deterministic mixture weight, each document a content-stable "
+    "uniform draw (md5 of a salted id — NO rand(), so the sample is "
+    "reproducible across runs/engines and survives re-partitioning), "
+    "and the manifest reports realized sampling rates per source. Pure "
+    "map + one aggregation; the weight table is dimension-sized and "
+    "broadcast.",
+)
+def q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    weight = F.round(
+        0.25
+        + 0.5
+        * (
+            F.conv(F.substring(F.md5(F.col("source")), 1, 4), 16, 10).cast("double")
+            / 65535.0
+        ),
+        6,
+    )
+    weights = docs.select("source").distinct().select("source", weight.alias("weight"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix/"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    draws = docs.select("doc_id", "source", u.alias("u"))
+    sampled = (F.col("u") < F.col("weight")).cast("int")
+    return (
+        draws.join(F.broadcast(weights), "source")
+        .groupBy("source", "weight")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(sampled).cast("long").alias("n_sampled"),
+            F.round(F.sum(sampled).cast("double") / F.count(F.lit(1)), 6).alias(
+                "sample_rate"
+            ),
+        )
+    )
+
+
+@_register(
     "multimodal_pipeline",
     f"""
     SELECT 'decode' AS component, doc_id, 0 AS idx, n_bytes,
@@ -4057,16 +4125,20 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'containment', source, n_docs, n_dup_prior, carryover_ratio
     FROM ({REGISTRY['cross_source_containment'].sql})
+    UNION ALL
+    SELECT 'mixture', source, n_docs, n_sampled, sample_rate
+    FROM ({REGISTRY['mixture_sampling_manifest'].sql})
     """,
     "§2.11 curation (contamination + repetition + canonical dedup + "
-    "incremental containment)",
+    "incremental containment + mixture sampling)",
     "Driver-coverage suite: the four corpus-curation operators — "
     "benchmark-contamination audit, repetition-based quality filter, "
     "canonical-representative dedup output, cross-snapshot containment "
-    "accounting — tagged into one relation with exact per-component "
-    "values. Components: benchmark_contamination, repetition_quality, "
-    "dedup_canonical, cross_source_containment (each still registered "
-    "individually).",
+    "accounting, mixture-sampling manifest — tagged into one relation "
+    "with exact per-component values. Components: "
+    "benchmark_contamination, repetition_quality, dedup_canonical, "
+    "cross_source_containment, mixture_sampling_manifest (each still "
+    "registered individually).",
 )
 def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = q_benchmark_contamination(spark, sf_dir).select(
@@ -4097,7 +4169,17 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup_prior").cast("long").alias("n2"),
         F.col("carryover_ratio").alias("ratio"),
     )
-    return cont.unionByName(rep).unionByName(canon).unionByName(inc)
+    mix = q_mixture_sampling(spark, sf_dir).select(
+        F.lit("mixture").alias("component"),
+        F.col("source").alias("k"),
+        F.col("n_docs").cast("long").alias("n1"),
+        F.col("n_sampled").cast("long").alias("n2"),
+        F.col("sample_rate").alias("ratio"),
+    )
+    return (
+        cont.unionByName(rep).unionByName(canon).unionByName(inc)
+        .unionByName(mix)
+    )
 
 
 @_register(
@@ -4284,6 +4366,7 @@ _COST_HINT: dict[str, float] = {
     "approx_distinct_sketch": 0.3,
     "benchmark_contamination": 0.8, "repetition_quality": 0.5,
     "dedup_canonical": 4.8, "cross_source_containment": 0.3,
+    "mixture_sampling_manifest": 0.3,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 0.9,
