@@ -4372,7 +4372,7 @@ _COST_HINT: dict[str, float] = {
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 0.9,
     "streaming_windowed_suite": 0.9, "streaming_stateful_suite": 9.1,
     "topic_quality_suite": 11.7, "resampling_report": 3.7,
-    "multimodal_pipeline": 1.5, "curation_suite": 6.0,
+    "multimodal_pipeline": 1.5, "curation_suite": 7.0,
 }
 
 

@@ -39,7 +39,11 @@ def get_session(app_name: str = "umt_spark", cpus: int | None = None) -> SparkSe
         # (see sources.testdata.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # single local JVM hosts executors + cached artifacts + MLlib fits;
+        # 24g showed storage eviction + multi-second GC hiccups landing on
+        # random queries in full-registry runs — 48g (3/8 of the 128 GiB
+        # box) keeps the shared corpus/feature caches memory-resident
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
