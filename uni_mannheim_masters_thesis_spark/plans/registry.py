@@ -3490,6 +3490,38 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "approx_quantile_sketch",
+    None,
+    "§2.11 sketches (mergeable approximate quantiles)",
+    "percentile_approx (Greenwald-Khanna sketch) vs exact interpolated "
+    "median per event type, with the relative error reported: at 100 TB "
+    "an exact quantile needs a full sort per group, while the sketch is "
+    "a constant-memory mergeable aggregate (one map-side pass + "
+    "combiner merge). The in-query rel_error column keeps the accuracy "
+    "contract observable; rows-only (the sketch's rank approximation "
+    "is engine-specific by design).",
+)
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+        F.round(F.expr("percentile_approx(value, 0.5, 1000)"), 4).alias(
+            "approx_p50"
+        ),
+    )
+    return out.select(
+        "event_type",
+        "exact_p50",
+        "approx_p50",
+        F.round(
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            / F.abs(F.col("exact_p50")),
+            4,
+        ).alias("rel_error"),
+    )
+
+
 # =========================================================================
 # Batch 7: LLM-pipeline curation ops — contamination, repetition,
 # canonical dedup output, incremental snapshot dedup
@@ -4363,7 +4395,7 @@ _COST_HINT: dict[str, float] = {
     "streaming_first_event_per_user_type": 1.7, "topic_coherence_cv": 3.3,
     "document_packing": 0.3, "dataset_split_manifest": 0.2,
     "embedding_quantization": 0.3, "rolling_week_order_value": 0.3,
-    "approx_distinct_sketch": 0.3,
+    "approx_distinct_sketch": 0.3, "approx_quantile_sketch": 0.3,
     "benchmark_contamination": 0.8, "repetition_quality": 0.5,
     "dedup_canonical": 4.8, "cross_source_containment": 0.3,
     "mixture_sampling_manifest": 0.3,
