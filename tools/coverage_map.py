@@ -200,6 +200,10 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                             ["curation_suite", "cross_source_containment"]),
     "X-train-mixture": ("plans.registry:q_mixture_sampling",
                         ["curation_suite", "mixture_sampling_manifest"]),
+    "X-curation-pii": ("plans.registry:q_pii_redaction",
+                       ["curation_suite", "pii_redaction"]),
+    "X-train-chunking": ("plans.registry:q_document_chunking",
+                         ["curation_suite", "document_chunking"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -4139,6 +4139,159 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.unionByName(frm)
 
 
+# Deterministic PII fixture: the synthetic documents carry no PII, so a
+# per-row block (email always; phone when doc_id%3=0; IP when doc_id%5=0)
+# is appended identically by both engines — redaction then observably
+# fires with varied per-row counts, and the md5 of the redacted text is
+# hash-exact.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
+_PII_IP_RE = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+
+_SQL_PII_AUG = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@mail.example.com' || "
+    "CASE WHEN doc_id % 3 = 0 THEN ' call 555-01' || "
+    "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN ' ip 10.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END"
+)
+
+
+@_register(
+    "pii_redaction",
+    f"""
+    WITH aug AS (SELECT doc_id, {_SQL_PII_AUG} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE_RE}')) AS INT)
+               AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IP_RE}')) AS INT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PII_IP_RE}', '<IP>', 'g'),
+               '{_PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+    "§2.11 curation (PII detection + redaction)",
+    "PII scrub — the redaction pass every LLM corpus runs before "
+    "training: detect emails / phone numbers / IPv4 addresses by regex, "
+    "count them per document, and replace them with typed placeholders "
+    "(md5 of the redacted text keeps the rewrite hash-checkable). Pure "
+    "JVM regex Column expressions inside whole-stage codegen — a "
+    "map-only scan with zero shuffle, so at 100 TB it runs at parquet "
+    "read speed and writes back partition-local. The synthetic corpus "
+    "has no PII, so a deterministic doc_id-derived block is appended "
+    "first (same expression on both engines) to make redaction "
+    "observable.",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@mail.example.com"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" call 555-01"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" ip 10."), (did % 256).cast("string"), F.lit(".0.1")
+            ),
+        ).otherwise(""),
+    )
+    t = docs.select("doc_id", aug.alias("t"))
+
+    def n_matches(pat: str) -> F.Column:
+        return F.size(
+            F.regexp_extract_all(F.col("t"), F.lit(pat), F.lit(0))
+        ).cast("int")
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_IP_RE,
+            "<IP>",
+        ),
+        _PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return t.select(
+        "doc_id",
+        n_matches(_PII_EMAIL_RE).alias("n_emails"),
+        n_matches(_PII_PHONE_RE).alias("n_phones"),
+        n_matches(_PII_IP_RE).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+_CHUNK_SIZE = 16
+_CHUNK_STRIDE = 12
+
+
+@_register(
+    "document_chunking",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, {sql_simple_tokens('text')} AS t FROM documents
+    ),
+    st AS (
+        SELECT doc_id, t,
+               unnest(range(1, len(t) + 1, {_CHUNK_STRIDE})) AS start
+        FROM tk WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {_CHUNK_STRIDE} AS INT) AS chunk_id,
+           CAST(len(list_slice(t, start,
+                least(start + {_CHUNK_SIZE - 1}, len(t)))) AS INT)
+               AS chunk_tokens,
+           md5(array_to_string(list_slice(t, start,
+                least(start + {_CHUNK_SIZE - 1}, len(t))), ' '))
+               AS chunk_md5
+    FROM st
+    """,
+    "§2.11 training prep (overlapping sequence chunking)",
+    f"Sliding-window document chunking for training-sequence prep: "
+    f"each doc's token list is cut into chunks of {_CHUNK_SIZE} tokens "
+    f"at stride {_CHUNK_STRIDE} (overlap {_CHUNK_SIZE - _CHUNK_STRIDE} "
+    f"preserves cross-boundary context), with per-chunk token count and "
+    f"an md5 chunk key for downstream chunk-level dedup. "
+    f"sequence()+explode generates chunk starts row-locally — a map-only "
+    f"plan with no shuffle; at 100 TB the ~{_CHUNK_SIZE}/"
+    f"{_CHUNK_STRIDE}x row fan-out stays partition-local and streams "
+    f"straight to a partitioned manifest write.",
+)
+def q_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    st = toks.filter(F.size("t") > 0).select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), _CHUNK_SIZE)
+    return st.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / _CHUNK_STRIDE).cast("int").alias(
+            "chunk_id"
+        ),
+        F.size(chunk).cast("int").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
 @_register(
     "curation_suite",
     f"""
@@ -4160,17 +4313,27 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'mixture', source, n_docs, n_sampled, sample_rate
     FROM ({REGISTRY['mixture_sampling_manifest'].sql})
+    UNION ALL
+    SELECT 'pii', redacted_md5, CAST(doc_id AS BIGINT),
+           CAST(n_emails + n_phones + n_ips AS BIGINT), 0.0
+    FROM ({REGISTRY['pii_redaction'].sql})
+    UNION ALL
+    SELECT 'chunk', chunk_md5, CAST(doc_id AS BIGINT),
+           CAST(chunk_tokens AS BIGINT), CAST(chunk_id AS DOUBLE)
+    FROM ({REGISTRY['document_chunking'].sql})
     """,
     "§2.11 curation (contamination + repetition + canonical dedup + "
-    "incremental containment + mixture sampling)",
-    "Driver-coverage suite: the four corpus-curation operators — "
+    "incremental containment + mixture sampling + PII redaction + "
+    "sequence chunking)",
+    "Driver-coverage suite: the corpus-curation operators — "
     "benchmark-contamination audit, repetition-based quality filter, "
     "canonical-representative dedup output, cross-snapshot containment "
-    "accounting, mixture-sampling manifest — tagged into one relation "
-    "with exact per-component values. Components: "
-    "benchmark_contamination, repetition_quality, dedup_canonical, "
-    "cross_source_containment, mixture_sampling_manifest (each still "
-    "registered individually).",
+    "accounting, mixture-sampling manifest, PII redaction, overlapping "
+    "sequence chunking — tagged into one relation with exact "
+    "per-component values. Components: benchmark_contamination, "
+    "repetition_quality, dedup_canonical, cross_source_containment, "
+    "mixture_sampling_manifest, pii_redaction, document_chunking (each "
+    "still registered individually).",
 )
 def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = q_benchmark_contamination(spark, sf_dir).select(
@@ -4208,9 +4371,25 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sampled").cast("long").alias("n2"),
         F.col("sample_rate").alias("ratio"),
     )
+    pii = q_pii_redaction(spark, sf_dir).select(
+        F.lit("pii").alias("component"),
+        F.col("redacted_md5").alias("k"),
+        F.col("doc_id").cast("long").alias("n1"),
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips"))
+        .cast("long")
+        .alias("n2"),
+        F.lit(0.0).alias("ratio"),
+    )
+    chk = q_document_chunking(spark, sf_dir).select(
+        F.lit("chunk").alias("component"),
+        F.col("chunk_md5").alias("k"),
+        F.col("doc_id").cast("long").alias("n1"),
+        F.col("chunk_tokens").cast("long").alias("n2"),
+        F.col("chunk_id").cast("double").alias("ratio"),
+    )
     return (
         cont.unionByName(rep).unionByName(canon).unionByName(inc)
-        .unionByName(mix)
+        .unionByName(mix).unionByName(pii).unionByName(chk)
     )
 
 
@@ -4398,13 +4577,14 @@ _COST_HINT: dict[str, float] = {
     "approx_distinct_sketch": 0.3, "approx_quantile_sketch": 0.3,
     "benchmark_contamination": 0.8, "repetition_quality": 0.5,
     "dedup_canonical": 4.8, "cross_source_containment": 0.3,
-    "mixture_sampling_manifest": 0.3,
+    "mixture_sampling_manifest": 0.3, "pii_redaction": 0.3,
+    "document_chunking": 0.4,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 0.9,
     "streaming_windowed_suite": 0.9, "streaming_stateful_suite": 9.1,
     "topic_quality_suite": 11.7, "resampling_report": 3.7,
-    "multimodal_pipeline": 1.5, "curation_suite": 7.0,
+    "multimodal_pipeline": 1.5, "curation_suite": 18.7,
 }
 
 
