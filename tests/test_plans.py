@@ -182,3 +182,19 @@ def test_cross_source_containment_shuffles_fingerprints_not_text(spark):
     plan = _formatted_plan(spark, "cross_source_containment")
     assert "md5" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pii_redaction_is_map_only(spark):
+    """PII detect+redact must compile to a shuffle-free scan→project
+    plan (SCALING §2): regex work stays fused JVM expressions."""
+    plan = _formatted_plan(spark, "pii_redaction")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_document_chunking_is_map_only(spark):
+    """Chunk fan-out (sequence+explode) must stay partition-local —
+    no Exchange anywhere in the plan (SCALING §2)."""
+    plan = _formatted_plan(spark, "document_chunking")
+    assert "Exchange" not in plan
+    assert "Generate" in plan and "explode" in plan
