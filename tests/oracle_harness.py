@@ -39,19 +39,44 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
     df.columns = [c.lower() for c in df.columns]
     df = df[sorted(df.columns)]
-    # normalize cell values to comparable primitives
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("int64")
+    # sort on RAW values first — this replicates the driver's
+    # canonicalizer, which sorts before any stringification and raises
+    # `unhashable type` on list/dict cells (round-2 regression: array
+    # outputs passed locally because we stringified first, then broke
+    # under the driver). Keeping the order identical keeps this harness
+    # an honest local replica.
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(lambda v: str(v) if v is not None else None)
-        elif str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype("int64")
-    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
+
+def container_cols(pdf: pd.DataFrame) -> list[str]:
+    """Columns holding list/dict/ndarray cells — these crash the
+    driver's canonicalizer (`unhashable type: 'list'`); every registry
+    query must serialize them to strings before returning."""
+    out = []
+    for c in pdf.columns:
+        if pdf[c].dtype == object and any(
+            isinstance(v, (list, dict, set, tuple)) or hasattr(v, "tolist")
+            for v in pdf[c].head(20)
+        ):
+            out.append(c)
+    return out
 
 
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []
+    cc = container_cols(spark_pdf)
+    if cc:
+        problems.append(
+            f"container-typed output columns (driver canonicalizer breaks): {cc}"
+        )
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
     s_cols = sorted(c.lower() for c in spark_pdf.columns)
@@ -89,6 +114,10 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
 def run_query(spark, con, name, spec, sf_dir: str):
     sdf = spec.fn(spark, sf_dir).toPandas()
     if spec.sql is None:
-        return sdf, None, ["(rows-only)"] if len(sdf) == 0 else []
+        problems = ["(rows-only)"] if len(sdf) == 0 else []
+        cc = container_cols(sdf)
+        if cc:
+            problems.append(f"container-typed output columns: {cc}")
+        return sdf, None, problems
     odf = con.sql(spec.sql).df()
     return sdf, odf, compare(sdf, odf)

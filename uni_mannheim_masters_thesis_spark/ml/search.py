@@ -163,15 +163,26 @@ def adaptive_search_logistic(
             if j != i:
                 train = p if train is None else train.unionByName(p)
         folds.append((train.cache(), parts[i].cache()))
+    # settle the fold caches before the first trial's concurrent fits —
+    # otherwise two threads race to populate the same cache partitions
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=2 * num_folds) as _ex:
+        list(_ex.map(lambda d: d.count(), [d for f in folds for d in f]))
 
     evaluator = MulticlassClassificationEvaluator(
         labelCol=label_col, predictionCol="prediction", metricName="f1"
     )
 
     def cv_f1(log_reg: float, enet: float) -> float:
+        # tol=1e-4: the search only ranks candidates by CV F1, where
+        # 1e-6-level objective changes are far below fold noise — the
+        # looser tolerance early-stops each of the n_trials×num_folds
+        # sequential fits several iterations sooner (every iteration is
+        # a full distributed pass), deterministically
         lr = LogisticRegression(
             maxIter=25, regParam=float(10.0 ** log_reg),
-            elasticNetParam=float(enet),
+            elasticNetParam=float(enet), tol=1e-4,
             featuresCol=features_col, labelCol=label_col,
         )
 

@@ -1,0 +1,59 @@
+"""Distributed ordered dense-rank assignment (no global-sort window).
+
+A bare ``row_number().over(Window.orderBy(col))`` funnels every row
+through ONE window partition on one executor (Spark logs
+``WindowExec: No Partition Defined``) — fine for a bounded vocabulary,
+a scale-killer at 100 TB corpus vocab. This module provides the same
+semantics in the classic two-phase shape:
+
+1. ``repartitionByRange`` on the order column — ranges are globally
+   ordered across partitions, so partition i's keys all sort before
+   partition j's for i < j;
+2. ``row_number`` *within* each range partition (N parallel window
+   groups instead of 1);
+3. cumulative partition offsets from an O(num_partitions) aggregate,
+   broadcast-joined back.
+
+The result is bit-identical to ``ROW_NUMBER() OVER (ORDER BY col)``
+for unique keys, which is what the DuckDB oracle runs.
+
+Sibling of the unordered variant ``ml/resample._dense_index`` (hash
+buckets — a permutation, not a sort order), kept separate because
+quota assignment there must NOT pay the range shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ordered_dense_rank(
+    df: DataFrame, order_col: str, rank_col: str = "rank", n_parts: int = 32
+) -> DataFrame:
+    """Append 1-based ``rank_col`` = global rank of ``order_col``.
+
+    Keys must be unique (vocabulary terms, manifest paths, …); with
+    duplicates the tie-break within a range partition is undefined.
+    """
+    ranged = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # per-partition counts BEFORE the window so the offset pass doesn't
+    # recompute the ranked plan; num_partitions rows — driver-bounded
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = df.sparkSession.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    return (
+        ranged.withColumn("__lr", F.row_number().over(w))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(rank_col, (F.col("__lr") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lr", "__off")
+    )

@@ -41,6 +41,7 @@ from ..functions.text import (
 )
 from ..functions.similarity import cosine_similarity, jaro_winkler
 from ..operators.dedup import add_simhash, dedup_stats, minhash_lsh_pairs
+from ..operators.indexing import ordered_dense_rank
 from ..operators.evaluation import classification_metrics, confusion_matrix
 from ..operators.relational import per_group_first, topk_per_group
 from ..operators.similarity_search import knn_bruteforce
@@ -1619,31 +1620,62 @@ def q_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POLY_W = [31**p for p in range(7, -1, -1)]  # Horner weights for 8-grams
+_POLY_TERM_SQL_SPARK = " + ".join(
+    f"element_at(cs, i+{j})*CAST({w} AS BIGINT)" for j, w in enumerate(_POLY_W)
+)
+_POLY_TERM_SQL_DUCK = " + ".join(
+    f"cs[i+{j}]*CAST({w} AS BIGINT)" for j, w in enumerate(_POLY_W)
+)
+
+
 @_register(
     "winnowing_fingerprint",
     f"""
+    WITH cleaned AS (
+        SELECT doc_id, {sql_clean_string('text')} AS c FROM documents
+    ),
+    coded AS (
+        SELECT doc_id, c,
+               list_transform(regexp_extract_all(c, '.'),
+                              ch -> CAST(ascii(ch) AS BIGINT)) AS cs
+        FROM cleaned
+    )
     SELECT doc_id,
-           CASE WHEN length({sql_clean_string('text')}) >= 8
-                THEN list_min(list_transform(range(1, length({sql_clean_string('text')}) - 6),
-                                             i -> md5(substring({sql_clean_string('text')}, i, 8))))
-                ELSE md5({sql_clean_string('text')}) END AS shingle_fp
-    FROM documents
+           CASE WHEN length(c) = 0 THEN CAST(0 AS BIGINT)
+                WHEN length(c) >= 8
+                THEN list_min(list_transform(range(1, length(c) - 6),
+                                             i -> {_POLY_TERM_SQL_DUCK}))
+                ELSE list_reduce(cs, (a, x) -> a*31 + x) END AS shingle_fp
+    FROM coded
     """,
     "§2.11 text analysis (rolling-hash / winnowing fingerprint)",
     "Min-of-rolling-8-gram-hashes document fingerprint (winnowing-lite): "
-    "robust to small edits, unlike the exact md5.",
+    "robust to small edits, unlike the exact md5. The per-position hash "
+    "is the base-31 polynomial over codepoints — exact int64 arithmetic "
+    "both engines replay bit-identically (max codepoint 0x10FFFF × "
+    "31^7 × 8 ≈ 2.4e17 < 2^63, no overflow), and ~two orders of "
+    "magnitude cheaper per position than the previous per-substring "
+    "md5 (the r2 bench's 2.65× regression). One codepoint-split pass "
+    "per document, then O(1) array reads per window.",
 )
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    cleaned = docs.select("doc_id", clean_string(F.col("text")).alias("c"))
-    rolled = F.expr(
-        "array_min(transform(sequence(1, length(c) - 7), i -> md5(substring(c, i, 8))))"
+    coded = docs.select(
+        "doc_id", clean_string(F.col("text")).alias("c")
+    ).withColumn(
+        "cs", F.expr("transform(split(c, ''), ch -> CAST(ascii(ch) AS BIGINT))")
     )
-    return cleaned.select(
+    rolled = F.expr(
+        f"array_min(transform(sequence(1, length(c) - 7), i -> {_POLY_TERM_SQL_SPARK}))"
+    )
+    horner = F.expr("aggregate(cs, CAST(0 AS BIGINT), (a, x) -> a*31 + x)")
+    return coded.select(
         "doc_id",
-        F.when(F.length("c") >= 8, rolled).otherwise(F.md5(F.col("c"))).alias(
-            "shingle_fp"
-        ),
+        F.when(F.length("c") == 0, F.lit(0).cast("long"))
+        .when(F.length("c") >= 8, rolled)
+        .otherwise(horner)
+        .alias("shingle_fp"),
     )
 
 
@@ -1951,9 +1983,11 @@ def q_hdp(spark: SparkSession, sf_dir: str) -> DataFrame:
            sha256(text) AS sha256,
            CAST(64 + ('0x' || substring(sha256(text), 1, 2))::INT % 192 AS INT) AS width,
            CAST(64 + ('0x' || substring(sha256(text), 3, 2))::INT % 192 AS INT) AS height,
-           list_transform(range(0, 8),
-               i -> ('0x' || substring(sha256(text), CAST(5 + i * 2 AS BIGINT), 2))::INT / 255.0
-           ) AS feature
+           array_to_string(list_transform(range(0, 8),
+               i -> CAST(CAST(round(
+                   ('0x' || substring(sha256(text), CAST(5 + i * 2 AS BIGINT), 2))::INT / 255.0,
+                   6) AS DECIMAL(18,6)) AS VARCHAR)
+           ), ',') AS feature
     FROM documents
     """,
     "§2.11 multimodal columns (binary payload → metadata + features)",
@@ -1969,7 +2003,20 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_binary_column, documents_as_binary
 
     docs = _t(spark, sf_dir, "documents")
-    return decode_binary_column(documents_as_binary(docs))
+    decoded = decode_binary_column(documents_as_binary(docs))
+    # the operator's API keeps feature as array<double>; the registry
+    # wrapper serializes it (fixed-scale decimal strings) because the
+    # driver's pandas canonicalizer can't sort array columns
+    return decoded.withColumn(
+        "feature",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("feature"),
+                lambda p: F.round(p, 6).cast("decimal(18,6)").cast("string"),
+            ),
+        ),
+    )
 
 
 @_register(
@@ -2155,10 +2202,13 @@ def q_dictionary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc_id").alias("docfreq"))
         .filter(F.col("docfreq") >= 3)
     )
-    w = Window.orderBy("token")
-    with_ids = vocab.withColumn(
-        "id", (F.row_number().over(w) - 1).cast("int")
-    ).select("id", "token", "docfreq")
+    # two-phase ordered rank, not Window.orderBy("token") — a global
+    # unpartitioned window is a single-executor sort at corpus scale
+    with_ids = (
+        ordered_dense_rank(vocab, "token", rank_col="__r")
+        .withColumn("id", (F.col("__r") - 1).cast("int"))
+        .select("id", "token", "docfreq")
+    )
     target = write_dictionary_text(with_ids, num_docs=docs.count())
     return read_dictionary_text(spark, target)
 
@@ -2202,9 +2252,10 @@ def q_matrix_market_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("df")
     ).cache()
     try:
-        ids = dfreq.select(
-            "token",
-            (F.row_number().over(Window.orderBy("token")) - 1).cast("long").alias("term_id"),
+        ids = (
+            ordered_dense_rank(dfreq.select("token"), "token", rank_col="__r")
+            .withColumn("term_id", (F.col("__r") - 1).cast("long"))
+            .select("token", "term_id")
         )
         n_docs = docs.count()
         triplets = (
@@ -2724,7 +2775,9 @@ def q_streaming_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded AS (
         SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents
     )
-    SELECT doc_id, list_sort(list(DISTINCT token)) AS known_tokens
+    SELECT doc_id,
+           array_to_string(list_sort(list(DISTINCT token)), ' ')
+               AS known_tokens
     FROM exploded SEMI JOIN vocab USING (token)
     GROUP BY doc_id
     """,
@@ -2737,22 +2790,31 @@ def q_streaming_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    # the token explode feeds both the lexicon build and the semi join —
-    # cache it for the duration of the query (localCheckpoint so the
-    # returned plan doesn't depend on a cache the caller can't manage)
+    # the token explode feeds both the lexicon build and the semi join;
+    # recompute it on each side rather than materialize O(tokens) rows —
+    # the explode is map-side-cheap, and only the (small) vocab side is
+    # checkpointed so the broadcast below has a bounded, settled input
     exploded = docs.select(
         "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
-    ).localCheckpoint(eager=True)
+    )
     vocab = (
         exploded.groupBy("token")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= 3)
         .select("token")
+        .localCheckpoint(eager=False)
     )
     return (
         exploded.join(F.broadcast(vocab), "token", "left_semi")
         .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("token")).alias("known_tokens"))
+        # space-joined sorted set, not an array: the driver's pandas
+        # canonicalizer sorts on every output column and arrays are
+        # unhashable there (round-2 FAIL-err)
+        .agg(
+            F.concat_ws(" ", F.sort_array(F.collect_set("token"))).alias(
+                "known_tokens"
+            )
+        )
     )
 
 
@@ -2760,9 +2822,11 @@ def q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sorted_topic_vectors",
     """
     SELECT vec_id,
-           list_transform(
-               list_reverse_sort(embedding::DOUBLE[])[1:5],
-               p -> round(p, 6)
+           array_to_string(
+               list_transform(
+                   list_reverse_sort(embedding::DOUBLE[])[1:5],
+                   p -> CAST(CAST(round(p, 6) AS DECIMAL(18,6)) AS VARCHAR)
+               ), ','
            ) AS top5_desc
     FROM embeddings WHERE vec_id < 100
     """,
@@ -2774,11 +2838,18 @@ def q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sorted_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     desc_sorted = F.sort_array(F.col("embedding").cast("array<double>"), asc=False)
+    # fixed-scale decimal strings, comma-joined: arrays are unhashable in
+    # the driver's pandas canonicalizer, and DECIMAL(18,6)::VARCHAR
+    # renders identically on both engines (trailing zeros kept)
     return emb.select(
         "vec_id",
-        F.transform(F.slice(desc_sorted, 1, 5), lambda p: F.round(p, 6)).alias(
-            "top5_desc"
-        ),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(desc_sorted, 1, 5),
+                lambda p: F.round(p, 6).cast("decimal(18,6)").cast("string"),
+            ),
+        ).alias("top5_desc"),
     )
 
 
@@ -2996,20 +3067,36 @@ def q_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "user_value_trend",
     """
+    WITH base AS (
+        SELECT user_id,
+               (epoch_us(ts) - MIN(epoch_us(ts))
+                   OVER (PARTITION BY user_id)) / 1000000.0 AS x,
+               value AS y
+        FROM events
+    )
     SELECT user_id,
            COUNT(*) AS n_events,
-           ROUND(covar_pop(epoch_us(ts) / 1000000.0, value)
-                 / NULLIF(var_pop(epoch_us(ts) / 1000000.0), 0), 6) AS slope_per_sec
-    FROM events GROUP BY user_id HAVING COUNT(*) >= 2
+           ROUND(covar_pop(x, y) / NULLIF(var_pop(x), 0), 6) AS slope_per_sec
+    FROM base GROUP BY user_id HAVING COUNT(*) >= 2
     """,
     "§2.11 analytics (per-group linear regression, native aggregates)",
-    "Per-user value-over-time trend: slope = covar_pop(x,y)/var_pop(x) "
-    "with x in epoch seconds. Both engines run the identical two-moment "
-    "aggregation — one shuffle, closed form, no UDF.",
+    "Per-user value-over-time trend: slope = covar_pop(x,y)/var_pop(x). "
+    "x is centered on the per-user MIN(ts) in exact integer micros "
+    "BEFORE the moments: raw epoch-seconds (~1.7e9) with a tiny spread "
+    "make var_pop catastrophic-cancellation territory, and Spark vs "
+    "DuckDB accumulate in different orders — centered, the values are "
+    "small and the 6-decimal round is stable on both engines. Slope is "
+    "translation-invariant, so the result is unchanged. The centering "
+    "window hash-partitions on the same key as the groupBy — one "
+    "shuffle total, closed form, no UDF.",
 )
 def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events")
-    x = F.unix_micros("ts") / 1_000_000.0
+    ts_us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id")
+    x = (ts_us - F.min(ts_us).over(w)) / 1_000_000.0
     out = (
         ev.select("user_id", x.alias("x"), F.col("value").alias("y"))
         .groupBy("user_id")
@@ -3041,7 +3128,7 @@ def q_grouped_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
-        (F.unix_micros("ts") / 1_000_000.0).alias("x"),
+        F.unix_micros("ts").alias("x_us"),
         F.col("value").alias("y"),
     )
 
@@ -3052,7 +3139,10 @@ def q_grouped_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 columns=["user_id", "n_events", "slope_per_sec"]
             ).astype({"user_id": "int64", "n_events": "int64", "slope_per_sec": "float64"})
-        x = pdf["x"].to_numpy(dtype=float)
+        # center on the group min in exact integer micros before the
+        # float conversion — matches user_value_trend's stabilization
+        x_us = pdf["x_us"].to_numpy(dtype="int64")
+        x = (x_us - x_us.min()) / 1_000_000.0
         y = pdf["y"].to_numpy(dtype=float)
         vx = ((x - x.mean()) ** 2).mean()
         # None (→ SQL NULL), not NaN: the relational twin emits NULL via
@@ -3212,15 +3302,10 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
-    from ..session import ensure_engine_confs
+    from ..sources.testdata import event_stream
 
-    ensure_engine_confs(spark)
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp"))
+        event_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicates(["user_id", "event_type"])
     )
@@ -4104,7 +4189,7 @@ def q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ({REGISTRY['multimodal_decode'].sql})
     UNION ALL
     SELECT 'frame', doc_id, frame_idx, CAST(frame_bytes AS BIGINT),
-           frame_sha256, 0, 0, CAST([] AS DOUBLE[])
+           frame_sha256, 0, 0, ''
     FROM ({REGISTRY['multimodal_frame_sample'].sql})
     """,
     "§2.11 multimodal (decode + frame sampling)",
@@ -4115,7 +4200,6 @@ def q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(each still registered individually).",
 )
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    empty_d = F.expr("CAST(array() AS array<double>)")
     dec = q_multimodal(spark, sf_dir).select(
         F.lit("decode").alias("component"),
         "doc_id",
@@ -4134,7 +4218,7 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_sha256").alias("sha"),
         F.lit(0).cast("int").alias("w"),
         F.lit(0).cast("int").alias("h"),
-        empty_d.alias("feature"),
+        F.lit("").alias("feature"),
     )
     return dec.unionByName(frm)
 
@@ -4543,7 +4627,7 @@ _COST_HINT: dict[str, float] = {
     "acctbal_percentiles": 0.3, "order_status_cube": 0.4,
     "value_bucket_range_join": 0.6, "customers_with_open_order": 0.3,
     "union_all_entity_counts": 0.4, "embedding_centroid_norm": 0.3,
-    "bpe_subword_counts": 0.2, "winnowing_fingerprint": 2.6,
+    "bpe_subword_counts": 0.2, "winnowing_fingerprint": 1.4,
     "supplier_part_reach": 0.6, "events_sliding_window": 0.3,
     "document_jaccard_neardup": 1.6, "embedding_cosine_neardup": 2.1,
     "minhash_signatures": 0.6, "fold_assignment": 0.3,

@@ -40,21 +40,50 @@ _NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+def normalize_ts(df: DataFrame, col: str) -> DataFrame:
+    """Coerce a testdata timestamp column to session-TZ ``timestamp``.
+
+    The generator has stored timestamps as either parquet TIMESTAMP(NANOS)
+    (surfacing as ``bigint`` under ``nanosAsLong``) or TIMESTAMP(MICROS,
+    utc=false) (surfacing as ``timestamp_ntz``) across regenerations, so
+    every reader — batch AND streaming — must branch on the observed
+    dtype rather than assume one encoding. Shared here so the branches
+    can't drift apart again (round-2 regression: the streaming readers
+    assumed bigint-nanos and broke on TIMESTAMP_NTZ data).
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":  # TIMESTAMP(NANOS) read under nanosAsLong
+        df = df.withColumn(
+            col, F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp")
+        )
+    elif dtype == "timestamp_ntz":  # TIMESTAMP(MICROS, utc=false)
+        # values are UTC wall-clock; session TZ is pinned UTC, so the
+        # cast is value-preserving and enables unix_micros etc.
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with proper timestamp types."""
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    dtypes = dict(df.dtypes)
     for c in _NS_TIMESTAMP_COLS.get(name, ()):
-        if dtypes.get(c) == "bigint":  # TIMESTAMP(NANOS) read under nanosAsLong
-            df = df.withColumn(
-                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp")
-            )
-        elif dtypes.get(c) == "timestamp_ntz":  # TIMESTAMP(MICROS, utc=false)
-            # values are UTC wall-clock; session TZ is pinned UTC, so the
-            # cast is value-preserving and enables unix_micros etc.
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        df = normalize_ts(df, c)
     return df
+
+
+def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table with the same ts normalization
+    as the batch loader (FileStreamSource needs a directory, so we
+    glob-filter down to the single events parquet)."""
+    ensure_engine_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_ts(stream, "ts")
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import ensure_engine_confs
+from ..sources.testdata import event_stream
 
 
 def streaming_hourly_event_stats(
@@ -34,16 +35,7 @@ def streaming_hourly_event_stats(
     micros so results are oracle-comparable.
     """
     ensure_engine_confs(spark)
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # FileStreamSource needs a directory; glob-filter to the events table
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
-        )
-    )
+    stream = event_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -87,15 +79,7 @@ def streaming_events_by_segment(
     against the equivalent batch join.
     """
     ensure_engine_confs(spark)
-    static_events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(static_events.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
-        )
-    )
+    stream = event_stream(spark, sf_dir)
     customers = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )

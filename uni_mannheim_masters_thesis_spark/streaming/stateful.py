@@ -28,16 +28,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
 
 from ..session import ensure_engine_confs
-
-
-def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp"))
-    )
+from ..sources.testdata import event_stream as _event_stream
 
 
 def _drain(agg: DataFrame, output_mode: str) -> DataFrame:
