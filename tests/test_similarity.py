@@ -51,3 +51,30 @@ def test_cosine_similarity_exact(spark):
     got = df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).first()[0]
     expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
     assert got == pytest.approx(expected, abs=1e-15)
+
+
+# --- ANN recall pins (VERDICT r2 #7): fixed-seed approximate search must
+# stay within a known distance of the exact same-metric top-k ------------
+
+def test_lsh_ann_recall_pinned(spark):
+    from uni_mannheim_masters_thesis_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_DIR
+
+    rows = REGISTRY["lsh_ann_neighbors"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 20  # one row per probe
+    mean = sum(r["recall_at_5"] for r in rows) / len(rows)
+    # measured 0.94 at sf0.001 / 0.98 at sf0.01 with seed 42
+    assert mean >= 0.8, f"LSH mean recall@5 dropped to {mean}"
+    assert all(r["meets_threshold"] for r in rows)
+
+
+def test_ivf_ann_recall_pinned(spark):
+    from uni_mannheim_masters_thesis_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_DIR
+
+    rows = REGISTRY["ivf_ann_recall"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    mean = sum(r["recall_at_5"] for r in rows) / len(rows)
+    # n_probe=2 of 8 cells: measured 0.65 at sf0.001 / 0.50 at sf0.01
+    assert mean >= 0.4, f"IVF mean recall@5 dropped to {mean}"
+    assert sum(1 for r in rows if r["meets_threshold"]) >= 14

@@ -47,3 +47,53 @@ def test_pipeline_unicode_category_classes(spark):
     # math symbols (Sm), currency (Sc), control chars (Cc) all stripped
     out = _one(spark, "x\u2260y $100 a\x00b price", tokens_pipeline(F.col("t")))
     assert out == ["price"]
+
+
+# --- T5 golden pairs (VERDICT r2 #8): morphy-style lemmatizer must match
+# WordNet-morphy behavior on irregular forms AND detachment cases --------
+
+def test_morphy_lemmatize_golden_pairs(spark):
+    from pyspark.sql import functions as F
+    from uni_mannheim_masters_thesis_spark.functions.text import morphy_lemmatize
+
+    golden = [
+        # exception-map path (irregulars, the *.exc role)
+        ("children", "child"), ("mice", "mouse"), ("women", "woman"),
+        ("went", "go"), ("written", "write"), ("thought", "think"),
+        ("better", "good"), ("worst", "bad"), ("lives", "life"),
+        ("making", "make"), ("used", "use"), ("goes", "go"),
+        ("analyses", "analysis"), ("criteria", "criterion"),
+        # detachment-rule path (morphy suffix table)
+        ("studies", "study"), ("studied", "study"), ("boxes", "box"),
+        ("churches", "church"), ("classes", "class"), ("wolves", "wolf"),
+        ("workmen", "workman"), ("walked", "walk"), ("cats", "cat"),
+        # consonant-doubling undo
+        ("running", "run"), ("sitting", "sit"), ("planned", "plan"),
+        ("stopped", "stop"),
+        # guards: geminate l/s and short tokens stay put
+        ("falling", "fall"), ("glass", "glass"), ("seeing", "see"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in golden], ["tok"])
+    out = df.select(
+        "tok", F.element_at(morphy_lemmatize(F.array("tok")), 1).alias("lemma")
+    ).collect()
+    got = {r["tok"]: r["lemma"] for r in out}
+    bad = [(t, got[t], want) for t, want in golden if got[t] != want]
+    assert not bad, f"lemma mismatches (tok, got, want): {bad}"
+
+
+def test_morphy_sql_twin_matches_spark(spark, duck):
+    """The DuckDB fragment and the Spark expression are generated from
+    the same constants — feed both the same token list and diff."""
+    from pyspark.sql import functions as F
+    from uni_mannheim_masters_thesis_spark.functions.text import (
+        morphy_lemmatize, sql_morphy_lemma,
+    )
+
+    toks = ["children", "studies", "running", "planned", "glass", "goes",
+            "wolves", "boxes", "better", "falling", "cats", "workmen"]
+    sql = sql_morphy_lemma("['" + "', '".join(toks) + "']")
+    duck_out = duck.sql(f"SELECT {sql} AS l").fetchone()[0]
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    spark_out = df.select(morphy_lemmatize(F.col("toks")).alias("l")).first()["l"]
+    assert list(duck_out) == list(spark_out)

@@ -28,11 +28,7 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "S10": ("sources.formats:read_matrix_market", ["artifact_formats_roundtrip", "matrix_market_roundtrip"]),
     "S11": ("sources.formats:model_save_load_roundtrip", ["model_save_load"]),
     "S12": ("plans.registry:q_xml_roundtrip", ["artifact_formats_roundtrip", "xml_corpus_roundtrip"]),
-    "S13": (
-        "excluded: network metrics sink (Neptune.ai) — metrics are a "
-        "DataFrame; any df.write sink applies (SURVEY §2.1 S13)",
-        [],
-    ),
+    "S13": ("pipeline:publish_metrics", ["classification_metrics_events"]),
     # --- §2.2 projections / filters -------------------------------------
     "P1": ("sources.nquads:provenance_sentences", ["nquads_provenance"]),
     "P2": ("sources.nquads:provenance_sentences", ["nquads_provenance"]),
@@ -53,7 +49,7 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "T2": ("functions.text:clean_string", ["clean_documents"]),
     "T3": ("functions.text:remove_numbers", ["tokenized_documents"]),
     "T4": ("functions.text:tokenize", ["tokenized_documents"]),
-    "T5": ("functions.text:rule_lemmatize", ["lemmatized_tokens"]),
+    "T5": ("functions.text:morphy_lemmatize", ["lemmatized_tokens"]),
     "T6": ("pipeline:fix_dataset_uris", ["replace_rewrite"]),
     "T7": ("functions.text:tokenize", ["tokenized_documents", "lemmatized_tokens"]),
     "T8": ("plans.registry:q_concat", ["concat_segment_name"]),

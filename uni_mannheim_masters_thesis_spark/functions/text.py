@@ -106,6 +106,114 @@ def tokens_pipeline(col: Column, stopwords=STOPWORDS, min_len: int = MIN_TOKEN_L
     return drop_empty(toks)
 
 
+# Irregular-form → lemma exceptions, morphy-style (T5). WordNet's morphy
+# consults exception lists (the *.exc files) BEFORE suffix detachment —
+# this map plays that role with the common English irregular verbs /
+# nouns / adjectives plus frequent e-restoration and consonant-doubling
+# participles that pure suffix rules get wrong. Public-knowledge word
+# pairs (standard English morphology, same behavior as
+# Read_And_Clean.py:38-43's WordNetLemmatizer on these forms); kept as
+# ONE literal dict so the Spark map expression and the DuckDB oracle MAP
+# are generated from identical data.
+LEMMA_EXCEPTIONS: dict[str, str] = {
+    # irregular verbs (past / participle → base)
+    "went": "go", "gone": "go", "goes": "go", "came": "come", "saw": "see",
+    "seen": "see", "took": "take", "taken": "take", "got": "get",
+    "gotten": "get", "made": "make", "said": "say", "found": "find",
+    "gave": "give", "given": "give", "told": "tell", "became": "become",
+    "left": "leave", "brought": "bring", "began": "begin", "begun": "begin",
+    "kept": "keep", "held": "hold", "wrote": "write", "written": "write",
+    "stood": "stand", "heard": "hear", "meant": "mean", "met": "meet",
+    "paid": "pay", "sat": "sit", "spoke": "speak", "spoken": "speak",
+    "led": "lead", "grew": "grow", "grown": "grow", "lost": "lose",
+    "fell": "fall", "fallen": "fall", "sent": "send", "built": "build",
+    "understood": "understand", "drew": "draw", "drawn": "draw",
+    "broke": "break", "broken": "break", "spent": "spend", "rose": "rise",
+    "risen": "rise", "drove": "drive", "driven": "drive", "bought": "buy",
+    "wore": "wear", "worn": "wear", "chose": "choose", "chosen": "choose",
+    "ate": "eat", "eaten": "eat", "felt": "feel", "thought": "think",
+    "knew": "know", "known": "know", "won": "win", "taught": "teach",
+    "caught": "catch", "sold": "sell", "sang": "sing", "sung": "sing",
+    "flew": "fly", "flown": "fly", "ran": "run", "swam": "swim",
+    "swum": "swim", "threw": "throw", "thrown": "throw", "spread": "spread",
+    "shown": "show", "slept": "sleep", "laid": "lay", "lain": "lie",
+    # -ing / -ed forms needing e-restoration (detachment alone strips to
+    # a non-word: mak-, tak-, us-, …)
+    "making": "make", "taking": "take", "using": "use", "coming": "come",
+    "giving": "give", "writing": "write", "having": "have",
+    "creating": "create", "providing": "provide", "producing": "produce",
+    "including": "include", "increasing": "increase", "reducing": "reduce",
+    "requiring": "require", "describing": "describe", "receiving": "receive",
+    "locating": "locate", "relating": "relate", "involving": "involve",
+    "created": "create", "used": "use", "based": "base", "named": "name",
+    "required": "require", "provided": "provide", "included": "include",
+    "received": "receive", "described": "describe", "increased": "increase",
+    "reduced": "reduce", "produced": "produce", "located": "locate",
+    "related": "relate", "involved": "involve",
+    # irregular nouns (morphy noun.exc core)
+    "children": "child", "men": "man", "women": "woman", "mice": "mouse",
+    "feet": "foot", "teeth": "tooth", "geese": "goose", "lives": "life",
+    "knives": "knife", "wives": "wife", "data": "datum", "indices": "index",
+    "matrices": "matrix", "analyses": "analysis", "crises": "crisis",
+    "theses": "thesis", "hypotheses": "hypothesis", "criteria": "criterion",
+    "phenomena": "phenomenon", "media": "medium", "series": "series",
+    "species": "species",
+    # irregular adjectives/adverbs (morphy adj.exc core)
+    "better": "good", "best": "good", "worse": "bad", "worst": "bad",
+    "further": "far", "farther": "far",
+}
+# consonants that double before -ing/-ed (run→running); 'l'/'s' excluded
+# so fall/miss keep their geminate
+_DOUBLED = "bdgkmnprt"
+
+
+def morphy_lemmatize(tokens: Column) -> Column:
+    """Morphy-style lemmatizer (T5, Read_And_Clean.py:38-43): exception
+    map first (WordNet *.exc role), then ordered suffix-detachment rules
+    (the morphy detachment table), then a consonant-doubling undo for
+    -ing/-ed participles. Pure Column expressions — the map literal and
+    CASE chain fuse into codegen; no UDF, no broadcast join needed (the
+    lexicon is expression-embedded). ``sql_morphy_lemma`` mirrors every
+    branch for the DuckDB oracle from the same constants.
+    """
+    pairs: list[Column] = []
+    for k, v in LEMMA_EXCEPTIONS.items():
+        pairs.extend((F.lit(k), F.lit(v)))
+    exc_map = F.create_map(*pairs)
+
+    def strip(t: Column, n: int) -> Column:
+        return t.substr(F.lit(1), F.length(t) - n)
+
+    def undouble(stem: Column) -> Column:
+        # runn → run, sitt → sit; fall / miss untouched
+        last = stem.substr(F.length(stem), F.lit(1))
+        prev = stem.substr(F.length(stem) - 1, F.lit(1))
+        return F.when(
+            (last == prev) & last.isin(*list(_DOUBLED)), strip(stem, 1)
+        ).otherwise(stem)
+
+    def rules(t: Column) -> Column:
+        es_forms = (
+            t.endswith("sses") | t.endswith("ches") | t.endswith("shes")
+            | t.endswith("xes") | t.endswith("zes")
+        )
+        return (
+            F.when(es_forms, strip(t, 2))
+            .when(t.endswith("ies") & (F.length(t) > 4), F.concat(strip(t, 3), F.lit("y")))
+            .when(t.endswith("ied") & (F.length(t) > 4), F.concat(strip(t, 3), F.lit("y")))
+            .when(t.endswith("ves") & (F.length(t) > 4), F.concat(strip(t, 3), F.lit("f")))
+            .when(t.endswith("men") & (F.length(t) > 4), F.concat(strip(t, 2), F.lit("an")))
+            .when(t.endswith("ing") & (F.length(t) > 5), undouble(strip(t, 3)))
+            .when(t.endswith("ed") & (F.length(t) > 4), undouble(strip(t, 2)))
+            .when(t.endswith("s") & ~t.endswith("ss") & (F.length(t) > 3), strip(t, 1))
+            .otherwise(t)
+        )
+
+    return F.transform(
+        tokens, lambda t: F.coalesce(F.element_at(exc_map, t), rules(t))
+    )
+
+
 def rule_lemmatize(tokens: Column) -> Column:
     """Rule-based lemmatizer (T5 analogue of WordNet morphy,
     Read_And_Clean.py:38-43): suffix-strip rules expressed as a CASE
@@ -141,3 +249,38 @@ def sql_clean_string(expr: str) -> str:
 
 def sql_stopword_list(stopwords=STOPWORDS) -> str:
     return "(" + ", ".join(f"'{s}'" for s in stopwords) + ")"
+
+
+def sql_morphy_lemma(list_expr: str) -> str:
+    """DuckDB twin of morphy_lemmatize — MAP + CASE generated from the
+    SAME ``LEMMA_EXCEPTIONS`` / rule constants as the Spark expression."""
+    keys = ", ".join(f"'{k}'" for k in LEMMA_EXCEPTIONS)
+    vals = ", ".join(f"'{v}'" for v in LEMMA_EXCEPTIONS.values())
+    exc = f"list_extract(map_extract(MAP(LIST_VALUE({keys}), LIST_VALUE({vals})), t), 1)"
+    doubled = ", ".join(f"'{c}'" for c in _DOUBLED)
+
+    def undouble(s: str) -> str:
+        return (
+            f"CASE WHEN substring({s}, length({s}), 1) = "
+            f"substring({s}, length({s})-1, 1) "
+            f"AND substring({s}, length({s}), 1) IN ({doubled}) "
+            f"THEN substring({s}, 1, length({s})-1) ELSE {s} END"
+        )
+
+    ing_stem = "substring(t, 1, length(t)-3)"
+    ed_stem = "substring(t, 1, length(t)-2)"
+    rules = (
+        "CASE "
+        "WHEN t LIKE '%sses' OR t LIKE '%ches' OR t LIKE '%shes' "
+        "OR t LIKE '%xes' OR t LIKE '%zes' THEN substring(t, 1, length(t)-2) "
+        "WHEN t LIKE '%ies' AND length(t) > 4 THEN substring(t, 1, length(t)-3) || 'y' "
+        "WHEN t LIKE '%ied' AND length(t) > 4 THEN substring(t, 1, length(t)-3) || 'y' "
+        "WHEN t LIKE '%ves' AND length(t) > 4 THEN substring(t, 1, length(t)-3) || 'f' "
+        "WHEN t LIKE '%men' AND length(t) > 4 THEN substring(t, 1, length(t)-2) || 'an' "
+        f"WHEN t LIKE '%ing' AND length(t) > 5 THEN {undouble(ing_stem)} "
+        f"WHEN t LIKE '%ed' AND length(t) > 4 THEN {undouble(ed_stem)} "
+        "WHEN t LIKE '%s' AND t NOT LIKE '%ss' AND length(t) > 3 "
+        "THEN substring(t, 1, length(t)-1) "
+        "ELSE t END"
+    )
+    return f"list_transform({list_expr}, t -> COALESCE({exc}, {rules}))"

@@ -161,3 +161,20 @@ def model_quality_report(model, corpus: DataFrame, top_n: int = 10) -> DataFrame
     lp = log_perplexity(model, corpus)
     coh = umass_coherence(model, corpus, top_n=top_n)
     return coh.withColumn("log_perplexity", F.lit(lp))
+
+
+def publish_metrics(
+    metrics: DataFrame, schema: str, fmt: str = "json"
+) -> DataFrame:
+    """S13 (metrics sink): the reference pushes experiment scalars to
+    Neptune.ai over the network (``polysemous_words.py:181-195,259-262``;
+    ``supervised_classifier.py:200-201,527-537``). The engine keeps
+    metrics as a relation and publishes through a durable ``df.write``
+    sink instead — JSON-lines here (CSV via ``fmt='csv'``); on a cluster
+    the same call targets object storage, JDBC, or a Kafka topic. Returns
+    the read-back relation so callers (and the correctness oracle) can
+    verify the published values byte-for-byte."""
+    from .sources.formats import csv_roundtrip, json_roundtrip
+
+    rt = json_roundtrip if fmt == "json" else csv_roundtrip
+    return rt(metrics, schema)

@@ -36,6 +36,7 @@ from ..functions.text import (
     STOPWORDS,
     clean_string,
     sql_clean_string,
+    sql_morphy_lemma,
     sql_stopword_list,
     tokens_pipeline,
 )
@@ -510,16 +511,26 @@ def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                          + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END)) END, 6) AS f1
     FROM ({_CM_SQL_BASE})
     """,
-    "A5 (derived metrics: P/R/Acc/F1)",
+    "A5 (derived metrics: P/R/Acc/F1) + S13 (metrics published to a sink)",
     "Reference EVResult (evaluate.py:21-63) as scalar expressions over "
-    "the confusion-matrix row.",
+    "the confusion-matrix row — then PUBLISHED through the S13 metrics "
+    "sink (pipeline.publish_metrics: df.write JSON-lines, the engine's "
+    "stand-in for the reference's Neptune.ai network push) and read "
+    "back, so the oracle verifies the values as they land in the sink.",
 )
 def q_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline import publish_metrics
+
     ev = _t(spark, sf_dir, "events")
     cm = confusion_matrix(
         ev, pred=F.col("value") > 150, gold=F.col("event_type") == "purchase"
     )
-    return classification_metrics(cm)
+    metrics = classification_metrics(cm)
+    return publish_metrics(
+        metrics,
+        "tp long, fp long, tn long, fn long, precision double, "
+        "recall double, accuracy double, f1 double",
+    )
 
 
 # =========================================================================
@@ -1367,32 +1378,26 @@ REGISTRY["nquads_provenance"] = QuerySpec(
 # =========================================================================
 
 
-def _sql_rule_lemma(list_expr: str) -> str:
-    """DuckDB twin of functions.text.rule_lemmatize."""
-    return (
-        f"list_transform({list_expr}, t -> "
-        "CASE WHEN t LIKE '%ing' AND length(t) > 5 THEN substring(t, 1, length(t) - 3) "
-        "WHEN t LIKE '%s' AND t NOT LIKE '%ss' AND length(t) > 3 THEN substring(t, 1, length(t) - 1) "
-        "ELSE t END)"
-    )
-
-
 @_register(
     "lemmatized_tokens",
     f"""
     SELECT doc_id,
-           array_to_string({_sql_rule_lemma(sql_tokens_pipeline('text'))}, ' ') AS lemmas
+           array_to_string({sql_morphy_lemma(sql_tokens_pipeline('text'))}, ' ') AS lemmas
     FROM documents
     """,
-    "T5 (lemmatization, rule-based morphy analogue)",
-    "Suffix-strip lemmatizer over the cleaned token stream "
-    "(Read_And_Clean.py:38-43,71).",
+    "T5 (lemmatization, morphy-style: exception map + detachment rules)",
+    "WordNet-morphy-style lemmatizer over the cleaned token stream "
+    "(Read_And_Clean.py:38-43,71): irregular-form exception map first "
+    "(the *.exc role), then the ordered suffix-detachment table with "
+    "consonant-doubling undo. Map + CASE are expression-embedded (no "
+    "broadcast join, whole-stage codegen); DuckDB replays the identical "
+    "constants.",
 )
 def q_lemmatized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import rule_lemmatize
+    from ..functions.text import morphy_lemmatize
 
     docs = _t(spark, sf_dir, "documents")
-    lemmas = rule_lemmatize(tokens_pipeline(F.col("text")))
+    lemmas = morphy_lemmatize(tokens_pipeline(F.col("text")))
     return docs.select("doc_id", F.concat_ws(" ", lemmas).alias("lemmas"))
 
 
@@ -2019,19 +2024,67 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_report(
+    exact: DataFrame, approx: DataFrame, k: int, threshold: float
+) -> DataFrame:
+    """Per-probe recall@k of an ANN result vs its exact same-metric
+    top-k, plus a pass/fail flag the driver (and tests) can read
+    directly — one meaningful row per probe instead of an opaque
+    neighbor dump."""
+    hits = approx.withColumn("__hit", F.lit(1))
+    return (
+        exact.join(hits, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            f"recall_at_{k}", F.round(F.col("n_hit") / F.col("n_exact"), 4)
+        )
+        .withColumn(
+            "meets_threshold", F.col(f"recall_at_{k}") >= F.lit(threshold)
+        )
+    )
+
+
 @_register(
     "lsh_ann_neighbors",
     None,
     "M14/§2.11 (LSH approximate nearest neighbors — the scale path)",
-    "BucketedRandomProjectionLSH approx kNN for 5 probes (rows-only: "
-    "hash-seed dependent; brute-force twin is knn_bruteforce_cosine).",
+    "BucketedRandomProjectionLSH approx kNN for 20 probes, verified: "
+    "one row per probe with recall@5 against the exact EUCLIDEAN top-5 "
+    "(same metric as the LSH, so the number isolates bucketing loss "
+    "rather than metric mismatch) and a fixed threshold flag. "
+    "Fixed seed; pinned in tests (rows-only: hash-family dependent).",
 )
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import sq_dist
     from ..operators.similarity_search import lsh_ann
 
     emb = _t(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 5)
-    return lsh_ann(emb, probes, k=5)
+    probes = emb.filter(F.col("vec_id") < 20)
+    # exact Euclidean top-5 (broadcast probes × corpus scan, JVM HOFs)
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("probe_vec"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cand_vec"),
+    )
+    we = Window.partitionBy("probe_id").orderBy("d2", "neighbor_id")
+    exact = (
+        F.broadcast(p)
+        .crossJoin(c)
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("d2", sq_dist(F.col("probe_vec"), F.col("cand_vec")))
+        .withColumn("__rn", F.row_number().over(we))
+        .filter(F.col("__rn") <= 5)
+        .select("probe_id", "neighbor_id")
+    )
+    approx = lsh_ann(emb, probes, k=5).select("probe_id", "neighbor_id")
+    return _ann_recall_report(exact, approx, k=5, threshold=0.6)
 
 
 # =========================================================================
@@ -2501,8 +2554,10 @@ def q_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,
     "§2.11 similarity search (IVF ANN: KMeans cells + n_probe search)",
     "Inverted-file ANN over embeddings: KMeans(8) partitions the corpus; "
-    "probes search their 2 nearest cells only. Reports recall@5 against "
-    "the exact brute-force neighbors (scan cost drops ~4× at n_probe=2).",
+    "probes search their 2 nearest cells only (scan cost drops ~4× at "
+    "n_probe=2). One row PER PROBE with recall@5 vs the exact cosine "
+    "top-5 (both sides cosine — the overlap isolates cell-pruning loss) "
+    "and a fixed threshold flag; fixed seeds, pinned in tests.",
 )
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity_search import ivf_ann
@@ -2511,12 +2566,7 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 20)
     exact = knn_bruteforce(emb, probes, k=5).select("probe_id", "neighbor_id")
     approx = ivf_ann(emb, probes, k=5).select("probe_id", "neighbor_id")
-    hits = exact.join(approx, ["probe_id", "neighbor_id"]).count()
-    total = exact.count()
-    return spark.createDataFrame(
-        [(int(total), int(hits), round(hits / max(total, 1), 4))],
-        "n_exact long, n_hit long, recall_at_5 double",
-    )
+    return _ann_recall_report(exact, approx, k=5, threshold=0.4)
 
 
 @_register(
