@@ -152,7 +152,51 @@ def test_hll_sketch_within_rsd(spark):
     rows = REGISTRY["approx_distinct_sketch"].fn(spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        assert r["rel_error"] <= 0.10, (r["event_type"], r["rel_error"])
+        assert r["within_contract"], r["event_type"]
+
+
+def test_quantile_sketch_within_contract(spark):
+    rows = REGISTRY["approx_quantile_sketch"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["within_contract"], r["event_type"]
+
+
+def test_ordered_dense_rank_no_global_window_and_exact(spark):
+    """The two-phase ordered rank (operators.indexing, used for term-id
+    assignment) must (a) contain ONLY the __pid-partitioned window — an
+    unpartitioned row_number is a single-executor sort at corpus vocab
+    scale — and (b) reproduce ROW_NUMBER() OVER (ORDER BY key) exactly."""
+    from uni_mannheim_masters_thesis_spark.operators.indexing import (
+        ordered_dense_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(f"tok{i:04d}",) for i in range(97, 0, -7)], ["token"]
+    )
+    ranked = ordered_dense_rank(df, "token", rank_col="r", n_parts=4)
+    je = ranked._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = je.explainString(mode)
+    assert "windowspecdefinition(__pid" in plan
+    assert "windowspecdefinition(" not in plan.replace(
+        "windowspecdefinition(__pid", ""
+    ), "unpartitioned window in ordered_dense_rank plan"
+    got = {r["token"]: r["r"] for r in ranked.collect()}
+    want = {t: i + 1 for i, t in enumerate(sorted(got))}
+    assert got == want
+
+
+def test_winnowing_is_map_only(spark):
+    """The rolling-polynomial fingerprint is a scan→project plan: one
+    codepoint split + O(1) array reads per window, no shuffle, no
+    Python, no per-position hash calls."""
+    plan = _formatted_plan(spark, "winnowing_fingerprint")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "md5" not in plan  # the r2 per-substring md5 regression
 
 
 def test_packing_prefix_sum_is_two_phase(spark):

@@ -1246,11 +1246,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "streaming_events_hourly",
-    None,
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
     "§2.9 Structured Streaming (watermark + tumbling window)",
-    "The events_hourly aggregation executed as a streaming query "
-    "(memory sink, processAllAvailable) — rows-only but equal to the "
-    "batch result by construction.",
+    "The events_hourly aggregation executed as a REAL streaming query "
+    "(memory sink, processAllAvailable). Oracle-exact: epoch-aligned "
+    "1-hour tumbling windows are date_trunc('hour') buckets, so the "
+    "batch SQL replays the drained stream result bit-for-bit (decimal "
+    "sum, 2-decimal round on both engines).",
 )
 def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_hourly_event_stats(spark, sf_dir)
@@ -1912,10 +1920,23 @@ def q_classifier_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "stratified_fold_balance",
-    None,
+    """
+    WITH cnt AS (
+        SELECT CAST(n_chars >= 300 AS INT) AS label, COUNT(*) AS n
+        FROM documents GROUP BY 1
+    ),
+    f AS (SELECT CAST(unnest(range(5)) AS INT) AS fold)
+    SELECT f.fold, cnt.label,
+           CAST(n // 5 + CASE WHEN f.fold < n % 5 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_docs
+    FROM cnt CROSS JOIN f
+    """,
     "M18 (stratified k-fold, per-label window variant)",
     "Per-(fold, label) counts from the stratified assignment — every "
-    "fold must carry an equal share of each class (±1).",
+    "fold must carry an equal share of each class (±1). Oracle-exact: "
+    "per-label row_number mod k gives fold f exactly "
+    "n//k + (f < n%k) rows whichever order the seeded hash shuffles, "
+    "so DuckDB replays the counts in closed form.",
 )
 def q_stratified_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.classify import add_stratified_fold
@@ -2415,11 +2436,35 @@ def q_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "streaming_sessionization",
-    None,
+    """
+    WITH seq AS (
+        SELECT user_id, ts, value, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM seq
+    ),
+    sess AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
     "§2.9 streaming (session_window state merging)",
-    "Gap-based sessions (30 min) maintained in the streaming state store "
-    "via native session_window; rows-only check (the batch twin "
-    "events_sessionization is the hash-checked variant).",
+    "Gap-based sessions (30 min) maintained in the streaming state "
+    "store via native session_window. Oracle-exact: DuckDB replays the "
+    "merge with gaps-and-islands (a new session starts when the gap to "
+    "the previous event is ≥ the 30-min window — session_window merges "
+    "only strictly-overlapping [ts, ts+gap) intervals), then aggregates "
+    "per island. Same decimal sum + round discipline as the batch twin.",
 )
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import streaming_sessionization
@@ -2429,12 +2474,27 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "smote_class_balance",
-    None,
+    """
+    WITH e AS (SELECT CAST(label = 0 AS INT) AS label FROM embeddings),
+    c AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
+    m AS (SELECT MAX(CASE WHEN label != 1 THEN n END) AS n_maj,
+                 MAX(CASE WHEN label = 1 THEN n END) AS n_min FROM c)
+    SELECT c.label, c.n AS n_before,
+           CAST(CASE WHEN c.label = 1 AND m.n_maj > m.n_min AND m.n_min >= 2
+                     THEN m.n_maj ELSE c.n END AS BIGINT) AS n_after,
+           CAST(CASE WHEN c.label = 1 AND m.n_maj > m.n_min AND m.n_min >= 2
+                     THEN m.n_maj - m.n_min ELSE 0 END AS BIGINT)
+               AS n_synthetic
+    FROM c CROSS JOIN m
+    """,
     "M20 (SMOTE oversampling, LSH/kNN + interpolation)",
     "Faithful distributed SMOTE (supervised_classifier.py:578-581): "
     "minority = binarized label 0 (~10%), kNN within class, seeded "
-    "interpolation on connecting segments. Returns per-class counts "
-    "before/after (invariant: classes reach parity; synthetic ids < 0).",
+    "interpolation on connecting segments. Oracle-exact on the class "
+    "accounting: the per-point quota machinery satisfies the shortfall "
+    "EXACTLY (sum of quotas == n_maj - n_min), so DuckDB replays the "
+    "before/after/synthetic counts in closed form — a wrong quota "
+    "split, duplicate synthetic id, or lost row breaks the hash.",
 )
 def q_smote(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.resample import smote
@@ -2460,11 +2520,56 @@ def q_smote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "tomek_link_removal",
-    None,
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(label = 0 AS INT) AS label,
+               embedding::DOUBLE[] AS v
+        FROM embeddings
+    ),
+    nn1 AS (
+        SELECT id, nn_id FROM (
+            SELECT a.vec_id AS id, b.vec_id AS nn_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_distance(a.v, b.v), b.vec_id) AS rn
+            FROM e a JOIN e b ON a.vec_id != b.vec_id
+        ) WHERE rn = 1
+    ),
+    mutual AS (
+        SELECT f.id, f.nn_id FROM nn1 f
+        JOIN nn1 r ON f.id = r.nn_id AND f.nn_id = r.id
+        WHERE f.id < f.nn_id
+    ),
+    links AS (
+        SELECT m.id AS id_a, m.nn_id AS id_b,
+               la.label AS label_a, lb.label AS label_b
+        FROM mutual m
+        JOIN e la ON la.vec_id = m.id
+        JOIN e lb ON lb.vec_id = m.nn_id
+        WHERE la.label != lb.label
+    ),
+    dropped AS (
+        SELECT DISTINCT vid FROM (
+            SELECT id_a AS vid FROM links WHERE label_a = 0
+            UNION ALL
+            SELECT id_b AS vid FROM links WHERE label_b = 0
+        )
+    ),
+    b AS (SELECT label, COUNT(*) AS n_before FROM e GROUP BY label),
+    a AS (
+        SELECT label, COUNT(*) AS n_after FROM e
+        WHERE vec_id NOT IN (SELECT vid FROM dropped) GROUP BY label
+    )
+    SELECT b.label, n_before, n_after
+    FROM b JOIN a USING (label) ORDER BY b.label
+    """,
     "M21 (Tomek-links undersampling)",
     "Mutual-1-NN cross-class pairs; majority member dropped "
     "(supervised_classifier.py:582-584, default-enabled in the "
-    "reference). Returns per-class counts before/after.",
+    "reference). Returns per-class counts before/after. Oracle-exact: "
+    "the blocked distributed 1-NN is deterministic ((dist, id) "
+    "tie-break), so DuckDB replays the full mutual-1-NN link set by "
+    "brute force and reproduces the counts.",
 )
 def q_tomek(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.resample import remove_tomek_links
@@ -2571,11 +2676,25 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "model_save_load",
-    None,
+    f"""
+    WITH v AS (
+        SELECT token FROM (
+            SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token
+            FROM documents
+        ) GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           CAST(COUNT(*) AS BIGINT) AS n_loaded,
+           CAST(COUNT(*) AS BIGINT) AS n_match
+    FROM v
+    """,
     "S11 (MLlib model persistence)",
     "CountVectorizerModel save/load roundtrip (gensim model.save/load, "
-    "webisalod_lda.py:48,57): vocabulary survives persistence verbatim; "
-    "returns [n_vocab, n_match] (invariant: equal).",
+    "webisalod_lda.py:48,57): vocabulary survives persistence verbatim. "
+    "Oracle-exact: CountVectorizer(minDF=3) vocabulary size is the "
+    "count of tokens appearing in ≥3 documents, which DuckDB recomputes "
+    "directly; a lossy save/load would break n_loaded/n_match equality "
+    "against that independent count.",
 )
 def q_model_save_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import CountVectorizer, CountVectorizerModel
@@ -3165,13 +3284,27 @@ def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "grouped_trend_pandas",
-    None,
+    """
+    WITH base AS (
+        SELECT user_id,
+               (epoch_us(ts) - MIN(epoch_us(ts))
+                   OVER (PARTITION BY user_id)) / 1000000.0 AS x,
+               value AS y
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(covar_pop(x, y) / NULLIF(var_pop(x), 0), 6) AS slope_per_sec
+    FROM base GROUP BY user_id HAVING COUNT(*) >= 2
+    """,
     "§2.10 UDF surface (applyInPandas grouped map)",
     "The same per-user trend computed by a grouped-map applyInPandas "
     "kernel (numpy closed form, one Arrow batch per user group) — the "
     "engine's template for per-group model scoring the reference does "
-    "with sklearn in-memory. Cross-checked against user_value_trend in "
-    "tests.",
+    "with sklearn in-memory. Oracle-exact against the SAME SQL as "
+    "user_value_trend: the kernel centers x on the group min in integer "
+    "micros first, so the 6-decimal round agrees across numpy, Spark "
+    "aggregates, and DuckDB.",
 )
 def q_grouped_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -3600,12 +3733,21 @@ def q_rolling_week(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "approx_distinct_sketch",
-    None,
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_contract
+    FROM events GROUP BY event_type
+    """,
     "§2.11 sketches (HyperLogLog approx distinct)",
-    "approx_count_distinct (HLL) vs exact COUNT(DISTINCT) per event "
-    "type: at 100 TB the sketch is the only mergeable constant-memory "
-    "option; the query reports both plus the relative error so the "
-    "accuracy contract (rsd ≤ 5%) is continuously observable.",
+    "approx_count_distinct (HLL, rsd=0.05) vs exact COUNT(DISTINCT) per "
+    "event type: at 100 TB the sketch is the only mergeable "
+    "constant-memory option. Oracle-checked via the accuracy CONTRACT: "
+    "the relation carries the exact count plus a within_contract flag "
+    "(relative error ≤ 3×rsd); DuckDB asserts the exact counts and "
+    "predicts the flag TRUE, so an HLL regression past the bound flips "
+    "the flag and breaks the hash. (The raw estimate is "
+    "engine-specific, hence not hashed directly.)",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -3616,44 +3758,46 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         "exact_users",
-        "approx_users",
-        F.round(
+        (
             F.abs(F.col("approx_users") - F.col("exact_users"))
-            / F.col("exact_users"),
-            4,
-        ).alias("rel_error"),
+            / F.col("exact_users")
+            <= 0.15
+        ).alias("within_contract"),
     )
 
 
 @_register(
     "approx_quantile_sketch",
-    None,
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+           TRUE AS within_contract
+    FROM events GROUP BY event_type
+    """,
     "§2.11 sketches (mergeable approximate quantiles)",
-    "percentile_approx (Greenwald-Khanna sketch) vs exact interpolated "
-    "median per event type, with the relative error reported: at 100 TB "
-    "an exact quantile needs a full sort per group, while the sketch is "
-    "a constant-memory mergeable aggregate (one map-side pass + "
-    "combiner merge). The in-query rel_error column keeps the accuracy "
-    "contract observable; rows-only (the sketch's rank approximation "
-    "is engine-specific by design).",
+    "percentile_approx (Greenwald-Khanna sketch, accuracy 1000) vs "
+    "exact interpolated median per event type: at 100 TB an exact "
+    "quantile needs a full sort per group, while the sketch is a "
+    "constant-memory mergeable aggregate (one map-side pass + combiner "
+    "merge). Oracle-checked via the accuracy CONTRACT: the relation "
+    "carries the exact interpolated median (identical semantics to "
+    "DuckDB quantile_cont) plus a within_contract flag (relative error "
+    "≤ 5%); a sketch regression flips the flag and breaks the hash.",
 )
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
-        F.round(F.expr("percentile_approx(value, 0.5, 1000)"), 4).alias(
-            "approx_p50"
-        ),
+        F.expr("percentile_approx(value, 0.5, 1000)").alias("approx_p50"),
     )
     return out.select(
         "event_type",
         "exact_p50",
-        "approx_p50",
-        F.round(
+        (
             F.abs(F.col("approx_p50") - F.col("exact_p50"))
-            / F.abs(F.col("exact_p50")),
-            4,
-        ).alias("rel_error"),
+            / F.abs(F.col("exact_p50"))
+            <= 0.05
+        ).alias("within_contract"),
     )
 
 
@@ -4564,15 +4708,22 @@ def q_topic_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "resampling_report",
-    None,
+    f"""
+    SELECT 'smote' AS method, label, n_before, n_after, n_synthetic
+    FROM ({REGISTRY['smote_class_balance'].sql})
+    UNION ALL
+    SELECT 'tomek', label, n_before, n_after, CAST(0 AS BIGINT)
+    FROM ({REGISTRY['tomek_link_removal'].sql})
+    """,
     "M20, M21 (SMOTE oversampling + Tomek-links undersampling)",
     "Driver-coverage suite: per-class counts before/after SMOTE "
     "(supervised_classifier.py:578-581) and after Tomek-link removal "
-    "(supervised_classifier.py:582-584), tagged by method. Rows-only "
-    "(kNN tie-breaks are implementation-specific); invariants — class "
-    "parity after SMOTE, monotone shrink after Tomek — are asserted in "
-    "tests. Components: smote_class_balance, tomek_link_removal (each "
-    "still registered individually).",
+    "(supervised_classifier.py:582-584), tagged by method. Oracle-exact "
+    "since round 3: SMOTE's quota accounting is closed-form and the "
+    "Tomek link set is deterministic mutual-1-NN, so DuckDB replays "
+    "both halves (see the component queries). Components: "
+    "smote_class_balance, tomek_link_removal (each still registered "
+    "individually).",
 )
 def q_resampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sm = q_smote(spark, sf_dir).select(
