@@ -151,7 +151,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                             ["multimodal_pipeline", "multimodal_frame_sample"]),
     "X-text-langid": ("operators.textstats:langid", ["language_id"]),
     "X-text-quality": ("operators.textstats:stopword_ratio",
-                      ["text_profile", "text_quality"]),
+                      ["text_profile", "text_quality",
+                       "quality_perplexity"]),
     "X-text-tokens": ("operators.textstats:word_count",
                       ["text_profile", "token_stats", "bpe_subword_counts"]),
     "X-text-fingerprint": ("operators.textstats:fingerprint",

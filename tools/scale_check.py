@@ -57,6 +57,12 @@ _QUERIES = [
     "repetition_quality",
     "cross_source_containment",
     "document_packing",
+    # round-3 additions: rewritten rolling-hash fingerprint, morphy
+    # lemmatizer map, LM-perplexity scoring, centered per-group trend
+    "winnowing_fingerprint",
+    "lemmatized_tokens",
+    "quality_perplexity",
+    "user_value_trend",
 ]
 
 

@@ -3934,6 +3934,78 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quality_perplexity",
+    f"""
+    WITH bgi AS (
+        SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bgram FROM documents
+    ),
+    bc AS (SELECT bgram, COUNT(*) AS c2 FROM bgi GROUP BY bgram),
+    uni AS (
+        SELECT tok, COUNT(*) AS c1
+        FROM (SELECT unnest({sql_simple_tokens('text')}) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    v AS (SELECT COUNT(*) AS vsize FROM uni)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(exp(-AVG(ln((c2 + 1.0) / (c1 + vsize)))), 4) AS ppl,
+           CAST(CASE WHEN exp(-AVG(ln((c2 + 1.0) / (c1 + vsize)))) > 32.0
+                     THEN 1 ELSE 0 END AS INT) AS is_low_quality
+    FROM bgi JOIN bc USING (bgram)
+    JOIN uni ON str_split(bgi.bgram, ' ')[1] = uni.tok
+    CROSS JOIN v
+    GROUP BY doc_id
+    """,
+    "§2.11 curation (LM-perplexity quality filter, CCNet-style)",
+    "Statistical-LM quality scoring — the CCNet/Gopher curation signal: "
+    "train an add-1-smoothed bigram model ON the corpus itself (token "
+    "and bigram count aggregates, nothing learned), score every "
+    "document by the perplexity of its own bigrams, flag the "
+    "high-perplexity tail (> 32, ≈ p90 on this corpus) as low-quality. "
+    "Pure DataFrame plan: two count aggregates + an equi-join of the "
+    "per-doc bigram instances against the (vocab-bounded, "
+    "broadcastable) count tables — at 100 TB the counts come from one "
+    "map-side-combined pass and the scoring join shuffles on the "
+    "bigram key only. DuckDB replays the identical arithmetic "
+    "(hash-exact after a 4-decimal round).",
+)
+def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    t = F.col("t")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    bgi = toks.select("doc_id", F.explode(bigrams).alias("bgram"))
+    bc = bgi.groupBy("bgram").agg(F.count(F.lit(1)).alias("c2"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vsize = F.broadcast(uni.agg(F.count(F.lit(1)).alias("vsize")))
+    logp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vsize")))
+    scored = (
+        bgi.join(bc, "bgram")
+        .withColumn("tok", F.split(F.col("bgram"), " ").getItem(0))
+        .join(F.broadcast(uni), "tok")
+        .crossJoin(vsize)
+    )
+    ppl = F.exp(-F.avg(logp))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(ppl, 4).alias("ppl"),
+        F.when(ppl > 32.0, 1).otherwise(0).cast("int").alias("is_low_quality"),
+    )
+
+
+@_register(
     "dedup_canonical",
     f"""
     WITH cc AS ({REGISTRY['neardup_clusters'].sql})
@@ -4863,7 +4935,7 @@ _COST_HINT: dict[str, float] = {
     "benchmark_contamination": 0.8, "repetition_quality": 0.5,
     "dedup_canonical": 4.8, "cross_source_containment": 0.3,
     "mixture_sampling_manifest": 0.3, "pii_redaction": 0.3,
-    "document_chunking": 0.4,
+    "document_chunking": 0.4, "quality_perplexity": 2.2,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 0.9,
