@@ -97,3 +97,39 @@ def test_morphy_sql_twin_matches_spark(spark, duck):
     df = spark.createDataFrame([(toks,)], "toks array<string>")
     spark_out = df.select(morphy_lemmatize(F.col("toks")).alias("l")).first()["l"]
     assert list(duck_out) == list(spark_out)
+
+
+def test_winnowing_expr_matches_python_reference(spark):
+    """Randomized cross-check: the Spark rolling-polynomial fingerprint
+    must equal the pure-Python reference on arbitrary text, including
+    unicode, punctuation runs, short strings, and empty/blank input."""
+    import random
+    import string as _string
+
+    from pyspark.sql import functions as F
+    from uni_mannheim_masters_thesis_spark.functions.text import (
+        winnowing_fingerprint_expr, winnowing_fingerprint_py,
+    )
+
+    rng = random.Random(20260813)
+    alphabet = (
+        _string.ascii_letters + _string.digits + "     .,;!?-_()[]"
+        + "éüñßøæ€中文日本語русский"
+    )
+    corpus = [""] + [" .,!? "] + ["ab"] + ["exactly8"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(corpus)], ["i", "s"])
+    got = {
+        r["i"]: r["fp"]
+        for r in df.select(
+            "i", winnowing_fingerprint_expr(F.col("s")).alias("fp")
+        ).collect()
+    }
+    bad = []
+    for i, s in enumerate(corpus):
+        want = winnowing_fingerprint_py(s)
+        if got[i] != want:
+            bad.append((repr(s[:40]), got[i], want))
+    assert not bad, f"{len(bad)} mismatches, first 3: {bad[:3]}"

@@ -157,7 +157,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                       ["text_profile", "token_stats", "bpe_subword_counts"]),
     "X-text-fingerprint": ("operators.textstats:fingerprint",
                            ["text_profile", "document_fingerprints",
-                            "winnowing_fingerprint"]),
+                            "winnowing_fingerprint",
+                            "winnowing_fingerprint_set"]),
     "X-stream-window": ("streaming.events:streaming_hourly_event_stats",
                         ["streaming_windowed_suite", "streaming_events_hourly",
                          "events_sliding_window"]),

@@ -1633,10 +1633,8 @@ def q_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_POLY_W = [31**p for p in range(7, -1, -1)]  # Horner weights for 8-grams
-_POLY_TERM_SQL_SPARK = " + ".join(
-    f"element_at(cs, i+{j})*CAST({w} AS BIGINT)" for j, w in enumerate(_POLY_W)
-)
+from ..functions.text import POLY_WEIGHTS as _POLY_W  # noqa: E402
+
 _POLY_TERM_SQL_DUCK = " + ".join(
     f"cs[i+{j}]*CAST({w} AS BIGINT)" for j, w in enumerate(_POLY_W)
 )
@@ -1673,22 +1671,125 @@ _POLY_TERM_SQL_DUCK = " + ".join(
     "per document, then O(1) array reads per window.",
 )
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import winnowing_fingerprint_expr
+
     docs = _t(spark, sf_dir, "documents")
-    coded = docs.select(
-        "doc_id", clean_string(F.col("text")).alias("c")
-    ).withColumn(
-        "cs", F.expr("transform(split(c, ''), ch -> CAST(ascii(ch) AS BIGINT))")
+    return docs.select(
+        "doc_id", winnowing_fingerprint_expr(F.col("text")).alias("shingle_fp")
     )
-    rolled = F.expr(
-        f"array_min(transform(sequence(1, length(c) - 7), i -> {_POLY_TERM_SQL_SPARK}))"
+
+
+_WINNOW_W = 4  # winnowing guarantee window (hashes per selection window)
+
+
+@_register(
+    "winnowing_fingerprint_set",
+    f"""
+    WITH coded AS (
+        SELECT doc_id, c,
+               list_transform(regexp_extract_all(c, '.'),
+                              ch -> CAST(ascii(ch) AS BIGINT)) AS cs
+        FROM (SELECT doc_id, {sql_clean_string('text')} AS c FROM documents)
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CASE WHEN length(c) >= 8
+                    THEN list_transform(range(1, length(c) - 6),
+                                        i -> {_POLY_TERM_SQL_DUCK})
+                    WHEN length(c) > 0
+                    THEN [list_reduce(cs, (a, x) -> a*31 + x)]
+                    ELSE CAST([] AS BIGINT[]) END AS h
+        FROM coded
+    ),
+    sel AS (
+        SELECT doc_id,
+               CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+                    WHEN len(h) < {_WINNOW_W} THEN [list_min(h)]
+                    ELSE list_sort(list_distinct(list_transform(
+                        range(1, len(h) - {_WINNOW_W - 2}),
+                        p -> list_min(h[p:p+{_WINNOW_W - 1}])))) END AS fps
+        FROM hashed
     )
-    horner = F.expr("aggregate(cs, CAST(0 AS BIGINT), (a, x) -> a*31 + x)")
-    return coded.select(
+    SELECT doc_id,
+           CAST(len(fps) AS INT) AS n_fps,
+           md5(array_to_string(fps, ',')) AS fpset_md5
+    FROM sel
+    """,
+    "§2.11 text analysis (winnowing proper: window-minima fingerprint set)",
+    "TRUE winnowing (Schleimer/Wilkerson/Aiken): slide a window of "
+    f"{_WINNOW_W} consecutive 8-gram rolling hashes, select each "
+    "window's minimum, dedupe+sort the selections — the guarantee-"
+    "bounded fingerprint SET used for plagiarism/overlap detection "
+    "(the single-min variant is winnowing_fingerprint). Relation "
+    "carries the set size and the md5 of the sorted set (compact, "
+    "hash-exact); all arithmetic is the same engine-portable int64 "
+    "polynomial, so DuckDB replays every selection. Map-only scan — "
+    "no shuffle, no UDF.",
+)
+def q_winnowing_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import POLY_WEIGHTS, POLY_WINDOW
+
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = clean_string(F.col("text"))
+    cs = F.transform(F.split(cleaned, ""), lambda ch: F.ascii(ch).cast("long"))
+    row = F.array(F.struct(cleaned.alias("c"), cs.alias("cs")))
+
+    def body(x):
+        c, codes = x["c"], x["cs"]
+        n = F.length(c)
+
+        def poly(i):
+            acc = None
+            for j, w in enumerate(POLY_WEIGHTS):
+                t = F.element_at(codes, i + j) * F.lit(w).cast("long")
+                acc = t if acc is None else acc + t
+            return acc
+
+        h = (
+            F.when(
+                n >= POLY_WINDOW,
+                F.transform(F.sequence(F.lit(1), n - (POLY_WINDOW - 1)), poly),
+            )
+            .when(
+                n > 0,
+                F.array(
+                    F.aggregate(
+                        codes, F.lit(0).cast("long"), lambda a, ch: a * 31 + ch
+                    )
+                ),
+            )
+            .otherwise(F.expr("CAST(array() AS array<bigint>)"))
+        )
+        return h
+
+    hcol = F.element_at(F.transform(row, body), 1)
+    hashed = docs.select("doc_id", hcol.alias("h"))
+    hrow = F.array(F.struct(F.col("h").alias("h")))
+
+    def select_minima(x):
+        h = x["h"]
+        m = F.size(h)
+        sel = F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), m - (_WINNOW_W - 1)),
+                    lambda p: F.array_min(F.slice(h, p, _WINNOW_W)),
+                )
+            )
+        )
+        return (
+            F.when(m == 0, F.expr("CAST(array() AS array<bigint>)"))
+            .when(m < _WINNOW_W, F.array(F.array_min(h)))
+            .otherwise(sel)
+        )
+
+    fps = F.element_at(F.transform(hrow, select_minima), 1)
+    return hashed.select(
         "doc_id",
-        F.when(F.length("c") == 0, F.lit(0).cast("long"))
-        .when(F.length("c") >= 8, rolled)
-        .otherwise(horner)
-        .alias("shingle_fp"),
+        F.size(fps).cast("int").alias("n_fps"),
+        F.md5(F.concat_ws(",", F.transform(fps, lambda v: v.cast("string")))).alias(
+            "fpset_md5"
+        ),
     )
 
 
@@ -4936,6 +5037,7 @@ _COST_HINT: dict[str, float] = {
     "dedup_canonical": 4.8, "cross_source_containment": 0.3,
     "mixture_sampling_manifest": 0.3, "pii_redaction": 0.3,
     "document_chunking": 0.4, "quality_perplexity": 2.2,
+    "winnowing_fingerprint_set": 3.4,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 0.9,
