@@ -170,6 +170,9 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "X-stream-static-join": ("streaming.events:streaming_events_by_segment",
                              ["streaming_stateful_suite",
                               "streaming_events_by_segment"]),
+    "X-stream-stream-join": ("streaming.events:streaming_interval_join",
+                             ["streaming_stateful_suite",
+                              "streaming_interval_join"]),
     "X-stream-dedup": ("plans.registry:q_streaming_dedup",
                        ["streaming_stateful_suite",
                         "streaming_first_event_per_user_type"]),

@@ -3033,6 +3033,33 @@ def q_streaming_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_interval_join",
+    """
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+    "§2.9 streaming (stream-stream interval join)",
+    "TWO watermarked event streams joined on user with a 30-minute "
+    "time bound (click → subsequent purchases): the canonical "
+    "Structured Streaming stateful two-stream join, where the interval "
+    "condition is what lets the state store evict each side once the "
+    "other's watermark passes. Drained append pairs are aggregated per "
+    "user; the oracle replays the identical batch interval self-join.",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import streaming_interval_join
+
+    return streaming_interval_join(spark, sf_dir)
+
+
+@_register(
     "spellcheck_filtered",
     f"""
     WITH vocab AS (
@@ -4448,15 +4475,21 @@ def q_streaming_windowed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'dedup', event_type, n_users, 0.0
     FROM ({REGISTRY['streaming_first_event_per_user_type'].sql})
+    UNION ALL
+    SELECT 'interval_join', CAST(user_id AS VARCHAR), n_pairs,
+           sum_purchase_value
+    FROM ({REGISTRY['streaming_interval_join'].sql})
     """,
-    "§2.9 streaming (stateful operator + stream-static join + streaming dedup)",
-    "Driver-coverage suite: three REAL Structured Streaming runs — "
+    "§2.9 streaming (stateful op + stream-static join + dedup + "
+    "stream-stream interval join)",
+    "Driver-coverage suite: four REAL Structured Streaming runs — "
     "applyInPandasWithState per-user counters, stream-static broadcast "
-    "join per segment, watermarked dropDuplicates — each drained to its "
+    "join per segment, watermarked dropDuplicates, and the "
+    "two-watermark stream-stream interval join — each drained to its "
     "final result and tagged into one relation whose oracle is the "
     "exact batch twin. Components: stateful_user_counts, "
-    "streaming_events_by_segment, streaming_first_event_per_user_type "
-    "(each still registered individually).",
+    "streaming_events_by_segment, streaming_first_event_per_user_type, "
+    "streaming_interval_join (each still registered individually).",
 )
 def q_streaming_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful = q_stateful_user_counts(spark, sf_dir).select(
@@ -4477,7 +4510,13 @@ def q_streaming_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").cast("long").alias("n"),
         F.lit(0.0).alias("val"),
     )
-    return stateful.unionByName(segment).unionByName(dedup)
+    ij = q_streaming_interval_join(spark, sf_dir).select(
+        F.lit("interval_join").alias("component"),
+        F.col("user_id").cast("string").alias("k"),
+        F.col("n_pairs").cast("long").alias("n"),
+        F.col("sum_purchase_value").cast("double").alias("val"),
+    )
+    return stateful.unionByName(segment).unionByName(dedup).unionByName(ij)
 
 
 @_register(
@@ -5037,11 +5076,11 @@ _COST_HINT: dict[str, float] = {
     "dedup_canonical": 4.8, "cross_source_containment": 0.3,
     "mixture_sampling_manifest": 0.3, "pii_redaction": 0.3,
     "document_chunking": 0.4, "quality_perplexity": 2.2,
-    "winnowing_fingerprint_set": 3.4,
+    "winnowing_fingerprint_set": 3.4, "streaming_interval_join": 2.5,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 0.9,
-    "streaming_windowed_suite": 0.9, "streaming_stateful_suite": 9.1,
+    "streaming_windowed_suite": 0.9, "streaming_stateful_suite": 17.2,
     "topic_quality_suite": 11.7, "resampling_report": 3.7,
     "multimodal_pipeline": 1.5, "curation_suite": 18.7,
 }

@@ -64,6 +64,71 @@ def streaming_hourly_event_stats(
     )
 
 
+def streaming_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    interval: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-STREAM interval join: every click joined to the same
+    user's purchases within ``interval`` after it — the canonical
+    Structured Streaming two-stream stateful join. Both sides carry
+    watermarks; the time-bound join condition lets the state store
+    evict rows once the other side's watermark passes ``ts +
+    interval`` (without the bound, two-stream state grows without
+    limit). The append-mode pair stream is drained and then
+    batch-aggregated per user so the result is a compact deterministic
+    relation [user_id, n_pairs, sum_purchase_value] — identical to the
+    batch interval self-join the oracle runs.
+    """
+    ensure_engine_confs(spark)
+    clicks = (
+        event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            f"user_id = p_user AND p_ts >= c_ts "
+            f"AND p_ts <= c_ts + interval {interval}"
+        ),
+        "inner",
+    )
+    name = f"ij_{uuid.uuid4().hex[:8]}"
+    query = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("p_value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_purchase_value"),
+        )
+    )
+
+
 def streaming_events_by_segment(
     spark: SparkSession,
     sf_dir: str,
