@@ -242,3 +242,13 @@ def test_document_chunking_is_map_only(spark):
     plan = _formatted_plan(spark, "document_chunking")
     assert "Exchange" not in plan
     assert "Generate" in plan and "explode" in plan
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    """The partitioned-corpus read must push the source predicate into
+    PartitionFilters — planning-time directory pruning, the petabyte
+    layout primitive — and carry no source filter as a post-scan
+    condition on data columns."""
+    plan = _formatted_plan(spark, "partitioned_write_pruning")
+    assert "PartitionFilters" in plan
+    assert "source" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]

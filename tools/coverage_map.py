@@ -17,11 +17,11 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "S4": (
         "pipeline:read_and_clean  # one partitioned table replaces "
         "file-per-concept (SCALING §1)",
-        ["clean_documents"],
+        ["clean_documents", "partitioned_write_pruning"],
     ),
     "S5": ("sources.formats:json_roundtrip", ["artifact_formats_roundtrip", "json_artifact_roundtrip"]),
     "S6": ("sources.formats:csv_roundtrip", ["artifact_formats_roundtrip", "csv_metrics_roundtrip"]),
-    "S7": ("sources.formats:csv_roundtrip", ["artifact_formats_roundtrip", "csv_metrics_roundtrip"]),
+    "S7": ("sources.formats:csv_roundtrip", ["artifact_formats_roundtrip", "csv_metrics_roundtrip", "orc_corpus_roundtrip"]),
     "S8": ("operators.dedup:exact_dedup  # line-set scan = text read + distinct",
            ["distinct_user_event_pairs"]),
     "S9": ("sources.formats:read_dictionary_text", ["artifact_formats_roundtrip", "dictionary_text_roundtrip"]),
@@ -200,7 +200,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "X-dedup-incremental": ("plans.registry:q_cross_source_containment",
                             ["curation_suite", "cross_source_containment"]),
     "X-train-mixture": ("plans.registry:q_mixture_sampling",
-                        ["curation_suite", "mixture_sampling_manifest"]),
+                        ["curation_suite", "mixture_sampling_manifest",
+                         "mixture_temperature_weights"]),
     "X-curation-pii": ("plans.registry:q_pii_redaction",
                        ["curation_suite", "pii_redaction"]),
     "X-train-chunking": ("plans.registry:q_document_chunking",

@@ -2854,6 +2854,81 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "partitioned_write_pruning",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE source IN ('src0', 'src1', 'src2')
+    GROUP BY lang
+    """,
+    "S4/§2.1 extended (partitioned layout + partition pruning)",
+    "The 100 TB layout primitive: write the corpus hive-partitioned by "
+    "`source` (`write.partitionBy` — one directory per partition "
+    "value), read it back, and aggregate a 3-partition slice. The "
+    "`source IN (...)` predicate prunes at PLANNING time — the scan "
+    "touches only the matching directories (visible as "
+    "PartitionFilters in the plan, pinned by a plan test), which is "
+    "how a petabyte corpus serves selective queries at "
+    "partition-subset cost. Oracle aggregates the same slice from the "
+    "original table.",
+)
+def q_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="part_corpus_"), "docs")
+    docs.write.partitionBy("source").mode("overwrite").parquet(target)
+    back = spark.read.parquet(target)
+    return (
+        back.filter(F.col("source").isin("src0", "src1", "src2"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@_register(
+    "orc_corpus_roundtrip",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+    "S5-S7 extended (columnar ORC source/sink)",
+    "Source-format breadth: the corpus metadata aggregate written as "
+    "ORC (Spark's second native columnar format — predicate pushdown "
+    "and column pruning work the same as parquet) and read back with "
+    "an explicit schema. Oracle recomputes the aggregate from the "
+    "original table, so a lossy roundtrip breaks the hash.",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    agg = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="orc_corpus_"), "agg")
+    agg.write.mode("overwrite").orc(target)
+    return spark.read.schema(
+        "source string, n_docs long, total_chars long"
+    ).orc(target)
+
+
+@_register(
     "fold_metric_stats",
     """
     WITH scored AS (
@@ -4520,6 +4595,45 @@ def q_streaming_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "mixture_temperature_weights",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT SUM(n) AS total, SUM(POW(n, 0.5)) AS z FROM c)
+    SELECT c.source,
+           c.n AS n_docs,
+           ROUND(c.n / t.total, 6) AS natural_share,
+           ROUND(POW(c.n, 0.5) / t.z, 6) AS temp_share,
+           ROUND((POW(c.n, 0.5) / t.z) / (c.n / t.total), 6)
+               AS upsample_factor
+    FROM c CROSS JOIN t
+    """,
+    "§2.11 curation (temperature-scaled domain mixture)",
+    "Temperature-scaled mixture weights — the multilingual/multi-domain "
+    "rebalancing rule (w_i ∝ n_i^α, here α=0.5): small domains are "
+    "upsampled, dominant ones damped, per-domain upsample factor "
+    "reported so a sampler can consume it directly. One count "
+    "aggregate + a 1-row total (broadcast) — closed-form and "
+    "hash-exact on both engines; the md5-draw sampler "
+    "(mixture_sampling_manifest) is the executable twin.",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").alias("total"), F.sum(F.pow("n", 0.5)).alias("z")
+    )
+    nat = F.col("n") / F.col("total")
+    tmp = F.pow("n", 0.5) / F.col("z")
+    return c.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(nat, 6).alias("natural_share"),
+        F.round(tmp, 6).alias("temp_share"),
+        F.round(tmp / nat, 6).alias("upsample_factor"),
+    )
+
+
+@_register(
     "mixture_sampling_manifest",
     """
     WITH w AS (
@@ -5077,6 +5191,8 @@ _COST_HINT: dict[str, float] = {
     "mixture_sampling_manifest": 0.3, "pii_redaction": 0.3,
     "document_chunking": 0.4, "quality_perplexity": 2.2,
     "winnowing_fingerprint_set": 3.4, "streaming_interval_join": 2.5,
+    "partitioned_write_pruning": 0.8, "orc_corpus_roundtrip": 0.5,
+    "mixture_temperature_weights": 0.3,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 0.9,
