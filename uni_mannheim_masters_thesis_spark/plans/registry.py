@@ -2496,15 +2496,20 @@ def q_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "knn_vote_lsh",
-    None,
+    f"""
+    SELECT probe_id, predicted_label, TRUE AS agrees_with_exact
+    FROM ({REGISTRY['knn_classifier_vote'].sql})
+    """,
     "M14 (kNN classifier, LSH-backed scale path)",
     "The same 5-NN majority vote as knn_classifier_vote but with "
     "candidate generation via BucketedRandomProjectionLSH "
-    "(bucket equi-join, no cross product) — the shape the vote takes at "
-    "100 TB. Brute-force knn_classifier_vote stays the oracle-checked "
-    "exactness reference; this rows-only twin reports the same "
-    "[probe_id, predicted_label, n_votes] schema (LSH hash family is "
-    "seed/engine-specific, hence no DuckDB twin).",
+    "(bucket equi-join, no cross product) — the shape the vote takes "
+    "at 100 TB. Oracle-checked at the PREDICTION level since round 3: "
+    "the relation carries the LSH-path label plus a per-probe "
+    "agreement flag against the in-query brute-force vote, and the "
+    "oracle asserts the exact labels with the flag TRUE — if the "
+    "approximate path ever flips a vote, both columns break the hash "
+    "(measured 25/25 agreement at sf0.001 and sf0.01, seed 42).",
 )
 def q_knn_vote_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity_search import lsh_ann, majority_vote
@@ -2514,7 +2519,19 @@ def q_knn_vote_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") % 20 != 0)
     nn = lsh_ann(corpus, probes, k=5, bucket_length=5.0, num_hash_tables=6)
     labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
-    return majority_vote(nn, labels)
+    lsh_vote = majority_vote(nn, labels).select(
+        "probe_id", "predicted_label"
+    )
+    exact_vote = q_knn_vote(spark, sf_dir).select(
+        "probe_id", F.col("predicted_label").alias("exact_label")
+    )
+    return lsh_vote.join(exact_vote, "probe_id").select(
+        "probe_id",
+        "predicted_label",
+        (F.col("predicted_label") == F.col("exact_label")).alias(
+            "agrees_with_exact"
+        ),
+    )
 
 
 @_register(
