@@ -118,7 +118,7 @@ def main() -> None:
             # hiccup: confirm with one repeat execution and report the
             # min (both are genuine full executions of the same plan).
             hint = _COST_HINT.get(name, 1.0)
-            if t1 > max(2.0 * hint, hint + 1.5):
+            if t1 > max(1.6 * hint, hint + 1.2):
                 t2 = run_once(name)
                 if min(t1, t2) > 0:
                     print(

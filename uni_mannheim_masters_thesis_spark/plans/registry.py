@@ -5207,7 +5207,7 @@ _COST_HINT: dict[str, float] = {
     "dedup_canonical": 4.8, "cross_source_containment": 0.3,
     "mixture_sampling_manifest": 0.3, "pii_redaction": 0.3,
     "document_chunking": 0.4, "quality_perplexity": 2.2,
-    "winnowing_fingerprint_set": 3.4, "streaming_interval_join": 2.5,
+    "winnowing_fingerprint_set": 3.4, "streaming_interval_join": 6.0,
     "partitioned_write_pruning": 0.8, "orc_corpus_roundtrip": 0.5,
     "mixture_temperature_weights": 0.3,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
