@@ -36,11 +36,25 @@ def ordered_dense_rank(
     Keys must be unique (vocabulary terms, manifest paths, …); with
     duplicates the tie-break within a range partition is undefined.
     """
-    ranged = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    # MATERIALIZE the range partitioning exactly once before anything
+    # reads it. repartitionByRange picks its boundaries by reservoir-
+    # sampling with a seed derived from per-execution RDD ids, so two
+    # separate jobs over the same *unmaterialized* plan can sample
+    # DIFFERENT boundaries once partitions outgrow the sample reservoir
+    # — the collected counts would then disagree with the partitions the
+    # window ranks, duplicating/skipping global ids at exactly the
+    # corpus scale this operator exists for. localCheckpoint(eager=True)
+    # freezes the shuffled partitions (executor memory+disk), so the
+    # counts job and the rank job read identical data. Trade-off: the
+    # truncated lineage means lost-executor recovery rereads from the
+    # checkpoint replica, not the source — acceptable for the bounded
+    # (vocab/manifest-sized) frames this ranks.
+    ranged = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    # per-partition counts BEFORE the window so the offset pass doesn't
-    # recompute the ranked plan; num_partitions rows — driver-bounded
+    # per-partition counts: num_partitions rows — driver-bounded
     counts = sorted(
         (r["__pid"], r["n"])
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()

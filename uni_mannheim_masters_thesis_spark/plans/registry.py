@@ -3453,31 +3453,47 @@ def q_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "user_value_trend",
-    """
+_TREND_ORACLE_SQL = """
     WITH base AS (
         SELECT user_id,
-               (epoch_us(ts) - MIN(epoch_us(ts))
-                   OVER (PARTITION BY user_id)) / 1000000.0 AS x,
-               value AS y
+               CAST(epoch_us(ts) - MIN(epoch_us(ts))
+                   OVER (PARTITION BY user_id) AS HUGEINT) AS x,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS yi
         FROM events
+    ), agg AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               SUM(x) AS sx, SUM(x * x) AS sxx,
+               SUM(yi) AS sy, SUM(x * yi) AS sxy
+        FROM base GROUP BY user_id HAVING COUNT(*) >= 2
     )
-    SELECT user_id,
-           COUNT(*) AS n_events,
-           ROUND(covar_pop(x, y) / NULLIF(var_pop(x), 0), 6) AS slope_per_sec
-    FROM base GROUP BY user_id HAVING COUNT(*) >= 2
-    """,
+    SELECT user_id, n_events,
+           ROUND(CAST(CAST(n_events AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(CAST(CAST(n_events AS HUGEINT) * sxx - sx * sx
+                               AS DOUBLE), 0), 6) AS slope_per_sec
+    FROM agg
+    """
+
+
+@_register(
+    "user_value_trend",
+    _TREND_ORACLE_SQL,
     "§2.11 analytics (per-group linear regression, native aggregates)",
-    "Per-user value-over-time trend: slope = covar_pop(x,y)/var_pop(x). "
-    "x is centered on the per-user MIN(ts) in exact integer micros "
-    "BEFORE the moments: raw epoch-seconds (~1.7e9) with a tiny spread "
-    "make var_pop catastrophic-cancellation territory, and Spark vs "
-    "DuckDB accumulate in different orders — centered, the values are "
-    "small and the 6-decimal round is stable on both engines. Slope is "
-    "translation-invariant, so the result is unchanged. The centering "
-    "window hash-partitions on the same key as the groupBy — one "
-    "shuffle total, closed form, no UDF.",
+    "Per-user value-over-time trend via ORDER-INDEPENDENT exact partials: "
+    "x is centered on the per-user MIN(ts) in integer micros, y is scaled "
+    "to integer micro-units (testdata values carry <=6 decimals), and the "
+    "five sufficient statistics n, Sx, Sxx, Sy, Sxy are summed EXACTLY "
+    "(Spark DECIMAL(38,0) partials / DuckDB HUGEINT) so the aggregate is "
+    "bit-identical under any partitioning or accumulation order. The "
+    "slope (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) — the 1e-12 unit scalings of "
+    "numerator and denominator cancel, leaving slope in value-per-second "
+    "— is evaluated in ONE float division at the end, so the 6-decimal "
+    "round sees the same double on every engine and every run. This "
+    "replaced float covar_pop/var_pop whose partition-order-dependent "
+    "float accumulation flipped the round at half-way boundaries "
+    "(CORRECTNESS_r02/r03 flake). The centering window hash-partitions "
+    "on the same key as the groupBy — one shuffle total, no UDF. "
+    "Headroom: x up to ~3e14 micros (10y span) and 1e6 rows/user keep "
+    "every partial below 1e36 < DECIMAL(38,0) max.",
 )
 def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -3485,46 +3501,48 @@ def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     ts_us = F.unix_micros("ts")
     w = Window.partitionBy("user_id")
-    x = (ts_us - F.min(ts_us).over(w)) / 1_000_000.0
-    out = (
-        ev.select("user_id", x.alias("x"), F.col("value").alias("y"))
+    # x: centered integer micros as DECIMAL(18,0) — x*x typed (37,0),
+    # x*yi typed (35,0), both exact (no precision-loss rescale kicks in).
+    x = (ts_us - F.min(ts_us).over(w)).cast("decimal(18,0)")
+    yi = (F.col("value").cast("decimal(18,6)") * 1_000_000).cast(
+        "decimal(16,0)"
+    )
+    agg = (
+        ev.select("user_id", x.alias("x"), yi.alias("yi"))
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                F.covar_pop("x", "y")
-                / F.nullif(F.var_pop("x"), F.lit(0.0)),
-                6,
-            ).alias("slope_per_sec"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum("yi").alias("sy"),
+            F.sum(F.col("x") * F.col("yi")).alias("sxy"),
         )
         .filter(F.col("n_events") >= 2)
     )
-    return out
+    n = F.col("n_events").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("slope_per_sec"),
+    )
 
 
 @_register(
     "grouped_trend_pandas",
-    """
-    WITH base AS (
-        SELECT user_id,
-               (epoch_us(ts) - MIN(epoch_us(ts))
-                   OVER (PARTITION BY user_id)) / 1000000.0 AS x,
-               value AS y
-        FROM events
-    )
-    SELECT user_id,
-           COUNT(*) AS n_events,
-           ROUND(covar_pop(x, y) / NULLIF(var_pop(x), 0), 6) AS slope_per_sec
-    FROM base GROUP BY user_id HAVING COUNT(*) >= 2
-    """,
+    _TREND_ORACLE_SQL,
     "§2.10 UDF surface (applyInPandas grouped map)",
     "The same per-user trend computed by a grouped-map applyInPandas "
-    "kernel (numpy closed form, one Arrow batch per user group) — the "
-    "engine's template for per-group model scoring the reference does "
-    "with sklearn in-memory. Oracle-exact against the SAME SQL as "
-    "user_value_trend: the kernel centers x on the group min in integer "
-    "micros first, so the 6-decimal round agrees across numpy, Spark "
-    "aggregates, and DuckDB.",
+    "kernel (one Arrow batch per user group) — the engine's template for "
+    "per-group model scoring the reference does with sklearn in-memory. "
+    "Oracle-exact against the SAME SQL as user_value_trend: the kernel "
+    "mirrors the exact-partial formulation — centered integer-micros x, "
+    "micro-unit integer y, the five sufficient statistics as Python "
+    "arbitrary-precision ints (order-independent by construction), and "
+    "slope as float(num)/float(den), the same two-cast-one-divide IEEE "
+    "sequence the SQL expresses — so the 6-decimal round sees a "
+    "bit-identical double on every engine and run.",
 )
 def q_grouped_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -3532,32 +3550,43 @@ def q_grouped_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("x_us"),
-        F.col("value").alias("y"),
+        # same micro-unit integer scaling as the SQL: CAST(y AS
+        # DECIMAL(18,6)) * 1e6, computed engine-side so the kernel never
+        # re-rounds a float
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("yi"),
     )
 
     def trend(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
         if len(pdf) < 2:
             return pd.DataFrame(
                 columns=["user_id", "n_events", "slope_per_sec"]
             ).astype({"user_id": "int64", "n_events": "int64", "slope_per_sec": "float64"})
-        # center on the group min in exact integer micros before the
-        # float conversion — matches user_value_trend's stabilization
-        x_us = pdf["x_us"].to_numpy(dtype="int64")
-        x = (x_us - x_us.min()) / 1_000_000.0
-        y = pdf["y"].to_numpy(dtype=float)
-        vx = ((x - x.mean()) ** 2).mean()
+        x_us = pdf["x_us"].to_list()
+        mn = min(x_us)
+        xs = [v - mn for v in x_us]  # Python ints: exact, any magnitude
+        ys = pdf["yi"].to_list()
+        n = len(xs)
+        sx = sum(xs)
+        sxx = sum(v * v for v in xs)
+        sy = sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        den = n * sxx - sx * sx
         # None (→ SQL NULL), not NaN: the relational twin emits NULL via
-        # NULLIF when var_pop(x) == 0, and NaN would not match it
+        # NULLIF when the denominator is 0, and NaN would not match it.
+        # float()/float() mirrors the SQL's CAST(..AS DOUBLE)/CAST(..):
+        # two roundings then one IEEE division — NOT Python's correctly-
+        # rounded big-int division, which can differ in the last ulp.
         slope = (
-            None if vx == 0
-            else round(float(((x - x.mean()) * (y - y.mean())).mean() / vx), 6)
+            None
+            if den == 0
+            else round(float(n * sxy - sx * sy) / float(den), 6)
         )
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
+                "n_events": [n],
                 "slope_per_sec": pd.Series([slope], dtype="object"),
             }
         )

@@ -25,10 +25,13 @@ def default_parallelism() -> int:
 def get_session(app_name: str = "umt_spark", cpus: int | None = None) -> SparkSession:
     """Create (or get) a SparkSession with engine defaults."""
     n = cpus or default_parallelism()
+    # determinism-gate hook: every oracle-hashed query must produce the
+    # same bytes under ANY shuffle partition count (tests vary this)
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") or str(n)
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
