@@ -28,3 +28,32 @@ def test_rows_only_runs(spark, duck, name):
     rows = df.count()
     assert rows >= 0
     assert len(df.columns) > 0
+
+
+# --- determinism gate -----------------------------------------------------
+# The r2/r3 user_value_trend flake was a query that hashed green on one
+# run and red on another because a float aggregate accumulated in
+# partition-order. This gate re-runs every oracle-backed query under two
+# very different shuffle-partition counts (different partial-aggregation
+# merge trees, different accumulation orders) and requires bit-identical
+# canonicalized output — any green-then-red query fails the suite here
+# before the driver ever sees it.
+
+DETERMINISM_PARTITIONS = ("3", "64")
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_partition_determinism(spark, name):
+    from oracle_harness import compare
+
+    spec = REGISTRY[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for p in DETERMINISM_PARTITIONS:
+            spark.conf.set("spark.sql.shuffle.partitions", p)
+            results.append(spec.fn(spark, SF_DIR).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    problems = compare(results[0], results[1])
+    assert not problems, f"{name} not partition-deterministic: {problems}"
