@@ -1081,18 +1081,22 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY event_type
     """,
     "§2.9 window-over-aggregate",
-    "Per-type share of total events (window over an aggregate).",
+    "Per-type share of total events. The oracle spells it as a window "
+    "over an aggregate; the Spark plan computes the global total as a "
+    "1-row aggregate broadcast-crossed back instead of an empty-"
+    "partition window — same result, no single-partition WindowExec "
+    "(and no `No Partition Defined` warning noise in bench logs).",
 )
 def q_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    w = Window.partitionBy()
-    return agg.select(
+    total = F.broadcast(agg.agg(F.sum("n_events").alias("__total")))
+    return agg.crossJoin(total).select(
         "event_type",
         "n_events",
-        F.round(F.col("n_events").cast("double") / F.sum("n_events").over(w), 6).alias(
-            "share"
-        ),
+        F.round(
+            F.col("n_events").cast("double") / F.col("__total"), 6
+        ).alias("share"),
     )
 
 
@@ -3841,12 +3845,27 @@ def q_document_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     local = bucketed.withColumn("local_cum", F.sum("n_tokens").over(wb))
     # phase 2: bucket totals (≤ n_buckets rows) → exclusive prefix
-    # offsets; the tiny single-partition window is over n_buckets rows
-    totals = bucketed.groupBy("__b").agg(F.sum("n_tokens").alias("t"))
-    wp = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "off", F.coalesce(F.sum("t").over(wp), F.lit(0))
-    ).select("__b", "off")
+    # offsets, folded on the driver and broadcast back (the
+    # `_dense_index` pattern from ml/resample). A tiny unpartitioned
+    # window would compute the same thing but logs
+    # `WindowExec: No Partition Defined` on every run — warning noise
+    # that can mask a REAL global-window regression. Exact longs both
+    # ways; the recompute of `bucketed` for the counts job is
+    # deterministic (no sampling in its lineage).
+    totals = {
+        r["__b"]: r["t"]
+        for r in bucketed.groupBy("__b")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    acc = 0
+    off_rows = []
+    for b in sorted(totals):
+        off_rows.append((b, acc))
+        acc += int(totals[b])
+    offsets = docs.sparkSession.createDataFrame(
+        off_rows or [(0, 0)], "__b long, off long"
+    )
     ordered = local.join(F.broadcast(offsets), "__b").withColumn(
         "cum", F.col("local_cum") + F.col("off")
     )
