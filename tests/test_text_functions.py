@@ -133,3 +133,65 @@ def test_winnowing_expr_matches_python_reference(spark):
         if got[i] != want:
             bad.append((repr(s[:40]), got[i], want))
     assert not bad, f"{len(bad)} mismatches, first 3: {bad[:3]}"
+
+
+def test_lexicon_strategies_match_reference_semantics(spark):
+    """Both lexicon strategies reproduce the reference's list-comprehension
+    filter (Read_And_Clean.py:68,77,80): order and multiplicity kept,
+    drop/keep modes, all-filtered docs -> empty array (not missing row)."""
+    from pyspark.sql import functions as F
+    from uni_mannheim_masters_thesis_spark.functions.lexicon import (
+        filter_tokens_inline,
+        filter_tokens_with_lexicon,
+        lexicon_from_words,
+    )
+
+    rows = [
+        (0, ["data", "spark", "data", "join", "row"]),
+        (1, ["data", "row", "table"]),          # all lexicon -> drop => []
+        (2, ["merge", "sort", "merge"]),        # none lexicon -> keep => []
+        (3, []),                                 # empty doc survives
+    ]
+    lex_words = ["data", "row", "table", "absentword"]
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<string>")
+    lex = lexicon_from_words(spark, lex_words)
+    want = {
+        mode: {
+            i: [t for t in toks if (t in lex_words) == (mode == "keep")]
+            for i, toks in rows
+        }
+        for mode in ("drop", "keep")
+    }
+    for mode in ("drop", "keep"):
+        joined = {
+            r["doc_id"]: r["out"]
+            for r in filter_tokens_with_lexicon(
+                df, "tokens", lex, ["doc_id"], mode=mode,
+                out_col="out", strategy="join",
+            ).collect()
+        }
+        inline = {
+            r["doc_id"]: r["out"]
+            for r in df.select(
+                "doc_id",
+                filter_tokens_inline(F.col("tokens"), lex_words, mode).alias("out"),
+            ).collect()
+        }
+        assert joined == want[mode], (mode, joined)
+        assert inline == want[mode], (mode, inline)
+
+
+def test_lexicon_auto_strategy_picks_join_for_large(spark):
+    from uni_mannheim_masters_thesis_spark.functions import lexicon as L
+
+    small = L.lexicon_from_words(spark, ["a", "b"])
+    big = spark.range(L.INLINE_LEXICON_MAX + 5).selectExpr(
+        "concat('w', id) AS word"
+    )
+    df = spark.createDataFrame(
+        [(0, ["w1", "zzz"])], "doc_id int, tokens array<string>"
+    )
+    out_small = L.filter_tokens_with_lexicon(df, "tokens", small, ["doc_id"])
+    out_big = L.filter_tokens_with_lexicon(df, "tokens", big, ["doc_id"])
+    assert out_small.collect()[0]["tokens"] == ["w1", "zzz"]
+    assert out_big.collect()[0]["tokens"] == ["zzz"]

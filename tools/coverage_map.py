@@ -33,10 +33,10 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "P1": ("sources.nquads:provenance_sentences", ["nquads_provenance"]),
     "P2": ("sources.nquads:provenance_sentences", ["nquads_provenance"]),
     "P3": ("pipeline:build_corpus", ["flagship_polysemy", "doc_length_classes"]),
-    "P4": ("functions.text:remove_stopwords", ["tokenized_documents"]),
+    "P4": ("functions.text:remove_stopwords", ["tokenized_documents", "custom_lexicon_tokens"]),
     "P5": ("functions.text:drop_short_tokens", ["tokenized_documents"]),
-    "P6": ("plans.registry:q_spellcheck", ["spellcheck_filtered"]),
-    "P7": ("plans.registry:q_spellcheck", ["spellcheck_filtered"]),
+    "P6": ("plans.registry:q_spellcheck", ["spellcheck_filtered", "custom_lexicon_tokens"]),
+    "P7": ("plans.registry:q_spellcheck", ["spellcheck_filtered", "custom_lexicon_tokens"]),
     "P8": ("functions.text:drop_empty", ["tokenized_documents"]),
     "P9": (
         "sources.testdata:load_table  # table model has no missing files; "

@@ -1,0 +1,141 @@
+"""Pluggable lexicon filters (P4 stopwords / P6 spellcheck / P7 English).
+
+The reference loads its lexica from NLTK and pyspellchecker at runtime
+(``Read_And_Clean.py:68,171-172`` — ``stopwords.words('english')``,
+``SpellChecker().word_frequency``) and filters tokens with Python set
+membership. The engine ships an embedded core-English stopword subset
+(``functions.text.STOPWORDS``) so the DuckDB oracles stay portable — but
+a real deployment wants the *exact* NLTK / spellchecker word list. This
+module closes that gap: any single-column DataFrame of words is a
+lexicon, so loading NLTK's list into a table gives byte-for-byte
+reference token semantics with no engine change.
+
+Two strategies, chosen by lexicon size:
+
+* ``inline`` — collect the lexicon to a sorted literal array and filter
+  inside an array HOF. Zero shuffle, zero join, whole-stage codegen;
+  right for dim-sized lexica (stopword lists, a few thousand words).
+* ``join`` — ``posexplode`` the token arrays, LEFT ANTI / LEFT SEMI
+  broadcast-join against the lexicon, reassemble each document's array
+  in original order via ``array_sort(collect_list(struct(pos, token)))``.
+  The corpus side never shuffles for the join itself (lexicon is
+  broadcast); the only shuffle is the per-document regroup. Right for
+  unbounded lexica (a full spellchecker vocabulary) that would bloat a
+  plan literal.
+
+Both preserve token ORDER and MULTIPLICITY — matching the reference's
+list comprehensions, where ``set``-based membership tests filter a list
+without deduplicating it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Above this many words, an inline literal array stops being a sane plan
+# node (plan size, task-binary broadcast) and the join strategy wins.
+INLINE_LEXICON_MAX = 10_000
+
+
+def lexicon_from_words(spark: SparkSession, words: Iterable[str]) -> DataFrame:
+    """Build a single-column ``[word]`` lexicon DataFrame from literals.
+
+    Convenience for tests / embedded lists; production lexica arrive as
+    ``spark.read`` tables and need no conversion — any DataFrame whose
+    first column is the word works.
+    """
+    return spark.createDataFrame(
+        [(w,) for w in sorted(set(words))], "word string"
+    )
+
+
+def _lexicon_words(lexicon: DataFrame) -> list[str]:
+    col = lexicon.columns[0]
+    return sorted(
+        r[0] for r in lexicon.select(col).distinct().collect() if r[0] is not None
+    )
+
+
+def filter_tokens_inline(
+    tokens: Column, lexicon_words: Sequence[str], mode: str = "drop"
+) -> Column:
+    """HOF token filter against a literal word array (no shuffle).
+
+    ``mode='drop'`` removes lexicon members (stopword semantics, P4);
+    ``mode='keep'`` retains only members (spellcheck semantics, P6/P7).
+    """
+    lex = F.array(*[F.lit(w) for w in sorted(set(lexicon_words))])
+    if mode == "drop":
+        return F.filter(tokens, lambda t: ~F.array_contains(lex, t))
+    if mode == "keep":
+        return F.filter(tokens, lambda t: F.array_contains(lex, t))
+    raise ValueError(f"mode must be 'drop' or 'keep', got {mode!r}")
+
+
+def filter_tokens_with_lexicon(
+    df: DataFrame,
+    tokens_col: str,
+    lexicon: DataFrame,
+    id_cols: Sequence[str],
+    mode: str = "drop",
+    out_col: str | None = None,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Filter a token-array column against a lexicon DataFrame.
+
+    Returns ``df`` with ``out_col`` (default: ``tokens_col`` replaced)
+    holding the filtered array, order and multiplicity preserved.
+    ``id_cols`` must uniquely identify rows (needed by the join
+    strategy's regroup; the inline strategy ignores them).
+
+    ``strategy='auto'`` counts the lexicon once and picks ``inline``
+    below :data:`INLINE_LEXICON_MAX` words, ``join`` above.
+    """
+    if mode not in ("drop", "keep"):
+        raise ValueError(f"mode must be 'drop' or 'keep', got {mode!r}")
+    out_col = out_col or tokens_col
+    if strategy == "auto":
+        strategy = (
+            "inline" if lexicon.limit(INLINE_LEXICON_MAX + 1).count() <= INLINE_LEXICON_MAX else "join"
+        )
+
+    if strategy == "inline":
+        words = _lexicon_words(lexicon)
+        return df.withColumn(
+            out_col, filter_tokens_inline(F.col(tokens_col), words, mode)
+        )
+    if strategy != "join":
+        raise ValueError(f"strategy must be auto|inline|join, got {strategy!r}")
+
+    word_col = lexicon.columns[0]
+    lex = F.broadcast(
+        lexicon.select(F.col(word_col).alias("__lex_word")).distinct()
+    )
+    join_type = "left_anti" if mode == "drop" else "left_semi"
+    ids = [F.col(c) for c in id_cols]
+    exploded = df.select(
+        *ids, F.posexplode(F.col(tokens_col)).alias("__pos", "__tok")
+    )
+    kept = exploded.join(
+        lex, exploded["__tok"] == F.col("__lex_word"), join_type
+    )
+    # Reassemble in original order: sort (pos, token) structs per doc.
+    # collect_list is order-nondeterministic across partitions; the
+    # array_sort on pos makes the result deterministic regardless.
+    regrouped = kept.groupBy(*id_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+            lambda s: s["__tok"],
+        ).alias("__filtered")
+    )
+    # Docs whose every token was filtered away vanish from the regroup;
+    # restore them with an empty array via a left join on the id base.
+    base = df
+    out = base.join(regrouped, list(id_cols), "left").withColumn(
+        out_col,
+        F.coalesce(F.col("__filtered"), F.array().cast("array<string>")),
+    )
+    return out.drop("__filtered")

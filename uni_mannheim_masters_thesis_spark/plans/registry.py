@@ -3223,6 +3223,65 @@ def q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# User-supplied lexicon demo (P4/P6/P7 pluggability). Stands in for the
+# reference's runtime-loaded NLTK stopword / spellchecker word lists
+# (Read_And_Clean.py:68,171-172): any single-column table of words plugs
+# in with identical token semantics. Mix of corpus-present and absent
+# words so both match and no-match paths are exercised.
+CUSTOM_LEXICON: tuple[str, ...] = (
+    "data", "query", "row", "table", "alphaword", "omegaword",
+)
+
+
+@_register(
+    "custom_lexicon_tokens",
+    f"""
+    SELECT doc_id,
+           COALESCE(array_to_string(
+               list_filter({sql_tokens_pipeline('text')},
+                           t -> t NOT IN {sql_stopword_list(CUSTOM_LEXICON)}),
+               ' '), '') AS kept_tokens,
+           COALESCE(array_to_string(
+               list_filter({sql_tokens_pipeline('text')},
+                           t -> t IN {sql_stopword_list(CUSTOM_LEXICON)}),
+               ' '), '') AS lexicon_tokens
+    FROM documents
+    """,
+    "P4/P6/P7 (pluggable user-supplied lexicon)",
+    "The reference's stopword / spellcheck lexica are runtime-loaded "
+    "word lists (Read_And_Clean.py:68,171-172); this query feeds a "
+    "user-supplied lexicon DataFrame through BOTH engine strategies — "
+    "drop-mode via the posexplode + broadcast ANTI join + ordered "
+    "regroup (functions.lexicon, the unbounded-lexicon path) and "
+    "keep-mode via the inline literal-array HOF (the dim-sized path) — "
+    "and hash-verifies each against DuckDB's plain list_filter, proving "
+    "the join machinery preserves token order and multiplicity exactly.",
+)
+def q_custom_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.lexicon import (
+        filter_tokens_inline,
+        filter_tokens_with_lexicon,
+        lexicon_from_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
+    )
+    lex = lexicon_from_words(spark, CUSTOM_LEXICON)
+    out = filter_tokens_with_lexicon(
+        docs, "tokens", lex, id_cols=["doc_id"], mode="drop",
+        out_col="kept", strategy="join",
+    )
+    out = out.withColumn(
+        "only_lex", filter_tokens_inline(F.col("tokens"), CUSTOM_LEXICON, "keep")
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("kept")).alias("kept_tokens"),
+        F.concat_ws(" ", F.col("only_lex")).alias("lexicon_tokens"),
+    )
+
+
 @_register(
     "sorted_topic_vectors",
     """
@@ -5277,6 +5336,7 @@ _COST_HINT: dict[str, float] = {
     "xml_corpus_roundtrip": 0.4, "fold_metric_stats": 0.4,
     "membership_classification": 0.6, "multimodal_frame_sample": 0.3,
     "streaming_events_by_segment": 1.5, "spellcheck_filtered": 0.9,
+    "custom_lexicon_tokens": 0.8,
     "sorted_topic_vectors": 0.2, "events_asof_join": 0.4,
     "lda_k_sweep": 2.6, "neardup_clusters": 4.7,
     "small_quantity_revenue": 0.5, "orders_with_returns_exists": 0.3,
