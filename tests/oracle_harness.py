@@ -118,6 +118,16 @@ def run_query(spark, con, name, spec, sf_dir: str):
         cc = container_cols(sdf)
         if cc:
             problems.append(f"container-typed output columns: {cc}")
+        # ok_* columns are hard in-row invariants a rows-only query
+        # stamps on itself (SURVEY §5.2-3); any False/missing fails it
+        for c in [c for c in sdf.columns if c.startswith("ok_")]:
+            col = sdf[c]
+            if col.isna().any() or not col.astype(bool).all():
+                bad = sdf.loc[~col.fillna(False).astype(bool)].head(2)
+                problems.append(
+                    f"invariant {c} violated on {int((~col.fillna(False).astype(bool)).sum())} rows: "
+                    f"{bad.to_dict(orient='records')[:2]}"
+                )
         return sdf, None, problems
     odf = con.sql(spec.sql).df()
     return sdf, odf, compare(sdf, odf)

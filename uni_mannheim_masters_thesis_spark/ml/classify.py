@@ -207,6 +207,34 @@ def evaluate_binary(predictions: DataFrame, label_col: str = "label",
     return classification_metrics(cm)
 
 
+def attach_eval_invariants(report: DataFrame, n_col: str | None = "n") -> DataFrame:
+    """Stamp hard ``ok_*`` invariant columns onto an evaluation report.
+
+    Rows-only queries can't be hash-compared against an oracle (the
+    model fit is seed/implementation-sensitive), but their OUTPUT still
+    obeys exact contracts: the confusion counts must cover the whole
+    scored set and every derived metric is a valid rate. The local
+    harness fails a rows-only query if any ``ok_*`` column holds a
+    False (SURVEY §5.2-3).
+    """
+    counts = F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn")
+    ok_counts = (
+        counts == F.col(n_col)
+        if n_col and n_col in report.columns
+        else counts > 0
+    )
+    in_unit = [
+        (F.col(c) >= 0) & (F.col(c) <= 1)
+        for c in ("precision", "recall", "accuracy", "f1")
+    ]
+    rng = in_unit[0]
+    for c in in_unit[1:]:
+        rng = rng & c
+    return report.withColumn("ok_counts", ok_counts).withColumn(
+        "ok_metric_range", rng
+    )
+
+
 def run_battery(
     train: DataFrame,
     test: DataFrame,
@@ -234,7 +262,7 @@ def run_battery(
     # settle the caches with one pass each BEFORE the concurrent fits so
     # parallel first-touch doesn't duplicate the upstream computation
     train.count()
-    test.count()
+    n_test = test.count()
 
     def one(spec: ModelSpec):
         fit_on = weighted if spec.name == "logistic_regression" else train
@@ -244,7 +272,7 @@ def run_battery(
         # the report is a local relation (consumers don't re-trigger the
         # transform+aggregate chain per read)
         r = evaluate_binary(scored).first()
-        return (spec.name, r["tp"], r["fp"], r["tn"], r["fn"],
+        return (spec.name, n_test, r["tp"], r["fp"], r["tn"], r["fn"],
                 r["precision"], r["recall"], r["accuracy"], r["f1"])
 
     from concurrent.futures import ThreadPoolExecutor
@@ -252,8 +280,9 @@ def run_battery(
     with ThreadPoolExecutor(max_workers=len(specs)) as ex:
         rows = list(ex.map(one, specs))
     spark = train.sparkSession
-    return spark.createDataFrame(
+    report = spark.createDataFrame(
         rows,
-        "model string, tp long, fp long, tn long, fn long, "
+        "model string, n_test long, tp long, fp long, tn long, fn long, "
         "precision double, recall double, accuracy double, f1 double",
     )
+    return attach_eval_invariants(report, n_col="n_test")

@@ -23,7 +23,7 @@ from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .classify import evaluate_binary
+from .classify import attach_eval_invariants, evaluate_binary
 
 SEED = 42
 
@@ -77,11 +77,16 @@ def grid_search_logistic(
     out = spark.createDataFrame(
         rows, "reg_param double, elastic_net_param double, avg_f1 double"
     )
+    # ok_* columns are HARD invariants the local harness enforces on
+    # rows-only queries: the CV produced a score for every grid point
+    # and every score is a valid F1.
     return out.select(
         "reg_param",
         "elastic_net_param",
         F.round("avg_f1", 6).alias("avg_f1"),
         (F.col("avg_f1") >= F.lit(best)).alias("is_best"),
+        F.lit(len(rows) == len(grid)).alias("ok_grid_complete"),
+        ((F.col("avg_f1") >= 0) & (F.col("avg_f1") <= 1)).alias("ok_f1_range"),
     )
 
 
@@ -108,8 +113,11 @@ def holdout_transfer(
             .withColumn("n", F.lit(part.count()))
         )
         out = row if out is None else out.unionByName(row)
-    return out.select(
-        "split", "n", "tp", "fp", "tn", "fn", "precision", "recall", "accuracy", "f1"
+    return attach_eval_invariants(
+        out.select(
+            "split", "n", "tp", "fp", "tn", "fn",
+            "precision", "recall", "accuracy", "f1",
+        )
     )
 
 

@@ -55,12 +55,25 @@ def flagship_polysemy(
     scored = dist.withColumn(
         "n_topics", polysemy_n_topics(F.col("topicDistribution"), min_probability)
     ).withColumn("is_polysemous", F.col("n_topics") > F.lit(min_topics))
-    return (
-        scored.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("is_polysemous").cast("long")).alias("n_polysemous"),
-            F.round(F.avg("n_topics"), 4).alias("avg_topics"),
-        )
-        .orderBy("lang")
+    report = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_polysemous").cast("long")).alias("n_polysemous"),
+        F.round(F.avg("n_topics"), 4).alias("avg_topics"),
     )
+    # ok_* columns are hard invariants the local harness enforces on
+    # rows-only queries: polysemous docs are a subset of the group, and
+    # the mean topic count can't leave [0, k] (topicDistribution has k
+    # entries) — a violated flag means the rule or inference broke.
+    return report.select(
+        "lang",
+        "n_docs",
+        "n_polysemous",
+        "avg_topics",
+        (
+            (F.col("n_polysemous") >= 0)
+            & (F.col("n_polysemous") <= F.col("n_docs"))
+        ).alias("ok_counts"),
+        (
+            (F.col("avg_topics") >= 0) & (F.col("avg_topics") <= F.lit(k))
+        ).alias("ok_avg_topics"),
+    ).orderBy("lang")

@@ -1136,7 +1136,9 @@ def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,
     "M1/M3/M4/A1/A2 end-to-end",
     "documents → clean → CountVectorizer → LDA(k=10) → polysemy rule → "
-    "per-lang report (rows-only: LDA is seed/implementation-sensitive).",
+    "per-lang report (rows-only: LDA is seed/implementation-sensitive; "
+    "harness-enforced ok_* invariants: polysemous ⊆ group counts, mean "
+    "topic count within [0, k]).",
 )
 def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .flagship import flagship_polysemy
@@ -2014,7 +2016,9 @@ def q_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "documents → LDA features (+length) → 80/20 split → StandardScaler → "
     "LR/LinearSVC/GaussianNB/DT/RF/GBT/MLP battery → per-model "
     "P/R/Acc/F1 (rows-only: model fitting is seed/implementation-"
-    "sensitive). MLP rides along so one driver verdict covers M16 too; "
+    "sensitive; harness-enforced ok_* invariants — confusion counts "
+    "cover the whole test set, every metric in [0,1]). MLP rides along "
+    "so one driver verdict covers M16 too; "
     "mlp_classifier remains the standalone M16 query.",
 )
 def q_classifier_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2151,14 +2155,24 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_recall_report(
-    exact: DataFrame, approx: DataFrame, k: int, threshold: float
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    threshold: float,
+    mean_floor: float,
 ) -> DataFrame:
     """Per-probe recall@k of an ANN result vs its exact same-metric
     top-k, plus a pass/fail flag the driver (and tests) can read
     directly — one meaningful row per probe instead of an opaque
-    neighbor dump."""
+    neighbor dump.
+
+    ``meets_threshold`` is per-probe and informational (single probes
+    may legitimately dip). ``ok_mean_recall`` is the HARD invariant —
+    mean recall across all probes ≥ ``mean_floor`` — stamped on every
+    row; the local harness fails any rows-only query whose ``ok_*``
+    column carries a False (SURVEY §5.2-3 invariant checking)."""
     hits = approx.withColumn("__hit", F.lit(1))
-    return (
+    per_probe = (
         exact.join(hits, ["probe_id", "neighbor_id"], "left")
         .groupBy("probe_id")
         .agg(
@@ -2172,6 +2186,12 @@ def _ann_recall_report(
             "meets_threshold", F.col(f"recall_at_{k}") >= F.lit(threshold)
         )
     )
+    mean_ok = per_probe.agg(
+        (F.avg(f"recall_at_{k}") >= F.lit(mean_floor)).alias("ok_mean_recall")
+    )
+    # 1-row aggregate crossed back (broadcast NL join, no shuffle on the
+    # probe side) — the window-free global-total pattern
+    return per_probe.crossJoin(F.broadcast(mean_ok))
 
 
 @_register(
@@ -2181,8 +2201,10 @@ def _ann_recall_report(
     "BucketedRandomProjectionLSH approx kNN for 20 probes, verified: "
     "one row per probe with recall@5 against the exact EUCLIDEAN top-5 "
     "(same metric as the LSH, so the number isolates bucketing loss "
-    "rather than metric mismatch) and a fixed threshold flag. "
-    "Fixed seed; pinned in tests (rows-only: hash-family dependent).",
+    "rather than metric mismatch), a per-probe threshold flag, and the "
+    "hard ok_mean_recall invariant (mean recall ≥ 0.8, "
+    "harness-enforced). Fixed seed; pinned in tests (rows-only: "
+    "hash-family dependent).",
 )
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import sq_dist
@@ -2210,7 +2232,7 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "neighbor_id")
     )
     approx = lsh_ann(emb, probes, k=5).select("probe_id", "neighbor_id")
-    return _ann_recall_report(exact, approx, k=5, threshold=0.6)
+    return _ann_recall_report(exact, approx, k=5, threshold=0.6, mean_floor=0.8)
 
 
 # =========================================================================
@@ -2736,7 +2758,8 @@ def _embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "M22 (hyperparameter search, CrossValidator + ParamGrid)",
     "BayesSearchCV surrogate (supervised_classifier.py:227-234, "
     "documented deviation → grid): 3-fold CV over LR regParam × "
-    "elasticNet, one row per grid point with avg F1 and best flag.",
+    "elasticNet, one row per grid point with avg F1 and best flag; "
+    "harness-enforced ok_* invariants (full grid scored, F1 in [0,1]).",
 )
 def q_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.search import grid_search_logistic
@@ -2751,7 +2774,11 @@ def q_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "M24 (hold-out transfer test)",
     "testModelonExcluded (supervised_classifier.py:546-561): fit on "
     "length-admitted docs (n_chars ≤ median via doc join), score the "
-    "length-excluded partition; P/R/Acc/F1 per split.",
+    "length-excluded partition; P/R/Acc/F1 per split, with "
+    "harness-enforced ok_* invariants (counts cover each split, metrics "
+    "in [0,1]); the metric DERIVATION itself is oracle-green via the "
+    "A4/A5 relational twins (confusion_matrix_events, "
+    "classification_metrics_events).",
 )
 def q_holdout_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.search import holdout_transfer
@@ -2773,7 +2800,9 @@ def q_holdout_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "M16 (multilayer perceptron, 140-140-140)",
     "MultilayerPerceptronClassifier with the reference's hidden layers "
     "(supervised_classifier.py:471-490) on embedding features; one row "
-    "of confusion counts + P/R/Acc/F1 on the 20% holdout.",
+    "of confusion counts + P/R/Acc/F1 on the 20% holdout, with "
+    "harness-enforced ok_* invariants (counts cover the holdout, "
+    "metrics in [0,1]).",
 )
 def q_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.classify import evaluate_binary, mlp_spec
@@ -2783,9 +2812,12 @@ def q_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = mlp_spec(n_features=64)
     model = spec.estimator.fit(train)
     scored = model.transform(test)
-    return evaluate_binary(scored).select(
+    from ..ml.classify import attach_eval_invariants
+
+    report = evaluate_binary(scored).select(
         "tp", "fp", "tn", "fn", "precision", "recall", "accuracy", "f1"
-    )
+    ).withColumn("n", F.lit(test.count()))
+    return attach_eval_invariants(report)
 
 
 @_register(
@@ -2795,8 +2827,10 @@ def q_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Inverted-file ANN over embeddings: KMeans(8) partitions the corpus; "
     "probes search their 2 nearest cells only (scan cost drops ~4× at "
     "n_probe=2). One row PER PROBE with recall@5 vs the exact cosine "
-    "top-5 (both sides cosine — the overlap isolates cell-pruning loss) "
-    "and a fixed threshold flag; fixed seeds, pinned in tests.",
+    "top-5 (both sides cosine — the overlap isolates cell-pruning loss), "
+    "a per-probe threshold flag, and the hard ok_mean_recall invariant "
+    "(mean recall ≥ 0.4, harness-enforced); fixed seeds, pinned in "
+    "tests.",
 )
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity_search import ivf_ann
@@ -2805,7 +2839,7 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 20)
     exact = knn_bruteforce(emb, probes, k=5).select("probe_id", "neighbor_id")
     approx = ivf_ann(emb, probes, k=5).select("probe_id", "neighbor_id")
-    return _ann_recall_report(exact, approx, k=5, threshold=0.4)
+    return _ann_recall_report(exact, approx, k=5, threshold=0.4, mean_floor=0.4)
 
 
 @_register(
@@ -5164,7 +5198,10 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Driver-coverage suite: the three topic-model quality metrics over "
     "the session-shared corpus/LDA fit (coherence_log_perplexity.py:36-55, "
     "wiki_hdp.py:19-26) as one (metric, key, value) relation; rows-only "
-    "(iterative EM fits are seed/implementation-sensitive). Components: "
+    "(iterative EM fits are seed/implementation-sensitive; "
+    "harness-enforced ok_value invariants per metric family: positive "
+    "finite perplexity, finite coherence, topic masses in [0,1]). "
+    "Components: "
     "lda_log_perplexity, topic_coherence_umass, hdp_topic_mass (each "
     "still registered individually).",
 )
@@ -5189,7 +5226,18 @@ def q_topic_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("topic").cast("string").alias("key"),
         F.round(F.col("corpus_mass").cast("double"), 6).alias("value"),
     )
-    return lp_df.unionByName(um).unionByName(hm)
+    out = lp_df.unionByName(um).unionByName(hm)
+    # hard per-metric invariants (ok_* = harness-enforced): perplexity
+    # bound is a positive finite per-token nat count; coherence is a
+    # finite log-ratio mean; topic masses are probabilities
+    finite = ~F.isnan("value") & F.col("value").isNotNull()
+    return out.withColumn(
+        "ok_value",
+        F.when(F.col("metric") == "log_perplexity", finite & (F.col("value") > 0))
+        .when(F.col("metric") == "hdp_mass",
+              finite & (F.col("value") >= 0) & (F.col("value") <= 1))
+        .otherwise(finite),
+    )
 
 
 @_register(
