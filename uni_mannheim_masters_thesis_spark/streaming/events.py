@@ -13,13 +13,12 @@ types), not input volume.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import ensure_engine_confs
 from ..sources.testdata import event_stream
+from .runtime import drain
 
 
 def streaming_hourly_event_stats(
@@ -44,18 +43,7 @@ def streaming_hourly_event_stats(
             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_d"),
         )
     )
-    name = f"hourly_events_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-    out = spark.table(name)
+    out = drain(agg, "complete", name_prefix="hourly_events")
     return out.select(
         F.unix_micros(F.col("w.start")).alias("hour_start_us"),
         "event_type",
@@ -106,19 +94,8 @@ def streaming_interval_join(
         ),
         "inner",
     )
-    name = f"ij_{uuid.uuid4().hex[:8]}"
-    query = (
-        pairs.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
     return (
-        spark.table(name)
+        drain(pairs, "append", name_prefix="ij")
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
@@ -155,18 +132,7 @@ def streaming_events_by_segment(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_d"),
     )
-    name = f"seg_events_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-    return spark.table(name).select(
+    return drain(agg, "complete", name_prefix="seg_events").select(
         "segment",
         "n_events",
         F.round(F.col("sum_value_d").cast("double"), 2).alias("sum_value"),

@@ -17,7 +17,6 @@ driver/oracle can check them like any other query.
 
 from __future__ import annotations
 
-import uuid
 from typing import Iterable
 
 import pandas as pd
@@ -29,21 +28,11 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from ..session import ensure_engine_confs
 from ..sources.testdata import event_stream as _event_stream
+from .runtime import drain
 
 
 def _drain(agg: DataFrame, output_mode: str) -> DataFrame:
-    name = f"stateful_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-    return agg.sparkSession.table(name)
+    return drain(agg, output_mode, name_prefix="stateful")
 
 
 def streaming_sessionization(
