@@ -63,6 +63,14 @@ _QUERIES = [
     "lemmatized_tokens",
     "quality_perplexity",
     "user_value_trend",
+    # round-4 additions: window-min fingerprint SETS, temperature
+    # mixture weights, partition-pruned layout roundtrip, stream-stream
+    # interval join (capped state partitions), lexicon anti-join regroup
+    "winnowing_fingerprint_set",
+    "mixture_temperature_weights",
+    "partitioned_write_pruning",
+    "streaming_interval_join",
+    "custom_lexicon_tokens",
 ]
 
 

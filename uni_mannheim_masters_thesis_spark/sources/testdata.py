@@ -14,6 +14,8 @@ float division would lose precision above 2^53 ns.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -74,15 +76,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table with the same ts normalization
-    as the batch loader (FileStreamSource needs a directory, so we
-    glob-filter down to the single events parquet)."""
+    as the batch loader.
+
+    FileStreamSource needs a DIRECTORY. The events table arrives either
+    as a single file ``events.parquet`` (driver testdata) or as a
+    parquet directory ``events.parquet/`` (any ``df.write`` output,
+    e.g. the scale-check's Nx dataset) — a filename glob over ``sf_dir``
+    silently matches ZERO files in the directory layout, so branch on
+    the layout instead of globbing blind.
+    """
     ensure_engine_confs(spark)
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    static = spark.read.parquet(path)
+    reader = spark.readStream.schema(static.schema)
+    if os.path.isdir(path):
+        stream = reader.parquet(path)
+    else:
+        stream = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     return normalize_ts(stream, "ts")
 
 
