@@ -79,10 +79,14 @@ def kernel_svm_report(
         array_to_vector(F.col("rff")).alias("features"),
         F.col(label_col).cast("double").alias("label"),
     )
+    from .classify import attach_eval_invariants
+
     train, test = train_test_split(data)
     train = train.cache()
+    test = test.cache()
     model = LinearSVC(maxIter=20, regParam=0.1).fit(train)
     scored = model.transform(test)
-    return evaluate_binary(scored).select(
+    report = evaluate_binary(scored).select(
         "tp", "fp", "tn", "fn", "precision", "recall", "accuracy", "f1"
-    )
+    ).withColumn("n", F.lit(test.count()))
+    return attach_eval_invariants(report)

@@ -245,6 +245,11 @@ def adaptive_search_logistic(
         ],
         "trial int, reg_param double, elastic_net_param double, avg_f1 double",
     )
-    return out.withColumn(
-        "is_best", F.col("avg_f1") >= F.lit(round(best, 6))
+    return (
+        out.withColumn("is_best", F.col("avg_f1") >= F.lit(round(best, 6)))
+        # hard harness-enforced invariants: every trial scored, valid F1
+        .withColumn("ok_trials_complete", F.lit(len(trials) == n_trials))
+        .withColumn(
+            "ok_f1_range", (F.col("avg_f1") >= 0) & (F.col("avg_f1") <= 1)
+        )
     )

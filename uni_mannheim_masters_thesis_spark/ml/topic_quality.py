@@ -124,8 +124,17 @@ def hdp_emulation(
     ).first()["m"]
     rows = [(i, float(v)) for i, v in enumerate(mean_vec)]
     spark = corpus.sparkSession
-    masses = spark.createDataFrame(rows, ["topic", "corpus_mass"]).withColumn(
-        "kept", F.col("corpus_mass") >= F.lit(mass_threshold)
+    total = sum(v for _, v in rows)
+    masses = (
+        spark.createDataFrame(rows, ["topic", "corpus_mass"])
+        .withColumn("kept", F.col("corpus_mass") >= F.lit(mass_threshold))
+        # hard harness-enforced invariants: each mass is a probability
+        # and the truncation-k masses sum to 1 (a proper distribution)
+        .withColumn(
+            "ok_mass_range",
+            (F.col("corpus_mass") >= 0) & (F.col("corpus_mass") <= 1),
+        )
+        .withColumn("ok_total_mass", F.lit(abs(total - 1.0) < 1e-6))
     )
     return model, masses
 

@@ -25,6 +25,8 @@ SQL strings target DuckDB only.
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -2075,7 +2077,12 @@ def q_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # M25/M26 score the SAME saved model in the reference
     # (coherence_log_perplexity.py:36-55) — the fit is shared, not re-run
     model, corpus = shared_lda(spark, sf_dir, k=5, max_iter=5)
-    return umass_coherence(model, corpus, top_n=5)
+    out = umass_coherence(model, corpus, top_n=5)
+    # u_mass is a mean of log((D(wi,wj)+1)/D(wj)) terms: finite by
+    # construction (the +1 smoothing bars log 0) — enforce it
+    return out.withColumn(
+        "ok_finite", ~F.isnan("coherence") & F.col("coherence").isNotNull()
+    )
 
 
 @_register(
@@ -2090,8 +2097,11 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.topic_quality import log_perplexity
 
     model, corpus = shared_lda(spark, sf_dir, k=5, max_iter=5)
-    lp = log_perplexity(model, corpus)
-    return spark.createDataFrame([(float(lp),)], "log_perplexity double")
+    lp = float(log_perplexity(model, corpus))
+    return spark.createDataFrame(
+        [(lp, math.isfinite(lp) and lp > 0)],
+        "log_perplexity double, ok_perplexity boolean",
+    )
 
 
 @_register(
@@ -3437,10 +3447,13 @@ def q_lda_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.unpersist()
     best = min(r[1] for r in rows)
     out = spark.createDataFrame(rows, "k int, log_perplexity double")
+    finite = ~F.isnan("log_perplexity") & F.col("log_perplexity").isNotNull()
     return out.select(
         "k",
         F.round("log_perplexity", 4).alias("log_perplexity"),
         (F.col("log_perplexity") <= F.lit(best)).alias("is_best"),
+        F.lit(len(rows) == 3).alias("ok_sweep_complete"),
+        (finite & (F.col("log_perplexity") > 0)).alias("ok_perplexity"),
     )
 
 
@@ -3881,7 +3894,11 @@ def q_cv_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv_model, corpus = shared_corpus(spark, sf_dir)
     model, _ = shared_lda(spark, sf_dir, k=5, max_iter=5)
     # the corpus frame still carries the tokens column for windowing
-    return cv_coherence(model, corpus, cv_model.vocabulary, top_n=10)
+    out = cv_coherence(model, corpus, cv_model.vocabulary, top_n=10)
+    return out.withColumn(
+        "ok_finite",
+        ~F.isnan("cv_coherence") & F.col("cv_coherence").isNotNull(),
+    )
 
 
 # =========================================================================
