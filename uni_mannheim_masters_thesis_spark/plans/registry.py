@@ -2196,6 +2196,10 @@ def _ann_recall_report(
             "meets_threshold", F.col(f"recall_at_{k}") >= F.lit(threshold)
         )
     )
+    # materialize the per-probe frame ONCE (one row per probe): the
+    # mean aggregate and the output projection both read the
+    # checkpoint instead of re-running the exact-kNN join + ANN plan
+    per_probe = per_probe.localCheckpoint(eager=True)
     mean_ok = per_probe.agg(
         (F.avg(f"recall_at_{k}") >= F.lit(mean_floor)).alias("ok_mean_recall")
     )
@@ -2566,7 +2570,14 @@ def q_knn_vote_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_vote = q_knn_vote(spark, sf_dir).select(
         "probe_id", "predicted_label"
     )
-    joined = exact_vote.join(lsh_vote, "probe_id", "left")
+    # materialize the tiny per-probe join ONCE (≈25 rows): both the
+    # agreement aggregate and the output projection read the
+    # checkpoint, so the LSH + brute-force vote pipelines don't execute
+    # twice (r4 bench evidence: the un-checkpointed double-eval cost
+    # 6.7s vs 3.9s for the single pass)
+    joined = exact_vote.join(lsh_vote, "probe_id", "left").localCheckpoint(
+        eager=True
+    )
     agreement = F.broadcast(
         joined.agg(
             (
@@ -3488,23 +3499,9 @@ def q_lda_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipelines need after MinHash/cosine candidate generation.",
 )
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components
+    from ..ml.shared import shared_neardup_components
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").cast("array<double>").alias("va"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").cast("array<double>").alias("vb"),
-    )
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(cosine_similarity(F.col("va"), F.col("vb")) >= 0.3)
-        .select("id_a", "id_b")
-    )
-    return connected_components(pairs)
+    return shared_neardup_components(spark, sf_dir)
 
 
 # =========================================================================
@@ -4439,23 +4436,10 @@ def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle beyond the component propagation.",
 )
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components
+    from ..ml.shared import shared_neardup_components
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").cast("array<double>").alias("va"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").cast("array<double>").alias("vb"),
-    )
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(cosine_similarity(F.col("va"), F.col("vb")) >= 0.3)
-        .select("id_a", "id_b")
-    )
-    cc = connected_components(pairs)
+    cc = shared_neardup_components(spark, sf_dir)
     return (
         emb.select("vec_id")
         .join(cc, emb.vec_id == cc.node, "left")
@@ -4512,6 +4496,192 @@ def q_cross_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "carryover_ratio"
             ),
         )
+    )
+
+
+_PARA_BLK = 20  # tokens per pseudo-paragraph block
+
+
+@_register(
+    "paragraph_dedup",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id, CAST(i AS INT) AS blk,
+               array_to_string(tk[(i*{_PARA_BLK}+1):(i*{_PARA_BLK}+{_PARA_BLK})], ' ') AS block
+        FROM toks, UNNEST(range(CAST(ceil(len(tk) / {_PARA_BLK}.0) AS BIGINT))) AS t(i)
+    ),
+    hashed AS (
+        SELECT doc_id, blk, block, md5(block) AS h,
+               doc_id * 100000 + blk AS pos_key
+        FROM blocks
+    ),
+    firsts AS (SELECT h, MIN(pos_key) AS first_key FROM hashed GROUP BY h)
+    SELECT doc_id,
+           COUNT(*) AS blocks_total,
+           CAST(SUM(CASE WHEN pos_key = first_key THEN 1 ELSE 0 END) AS BIGINT)
+               AS blocks_kept,
+           md5(COALESCE(string_agg(
+               CASE WHEN pos_key = first_key THEN block END, ' ' ORDER BY blk), ''))
+               AS dedup_fingerprint
+    FROM hashed JOIN firsts USING (h)
+    GROUP BY doc_id
+    """,
+    "§2.11 dedup (sub-document / paragraph-level exact dedup)",
+    "MassiveText-style sub-document dedup: each document is split into "
+    f"fixed {_PARA_BLK}-token blocks (the synthetic corpus has no newline "
+    "paragraph marks, so token windows stand in for paragraphs); a block "
+    "whose exact md5 already appeared at a smaller (doc_id, blk) position "
+    "anywhere in the corpus is dropped, and the survivors are re-joined "
+    "in order into the deduplicated document (reported as its md5 so the "
+    "oracle hash stays compact). Scale shape: one block-fingerprint "
+    "aggregation + one fingerprint-key equi-join — only 16-byte hashes "
+    "and the kept block text shuffle, the same movement-minimizing "
+    "design as cross_source_containment; no window over the full corpus.",
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    blk = F.lit(_PARA_BLK)
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    nblk = F.ceil(F.size("tk") / F.lit(float(_PARA_BLK))).cast("int")
+    blocks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nblk - 1),
+                lambda i: F.array_join(F.slice("tk", i * blk + 1, blk), " "),
+            )
+        ).alias("blk", "block"),
+    )
+    hashed = blocks.select(
+        "doc_id",
+        "blk",
+        "block",
+        F.md5("block").alias("h"),
+        (F.col("doc_id") * 100000 + F.col("blk")).alias("pos_key"),
+    )
+    firsts = hashed.groupBy("h").agg(F.min("pos_key").alias("first_key"))
+    keep = F.col("pos_key") == F.col("first_key")
+    kept_struct = F.when(keep, F.struct("blk", "block"))
+    return (
+        hashed.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("blocks_total"),
+            F.sum(keep.cast("int")).cast("long").alias("blocks_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["block"],
+                    ),
+                    " ",
+                )
+            ).alias("dedup_fingerprint"),
+        )
+    )
+
+
+@_register(
+    "heavy_hitters_sketch",
+    """
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS INT) AS rank,
+           TRUE AS ok_cms_ge_exact,
+           TRUE AS ok_cms_within_eps
+    FROM counts
+    ORDER BY n_events DESC, user_id
+    LIMIT 10
+    """,
+    "§2.11 sketches (count-min heavy hitters vs exact top-k)",
+    "Heavy-hitter detection with a count-min sketch cross-checked "
+    "against the exact group-count, built ENTIRELY as DataFrame "
+    "aggregations: the CMS counter table is depth=5 seeded xxhash64 "
+    "rows x width=2048 buckets, i.e. one explode + groupBy whose "
+    "counters are plain sums (commutative, so the sketch is "
+    "bit-identical under any partitioning); estimates for the exact "
+    "top-10 users come from joining their bucket coordinates back "
+    "against the counter table and taking min over the depth rows. "
+    "The output carries the exact counts (hash-verified against "
+    "DuckDB) plus two invariant flags: ok_cms_ge_exact is a "
+    "mathematical CMS guarantee (estimates never undercount), "
+    "ok_cms_within_eps checks est <= exact + 1%% of total mass — both "
+    "deterministic, so the oracle states them as TRUE literals. Scale "
+    "shape: the exact side is one map-side-combining aggregation + "
+    "top-k; the sketch side shuffles at most depth*width = 10,240 "
+    "counter rows regardless of input size — the 100 TB path for key "
+    "cardinalities too large to group exactly.",
+)
+def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    depth, width = 5, 2048
+    events = _t(spark, sf_dir, "events")
+
+    def buckets(col: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("hi"),
+                    F.pmod(F.xxhash64(col, F.lit(i)), F.lit(width)).alias(
+                        "bucket"
+                    ),
+                )
+                for i in range(depth)
+            ]
+        )
+
+    counters = (
+        events.select(F.explode(buckets(F.col("user_id"))).alias("s"))
+        .select("s.hi", "s.bucket")
+        .groupBy("hi", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+        .localCheckpoint(eager=True)  # 10 rows; reused by 3 plan branches
+    )
+    a, b = top.alias("a"), top.alias("b")
+    rank = (
+        a.join(
+            b,
+            (F.col("b.n_events") > F.col("a.n_events"))
+            | (
+                (F.col("b.n_events") == F.col("a.n_events"))
+                & (F.col("b.user_id") < F.col("a.user_id"))
+            ),
+            "left",
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg((F.count(F.col("b.user_id")) + 1).cast("int").alias("rank"))
+    )
+    est = (
+        top.select("user_id", F.explode(buckets(F.col("user_id"))).alias("s"))
+        .select("user_id", "s.hi", "s.bucket")
+        .join(counters, ["hi", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est"))
+    )
+    total = F.broadcast(events.agg(F.count(F.lit(1)).alias("n_total")))
+    return (
+        top.join(rank, "user_id")
+        .join(est, "user_id")
+        .crossJoin(total)
+        .select(
+            "user_id",
+            "n_events",
+            "rank",
+            (F.col("est") >= F.col("n_events")).alias("ok_cms_ge_exact"),
+            (F.col("est") <= F.col("n_events") + F.ceil(0.01 * F.col("n_total")))
+            .alias("ok_cms_within_eps"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
     )
 
 
@@ -5136,10 +5306,18 @@ def q_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'chunk', chunk_md5, CAST(doc_id AS BIGINT),
            CAST(chunk_tokens AS BIGINT), CAST(chunk_id AS DOUBLE)
     FROM ({REGISTRY['document_chunking'].sql})
+    UNION ALL
+    SELECT 'paragraph', dedup_fingerprint, CAST(doc_id AS BIGINT),
+           blocks_kept, CAST(blocks_total AS DOUBLE)
+    FROM ({REGISTRY['paragraph_dedup'].sql})
+    UNION ALL
+    SELECT 'heavy_hitter', CAST(user_id AS VARCHAR), n_events,
+           CAST(rank AS BIGINT), 0.0
+    FROM ({REGISTRY['heavy_hitters_sketch'].sql})
     """,
     "§2.11 curation (contamination + repetition + canonical dedup + "
     "incremental containment + mixture sampling + PII redaction + "
-    "sequence chunking)",
+    "sequence chunking + paragraph-level dedup + CMS heavy hitters)",
     "Driver-coverage suite: the corpus-curation operators — "
     "benchmark-contamination audit, repetition-based quality filter, "
     "canonical-representative dedup output, cross-snapshot containment "
@@ -5202,9 +5380,24 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_tokens").cast("long").alias("n2"),
         F.col("chunk_id").cast("double").alias("ratio"),
     )
+    para = q_paragraph_dedup(spark, sf_dir).select(
+        F.lit("paragraph").alias("component"),
+        F.col("dedup_fingerprint").alias("k"),
+        F.col("doc_id").cast("long").alias("n1"),
+        F.col("blocks_kept").cast("long").alias("n2"),
+        F.col("blocks_total").cast("double").alias("ratio"),
+    )
+    hh = q_heavy_hitters_sketch(spark, sf_dir).select(
+        F.lit("heavy_hitter").alias("component"),
+        F.col("user_id").cast("string").alias("k"),
+        F.col("n_events").cast("long").alias("n1"),
+        F.col("rank").cast("long").alias("n2"),
+        F.lit(0.0).alias("ratio"),
+    )
     return (
         cont.unionByName(rep).unionByName(canon).unionByName(inc)
         .unionByName(mix).unionByName(pii).unionByName(chk)
+        .unionByName(para).unionByName(hh)
     )
 
 
@@ -5418,7 +5611,8 @@ _COST_HINT: dict[str, float] = {
     "document_chunking": 0.4, "quality_perplexity": 2.2,
     "winnowing_fingerprint_set": 3.4, "streaming_interval_join": 6.0,
     "partitioned_write_pruning": 0.8, "orc_corpus_roundtrip": 0.5,
-    "mixture_temperature_weights": 0.3,
+    "mixture_temperature_weights": 0.3, "paragraph_dedup": 1.0,
+    "heavy_hitters_sketch": 0.8,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 0.9,
