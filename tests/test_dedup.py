@@ -129,3 +129,57 @@ def test_portable_simhash_matches_reference_computation(spark):
         if votes > 0:
             expect |= 1 << i
     assert got == expect
+
+
+def test_paragraph_dedup_known_corpus(spark, tmp_path):
+    """Two docs sharing an identical 20-token block: the later occurrence
+    is dropped, unique blocks survive, reassembly preserves block order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from uni_mannheim_masters_thesis_spark.plans.registry import REGISTRY
+
+    shared = " ".join(f"w{i}" for i in range(20))          # one full block
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"b{i}" for i in range(20))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": [shared + " " + uniq_a, shared + " " + uniq_b],
+            "lang": ["en", "en"],
+            "source": ["s1", "s1"],
+            "n_chars": pa.array([0, 0], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["paragraph_dedup"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["blocks_total"] == 2 and out[1]["blocks_kept"] == 2
+    # doc 2's first block is a corpus-level dup of doc 1's first block
+    assert out[2]["blocks_total"] == 2 and out[2]["blocks_kept"] == 1
+    import hashlib
+
+    assert out[1]["dedup_fingerprint"] == hashlib.md5(
+        (shared + " " + uniq_a).encode()
+    ).hexdigest()
+    assert out[2]["dedup_fingerprint"] == hashlib.md5(uniq_b.encode()).hexdigest()
+
+
+def test_heavy_hitters_cms_contracts(spark):
+    """CMS invariants hold on real testdata: estimates never undercount
+    and stay inside the 1%-of-mass bound; ranks are 1..10 by count."""
+    from uni_mannheim_masters_thesis_spark.plans.registry import REGISTRY
+
+    rows = (
+        REGISTRY["heavy_hitters_sketch"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 10
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    counts = [r["n_events"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["ok_cms_ge_exact"] for r in rows)
+    assert all(r["ok_cms_within_eps"] for r in rows)

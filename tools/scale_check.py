@@ -71,6 +71,10 @@ _QUERIES = [
     "partitioned_write_pruning",
     "streaming_interval_join",
     "custom_lexicon_tokens",
+    # round-4 additions: block-fingerprint paragraph dedup, bounded
+    # counter-table CMS heavy hitters
+    "paragraph_dedup",
+    "heavy_hitters_sketch",
 ]
 
 
