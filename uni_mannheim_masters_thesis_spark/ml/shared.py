@@ -161,3 +161,25 @@ def shared_neardup_components(
         )
         _CACHE[key] = connected_components(pairs)
     return _CACHE[key]
+
+
+def shared_exact_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact brute-force 5-NN majority vote over the embeddings
+    probe/corpus split — shared by ``knn_classifier_vote`` (the result
+    itself) and ``knn_vote_lsh`` (which compares its LSH-path vote
+    against it). Deterministic (explicit distance+id tiebreakers), so
+    memoizing the ~25-row materialized result is observationally
+    equivalent to recomputing; both consumers stay oracle-checked.
+    """
+    from ..operators.similarity_search import knn_bruteforce, majority_vote
+    from ..sources.testdata import load_table
+
+    key = _key(spark, sf_dir, "exact_knn_vote/5/20")
+    if key not in _CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        probes = emb.filter(F.col("vec_id") % 20 == 0)
+        corpus = emb.filter(F.col("vec_id") % 20 != 0)
+        nn = knn_bruteforce(corpus, probes, k=5)
+        labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+        _CACHE[key] = majority_vote(nn, labels).localCheckpoint(eager=True)
+    return _CACHE[key]

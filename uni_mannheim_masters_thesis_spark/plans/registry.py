@@ -2524,14 +2524,9 @@ def q_matrix_market_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic tie-break on smallest label.",
 )
 def q_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity_search import majority_vote
+    from ..ml.shared import shared_exact_knn_vote
 
-    emb = _t(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 20 == 0)
-    corpus = emb.filter(F.col("vec_id") % 20 != 0)
-    nn = knn_bruteforce(corpus, probes, k=5)
-    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
-    return majority_vote(nn, labels)
+    return shared_exact_knn_vote(spark, sf_dir)
 
 
 @_register(
@@ -5618,7 +5613,7 @@ _COST_HINT: dict[str, float] = {
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 0.9,
     "streaming_windowed_suite": 0.9, "streaming_stateful_suite": 17.2,
     "topic_quality_suite": 11.7, "resampling_report": 3.7,
-    "multimodal_pipeline": 1.5, "curation_suite": 18.7,
+    "multimodal_pipeline": 1.5, "curation_suite": 24.5,
 }
 
 
