@@ -59,3 +59,20 @@ def test_parquet_sink_with_checkpoint_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 200        # no duplicates from the restart
     assert got.select(F.sum("id")).first()[0] == sum(range(200))
+
+
+def test_streaming_cms_matches_batch(spark):
+    """The streamed CMS counter table must be bit-identical to the
+    batch-built one (counter sums commute), and every heavy-hitter
+    contract flag must hold."""
+    from uni_mannheim_masters_thesis_spark.plans.registry import REGISTRY
+
+    rows = (
+        REGISTRY["streaming_heavy_hitters"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 10
+    assert all(r["ok_stream_equals_batch"] for r in rows)
+    assert all(r["ok_cms_ge_exact"] for r in rows)
+    assert all(r["ok_cms_within_eps"] for r in rows)

@@ -210,6 +210,9 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                           ["curation_suite", "paragraph_dedup"]),
     "X-sketch-heavy-hitters": ("plans.registry:q_heavy_hitters_sketch",
                                ["curation_suite", "heavy_hitters_sketch"]),
+    "X-stream-sketch": ("streaming.events:streaming_cms_counters",
+                        ["streaming_stateful_suite",
+                         "streaming_heavy_hitters"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -4579,6 +4579,53 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _heavy_hitter_report(
+    events: DataFrame, counters: DataFrame, extra_flags: list[F.Column] | None = None
+) -> DataFrame:
+    """Exact top-10 users with CMS-contract flags probed against a
+    counter table (batch- or streaming-built)."""
+    from ..operators.sketches import cms_estimates
+
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+        .localCheckpoint(eager=True)  # 10 rows; reused by 3 plan branches
+    )
+    a, b = top.alias("a"), top.alias("b")
+    rank = (
+        a.join(
+            b,
+            (F.col("b.n_events") > F.col("a.n_events"))
+            | (
+                (F.col("b.n_events") == F.col("a.n_events"))
+                & (F.col("b.user_id") < F.col("a.user_id"))
+            ),
+            "left",
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg((F.count(F.col("b.user_id")) + 1).cast("int").alias("rank"))
+    )
+    est = cms_estimates(top, counters, "user_id")
+    total = F.broadcast(events.agg(F.count(F.lit(1)).alias("n_total")))
+    return (
+        top.join(rank, "user_id")
+        .join(est, "user_id")
+        .crossJoin(total)
+        .select(
+            "user_id",
+            "n_events",
+            "rank",
+            (F.col("est") >= F.col("n_events")).alias("ok_cms_ge_exact"),
+            (F.col("est") <= F.col("n_events") + F.ceil(0.01 * F.col("n_total")))
+            .alias("ok_cms_within_eps"),
+            *(extra_flags or []),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+    )
+
+
 @_register(
     "heavy_hitters_sketch",
     """
@@ -4613,71 +4660,57 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cardinalities too large to group exactly.",
 )
 def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    depth, width = 5, 2048
+    from ..operators.sketches import cms_counter_table
+
     events = _t(spark, sf_dir, "events")
+    return _heavy_hitter_report(events, cms_counter_table(events, "user_id"))
 
-    def buckets(col: F.Column) -> F.Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("hi"),
-                    F.pmod(F.xxhash64(col, F.lit(i)), F.lit(width)).alias(
-                        "bucket"
-                    ),
-                )
-                for i in range(depth)
-            ]
-        )
 
-    counters = (
-        events.select(F.explode(buckets(F.col("user_id"))).alias("s"))
-        .select("s.hi", "s.bucket")
-        .groupBy("hi", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+@_register(
+    "streaming_heavy_hitters",
+    f"""
+    SELECT user_id, n_events, rank, ok_cms_ge_exact, ok_cms_within_eps,
+           TRUE AS ok_stream_equals_batch
+    FROM ({REGISTRY['heavy_hitters_sketch'].sql})
+    """,
+    "§2.9/§2.11 (streaming sketch: bounded-state CMS over the stream)",
+    "The count-min sketch maintained BY a Structured Streaming query: "
+    "a streaming groupBy over CMS bucket coordinates, whose state "
+    "store is bounded at depth*width = 10,240 rows — independent of "
+    "input volume AND key cardinality, unlike a per-key streaming "
+    "count whose state grows with distinct keys. Because counter sums "
+    "commute, the streamed sketch must be BIT-IDENTICAL to the "
+    "batch-built one over the same events: ok_stream_equals_batch "
+    "asserts zero mismatched counter cells (full outer join of the "
+    "two 10,240-row tables), and the heavy-hitter report is probed "
+    "from the STREAMED counters. At 100 TB streaming volume this is "
+    "the approximate top-k shape: tiny fixed state, mergeable across "
+    "executors, point-queried without stopping the stream.",
+)
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_counter_table
+    from ..streaming.events import streaming_cms_counters
+
+    events = _t(spark, sf_dir, "events")
+    streamed = streaming_cms_counters(spark, sf_dir).select(
+        "hi", "bucket", F.col("c").alias("sc")
     )
-    top = (
-        events.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy(F.desc("n_events"), "user_id")
-        .limit(10)
-        .localCheckpoint(eager=True)  # 10 rows; reused by 3 plan branches
+    batch = cms_counter_table(events, "user_id").select(
+        "hi", "bucket", F.col("c").alias("bc")
     )
-    a, b = top.alias("a"), top.alias("b")
-    rank = (
-        a.join(
-            b,
-            (F.col("b.n_events") > F.col("a.n_events"))
-            | (
-                (F.col("b.n_events") == F.col("a.n_events"))
-                & (F.col("b.user_id") < F.col("a.user_id"))
-            ),
-            "left",
+    mismatch = (
+        streamed.join(batch, ["hi", "bucket"], "full")
+        .where(~F.col("sc").eqNullSafe(F.col("bc")))
+    )
+    eq = F.broadcast(
+        mismatch.agg(
+            (F.count(F.lit(1)) == 0).alias("ok_stream_equals_batch")
         )
-        .groupBy(F.col("a.user_id").alias("user_id"))
-        .agg((F.count(F.col("b.user_id")) + 1).cast("int").alias("rank"))
     )
-    est = (
-        top.select("user_id", F.explode(buckets(F.col("user_id"))).alias("s"))
-        .select("user_id", "s.hi", "s.bucket")
-        .join(counters, ["hi", "bucket"])
-        .groupBy("user_id")
-        .agg(F.min("c").alias("est"))
+    report = _heavy_hitter_report(
+        events, streamed.select("hi", "bucket", F.col("sc").alias("c"))
     )
-    total = F.broadcast(events.agg(F.count(F.lit(1)).alias("n_total")))
-    return (
-        top.join(rank, "user_id")
-        .join(est, "user_id")
-        .crossJoin(total)
-        .select(
-            "user_id",
-            "n_events",
-            "rank",
-            (F.col("est") >= F.col("n_events")).alias("ok_cms_ge_exact"),
-            (F.col("est") <= F.col("n_events") + F.ceil(0.01 * F.col("n_total")))
-            .alias("ok_cms_within_eps"),
-        )
-        .orderBy(F.desc("n_events"), "user_id")
-    )
+    return report.crossJoin(eq)
 
 
 # =========================================================================
@@ -4930,17 +4963,25 @@ def q_streaming_windowed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'interval_join', CAST(user_id AS VARCHAR), n_pairs,
            sum_purchase_value
     FROM ({REGISTRY['streaming_interval_join'].sql})
+    UNION ALL
+    SELECT 'cms_topk', CAST(user_id AS VARCHAR), n_events,
+           CAST(rank AS DOUBLE)
+    FROM ({REGISTRY['streaming_heavy_hitters'].sql})
+    WHERE ok_cms_ge_exact AND ok_cms_within_eps AND ok_stream_equals_batch
     """,
     "§2.9 streaming (stateful op + stream-static join + dedup + "
-    "stream-stream interval join)",
-    "Driver-coverage suite: four REAL Structured Streaming runs — "
+    "stream-stream interval join + bounded-state CMS top-k)",
+    "Driver-coverage suite: five REAL Structured Streaming runs — "
     "applyInPandasWithState per-user counters, stream-static broadcast "
-    "join per segment, watermarked dropDuplicates, and the "
-    "two-watermark stream-stream interval join — each drained to its "
-    "final result and tagged into one relation whose oracle is the "
-    "exact batch twin. Components: stateful_user_counts, "
+    "join per segment, watermarked dropDuplicates, the two-watermark "
+    "stream-stream interval join, and the bounded-state streaming CMS "
+    "heavy-hitter report (rows appear only if every sketch contract "
+    "holds, so a violated contract breaks the row-count match) — each "
+    "drained to its final result and tagged into one relation whose "
+    "oracle is the exact batch twin. Components: stateful_user_counts, "
     "streaming_events_by_segment, streaming_first_event_per_user_type, "
-    "streaming_interval_join (each still registered individually).",
+    "streaming_interval_join, streaming_heavy_hitters (each still "
+    "registered individually).",
 )
 def q_streaming_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful = q_stateful_user_counts(spark, sf_dir).select(
@@ -4967,7 +5008,24 @@ def q_streaming_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("long").alias("n"),
         F.col("sum_purchase_value").cast("double").alias("val"),
     )
-    return stateful.unionByName(segment).unionByName(dedup).unionByName(ij)
+    cms = (
+        q_streaming_heavy_hitters(spark, sf_dir)
+        .where(
+            F.col("ok_cms_ge_exact")
+            & F.col("ok_cms_within_eps")
+            & F.col("ok_stream_equals_batch")
+        )
+        .select(
+            F.lit("cms_topk").alias("component"),
+            F.col("user_id").cast("string").alias("k"),
+            F.col("n_events").cast("long").alias("n"),
+            F.col("rank").cast("double").alias("val"),
+        )
+    )
+    return (
+        stateful.unionByName(segment).unionByName(dedup).unionByName(ij)
+        .unionByName(cms)
+    )
 
 
 @_register(
@@ -5607,6 +5665,7 @@ _COST_HINT: dict[str, float] = {
     "winnowing_fingerprint_set": 3.4, "streaming_interval_join": 6.0,
     "partitioned_write_pruning": 0.8, "orc_corpus_roundtrip": 0.5,
     "mixture_temperature_weights": 0.3, "paragraph_dedup": 1.0,
+    "streaming_heavy_hitters": 2.5,
     "heavy_hitters_sketch": 0.8,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,

@@ -137,3 +137,24 @@ def streaming_events_by_segment(
         "n_events",
         F.round(F.col("sum_value_d").cast("double"), 2).alias("sum_value"),
     )
+
+
+def streaming_cms_counters(
+    spark: SparkSession,
+    sf_dir: str,
+) -> DataFrame:
+    """Count-min sketch maintained BY the stream: a streaming groupBy
+    over CMS bucket coordinates whose state is bounded at depth*width
+    (= 10,240) rows — independent of BOTH input volume and key
+    cardinality, unlike a per-key streaming count whose state grows
+    with distinct keys. Complete-mode drain returns the final counter
+    relation [hi, bucket, c]; counter sums commute, so the streamed
+    sketch is bit-identical to the batch-built one over the same
+    events (the registry query asserts exactly that).
+    """
+    from ..operators.sketches import cms_counter_table
+
+    ensure_engine_confs(spark)
+    stream = event_stream(spark, sf_dir)
+    counters = cms_counter_table(stream, "user_id")
+    return drain(counters, "complete", name_prefix="cms_counters")
