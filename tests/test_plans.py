@@ -252,3 +252,31 @@ def test_partitioned_write_prunes_partitions(spark):
     plan = _formatted_plan(spark, "partitioned_write_pruning")
     assert "PartitionFilters" in plan
     assert "source" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_paragraph_dedup_no_window_partial_agg(spark):
+    """Paragraph dedup must have NO window operator (the
+    first-occurrence rule is a groupBy min + equi-join, not a global
+    window) and its fingerprint aggregation must partial-aggregate
+    map-side."""
+    plan = _formatted_plan(spark, "paragraph_dedup")
+    assert "Window" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cms_counter_table_is_bounded_and_partial(spark):
+    """The CMS counter aggregation must partial-aggregate (counter
+    sums combine map-side) and produce at most depth*width rows."""
+    from uni_mannheim_masters_thesis_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_counter_table,
+    )
+    from uni_mannheim_masters_thesis_spark.sources.testdata import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    counters = cms_counter_table(events, "user_id")
+    plan = counters._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert counters.count() <= CMS_DEPTH * CMS_WIDTH
