@@ -213,6 +213,10 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "X-stream-sketch": ("streaming.events:streaming_cms_counters",
                         ["streaming_stateful_suite",
                          "streaming_heavy_hitters"]),
+    "X-retrieval-index": ("plans.registry:q_inverted_index",
+                          ["curation_suite", "inverted_index_postings"]),
+    "X-retrieval-bm25": ("plans.registry:q_bm25",
+                         ["curation_suite", "bm25_retrieval"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

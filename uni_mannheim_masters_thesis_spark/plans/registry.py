@@ -4579,6 +4579,176 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "inverted_index_postings",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {sql_simple_tokens('text')} AS tk FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, tk[CAST(i AS INT)] AS term, CAST(i - 1 AS INT) AS pos
+        FROM tok, UNNEST(range(1, len(tk) + 1)) AS t(i)
+    )
+    SELECT term,
+           COUNT(DISTINCT doc_id) AS df,
+           COUNT(*) AS tf_total,
+           md5(string_agg(doc_id || ':' || pos, ',' ORDER BY doc_id, pos))
+               AS postings_md5
+    FROM pos
+    GROUP BY term
+    HAVING COUNT(DISTINCT doc_id) >= 5
+    """,
+    "§2.11 text analysis (inverted index build — retrieval primitive)",
+    "Positional inverted index over the corpus: every (term, doc_id, "
+    "position) occurrence, aggregated per term into document frequency, "
+    "total term frequency, and an md5 fingerprint of the canonical "
+    "ordered posting list 'doc:pos,...' (compact but hash-exact — any "
+    "lost or re-ordered posting breaks the oracle). Terms with df < 5 "
+    "are pruned (the long tail a real index would tier out). Scale "
+    "shape: posexplode fans out map-side, one shuffle on the term key "
+    "with partial aggregation; posting lists stay distributed — this "
+    "is the build side of distributed retrieval, shuffling (term, "
+    "doc, pos) triples only.",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tokenize(F.col("text"))).alias("pos", "term"),
+    )
+    return (
+        pos.groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf_total"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "pos"))
+                        ),
+                        lambda s: F.concat_ws(
+                            ":", s["doc_id"].cast("string"), s["pos"].cast("string")
+                        ),
+                    ),
+                    ",",
+                )
+            ).alias("postings_md5"),
+        )
+        .where(F.col("df") >= 5)
+    )
+
+
+_BM25_TERMS = ("spark", "query", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@_register(
+    "bm25_retrieval",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {sql_simple_tokens('text')} AS tk FROM documents
+    ),
+    dl AS (SELECT doc_id, len(tk) AS dl FROM tok),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
+                   AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, t.tok AS term, COUNT(*) AS tf
+        FROM tok, UNNEST(tk) AS t(tok)
+        WHERE t.tok IN {tuple(_BM25_TERMS)!r}
+        GROUP BY doc_id, t.tok
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / stats.avgdl)), 9)
+                   AS DECIMAL(18,9)) AS c
+        FROM tf JOIN df USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS bm25
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    "§2.11 text analysis (BM25 ranked retrieval over the corpus)",
+    f"BM25 (k1={_BM25_K1}, b={_BM25_B}, Lucene idf variant) top-20 for "
+    f"the fixed query {_BM25_TERMS}: per-(doc, term) contributions from "
+    "tf / df / doc-length / global avgdl, summed per document. "
+    "Determinism: each contribution is rounded to 9 decimals and "
+    "summed as DECIMAL (exact, partition-order-independent — the "
+    "engine's standard float-aggregation convention), one final "
+    "6-decimal round; ties broken by doc_id. Scale shape: the query-"
+    "term filter prunes the explode BEFORE the shuffle (only matching "
+    "(doc, term) pairs move), df and avgdl are 1-row/3-row broadcast "
+    "aggregates, and top-20 is takeOrdered — no global sort.",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokenize(F.col("text")).alias("tk"))
+    dl = tok.select("doc_id", F.size("tk").alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("dl").cast("decimal(18,0)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avgdl"),
+        )
+    )
+    tf = (
+        tok.select("doc_id", F.explode("tk").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = F.broadcast(tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    contrib = (
+        tf.join(df_t, "term")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
 def _heavy_hitter_report(
     events: DataFrame, counters: DataFrame, extra_flags: list[F.Column] | None = None
 ) -> DataFrame:
@@ -5367,6 +5537,13 @@ def q_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'heavy_hitter', CAST(user_id AS VARCHAR), n_events,
            CAST(rank AS BIGINT), 0.0
     FROM ({REGISTRY['heavy_hitters_sketch'].sql})
+    UNION ALL
+    SELECT 'index', term || ':' || postings_md5, df, tf_total, 0.0
+    FROM ({REGISTRY['inverted_index_postings'].sql})
+    UNION ALL
+    SELECT 'bm25', CAST(doc_id AS VARCHAR), CAST(doc_id AS BIGINT),
+           CAST(0 AS BIGINT), bm25
+    FROM ({REGISTRY['bm25_retrieval'].sql})
     """,
     "§2.11 curation (contamination + repetition + canonical dedup + "
     "incremental containment + mixture sampling + PII redaction + "
@@ -5447,10 +5624,25 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("n2"),
         F.lit(0.0).alias("ratio"),
     )
+    idx = q_inverted_index(spark, sf_dir).select(
+        F.lit("index").alias("component"),
+        F.concat_ws(":", "term", "postings_md5").alias("k"),
+        F.col("df").cast("long").alias("n1"),
+        F.col("tf_total").cast("long").alias("n2"),
+        F.lit(0.0).alias("ratio"),
+    )
+    bm = q_bm25(spark, sf_dir).select(
+        F.lit("bm25").alias("component"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("doc_id").cast("long").alias("n1"),
+        F.lit(0).cast("long").alias("n2"),
+        F.col("bm25").alias("ratio"),
+    )
     return (
         cont.unionByName(rep).unionByName(canon).unionByName(inc)
         .unionByName(mix).unionByName(pii).unionByName(chk)
         .unionByName(para).unionByName(hh)
+        .unionByName(idx).unionByName(bm)
     )
 
 
@@ -5665,14 +5857,15 @@ _COST_HINT: dict[str, float] = {
     "winnowing_fingerprint_set": 3.4, "streaming_interval_join": 6.0,
     "partitioned_write_pruning": 0.8, "orc_corpus_roundtrip": 0.5,
     "mixture_temperature_weights": 0.3, "paragraph_dedup": 1.0,
-    "streaming_heavy_hitters": 2.5,
+    "streaming_heavy_hitters": 2.5, "inverted_index_postings": 1.2,
+    "bm25_retrieval": 0.9,
     "heavy_hitters_sketch": 0.8,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 0.9,
     "streaming_windowed_suite": 0.9, "streaming_stateful_suite": 17.2,
     "topic_quality_suite": 11.7, "resampling_report": 3.7,
-    "multimodal_pipeline": 1.5, "curation_suite": 24.5,
+    "multimodal_pipeline": 1.5, "curation_suite": 26.0,
 }
 
 
