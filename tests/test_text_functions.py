@@ -195,3 +195,61 @@ def test_lexicon_auto_strategy_picks_join_for_large(spark):
     out_big = L.filter_tokens_with_lexicon(df, "tokens", big, ["doc_id"])
     assert out_small.collect()[0]["tokens"] == ["w1", "zzz"]
     assert out_big.collect()[0]["tokens"] == ["zzz"]
+
+
+def test_bm25_matches_hand_computation(spark, tmp_path):
+    """BM25 on a 3-doc corpus vs the formula computed in pure Python."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from uni_mannheim_masters_thesis_spark.plans.registry import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        REGISTRY,
+    )
+
+    texts = {
+        1: "spark query merge spark",
+        2: "query table scan",
+        3: "merge merge sort",
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), type=pa.int64()),
+            "text": list(texts.values()),
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": pa.array([0, 0, 0], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    toks = {d: t.split() for d, t in texts.items()}
+    n_docs = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    df = {
+        t: sum(1 for v in toks.values() if t in v) for t in _BM25_TERMS
+    }
+    expected = {}
+    for d, v in toks.items():
+        s = 0.0
+        for t in _BM25_TERMS:
+            tf = v.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            c = idf * tf * (_BM25_K1 + 1.0) / (
+                tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * len(v) / avgdl)
+            )
+            s += round(c, 9)
+        if s > 0:
+            expected[d] = round(s, 6)
+
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in REGISTRY["bm25_retrieval"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expected

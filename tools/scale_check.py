@@ -72,9 +72,13 @@ _QUERIES = [
     "streaming_interval_join",
     "custom_lexicon_tokens",
     # round-4 additions: block-fingerprint paragraph dedup, bounded
-    # counter-table CMS heavy hitters
+    # counter-table CMS heavy hitters (batch + streaming), retrieval
+    # index build + BM25 ranking
     "paragraph_dedup",
     "heavy_hitters_sketch",
+    "streaming_heavy_hitters",
+    "inverted_index_postings",
+    "bm25_retrieval",
 ]
 
 
