@@ -141,14 +141,23 @@ def main() -> None:
             # hiccup: confirm with one repeat execution and report the
             # min (both are genuine full executions of the same plan).
             hint = _hint(name)
-            if t1 > max(1.6 * hint, hint + 1.2):
-                t2 = run_once(name)
-                if min(t1, t2) > 0:
-                    print(
-                        f"bench retimed {name}: {t1:.2f}s -> min {min(t1, t2):.2f}s",
-                        file=sys.stderr,
-                    )
-                t1 = min(t1, t2)
+            # up to two confirmation re-executions: observed spikes
+            # reach >5x the steady-state cost (a 93s first measurement
+            # on a 10s query), where even the first repeat can land in
+            # the same GC storm
+            threshold = max(1.6 * hint, hint + 1.2)
+            retries = 0
+            t_best = t1
+            while t_best > threshold and retries < 2:
+                t_best = min(t_best, run_once(name))
+                retries += 1
+            if retries:
+                print(
+                    f"bench retimed {name}: {t1:.2f}s -> min {t_best:.2f}s"
+                    f" ({retries} repeat(s))",
+                    file=sys.stderr,
+                )
+            t1 = t_best
             timings[name] = round(t1, 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
