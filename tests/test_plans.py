@@ -280,3 +280,53 @@ def test_cms_counter_table_is_bounded_and_partial(spark):
     plan = counters._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan or "HashAggregate" in plan
     assert counters.count() <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_semantic_dedup_srp_contracts(spark):
+    """SRP semantic dedup: candidate pairs come from a bucket EQUI-join
+    (never a cartesian product), buckets stay within the 2^planes id
+    space, the min-id vector of every bucket is always kept, and the
+    plan-time-folded ±1 weights reproduce their md5 derivation."""
+    import hashlib
+
+    from uni_mannheim_masters_thesis_spark.plans.registry import (
+        _SRP_PLANES,
+        _srp_weights,
+    )
+
+    plan = _formatted_plan(spark, "semantic_dedup_srp")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    w = _srp_weights()
+    for p in (0, _SRP_PLANES - 1):
+        for i in (0, 7, 63):
+            parity = int(hashlib.md5(f"srp_{p}_{i}".encode()).hexdigest()[0], 16) % 2
+            assert w[p][i] == (1 if parity == 0 else -1)
+
+    out = REGISTRY["semantic_dedup_srp"].fn(spark, SF_DIR)
+    rows = out.collect()
+    assert rows and all(0 <= r["bucket"] < (1 << _SRP_PLANES) for r in rows)
+    assert all(r["keep"] in (0, 1) for r in rows)
+    first_per_bucket = {}
+    for r in sorted(rows, key=lambda r: r["vec_id"]):
+        first_per_bucket.setdefault(r["bucket"], r)
+    assert all(r["keep"] == 1 for r in first_per_bucket.values())
+
+
+def test_training_order_shuffle_is_permutation(spark):
+    """The deterministic shuffle manifest must be a bijection onto
+    1..n with round-robin shards balanced within one document, and a
+    re-run must reproduce the identical order (no rand() anywhere)."""
+    out = REGISTRY["training_order_shuffle"].fn(spark, SF_DIR)
+    rows = out.collect()
+    n = len(rows)
+    assert sorted(r["epoch_pos"] for r in rows) == list(range(1, n + 1))
+    from collections import Counter
+
+    shard_sizes = Counter(r["shard"] for r in rows).values()
+    assert max(shard_sizes) - min(shard_sizes) <= 1
+    rerun = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in REGISTRY["training_order_shuffle"].fn(spark, SF_DIR).collect()
+    }
+    assert rerun == {r["doc_id"]: r["epoch_pos"] for r in rows}

@@ -217,6 +217,10 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                           ["curation_suite", "inverted_index_postings"]),
     "X-retrieval-bm25": ("plans.registry:q_bm25",
                          ["curation_suite", "bm25_retrieval"]),
+    "X-dedup-semantic": ("plans.registry:q_semantic_dedup_srp",
+                         ["training_prep_manifest", "semantic_dedup_srp"]),
+    "X-train-shuffle": ("plans.registry:q_training_order_shuffle",
+                        ["training_prep_manifest", "training_order_shuffle"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

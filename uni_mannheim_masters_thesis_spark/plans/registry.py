@@ -4082,6 +4082,173 @@ def q_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Signed-random-projection semantic dedup: plane count and cosine
+# threshold. 4 planes → 16 buckets keeps ~30 vectors/bucket at the test
+# scale; at corpus scale planes grow with log2(n/target_bucket_size) so
+# the within-bucket pairwise stage stays bounded.
+_SRP_PLANES = 4
+_SRP_TAU = 0.35
+_SRP_DIM = 64  # testdata embedding width (both engines fail loudly if not)
+
+
+def _srp_weights() -> list[list[int]]:
+    """±1 projection weights, one row per plane: parity of the first hex
+    digit of md5('srp_{plane}_{dim}'). Derived ONCE at plan-build time
+    with hashlib (bit-identical to SQL md5) and folded into the plan as
+    literal arrays — the per-row cost is a plain dot product, not
+    planes×dim md5 calls per vector."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"srp_{p}_{i}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1
+            for i in range(_SRP_DIM)
+        ]
+        for p in range(_SRP_PLANES)
+    ]
+
+
+def _sql_srp_bucket(qcol: str) -> str:
+    """DuckDB twin of the signed-random-projection bucket id over an
+    integer-quantized vector column: same plan-time weight literals, so
+    the per-row work is list_dot_product against a constant list."""
+    terms = []
+    for p, w in enumerate(_srp_weights()):
+        lit = "[" + ", ".join(str(x) for x in w) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({qcol}, {lit}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@_register(
+    "semantic_dedup_srp",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, {_sql_srp_bucket('q')} AS bucket FROM e),
+    dropped AS (
+        SELECT DISTINCT b2.vec_id
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE ROUND(list_dot_product(a.v, b2.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b2.v, b2.v))), 6) >= {_SRP_TAU}
+    )
+    SELECT b.vec_id, CAST(bucket AS INT) AS bucket,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+    FROM b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+    """,
+    "§2.11 dedup (SemDeDup-style cluster-scoped semantic dedup)",
+    "Semantic (embedding-space) dedup in the SemDeDup shape: partition "
+    "the corpus into buckets with signed random projections, compare "
+    "pairs ONLY within a bucket, keep the first occurrence (min id) of "
+    "every near-duplicate group. Unlike the stochastic KMeans variant, "
+    "the 'clustering' here is deterministic and engine-portable: plane "
+    "weights are ±1 drawn from md5(plane,dim) parity, and the projection "
+    "sign is decided on 1e-6-quantized INTEGER vectors — an exact, "
+    "order-independent sum, so the bucket id is bit-identical across "
+    "engines, partitionings, and runs (no float-at-the-boundary flake). "
+    "Scale: the only shuffle is the bucket-key equi-join; plane count "
+    "grows with log2(corpus/target_bucket) to bound the within-bucket "
+    "quadratic stage, and buckets are the unit of parallelism — the "
+    "100 TB path never compares across buckets. The all-pairs "
+    "`embedding_cosine_neardup` is the exactness baseline; this is the "
+    "scale path with a deterministic contract.",
+)
+def q_semantic_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    qv = F.transform(v, lambda x: F.round(x * 1_000_000, 0).cast("long"))
+
+    def bucket_col(qc: F.Column) -> F.Column:
+        acc = F.lit(0)
+        for p, w in enumerate(_srp_weights()):
+            wlit = F.array(*[F.lit(x).cast("long") for x in w])
+            dot_p = F.aggregate(
+                F.zip_with(qc, wlit, lambda x, wt: x * wt),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            )
+            acc = acc + F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return acc
+
+    base = emb.select("vec_id", v.alias("v"), bucket_col(qv).alias("bucket"))
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    dropped = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+            >= F.lit(_SRP_TAU)
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return base.join(
+        dropped.withColumn("__d", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.when(F.col("__d").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
+@_register(
+    "training_order_shuffle",
+    """
+    WITH r AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('shuf42_' || CAST(doc_id AS VARCHAR))
+               ) AS epoch_pos
+        FROM documents
+    )
+    SELECT doc_id, CAST(epoch_pos AS BIGINT) AS epoch_pos,
+           CAST((epoch_pos - 1) % 8 AS BIGINT) AS shard
+    FROM r
+    """,
+    "§2.11 training-data ops (deterministic global shuffle + sharding)",
+    "Reproducible training order: every document gets a content-stable "
+    "shuffle key md5(seed, doc_id), the global rank of that key is its "
+    "epoch position, and positions round-robin into 8 output shards so "
+    "each shard is a stratified sample of the shuffled order (what a "
+    "multi-worker data loader needs). The global rank comes from "
+    "operators.indexing.ordered_dense_rank — range-repartition on the "
+    "key, rank within each range partition, broadcast cumulative "
+    "offsets — NOT a single-partition ORDER BY window, so the shuffle "
+    "order is computed at full cluster parallelism and is bit-equal to "
+    "the oracle's ROW_NUMBER() OVER (ORDER BY md5(...)). No rand() "
+    "anywhere: re-running the manifest on the same corpus and seed "
+    "reproduces the identical order on any engine.",
+)
+def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("shuf42_"), F.col("doc_id").cast("string"))
+        ).alias("__k"),
+    )
+    ranked = ordered_dense_rank(docs, "__k", rank_col="epoch_pos")
+    return ranked.select(
+        "doc_id",
+        F.col("epoch_pos").cast("long").alias("epoch_pos"),
+        ((F.col("epoch_pos") - 1) % 8).cast("long").alias("shard"),
+    )
+
+
 @_register(
     "rolling_week_order_value",
     """
@@ -5048,12 +5215,23 @@ def q_formats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'quant', CAST(vec_id AS VARCHAR), CAST(0 AS BIGINT),
            dequant_rms, quant_err_rms
     FROM ({REGISTRY['embedding_quantization'].sql})
+    UNION ALL
+    SELECT 'shuffle', CAST(doc_id AS VARCHAR), epoch_pos,
+           CAST(shard AS DOUBLE), 0.0
+    FROM ({REGISTRY['training_order_shuffle'].sql})
+    UNION ALL
+    SELECT 'semdedup', CAST(vec_id AS VARCHAR), CAST(bucket AS BIGINT),
+           CAST(keep AS DOUBLE), 0.0
+    FROM ({REGISTRY['semantic_dedup_srp'].sql})
     """,
-    "§2.11 training-data ops (packing + split manifest + quantization)",
+    "§2.11 training-data ops (packing + splits + quantization + "
+    "shuffle order + semantic dedup)",
     "Driver-coverage suite: sequence packing, deterministic split "
-    "manifest, and int8 embedding quantization tagged into one relation "
-    "(exact values preserved per component). Components: "
-    "document_packing, dataset_split_manifest, embedding_quantization "
+    "manifest, int8 embedding quantization, the reproducible global "
+    "shuffle/shard manifest, and SRP-bucketed semantic dedup tagged "
+    "into one relation (exact values preserved per component). "
+    "Components: document_packing, dataset_split_manifest, "
+    "embedding_quantization, training_order_shuffle, semantic_dedup_srp "
     "(each still registered individually).",
 )
 def q_training_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5078,7 +5256,26 @@ def q_training_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dequant_rms").alias("a"),
         F.col("quant_err_rms").alias("b"),
     )
-    return pack.unionByName(split).unionByName(quant)
+    shuffle = q_training_order_shuffle(spark, sf_dir).select(
+        F.lit("shuffle").alias("component"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("epoch_pos").alias("n"),
+        F.col("shard").cast("double").alias("a"),
+        F.lit(0.0).alias("b"),
+    )
+    semded = q_semantic_dedup_srp(spark, sf_dir).select(
+        F.lit("semdedup").alias("component"),
+        F.col("vec_id").cast("string").alias("k"),
+        F.col("bucket").cast("long").alias("n"),
+        F.col("keep").cast("double").alias("a"),
+        F.lit(0.0).alias("b"),
+    )
+    return (
+        pack.unionByName(split)
+        .unionByName(quant)
+        .unionByName(shuffle)
+        .unionByName(semded)
+    )
 
 
 @_register(
@@ -5860,9 +6057,10 @@ _COST_HINT: dict[str, float] = {
     "streaming_heavy_hitters": 2.5, "inverted_index_postings": 1.2,
     "bm25_retrieval": 0.9,
     "heavy_hitters_sketch": 0.8,
+    "semantic_dedup_srp": 0.9, "training_order_shuffle": 0.4,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
-    "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 0.9,
+    "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 2.5,
     "streaming_windowed_suite": 0.9, "streaming_stateful_suite": 17.2,
     "topic_quality_suite": 11.7, "resampling_report": 3.7,
     "multimodal_pipeline": 1.5, "curation_suite": 26.0,
