@@ -79,6 +79,10 @@ _QUERIES = [
     "streaming_heavy_hitters",
     "inverted_index_postings",
     "bm25_retrieval",
+    # round-4 additions: SRP-bucketed semantic dedup (bucket equi-join
+    # over plan-time ±1 projections), range-ranked global shuffle order
+    "semantic_dedup_srp",
+    "training_order_shuffle",
 ]
 
 
