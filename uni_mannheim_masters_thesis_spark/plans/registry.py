@@ -4180,7 +4180,20 @@ def q_semantic_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc + F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         return acc
 
-    base = emb.select("vec_id", v.alias("v"), bucket_col(qv).alias("bucket"))
+    # Fail loudly on a width mismatch: zip_with would pad with nulls and
+    # silently zero the affected planes' votes (DuckDB's list_dot_product
+    # errors; the Spark side must too, not mis-bucket).
+    checked = F.when(
+        F.size(v) == _SRP_DIM, bucket_col(qv)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"semantic_dedup_srp: embedding width != {_SRP_DIM}: "),
+                F.size(v).cast("string"),
+            )
+        )
+    )
+    base = emb.select("vec_id", v.alias("v"), checked.alias("bucket"))
     a = base.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
     )
