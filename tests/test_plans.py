@@ -330,3 +330,15 @@ def test_training_order_shuffle_is_permutation(spark):
         for r in REGISTRY["training_order_shuffle"].fn(spark, SF_DIR).collect()
     }
     assert rerun == {r["doc_id"]: r["epoch_pos"] for r in rows}
+
+
+def test_funnel_single_shuffle(spark):
+    """The staged funnel must compute all three conditional-min stage
+    windows AND the final per-user aggregate on ONE user_id exchange —
+    no per-stage self-joins, no extra shuffles."""
+    plan = _formatted_plan(spark, "funnel_conversion")
+    import re
+
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, f"expected 1 shuffle, plan has {len(exchanges)}"
+    assert "Join" not in plan

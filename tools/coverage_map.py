@@ -221,6 +221,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                          ["training_prep_manifest", "semantic_dedup_srp"]),
     "X-train-shuffle": ("plans.registry:q_training_order_shuffle",
                         ["training_prep_manifest", "training_order_shuffle"]),
+    "X-event-funnel": ("plans.registry:q_funnel_conversion",
+                       ["streaming_windowed_suite", "funnel_conversion"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -1857,6 +1857,96 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "funnel_conversion",
+    """
+    WITH base AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts, event_type
+        FROM events
+    ),
+    w1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+        FROM base
+    ),
+    w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM w2
+    )
+    SELECT user_id, MIN(t1) AS view_us, MIN(t2) AS click_us,
+           MIN(t3) AS purchase_us,
+           CAST(CASE WHEN MIN(t3) IS NOT NULL THEN 3
+                     WHEN MIN(t2) IS NOT NULL THEN 2
+                     WHEN MIN(t1) IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stages_completed
+    FROM w3 GROUP BY user_id
+    """,
+    "§2.11 event analytics (staged funnel, strict sequence order)",
+    "Per-user funnel completion view → click → purchase under strict "
+    "temporal ordering: stage k+1 only counts if it happens AFTER the "
+    "user's earliest qualifying stage-k event. Each stage's timestamp "
+    "is a conditional MIN window over the user partition — the three "
+    "windows and the final aggregate all share the user_id hash "
+    "partitioning, so the whole funnel costs ONE shuffle and no "
+    "self-joins (the naive per-stage join chain would shuffle the fact "
+    "table once per stage). Exact integer micros end-to-end, so the "
+    "manifest is bit-deterministic. At 100 TB the plan is "
+    "embarrassingly parallel by user; skewed power-users only widen "
+    "one partition's sort, which AQE splits.",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id", F.unix_micros("ts").alias("ts"), "event_type"
+    )
+    s1 = base.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return (
+        s3.groupBy("user_id")
+        .agg(
+            F.min("t1").alias("view_us"),
+            F.min("t2").alias("click_us"),
+            F.min("t3").alias("purchase_us"),
+        )
+        .withColumn(
+            "stages_completed",
+            F.when(F.col("purchase_us").isNotNull(), 3)
+            .when(F.col("click_us").isNotNull(), 2)
+            .when(F.col("view_us").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int"),
+        )
+    )
+
+
 _DOC_SHINGLES = (
     f"list_distinct(list_transform(range(1, len({sql_tokens_pipeline('text')})), "
     f"i -> {sql_tokens_pipeline('text')}[i] || ' ' || {sql_tokens_pipeline('text')}[i + 1]))"
@@ -5301,13 +5391,20 @@ def q_training_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'session', CAST(user_id AS VARCHAR), '', n_events,
            CAST(n_sessions AS DOUBLE)
     FROM ({REGISTRY['events_sessionization'].sql})
+    UNION ALL
+    SELECT 'funnel', CAST(user_id AS VARCHAR), '',
+           CAST(stages_completed AS BIGINT),
+           CAST(COALESCE(purchase_us, click_us, view_us, 0) AS DOUBLE)
+    FROM ({REGISTRY['funnel_conversion'].sql})
     """,
-    "§2.9/§2.11 event-time windowing (sliding windows + sessionization)",
-    "Driver-coverage suite: sliding event-time windows and gap-based "
-    "sessionization tagged into one relation. Components: "
-    "events_sliding_window, events_sessionization (each still "
-    "registered individually; streaming_sessionization is the "
-    "state-store variant).",
+    "§2.9/§2.11 event-time windowing (sliding windows + sessionization "
+    "+ staged funnel)",
+    "Driver-coverage suite: sliding event-time windows, gap-based "
+    "sessionization, and strict-order funnel conversion tagged into "
+    "one relation. Components: events_sliding_window, "
+    "events_sessionization, funnel_conversion (each still registered "
+    "individually; streaming_sessionization is the state-store "
+    "variant).",
 )
 def q_streaming_windowed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding = q_sliding_window(spark, sf_dir).select(
@@ -5324,7 +5421,16 @@ def q_streaming_windowed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n"),
         F.col("n_sessions").cast("double").alias("val"),
     )
-    return sliding.unionByName(sessions)
+    funnel = q_funnel_conversion(spark, sf_dir).select(
+        F.lit("funnel").alias("component"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("stages_completed").cast("long").alias("n"),
+        F.coalesce("purchase_us", "click_us", "view_us", F.lit(0))
+        .cast("double")
+        .alias("val"),
+    )
+    return sliding.unionByName(sessions).unionByName(funnel)
 
 
 @_register(
@@ -6071,10 +6177,11 @@ _COST_HINT: dict[str, float] = {
     "bm25_retrieval": 0.9,
     "heavy_hitters_sketch": 0.8,
     "semantic_dedup_srp": 0.9, "training_order_shuffle": 0.4,
+    "funnel_conversion": 0.4,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 2.5,
-    "streaming_windowed_suite": 0.9, "streaming_stateful_suite": 17.2,
+    "streaming_windowed_suite": 1.4, "streaming_stateful_suite": 17.2,
     "topic_quality_suite": 11.7, "resampling_report": 3.7,
     "multimodal_pipeline": 1.5, "curation_suite": 26.0,
 }
