@@ -223,6 +223,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                         ["training_prep_manifest", "training_order_shuffle"]),
     "X-event-funnel": ("plans.registry:q_funnel_conversion",
                        ["streaming_windowed_suite", "funnel_conversion"]),
+    "X-event-cohort": ("plans.registry:q_cohort_retention",
+                       ["streaming_windowed_suite", "cohort_retention"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -83,8 +83,9 @@ _QUERIES = [
     # over plan-time ±1 projections), range-ranked global shuffle order
     "semantic_dedup_srp",
     "training_order_shuffle",
-    # round-4: one-shuffle staged funnel over events
+    # round-4: one-shuffle staged funnel + cohort retention over events
     "funnel_conversion",
+    "cohort_retention",
 ]
 
 

@@ -1947,6 +1947,79 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "cohort_retention",
+    """
+    WITH cohorts AS (
+        SELECT user_id,
+               date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        FROM events
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_size
+        FROM cohorts GROUP BY cohort_week
+    )
+    SELECT CAST(epoch_us(c.cohort_week) AS BIGINT) AS cohort_week_us,
+           CAST((epoch_us(a.active_week) - epoch_us(c.cohort_week))
+                / 604800000000 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_active,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM activity a
+    JOIN cohorts c USING (user_id)
+    JOIN sizes s ON s.cohort_week = c.cohort_week
+    GROUP BY c.cohort_week, s.cohort_size, a.active_week
+    """,
+    "§2.11 event analytics (cohort retention matrix)",
+    "Weekly cohort retention: users are cohorted by the week of their "
+    "first event, every (user, active-week) pair counts once, and each "
+    "cohort×offset cell reports active users and the retention rate "
+    "against the cohort size. All three building blocks are user_id- "
+    "keyed aggregates/joins (min-week, distinct activity, size rollup) "
+    "that share one hash partitioning before the final small "
+    "cohort-cell aggregate; the retention division is exact-int/"
+    "exact-int in both engines so the 6-decimal round never straddles. "
+    "Week arithmetic is UTC date_trunc — offsets are exact multiples "
+    "of 604800e6 micros, no DST drift. At 100 TB the heavy stages "
+    "shuffle (user_id) and (user_id, week) only; cohort cells are "
+    "O(weeks²) — trivially small.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    week_us = 604_800_000_000
+    return (
+        activity.join(cohorts, "user_id")
+        .join(sizes, "cohort_week")
+        .groupBy("cohort_week", "cohort_size", "active_week")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            (
+                (F.unix_micros("active_week") - F.unix_micros("cohort_week"))
+                / F.lit(week_us)
+            )
+            .cast("long")
+            .alias("week_offset"),
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
+
+
 _DOC_SHINGLES = (
     f"list_distinct(list_transform(range(1, len({sql_tokens_pipeline('text')})), "
     f"i -> {sql_tokens_pipeline('text')}[i] || ' ' || {sql_tokens_pipeline('text')}[i + 1]))"
@@ -5396,15 +5469,19 @@ def q_training_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(stages_completed AS BIGINT),
            CAST(COALESCE(purchase_us, click_us, view_us, 0) AS DOUBLE)
     FROM ({REGISTRY['funnel_conversion'].sql})
+    UNION ALL
+    SELECT 'cohort', CAST(cohort_week_us AS VARCHAR),
+           CAST(week_offset AS VARCHAR), n_active, retention
+    FROM ({REGISTRY['cohort_retention'].sql})
     """,
     "§2.9/§2.11 event-time windowing (sliding windows + sessionization "
-    "+ staged funnel)",
+    "+ staged funnel + cohort retention)",
     "Driver-coverage suite: sliding event-time windows, gap-based "
     "sessionization, and strict-order funnel conversion tagged into "
     "one relation. Components: events_sliding_window, "
-    "events_sessionization, funnel_conversion (each still registered "
-    "individually; streaming_sessionization is the state-store "
-    "variant).",
+    "events_sessionization, funnel_conversion, cohort_retention (each "
+    "still registered individually; streaming_sessionization is the "
+    "state-store variant).",
 )
 def q_streaming_windowed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding = q_sliding_window(spark, sf_dir).select(
@@ -5430,7 +5507,18 @@ def q_streaming_windowed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("val"),
     )
-    return sliding.unionByName(sessions).unionByName(funnel)
+    cohort = q_cohort_retention(spark, sf_dir).select(
+        F.lit("cohort").alias("component"),
+        F.col("cohort_week_us").cast("string").alias("k1"),
+        F.col("week_offset").cast("string").alias("k2"),
+        F.col("n_active").cast("long").alias("n"),
+        F.col("retention").alias("val"),
+    )
+    return (
+        sliding.unionByName(sessions)
+        .unionByName(funnel)
+        .unionByName(cohort)
+    )
 
 
 @_register(
@@ -6177,7 +6265,7 @@ _COST_HINT: dict[str, float] = {
     "bm25_retrieval": 0.9,
     "heavy_hitters_sketch": 0.8,
     "semantic_dedup_srp": 0.9, "training_order_shuffle": 0.4,
-    "funnel_conversion": 0.4,
+    "funnel_conversion": 0.4, "cohort_retention": 0.4,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 2.5,
