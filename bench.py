@@ -34,6 +34,10 @@ from uni_mannheim_masters_thesis_spark.session import get_session
 # window (r01 evidence: ~4 KB line -> truncated tail, "parsed": null)
 _MAX_LINE = 1600
 
+# Pinned timing protocol, recorded in every bench artifact so rounds
+# compare apples-to-apples (see the retime guard below for rationale).
+_PROTOCOL = "v2-single-run+spike-median3"
+
 
 def _capped_queries(timings: dict[str, float]) -> dict[str, float]:
     """Slowest-first individual timings until the line budget, the rest
@@ -152,23 +156,25 @@ def main() -> None:
             # hiccup: confirm with one repeat execution and report the
             # min (both are genuine full executions of the same plan).
             hint = _hint(name)
-            # up to two confirmation re-executions: observed spikes
-            # reach >5x the steady-state cost (a 93s first measurement
-            # on a 10s query), where even the first repeat can land in
-            # the same GC storm
+            # Pinned protocol (v2, round 5): a first measurement above
+            # the spike threshold triggers exactly TWO repeat executions
+            # and the query reports the MEDIAN of the three runs. Median
+            # keeps the guard robust to single-run GC storms (observed:
+            # a 93s first measurement on a 10s query) but — unlike the
+            # old best-of-N — cannot ratchet a genuinely regressed
+            # query's number down: if all three runs are slow, the
+            # reported time is slow. The baseline min(hint, prev) is
+            # used for DETECTION only, never for reporting.
             threshold = max(1.6 * hint, hint + 1.2)
-            retries = 0
-            t_best = t1
-            while t_best > threshold and retries < 2:
-                t_best = min(t_best, run_once(name))
-                retries += 1
-            if retries:
+            if t1 > threshold:
+                samples = sorted([t1, run_once(name), run_once(name)])
+                t_med = samples[1]
                 print(
-                    f"bench retimed {name}: {t1:.2f}s -> min {t_best:.2f}s"
-                    f" ({retries} repeat(s))",
+                    f"bench retimed {name}: {t1:.2f}s -> median "
+                    f"{t_med:.2f}s of {[round(s, 2) for s in samples]}",
                     file=sys.stderr,
                 )
-            t1 = t_best
+                t1 = t_med
             timings[name] = round(t1, 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
@@ -183,6 +189,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "skipped_suites": sorted(_DRIVER_SUITES),
+        "protocol": _PROTOCOL,
     }
     with open(os.path.join(_REPO, "bench_full.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
@@ -194,6 +201,7 @@ def main() -> None:
             "unit": "sec",
             "queries": _capped_queries(timings),
             "sf": sf_val,
+            "protocol": _PROTOCOL,
         },
         separators=(",", ":"),
     )

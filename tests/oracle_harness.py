@@ -9,8 +9,6 @@ not noise).
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pandas as pd
 
@@ -93,15 +91,15 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
         n_bad = 0
         first = None
         for i, (a, b) in enumerate(zip(sv, ov)):
-            equal = (
-                (a is None and b is None)
-                or a == b
-                or (
-                    isinstance(a, float)
-                    and isinstance(b, float)
-                    and (math.isnan(a) and math.isnan(b) or a == b)
-                )
-            )
+            if isinstance(a, float) and isinstance(b, float):
+                # repr-strict: the driver hashes value REPRESENTATIONS,
+                # so -0.0 != 0.0 there even though == says equal (this
+                # exact blindness let user_value_trend's sign-of-zero
+                # bug pass locally while failing the driver in r4).
+                # repr also handles nan/nan equality.
+                equal = repr(float(a)) == repr(float(b))
+            else:
+                equal = (a is None and b is None) or a == b
             if not equal:
                 n_bad += 1
                 if first is None:

@@ -133,9 +133,16 @@ def filter_tokens_with_lexicon(
     )
     # Docs whose every token was filtered away vanish from the regroup;
     # restore them with an empty array via a left join on the id base.
+    # NULL token arrays must stay NULL (the inline strategy's F.filter
+    # of NULL is NULL), so only coalesce to [] when the source array is
+    # non-null — otherwise strategy='auto' would yield [] or NULL for
+    # the same input depending on lexicon size.
     base = df
     out = base.join(regrouped, list(id_cols), "left").withColumn(
         out_col,
-        F.coalesce(F.col("__filtered"), F.array().cast("array<string>")),
+        F.when(
+            F.col(tokens_col).isNotNull(),
+            F.coalesce(F.col("__filtered"), F.array().cast("array<string>")),
+        ),
     )
     return out.drop("__filtered")
