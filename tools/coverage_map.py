@@ -225,6 +225,16 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                        ["streaming_windowed_suite", "funnel_conversion"]),
     "X-event-cohort": ("plans.registry:q_cohort_retention",
                        ["streaming_windowed_suite", "cohort_retention"]),
+    "X-event-attribution": ("plans.registry:q_session_attribution",
+                            ["streaming_windowed_suite",
+                             "session_attribution"]),
+    "X-feature-rolling": ("plans.registry:q_rolling_user_features",
+                          ["streaming_windowed_suite",
+                           "rolling_user_features"]),
+    "X-profile-columns": ("plans.registry:q_column_profile",
+                          ["training_prep_manifest", "column_profile"]),
+    "X-feature-bucketing": ("plans.registry:q_decile_bucketing",
+                            ["training_prep_manifest", "decile_bucketing"]),
 }
 
 # the full SURVEY §2 inventory the map must cover
