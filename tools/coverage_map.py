@@ -235,6 +235,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                           ["training_prep_manifest", "column_profile"]),
     "X-feature-bucketing": ("plans.registry:q_decile_bucketing",
                             ["training_prep_manifest", "decile_bucketing"]),
+    "X-graph-pagerank": ("plans.registry:q_neardup_pagerank",
+                         ["curation_suite", "neardup_pagerank"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

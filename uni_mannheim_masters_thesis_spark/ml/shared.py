@@ -137,11 +137,29 @@ def shared_neardup_components(
     not a live lineage. The partition-determinism gate still validates
     both consumers against DuckDB's recursive-CTE closure on every run.
     """
-    from ..functions.similarity import cosine_similarity
     from ..operators.dedup import connected_components
-    from ..sources.testdata import load_table
 
     key = _key(spark, sf_dir, f"neardup_cc/{id_cap}/{threshold}")
+    if key not in _CACHE:
+        pairs = shared_neardup_pairs(spark, sf_dir, id_cap, threshold)
+        _CACHE[key] = connected_components(pairs)
+    return _CACHE[key]
+
+
+def shared_neardup_pairs(
+    spark: SparkSession, sf_dir: str, id_cap: int = 300, threshold: float = 0.3
+) -> DataFrame:
+    """The cosine near-dup pair relation (id_a < id_b, similarity >=
+    ``threshold`` over vec_id < ``id_cap``) — the edge list under
+    ``neardup_clusters`` / ``dedup_canonical`` (via the component
+    fixpoint) and ``neardup_pagerank`` (centrality over the same
+    graph). Memoized as a materialized deterministic frame: the pair
+    predicate is a pure threshold on an exact HOF-fold cosine, so the
+    relation is identical under any partitioning."""
+    from ..functions.similarity import cosine_similarity
+    from ..sources.testdata import load_table
+
+    key = _key(spark, sf_dir, f"neardup_pairs/{id_cap}/{threshold}")
     if key not in _CACHE:
         emb = load_table(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") < id_cap
@@ -154,12 +172,12 @@ def shared_neardup_components(
             F.col("vec_id").alias("id_b"),
             F.col("embedding").cast("array<double>").alias("vb"),
         )
-        pairs = (
+        _CACHE[key] = (
             a.join(b, F.col("id_a") < F.col("id_b"))
             .filter(cosine_similarity(F.col("va"), F.col("vb")) >= threshold)
             .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
         )
-        _CACHE[key] = connected_components(pairs)
     return _CACHE[key]
 
 

@@ -3860,6 +3860,94 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_neardup_components(spark, sf_dir)
 
 
+@_register(
+    "neardup_pagerank",
+    """
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n_tot AS (SELECT COUNT(*) AS n FROM nodes),
+    pr AS (
+        SELECT 0 AS iter, node, CAST(1000000000000 // n AS BIGINT) AS rank_u
+        FROM nodes CROSS JOIN n_tot
+        UNION ALL
+        SELECT pr.iter + 1, edges.dst,
+               CAST(150000000000 // n_tot.n
+                    + (85 * SUM(pr.rank_u // deg.d)) // 100 AS BIGINT)
+        FROM pr
+        JOIN edges ON edges.src = pr.node
+        JOIN deg ON deg.src = pr.node
+        CROSS JOIN n_tot
+        WHERE pr.iter < 5
+        GROUP BY pr.iter, edges.dst, n_tot.n
+    )
+    SELECT node AS vec_id, rank_u AS rank_e12 FROM pr WHERE iter = 5
+    """,
+    "§2.11 dedup / graph analytics (PageRank centrality, exact integer "
+    "iteration)",
+    "PageRank (damping 0.85, 5 iterations) over the SAME symmetric "
+    "cosine near-dup graph that neardup_clusters partitions — "
+    "centrality scores the most-connected member of each duplicate "
+    "cluster, the quality signal a keep-one policy can use instead of "
+    "min-id. Iterative algorithms are normally the rows-only class; "
+    "this one is HASH-EXACT against a DuckDB recursive CTE because "
+    "every step is integer arithmetic in 1e-12 rank units: init "
+    "1e12 div n, contribution rank div degree, update (15e10 div n) + "
+    "(85*sum) div 100 — floor division and commutative BIGINT sums "
+    "make each iteration bit-identical on both engines under any "
+    "partition order (no float accumulation anywhere). Spark shape: "
+    "the degree-annotated edge list is localCheckpoint-frozen once, "
+    "each iteration is one join + one dst-keyed partial-aggregating "
+    "shuffle over the prior ranks (Pregel message passing as "
+    "DataFrames), ranks checkpointed per iteration to truncate "
+    "lineage. At 100 TB: edges partition by src, ranks by node — the "
+    "per-iteration shuffle moves (dst, long) messages only; iteration "
+    "count and checkpoint cadence are the knobs.",
+)
+def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.shared import shared_neardup_pairs
+
+    pairs = shared_neardup_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges_d = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = edges_d.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # driver scalar: node count folded into literals
+    init = 1_000_000_000_000 // n
+    base = 150_000_000_000 // n
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_u"))
+    for _ in range(5):
+        msgs = ranks.join(edges_d, ranks.node == edges_d.src).select(
+            F.col("dst").alias("node"), F.expr("rank_u div d").alias("c")
+        )
+        ranks = (
+            msgs.groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "node",
+                (F.lit(base) + F.expr("(85 * s) div 100"))
+                .cast("long")
+                .alias("rank_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").alias("vec_id"), F.col("rank_u").alias("rank_e12")
+    )
+
+
 # =========================================================================
 # Batch 5: subquery decorrelation, EXISTS, per-group regression,
 # applyInPandas grouped map
@@ -6363,10 +6451,15 @@ def q_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'bm25', CAST(doc_id AS VARCHAR), CAST(doc_id AS BIGINT),
            CAST(0 AS BIGINT), bm25
     FROM ({REGISTRY['bm25_retrieval'].sql})
+    UNION ALL
+    SELECT 'pagerank', CAST(vec_id AS VARCHAR), rank_e12,
+           CAST(0 AS BIGINT), 0.0
+    FROM ({REGISTRY['neardup_pagerank'].sql})
     """,
     "§2.11 curation (contamination + repetition + canonical dedup + "
     "incremental containment + mixture sampling + PII redaction + "
-    "sequence chunking + paragraph-level dedup + CMS heavy hitters)",
+    "sequence chunking + paragraph-level dedup + CMS heavy hitters + "
+    "near-dup PageRank centrality)",
     "Driver-coverage suite: the corpus-curation operators — "
     "benchmark-contamination audit, repetition-based quality filter, "
     "canonical-representative dedup output, cross-snapshot containment "
@@ -6457,11 +6550,18 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("n2"),
         F.col("bm25").alias("ratio"),
     )
+    pgr = q_neardup_pagerank(spark, sf_dir).select(
+        F.lit("pagerank").alias("component"),
+        F.col("vec_id").cast("string").alias("k"),
+        F.col("rank_e12").alias("n1"),
+        F.lit(0).cast("long").alias("n2"),
+        F.lit(0.0).alias("ratio"),
+    )
     return (
         cont.unionByName(rep).unionByName(canon).unionByName(inc)
         .unionByName(mix).unionByName(pii).unionByName(chk)
         .unionByName(para).unionByName(hh)
-        .unionByName(idx).unionByName(bm)
+        .unionByName(idx).unionByName(bm).unionByName(pgr)
     )
 
 
@@ -6683,6 +6783,7 @@ _COST_HINT: dict[str, float] = {
     "funnel_conversion": 0.4, "cohort_retention": 0.4,
     "session_attribution": 0.6, "rolling_user_features": 0.4,
     "column_profile": 0.7, "decile_bucketing": 1.5,
+    "neardup_pagerank": 2.5,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 13.5,
