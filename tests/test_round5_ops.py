@@ -1,0 +1,97 @@
+"""Semantic property tests for the round-5 operators — invariants the
+oracle hash can't express (cross-query consistency, boundary shapes),
+at sf0.001."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+from uni_mannheim_masters_thesis_spark.plans.registry import REGISTRY
+
+
+def test_attribution_consistent_with_sessionization(spark):
+    """Sessions attributed = sessions counted; every converting session
+    has at least one purchase; total attributed value is the corpus
+    purchase total."""
+    import duckdb
+
+    attr = {
+        r["entry_type"]: r
+        for r in REGISTRY["session_attribution"].fn(spark, SF_DIR).collect()
+    }
+    sess = REGISTRY["events_sessionization"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_sessions"] for r in attr.values()) == sum(
+        r["n_sessions"] for r in sess
+    )
+    for r in attr.values():
+        assert 0 <= r["n_converting"] <= r["n_sessions"]
+        assert r["n_purchases"] >= r["n_converting"]
+    con = duckdb.connect()
+    total = con.execute(
+        f"SELECT ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) "
+        f"FROM '{SF_DIR}/events.parquet' WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert round(sum(r["attributed_value"] for r in attr.values()), 2) == total
+
+
+def test_rolling_features_frame_bounds(spark):
+    rows = REGISTRY["rolling_user_features"].fn(spark, SF_DIR).collect()
+    assert rows
+    per_user_min = {}
+    for r in rows:
+        assert 1 <= r["roll_n"] <= 5
+        assert r["roll_max"] <= r["roll_sum"] + 1e-9  # values are positive
+        per_user_min.setdefault(r["user_id"], []).append(r["roll_n"])
+    # every user has exactly one frame of each size 1..min(5, n_events)
+    for user, ns in per_user_min.items():
+        expect = min(5, len(ns))
+        for size in range(1, expect + 1):
+            assert size in ns, f"user {user} missing frame size {size}"
+
+
+def test_column_profile_invariants(spark):
+    rows = REGISTRY["column_profile"].fn(spark, SF_DIR).collect()
+    assert {r["column_name"] for r in rows} == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    }
+    n_rows = {r["n_rows"] for r in rows}
+    assert len(n_rows) == 1  # same scan, same row count for every column
+    for r in rows:
+        assert r["n_null"] == 0
+        assert 0 < r["n_distinct"] <= r["n_rows"]
+        assert r["min_val"] <= r["max_val"]
+
+
+def test_decile_bucketing_is_equi_depth_and_ordered(spark):
+    rows = sorted(
+        REGISTRY["decile_bucketing"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == list(range(1, 11))
+    sizes = [r["n_rows"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # NTILE equi-depth
+    # remainder goes to the FIRST buckets (NTILE contract)
+    assert sizes == sorted(sizes, reverse=True)
+    # buckets partition the value range: non-overlapping, ascending
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_price"] <= hi["min_price"]
+
+
+def test_pagerank_floor_and_node_set(spark):
+    from uni_mannheim_masters_thesis_spark.ml.shared import (
+        shared_neardup_pairs,
+    )
+
+    ranks = REGISTRY["neardup_pagerank"].fn(spark, SF_DIR).collect()
+    pairs = shared_neardup_pairs(spark, SF_DIR).collect()
+    nodes = {p["id_a"] for p in pairs} | {p["id_b"] for p in pairs}
+    assert {r["vec_id"] for r in ranks} == nodes
+    n = len(nodes)
+    base = 150_000_000_000 // n
+    total = 1_000_000_000_000
+    for r in ranks:
+        # every node keeps at least the teleport mass, floor-rounded
+        assert r["rank_e12"] >= base
+        assert r["rank_e12"] < total
+    # floor division only ever loses mass: total rank must not exceed
+    # the initial unit mass
+    assert sum(r["rank_e12"] for r in ranks) <= total
