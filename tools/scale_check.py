@@ -86,6 +86,14 @@ _QUERIES = [
     # round-4: one-shuffle staged funnel + cohort retention over events
     "funnel_conversion",
     "cohort_retention",
+    # round-5: single-exchange session attribution, bounded ROWS-frame
+    # rolling features, one-pass multi-distinct profile, two-phase
+    # range-rank deciles, integer-exact PageRank over the neardup graph
+    "session_attribution",
+    "rolling_user_features",
+    "column_profile",
+    "decile_bucketing",
+    "neardup_pagerank",
 ]
 
 

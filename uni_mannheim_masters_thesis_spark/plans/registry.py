@@ -385,7 +385,7 @@ def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_bal,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) + 0 AS avg_bal,
            ROUND(STDDEV_SAMP(c_acctbal), 4) AS std_bal,
            MIN(c_acctbal) AS min_bal,
            MAX(c_acctbal) AS max_bal
@@ -412,7 +412,7 @@ def q_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r_name, n_name,
            COUNT(*) AS n_customers,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) + 0 AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -1478,9 +1478,9 @@ def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "acctbal_percentiles",
     """
     SELECT c_mktsegment,
-           ROUND(quantile_cont(c_acctbal, 0.25), 4) AS p25,
-           ROUND(quantile_cont(c_acctbal, 0.50), 4) AS p50,
-           ROUND(quantile_cont(c_acctbal, 0.75), 4) AS p75
+           ROUND(quantile_cont(c_acctbal, 0.25), 4) + 0 AS p25,
+           ROUND(quantile_cont(c_acctbal, 0.50), 4) + 0 AS p50,
+           ROUND(quantile_cont(c_acctbal, 0.75), 4) + 0 AS p75
     FROM customer GROUP BY c_mktsegment
     """,
     "§2.11 quantiles (exact interpolated percentiles)",
@@ -2680,7 +2680,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment AS segment,
            COUNT(*) AS n_customers,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) + 0 AS total_acctbal
     FROM customer GROUP BY c_mktsegment
     """,
     "S6/S7 (CSV sink + scan)",
@@ -4178,7 +4178,7 @@ def q_grouped_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
         SELECT c_mktsegment,
                ROUND(CAST(SUM(CASE WHEN c_acctbal >= 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS pos_bal,
-               ROUND(CAST(SUM(CASE WHEN c_acctbal < 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS neg_bal
+               ROUND(CAST(SUM(CASE WHEN c_acctbal < 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) + 0 AS neg_bal
         FROM customer GROUP BY c_mktsegment
     )
     SELECT c_mktsegment AS segment, kind, amount
@@ -5627,7 +5627,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT 'csv' AS fmt, COUNT(*) AS n_rows,
            CAST(SUM(n_customers) AS BIGINT) AS sum_n,
-           ROUND(CAST(SUM(CAST(total_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_v
+           ROUND(CAST(SUM(CAST(total_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) + 0 AS sum_v
     FROM ({REGISTRY['csv_metrics_roundtrip'].sql})
     UNION ALL
     SELECT 'json', COUNT(*), CAST(SUM(total_chars) AS BIGINT),
