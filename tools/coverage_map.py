@@ -237,6 +237,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                             ["training_prep_manifest", "decile_bucketing"]),
     "X-graph-pagerank": ("plans.registry:q_neardup_pagerank",
                          ["curation_suite", "neardup_pagerank"]),
+    "X-graph-triangles": ("plans.registry:q_neardup_triangles",
+                          ["curation_suite", "neardup_triangles"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -94,6 +94,7 @@ _QUERIES = [
     "column_profile",
     "decile_bucketing",
     "neardup_pagerank",
+    "neardup_triangles",
 ]
 
 

@@ -3948,6 +3948,104 @@ def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "neardup_triangles",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    ),
+    tris AS (
+        SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+        FROM pairs p1
+        JOIN pairs p2 ON p2.id_a = p1.id_b
+        JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+    ),
+    node_tris AS (
+        SELECT node, COUNT(*) AS n_triangles FROM (
+            SELECT a AS node FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+        ) GROUP BY node
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT id_a AS node FROM pairs
+            UNION ALL SELECT id_b FROM pairs
+        ) GROUP BY node
+    )
+    SELECT deg.node AS vec_id, deg.degree,
+           COALESCE(node_tris.n_triangles, 0) AS n_triangles,
+           ROUND(CASE WHEN deg.degree >= 2
+                      THEN CAST(2 * COALESCE(node_tris.n_triangles, 0) AS DOUBLE)
+                           / (deg.degree * (deg.degree - 1))
+                      ELSE 0.0 END, 6) AS clustering_coeff
+    FROM deg LEFT JOIN node_tris USING (node)
+    """,
+    "§2.11 dedup / graph analytics (triangle count + local clustering)",
+    "Per-node triangle counts and local clustering coefficients over "
+    "the cosine near-dup graph — the density diagnostic that separates "
+    "tight duplicate cliques (coefficient → 1) from chain-like false "
+    "merges (→ 0), complementing the component and PageRank views of "
+    "the same graph. Triangles are enumerated once each via the "
+    "id-ordered orientation (a < b < c): two equi-joins on the "
+    "id_a < id_b pair relation, no direction double-counting, no "
+    "DISTINCT pass. Everything is integer until the one "
+    "coefficient division (2*tri / deg*(deg-1)) — both engines round "
+    "an identical double. At 100 TB the standard refinement is "
+    "degree-ordered orientation (point edges low→high degree) to "
+    "bound the join fan-out of hub nodes; the id orientation here is "
+    "the same plan shape with the cheaper key, and the pair relation "
+    "shuffles (int, int) tuples only.",
+)
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.shared import shared_neardup_pairs
+
+    pairs = shared_neardup_pairs(spark, sf_dir)
+    p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    p2 = pairs.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
+    p3 = pairs.select(F.col("id_a").alias("a3"), F.col("id_b").alias("c3"))
+    tris = (
+        p1.join(p2, p1.b == p2.b2)
+        .join(p3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    node_tris = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionAll(pairs.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            (2 * F.col("n_triangles")).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(node_tris, "node", "left")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)))
+        .select(
+            F.col("node").alias("vec_id"),
+            "degree",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            coeff.alias("clustering_coeff"),
+        )
+    )
+
+
 # =========================================================================
 # Batch 5: subquery decorrelation, EXISTS, per-group regression,
 # applyInPandas grouped map
@@ -6455,6 +6553,10 @@ def q_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'pagerank', CAST(vec_id AS VARCHAR), rank_e12,
            CAST(0 AS BIGINT), 0.0
     FROM ({REGISTRY['neardup_pagerank'].sql})
+    UNION ALL
+    SELECT 'triangles', CAST(vec_id AS VARCHAR), degree, n_triangles,
+           clustering_coeff
+    FROM ({REGISTRY['neardup_triangles'].sql})
     """,
     "§2.11 curation (contamination + repetition + canonical dedup + "
     "incremental containment + mixture sampling + PII redaction + "
@@ -6557,11 +6659,19 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("n2"),
         F.lit(0.0).alias("ratio"),
     )
+    tri = q_neardup_triangles(spark, sf_dir).select(
+        F.lit("triangles").alias("component"),
+        F.col("vec_id").cast("string").alias("k"),
+        F.col("degree").cast("long").alias("n1"),
+        F.col("n_triangles").alias("n2"),
+        F.col("clustering_coeff").alias("ratio"),
+    )
     return (
         cont.unionByName(rep).unionByName(canon).unionByName(inc)
         .unionByName(mix).unionByName(pii).unionByName(chk)
         .unionByName(para).unionByName(hh)
         .unionByName(idx).unionByName(bm).unionByName(pgr)
+        .unionByName(tri)
     )
 
 
@@ -6783,7 +6893,7 @@ _COST_HINT: dict[str, float] = {
     "funnel_conversion": 0.4, "cohort_retention": 0.4,
     "session_attribution": 0.6, "rolling_user_features": 0.4,
     "column_profile": 0.7, "decile_bucketing": 1.5,
-    "neardup_pagerank": 2.5,
+    "neardup_pagerank": 2.5, "neardup_triangles": 1.2,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 13.5,
