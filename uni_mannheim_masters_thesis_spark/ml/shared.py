@@ -156,7 +156,7 @@ def shared_neardup_pairs(
     graph). Memoized as a materialized deterministic frame: the pair
     predicate is a pure threshold on an exact HOF-fold cosine, so the
     relation is identical under any partitioning."""
-    from ..functions.similarity import cosine_similarity
+    from ..functions.similarity import dot
     from ..sources.testdata import load_table
 
     key = _key(spark, sf_dir, f"neardup_pairs/{id_cap}/{threshold}")
@@ -164,17 +164,29 @@ def shared_neardup_pairs(
         emb = load_table(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") < id_cap
         )
-        a = emb.select(
+        # norms precomputed ONCE per vector (not per pair): the pair
+        # predicate dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b))) evaluates
+        # the same doubles either way — sqrt(dot(v,v)) is one value per
+        # vector — but per-row precomputation cuts the O(n²) stage's
+        # fold work to a third (one dot per pair instead of three).
+        v = F.col("embedding").cast("array<double>")
+        base = emb.select(
+            "vec_id", v.alias("v"), F.sqrt(dot(v, v)).alias("nrm")
+        )
+        a = base.select(
             F.col("vec_id").alias("id_a"),
-            F.col("embedding").cast("array<double>").alias("va"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
         )
-        b = emb.select(
+        b = base.select(
             F.col("vec_id").alias("id_b"),
-            F.col("embedding").cast("array<double>").alias("vb"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
         )
+        sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         _CACHE[key] = (
             a.join(b, F.col("id_a") < F.col("id_b"))
-            .filter(cosine_similarity(F.col("va"), F.col("vb")) >= threshold)
+            .filter(sim >= threshold)
             .select("id_a", "id_b")
             .localCheckpoint(eager=True)
         )

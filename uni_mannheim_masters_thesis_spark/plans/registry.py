@@ -2227,17 +2227,25 @@ def q_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table (bounded probe set; the LSH variant is the scale path).",
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import dot
+
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    a = emb.select(
+    # norms once per row, one dot per pair (bit-identical cosine,
+    # 3x less HOF work in the O(n^2) stage — knn_bruteforce pattern)
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("v"), F.sqrt(dot(v, v)).alias("nrm"))
+    a = base.select(
         F.col("vec_id").alias("id_a"),
-        F.col("embedding").cast("array<double>").alias("va"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    b = emb.select(
+    b = base.select(
         F.col("vec_id").alias("id_b"),
-        F.col("embedding").cast("array<double>").alias("vb"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
-        "sim", cosine_similarity(F.col("va"), F.col("vb"))
+        "sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     )
     return (
         pairs.filter(F.col("sim") >= 0.3)
