@@ -342,3 +342,47 @@ def test_funnel_single_shuffle(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
     assert len(exchanges) == 1, f"expected 1 shuffle, plan has {len(exchanges)}"
     assert "Join" not in plan
+
+
+def test_session_attribution_single_user_exchange(spark):
+    """Attribution's lag window, running-sum session ids, and the
+    per-(user, session) aggregate must all ride ONE user_id exchange;
+    the only other shuffle is the final 5-row entry-channel rollup.
+    No joins anywhere (SCALING §4 / the funnel contract)."""
+    plan = _formatted_plan(spark, "session_attribution")
+    import re
+
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 2, f"expected 2 shuffles, plan has {len(exchanges)}"
+    assert "Join" not in plan
+    # both window specs key on user_id (no per-session re-window)
+    assert plan.count("windowspecdefinition(user_id") >= 2
+
+
+def test_rolling_features_single_exchange_bounded_frame(spark):
+    """The rolling feature frame is one user_id exchange + one Window
+    with a bounded ROWS frame (-4, current) — O(1) state per row."""
+    plan = _formatted_plan(spark, "rolling_user_features")
+    import re
+
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, f"expected 1 shuffle, plan has {len(exchanges)}"
+    assert "Join" not in plan
+    assert "specifiedwindowframe(RowFrame, -4, currentrow" in plan
+
+
+def test_decile_bucketing_no_global_window(spark):
+    """The exact-NTILE plan must rank inside range partitions (window
+    keyed on __pid) — never a single-partition global ORDER BY."""
+    plan = _formatted_plan(spark, "decile_bucketing")
+    assert "windowspecdefinition(__pid" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_column_profile_single_scan_expand(spark):
+    """The one-pass profile reads lineitem ONCE and uses the
+    Expand-based multi-distinct aggregate (4 distinct columns, still a
+    single scan with partial aggregation)."""
+    plan = _formatted_plan(spark, "column_profile")
+    assert plan.count("InMemoryFileIndex") == 1
+    assert "Expand" in plan
