@@ -239,6 +239,9 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                          ["curation_suite", "neardup_pagerank"]),
     "X-graph-triangles": ("plans.registry:q_neardup_triangles",
                           ["curation_suite", "neardup_triangles"]),
+    "X-stream-attribution": ("streaming.stateful:streaming_session_attribution",
+                             ["streaming_stateful_suite",
+                              "streaming_session_attribution"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

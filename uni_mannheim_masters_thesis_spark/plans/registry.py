@@ -2990,6 +2990,61 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_session_attribution",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM seq
+    ),
+    sess AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ),
+    per_sess AS (
+        SELECT user_id, sid,
+               (MIN({'t': ts, 'e': event_id, 'y': event_type}))['y'] AS entry_type,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS purchase_value,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT entry_type,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converting,
+           CAST(SUM(n_purch) AS BIGINT) AS n_purchases,
+           ROUND(CAST(SUM(purchase_value) AS DOUBLE), 2) AS attributed_value
+    FROM per_sess GROUP BY entry_type
+    """,
+    "§2.9/§2.11 streaming (session_window first-touch attribution)",
+    "The streaming twin of session_attribution: session_window state "
+    "merging carries the lexicographic-min (ts, event_id, event_type) "
+    "entry struct (min over structs is ASSOCIATIVE, so out-of-order "
+    "merges preserve first-touch exactly), the DECIMAL purchase sum, "
+    "and the purchase count per open session; the drained per-session "
+    "frame rolls up per entry channel. Oracle-exact via the "
+    "gaps-and-islands replay with session_window's >= gap boundary "
+    "(the batch twin's lag rule is strictly >; both agree unless a gap "
+    "is exactly 30:00.000000). State is bounded by ACTIVE sessions, "
+    "not input volume — the watermark closes sessions 1 h after their "
+    "last event.",
+)
+def q_streaming_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import streaming_session_attribution
+
+    return streaming_session_attribution(spark, sf_dir)
+
+
+@_register(
     "smote_class_balance",
     """
     WITH e AS (SELECT CAST(label = 0 AS INT) AS label FROM embeddings),
@@ -6151,6 +6206,9 @@ def q_streaming_windowed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(rank AS DOUBLE)
     FROM ({REGISTRY['streaming_heavy_hitters'].sql})
     WHERE ok_cms_ge_exact AND ok_cms_within_eps AND ok_stream_equals_batch
+    UNION ALL
+    SELECT 'attribution', entry_type, n_sessions, attributed_value
+    FROM ({REGISTRY['streaming_session_attribution'].sql})
     """,
     "§2.9 streaming (stateful op + stream-static join + dedup + "
     "stream-stream interval join + bounded-state CMS top-k)",
@@ -6205,9 +6263,15 @@ def q_streaming_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("double").alias("val"),
         )
     )
+    attr = q_streaming_session_attribution(spark, sf_dir).select(
+        F.lit("attribution").alias("component"),
+        F.col("entry_type").alias("k"),
+        F.col("n_sessions").cast("long").alias("n"),
+        F.col("attributed_value").alias("val"),
+    )
     return (
         stateful.unionByName(segment).unionByName(dedup).unionByName(ij)
-        .unionByName(cms)
+        .unionByName(cms).unionByName(attr)
     )
 
 
@@ -6902,6 +6966,7 @@ _COST_HINT: dict[str, float] = {
     "session_attribution": 0.6, "rolling_user_features": 0.4,
     "column_profile": 0.7, "decile_bucketing": 1.5,
     "neardup_pagerank": 2.5, "neardup_triangles": 1.2,
+    "streaming_session_attribution": 2.2,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 13.5,

@@ -66,6 +66,57 @@ def streaming_sessionization(
     )
 
 
+def streaming_session_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-touch attribution maintained by session_window state.
+
+    The state store merges each user's open session as events arrive
+    and carries THREE aggregates per session: the lexicographic-min
+    (ts, event_id, event_type) struct (the entry channel — min over
+    structs is associative, so state merges preserve it exactly), the
+    DECIMAL purchase sum, and the purchase count. The drained
+    per-session frame is then rolled up per entry channel — identical
+    output contract to the batch ``session_attribution`` (which uses
+    the lag formulation; note session_window opens a NEW session at
+    gap >= 30 min where the batch query uses strictly >, so the oracle
+    replays the >= islands).
+    """
+    ensure_engine_confs(spark)
+    stream = _event_stream(spark, sf_dir)
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "event_type")).alias("entry"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,2)"),
+                ).otherwise(dec0)
+            ).alias("purchase_value"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purch"),
+        )
+    )
+    out = _drain(agg, "complete")
+    return out.groupBy(F.col("entry")["event_type"].alias("entry_type")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_purch") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_converting"),
+        F.sum("n_purch").cast("long").alias("n_purchases"),
+        F.round(F.sum("purchase_value").cast("double"), 2).alias(
+            "attributed_value"
+        ),
+    )
+
+
 _STATE_SCHEMA = StructType(
     [StructField("n_events", LongType()), StructField("value_cents", LongType())]
 )
