@@ -242,6 +242,10 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "X-stream-attribution": ("streaming.stateful:streaming_session_attribution",
                              ["streaming_stateful_suite",
                               "streaming_session_attribution"]),
+    "X-clean-outliers": ("plans.registry:q_iqr_outliers",
+                         ["training_prep_manifest", "iqr_outlier_fences"]),
+    "X-linkage-blocked": ("plans.registry:q_blocked_jw",
+                          ["curation_suite", "blocked_jw_linkage"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -1497,6 +1497,131 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "iqr_outlier_fences",
+    """
+    WITH q AS (
+        SELECT c_mktsegment,
+               quantile_cont(c_acctbal, 0.25) AS q1,
+               quantile_cont(c_acctbal, 0.75) AS q3
+        FROM customer GROUP BY c_mktsegment
+    ),
+    f AS (
+        SELECT c_mktsegment,
+               ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
+               ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi_fence
+        FROM q
+    )
+    SELECT f.c_mktsegment AS segment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN c_acctbal < lo_fence OR c_acctbal > hi_fence
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           lo_fence, hi_fence
+    FROM customer JOIN f ON customer.c_mktsegment = f.c_mktsegment
+    GROUP BY f.c_mktsegment, lo_fence, hi_fence
+    """,
+    "§2.11 data cleaning (IQR outlier fencing per group)",
+    "Tukey outlier fences per segment: exact interpolated Q1/Q3 "
+    "(Spark percentile ≡ DuckDB quantile_cont, the acctbal_percentiles "
+    "parity), fences ROUNDED to 6 decimals on BOTH engines before the "
+    "comparison so the outlier count can never flip on a last-ulp "
+    "quantile difference, then one broadcast join of the 5-row fence "
+    "table back onto the scan. Two passes over the fact, no shuffle on "
+    "the second (fences broadcast). At 100 TB the exact percentile "
+    "(which holds per-group values in memory) is the wrong tool — "
+    "approx_quantile_sketch is the registered scale path; the fence "
+    "join and counting pass are scale-indifferent.",
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    q = cust.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fences = q.select(
+        "c_mktsegment",
+        F.round(F.col("q1") - 1.5 * iqr, 6).alias("lo_fence"),
+        F.round(F.col("q3") + 1.5 * iqr, 6).alias("hi_fence"),
+    )
+    out = (
+        F.col("c_acctbal") < F.col("lo_fence")
+    ) | (F.col("c_acctbal") > F.col("hi_fence"))
+    return (
+        cust.join(F.broadcast(fences), "c_mktsegment")
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), "lo_fence", "hi_fence"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("long").alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            "segment", "n_rows", "n_outliers", "lo_fence", "hi_fence"
+        )
+    )
+
+
+@_register(
+    "blocked_jw_linkage",
+    """
+    WITH p AS (
+        SELECT p_partkey AS k, p_name AS nm,
+               str_split(p_name, ' ')[1] AS blk
+        FROM part WHERE p_partkey < 1000
+    ),
+    pairs AS (
+        SELECT a.blk,
+               jaro_winkler_similarity(a.nm, b.nm) AS jw
+        FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k
+    )
+    SELECT blk AS block,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN jw >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matches,
+           ROUND(MAX(jw), 4) AS top_sim
+    FROM pairs GROUP BY blk
+    """,
+    "T9/§2.11 entity resolution (blocked record linkage)",
+    "The 100 TB shape of Jaro-Winkler matching (T9, evaluate.py:100-106): "
+    "candidate pairs come from an equi-join on a BLOCKING key (first "
+    "name token) instead of the all-pairs product — the shuffle is "
+    "block-keyed, the pandas_udf JW kernel (Arrow-vectorized) runs on "
+    "in-block candidates only, and the per-block report (pair count, "
+    "matches at ≥0.9, rounded max similarity) keeps the output "
+    "aggregate-sized. Oracle-exact against DuckDB's built-in "
+    "jaro_winkler_similarity (bit-agreement with the Python kernel is "
+    "the established jaro_winkler_pairs parity). Skewed blocks are the "
+    "known hazard at scale — the documented refinement is a second "
+    "blocking key (e.g. name length), same plan shape.",
+)
+def q_blocked_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 1000)
+    p = part.select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("nm"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    a = p.select(F.col("blk"), F.col("k").alias("ka"), F.col("nm").alias("na"))
+    b = p.select(
+        F.col("blk").alias("blk_b"),
+        F.col("k").alias("kb"),
+        F.col("nm").alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("blk") == F.col("blk_b")) & (F.col("ka") < F.col("kb"))
+    ).withColumn("jw", jaro_winkler(F.col("na"), F.col("nb")))
+    return pairs.groupBy(F.col("blk").alias("block")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("jw") >= 0.9, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matches"),
+        F.round(F.max("jw"), 4).alias("top_sim"),
+    )
+
+
+@_register(
     "order_status_cube",
     """
     SELECT o_orderstatus, o_orderpriority,
@@ -6002,6 +6127,9 @@ def q_decile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'decile', CAST(bucket AS VARCHAR), n_rows, min_price, sum_price
     FROM ({REGISTRY['decile_bucketing'].sql})
+    UNION ALL
+    SELECT 'outliers', segment, n_outliers, lo_fence, hi_fence
+    FROM ({REGISTRY['iqr_outlier_fences'].sql})
     """,
     "§2.11 training-data ops (packing + splits + quantization + "
     "shuffle order + semantic dedup + profiling + bucketing)",
@@ -6064,6 +6192,13 @@ def q_training_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_price").alias("a"),
         F.col("sum_price").alias("b"),
     )
+    outliers = q_iqr_outliers(spark, sf_dir).select(
+        F.lit("outliers").alias("component"),
+        F.col("segment").alias("k"),
+        F.col("n_outliers").alias("n"),
+        F.col("lo_fence").alias("a"),
+        F.col("hi_fence").alias("b"),
+    )
     return (
         pack.unionByName(split)
         .unionByName(quant)
@@ -6071,6 +6206,7 @@ def q_training_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(semded)
         .unionByName(profile)
         .unionByName(decile)
+        .unionByName(outliers)
     )
 
 
@@ -6629,6 +6765,9 @@ def q_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'triangles', CAST(vec_id AS VARCHAR), degree, n_triangles,
            clustering_coeff
     FROM ({REGISTRY['neardup_triangles'].sql})
+    UNION ALL
+    SELECT 'linkage', block, n_pairs, n_matches, top_sim
+    FROM ({REGISTRY['blocked_jw_linkage'].sql})
     """,
     "§2.11 curation (contamination + repetition + canonical dedup + "
     "incremental containment + mixture sampling + PII redaction + "
@@ -6738,12 +6877,19 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_triangles").alias("n2"),
         F.col("clustering_coeff").alias("ratio"),
     )
+    lnk = q_blocked_jw(spark, sf_dir).select(
+        F.lit("linkage").alias("component"),
+        F.col("block").alias("k"),
+        F.col("n_pairs").cast("long").alias("n1"),
+        F.col("n_matches").alias("n2"),
+        F.col("top_sim").alias("ratio"),
+    )
     return (
         cont.unionByName(rep).unionByName(canon).unionByName(inc)
         .unionByName(mix).unionByName(pii).unionByName(chk)
         .unionByName(para).unionByName(hh)
         .unionByName(idx).unionByName(bm).unionByName(pgr)
-        .unionByName(tri)
+        .unionByName(tri).unionByName(lnk)
     )
 
 
@@ -6967,6 +7113,7 @@ _COST_HINT: dict[str, float] = {
     "column_profile": 0.7, "decile_bucketing": 1.5,
     "neardup_pagerank": 2.5, "neardup_triangles": 1.2,
     "streaming_session_attribution": 2.2,
+    "iqr_outlier_fences": 0.5, "blocked_jw_linkage": 1.5,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 13.5,
