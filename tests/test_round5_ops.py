@@ -95,3 +95,50 @@ def test_pagerank_floor_and_node_set(spark):
     # floor division only ever loses mass: total rank must not exceed
     # the initial unit mass
     assert sum(r["rank_e12"] for r in ranks) <= total
+
+
+def test_triangles_handshake_and_coeff_bounds(spark):
+    rows = REGISTRY["neardup_triangles"].fn(spark, SF_DIR).collect()
+    assert rows
+    # per-node participation counts each triangle exactly 3 times
+    assert sum(r["n_triangles"] for r in rows) % 3 == 0
+    for r in rows:
+        assert 0.0 <= r["clustering_coeff"] <= 1.0
+        # a node can be in at most C(degree, 2) triangles
+        d = r["degree"]
+        assert r["n_triangles"] <= d * (d - 1) // 2
+
+
+def test_iqr_fences_sane(spark):
+    rows = REGISTRY["iqr_outlier_fences"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["lo_fence"] < r["hi_fence"]
+        assert 0 <= r["n_outliers"] < r["n_rows"]
+
+
+def test_blocked_linkage_bounds(spark):
+    rows = REGISTRY["blocked_jw_linkage"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_matches"] <= r["n_pairs"]
+        assert 0.0 <= r["top_sim"] <= 1.0
+
+
+def test_streaming_attribution_matches_batch(spark):
+    """No gap in the testdata is exactly 30:00.000000, so the >= / >
+    boundary difference is unobservable — the streaming session_window
+    attribution must equal the batch lag-formulation row for row."""
+    batch = {
+        r["entry_type"]: (r["n_sessions"], r["n_converting"],
+                          r["n_purchases"], r["attributed_value"])
+        for r in REGISTRY["session_attribution"].fn(spark, SF_DIR).collect()
+    }
+    stream = {
+        r["entry_type"]: (r["n_sessions"], r["n_converting"],
+                          r["n_purchases"], r["attributed_value"])
+        for r in REGISTRY["streaming_session_attribution"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert batch == stream
