@@ -6076,13 +6076,15 @@ def q_decile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 10
     n = ranked.count()  # scalar over the checkpointed frame
     q, r = divmod(n, k)
-    rank0 = F.col("rank") - 1
+    # integer `div`, never floor(double/double): at extreme n a float
+    # quotient one ulp below an integer would floor into the wrong
+    # bucket; long division is exact at any rank
     bucket = (
         F.when(
             F.col("rank") <= r * (q + 1),
-            F.floor(rank0 / (q + 1)) + 1,
+            F.expr(f"(rank - 1) div {q + 1}") + 1,
         )
-        .otherwise(r + F.floor((rank0 - r * (q + 1)) / q) + 1)
+        .otherwise(r + F.expr(f"(rank - 1 - {r * (q + 1)}) div {q}") + 1)
         .cast("long")
     )
     return (
