@@ -246,6 +246,11 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                          ["training_prep_manifest", "iqr_outlier_fences"]),
     "X-linkage-blocked": ("plans.registry:q_blocked_jw",
                           ["curation_suite", "blocked_jw_linkage"]),
+    "X-ts-gapfill": ("plans.registry:q_events_gapfill",
+                     ["streaming_windowed_suite", "events_hourly_gapfill"]),
+    "X-stats-correlation": ("plans.registry:q_measure_correlation",
+                            ["training_prep_manifest",
+                             "measure_correlation"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -1049,6 +1049,141 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_hourly_gapfill",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT t.h FROM b, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(h)
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT h, event_type FROM hours CROSS JOIN types)
+    SELECT epoch_us(h) AS hour_start_us, event_type,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           ROUND(CAST(COALESCE(sv, CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_value
+    FROM spine LEFT JOIN hourly USING (h, event_type)
+    """,
+    "§2.11 time series (calendar-spine gap filling)",
+    "Dense hourly series per event type: a calendar spine generated "
+    "from the observed [min, max] hour via sequence()/generate_series "
+    "× the distinct type set, left-joined onto the hourly aggregate so "
+    "silent hours surface as explicit zero rows — the resample/gap-fill "
+    "primitive every downstream window or trend model needs (a missing "
+    "row and a zero row are different answers). The spine is "
+    "O(hours × types) — generated from a 1-row bounds aggregate, never "
+    "collected to the driver — and the heavy side is the same hourly "
+    "aggregate as events_hourly; at 100 TB the spine stays tiny and "
+    "broadcastable while the fact aggregation shuffles (hour, type) "
+    "partials.",
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).alias("sv"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    return spine.join(hourly, ["h", "event_type"], "left").select(
+        F.unix_micros("h").alias("hour_start_us"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.round(
+            F.coalesce("sv", F.lit(0).cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("sum_value"),
+    )
+
+
+@_register(
+    "measure_correlation",
+    """
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+        FROM lineitem
+    ),
+    agg AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM base GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                        * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+                 6) + 0 AS corr_qty_price
+    FROM agg
+    """,
+    "§2.11 statistics (exact Pearson correlation, decimal partials)",
+    "Per-group Pearson correlation of quantity vs extended price with "
+    "the user_value_trend determinism discipline: both measures scaled "
+    "to exact integer centi-units, the five sufficient statistics "
+    "summed EXACTLY (Spark DECIMAL(38,0) / DuckDB HUGEINT — "
+    "order-independent under any partitioning), and the correlation "
+    "evaluated in an identical double expression on both engines "
+    "(numerator cast once, each variance term cast once, multiplied as "
+    "doubles THEN square-rooted — same op order, same bits). The "
+    "trailing + 0 normalizes a rounded -0.0. One shuffle (the "
+    "group-by); float native corr()/covar partials would be "
+    "partition-order dependent — this is the exact replacement.",
+)
+def q_measure_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast(
+        "decimal(18,0)"
+    )
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(18,0)"
+    )
+    agg = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    num = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (nn * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (F.round(num / F.sqrt(dx * dy), 6) + F.lit(0.0)).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+@_register(
     "events_json_extract",
     """
     SELECT event_type,
@@ -6132,6 +6267,9 @@ def q_decile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'outliers', segment, n_outliers, lo_fence, hi_fence
     FROM ({REGISTRY['iqr_outlier_fences'].sql})
+    UNION ALL
+    SELECT 'corr', l_returnflag, n, corr_qty_price, 0.0
+    FROM ({REGISTRY['measure_correlation'].sql})
     """,
     "§2.11 training-data ops (packing + splits + quantization + "
     "shuffle order + semantic dedup + profiling + bucketing)",
@@ -6201,6 +6339,13 @@ def q_training_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lo_fence").alias("a"),
         F.col("hi_fence").alias("b"),
     )
+    corr = q_measure_correlation(spark, sf_dir).select(
+        F.lit("corr").alias("component"),
+        F.col("l_returnflag").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.col("corr_qty_price").alias("a"),
+        F.lit(0.0).alias("b"),
+    )
     return (
         pack.unionByName(split)
         .unionByName(quant)
@@ -6209,6 +6354,7 @@ def q_training_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile)
         .unionByName(decile)
         .unionByName(outliers)
+        .unionByName(corr)
     )
 
 
@@ -6240,6 +6386,10 @@ def q_training_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(CAST(roll_mean AS DECIMAL(18,6))) AS DOUBLE), 6)
     FROM ({REGISTRY['rolling_user_features'].sql})
     GROUP BY user_id
+    UNION ALL
+    SELECT 'gapfill', CAST(hour_start_us AS VARCHAR), event_type,
+           n_events, sum_value
+    FROM ({REGISTRY['events_hourly_gapfill'].sql})
     """,
     "§2.9/§2.11 event-time windowing (sliding windows + sessionization "
     "+ staged funnel + cohort retention + attribution + rolling "
@@ -6314,12 +6464,20 @@ def q_streaming_windowed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val",
         )
     )
+    gapfill = q_events_gapfill(spark, sf_dir).select(
+        F.lit("gapfill").alias("component"),
+        F.col("hour_start_us").cast("string").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n_events").cast("long").alias("n"),
+        F.col("sum_value").alias("val"),
+    )
     return (
         sliding.unionByName(sessions)
         .unionByName(funnel)
         .unionByName(cohort)
         .unionByName(attribution)
         .unionByName(rolling)
+        .unionByName(gapfill)
     )
 
 
@@ -7116,6 +7274,7 @@ _COST_HINT: dict[str, float] = {
     "neardup_pagerank": 2.5, "neardup_triangles": 1.2,
     "streaming_session_attribution": 2.2,
     "iqr_outlier_fences": 0.5, "blocked_jw_linkage": 1.5,
+    "events_hourly_gapfill": 0.8, "measure_correlation": 0.5,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 13.5,
