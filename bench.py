@@ -141,6 +141,16 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def run_once(name: str) -> float:
+        # Clear stale SQL-execution thread-locals before each query:
+        # Structured Streaming engine threads inherit the main thread's
+        # local properties, and a stale spark.sql.execution.id WITHOUT
+        # its root.id makes any nested Dataset.rdd materialization (e.g.
+        # MLlib summary creation) throw NumberFormatException ("Cannot
+        # parse null string") — observed once on grid_search_lr in the
+        # r5 bench, standalone-clean.
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.sql.execution.id", None)
+        sc.setLocalProperty("spark.sql.execution.root.id", None)
         t0 = time.time()
         df = REGISTRY[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -177,8 +187,21 @@ def main() -> None:
                 t1 = t_med
             timings[name] = round(t1, 3)
         except Exception as e:  # noqa: BLE001
-            print(f"bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
-            timings[name] = -1.0
+            # one retry: the only failure observed in 5 rounds was the
+            # transient thread-local race documented in run_once; a
+            # persistent error still surfaces as -1
+            print(
+                f"bench error in {name}: {type(e).__name__}: {e} — retrying",
+                file=sys.stderr,
+            )
+            try:
+                timings[name] = round(run_once(name), 3)
+            except Exception as e2:  # noqa: BLE001
+                print(
+                    f"bench error in {name} (retry): {type(e2).__name__}: {e2}",
+                    file=sys.stderr,
+                )
+                timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

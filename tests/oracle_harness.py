@@ -110,6 +110,12 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
 
 
 def run_query(spark, con, name, spec, sf_dir: str):
+    # clean SQL-execution thread-locals (see streaming.runtime.drain):
+    # a stale execution.id from an engine thread breaks nested
+    # Dataset.rdd materializations with NumberFormatException
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.sql.execution.id", None)
+    sc.setLocalProperty("spark.sql.execution.root.id", None)
     sdf = spec.fn(spark, sf_dir).toPandas()
     if spec.sql is None:
         problems = ["(rows-only)"] if len(sdf) == 0 else []

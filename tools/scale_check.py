@@ -95,6 +95,8 @@ _QUERIES = [
     "decile_bucketing",
     "neardup_pagerank",
     "neardup_triangles",
+    "events_hourly_gapfill",
+    "measure_correlation",
 ]
 
 

@@ -84,4 +84,12 @@ def drain(
         finally:
             query.stop()
             shutil.rmtree(ckpt, ignore_errors=True)
+            # streaming engine threads inherit (and can leave behind)
+            # SQL-execution thread-locals; a stale execution.id without
+            # its root.id breaks the next nested Dataset.rdd
+            # materialization on this thread (NumberFormatException in
+            # SQLExecution). Reset to a clean slate for batch work.
+            sc = spark.sparkContext
+            sc.setLocalProperty("spark.sql.execution.id", None)
+            sc.setLocalProperty("spark.sql.execution.root.id", None)
     return spark.table(name)
