@@ -142,3 +142,31 @@ def test_streaming_attribution_matches_batch(spark):
         .collect()
     }
     assert batch == stream
+
+
+def test_ntile_formula_matches_duckdb_property():
+    """The q/r integer bucket-boundary formula used by decile_bucketing
+    must equal SQL NTILE for arbitrary (n, k) — property-checked
+    against DuckDB's NTILE (no Spark needed: the formula is pure
+    integer arithmetic shared by both engines)."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(min_value=1, max_value=997),
+           st.integers(min_value=1, max_value=23))
+    def check(n, k):
+        q, r = divmod(n, k)
+        bad = con.execute(f"""
+        WITH t AS (SELECT i AS rn, NTILE({k}) OVER (ORDER BY i) AS nt
+                   FROM range(1, {n} + 1) s(i))
+        SELECT COUNT(*) FROM t WHERE nt != CASE
+            WHEN rn <= {r} * ({q} + 1) THEN (rn - 1) // ({q} + 1) + 1
+            ELSE {r} + (rn - 1 - {r} * ({q} + 1)) // (CASE WHEN {q} = 0
+                 THEN 1 ELSE {q} END) + 1 END
+        """).fetchone()[0]
+        assert bad == 0, f"NTILE mismatch at n={n}, k={k}"
+
+    check()

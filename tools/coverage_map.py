@@ -251,6 +251,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "X-stats-correlation": ("plans.registry:q_measure_correlation",
                             ["training_prep_manifest",
                              "measure_correlation"]),
+    "X-profile-histogram": ("plans.registry:q_value_histogram",
+                            ["training_prep_manifest", "value_histogram"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -1757,6 +1757,48 @@ def q_blocked_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "value_histogram",
+    """
+    WITH c AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v
+        FROM lineitem
+    ),
+    b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM c)
+    SELECT CAST((c.v - b.lo) * 20 // (b.hi - b.lo + 1) AS BIGINT) AS bin,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(c.v) / 100.0, 2) AS min_price,
+           ROUND(MAX(c.v) / 100.0, 2) AS max_price
+    FROM c CROSS JOIN b
+    GROUP BY 1
+    """,
+    "§2.11 data profiling (equi-width histogram, exact integer binning)",
+    "Fixed-width 20-bin histogram of extended price — the equi-WIDTH "
+    "complement of decile_bucketing's equi-depth bins. Values are "
+    "exact integer cents; the bin index ((v-lo)*k) div (hi-lo+1) is "
+    "pure integer arithmetic, so bin edges can never drift between "
+    "engines the way a float (v-lo)/width would at the boundaries. "
+    "Plan: one 1-row bounds aggregate broadcast-crossed onto the scan, "
+    "one bin-keyed partial-aggregating shuffle (k=20 groups) — two "
+    "passes, no driver collect, the same shape at any scale.",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    v = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    c = li.select(v.alias("v"))
+    b = c.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = c.crossJoin(F.broadcast(b)).select(
+        F.expr("(v - lo) * 20 div (hi - lo + 1)").cast("long").alias("bin"),
+        "v",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("v") / 100.0, 2).alias("min_price"),
+        F.round(F.max("v") / 100.0, 2).alias("max_price"),
+    )
+
+
+@_register(
     "order_status_cube",
     """
     SELECT o_orderstatus, o_orderpriority,
@@ -6270,6 +6312,9 @@ def q_decile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'corr', l_returnflag, n, corr_qty_price, 0.0
     FROM ({REGISTRY['measure_correlation'].sql})
+    UNION ALL
+    SELECT 'hist', CAST(bin AS VARCHAR), n_rows, min_price, max_price
+    FROM ({REGISTRY['value_histogram'].sql})
     """,
     "§2.11 training-data ops (packing + splits + quantization + "
     "shuffle order + semantic dedup + profiling + bucketing)",
@@ -6346,6 +6391,13 @@ def q_training_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("corr_qty_price").alias("a"),
         F.lit(0.0).alias("b"),
     )
+    hist = q_value_histogram(spark, sf_dir).select(
+        F.lit("hist").alias("component"),
+        F.col("bin").cast("string").alias("k"),
+        F.col("n_rows").cast("long").alias("n"),
+        F.col("min_price").alias("a"),
+        F.col("max_price").alias("b"),
+    )
     return (
         pack.unionByName(split)
         .unionByName(quant)
@@ -6355,6 +6407,7 @@ def q_training_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(decile)
         .unionByName(outliers)
         .unionByName(corr)
+        .unionByName(hist)
     )
 
 
@@ -7275,6 +7328,7 @@ _COST_HINT: dict[str, float] = {
     "streaming_session_attribution": 2.2,
     "iqr_outlier_fences": 0.5, "blocked_jw_linkage": 1.5,
     "events_hourly_gapfill": 0.8, "measure_correlation": 0.5,
+    "value_histogram": 0.6,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 13.5,
