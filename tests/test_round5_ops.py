@@ -170,3 +170,22 @@ def test_ntile_formula_matches_duckdb_property():
         assert bad == 0, f"NTILE mismatch at n={n}, k={k}"
 
     check()
+
+
+def test_value_histogram_partitions_rows(spark):
+    import duckdb
+
+    rows = sorted(
+        REGISTRY["value_histogram"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert rows[0]["bin"] == 0 and rows[-1]["bin"] == 19
+    con = duckdb.connect()
+    total = con.execute(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()[0]
+    # bins partition all rows, and observed ranges are ordered and
+    # non-overlapping
+    assert sum(r["n_rows"] for r in rows) == total
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_price"] <= hi["min_price"]
