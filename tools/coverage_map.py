@@ -253,6 +253,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                              "measure_correlation"]),
     "X-profile-histogram": ("plans.registry:q_value_histogram",
                             ["training_prep_manifest", "value_histogram"]),
+    "X-event-paths": ("plans.registry:q_session_paths",
+                      ["streaming_windowed_suite", "session_paths"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -1184,6 +1184,80 @@ def q_measure_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "session_paths",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NOT NULL
+                         AND epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    ),
+    paths AS (
+        SELECT user_id, sid,
+               array_to_string(
+                   (list(event_type ORDER BY ts, event_id))[1:5], '>')
+                   AS path
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+    "§2.11 event analytics (session path mining)",
+    "Top-20 session journeys: each 30-min-gap session's ordered "
+    "event-type sequence (first 5 steps), counted across the corpus — "
+    "the path-mining view that complements the funnel (which fixes the "
+    "sequence) and attribution (which keeps only the first touch). "
+    "Determinism: the step order is the unique (ts, event_id) key, "
+    "assembled via array_sort over collected structs (collect_list is "
+    "partition-order nondeterministic; the sort makes it exact — the "
+    "lexicon-regroup pattern). Plan shape: the session machinery rides "
+    "the one user-keyed exchange, per-path counting is a small "
+    "second shuffle, top-20 via ORDER+LIMIT plans as TakeOrdered — "
+    "no global sort materialization at any scale.",
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1_800_000_000
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_s = F.when(
+        prev_us.isNotNull() & (F.unix_micros("ts") - prev_us > gap_us), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "sid", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    path = F.concat_ws(
+        ">",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            1,
+            5,
+        ),
+    )
+    paths = sess.groupBy("user_id", "sid").agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+@_register(
     "events_json_extract",
     """
     SELECT event_type,
@@ -6443,6 +6517,9 @@ def q_training_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'gapfill', CAST(hour_start_us AS VARCHAR), event_type,
            n_events, sum_value
     FROM ({REGISTRY['events_hourly_gapfill'].sql})
+    UNION ALL
+    SELECT 'paths', path, '', n_sessions, 0.0
+    FROM ({REGISTRY['session_paths'].sql})
     """,
     "§2.9/§2.11 event-time windowing (sliding windows + sessionization "
     "+ staged funnel + cohort retention + attribution + rolling "
@@ -6524,6 +6601,13 @@ def q_streaming_windowed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n"),
         F.col("sum_value").alias("val"),
     )
+    pth = q_session_paths(spark, sf_dir).select(
+        F.lit("paths").alias("component"),
+        F.col("path").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("n_sessions").cast("long").alias("n"),
+        F.lit(0.0).alias("val"),
+    )
     return (
         sliding.unionByName(sessions)
         .unionByName(funnel)
@@ -6531,6 +6615,7 @@ def q_streaming_windowed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(attribution)
         .unionByName(rolling)
         .unionByName(gapfill)
+        .unionByName(pth)
     )
 
 
@@ -7328,7 +7413,7 @@ _COST_HINT: dict[str, float] = {
     "streaming_session_attribution": 2.2,
     "iqr_outlier_fences": 0.5, "blocked_jw_linkage": 1.5,
     "events_hourly_gapfill": 0.8, "measure_correlation": 0.5,
-    "value_histogram": 0.6,
+    "value_histogram": 0.6, "session_paths": 0.9,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 13.5,
