@@ -62,9 +62,26 @@ def _capped_queries(timings: dict[str, float]) -> dict[str, float]:
     return out
 
 
+def _read_cpu_stat() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat's aggregate cpu
+    line; (0, 0) if unreadable. Steal fraction over the bench window
+    attributes host co-tenancy noise (Firecracker CPU steal dominates
+    run-to-run variance, r5 evidence) so a slow run can be adjudicated
+    as host noise vs real regression."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:  # noqa: BLE001
+        return 0, 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    _cpu0 = _read_cpu_stat()
     spark = get_session("umt_bench")
 
     # warmup: absorb JVM/codegen/Arrow/parquet-reader startup noise so
@@ -156,46 +173,50 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    def timed(name: str) -> float:
+        """One spike-guarded measurement under the pinned protocol.
+
+        Single-JVM 32-thread runs show multi-second GC/JIT hiccups that
+        land on random queries (observed: the same query swinging
+        2.4s ↔ 8.0s across runs). Pinned protocol (v2, round 5): a
+        first measurement above the spike threshold triggers exactly
+        TWO repeat executions and the query reports the MEDIAN of the
+        three runs. Median keeps the guard robust to single-run GC
+        storms (observed: a 93s first measurement on a 10s query) but —
+        unlike the old best-of-N — cannot ratchet a genuinely regressed
+        query's number down: if all three runs are slow, the reported
+        time is slow. The baseline min(hint, prev) is used for
+        DETECTION only, never for reporting.
+        """
+        t1 = run_once(name)
+        hint = _hint(name)
+        threshold = max(1.6 * hint, hint + 1.2)
+        if t1 > threshold:
+            samples = sorted([t1, run_once(name), run_once(name)])
+            t_med = samples[1]
+            print(
+                f"bench retimed {name}: {t1:.2f}s -> median "
+                f"{t_med:.2f}s of {[round(s, 2) for s in samples]}",
+                file=sys.stderr,
+            )
+            t1 = t_med
+        return t1
+
     for name in order:
         try:
-            t1 = run_once(name)
-            # single-JVM 32-thread runs show multi-second GC/JIT hiccups
-            # that land on random queries (observed: the same query
-            # swinging 2.4s ↔ 8.0s across runs). A first measurement far
-            # above the query's cost hint is almost always such a
-            # hiccup: confirm with one repeat execution and report the
-            # min (both are genuine full executions of the same plan).
-            hint = _hint(name)
-            # Pinned protocol (v2, round 5): a first measurement above
-            # the spike threshold triggers exactly TWO repeat executions
-            # and the query reports the MEDIAN of the three runs. Median
-            # keeps the guard robust to single-run GC storms (observed:
-            # a 93s first measurement on a 10s query) but — unlike the
-            # old best-of-N — cannot ratchet a genuinely regressed
-            # query's number down: if all three runs are slow, the
-            # reported time is slow. The baseline min(hint, prev) is
-            # used for DETECTION only, never for reporting.
-            threshold = max(1.6 * hint, hint + 1.2)
-            if t1 > threshold:
-                samples = sorted([t1, run_once(name), run_once(name)])
-                t_med = samples[1]
-                print(
-                    f"bench retimed {name}: {t1:.2f}s -> median "
-                    f"{t_med:.2f}s of {[round(s, 2) for s in samples]}",
-                    file=sys.stderr,
-                )
-                t1 = t_med
-            timings[name] = round(t1, 3)
+            timings[name] = round(timed(name), 3)
         except Exception as e:  # noqa: BLE001
             # one retry: the only failure observed in 5 rounds was the
             # transient thread-local race documented in run_once; a
-            # persistent error still surfaces as -1
+            # persistent error still surfaces as -1. The retry goes
+            # through the SAME spike-guarded protocol as the main path
+            # so a retried query can't report an unguarded outlier.
             print(
                 f"bench error in {name}: {type(e).__name__}: {e} — retrying",
                 file=sys.stderr,
             )
             try:
-                timings[name] = round(run_once(name), 3)
+                timings[name] = round(timed(name), 3)
             except Exception as e2:  # noqa: BLE001
                 print(
                     f"bench error in {name} (retry): {type(e2).__name__}: {e2}",
@@ -205,6 +226,44 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Per-query regression gate: compare against the PINNED committed
+    # reference (bench_pinned.json, the r5 run) rather than only the
+    # rolling previous run — totals + noise band can't catch a single
+    # query regressing 2× (r5 evidence: classifier_battery +21% went
+    # unflagged). Movers >1.5× are listed in the artifact; steal-time
+    # context decides whether they're host noise.
+    pinned: dict[str, float] = {}
+    try:
+        with open(os.path.join(_REPO, "bench_pinned.json")) as f:
+            pinned = {
+                k: v
+                for k, v in json.load(f).get("queries", {}).items()
+                if isinstance(v, (int, float)) and v > 0
+            }
+    except Exception:  # noqa: BLE001
+        pass
+    regressions = {
+        n: {"now": timings[n], "pinned": pinned[n],
+            "ratio": round(timings[n] / pinned[n], 2)}
+        for n in timings
+        if n in pinned and timings[n] > 0
+        and timings[n] > max(1.5 * pinned[n], pinned[n] + 0.5)
+    }
+    for n, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
+        print(
+            f"bench REGRESSION {n}: {r['now']:.2f}s vs pinned "
+            f"{r['pinned']:.2f}s ({r['ratio']}x)",
+            file=sys.stderr,
+        )
+
+    steal1, total1 = _read_cpu_stat()
+    steal_pct = None
+    if total1 > _cpu0[1] > 0:
+        steal_pct = round(
+            100.0 * (steal1 - _cpu0[0]) / (total1 - _cpu0[1]), 2
+        )
+
     full = {
         "metric": "total_registry_query_seconds",
         "value": total,
@@ -213,6 +272,8 @@ def main() -> None:
         "sf": sf_val,
         "skipped_suites": sorted(_DRIVER_SUITES),
         "protocol": _PROTOCOL,
+        "regressions_vs_pinned": regressions,
+        "host_steal_pct": steal_pct,
     }
     with open(os.path.join(_REPO, "bench_full.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
@@ -225,6 +286,8 @@ def main() -> None:
             "queries": _capped_queries(timings),
             "sf": sf_val,
             "protocol": _PROTOCOL,
+            "regr_n": len(regressions),
+            "steal_pct": steal_pct,
         },
         separators=(",", ":"),
     )

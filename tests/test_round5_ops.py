@@ -36,6 +36,18 @@ def test_attribution_consistent_with_sessionization(spark):
 def test_rolling_features_frame_bounds(spark):
     rows = REGISTRY["rolling_user_features"].fn(spark, SF_DIR).collect()
     assert rows
+    # roll_max <= roll_sum only holds for non-negative values; assert
+    # that precondition explicitly so generator drift fails loudly here
+    # rather than as a spurious frame-bound violation below.
+    import duckdb
+
+    min_value = duckdb.connect().execute(
+        f"SELECT MIN(value) FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    assert min_value >= 0, (
+        "testdata events.value went negative; the roll_max<=roll_sum "
+        "invariant below no longer applies"
+    )
     per_user_min = {}
     for r in rows:
         assert 1 <= r["roll_n"] <= 5

@@ -4364,6 +4364,13 @@ def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_d = edges.join(deg, "src").localCheckpoint(eager=True)
     nodes = edges_d.select(F.col("src").alias("node")).distinct()
     n = nodes.count()  # driver scalar: node count folded into literals
+    if n == 0:
+        # empty near-dup graph (higher threshold / different data):
+        # match the oracle's empty relation instead of dividing by zero
+        return nodes.select(
+            F.col("node").alias("vec_id"),
+            F.lit(None).cast("long").alias("rank_e12"),
+        )
     init = 1_000_000_000_000 // n
     base = 150_000_000_000 // n
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_u"))

@@ -71,25 +71,33 @@ def drain(
     spark = agg.sparkSession
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"{name}_", dir=_CKPT_ROOT)
-    with stream_state_partitions(spark, cap):
-        query = (
-            agg.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
-            # streaming engine threads inherit (and can leave behind)
-            # SQL-execution thread-locals; a stale execution.id without
-            # its root.id breaks the next nested Dataset.rdd
-            # materialization on this thread (NumberFormatException in
-            # SQLExecution). Reset to a clean slate for batch work.
-            sc = spark.sparkContext
-            sc.setLocalProperty("spark.sql.execution.id", None)
-            sc.setLocalProperty("spark.sql.execution.root.id", None)
+    # _CKPT_ROOT may be RAM-backed (/dev/shm): the directory must be
+    # removed on EVERY exit path — including start() raising, or stop()
+    # itself throwing — or leaked checkpoints consume memory.
+    try:
+        with stream_state_partitions(spark, cap):
+            query = (
+                agg.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                try:
+                    query.stop()
+                finally:
+                    # streaming engine threads inherit (and can leave
+                    # behind) SQL-execution thread-locals; a stale
+                    # execution.id without its root.id breaks the next
+                    # nested Dataset.rdd materialization on this thread
+                    # (NumberFormatException in SQLExecution). Reset to
+                    # a clean slate for batch work.
+                    sc = spark.sparkContext
+                    sc.setLocalProperty("spark.sql.execution.id", None)
+                    sc.setLocalProperty("spark.sql.execution.root.id", None)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
