@@ -265,3 +265,37 @@ def test_tpe_search_deterministic_and_improves(spark):
     assert sum(1 for r in out1 if r["is_best"]) >= 1
     # proposals stay inside the declared search space
     assert all(1e-4 - 1e-12 <= r["reg_param"] <= 10.0 + 1e-9 for r in out1)
+
+
+def test_knn_auto_dispatch_by_size(spark):
+    """knn_within(method='auto') broadcasts small inputs (numpy path)
+    but switches to the blocked distributed kernel when the estimated
+    dense build side exceeds the broadcast budget — same exact results
+    either way, different plan (no driver collect on the big side)."""
+    from unittest import mock
+
+    from uni_mannheim_masters_thesis_spark.ml import resample
+    from uni_mannheim_masters_thesis_spark.ml.resample import knn_within
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    with mock.patch.object(
+        resample, "_knn_within_blocked", wraps=resample._knn_within_blocked
+    ) as blocked, mock.patch.object(
+        resample, "_knn_within_numpy", wraps=resample._knn_within_numpy
+    ) as numpy_path:
+        small = knn_within(emb, k=3)  # fits the 64 MiB default budget
+        assert numpy_path.call_count == 1 and blocked.call_count == 0
+        # force "too big to broadcast" via a tiny budget
+        big = knn_within(emb, k=3, broadcast_budget_bytes=1)
+        assert blocked.call_count == 1
+    # neighbor ids + ranks identical; distances agree to float noise
+    # (BLAS matmul blocking differs between the two kernels by an ulp)
+    s_rows = sorted((r.id, r.nn_rank, r.nn_id, r.dist) for r in small.collect())
+    b_rows = sorted((r.id, r.nn_rank, r.nn_id, r.dist) for r in big.collect())
+    assert [(a, b, c) for a, b, c, _ in s_rows] == [
+        (a, b, c) for a, b, c, _ in b_rows
+    ]
+    assert all(
+        abs(sd - bd) <= 1e-9 * max(1.0, sd)
+        for (*_, sd), (*_, bd) in zip(s_rows, b_rows)
+    )

@@ -11,9 +11,12 @@ Those are kNN algorithms, so the distributed design is a neighbor join:
   plan). The interpolation is ``zip_with`` over array columns —
   JVM-side, no UDF. Neighbor search is brute-force within the minority
   class (the minority class is small *relative to the dataset* by
-  definition; it broadcasts) — at 100 TB the same code path works as
-  long as the minority side fits the broadcast threshold, else swap the
-  kNN call for ``lsh_ann``.
+  definition; it broadcasts) — at 100 TB the size-dispatched
+  ``knn_within(method='auto')`` measures the build side first and
+  switches to the exact blocked distributed kernel when it exceeds the
+  broadcast budget, so an oversized minority class degrades to a
+  distributed plan instead of a driver OOM; ``method='lsh'`` remains
+  the sub-quadratic approximate escape hatch.
 - **Tomek links** (`tomek_links` / `remove_tomek_links`): a Tomek pair
   is a *mutual* 1-NN pair with different labels; the cleaning rule
   drops the majority-class member. 1-NN across the full table is the
@@ -38,28 +41,57 @@ def _sq_dist(a, b):
     return sq_dist(a, b)
 
 
+# Broadcast budget for the numpy fast path: bytes of the dense float64
+# build matrix (count × dim × 8) that would be collected to the driver
+# and broadcast. 64 MiB mirrors the order of magnitude one would set
+# spark.sql.autoBroadcastJoinThreshold to for a beefy driver; above it
+# the 'auto' dispatch switches to the blocked distributed kernel
+# instead of risking a driver OOM.
+KNN_BROADCAST_BUDGET_BYTES = 64 * 1024 * 1024
+
+
+def _dense_matrix_bytes(df: DataFrame, vec_col: str) -> int:
+    """Estimated bytes of ``df`` as a dense float64 matrix — one
+    column-pruned aggregate job (count × max vector width × 8)."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size(F.col(vec_col))).alias("d"),
+    ).first()
+    return (row["n"] or 0) * (row["d"] or 0) * 8
+
+
 def knn_within(
     df: DataFrame,
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "numpy",
+    method: str = "auto",
+    broadcast_budget_bytes: int = KNN_BROADCAST_BUDGET_BYTES,
 ) -> DataFrame:
     """k nearest same-set neighbors by squared euclidean distance.
 
     Returns DataFrame[id, nn_id, dist, nn_rank(1..k)]. Deterministic
     tie-break on neighbor id.
 
-    ``method='numpy'`` (default): the comparison side is broadcast as a
-    dense matrix (exactly like the build side of a broadcast hash join)
-    and each Arrow batch of probes computes distances with one BLAS
-    matmul — ~50× the HOF join on wide vectors. Requires the table to
-    fit the broadcast budget (a kNN *within one class* usually does —
-    SMOTE's minority-broadcast contract; for full tables use 'lsh').
+    ``method='auto'`` (default): size-dispatched — estimates the dense
+    build-side bytes (count × dim × 8, one aggregate job) and takes the
+    'numpy' broadcast path only when it fits ``broadcast_budget_bytes``;
+    otherwise the 'blocked' distributed kernel. Both are EXACT with the
+    same deterministic (dist, id) tie-break, so dispatch never changes
+    results — only the plan. A caller handing in a table too big to
+    broadcast gets a distributed plan, not a driver OOM.
+    ``method='numpy'``: the comparison side is broadcast as a dense
+    matrix (exactly like the build side of a broadcast hash join) and
+    each Arrow batch of probes computes distances with one BLAS matmul
+    — ~50× the HOF join on wide vectors. Requires the table to fit the
+    broadcast budget (a kNN *within one class* usually does — SMOTE's
+    minority-broadcast contract).
+    ``method='blocked'``: exact distributed all-pairs BLAS with bounded
+    per-task memory — no collect, no broadcast (see
+    :func:`_knn_within_blocked`).
     ``method='lsh'``: bucketed-LSH candidate generation + exact re-rank
-    (``operators.similarity_search.lsh_ann``) — the 100 TB path: no
-    driver-side collect, no broadcast of the full table; neighbors are
-    approximate (high-recall with the default table count).
+    (``operators.similarity_search.lsh_ann``) — the sub-quadratic
+    100 TB path when approximate recall is acceptable.
     ``method='join'``: pure-DataFrame O(n²) pair join, no numpy — the
     semantics reference.
     """
@@ -69,6 +101,10 @@ def knn_within(
         return _knn_within_lsh(df, k, id_col, vec_col)
     if method == "blocked":
         return _knn_within_blocked(df, k, id_col, vec_col)
+    if method == "auto":
+        if _dense_matrix_bytes(df, vec_col) > broadcast_budget_bytes:
+            return _knn_within_blocked(df, k, id_col, vec_col)
+        return _knn_within_numpy(df, k, id_col, vec_col)
     return _knn_within_numpy(df, k, id_col, vec_col)
 
 
