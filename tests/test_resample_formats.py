@@ -299,3 +299,43 @@ def test_knn_auto_dispatch_by_size(spark):
         abs(sd - bd) <= 1e-9 * max(1.0, sd)
         for (*_, sd), (*_, bd) in zip(s_rows, b_rows)
     )
+
+
+def test_rule_point_search_synthetic_landscape(spark):
+    """On a synthetic corpus where the optimal rule point is interior
+    and both dimensions matter, the surrogate search finds a point that
+    dominates all four box corners, stays in the box, and is
+    deterministic across invocations."""
+    from uni_mannheim_masters_thesis_spark.ml.search import rule_point_search
+
+    # 400 docs: gold-positive docs have 3 topic probs at 0.08 (visible
+    # only when min_prob <= 0.08 and min_topics <= 2), negatives have
+    # one dominant topic — so F1 peaks strictly inside the box
+    rows = []
+    for i in range(400):
+        if i % 2:
+            probs = [0.08, 0.08, 0.08, 0.76] + [0.0] * 6
+            gold = True
+        else:
+            probs = [0.9, 0.06, 0.04] + [0.0] * 7
+            gold = False
+        rows.append((probs, gold))
+    scored = spark.createDataFrame(
+        rows, "topic_probs array<double>, gold boolean"
+    )
+    out = rule_point_search(scored).collect()
+    assert len(out) == 15
+    assert all(r.ok_trials_complete and r.ok_f1_range and r.ok_in_box
+               and r.ok_best_geq_corners for r in out)
+    best = max(out, key=lambda r: r.f1)
+    # perfect separation is reachable only at interior points (e.g.
+    # min_prob <= 0.08 with min_topics in {2,3}) — no box corner can
+    # reach it, so the is_best winner must be an interior trial
+    assert best.f1 == 1.0
+    corners = {(0.05, 1), (0.05, 5), (0.1, 1), (0.1, 5)}
+    assert (best.min_probability, best.min_topics) not in corners
+    # the TPE phase (trials 6+) conditions on history and must also
+    # land on the perfect plateau, not just the pinned warmup
+    assert any(r.f1 == 1.0 for r in out if r.trial > 5)
+    again = rule_point_search(scored).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]

@@ -123,9 +123,12 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "M21": ("ml.resample:remove_tomek_links  # blocked exact 1-NN "
             "(distributed BLAS), no driver-side collect",
             ["resampling_report", "tomek_link_removal"]),
-    "M22": ("ml.search:adaptive_search_logistic  # TPE-style sequential "
-            "surrogate search (BayesSearchCV analogue)",
-            ["adaptive_search_lr", "grid_search_lr"]),
+    "M22": ("ml.search:adaptive_search_logistic  # + ml.search:"
+            "rule_point_search — TPE-style surrogate search over BOTH "
+            "reference loops: classifier hyperparams (BayesSearchCV "
+            "analogue) and the polysemy-rule operating point "
+            "(forest_minimize analogue)",
+            ["adaptive_search_lr", "grid_search_lr", "rule_point_search"]),
     "M23": ("ml.classify:evaluate_binary", ["classifier_battery"]),
     "M24": ("ml.search:holdout_transfer", ["holdout_transfer_report"]),
     "M25": ("ml.topic_quality:log_perplexity", ["topic_quality_suite", "lda_log_perplexity"]),

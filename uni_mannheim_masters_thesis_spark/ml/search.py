@@ -253,3 +253,125 @@ def adaptive_search_logistic(
             "ok_f1_range", (F.col("avg_f1") >= 0) & (F.col("avg_f1") <= 1)
         )
     )
+
+
+def rule_point_search(
+    scored: DataFrame,
+    probs_col: str = "topic_probs",
+    gold_col: str = "gold",
+    prob_bounds: tuple = (0.05, 0.1),
+    topic_bounds: tuple = (1, 5),
+    n_trials: int = 15,
+    gamma: float = 0.3,
+    n_candidates: int = 32,
+    seed: int = SEED,
+) -> DataFrame:
+    """M22, second loop: surrogate search over the POLYSEMY-RULE
+    operating point, not classifier hyperparams.
+
+    The reference's ``skopt.forest_minimize`` run
+    (polysemous_words.py:271-281) searches ``minimum_probability ∈
+    [PROB_MIN, PROB_MAX] = [0.05, 0.1]`` ×
+    ``minimum_topics_polysemeous ∈ [T_MIN, T_MAX] = [1, 5]``
+    (space at polysemous_words.py:33-38,48-52), re-evaluating the rule
+    over every concept's topic distribution per trial and scoring F1
+    against the wiki-disambiguation gold (train_evaluate,
+    polysemous_words.py:198-234). This mirrors that loop with the same
+    TPE-style surrogate as :func:`adaptive_search_logistic`:
+
+    - the expensive part (LDA inference) is done ONCE by the caller;
+      ``scored`` holds each doc's topic-probability array and a
+      param-independent gold flag, and stays cached across trials;
+    - each trial applies the rule ``count(p_i >= min_prob) > min_topics``
+      and folds the confusion counts in ONE distributed aggregate —
+      exactly the reference's runAllConcepts + evaluate per call, minus
+      the per-call re-inference its in-memory design needs;
+    - warmup pins the four corners of the search box plus its center
+      (deterministic; guarantees the reported best dominates every
+      corner — forest_minimize's random starts only reach this in
+      expectation), then TPE proposals condition on history: continuous
+      ``min_probability`` by KDE density ratio, integer ``min_topics``
+      by majority vote among the good trials.
+
+    Returns one row per trial:
+    [trial, min_probability, min_topics, f1, is_best, ok_*].
+    """
+    import numpy as np
+
+    p_lo, p_hi = prob_bounds
+    t_lo, t_hi = topic_bounds
+    t_choices = list(range(t_lo, t_hi + 1))
+    rng = np.random.RandomState(seed)
+
+    base = scored.select(
+        F.col(probs_col).alias("__probs"), F.col(gold_col).cast("boolean").alias("__gold")
+    ).cache()
+
+    def trial_f1(min_prob: float, min_topics: int) -> float:
+        pred = (
+            F.size(F.filter("__probs", lambda p: p >= F.lit(float(min_prob))))
+            > F.lit(int(min_topics))
+        )
+        row = base.select(
+            F.sum((pred & F.col("__gold")).cast("long")).alias("tp"),
+            F.sum((pred & ~F.col("__gold")).cast("long")).alias("fp"),
+            F.sum((~pred & F.col("__gold")).cast("long")).alias("fn"),
+        ).first()
+        tp, fp, fn = row["tp"] or 0, row["fp"] or 0, row["fn"] or 0
+        return 2.0 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0
+
+    def kde_logpdf(x: float, pts: np.ndarray) -> float:
+        bw = max(1.06 * (np.std(pts) or 0.0) * len(pts) ** -0.2,
+                 0.05 * (p_hi - p_lo))
+        z = (x - pts) / bw
+        return float(np.log(np.mean(np.exp(-0.5 * z * z)) / bw + 1e-12))
+
+    warmup = [
+        (p_lo, t_lo), (p_lo, t_hi), (p_hi, t_lo), (p_hi, t_hi),
+        (0.5 * (p_lo + p_hi), t_choices[len(t_choices) // 2]),
+    ]
+    trials: list[tuple[float, int, float]] = []
+    for t in range(n_trials):
+        if t < len(warmup):
+            mp, mt = warmup[t]
+        else:
+            obs = sorted(trials, key=lambda r: -r[2])
+            n_good = max(1, int(round(gamma * len(obs))))
+            good = np.array([r[0] for r in obs[:n_good]])
+            bad = np.array([r[0] for r in obs[n_good:]] or [0.5 * (p_lo + p_hi)])
+            cands = rng.uniform(p_lo, p_hi, size=n_candidates)
+            ei = [kde_logpdf(c, good) - kde_logpdf(c, bad) for c in cands]
+            mp = float(cands[int(np.argmax(ei))])
+            good_ts = [r[1] for r in obs[:n_good]]
+            mt = int(max(t_choices, key=lambda c: good_ts.count(c)))
+        trials.append((float(mp), int(mt), trial_f1(mp, mt)))
+
+    best = max(r[2] for r in trials)
+    corner_best = max(f1 for (_, _, f1) in trials[:4])
+    spark = scored.sparkSession
+    out = spark.createDataFrame(
+        [
+            (i + 1, round(mp, 6), mt, round(f1, 6))
+            for i, (mp, mt, f1) in enumerate(trials)
+        ],
+        "trial int, min_probability double, min_topics int, f1 double",
+    )
+    # hard harness-enforced invariants: every trial scored inside the
+    # reference's search box, valid F1, and the winner dominates all
+    # four corners of the box (warmup pins them, so a best below a
+    # corner means the bookkeeping broke)
+    return out.select(
+        "trial", "min_probability", "min_topics", "f1",
+        (F.col("f1") >= F.lit(round(best, 6))).alias("is_best"),
+        F.lit(len(trials) == n_trials).alias("ok_trials_complete"),
+        ((F.col("f1") >= 0) & (F.col("f1") <= 1)).alias("ok_f1_range"),
+        (
+            (F.col("min_probability") >= F.lit(p_lo))
+            & (F.col("min_probability") <= F.lit(p_hi))
+            & (F.col("min_topics") >= F.lit(t_lo))
+            & (F.col("min_topics") <= F.lit(t_hi))
+        ).alias("ok_in_box"),
+        F.lit(round(best, 9) >= round(corner_best, 9)).alias(
+            "ok_best_geq_corners"
+        ),
+    )

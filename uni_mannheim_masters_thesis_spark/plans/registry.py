@@ -4789,6 +4789,56 @@ def q_adaptive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "rule_point_search",
+    None,
+    "M22 (rule-operating-point surrogate search, forest_minimize "
+    "analogue)",
+    "The reference's SECOND Bayesian loop: skopt.forest_minimize over "
+    "the polysemy-rule OPERATING POINT — minimum_probability ∈ "
+    "[0.05, 0.1] × minimum_topics ∈ [1, 5] (polysemous_words.py:33-38,"
+    "48-52,271-281) — re-scoring the rule against gold per trial. Here "
+    "the LDA topic distributions are inferred ONCE and cached; each "
+    "trial is one distributed confusion aggregate over the cached "
+    "arrays (count(p>=min_prob)>min_topics vs a param-independent "
+    "lexical-diversity gold), so 15 trials cost 15 cheap Spark jobs, "
+    "not 15 pipeline re-runs. Warmup pins the box corners + center, "
+    "then TPE proposals condition on history. One row per trial with "
+    "[min_probability, min_topics, f1, is_best] and ok_* invariants "
+    "(trials complete, F1 valid, every trial inside the box, best "
+    "dominates all four corners).",
+)
+def q_rule_point_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import vector_to_array
+
+    from ..ml.search import rule_point_search
+    from ..ml.shared import shared_lda
+
+    # k=10 matches the reference's lda_model_topics=10
+    # (polysemous_words.py:31): with 10 topics the uniform probability
+    # is 0.1, so the searched floor range [0.05, 0.1] actually bites —
+    # at k=5 (uniform 0.2) the continuous dimension would be degenerate
+    model, corpus = shared_lda(spark, sf_dir, k=10, max_iter=5)
+    dist = model.transform(corpus).select(
+        "doc_id",
+        vector_to_array("topicDistribution").alias("topic_probs"),
+        (
+            F.size(F.array_distinct("tokens"))
+            / F.greatest(F.size("tokens"), F.lit(1))
+        ).alias("__diversity"),
+    )
+    # gold: docs in the top diversity half — the analogue of the
+    # reference's external wiki-disambiguation gold set: derived from
+    # the corpus once, independent of the searched rule parameters
+    med = dist.select(
+        F.expr("percentile(__diversity, 0.5)").alias("m")
+    ).first()["m"]
+    scored = dist.select(
+        "topic_probs", (F.col("__diversity") > F.lit(float(med))).alias("gold")
+    )
+    return rule_point_search(scored)
+
+
+@_register(
     "shipping_priority",
     """
     SELECT l_orderkey,
@@ -7398,6 +7448,7 @@ _COST_HINT: dict[str, float] = {
     "user_value_trend": 0.3, "grouped_trend_pandas": 0.7,
     "segment_balance_unpivot": 0.2, "kernel_svm_rff": 3.9,
     "adaptive_search_lr": 6.0, "shipping_priority": 0.6,
+    "rule_point_search": 3.0,
     "streaming_first_event_per_user_type": 1.7, "topic_coherence_cv": 3.3,
     "document_packing": 0.3, "dataset_split_manifest": 0.2,
     "embedding_quantization": 0.3, "rolling_week_order_value": 0.3,
