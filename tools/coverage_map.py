@@ -24,10 +24,10 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "S7": ("sources.formats:csv_roundtrip", ["artifact_formats_roundtrip", "csv_metrics_roundtrip", "orc_corpus_roundtrip"]),
     "S8": ("operators.dedup:exact_dedup  # line-set scan = text read + distinct",
            ["distinct_user_event_pairs"]),
-    "S9": ("sources.formats:read_dictionary_text", ["artifact_formats_roundtrip", "dictionary_text_roundtrip"]),
+    "S9": ("sources.formats:read_dictionary_text", ["artifact_formats_roundtrip", "dictionary_text_roundtrip", "make_wiki_pipeline"]),
     "S10": ("sources.formats:read_matrix_market", ["artifact_formats_roundtrip", "matrix_market_roundtrip"]),
     "S11": ("sources.formats:model_save_load_roundtrip", ["model_save_load"]),
-    "S12": ("plans.registry:q_xml_roundtrip", ["artifact_formats_roundtrip", "xml_corpus_roundtrip"]),
+    "S12": ("plans.registry:q_xml_roundtrip", ["artifact_formats_roundtrip", "xml_corpus_roundtrip", "make_wiki_pipeline"]),
     "S13": ("pipeline:publish_metrics", ["classification_metrics_events"]),
     # --- §2.2 projections / filters -------------------------------------
     "P1": ("sources.nquads:provenance_sentences", ["nquads_provenance"]),
@@ -80,7 +80,7 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "A8": ("ml.search:grid_search_logistic  # max over model scores",
            ["grid_search_lr", "top_brands_by_revenue"]),
     "A9": ("ml.classify:add_stratified_fold", ["stratified_fold_balance"]),
-    "A10": ("plans.registry:q_tfidf", ["tfidf"]),
+    "A10": ("plans.registry:q_tfidf", ["tfidf", "make_wiki_pipeline"]),
     # --- §2.6 sorts / limits / top-k -------------------------------------
     "O1": ("operators.relational:topk_per_group", ["top3_lineitems_per_supplier"]),
     "O2": ("plans.registry:q_sorted_vectors", ["sorted_topic_vectors"]),

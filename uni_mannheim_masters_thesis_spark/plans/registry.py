@@ -3737,6 +3737,99 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "make_wiki_pipeline",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents
+    ),
+    dfreq AS (
+        SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docfreq
+        FROM toks GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 3
+    ),
+    dict AS (
+        SELECT token, docfreq,
+               CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+        FROM dfreq
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, dict.token_id, dict.token,
+           ROUND(tf.tf * ln((n.n_docs + 1.0) / (dict.docfreq + 1.0)), 6) AS tfidf
+    FROM tf JOIN dict USING (token) CROSS JOIN n
+    WHERE tf.doc_id < 20
+    """,
+    "S12+T1-T4+A1/A3+S9+A10 (make_wiki end-to-end composition)",
+    "The reference's make_wiki entry point composed end-to-end "
+    "(README.md:15-33, wiki_lda.py:13-14: gensim make_wiki = XML dump "
+    "→ tokenize → Dictionary(filter_extremes) → wordids file → TF-IDF "
+    "corpus): the corpus is written as an XML dump and re-ingested "
+    "(S12), tokenized (T1-T4), the minDF-filtered vocabulary is "
+    "assigned dense token ids and round-tripped through the gensim "
+    "dictionary TEXT format (S9 sink + scan), and the BoW counts join "
+    "the re-read dictionary for smoothed TF-IDF (A10). The oracle "
+    "computes the identical relation straight from `documents` — so a "
+    "mangled XML escape, a dictionary-format drift, or an id "
+    "misassignment anywhere in the chain breaks the hash. The "
+    "token-id window sorts only the vocabulary (bounded ≤ vocab-cap "
+    "rows — gensim holds the same dictionary in driver memory); the "
+    "corpus-sized relations shuffle by token/doc_id only, and the "
+    "dictionary joins back broadcast.",
+)
+def q_make_wiki_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.formats import read_dictionary_text, write_dictionary_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dump = os.path.join(tempfile.mkdtemp(prefix="make_wiki_"), "dump")
+    (
+        docs.write.format("xml")
+        .option("rootTag", "corpus")
+        .option("rowTag", "doc")
+        .mode("overwrite")
+        .save(dump)
+    )
+    ingested = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, text string")
+        .load(dump)
+    )
+    n_docs = ingested.count()  # driver scalar, folded into the idf literal
+    toks = ingested.select(
+        "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
+    )
+    dfreq = (
+        toks.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("docfreq"))
+        .filter(F.col("docfreq") >= 3)
+    )
+    dict_ids = dfreq.select(
+        (F.row_number().over(Window.orderBy("token")) - 1)
+        .cast("long")
+        .alias("id"),
+        "token",
+        "docfreq",
+    )
+    wordids = write_dictionary_text(dict_ids, num_docs=n_docs)
+    dictionary = read_dictionary_text(spark, wordids)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.join(F.broadcast(dictionary), "token")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            F.col("id").cast("long").alias("token_id"),
+            "token",
+            F.round(
+                F.col("tf") * F.log((n_docs + 1.0) / (F.col("docfreq") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@_register(
     "partitioned_write_pruning",
     """
     SELECT lang,
@@ -7448,7 +7541,7 @@ _COST_HINT: dict[str, float] = {
     "user_value_trend": 0.3, "grouped_trend_pandas": 0.7,
     "segment_balance_unpivot": 0.2, "kernel_svm_rff": 3.9,
     "adaptive_search_lr": 6.0, "shipping_priority": 0.6,
-    "rule_point_search": 3.0,
+    "rule_point_search": 3.0, "make_wiki_pipeline": 1.5,
     "streaming_first_event_per_user_type": 1.7, "topic_coherence_cv": 3.3,
     "document_packing": 0.3, "dataset_split_manifest": 0.2,
     "embedding_quantization": 0.3, "rolling_week_order_value": 0.3,
