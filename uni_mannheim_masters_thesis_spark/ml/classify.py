@@ -240,6 +240,7 @@ def run_battery(
     test: DataFrame,
     include_mlp: bool = False,
     n_features: int | None = None,
+    f1_floor: float | None = None,
 ) -> DataFrame:
     """Fit every battery model on train, score on test, return one row
     per model: [model, tp, fp, tn, fn, precision, recall, accuracy, f1].
@@ -285,4 +286,13 @@ def run_battery(
         "model string, n_test long, tp long, fp long, tn long, fn long, "
         "precision double, recall double, accuracy double, f1 double",
     )
-    return attach_eval_invariants(report, n_col="n_test")
+    report = attach_eval_invariants(report, n_col="n_test")
+    if f1_floor is not None:
+        # per-model F1 lower bound on a known-separable task: a silent
+        # regression in featurization, scaling, class weighting, or any
+        # single fit drags its model to ~chance (F1 ~ 0.5) — far below
+        # the floor — and fails the rows-only harness check
+        report = report.withColumn(
+            "ok_f1_floor", F.col("f1") >= F.lit(float(f1_floor))
+        )
+    return report

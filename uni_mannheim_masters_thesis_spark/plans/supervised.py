@@ -73,4 +73,12 @@ def supervised_battery_report(
         "features_scaled", "features"
     ).cache()
     n_features = len(train.select("features").first()["features"])
-    return run_battery(train, test, include_mlp=include_mlp, n_features=n_features)
+    # F1 floor 0.75: observed per-model F1 on this task is 0.86-0.99
+    # across sf0.001/0.01/0.1 — the floor leaves margin for
+    # partition-count-driven fit drift (the determinism gate varies
+    # shuffle partitioning) while still catching a collapse-to-chance
+    # (~0.5) regression in featurization, scaling, or any single fit
+    return run_battery(
+        train, test, include_mlp=include_mlp, n_features=n_features,
+        f1_floor=0.75,
+    )
