@@ -386,3 +386,56 @@ def test_column_profile_single_scan_expand(spark):
     plan = _formatted_plan(spark, "column_profile")
     assert plan.count("InMemoryFileIndex") == 1
     assert "Expand" in plan
+
+
+def test_pagerank_join_shape_splits_hub_skew_under_aqe(spark):
+    """The graph ops (neardup_pagerank / neardup_triangles) join a
+    rank/pair relation against an edge list keyed by src — at 100× a
+    hub node makes that key hot. This pins the declared mitigation:
+    AQE's skew-join splits the hot partition for exactly this join
+    shape. Synthetic star graph (one hub touching every node), skew
+    thresholds scaled down to test size, broadcast disabled so the
+    join is the SMJ it would be at scale."""
+    n = 200_000
+    others = spark.range(1, n).select(F.col("id").cast("long").alias("peer"))
+    edges = others.select(
+        F.lit(0).cast("long").alias("src"), F.col("peer").alias("dst")
+    ).unionAll(
+        others.select(F.col("peer").alias("src"), F.lit(0).cast("long").alias("dst"))
+    )
+    ranks = spark.range(0, n).select(F.col("id").alias("node")).withColumn(
+        "rank_u", F.lit(1_000_000).cast("long")
+    )
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+    )
+    old = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        # the per-iteration message-passing join of q_neardup_pagerank
+        msgs = ranks.join(edges, ranks.node == edges.src).select(
+            F.col("dst").alias("node"), F.col("rank_u").alias("c")
+        )
+        out = msgs.groupBy("node").agg(F.sum("c").alias("s"))
+        rows = {r["node"]: r["s"] for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    # AQE recognized and split the hot src partition
+    assert "skew=true" in plan, plan[:2000]
+    assert "AQEShuffleRead skewed" in plan
+    # and the split did not change the aggregate: the hub receives one
+    # message from every peer, every peer exactly one from the hub
+    assert rows[0] == (n - 1) * 1_000_000
+    assert all(rows[i] == 1_000_000 for i in (1, n // 2, n - 1))
