@@ -97,7 +97,37 @@ _QUERIES = [
     "neardup_triangles",
     "events_hourly_gapfill",
     "measure_correlation",
+    # round-5 completion (VERDICT r5 item 3): integer-cent histogram,
+    # blocking-key JW linkage, first-5-step journey mining, streaming
+    # first-touch attribution, broadcast IQR fences, the remaining
+    # round-5 ops without a scale row
+    "value_histogram",
+    "blocked_jw_linkage",
+    "session_paths",
+    "streaming_session_attribution",
+    "iqr_outlier_fences",
 ]
+
+
+def _stage_snapshot(spark) -> dict:
+    """(stageId, attempt) -> (shuffle write bytes, read bytes) for every
+    stage the app status store retains. Diffing snapshots around a query
+    attributes its shuffle volume; keying by stage id keeps the delta
+    correct even if the store evicts old stages between snapshots."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    gw = sc._gateway
+    empty = sc._jvm.java.util.ArrayList()
+    darr = gw.new_array(gw.jvm.double, 0)
+    out = {}
+    stages = store.stageList(empty, False, False, darr, empty)
+    it = stages.iterator()
+    while it.hasNext():
+        st = it.next()
+        out[(st.stageId(), st.attemptId())] = (
+            st.shuffleWriteBytes(), st.shuffleReadBytes()
+        )
+    return out
 
 
 def build_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
@@ -121,7 +151,11 @@ def build_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str) -> dict[str, tuple[float, float]]:
+    """name -> (seconds, shuffle write MB). Time is the min of two runs
+    (single-JVM GC hiccups otherwise masquerade as scale effects, see
+    bench.py); shuffle bytes come from the second run's stage delta and
+    are deterministic per plan."""
     out = {}
     for name in _QUERIES:
         t0 = time.time()
@@ -129,19 +163,31 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
             "overwrite"
         ).save()
         t1 = time.time() - t0
-        # re-run once and keep the min: single-JVM GC hiccups otherwise
-        # masquerade as scale effects (see bench.py)
+        before = _stage_snapshot(spark)
         t0 = time.time()
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        out[name] = round(min(t1, time.time() - t0), 2)
+        t2 = time.time() - t0
+        after = _stage_snapshot(spark)
+        shuffle_w = sum(
+            w for k, (w, _) in after.items() if k not in before
+        )
+        out[name] = (round(min(t1, t2), 2), round(shuffle_w / 1e6, 1))
     return out
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # optional: restrict to the named queries (argv[3:])
+    if len(sys.argv) > 3:
+        global _QUERIES
+        only = set(sys.argv[3:])
+        unknown = only - set(_QUERIES)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        _QUERIES = [q for q in _QUERIES if q in only]
     out_dir = os.path.join(_REPO, f".scale{factor}")
     spark = get_session("scale_check")
     t0 = time.time()
@@ -150,11 +196,13 @@ def main() -> None:
           file=sys.stderr)
     base = time_queries(spark, sf_dir)
     scaled = time_queries(spark, out_dir)
-    print(f"| query | 1x ({os.path.basename(sf_dir.rstrip('/'))}) | {factor}x | ratio |")
-    print("|---|---|---|---|")
+    print(f"| query | 1x ({os.path.basename(sf_dir.rstrip('/'))}) | {factor}x | time ratio | shuffle 1x | shuffle {factor}x | shuffle ratio |")
+    print("|---|---|---|---|---|---|---|")
     for name in _QUERIES:
-        r = scaled[name] / base[name] if base[name] > 0 else float("nan")
-        print(f"| {name} | {base[name]}s | {scaled[name]}s | {r:.1f}x |")
+        (bt, bw), (st_, sw) = base[name], scaled[name]
+        tr = st_ / bt if bt > 0 else float("nan")
+        wr = sw / bw if bw > 0 else float("nan")
+        print(f"| {name} | {bt}s | {st_}s | {tr:.1f}x | {bw}MB | {sw}MB | {wr:.1f}x |")
 
 
 if __name__ == "__main__":
