@@ -6349,8 +6349,12 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'xml', COUNT(*), CAST(SUM(n_chars) AS BIGINT),
            CAST(SUM(doc_id) AS DOUBLE)
     FROM ({REGISTRY['xml_corpus_roundtrip'].sql})
+    UNION ALL
+    SELECT 'make_wiki', COUNT(*), CAST(SUM(token_id) AS BIGINT),
+           ROUND(CAST(SUM(CAST(tfidf AS DECIMAL(18,6))) AS DOUBLE), 6)
+    FROM ({REGISTRY['make_wiki_pipeline'].sql})
     """,
-    "S5/S6/S7/S9/S10/S12 (artifact format scans + sinks)",
+    "S5/S6/S7/S9/S10/S12 (artifact format scans + sinks + make_wiki)",
     "Driver-coverage suite: every text-format roundtrip (CSV metrics, "
     "JSON artifact, gensim dictionary text, Matrix Market corpus, XML "
     "dump) actually writes + reads its format, then reduces to a "
@@ -6358,7 +6362,9 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "driver verdict covers the five format codecs. Components: "
     "csv_metrics_roundtrip, json_artifact_roundtrip, "
     "dictionary_text_roundtrip, matrix_market_roundtrip, "
-    "xml_corpus_roundtrip (each still registered individually).",
+    "xml_corpus_roundtrip, and (r6) the make_wiki_pipeline composition "
+    "— XML ingest → tokenize → dictionary file → TF-IDF — digested the "
+    "same way (each still registered individually).",
 )
 def q_formats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     def digest(df: DataFrame, fmt: str, n_col: str, v_col: str,
@@ -6385,7 +6391,12 @@ def q_formats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value", prec="decimal(18,6)", nd=6)
     xml = digest(q_xml_roundtrip(spark, sf_dir), "xml", "n_chars",
                  "doc_id", v_is_decimal=False)
-    return csv.unionByName(jsn).unionByName(dct).unionByName(mm).unionByName(xml)
+    wiki = digest(q_make_wiki_pipeline(spark, sf_dir), "make_wiki",
+                  "token_id", "tfidf", prec="decimal(18,6)", nd=6)
+    return (
+        csv.unionByName(jsn).unionByName(dct).unionByName(mm)
+        .unionByName(xml).unionByName(wiki)
+    )
 
 
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -7584,7 +7595,7 @@ _COST_HINT: dict[str, float] = {
     "value_histogram": 0.6, "session_paths": 0.9,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
-    "artifact_formats_roundtrip": 4.3, "training_prep_manifest": 13.5,
+    "artifact_formats_roundtrip": 9.0, "training_prep_manifest": 13.5,
     "streaming_windowed_suite": 11.1, "streaming_stateful_suite": 17.2,
     "topic_quality_suite": 11.7, "resampling_report": 3.7,
     "multimodal_pipeline": 1.5, "curation_suite": 26.0,
