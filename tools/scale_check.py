@@ -106,6 +106,11 @@ _QUERIES = [
     "session_paths",
     "streaming_session_attribution",
     "iqr_outlier_fences",
+    # round-6: rule-operating-point surrogate search (cached LDA
+    # inference + per-trial confusion aggregates), make_wiki
+    # composition (XML ingest -> tokenize -> dictionary file -> TF-IDF)
+    "rule_point_search",
+    "make_wiki_pipeline",
 ]
 
 
@@ -132,6 +137,11 @@ def _stage_snapshot(spark) -> dict:
 
 def build_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     if os.path.isdir(out_dir):
+        if os.environ.get("SCALE_REUSE") == "1" and all(
+            os.path.isdir(os.path.join(out_dir, f"{t}.parquet"))
+            for t in list(_FACT_IDS) + list(_DIMS)
+        ):
+            return  # reuse the previously built dataset (same sf/factor)
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
     for name in _DIMS:
