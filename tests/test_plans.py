@@ -439,3 +439,15 @@ def test_pagerank_join_shape_splits_hub_skew_under_aqe(spark):
     # message from every peer, every peer exactly one from the hub
     assert rows[0] == (n - 1) * 1_000_000
     assert all(rows[i] == 1_000_000 for i in (1, n // 2, n - 1))
+
+
+def test_make_wiki_dictionary_joins_broadcast(spark):
+    """The make_wiki composition's two dictionary-sized joins (tf ⋈
+    dictionary, and the id-window input) must broadcast — the corpus
+    never sort-merges against the bounded vocabulary — and the token
+    aggregates keep map-side partials."""
+    plan = _formatted_plan(spark, "make_wiki_pipeline")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Cartesian" not in plan
+    assert "partial_count" in plan
