@@ -451,3 +451,14 @@ def test_make_wiki_dictionary_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "Cartesian" not in plan
     assert "partial_count" in plan
+
+
+def test_gopher_admission_map_only_rollup(spark):
+    """The composite admission filter is a codegen'd scalar map over
+    the documents scan plus one tiny per-source rollup: exactly one
+    hash exchange, map-side partials, no UDF evaluation node."""
+    plan = _formatted_plan(spark, "gopher_admission")
+    # 0 at single-partition test scale (no exchange needed), never >1
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -258,6 +258,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                             ["training_prep_manifest", "value_histogram"]),
     "X-event-paths": ("plans.registry:q_session_paths",
                       ["streaming_windowed_suite", "session_paths"]),
+    "X-quality-admission": ("plans.registry:q_gopher_admission",
+                            ["curation_suite", "gopher_admission"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

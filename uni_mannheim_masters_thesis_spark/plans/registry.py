@@ -772,6 +772,112 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "gopher_admission",
+    f"""
+    WITH d AS (
+        SELECT doc_id, source, {sql_simple_tokens('text')} AS toks, text
+        FROM documents
+    ),
+    r AS (
+        SELECT source,
+            len(toks) BETWEEN 30 AND 100000 AS ok_words,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks)
+            END BETWEEN 3 AND 10 AS ok_meanlen,
+            len(list_filter(toks, x -> x IN {{sw}})) >= 2 AS ok_stopwords,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(text) - length(regexp_replace(text, '[\\p{{P}}\\p{{S}}]', '', 'g')) AS DOUBLE) / length(text)
+            END <= 0.1 AS ok_punct,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE) / len(toks)
+            END >= 0.8 AS ok_alpha,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(list_max(list_transform(list_distinct(toks), u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE) / len(toks)
+            END <= 0.1 AS ok_repetition
+        FROM d
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(ok_words AND ok_meanlen AND ok_stopwords
+                         AND ok_punct AND ok_alpha AND ok_repetition AS INT)) AS BIGINT) AS n_admitted,
+           ROUND(CAST(SUM(CAST(ok_words AND ok_meanlen AND ok_stopwords
+                         AND ok_punct AND ok_alpha AND ok_repetition AS INT)) AS DOUBLE) / COUNT(*), 6) AS admission_rate,
+           CAST(SUM(CAST(NOT ok_words AS INT)) AS BIGINT) AS n_fail_words,
+           CAST(SUM(CAST(NOT ok_meanlen AS INT)) AS BIGINT) AS n_fail_meanlen,
+           CAST(SUM(CAST(NOT ok_stopwords AS INT)) AS BIGINT) AS n_fail_stopwords,
+           CAST(SUM(CAST(NOT ok_punct AS INT)) AS BIGINT) AS n_fail_punct,
+           CAST(SUM(CAST(NOT ok_alpha AS INT)) AS BIGINT) AS n_fail_alpha,
+           CAST(SUM(CAST(NOT ok_repetition AS INT)) AS BIGINT) AS n_fail_repetition
+    FROM r GROUP BY source
+    """.replace("{sw}", sql_stopword_list(STOPWORDS)),
+    "§2.11 text analysis (composite Gopher/C4 admission filter)",
+    "The standard pre-training admission battery (Gopher, Rae et al. "
+    "2021 Table A1; C4, Raffel et al. 2020) as ONE map-only pass: "
+    "word-count bounds, mean-word-length window [3,10], minimum "
+    "stop-word evidence, symbol/punctuation ratio cap, alphabetic-word "
+    "fraction floor, and a top-token repetition cap — per-source "
+    "admitted counts, admission rate, and per-rule failure tallies "
+    "(the triage report a curation run starts from). Bounds are the "
+    "published rules scaled to this corpus's short synthetic docs "
+    "(30-word floor vs Gopher's 50; 0.1 top-token cap). Every signal "
+    "is a codegen'd HOF over the token array — the repetition scan is "
+    "O(distinct × words) per doc, bounded by document length, so the "
+    "whole filter is scan-throughput-bound at 100 TB and the only "
+    "shuffle is the tiny per-source rollup. Oracle recomputes every "
+    "rule in DuckDB list kernels; integer-ratio doubles divide "
+    "identically on both engines.",
+)
+def q_gopher_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    mean_len = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n
+    )
+    sw_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double") / n
+    )
+    top_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda u: F.size(F.filter(toks, lambda x: x == u)),
+            )
+        ).cast("double")
+        / n
+    )
+    flags = docs.select(
+        "source",
+        n.between(30, 100000).alias("ok_words"),
+        mean_len.between(3, 10).alias("ok_meanlen"),
+        (sw_hits >= 2).alias("ok_stopwords"),
+        (TS.punct_ratio(F.col("text")) <= 0.1).alias("ok_punct"),
+        (alpha_frac >= 0.8).alias("ok_alpha"),
+        (top_frac <= 0.1).alias("ok_repetition"),
+    )
+    admitted = (
+        F.col("ok_words") & F.col("ok_meanlen") & F.col("ok_stopwords")
+        & F.col("ok_punct") & F.col("ok_alpha") & F.col("ok_repetition")
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(admitted.cast("int")).cast("long").alias("n_admitted"),
+        F.round(
+            F.sum(admitted.cast("int")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("admission_rate"),
+        F.sum((~F.col("ok_words")).cast("int")).cast("long").alias("n_fail_words"),
+        F.sum((~F.col("ok_meanlen")).cast("int")).cast("long").alias("n_fail_meanlen"),
+        F.sum((~F.col("ok_stopwords")).cast("int")).cast("long").alias("n_fail_stopwords"),
+        F.sum((~F.col("ok_punct")).cast("int")).cast("long").alias("n_fail_punct"),
+        F.sum((~F.col("ok_alpha")).cast("int")).cast("long").alias("n_fail_alpha"),
+        F.sum((~F.col("ok_repetition")).cast("int")).cast("long").alias("n_fail_repetition"),
+    )
+
+
 def _sql_lang_hits(code: str) -> str:
     words = ", ".join(f"'{w}'" for w in TS.LANG_MARKERS[code])
     return (
@@ -7244,11 +7350,14 @@ def q_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'linkage', block, n_pairs, n_matches, top_sim
     FROM ({REGISTRY['blocked_jw_linkage'].sql})
+    UNION ALL
+    SELECT 'gopher', source, n_docs, n_admitted, admission_rate
+    FROM ({REGISTRY['gopher_admission'].sql})
     """,
     "§2.11 curation (contamination + repetition + canonical dedup + "
     "incremental containment + mixture sampling + PII redaction + "
     "sequence chunking + paragraph-level dedup + CMS heavy hitters + "
-    "near-dup PageRank centrality)",
+    "near-dup PageRank centrality + Gopher/C4 admission battery)",
     "Driver-coverage suite: the corpus-curation operators — "
     "benchmark-contamination audit, repetition-based quality filter, "
     "canonical-representative dedup output, cross-snapshot containment "
@@ -7360,12 +7469,19 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_matches").alias("n2"),
         F.col("top_sim").alias("ratio"),
     )
+    gop = q_gopher_admission(spark, sf_dir).select(
+        F.lit("gopher").alias("component"),
+        F.col("source").alias("k"),
+        F.col("n_docs").cast("long").alias("n1"),
+        F.col("n_admitted").cast("long").alias("n2"),
+        F.col("admission_rate").alias("ratio"),
+    )
     return (
         cont.unionByName(rep).unionByName(canon).unionByName(inc)
         .unionByName(mix).unionByName(pii).unionByName(chk)
         .unionByName(para).unionByName(hh)
         .unionByName(idx).unionByName(bm).unionByName(pgr)
-        .unionByName(tri).unionByName(lnk)
+        .unionByName(tri).unionByName(lnk).unionByName(gop)
     )
 
 
@@ -7570,6 +7686,7 @@ _COST_HINT: dict[str, float] = {
     "segment_balance_unpivot": 0.2, "kernel_svm_rff": 3.9,
     "adaptive_search_lr": 6.0, "shipping_priority": 0.6,
     "rule_point_search": 3.0, "make_wiki_pipeline": 1.5,
+    "gopher_admission": 0.8,
     "streaming_first_event_per_user_type": 1.7, "topic_coherence_cv": 3.3,
     "document_packing": 0.3, "dataset_split_manifest": 0.2,
     "embedding_quantization": 0.3, "rolling_week_order_value": 0.3,
