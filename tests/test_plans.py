@@ -462,3 +462,59 @@ def test_gopher_admission_map_only_rollup(spark):
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_runtime_bloom_filter_prunes_selective_fact_join(spark):
+    """100 TB posture: on a selective fact-fact join (filtered orders ⋈
+    lineitem, too big to broadcast) Catalyst must inject a runtime
+    bloom filter — bloom_filter_agg built on the filtered side,
+    might_contain applied before the big side's shuffle — so the
+    exchange carries only candidate rows. Size thresholds scaled down
+    to test scale; result must equal the unfiltered join's."""
+    from uni_mannheim_masters_thesis_spark.sources.testdata import load_table
+    from conftest import SF_DIR
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+    )
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    try:
+        orders = load_table(spark, SF_DIR, "orders")
+        li = load_table(spark, SF_DIR, "lineitem")
+        sel = orders.filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        agg = j.groupBy().agg(F.sum("l_quantity").alias("q"))
+        je = agg._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = je.explainString(mode)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        pruned = agg.first()["q"]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    # correctness: bloom pruning is a pre-filter, never drops matches
+    baseline = (
+        li.join(sel, li.l_orderkey == sel.o_orderkey)
+        .groupBy().agg(F.sum("l_quantity").alias("q")).first()["q"]
+    )
+    assert pruned == baseline

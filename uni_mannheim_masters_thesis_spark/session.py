@@ -35,6 +35,15 @@ def get_session(app_name: str = "umt_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter join pruning: on a selective fact-fact
+        # join Catalyst builds a bloom filter from the filtered side and
+        # injects might_contain() into the big side's scan, cutting
+        # shuffle volume before the join. The default size thresholds
+        # (creation side <= 10MB plan-size guard, application side scan
+        # >= threshold) keep it dormant at test scale and engage it on
+        # exactly the 100 TB-shaped joins it exists for (plan-tested
+        # with thresholds scaled down in test_plans.py).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # driver testdata stores timestamps as parquet TIMESTAMP(NANOS),
