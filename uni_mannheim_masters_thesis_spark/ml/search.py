@@ -331,20 +331,25 @@ def rule_point_search(
         (0.5 * (p_lo + p_hi), t_choices[len(t_choices) // 2]),
     ]
     trials: list[tuple[float, int, float]] = []
-    for t in range(n_trials):
-        if t < len(warmup):
-            mp, mt = warmup[t]
-        else:
-            obs = sorted(trials, key=lambda r: -r[2])
-            n_good = max(1, int(round(gamma * len(obs))))
-            good = np.array([r[0] for r in obs[:n_good]])
-            bad = np.array([r[0] for r in obs[n_good:]] or [0.5 * (p_lo + p_hi)])
-            cands = rng.uniform(p_lo, p_hi, size=n_candidates)
-            ei = [kde_logpdf(c, good) - kde_logpdf(c, bad) for c in cands]
-            mp = float(cands[int(np.argmax(ei))])
-            good_ts = [r[1] for r in obs[:n_good]]
-            mt = int(max(t_choices, key=lambda c: good_ts.count(c)))
-        trials.append((float(mp), int(mt), trial_f1(mp, mt)))
+    try:
+        for t in range(n_trials):
+            if t < len(warmup):
+                mp, mt = warmup[t]
+            else:
+                obs = sorted(trials, key=lambda r: -r[2])
+                n_good = max(1, int(round(gamma * len(obs))))
+                good = np.array([r[0] for r in obs[:n_good]])
+                bad = np.array([r[0] for r in obs[n_good:]] or [0.5 * (p_lo + p_hi)])
+                cands = rng.uniform(p_lo, p_hi, size=n_candidates)
+                ei = [kde_logpdf(c, good) - kde_logpdf(c, bad) for c in cands]
+                mp = float(cands[int(np.argmax(ei))])
+                good_ts = [r[1] for r in obs[:n_good]]
+                mt = int(max(t_choices, key=lambda c: good_ts.count(c)))
+            trials.append((float(mp), int(mt), trial_f1(mp, mt)))
+    finally:
+        # the cache only serves the trial loop; the returned report is a
+        # local relation — don't leave the arrays pinned in storage
+        base.unpersist()
 
     best = max(r[2] for r in trials)
     corner_best = max(f1 for (_, _, f1) in trials[:4])
