@@ -832,7 +832,13 @@ def q_gopher_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokenize
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
+    # materialize the token array ONCE in its own projection: the six
+    # rule expressions all consume it, and higher-order functions block
+    # common-subexpression elimination — inlining tokenize() per rule
+    # re-ran the cleaning regex + split 6× per row (measured ~3× the
+    # whole-query cost at sf0.1)
+    with_toks = docs.select("source", "text", tokenize(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     mean_len = F.when(n == 0, F.lit(0.0)).otherwise(
         F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n
@@ -841,16 +847,25 @@ def q_gopher_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(
         F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double") / n
     )
-    top_frac = F.when(n == 0, F.lit(0.0)).otherwise(
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda u: F.size(F.filter(toks, lambda x: x == u)),
-            )
-        ).cast("double")
-        / n
+    # top-token count via sorted-run scan: O(n log n) per doc instead of
+    # the O(distinct × n) nested filter (same value — the mode count is
+    # algorithm-independent, so the oracle's list-kernel version agrees)
+    run_scan = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a.best, F.when(x == a.prev, a.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda a: a.best,
     )
-    flags = docs.select(
+    top_frac = F.when(n == 0, F.lit(0.0)).otherwise(run_scan.cast("double") / n)
+    flags = with_toks.select(
         "source",
         n.between(30, 100000).alias("ok_words"),
         mean_len.between(3, 10).alias("ok_meanlen"),
@@ -7686,7 +7701,7 @@ _COST_HINT: dict[str, float] = {
     "segment_balance_unpivot": 0.2, "kernel_svm_rff": 3.9,
     "adaptive_search_lr": 6.0, "shipping_priority": 0.6,
     "rule_point_search": 3.0, "make_wiki_pipeline": 1.5,
-    "gopher_admission": 0.8,
+    "gopher_admission": 1.7,
     "streaming_first_event_per_user_type": 1.7, "topic_coherence_cv": 3.3,
     "document_packing": 0.3, "dataset_split_manifest": 0.2,
     "embedding_quantization": 0.3, "rolling_week_order_value": 0.3,
