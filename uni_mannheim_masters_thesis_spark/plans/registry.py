@@ -589,12 +589,17 @@ def q_tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Per-document token statistics, all HOF expressions.",
 )
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # tokens projected once — the three statistics share the array (HOFs
+    # block CSE; see operators.textstats module docstring)
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    return toks.select(
         "doc_id",
-        TS.word_count(F.col("text")).cast("long").alias("n_words"),
-        TS.distinct_word_count(F.col("text")).cast("long").alias("n_distinct_words"),
-        F.round(TS.avg_word_length(F.col("text")), 6).alias("avg_word_len"),
+        TS.word_count_from_tokens(F.col("toks")).cast("long").alias("n_words"),
+        TS.distinct_word_count_from_tokens(F.col("toks")).cast("long").alias("n_distinct_words"),
+        F.round(TS.avg_word_length_from_tokens(F.col("toks")), 6).alias("avg_word_len"),
     )
 
 
@@ -762,13 +767,18 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codegen'd expressions.",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    toks = docs.select(
+        "doc_id", "n_chars", "text", tokenize(F.col("text")).alias("toks")
+    )
+    return toks.select(
         "doc_id",
         "n_chars",
-        TS.word_count(F.col("text")).cast("long").alias("n_words"),
+        TS.word_count_from_tokens(F.col("toks")).cast("long").alias("n_words"),
         F.round(TS.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        F.round(TS.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(TS.stopword_ratio_from_tokens(F.col("toks")), 6).alias("stopword_ratio"),
     )
 
 
@@ -923,9 +933,16 @@ def _sql_langid() -> str:
     "Marker-word language ID vs the labeled lang column (confusion table).",
 )
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
     docs = _t(spark, sf_dir, "documents")
+    # single tokenize projection: the 4 per-language marker scores share
+    # the array (2.4x at sf0.1 vs re-tokenizing per language)
+    toks = docs.select("lang", tokenize(F.col("text")).alias("toks"))
     return (
-        docs.select("lang", TS.langid(F.col("text")).alias("predicted_lang"))
+        toks.select(
+            "lang", TS.langid_from_tokens(F.col("toks")).alias("predicted_lang")
+        )
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -6434,15 +6451,20 @@ def q_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan instead of three).",
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    toks = docs.select(
+        "doc_id", "n_chars", "text", tokenize(F.col("text")).alias("toks")
+    )
+    return toks.select(
         "doc_id",
         "n_chars",
-        TS.word_count(F.col("text")).cast("long").alias("n_words"),
-        TS.distinct_word_count(F.col("text")).cast("long").alias("n_distinct_words"),
-        F.round(TS.avg_word_length(F.col("text")), 6).alias("avg_word_len"),
+        TS.word_count_from_tokens(F.col("toks")).cast("long").alias("n_words"),
+        TS.distinct_word_count_from_tokens(F.col("toks")).cast("long").alias("n_distinct_words"),
+        F.round(TS.avg_word_length_from_tokens(F.col("toks")), 6).alias("avg_word_len"),
         F.round(TS.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        F.round(TS.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(TS.stopword_ratio_from_tokens(F.col("toks")), 6).alias("stopword_ratio"),
         TS.fingerprint(F.col("text")).alias("fingerprint"),
     )
 
