@@ -566,11 +566,12 @@ def q_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens_pipeline(F.col("text"))
-    return docs.select(
+    # pipeline projected once (HOFs inside it block CSE)
+    wt = docs.select("doc_id", tokens_pipeline(F.col("text")).alias("toks"))
+    return wt.select(
         "doc_id",
-        F.concat_ws(" ", toks).alias("clean_tokens"),
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("toks")).alias("clean_tokens"),
+        F.size("toks").cast("long").alias("n_tokens"),
     )
 
 
@@ -619,7 +620,11 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_length_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    n = F.size(tokens_pipeline(F.col("text")))
+    # pipeline evaluated once per row, length reused by the when-chain
+    docs = docs.select(
+        docs["*"], F.size(tokens_pipeline(F.col("text"))).alias("__n")
+    )
+    n = F.col("__n")
     cls = (
         F.when(n < MIN_DOC_WORDS, "short").when(n <= 40, "medium").otherwise("long")
     )
@@ -2790,7 +2795,10 @@ def _sql_minhash_sig(seed: int) -> str:
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens_pipeline(F.col("text"))
+    # pipeline projected once: the four signature permutations share the
+    # token array (HOFs block CSE — inlining re-cleaned the text 4x)
+    wt = docs.select("doc_id", tokens_pipeline(F.col("text")).alias("toks"))
+    toks = F.col("toks")
 
     def sig(seed: int) -> F.Column:
         suffix = F.lit(f"#{seed}")
@@ -2798,7 +2806,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         # INDEX as the second argument, not the closure value
         return F.array_min(F.transform(toks, lambda t: F.md5(F.concat(t, suffix))))
 
-    return docs.select(
+    return wt.select(
         "doc_id", *[sig(s).alias(f"sig{s}") for s in (1, 2, 3, 4)]
     )
 
