@@ -260,6 +260,10 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                       ["streaming_windowed_suite", "session_paths"]),
     "X-quality-admission": ("plans.registry:q_gopher_admission",
                             ["curation_suite", "gopher_admission"]),
+    "X-similarity-sparse": ("plans.registry:q_sparse_cosine_pairs",
+                            ["curation_suite", "sparse_cosine_pairs"]),
+    "X-split-leakage": ("plans.registry:q_leakage_safe_split",
+                        ["training_prep_manifest", "leakage_safe_split"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

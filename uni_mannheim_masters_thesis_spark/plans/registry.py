@@ -2812,6 +2812,112 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sparse_cosine_pairs",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, {sql_tokens_pipeline('text')} AS tk
+        FROM documents WHERE doc_id < 100
+    ),
+    tok AS (SELECT doc_id, unnest(tk) AS term FROM corpus),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM corpus),
+    w AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6)
+                    AS DECIMAL(18,6)) AS w
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        WHERE dfreq.df <= 20
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+        FROM w GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.w * b.w) AS DOUBLE) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine_sim
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.1
+    ORDER BY cosine_sim DESC, doc_a, doc_b
+    LIMIT 50
+    """,
+    "§2.11 similarity (sparse TF-IDF cosine via postings self-join)",
+    "Document similarity WITHOUT embeddings: the classic sparse-vector "
+    "cosine computed relationally — TF-IDF weights per (doc, term), "
+    "postings self-joined on the TERM key so only documents sharing a "
+    "term ever meet (the MapReduce text-similarity pattern; Elsayed et "
+    "al. 2008 'Pairwise Document Similarity in Large Collections with "
+    "MapReduce'), exact-DECIMAL dot products and norms so the "
+    "distributed sums are order-independent, then one double division "
+    "per surviving pair. The df <= 20 prune is the load-bearing scale "
+    "knob: dropping stop-like high-df terms bounds the per-term join "
+    "fan-out from O(df^2) on the hottest term to a constant, exactly "
+    "like the MinHash band and SRP bucket caps elsewhere — at 100 TB "
+    "the term-keyed shuffle carries (term, doc, weight) triples only "
+    "and the norms join back broadcast. Complements the dense-"
+    "embedding ANN family: same contract, lexical feature space. "
+    "Deterministic top-50 (rounded-sim, doc_a, doc_b order).",
+)
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    corpus = docs.select(
+        "doc_id", tokens_pipeline(F.col("text")).alias("tk")
+    )
+    n_docs = corpus.count()  # driver scalar folded into the idf literal
+    tok = corpus.select("doc_id", F.explode("tk").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = (
+        tf.join(F.broadcast(dfreq.filter(F.col("df") <= 20)), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    sim = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(sim >= 0.1)
+        .select("doc_a", "doc_b", F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+@_register(
     "fold_assignment",
     """
     SELECT lang,
@@ -5946,6 +6052,113 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, m) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT eg.v, r.m FROM reach r JOIN edges eg ON eg.u = r.node
+    ),
+    cc AS (SELECT node, MIN(m) AS cluster FROM reach GROUP BY node),
+    members AS (
+        SELECT emb.vec_id,
+               CAST(COALESCE(cc.cluster, emb.vec_id) AS BIGINT) AS cluster_id
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id < 300) emb
+        LEFT JOIN cc ON cc.node = emb.vec_id
+    ),
+    assigned AS (
+        SELECT vec_id, cluster_id,
+               CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT vec_id, cluster_id,
+                   ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS h
+            FROM members
+        )
+    ),
+    cross_cnt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs p
+        JOIN assigned sa ON sa.vec_id = p.id_a
+        JOIN assigned sb ON sb.vec_id = p.id_b
+        WHERE sa.split <> sb.split
+    )
+    SELECT split,
+           COUNT(*) AS n_vecs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           (SELECT n FROM cross_cnt) AS cross_split_pairs
+    FROM assigned GROUP BY split
+    """,
+    "§2.11 training prep (dedup-cluster-aware leakage-safe split)",
+    "Train/val/test assignment that CANNOT leak near-duplicates across "
+    "splits: the split hash is taken over the near-dup CLUSTER id "
+    "(connected components of the cosine graph), not the row id, so "
+    "every member of a duplicate cluster lands in the same split by "
+    "construction — the standard fix for the contaminated-eval failure "
+    "where a test document's near-copy sits in train (cf. the "
+    "train/test overlap audits in GPT-2/C4 and the SemDeDup line of "
+    "work). Output is the per-split manifest (rows, distinct clusters) "
+    "plus the cross-split near-dup pair count, which the oracle proves "
+    "is ZERO — the invariant itself is part of the hashed result. The "
+    "8/1/1 assignment reuses the engine-portable md5 fold hash "
+    "(ml.classify.add_hash_fold), so splits are reproducible across "
+    "engines and runs; at 100 TB the only additions over the dedup "
+    "manifest are a map-side hash and a pair-vs-assignment join that "
+    "shuffles (id, split) pairs.",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.shared import shared_neardup_components, shared_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    cc = shared_neardup_components(spark, sf_dir)
+    members = (
+        emb.select("vec_id")
+        .join(cc, emb.vec_id == cc.node, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster"), F.col("vec_id"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    assigned = members.withColumn(
+        "split",
+        F.when(h < 8, "train").when(h == 8, "val").otherwise("test"),
+    ).cache()
+    pairs = shared_neardup_pairs(spark, sf_dir)
+    sa = assigned.select(F.col("vec_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = assigned.select(F.col("vec_id").alias("id_b"), F.col("split").alias("split_b"))
+    cross = (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()  # driver scalar: the leakage invariant (must be 0)
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.lit(cross).cast("long").alias("cross_split_pairs"),
+    )
+
+
+@_register(
     "cross_source_containment",
     """
     WITH fp AS (
@@ -6718,9 +6931,14 @@ def q_decile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'hist', CAST(bin AS VARCHAR), n_rows, min_price, max_price
     FROM ({REGISTRY['value_histogram'].sql})
+    UNION ALL
+    SELECT 'leakage', split, n_vecs, CAST(n_clusters AS DOUBLE),
+           CAST(cross_split_pairs AS DOUBLE)
+    FROM ({REGISTRY['leakage_safe_split'].sql})
     """,
     "§2.11 training-data ops (packing + splits + quantization + "
-    "shuffle order + semantic dedup + profiling + bucketing)",
+    "shuffle order + semantic dedup + profiling + bucketing + "
+    "leakage-safe cluster split)",
     "Driver-coverage suite: sequence packing, deterministic split "
     "manifest, int8 embedding quantization, the reproducible global "
     "shuffle/shard manifest, SRP-bucketed semantic dedup, the one-pass "
@@ -6801,6 +7019,13 @@ def q_training_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_price").alias("a"),
         F.col("max_price").alias("b"),
     )
+    leak = q_leakage_safe_split(spark, sf_dir).select(
+        F.lit("leakage").alias("component"),
+        F.col("split").alias("k"),
+        F.col("n_vecs").cast("long").alias("n"),
+        F.col("n_clusters").cast("double").alias("a"),
+        F.col("cross_split_pairs").cast("double").alias("b"),
+    )
     return (
         pack.unionByName(split)
         .unionByName(quant)
@@ -6811,6 +7036,7 @@ def q_training_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(outliers)
         .unionByName(corr)
         .unionByName(hist)
+        .unionByName(leak)
     )
 
 
@@ -7398,11 +7624,17 @@ def q_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'gopher', source, n_docs, n_admitted, admission_rate
     FROM ({REGISTRY['gopher_admission'].sql})
+    UNION ALL
+    SELECT 'sparse_cosine',
+           CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR),
+           doc_a, doc_b, CAST(cosine_sim AS DOUBLE)
+    FROM ({REGISTRY['sparse_cosine_pairs'].sql})
     """,
     "§2.11 curation (contamination + repetition + canonical dedup + "
     "incremental containment + mixture sampling + PII redaction + "
     "sequence chunking + paragraph-level dedup + CMS heavy hitters + "
-    "near-dup PageRank centrality + Gopher/C4 admission battery)",
+    "near-dup PageRank centrality + Gopher/C4 admission battery + "
+    "sparse TF-IDF cosine pairs)",
     "Driver-coverage suite: the corpus-curation operators — "
     "benchmark-contamination audit, repetition-based quality filter, "
     "canonical-representative dedup output, cross-snapshot containment "
@@ -7521,12 +7753,24 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_admitted").cast("long").alias("n2"),
         F.col("admission_rate").alias("ratio"),
     )
+    spc = q_sparse_cosine_pairs(spark, sf_dir).select(
+        F.lit("sparse_cosine").alias("component"),
+        F.concat_ws(
+            ":",
+            F.col("doc_a").cast("string"),
+            F.col("doc_b").cast("string"),
+        ).alias("k"),
+        F.col("doc_a").cast("long").alias("n1"),
+        F.col("doc_b").cast("long").alias("n2"),
+        F.col("cosine_sim").cast("double").alias("ratio"),
+    )
     return (
         cont.unionByName(rep).unionByName(canon).unionByName(inc)
         .unionByName(mix).unionByName(pii).unionByName(chk)
         .unionByName(para).unionByName(hh)
         .unionByName(idx).unionByName(bm).unionByName(pgr)
         .unionByName(tri).unionByName(lnk).unionByName(gop)
+        .unionByName(spc)
     )
 
 
@@ -7731,7 +7975,8 @@ _COST_HINT: dict[str, float] = {
     "segment_balance_unpivot": 0.2, "kernel_svm_rff": 3.9,
     "adaptive_search_lr": 6.0, "shipping_priority": 0.6,
     "rule_point_search": 3.0, "make_wiki_pipeline": 1.5,
-    "gopher_admission": 1.7,
+    "gopher_admission": 1.7, "sparse_cosine_pairs": 1.2,
+    "leakage_safe_split": 1.0,
     "streaming_first_event_per_user_type": 1.7, "topic_coherence_cv": 3.3,
     "document_packing": 0.3, "dataset_split_manifest": 0.2,
     "embedding_quantization": 0.3, "rolling_week_order_value": 0.3,
