@@ -518,3 +518,24 @@ def test_runtime_bloom_filter_prunes_selective_fact_join(spark):
         .groupBy().agg(F.sum("l_quantity").alias("q")).first()["q"]
     )
     assert pruned == baseline
+
+
+def test_sparse_cosine_postings_join_not_cartesian(spark):
+    """The pairwise-similarity self-join must meet on the TERM key (the
+    Elsayed et al. postings pattern) — never a cartesian pair
+    enumeration — with the doc probe cap pushed into the parquet scan
+    and the df-prune/norm lookups as broadcasts."""
+    plan = _formatted_plan(spark, "sparse_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_leakage_split_joins_on_ids_never_text(spark):
+    """The cross-split audit joins (vec_id, split) pairs against the
+    near-dup edge list — no cartesian, no embedding arrays above the
+    pair relation, probe cap pushed to the scan."""
+    plan = _formatted_plan(spark, "leakage_safe_split")
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,300)]" in plan
