@@ -234,15 +234,29 @@ def main() -> None:
     # unflagged). Movers >1.5× are listed in the artifact; steal-time
     # context decides whether they're host noise.
     pinned: dict[str, float] = {}
+    pinned_sf = None
     try:
         with open(os.path.join(_REPO, "bench_pinned.json")) as f:
-            pinned = {
-                k: v
-                for k, v in json.load(f).get("queries", {}).items()
-                if isinstance(v, (int, float)) and v > 0
-            }
+            pinned_doc = json.load(f)
+        # older pinned files predate the sf field; they were all sf0.1
+        pinned_sf = pinned_doc.get("sf", 0.1)
+        pinned = {
+            k: v
+            for k, v in pinned_doc.get("queries", {}).items()
+            if isinstance(v, (int, float)) and v > 0
+        }
     except Exception:  # noqa: BLE001
         pass
+    if pinned_sf is not None and pinned_sf != sf_val:
+        # timings at a different scale factor are incomparable — a run
+        # at sf0.01 would flag every pinned-sf0.1 query as 'improved'
+        # and any sf1 run as regressed across the board
+        print(
+            f"bench: pinned gate skipped (run sf={sf_val}, "
+            f"pinned sf={pinned_sf})",
+            file=sys.stderr,
+        )
+        pinned = {}
     regressions = {
         n: {"now": timings[n], "pinned": pinned[n],
             "ratio": round(timings[n] / pinned[n], 2)}
@@ -273,6 +287,7 @@ def main() -> None:
         "skipped_suites": sorted(_DRIVER_SUITES),
         "protocol": _PROTOCOL,
         "regressions_vs_pinned": regressions,
+        "pinned_sf": pinned_sf,
         "host_steal_pct": steal_pct,
     }
     with open(os.path.join(_REPO, "bench_full.json"), "w") as f:

@@ -27,9 +27,16 @@ TABLES = (
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS FROM read_parquet('{sf_dir}/{t}.parquet')")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # Spark-written table (e.g. the scaled sf1 dataset): a
+            # DIRECTORY of part files — DuckDB needs the glob form
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS FROM read_parquet('{path}')")
     return con
 
 

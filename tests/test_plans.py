@@ -5,11 +5,36 @@ parquet, column pruning, broadcast joins for dimension sides, partial
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pyspark.sql.functions as F
 import pytest
 
 from conftest import SF_DIR
 from uni_mannheim_masters_thesis_spark.plans.registry import REGISTRY
+
+
+@contextmanager
+def _confs(spark, settings: dict[str, str]):
+    """Set session confs for a test, restoring (or unsetting) them even
+    if one of the sets throws — a half-applied batch must never leak
+    into the shared session fixture."""
+    old: dict[str, str | None] = {}
+    for k in settings:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in settings.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _formatted_plan(spark, name: str) -> str:
@@ -406,22 +431,13 @@ def test_pagerank_join_shape_splits_hub_skew_under_aqe(spark):
     ranks = spark.range(0, n).select(F.col("id").alias("node")).withColumn(
         "rank_u", F.lit(1_000_000).cast("long")
     )
-    keys = (
-        "spark.sql.autoBroadcastJoinThreshold",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-        "spark.sql.adaptive.coalescePartitions.enabled",
-    )
-    old = {k: spark.conf.get(k) for k in keys}
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
-    )
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    try:
+    with _confs(spark, {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }):
         # the per-iteration message-passing join of q_neardup_pagerank
         msgs = ranks.join(edges, ranks.node == edges.src).select(
             F.col("dst").alias("node"), F.col("rank_u").alias("c")
@@ -429,9 +445,6 @@ def test_pagerank_join_shape_splits_hub_skew_under_aqe(spark):
         out = msgs.groupBy("node").agg(F.sum("c").alias("s"))
         rows = {r["node"]: r["s"] for r in out.collect()}
         plan = out._jdf.queryExecution().executedPlan().toString()
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
     # AQE recognized and split the hot src partition
     assert "skew=true" in plan, plan[:2000]
     assert "AQEShuffleRead skewed" in plan
@@ -474,25 +487,11 @@ def test_runtime_bloom_filter_prunes_selective_fact_join(spark):
     from uni_mannheim_masters_thesis_spark.sources.testdata import load_table
     from conftest import SF_DIR
 
-    keys = (
-        "spark.sql.autoBroadcastJoinThreshold",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-    )
-    old = {}
-    for k in keys:
-        try:
-            old[k] = spark.conf.get(k)
-        except Exception:
-            old[k] = None
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
-    )
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
-    )
-    try:
+    with _confs(spark, {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }):
         orders = load_table(spark, SF_DIR, "orders")
         li = load_table(spark, SF_DIR, "lineitem")
         sel = orders.filter(
@@ -508,10 +507,6 @@ def test_runtime_bloom_filter_prunes_selective_fact_join(spark):
         assert "bloom_filter_agg" in plan
         assert "might_contain" in plan
         pruned = agg.first()["q"]
-    finally:
-        for k, v in old.items():
-            if v is not None:
-                spark.conf.set(k, v)
     # correctness: bloom pruning is a pre-filter, never drops matches
     baseline = (
         li.join(sel, li.l_orderkey == sel.o_orderkey)
@@ -530,6 +525,23 @@ def test_sparse_cosine_postings_join_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_span_two_exchanges_no_text_shuffle(spark):
+    """Span dedup shuffles (hash, doc_id, pos) triples exactly twice —
+    once on the window hash, once on doc_id for the interval merge —
+    never the document text, and window generation stays JVM-side."""
+    import re
+
+    plan = _formatted_plan(spark, "duplicate_span_coverage")
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 2, f"expected 2 shuffles, plan has {len(exchanges)}"
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the text column is consumed by the map-side tokenize/hash project
+    # and must not appear in any exchange's argument schema
+    for m in re.finditer(r"^\(\d+\) Exchange\nArguments: (.*)$", plan, flags=re.M):
+        assert "text#" not in m.group(1)
 
 
 def test_leakage_split_joins_on_ids_never_text(spark):

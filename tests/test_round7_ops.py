@@ -1,0 +1,108 @@
+"""Semantic property tests for the round-7 operators — invariants the
+oracle hash can't express, at sf0.001."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+from uni_mannheim_masters_thesis_spark.plans.registry import REGISTRY
+
+
+def test_embedding_kmeans_partition_and_inertia(spark):
+    """Every vector lands in exactly one cluster (member counts sum to
+    the table count), cluster ids stay within the seeded range, and the
+    total quantized inertia is non-increasing over Lloyd iterations
+    (floor-quantized centroid updates keep the classic monotonicity at
+    this scale)."""
+    from uni_mannheim_masters_thesis_spark.ml.cluster import (
+        lloyd_kmeans,
+        quantize_vectors,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    quant = quantize_vectors(emb)
+
+    inertias = []
+    for iters in (0, 1, 2):
+        rows = lloyd_kmeans(quant, k=4, iters=iters).collect()
+        assert sum(r["n_members"] for r in rows) == n
+        assert all(0 <= r["cluster_id"] < 4 for r in rows)
+        assert all(
+            len(r["centroid_md5"]) == 32
+            and set(r["centroid_md5"]) <= set("0123456789abcdef")
+            for r in rows
+        )
+        inertias.append(sum(r["inertia_q"] for r in rows))
+    assert inertias[0] >= inertias[1] >= inertias[2]
+
+
+def test_duplicate_span_coverage_invariants(spark):
+    """Every reported doc has >=1 removed window; merged spans cover at
+    least one window's worth of tokens but never more than the doc;
+    windows-per-span accounting is consistent (a span of length L built
+    from K-token windows holds at most L-K+1 and at least
+    ceil(L/K)... >=1 windows); the ratio is exactly covered/n_tokens."""
+    K = 8
+    rows = REGISTRY["duplicate_span_coverage"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_dup_windows"] >= 1
+        assert r["n_spans"] >= 1
+        assert K <= r["covered_tokens"] <= r["n_tokens"]
+        # each merged span is >= K tokens -> coverage >= n_spans * K
+        assert r["covered_tokens"] >= r["n_spans"] * K
+        # a span of length L holds at most L-K+1 start positions
+        assert r["n_dup_windows"] <= r["covered_tokens"] - r["n_spans"] * (K - 1)
+        assert abs(
+            r["coverage_ratio"] - round(r["covered_tokens"] / r["n_tokens"], 6)
+        ) < 1e-9
+        assert len(r["spans_md5"]) == 32
+
+
+def test_duplicate_span_keep_first_never_marks_unique_docs(spark):
+    """A document whose every window is globally unique must not appear
+    in the manifest — and the keep-first policy means at least one
+    occurrence of every duplicated window hash survives outside it."""
+    from pyspark.sql import functions as F
+
+    out = REGISTRY["duplicate_span_coverage"].fn(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    n_flagged = out.count()
+    assert 0 < n_flagged < n_docs
+    # total removed windows < total duplicated window occurrences
+    # (first occurrence of each hash is always kept)
+    total_removed = out.agg(F.sum("n_dup_windows")).first()[0]
+    assert total_removed >= n_flagged
+
+
+def test_streaming_throughput_multi_batch_invariants(spark):
+    """The multi-micro-batch replay must process >=10 data batches per
+    stateful query, keep per-batch latency flat, evict two-stream join
+    state, and lose ZERO pairs versus the batch interval self-join."""
+    rows = REGISTRY["streaming_throughput_report"].fn(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query"], []).append(r)
+        assert r["ok_min_batches"], r
+        assert r["ok_flat_latency"], r
+        assert r["ok_state_evicts"], r
+        assert r["ok_pairs_match_batch"], r
+        assert r["input_rows"] > 0
+    assert set(by_q) == {"session_window", "interval_join"}
+    for q, qrows in by_q.items():
+        assert len(qrows) >= 10, (q, len(qrows))
+        # batch ids are the distinct consecutive micro-batches
+        ids = sorted(r["batch_id"] for r in qrows)
+        assert ids == list(range(ids[0], ids[0] + len(ids)))
+
+
+def test_embedding_kmeans_registry_shape(spark):
+    """The registered query returns the documented 4-column schema and
+    at most k rows, deterministically across invocations."""
+    df = REGISTRY["embedding_kmeans"].fn(spark, SF_DIR)
+    assert df.columns == ["cluster_id", "n_members", "inertia_q", "centroid_md5"]
+    rows1 = df.collect()
+    rows2 = REGISTRY["embedding_kmeans"].fn(spark, SF_DIR).collect()
+    assert rows1 == rows2
+    assert 0 < len(rows1) <= 4

@@ -127,7 +127,11 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
             "rule_point_search — TPE-style surrogate search over BOTH "
             "reference loops: classifier hyperparams (BayesSearchCV "
             "analogue) and the polysemy-rule operating point "
-            "(forest_minimize analogue)",
+            "(forest_minimize analogue; searches the (minimum_probability, "
+            "minimum_topics) plane — the reference's third dimension "
+            "MIN_DOC_LEN, polysemous_words.py:49, is deliberately omitted: "
+            "it re-filters the corpus per trial, which the shared-corpus "
+            "design fixes up front)",
             ["adaptive_search_lr", "grid_search_lr", "rule_point_search"]),
     "M23": ("ml.classify:evaluate_binary", ["classifier_battery"]),
     "M24": ("ml.search:holdout_transfer", ["holdout_transfer_report"]),
@@ -222,6 +226,21 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                          ["curation_suite", "bm25_retrieval"]),
     "X-dedup-semantic": ("plans.registry:q_semantic_dedup_srp",
                          ["training_prep_manifest", "semantic_dedup_srp"]),
+    "X-stream-throughput": ("streaming.throughput:streaming_throughput_report"
+                            "  # >=10 micro-batch state-store run: flat "
+                            "latency, watermark eviction, batch-exact join "
+                            "parity; RocksDB deployment note in module",
+                            ["streaming_throughput_report"]),
+    "X-dedup-substring": ("plans.registry:q_duplicate_span_coverage  # "
+                          "Lee et al. 2021 arbitrary-offset duplicate "
+                          "spans: 8-token window hash join, keep-first "
+                          "removal manifest, exact interval-union coverage",
+                          ["duplicate_span_coverage"]),
+    "X-cluster-kmeans": ("ml.cluster:kmeans_cluster_stats  # deterministic "
+                         "integer Lloyd's — the k-means clustering arm "
+                         "SemDeDup (Abbas et al. 2023) uses before "
+                         "within-cluster pruning; hash-exact vs DuckDB",
+                         ["embedding_kmeans"]),
     "X-train-shuffle": ("plans.registry:q_training_order_shuffle",
                         ["training_prep_manifest", "training_order_shuffle"]),
     "X-event-funnel": ("plans.registry:q_funnel_conversion",

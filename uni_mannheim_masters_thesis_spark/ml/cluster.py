@@ -58,11 +58,13 @@ def _sqdist(qv: F.Column, centroid: list[int]) -> F.Column:
 
 def _assign_struct(qv: F.Column, centroids: list[tuple[int, list[int]]]) -> F.Column:
     """struct(d, cid) of the nearest centroid; ties -> smallest cid."""
+    # named_struct, not struct(alias): lambda-function expressions inside
+    # struct() lose their field names during analysis (col1/col2).
     return F.array_min(
         F.array(*[
-            F.struct(
-                _sqdist(qv, vec).alias("d"),
-                F.lit(int(cid)).cast("int").alias("cid"),
+            F.named_struct(
+                F.lit("d"), _sqdist(qv, vec),
+                F.lit("cid"), F.lit(int(cid)).cast("int"),
             )
             for cid, vec in centroids
         ])

@@ -65,28 +65,55 @@ def kernel_svm_report(
     n_features: int = 128,
     gamma: float = 0.1,
     seed: int = 42,
+    scale: bool = False,
+    f1_floor: float | None = None,
 ) -> DataFrame:
     """M9: rbf-SVC approximation = RFF map + LinearSVC, scored with the
-    A4/A5 confusion metrics on an 80/20 split."""
+    A4/A5 confusion metrics on an 80/20 split.
+
+    With ``scale=True`` a StandardScaler (fit on train only) runs before
+    the feature map — the rbf kernel is distance-based, so unscaled
+    wide-range coordinates (e.g. a raw length feature) would dominate
+    ‖x−y‖² and wash out every other dimension. ``f1_floor`` stamps the
+    battery-style ``ok_f1_floor`` hard invariant for rows-only checks."""
     from pyspark.ml.classification import LinearSVC
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    from .classify import evaluate_binary, train_test_split
+    from .classify import (
+        attach_eval_invariants,
+        evaluate_binary,
+        scale_features,
+        train_test_split,
+    )
 
-    feats = rff_features(df, in_col=vec_col, n_features=n_features,
-                         gamma=gamma, seed=seed)
-    data = feats.select(
-        array_to_vector(F.col("rff")).alias("features"),
+    data = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
         F.col(label_col).cast("double").alias("label"),
     )
-    from .classify import attach_eval_invariants
-
     train, test = train_test_split(data)
-    train = train.cache()
-    test = test.cache()
+    if scale:
+        train, test = scale_features(train, test)
+        train = train.select(F.col("features_scaled").alias("features"), "label")
+        test = test.select(F.col("features_scaled").alias("features"), "label")
+
+    def to_rff(d: DataFrame) -> DataFrame:
+        arr = d.select(vector_to_array("features").alias("xarr"), "label")
+        mapped = rff_features(arr, in_col="xarr", out_col="rff",
+                              n_features=n_features, gamma=gamma, seed=seed)
+        return mapped.select(
+            array_to_vector(F.col("rff")).alias("features"), "label"
+        )
+
+    train = to_rff(train).cache()
+    test = to_rff(test).cache()
     model = LinearSVC(maxIter=20, regParam=0.1).fit(train)
     scored = model.transform(test)
     report = evaluate_binary(scored).select(
         "tp", "fp", "tn", "fn", "precision", "recall", "accuracy", "f1"
     ).withColumn("n", F.lit(test.count()))
-    return attach_eval_invariants(report)
+    report = attach_eval_invariants(report)
+    if f1_floor is not None:
+        report = report.withColumn(
+            "ok_f1_floor", F.col("f1") >= F.lit(float(f1_floor))
+        )
+    return report

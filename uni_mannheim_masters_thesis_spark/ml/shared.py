@@ -95,19 +95,6 @@ def shared_embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CACHE[key]
 
 
-def shared_embedding_split(
-    spark: SparkSession, sf_dir: str, test_frac: float = 0.2, seed: int = 42
-):
-    """Deterministic 80/20 split of the shared embedding features
-    (M17), both sides cached — shared by the MLP and transfer queries."""
-    key = _key(spark, sf_dir, f"emb_split/{test_frac}/{seed}")
-    if key not in _CACHE:
-        data = shared_embedding_features(spark, sf_dir)
-        train, test = data.randomSplit([1.0 - test_frac, test_frac], seed=seed)
-        _CACHE[key] = (train.cache(), test.cache())
-    return _CACHE[key]
-
-
 def shared_doc_feature_table(
     spark: SparkSession, sf_dir: str, k: int = 10, max_iter: int = 5
 ) -> DataFrame:

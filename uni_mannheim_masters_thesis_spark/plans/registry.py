@@ -3843,25 +3843,36 @@ def q_holdout_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,
     "M16 (multilayer perceptron, 140-140-140)",
     "MultilayerPerceptronClassifier with the reference's hidden layers "
-    "(supervised_classifier.py:471-490) on embedding features; one row "
-    "of confusion counts + P/R/Acc/F1 on the 20% holdout, with "
-    "harness-enforced ok_* invariants (counts cover the holdout, "
-    "metrics in [0,1]).",
+    "(supervised_classifier.py:471-490) on the battery's separable "
+    "document-feature task (LDA topics + length, train-fit scaling — "
+    "the same prep the M5-M23 battery uses), so the rows-only check "
+    "enforces a HARD ok_f1_floor=0.75 (r6 verdict task 6) instead of "
+    "range-only invariants. One row of confusion counts + P/R/Acc/F1 "
+    "on the 20% holdout.",
 )
 def q_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.classify import evaluate_binary, mlp_spec
-    from ..ml.shared import shared_embedding_split
+    from ..ml.classify import (
+        attach_eval_invariants,
+        evaluate_binary,
+        mlp_spec,
+        scale_features,
+        train_test_split,
+    )
+    from ..ml.shared import shared_doc_feature_table
 
-    train, test = shared_embedding_split(spark, sf_dir)
-    spec = mlp_spec(n_features=64)
-    model = spec.estimator.fit(train)
+    data = shared_doc_feature_table(spark, sf_dir)
+    train, test = train_test_split(data)
+    train, test = scale_features(train, test)
+    train = train.select(F.col("features_scaled").alias("features"), "label").cache()
+    test = test.select(F.col("features_scaled").alias("features"), "label").cache()
+    n_features = len(train.select("features").first()["features"])
+    model = mlp_spec(n_features=n_features).estimator.fit(train)
     scored = model.transform(test)
-    from ..ml.classify import attach_eval_invariants
-
     report = evaluate_binary(scored).select(
         "tp", "fp", "tn", "fn", "precision", "recall", "accuracy", "f1"
     ).withColumn("n", F.lit(test.count()))
-    return attach_eval_invariants(report)
+    report = attach_eval_invariants(report)
+    return report.withColumn("ok_f1_floor", F.col("f1") >= F.lit(0.75))
 
 
 @_register(
@@ -5118,16 +5129,25 @@ def q_segment_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rbf-kernel SVC approximation (supervised_classifier.py:292-333): "
     "seeded RFF map z(x)=sqrt(2/D)cos(Wx+b) broadcast to executors, one "
     "matmul per Arrow batch, then LinearSVC on z — the Rahimi-Recht "
-    "scale-out; no O(n^2) kernel matrix. One metrics row on the 20% "
-    "holdout (binary label: embeddings label < 5).",
+    "scale-out; no O(n^2) kernel matrix. Runs on the battery's "
+    "separable document-feature task (LDA topics + length, FIXTURES "
+    "§A3) with train-fit StandardScaler before the distance-based "
+    "kernel map, so the rows-only check can enforce a HARD "
+    "ok_f1_floor=0.75 (r6 verdict task 6): a silent regression in the "
+    "feature map, scaling, or fit collapses F1 to ~0.5 and fails the "
+    "invariant. One metrics row on the 20% holdout.",
 )
 def q_kernel_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.kernel import kernel_svm_report
+    from pyspark.ml.functions import vector_to_array
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", (F.col("label") < 5).cast("int").alias("label")
+    from ..ml.kernel import kernel_svm_report
+    from ..ml.shared import shared_doc_feature_table
+
+    data = shared_doc_feature_table(spark, sf_dir).select(
+        vector_to_array("features").alias("x"),
+        F.col("label").cast("int").alias("label"),
     )
-    return kernel_svm_report(emb)
+    return kernel_svm_report(data, vec_col="x", scale=True, f1_floor=0.75)
 
 
 @_register(
@@ -6151,6 +6171,12 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .count()  # driver scalar: the leakage invariant (must be 0)
     )
+    # release the cache now that the eager cross-split count consumed
+    # it (repeated invocations — suite + driver + bench — must not
+    # accumulate pinned frames); the returned 3-row aggregate simply
+    # recomputes the assignment lineage once when collected, keeping
+    # the lazy plan inspectable (join shape / pushdown plan test)
+    assigned.unpersist()
     return assigned.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.countDistinct("cluster_id").alias("n_clusters"),
@@ -7860,6 +7886,308 @@ def q_resampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sm.unionByName(tk)
 
 
+@_register(
+    "streaming_throughput_report",
+    None,
+    "§2.9 streaming (multi-micro-batch state-store evidence)",
+    "r6 verdict task 5: the sessionization + interval-join pair driven "
+    "through 12 time-ordered file-drop micro-batches "
+    "(maxFilesPerTrigger=1 over a sequentially-written time-sliced "
+    "events table) instead of the usual single-batch drain. One row "
+    "per (query, micro-batch) with input rows, trigger latency, and "
+    "state rows, under four HARD invariants: >=10 data batches per "
+    "query, flat per-batch latency (last-3 median <= 3x early median), "
+    "watermark actually evicting two-stream join state, and the "
+    "multi-batch join retaining EXACTLY the batch self-join's pairs "
+    "(in-order replay loses nothing to eviction). RocksDB state-store "
+    "deployment config for 100 TB is documented in "
+    "streaming/throughput.py.",
+)
+def q_streaming_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.throughput import streaming_throughput_report
+
+    return streaming_throughput_report(spark, sf_dir)
+
+
+_SPAN_K = 8  # tokens per duplicate-span window
+
+
+@_register(
+    "duplicate_span_coverage",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, CAST(i AS INT) AS pos,
+               md5(array_to_string(tk[(i+1):(i+{_SPAN_K})], ' ')) AS h
+        FROM toks,
+             UNNEST(range(CAST(greatest(len(tk) - {_SPAN_K - 1}, 0) AS BIGINT))) AS t(i)
+    ),
+    marked AS (
+        SELECT doc_id, n_tokens, pos, h,
+               COUNT(*) OVER (PARTITION BY h) AS c,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM wins
+    ),
+    rem AS (
+        SELECT doc_id, n_tokens, pos AS s, pos + {_SPAN_K - 1} AS e
+        FROM marked WHERE c >= 2 AND rn >= 2
+    ),
+    isl AS (
+        SELECT doc_id, n_tokens, s, e,
+               CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+                    THEN 1 ELSE 0 END AS nf
+        FROM rem
+        WINDOW w AS (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+        SELECT doc_id, n_tokens, s, e,
+               SUM(nf) OVER (PARTITION BY doc_id ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, MAX(n_tokens) AS n_tokens, island,
+               COUNT(*) AS n_win, MIN(s) AS s, MAX(e) AS e
+        FROM isl2 GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           MAX(n_tokens) AS n_tokens,
+           CAST(SUM(n_win) AS BIGINT) AS n_dup_windows,
+           COUNT(*) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens,
+           ROUND(CAST(SUM(e - s + 1) AS DOUBLE) / MAX(n_tokens), 6) AS coverage_ratio,
+           md5(string_agg(CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR),
+                          ',' ORDER BY s)) AS spans_md5
+    FROM spans
+    GROUP BY doc_id
+    """,
+    "§2.11 dedup (exact substring-span dedup, Lee et al. 2021)",
+    "Arbitrary-offset duplicate SPANS — the dedup modality exact-doc / "
+    "paragraph-block / MinHash / SimHash dedup all miss (Lee et al. "
+    "2021, 'Deduplicating Training Data Makes Language Models "
+    "Better'): an 8-token window is a duplicate when its content "
+    "recurs anywhere in the corpus at any offset. Per window an md5 "
+    "over the token slice (content-exact, no collision risk, same "
+    "bytes on both engines); occurrences beyond the first in the "
+    "global (doc_id, pos) order are the removal manifest (keep-first "
+    "policy). Marked windows merge into maximal spans per doc "
+    "(overlap-or-adjacent islands via running-max + running-sum "
+    "windows — exact interval union, no k-times explode), yielding "
+    "per-doc duplicate-token coverage + a spans_md5 removal manifest "
+    "digest. Spark shape: window generation is map-only (transform + "
+    "posexplode over one token projection); exactly TWO exchanges "
+    "move (16-byte hash, doc_id, pos) triples — one on the window "
+    "hash for global dup marking, one on doc_id for the interval "
+    "merge — and the two island windows plus both final aggregations "
+    "reuse the doc_id partitioning with no further shuffle. n_tokens "
+    "rides along as a column so no join back to the corpus is needed. "
+    "At 100 TB the hash exchange is the cost driver and carries 3 "
+    "narrow columns, never text; K is the recall/volume knob.",
+)
+def q_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    k = _SPAN_K
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    # guard: sequence(0, -1) counts DOWN in Spark ([0, -1]) — docs
+    # shorter than the window must yield an EMPTY position list, as
+    # DuckDB's range(greatest(n-k+1, 0)) does
+    positions = F.when(
+        F.size("tk") >= k, F.sequence(F.lit(0), F.size("tk") - k)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    hashes = F.transform(
+        positions,
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice("tk", i + 1, k)).cast("binary")
+        ),
+    )
+    wins = toks.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.posexplode(hashes).alias("pos", "h"),
+    )
+    wh = Window.partitionBy("h")
+    who = wh.orderBy("doc_id", "pos")
+    rem = (
+        wins.withColumn("c", F.count(F.lit(1)).over(wh))
+        .withColumn("rn", F.row_number().over(who))
+        .filter((F.col("c") >= 2) & (F.col("rn") >= 2))
+        .select(
+            "doc_id", "n_tokens",
+            F.col("pos").alias("s"), (F.col("pos") + (k - 1)).alias("e"),
+        )
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = rem.withColumn(
+        "nf",
+        F.when(
+            F.max("e").over(wprev).isNull()
+            | (F.col("s") > F.max("e").over(wprev) + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("nf").over(wrun))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_win"),
+        F.min("s").alias("s"),
+        F.max("e").alias("e"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("s", "e")))
+    span_str = F.array_join(
+        F.transform(
+            arr,
+            lambda x: F.concat_ws(
+                "-", x["s"].cast("string"), x["e"].cast("string")
+            ),
+        ),
+        ",",
+    )
+    return spans.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.sum("n_win").cast("long").alias("n_dup_windows"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("covered_tokens"),
+        F.round(
+            F.sum(F.col("e") - F.col("s") + 1).cast("double")
+            / F.max("n_tokens"),
+            6,
+        ).alias("coverage_ratio"),
+        F.md5(span_str.cast("binary")).alias("spans_md5"),
+    )
+
+
+@_register(
+    "embedding_kmeans",
+    """
+    WITH quant AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    qx AS (
+        SELECT vec_id, unnest(range(len(qv))) AS pos, unnest(qv) AS val FROM quant
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vec_id
+        FROM (SELECT vec_id FROM quant ORDER BY vec_id LIMIT 4)
+    ),
+    cent0 AS (
+        SELECT c0.cid, qx.pos, qx.val AS cval FROM c0 JOIN qx USING (vec_id)
+    ),
+    d1 AS (
+        SELECT qx.vec_id, cent0.cid,
+               SUM((qx.val - cent0.cval) * (qx.val - cent0.cval)) AS d
+        FROM qx JOIN cent0 USING (pos)
+        GROUP BY qx.vec_id, cent0.cid
+    ),
+    a1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ),
+    cent1 AS (
+        SELECT a1.cid, qx.pos,
+               CAST(floor(CAST(SUM(qx.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+        FROM a1 JOIN qx USING (vec_id)
+        GROUP BY a1.cid, qx.pos
+    ),
+    cent1f AS (
+        SELECT * FROM cent1
+        UNION ALL
+        SELECT cid, pos, cval FROM cent0
+        WHERE cid NOT IN (SELECT DISTINCT cid FROM a1)
+    ),
+    d2 AS (
+        SELECT qx.vec_id, cent1f.cid,
+               SUM((qx.val - cent1f.cval) * (qx.val - cent1f.cval)) AS d
+        FROM qx JOIN cent1f USING (pos)
+        GROUP BY qx.vec_id, cent1f.cid
+    ),
+    a2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    cent2 AS (
+        SELECT a2.cid, qx.pos,
+               CAST(floor(CAST(SUM(qx.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+        FROM a2 JOIN qx USING (vec_id)
+        GROUP BY a2.cid, qx.pos
+    ),
+    cent2f AS (
+        SELECT * FROM cent2
+        UNION ALL
+        SELECT cid, pos, cval FROM cent1f
+        WHERE cid NOT IN (SELECT DISTINCT cid FROM a2)
+    ),
+    dF AS (
+        SELECT qx.vec_id, cent2f.cid,
+               SUM((qx.val - cent2f.cval) * (qx.val - cent2f.cval)) AS d
+        FROM qx JOIN cent2f USING (pos)
+        GROUP BY qx.vec_id, cent2f.cid
+    ),
+    aF AS (
+        SELECT vec_id, cid, d FROM (
+            SELECT vec_id, cid, d,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM dF
+        ) WHERE rn = 1
+    ),
+    md5s AS (
+        SELECT cid,
+               md5(string_agg(CAST(cval AS VARCHAR), ',' ORDER BY pos)) AS centroid_md5
+        FROM cent2f GROUP BY cid
+    )
+    SELECT aF.cid AS cluster_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(aF.d) AS BIGINT) AS inertia_q,
+           ANY_VALUE(md5s.centroid_md5) AS centroid_md5
+    FROM aF JOIN md5s USING (cid)
+    GROUP BY aF.cid
+    ORDER BY aF.cid
+    """,
+    "§2.11 semantic curation (k-means clustering arm of SemDeDup)",
+    "Deterministic integer Lloyd's k-means (k=4, 2 iterations) over "
+    "int64-quantized embeddings — the clustering stage SemDeDup (Abbas "
+    "et al. 2023) runs before within-cluster cosine pruning; "
+    "semantic_dedup_srp covers the SRP-bucket variant, this is the "
+    "k-means-faithful arm. Iterative ML is normally the rows-only "
+    "class; this one is HASH-EXACT because every step obeys the "
+    "engine-portable contract in ml/cluster.py: floor(x*1e4) int64 "
+    "coordinates (exact integer distances, immune to summation order), "
+    "seeds = k smallest vec_ids, centroid update floor(double(sum)/"
+    "count) (int/int double division is bit-identical across engines), "
+    "argmin ties to the smaller cid, empty clusters keep their "
+    "centroid. Spark shape: centroids are k x d literals baked into a "
+    "codegen'd argmin expression, so each iteration is one map-only "
+    "scan plus a (cid,pos)-keyed partial aggregation returning exactly "
+    "k x d rows to the driver — the vectors themselves never shuffle "
+    "and no collect grows with the data. At 100 TB: ITERS+1 scans of a "
+    "cached quantized projection; promote centroid sums to DECIMAL "
+    "past ~2^53 rows (documented in the module).",
+)
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.cluster import kmeans_cluster_stats
+
+    return kmeans_cluster_stats(spark, _t(spark, sf_dir, "embeddings"))
+
+
 # =========================================================================
 # Driver-check ordering
 # =========================================================================
@@ -7869,10 +8197,15 @@ def q_resampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # budget — unknown). The registry is therefore re-ordered
 # deterministically before export:
 #
-#   1. ``_DRIVER_PRIORITY`` — a 50-query set that covers EVERY SURVEY
-#      §2 + extended operator (tests/test_coverage.py asserts this) —
-#      comes first, so even a hard 50-row cap yields a verdict for the
-#      complete inventory;
+#   1. ``_DRIVER_PRIORITY`` — a 50-query window, ROTATED in round 7 per
+#      the round-6 verdict: the same 50 queries had been driver-checked
+#      for six straight rounds, so the window now keeps 20 core
+#      regression anchors and fills the other 30 slots with queries the
+#      driver has never hashed (the r5/r6/r7 operators plus the
+#      fine-grained components the consolidated suites had been
+#      standing in for). Cumulative driver evidence (rounds 1-6
+#      artifacts + this window) still covers every SURVEY §2 + extended
+#      operator — tests/test_coverage.py asserts exactly that;
 #   2. within each block: oracle-backed queries first (they yield the
 #      strong rows+schema+hash verdict), cheapest first — so a time
 #      budget maximizes verdicts per second.
@@ -7892,32 +8225,60 @@ _DRIVER_SUITES: frozenset[str] = frozenset({
     "multimodal_pipeline", "curation_suite",
 })
 
+# Queries hashed green in every CORRECTNESS_r01..r06 driver artifact —
+# the rotation baseline. Kept here (not derived from artifact files) so
+# the package stays self-contained.
+_DRIVER_VERIFIED_R1_R6: frozenset[str] = frozenset({
+    "concat_segment_name", "replace_rewrite", "sorted_topic_vectors",
+    "confusion_matrix_events", "dedup_stats_by_source",
+    "distinct_user_event_pairs", "polysemy_rule_vectors",
+    "stratified_fold_balance", "user_value_trend",
+    "classification_metrics_events", "events_asof_join",
+    "fold_metric_stats", "lemmatized_tokens", "term_frequency",
+    "top3_lineitems_per_supplier", "ngram_jaccard_pairs",
+    "small_quantity_revenue", "tokenized_documents",
+    "first_order_per_customer", "knn_bruteforce_cosine",
+    "value_bucket_range_join", "vocabulary", "language_id",
+    "text_profile", "tfidf", "revenue_by_nation", "spellcheck_filtered",
+    "lsh_ann_neighbors", "model_save_load", "set_ops_nations",
+    "clean_documents", "multimodal_pipeline", "simhash_documents",
+    "jaro_winkler_pairs", "embedding_cosine_neardup",
+    "nquads_provenance", "minhash_neardup_pairs", "resampling_report",
+    "ivf_ann_recall", "neardup_clusters", "artifact_formats_roundtrip",
+    "streaming_windowed_suite", "training_prep_manifest",
+    "streaming_stateful_suite", "curation_suite", "flagship_polysemy",
+    "grid_search_lr", "holdout_transfer_report", "topic_quality_suite",
+    "classifier_battery",
+})
+
 _DRIVER_PRIORITY: frozenset[str] = frozenset({
-    # relational / text core (oracle)
+    # --- 20 core regression anchors (all driver-green r1-r6) ----------
     "clean_documents", "tokenized_documents", "nquads_provenance",
-    "dedup_stats_by_source", "replace_rewrite", "distinct_user_event_pairs",
-    "spellcheck_filtered", "classification_metrics_events",
-    "confusion_matrix_events", "vocabulary", "term_frequency", "tfidf",
-    "fold_metric_stats", "polysemy_rule_vectors", "lemmatized_tokens",
-    "concat_segment_name", "first_order_per_customer", "revenue_by_nation",
-    "top3_lineitems_per_supplier", "sorted_topic_vectors",
-    "jaro_winkler_pairs", "language_id",
-    # dedup / similarity / multimodal (oracle)
-    "ngram_jaccard_pairs", "simhash_documents", "minhash_neardup_pairs",
-    "knn_bruteforce_cosine", "embedding_cosine_neardup",
-    "multimodal_pipeline", "curation_suite", "neardup_clusters",
-    # joins / windows / subqueries (oracle)
-    "events_asof_join", "value_bucket_range_join", "small_quantity_revenue",
-    "user_value_trend",
-    # consolidated suites (oracle)
-    "text_profile", "set_ops_nations", "artifact_formats_roundtrip",
-    "training_prep_manifest", "streaming_windowed_suite",
-    "streaming_stateful_suite",
-    # rows-only operators (every remaining M/X id)
-    "stratified_fold_balance", "lsh_ann_neighbors",
-    "model_save_load", "flagship_polysemy", "grid_search_lr",
-    "holdout_transfer_report", "ivf_ann_recall", "classifier_battery",
-    "topic_quality_suite", "resampling_report",
+    "tfidf", "vocabulary", "term_frequency", "lemmatized_tokens",
+    "revenue_by_nation", "confusion_matrix_events",
+    "classification_metrics_events", "replace_rewrite",
+    "dedup_stats_by_source", "distinct_user_event_pairs",
+    "spellcheck_filtered", "first_order_per_customer",
+    "top3_lineitems_per_supplier", "jaro_winkler_pairs",
+    "minhash_neardup_pairs", "events_asof_join", "classifier_battery",
+    # --- 30 never-driver-hashed rotations -----------------------------
+    # r5/r6/r7 operators (oracle)
+    "embedding_kmeans", "duplicate_span_coverage", "neardup_pagerank",
+    "neardup_triangles", "gopher_admission", "sparse_cosine_pairs",
+    "leakage_safe_split", "make_wiki_pipeline",
+    # curation-suite components (oracle)
+    "benchmark_contamination", "repetition_quality", "dedup_canonical",
+    "cross_source_containment", "mixture_sampling_manifest",
+    "pii_redaction", "document_chunking", "paragraph_dedup",
+    "heavy_hitters_sketch", "inverted_index_postings", "bm25_retrieval",
+    # training-prep components (oracle)
+    "semantic_dedup_srp", "training_order_shuffle", "document_packing",
+    "dataset_split_manifest", "embedding_quantization",
+    # event-analytics components (oracle) + streaming throughput (rows)
+    "funnel_conversion", "cohort_retention", "session_attribution",
+    "streaming_throughput_report",
+    # resampling components (oracle)
+    "smote_class_balance", "tomek_link_removal",
 })
 
 _COST_HINT: dict[str, float] = {
@@ -7976,7 +8337,8 @@ _COST_HINT: dict[str, float] = {
     "adaptive_search_lr": 6.0, "shipping_priority": 0.6,
     "rule_point_search": 3.0, "make_wiki_pipeline": 1.5,
     "gopher_admission": 1.7, "sparse_cosine_pairs": 1.2,
-    "leakage_safe_split": 1.0,
+    "leakage_safe_split": 1.0, "embedding_kmeans": 2.4,
+    "duplicate_span_coverage": 1.9, "streaming_throughput_report": 22.0,
     "streaming_first_event_per_user_type": 1.7, "topic_coherence_cv": 3.3,
     "document_packing": 0.3, "dataset_split_manifest": 0.2,
     "embedding_quantization": 0.3, "rolling_week_order_value": 0.3,

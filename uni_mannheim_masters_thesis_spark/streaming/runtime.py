@@ -26,6 +26,7 @@ raise :data:`STREAM_STATE_PARTITION_CAP` there; nothing else changes.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -65,9 +66,15 @@ def drain(
     output_mode: str,
     name_prefix: str = "stream",
     cap: int = STREAM_STATE_PARTITION_CAP,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion on a memory sink and
-    return the drained table (batch DataFrame)."""
+    return the drained table (batch DataFrame).
+
+    When ``progress_out`` is a list, every StreamingQueryProgress dict
+    the run produced (batchId, numInputRows, durationMs, stateOperators
+    ...) is appended to it before the query stops — the raw material
+    for per-micro-batch latency/state evidence."""
     spark = agg.sparkSession
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"{name}_", dir=_CKPT_ROOT)
@@ -85,6 +92,11 @@ def drain(
             )
             try:
                 query.processAllAvailable()
+                if progress_out is not None:
+                    progress_out.extend(
+                        p if isinstance(p, dict) else json.loads(p.json)
+                        for p in query.recentProgress
+                    )
             finally:
                 try:
                     query.stop()
