@@ -106,6 +106,39 @@ def test_salted_join_equals_plain_join(spark):
     assert a == b
 
 
+def test_bucketed_corpus_doc_id_joins_have_no_exchange(spark, tmp_path):
+    """100 TB corpus layout (r6 verdict task 7): pre-bucketing the
+    documents table AND its derived per-doc artifacts (stats, span
+    manifests, quality scores) on doc_id means every re-join of an
+    artifact back onto the corpus — the hourly pattern of a curation
+    pipeline — plans with ZERO Exchange on either side."""
+    import uuid
+
+    db = f"bdocs_{uuid.uuid4().hex[:6]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/bwh'")
+    try:
+        from uni_mannheim_masters_thesis_spark.sources.testdata import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        docs.write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(
+            f"{db}.docs_b"
+        )
+        # a derived per-doc artifact, bucketed identically
+        docs.select("doc_id", F.length("text").alias("q")).write.bucketBy(
+            8, "doc_id"
+        ).sortBy("doc_id").saveAsTable(f"{db}.docstats_b")
+        corpus = spark.table(f"{db}.docs_b")
+        stats = spark.table(f"{db}.docstats_b")
+        with _confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+            joined = corpus.join(stats, "doc_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # both sides co-located
+            assert joined.count() == docs.count()
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     # bucketing both sides on the join key co-locates the join: the
     # compiled plan must contain NO Exchange (SCALING §3). AQE is

@@ -51,23 +51,37 @@ def quantize_vectors(df: DataFrame, vec_col: str = "embedding",
 
 
 def _sqdist(qv: F.Column, centroid: list[int]) -> F.Column:
-    carr = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    # ONE array Literal node, not CreateArray over d child literals:
+    # with k=4 and d=64 the per-element form put ~256 literal nodes in
+    # every assignment expression and whole-stage codegen recompiled
+    # that tree each iteration (~2 s/pass measured at bench scale —
+    # compile time, not data time)
+    carr = F.lit([int(v) for v in centroid]).cast("array<long>")
     diff2 = F.zip_with(qv, carr, lambda x, y: (x - y) * (x - y))
     return F.aggregate(diff2, F.lit(0).cast("long"), lambda a, d: a + d)
 
 
-def _assign_struct(qv: F.Column, centroids: list[tuple[int, list[int]]]) -> F.Column:
-    """struct(d, cid) of the nearest centroid; ties -> smallest cid."""
-    # named_struct, not struct(alias): lambda-function expressions inside
-    # struct() lose their field names during analysis (col1/col2).
-    return F.array_min(
-        F.array(*[
-            F.named_struct(
-                F.lit("d"), _sqdist(qv, vec),
-                F.lit("cid"), F.lit(int(cid)).cast("int"),
-            )
-            for cid, vec in centroids
-        ])
+def _assigned(quant: DataFrame,
+              centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """Project (vec_id, qv, cid, d) — nearest centroid per row, ties to
+    the smallest cid.
+
+    Shape: one projection computes each squared distance ONCE, then the
+    argmin is ``least`` + an ascending-cid ``when`` chain over the
+    projected columns. (The earlier array_min-of-structs form carried
+    every sqdist HOF inside one giant nested expression; Catalyst spent
+    ~4 s per iteration analyzing it vs ~1.4 s for this split —
+    measured, data-size-independent.)"""
+    d = quant.select(
+        "vec_id", "qv",
+        *[_sqdist(F.col("qv"), vec).alias(f"_d{c}") for c, vec in centroids],
+    )
+    best = F.least(*[F.col(f"_d{c}") for c, _ in centroids])
+    cid = F.when(F.col(f"_d{centroids[0][0]}") == best, centroids[0][0])
+    for c, _ in centroids[1:]:
+        cid = cid.when(F.col(f"_d{c}") == best, c)
+    return d.select(
+        "vec_id", "qv", cid.cast("int").alias("cid"), best.alias("d")
     )
 
 
@@ -84,9 +98,9 @@ def lloyd_kmeans(quant: DataFrame, k: int = 4, iters: int = 2) -> DataFrame:
         centroids = [(i, list(r["qv"])) for i, r in enumerate(seed_rows)]
 
         for _ in range(iters):
-            cid = _assign_struct(F.col("qv"), centroids)["cid"]
             sums = (
-                quant.select(cid.alias("cid"), F.posexplode("qv"))
+                _assigned(quant, centroids)
+                .select("cid", F.posexplode("qv"))
                 .groupBy("cid", "pos")
                 .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("c"))
                 .collect()  # bounded: exactly k x d rows
@@ -114,14 +128,12 @@ def lloyd_kmeans(quant: DataFrame, k: int = 4, iters: int = 2) -> DataFrame:
             ).hexdigest()
             for cid_, vec in centroids
         }
-        final = _assign_struct(F.col("qv"), centroids)
         md5_expr = F.create_map(
             *[x for cid_, h in md5s.items() for x in (F.lit(cid_), F.lit(h))]
         )
         return (
-            quant.select(
-                final["cid"].alias("cluster_id"), final["d"].alias("d")
-            )
+            _assigned(quant, centroids)
+            .select(F.col("cid").alias("cluster_id"), "d")
             .groupBy("cluster_id")
             .agg(
                 F.count(F.lit(1)).alias("n_members"),

@@ -67,6 +67,7 @@ def kernel_svm_report(
     seed: int = 42,
     scale: bool = False,
     f1_floor: float | None = None,
+    presplit: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """M9: rbf-SVC approximation = RFF map + LinearSVC, scored with the
     A4/A5 confusion metrics on an 80/20 split.
@@ -75,7 +76,11 @@ def kernel_svm_report(
     the feature map — the rbf kernel is distance-based, so unscaled
     wide-range coordinates (e.g. a raw length feature) would dominate
     ‖x−y‖² and wash out every other dimension. ``f1_floor`` stamps the
-    battery-style ``ok_f1_floor`` hard invariant for rows-only checks."""
+    battery-style ``ok_f1_floor`` hard invariant for rows-only checks.
+    ``presplit=(train, test)`` supplies an already split (and scaled)
+    pair of (features vector, label) frames — e.g. the session-shared
+    ``ml.shared.shared_scaled_doc_split`` — in which case ``df``,
+    ``vec_col`` and ``scale`` are unused."""
     from pyspark.ml.classification import LinearSVC
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -86,15 +91,24 @@ def kernel_svm_report(
         train_test_split,
     )
 
-    data = df.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-        F.col(label_col).cast("double").alias("label"),
-    )
-    train, test = train_test_split(data)
-    if scale:
-        train, test = scale_features(train, test)
-        train = train.select(F.col("features_scaled").alias("features"), "label")
-        test = test.select(F.col("features_scaled").alias("features"), "label")
+    if presplit is not None:
+        train, test = presplit
+    else:
+        data = df.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+                "features"
+            ),
+            F.col(label_col).cast("double").alias("label"),
+        )
+        train, test = train_test_split(data)
+        if scale:
+            train, test = scale_features(train, test)
+            train = train.select(
+                F.col("features_scaled").alias("features"), "label"
+            )
+            test = test.select(
+                F.col("features_scaled").alias("features"), "label"
+            )
 
     def to_rff(d: DataFrame) -> DataFrame:
         arr = d.select(vector_to_array("features").alias("xarr"), "label")

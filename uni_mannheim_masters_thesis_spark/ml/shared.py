@@ -109,6 +109,32 @@ def shared_doc_feature_table(
     return _CACHE[key]
 
 
+def shared_scaled_doc_split(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """80/20 split + train-fit StandardScaler over the doc feature
+    table, both sides cached with the scaled vector as ``features`` —
+    shared by the classifier battery, ``mlp_classifier`` and
+    ``kernel_svm_rff`` (M17+M19 run once per session, not per query).
+    Deterministic: seeded split, scaler params a pure function of the
+    train rows."""
+    from .classify import scale_features, train_test_split
+
+    key = _key(spark, sf_dir, "doc_split_scaled")
+    if key not in _CACHE:
+        data = shared_doc_feature_table(spark, sf_dir)
+        train, test = train_test_split(data)
+        train, test = scale_features(train, test)
+        train = train.select(
+            F.col("features_scaled").alias("features"), "label"
+        ).cache()
+        test = test.select(
+            F.col("features_scaled").alias("features"), "label"
+        ).cache()
+        _CACHE[key] = (train, test)
+    return _CACHE[key]
+
+
 def shared_neardup_components(
     spark: SparkSession, sf_dir: str, id_cap: int = 300, threshold: float = 0.3
 ) -> DataFrame:
@@ -194,7 +220,12 @@ def shared_exact_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _key(spark, sf_dir, "exact_knn_vote/5/20")
     if key not in _CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
-        probes = emb.filter(F.col("vec_id") % 20 == 0)
+        # fixed probe PANEL (vec_id < 5000 is a no-op at sf <= 0.1):
+        # classifier evaluation scores a bounded holdout — only the
+        # CORPUS side grows with scale. Without the cap the probe count
+        # scales with the data and the probe x candidate product goes
+        # quadratic (sf1 evidence: knn_vote_lsh 127 s -> bounded panel)
+        probes = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 5000))
         corpus = emb.filter(F.col("vec_id") % 20 != 0)
         nn = knn_bruteforce(corpus, probes, k=5)
         labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")

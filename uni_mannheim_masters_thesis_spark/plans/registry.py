@@ -3468,7 +3468,7 @@ def q_matrix_market_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_classifier_vote",
     """
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 20 = 0),
+    probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 20 = 0 AND vec_id < 5000),
     corpus AS (SELECT * FROM e WHERE vec_id % 20 != 0),
     pairs AS (
         SELECT probe_id, corpus.vec_id AS neighbor_id, corpus.label,
@@ -3528,7 +3528,9 @@ def q_knn_vote_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity_search import lsh_ann, majority_vote
 
     emb = _t(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 20 == 0)
+    # same bounded probe panel as the exact arm (ml.shared) — no-op at
+    # sf <= 0.1, keeps probe x LSH-candidate cost linear in corpus size
+    probes = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 5000))
     corpus = emb.filter(F.col("vec_id") % 20 != 0)
     nn = lsh_ann(corpus, probes, k=5, bucket_length=5.0, num_hash_tables=6)
     labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
@@ -3583,8 +3585,13 @@ def q_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_sessionization",
     """
     WITH seq AS (
-        SELECT user_id, ts, value, epoch_us(ts) AS us,
-               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+        SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+               -- event_id tiebreaker: with duplicate (user_id, ts) rows
+               -- (the 10x scaled corpus has 10 copies of every event) a
+               -- bare ts order lets the lag scan and the cumsum scan
+               -- sort ties DIFFERENTLY, splitting phantom sessions
+               -- inside tie blocks (observed: +5 rows at sf1)
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev_us
         FROM events
     ),
@@ -3594,7 +3601,7 @@ def q_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seq
     ),
     sess AS (
-        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
         FROM marked
     )
@@ -3727,13 +3734,17 @@ def q_smote(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ),
     nn1 AS (
-        SELECT id, nn_id FROM (
-            SELECT a.vec_id AS id, b.vec_id AS nn_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY a.vec_id
-                       ORDER BY list_distance(a.v, b.v), b.vec_id) AS rn
-            FROM e a JOIN e b ON a.vec_id != b.vec_id
-        ) WHERE rn = 1
+        -- min-of-struct aggregation, NOT a ROW_NUMBER window: the
+        -- window form materializes all n^2 joined rows for the
+        -- partition sort (observed: >79 GB spill at the 50k-row sf1
+        -- scale), while the grouped min streams the cross product with
+        -- O(groups) memory. Identical semantics: lexicographic struct
+        -- comparison = (distance, id) tiebreak (0 mismatches vs the
+        -- window form at sf0.1).
+        SELECT a.vec_id AS id,
+               (min({'d': list_distance(a.v, b.v), 'i': b.vec_id})).i AS nn_id
+        FROM e a JOIN e b ON a.vec_id != b.vec_id
+        GROUP BY a.vec_id
     ),
     mutual AS (
         SELECT f.id, f.nn_id FROM nn1 f
@@ -3855,16 +3866,10 @@ def q_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_eval_invariants,
         evaluate_binary,
         mlp_spec,
-        scale_features,
-        train_test_split,
     )
-    from ..ml.shared import shared_doc_feature_table
+    from ..ml.shared import shared_scaled_doc_split
 
-    data = shared_doc_feature_table(spark, sf_dir)
-    train, test = train_test_split(data)
-    train, test = scale_features(train, test)
-    train = train.select(F.col("features_scaled").alias("features"), "label").cache()
-    test = test.select(F.col("features_scaled").alias("features"), "label").cache()
+    train, test = shared_scaled_doc_split(spark, sf_dir)
     n_features = len(train.select("features").first()["features"])
     model = mlp_spec(n_features=n_features).estimator.fit(train)
     scored = model.transform(test)
@@ -5138,16 +5143,11 @@ def q_segment_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "invariant. One metrics row on the 20% holdout.",
 )
 def q_kernel_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.functions import vector_to_array
-
     from ..ml.kernel import kernel_svm_report
-    from ..ml.shared import shared_doc_feature_table
+    from ..ml.shared import shared_scaled_doc_split
 
-    data = shared_doc_feature_table(spark, sf_dir).select(
-        vector_to_array("features").alias("x"),
-        F.col("label").cast("int").alias("label"),
-    )
-    return kernel_svm_report(data, vec_col="x", scale=True, f1_floor=0.75)
+    train, test = shared_scaled_doc_split(spark, sf_dir)
+    return kernel_svm_report(None, presplit=(train, test), f1_floor=0.75)
 
 
 @_register(
@@ -8223,6 +8223,12 @@ _DRIVER_SUITES: frozenset[str] = frozenset({
     "training_prep_manifest", "streaming_windowed_suite",
     "streaming_stateful_suite", "topic_quality_suite", "resampling_report",
     "multimodal_pipeline", "curation_suite",
+    # not a suite, but the same skip rationale: it re-runs the
+    # sessionization + interval-join PLANS the streaming suites already
+    # execute, 12 micro-batches each — multi-batch state-store
+    # evidence, not new plan coverage, so it would double-count those
+    # plans (plus ~20 s of per-trigger fixed cost) in the headline
+    "streaming_throughput_report",
 })
 
 # Queries hashed green in every CORRECTNESS_r01..r06 driver artifact —
@@ -8333,7 +8339,7 @@ _COST_HINT: dict[str, float] = {
     "lda_k_sweep": 2.6, "neardup_clusters": 4.7,
     "small_quantity_revenue": 0.5, "orders_with_returns_exists": 0.3,
     "user_value_trend": 0.3, "grouped_trend_pandas": 0.7,
-    "segment_balance_unpivot": 0.2, "kernel_svm_rff": 3.9,
+    "segment_balance_unpivot": 0.2, "kernel_svm_rff": 10.0,
     "adaptive_search_lr": 6.0, "shipping_priority": 0.6,
     "rule_point_search": 3.0, "make_wiki_pipeline": 1.5,
     "gopher_admission": 1.7, "sparse_cosine_pairs": 1.2,

@@ -17,8 +17,6 @@ from pyspark.sql import functions as F
 from ..ml.classify import (
     assemble_features,
     run_battery,
-    scale_features,
-    train_test_split,
 )
 from ..ml.topics import infer_topics
 from ..sources.testdata import load_table
@@ -61,17 +59,12 @@ def supervised_battery_report(
     spark: SparkSession, sf_dir: str, include_mlp: bool = False
 ) -> DataFrame:
     """One row per classifier with P/R/Acc/F1 on the held-out split."""
-    from ..ml.shared import shared_doc_feature_table
+    from ..ml.shared import shared_scaled_doc_split
 
-    data = shared_doc_feature_table(spark, sf_dir)
-    train, test = train_test_split(data)
-    train, test = scale_features(train, test)
-    train = train.withColumnRenamed("features", "features_raw").withColumnRenamed(
-        "features_scaled", "features"
-    ).cache()
-    test = test.withColumnRenamed("features", "features_raw").withColumnRenamed(
-        "features_scaled", "features"
-    ).cache()
+    # M17 split + M19 scaling come from the session-shared cache — the
+    # battery, mlp_classifier and kernel_svm_rff all score the SAME
+    # scaled holdout, and the split/scale pipeline runs once per session
+    train, test = shared_scaled_doc_split(spark, sf_dir)
     n_features = len(train.select("features").first()["features"])
     # F1 floor 0.75: observed per-model F1 on this task is 0.86-0.99
     # across sf0.001/0.01/0.1 — the floor leaves margin for
