@@ -97,6 +97,34 @@ def test_streaming_throughput_multi_batch_invariants(spark):
         assert ids == list(range(ids[0], ids[0] + len(ids)))
 
 
+def test_pq_encode_total_and_determinism(spark):
+    """Every vector gets exactly one code tuple; codes stay inside the
+    16-entry codebooks; the integer quantization error is non-negative;
+    and a second invocation is bit-identical (the Lloyd contract)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    rows1 = REGISTRY["pq_encode_codes"].fn(spark, SF_DIR).collect()
+    assert len(rows1) == n
+    for r in rows1:
+        for j in range(8):
+            assert 0 <= r[f"code{j}"] < 16
+        assert r["qerr_q"] >= 0
+    rows2 = REGISTRY["pq_encode_codes"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+
+
+def test_pq_adc_recall_beats_random_and_flags_hold(spark):
+    """The ADC ranking must beat the random-top-5 baseline by orders of
+    magnitude (ok_mean_recall floor 0.2 vs ~0.005 random at sf0.001)
+    and every exact row carries the full 5-neighbor set."""
+    rows = REGISTRY["pq_ann_recall"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_exact"] == 5
+        assert r["ok_mean_recall"] is True
+        assert len(r["exact_top5_md5"]) == 32
+
+
 def test_embedding_kmeans_registry_shape(spark):
     """The registered query returns the documented 4-column schema and
     at most k rows, deterministically across invocations."""

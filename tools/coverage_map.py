@@ -236,6 +236,10 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                           "spans: 8-token window hash join, keep-first "
                           "removal manifest, exact interval-union coverage",
                           ["duplicate_span_coverage"]),
+    "X-ann-pq": ("ml.cluster:pq_encode  # product quantization (Jégou et "
+                 "al. 2011): per-subspace integer-Lloyd codebooks, "
+                 "hash-exact encode + ADC search with recall contract",
+                 ["pq_encode_codes", "pq_ann_recall"]),
     "X-cluster-kmeans": ("ml.cluster:kmeans_cluster_stats  # deterministic "
                          "integer Lloyd's — the k-means clustering arm "
                          "SemDeDup (Abbas et al. 2023) uses before "

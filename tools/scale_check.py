@@ -111,6 +111,12 @@ _QUERIES = [
     # composition (XML ingest -> tokenize -> dictionary file -> TF-IDF)
     "rule_point_search",
     "make_wiki_pipeline",
+    # round-7: deterministic integer Lloyd's k-means (literal-baked
+    # map-only assignment), duplicate-span dedup (two narrow-column
+    # shuffles), LSH kNN vote with the fixed probe panel
+    "embedding_kmeans",
+    "duplicate_span_coverage",
+    "knn_vote_lsh",
 ]
 
 

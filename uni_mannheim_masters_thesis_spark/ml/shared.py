@@ -135,6 +135,25 @@ def shared_scaled_doc_split(
     return _CACHE[key]
 
 
+def shared_pq(spark: SparkSession, sf_dir: str, m: int = 8, k: int = 16,
+              iters: int = 2):
+    """Quantized embedding frame (cached) + per-subspace PQ codebooks —
+    shared by ``pq_encode_codes`` (full-corpus encode) and
+    ``pq_ann_recall`` (ADC search): training is ITERS+1 scans per
+    subspace and runs once per session. Deterministic per the integer
+    Lloyd contract in ml.cluster, so sharing is observationally
+    equivalent to retraining."""
+    from ..sources.testdata import load_table
+    from .cluster import pq_train, quantize_vectors
+
+    key = _key(spark, sf_dir, f"pq/{m}/{k}/{iters}")
+    if key not in _CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        quant = quantize_vectors(emb).cache()
+        _CACHE[key] = (quant, pq_train(quant, m=m, k=k, iters=iters))
+    return _CACHE[key]
+
+
 def shared_neardup_components(
     spark: SparkSession, sf_dir: str, id_cap: int = 300, threshold: float = 0.3
 ) -> DataFrame:
