@@ -584,3 +584,19 @@ def test_leakage_split_joins_on_ids_never_text(spark):
     plan = _formatted_plan(spark, "leakage_safe_split")
     assert "CartesianProduct" not in plan
     assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,300)]" in plan
+
+
+def test_cdc_merge_join_rides_the_window_partitioning(spark):
+    """The MERGE full-outer join must reuse the user_id hash
+    partitioning the two latest-per-key windows already established —
+    exactly 4 exchanges total (one window shuffle per half + the two
+    1-row bounds aggregates), none of them between a window and the
+    join."""
+    import re
+
+    plan = _formatted_plan(spark, "cdc_merge_upsert")
+    assert "SortMergeJoin FullOuter" in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 4, f"expected 4 shuffles, got {len(exchanges)}"
+    # both window specs key on user_id
+    assert plan.count("windowspecdefinition(user_id") >= 2

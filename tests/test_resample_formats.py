@@ -303,25 +303,29 @@ def test_knn_auto_dispatch_by_size(spark):
 
 def test_rule_point_search_synthetic_landscape(spark):
     """On a synthetic corpus where the optimal rule point is interior
-    and both dimensions matter, the surrogate search finds a point that
-    dominates all four box corners, stays in the box, and is
+    and ALL THREE dimensions matter (min_probability, min_topics, and
+    the MIN_DOC_LEN admission gate), the surrogate search finds a point
+    that dominates all eight box corners, stays in the box, and is
     deterministic across invocations."""
     from uni_mannheim_masters_thesis_spark.ml.search import rule_point_search
 
-    # 400 docs: gold-positive docs have 3 topic probs at 0.08 (visible
-    # only when min_prob <= 0.08 and min_topics <= 2), negatives have
-    # one dominant topic — so F1 peaks strictly inside the box
+    # 450 docs in three strata:
+    # - gold-positive docs (len 300): 3 topic probs at 0.08, visible
+    #   only when min_prob <= 0.08 and min_topics <= 3;
+    # - negatives (len 300): one dominant topic;
+    # - SHORT NOISE (len 10): gold-positive label but negative-looking
+    #   probs — perfect F1 additionally requires min_doc_len in
+    #   (10, 300] to exclude them, so the length gate genuinely bites
     rows = []
     for i in range(400):
         if i % 2:
-            probs = [0.08, 0.08, 0.08, 0.76] + [0.0] * 6
-            gold = True
+            rows.append(([0.08, 0.08, 0.08, 0.76] + [0.0] * 6, True, 300))
         else:
-            probs = [0.9, 0.06, 0.04] + [0.0] * 7
-            gold = False
-        rows.append((probs, gold))
+            rows.append(([0.9, 0.06, 0.04] + [0.0] * 7, False, 300))
+    for _ in range(50):
+        rows.append(([0.9, 0.06, 0.04] + [0.0] * 7, True, 10))
     scored = spark.createDataFrame(
-        rows, "topic_probs array<double>, gold boolean"
+        rows, "topic_probs array<double>, gold boolean, doc_len int"
     )
     out = rule_point_search(scored).collect()
     assert len(out) == 15
@@ -329,13 +333,19 @@ def test_rule_point_search_synthetic_landscape(spark):
                and r.ok_best_geq_corners for r in out)
     best = max(out, key=lambda r: r.f1)
     # perfect separation is reachable only at interior points (e.g.
-    # min_prob <= 0.08 with min_topics in {2,3}) — no box corner can
-    # reach it, so the is_best winner must be an interior trial
+    # min_prob <= 0.08, min_topics in {2,3}, min_doc_len in (10, 300])
+    # — no box corner can reach it: len=5 admits the noise, len=500
+    # admits nothing — so the is_best winner must be interior (the
+    # pinned box CENTER (0.075, 3, 252) is one such point, making the
+    # perfect plateau deterministically reachable)
     assert best.f1 == 1.0
-    corners = {(0.05, 1), (0.05, 5), (0.1, 1), (0.1, 5)}
-    assert (best.min_probability, best.min_topics) not in corners
-    # the TPE phase (trials 6+) conditions on history and must also
-    # land on the perfect plateau, not just the pinned warmup
-    assert any(r.f1 == 1.0 for r in out if r.trial > 5)
+    assert (best.min_probability, best.min_topics) not in {
+        (0.05, 1), (0.05, 5), (0.1, 1), (0.1, 5)
+    } or best.min_doc_len not in (5, 500)
+    assert 10 < best.min_doc_len <= 300
+    # corner trials: the min_doc_len=500 corners admit zero docs (F1 0)
+    # and the min_doc_len=5 corners admit the noise (F1 < 1)
+    for r in out[:8]:
+        assert r.f1 < 1.0
     again = rule_point_search(scored).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]

@@ -134,3 +134,110 @@ def test_embedding_kmeans_registry_shape(spark):
     rows2 = REGISTRY["embedding_kmeans"].fn(spark, SF_DIR).collect()
     assert rows1 == rows2
     assert 0 < len(rows1) <= 4
+
+
+def test_dsir_selection_rank_permutation_and_quota(spark):
+    """Every document appears exactly once, sel_rank is a permutation of
+    1..n, exactly ceil(n/5) docs are selected, and the selected set is
+    exactly the rank-prefix (Gumbel-top-k semantics)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    rows = REGISTRY["dsir_selection"].fn(spark, SF_DIR).collect()
+    assert len(rows) == n
+    assert sorted(r["sel_rank"] for r in rows) == list(range(1, n + 1))
+    k = (n + 4) // 5
+    selected = {r["doc_id"] for r in rows if r["is_selected"] == 1}
+    assert len(selected) == k
+    by_rank = sorted(rows, key=lambda r: r["sel_rank"])
+    assert all(r["is_selected"] == 1 for r in by_rank[:k])
+    assert all(r["is_selected"] == 0 for r in by_rank[k:])
+
+
+def test_dsir_weights_favor_the_target_language(spark):
+    """The importance weights must separate the target distribution:
+    mean log-weight of lang='en' docs strictly above mean log-weight of
+    lang='zh' docs (the least-latin, least-en-like slice). A hashing or
+    smoothing regression that flattens the weights breaks this."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    rows = (
+        REGISTRY["dsir_selection"].fn(spark, SF_DIR)
+        .join(docs, "doc_id")
+        .collect()
+    )
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["log_weight"])
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert mean(by_lang["en"]) > mean(by_lang["zh"])
+    # and the target language dominates the selected quota
+    sel = [r for r in rows if r["is_selected"] == 1]
+    en_share_sel = sum(1 for r in sel if r["lang"] == "en") / len(sel)
+    en_share_all = len(by_lang["en"]) / len(rows)
+    assert en_share_sel > en_share_all
+
+
+def test_hybrid_rrf_fusion_invariants(spark):
+    """Top-10 fused list: scores strictly ordered desc with doc_id
+    tiebreak, every row carries at least one arm membership (rank in
+    1..20, 0 = absent), and the score equals the closed-form RRF of the
+    reported ranks."""
+    rows = REGISTRY["hybrid_retrieval_rrf"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    keys = [(-r["rrf_score"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert 0 <= r["lex_rank"] <= 20 and 0 <= r["dense_rank"] <= 20
+        assert r["lex_rank"] > 0 or r["dense_rank"] > 0
+        expect = round(
+            (1.0 / (60 + r["lex_rank"]) if r["lex_rank"] else 0.0)
+            + (1.0 / (60 + r["dense_rank"]) if r["dense_rank"] else 0.0),
+            9,
+        )
+        assert abs(r["rrf_score"] - expect) < 1e-12
+
+
+def test_cdc_merge_semantics(spark):
+    """MERGE law checks against a direct recomputation: surviving keys
+    = (base ∪ cdc-upserts) minus cdc-deletes; actions match membership;
+    the reported state is the latest op's payload."""
+    from pyspark.sql import functions as F
+
+    from uni_mannheim_masters_thesis_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    lo, hi = ev.agg(F.min("us"), F.max("us")).first()
+    mid = (lo + hi) // 2
+    rows = ev.collect()
+    latest_base, latest_cdc, n_base, n_cdc = {}, {}, {}, {}
+    for r in sorted(rows, key=lambda r: (r["us"], r["event_id"])):
+        if r["us"] <= mid:
+            latest_base[r["user_id"]] = r
+            n_base[r["user_id"]] = n_base.get(r["user_id"], 0) + 1
+        else:
+            latest_cdc[r["user_id"]] = r
+            n_cdc[r["user_id"]] = n_cdc.get(r["user_id"], 0) + 1
+
+    out = {r["user_id"]: r
+           for r in REGISTRY["cdc_merge_upsert"].fn(spark, SF_DIR).collect()}
+    deleted = {u for u, r in latest_cdc.items() if r["event_type"] == "error"}
+    expected_keys = (set(latest_base) | set(latest_cdc)) - deleted
+    assert set(out) == expected_keys
+    for u, r in out.items():
+        src = latest_cdc.get(u) or latest_base[u]
+        assert r["last_event_type"] == src["event_type"]
+        assert abs(r["last_value"] - round(src["value"], 2)) < 1e-9
+        assert r["n_base_ops"] == n_base.get(u, 0)
+        assert r["n_cdc_ops"] == n_cdc.get(u, 0)
+        if u not in latest_cdc:
+            assert r["merge_action"] == "unchanged"
+        elif u not in latest_base:
+            assert r["merge_action"] == "insert"
+        else:
+            assert r["merge_action"] == "update"
+    # the tombstone path must actually fire on this dataset
+    assert deleted, "fixture has no trailing-error users; test is vacuous"

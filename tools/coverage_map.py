@@ -127,11 +127,11 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
             "rule_point_search — TPE-style surrogate search over BOTH "
             "reference loops: classifier hyperparams (BayesSearchCV "
             "analogue) and the polysemy-rule operating point "
-            "(forest_minimize analogue; searches the (minimum_probability, "
-            "minimum_topics) plane — the reference's third dimension "
-            "MIN_DOC_LEN, polysemous_words.py:49, is deliberately omitted: "
-            "it re-filters the corpus per trial, which the shared-corpus "
-            "design fixes up front)",
+            "(forest_minimize analogue over the FULL 3-D space: "
+            "MIN_DOC_LEN [5,500] x minimum_probability [0.05,0.1] x "
+            "minimum_topics [1,5], polysemous_words.py:33-52 — the "
+            "per-trial doc-length admission gate filters the cached "
+            "frame, no corpus rebuild)",
             ["adaptive_search_lr", "grid_search_lr", "rule_point_search"]),
     "M23": ("ml.classify:evaluate_binary", ["classifier_battery"]),
     "M24": ("ml.search:holdout_transfer", ["holdout_transfer_report"]),
@@ -240,6 +240,19 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                  "al. 2011): per-subspace integer-Lloyd codebooks, "
                  "hash-exact encode + ADC search with recall contract",
                  ["pq_encode_codes", "pq_ann_recall"]),
+    "X-select-dsir": ("plans.registry:q_dsir_selection  # DSIR (Xie et "
+                      "al. 2023): hashed-unigram importance weights "
+                      "target-vs-raw, Gumbel-top-k resample, hash-exact",
+                      ["dsir_selection"]),
+    "X-retrieval-hybrid": ("plans.registry:q_hybrid_rrf  # reciprocal-"
+                           "rank fusion (Cormack et al. 2009) of the "
+                           "BM25 and exact-cosine arms, hash-exact",
+                           ["hybrid_retrieval_rrf"]),
+    "X-cdc-merge": ("plans.registry:q_cdc_merge  # lakehouse MERGE "
+                    "INTO: latest-op-per-key CDC apply with upsert/"
+                    "delete-tombstone semantics, join rides the window "
+                    "partitioning (plan-tested), hash-exact",
+                    ["cdc_merge_upsert"]),
     "X-cluster-kmeans": ("ml.cluster:kmeans_cluster_stats  # deterministic "
                          "integer Lloyd's — the k-means clustering arm "
                          "SemDeDup (Abbas et al. 2023) uses before "

@@ -117,6 +117,10 @@ _QUERIES = [
     "embedding_kmeans",
     "duplicate_span_coverage",
     "knn_vote_lsh",
+    # round-7 late additions: DSIR scoring join (bucket-int shuffle +
+    # two-phase global rank) and the RRF fusion over two k-row lists
+    "dsir_selection",
+    "hybrid_retrieval_rrf",
 ]
 
 

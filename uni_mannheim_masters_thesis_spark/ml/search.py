@@ -259,8 +259,10 @@ def rule_point_search(
     scored: DataFrame,
     probs_col: str = "topic_probs",
     gold_col: str = "gold",
+    len_col: str = "doc_len",
     prob_bounds: tuple = (0.05, 0.1),
     topic_bounds: tuple = (1, 5),
+    len_bounds: tuple = (5, 500),
     n_trials: int = 15,
     gamma: float = 0.3,
     n_candidates: int = 32,
@@ -270,8 +272,9 @@ def rule_point_search(
     operating point, not classifier hyperparams.
 
     The reference's ``skopt.forest_minimize`` run
-    (polysemous_words.py:271-281) searches ``minimum_probability ∈
-    [PROB_MIN, PROB_MAX] = [0.05, 0.1]`` ×
+    (polysemous_words.py:271-281) searches the FULL 3-D space
+    ``MIN_DOC_LEN ∈ Integer(5, 500)`` (polysemous_words.py:49) ×
+    ``minimum_probability ∈ [PROB_MIN, PROB_MAX] = [0.05, 0.1]`` ×
     ``minimum_topics_polysemeous ∈ [T_MIN, T_MAX] = [1, 5]``
     (space at polysemous_words.py:33-38,48-52), re-evaluating the rule
     over every concept's topic distribution per trial and scoring F1
@@ -280,93 +283,127 @@ def rule_point_search(
     TPE-style surrogate as :func:`adaptive_search_logistic`:
 
     - the expensive part (LDA inference) is done ONCE by the caller;
-      ``scored`` holds each doc's topic-probability array and a
-      param-independent gold flag, and stays cached across trials;
-    - each trial applies the rule ``count(p_i >= min_prob) > min_topics``
-      and folds the confusion counts in ONE distributed aggregate —
-      exactly the reference's runAllConcepts + evaluate per call, minus
-      the per-call re-inference its in-memory design needs;
-    - warmup pins the four corners of the search box plus its center
-      (deterministic; guarantees the reported best dominates every
-      corner — forest_minimize's random starts only reach this in
-      expectation), then TPE proposals condition on history: continuous
-      ``min_probability`` by KDE density ratio, integer ``min_topics``
-      by majority vote among the good trials.
+      ``scored`` holds each doc's topic-probability array, its token
+      count, and a param-independent gold flag, and stays cached
+      across trials;
+    - each trial ADMITS docs with ``doc_len >= min_doc_len`` (the
+      reference's MIN_DOC_LEN gate excludes short concepts from the
+      corpus before the rule runs), applies the rule
+      ``count(p_i >= min_prob) > min_topics``, and folds the confusion
+      counts in ONE distributed aggregate — exactly the reference's
+      runAllConcepts + evaluate per call, minus the per-call
+      re-inference its in-memory design needs;
+    - warmup pins the EIGHT corners of the 3-D search box plus its
+      center (deterministic; guarantees the reported best dominates
+      every corner — forest_minimize's random starts only reach this
+      in expectation), then TPE proposals condition on history:
+      continuous ``min_probability`` and wide-integer ``min_doc_len``
+      by KDE density ratio, small-integer ``min_topics`` by majority
+      vote among the good trials.
 
     Returns one row per trial:
-    [trial, min_probability, min_topics, f1, is_best, ok_*].
+    [trial, min_probability, min_topics, min_doc_len, f1, is_best,
+    ok_*].
     """
     import numpy as np
 
     p_lo, p_hi = prob_bounds
     t_lo, t_hi = topic_bounds
+    l_lo, l_hi = len_bounds
     t_choices = list(range(t_lo, t_hi + 1))
     rng = np.random.RandomState(seed)
 
     base = scored.select(
-        F.col(probs_col).alias("__probs"), F.col(gold_col).cast("boolean").alias("__gold")
+        F.col(probs_col).alias("__probs"),
+        F.col(gold_col).cast("boolean").alias("__gold"),
+        F.col(len_col).cast("long").alias("__len"),
     ).cache()
 
-    def trial_f1(min_prob: float, min_topics: int) -> float:
+    def trial_f1(min_prob: float, min_topics: int, min_len: int) -> float:
         pred = (
             F.size(F.filter("__probs", lambda p: p >= F.lit(float(min_prob))))
             > F.lit(int(min_topics))
         )
-        row = base.select(
-            F.sum((pred & F.col("__gold")).cast("long")).alias("tp"),
-            F.sum((pred & ~F.col("__gold")).cast("long")).alias("fp"),
-            F.sum((~pred & F.col("__gold")).cast("long")).alias("fn"),
-        ).first()
+        row = (
+            base.filter(F.col("__len") >= F.lit(int(min_len)))
+            .select(
+                F.sum((pred & F.col("__gold")).cast("long")).alias("tp"),
+                F.sum((pred & ~F.col("__gold")).cast("long")).alias("fp"),
+                F.sum((~pred & F.col("__gold")).cast("long")).alias("fn"),
+            )
+            .first()
+        )
         tp, fp, fn = row["tp"] or 0, row["fp"] or 0, row["fn"] or 0
         return 2.0 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0
 
-    def kde_logpdf(x: float, pts: np.ndarray) -> float:
-        bw = max(1.06 * (np.std(pts) or 0.0) * len(pts) ** -0.2,
-                 0.05 * (p_hi - p_lo))
+    def kde_logpdf(x: float, pts: np.ndarray, span: float) -> float:
+        bw = max(1.06 * (np.std(pts) or 0.0) * len(pts) ** -0.2, 0.05 * span)
         z = (x - pts) / bw
         return float(np.log(np.mean(np.exp(-0.5 * z * z)) / bw + 1e-12))
 
+    def kde_pick(obs_good, obs_bad, lo, hi, as_int=False):
+        good = np.array(obs_good)
+        bad = np.array(obs_bad or [0.5 * (lo + hi)])
+        cands = rng.uniform(lo, hi, size=n_candidates)
+        span = hi - lo
+        ei = [
+            kde_logpdf(c, good, span) - kde_logpdf(c, bad, span)
+            for c in cands
+        ]
+        v = float(cands[int(np.argmax(ei))])
+        return int(round(v)) if as_int else v
+
+    l_mid = (l_lo + l_hi) // 2
     warmup = [
-        (p_lo, t_lo), (p_lo, t_hi), (p_hi, t_lo), (p_hi, t_hi),
-        (0.5 * (p_lo + p_hi), t_choices[len(t_choices) // 2]),
-    ]
-    trials: list[tuple[float, int, float]] = []
+        (p, t, l)
+        for p in (p_lo, p_hi)
+        for t in (t_lo, t_hi)
+        for l in (l_lo, l_hi)
+    ] + [(0.5 * (p_lo + p_hi), t_choices[len(t_choices) // 2], l_mid)]
+    n_corners = 8
+    trials: list[tuple[float, int, int, float]] = []
     try:
         for t in range(n_trials):
             if t < len(warmup):
-                mp, mt = warmup[t]
+                mp, mt, ml = warmup[t]
             else:
-                obs = sorted(trials, key=lambda r: -r[2])
+                obs = sorted(trials, key=lambda r: -r[3])
                 n_good = max(1, int(round(gamma * len(obs))))
-                good = np.array([r[0] for r in obs[:n_good]])
-                bad = np.array([r[0] for r in obs[n_good:]] or [0.5 * (p_lo + p_hi)])
-                cands = rng.uniform(p_lo, p_hi, size=n_candidates)
-                ei = [kde_logpdf(c, good) - kde_logpdf(c, bad) for c in cands]
-                mp = float(cands[int(np.argmax(ei))])
+                mp = kde_pick(
+                    [r[0] for r in obs[:n_good]],
+                    [r[0] for r in obs[n_good:]], p_lo, p_hi,
+                )
+                ml = kde_pick(
+                    [r[2] for r in obs[:n_good]],
+                    [r[2] for r in obs[n_good:]], l_lo, l_hi, as_int=True,
+                )
                 good_ts = [r[1] for r in obs[:n_good]]
                 mt = int(max(t_choices, key=lambda c: good_ts.count(c)))
-            trials.append((float(mp), int(mt), trial_f1(mp, mt)))
+            trials.append(
+                (float(mp), int(mt), int(ml), trial_f1(mp, mt, ml))
+            )
     finally:
         # the cache only serves the trial loop; the returned report is a
         # local relation — don't leave the arrays pinned in storage
         base.unpersist()
 
-    best = max(r[2] for r in trials)
-    corner_best = max(f1 for (_, _, f1) in trials[:4])
+    best = max(r[3] for r in trials)
+    corner_best = max(f1 for (*_, f1) in trials[:n_corners])
     spark = scored.sparkSession
     out = spark.createDataFrame(
         [
-            (i + 1, round(mp, 6), mt, round(f1, 6))
-            for i, (mp, mt, f1) in enumerate(trials)
+            (i + 1, round(mp, 6), mt, ml, round(f1, 6))
+            for i, (mp, mt, ml, f1) in enumerate(trials)
         ],
-        "trial int, min_probability double, min_topics int, f1 double",
+        "trial int, min_probability double, min_topics int, "
+        "min_doc_len int, f1 double",
     )
     # hard harness-enforced invariants: every trial scored inside the
     # reference's search box, valid F1, and the winner dominates all
-    # four corners of the box (warmup pins them, so a best below a
+    # eight corners of the box (warmup pins them, so a best below a
     # corner means the bookkeeping broke)
     return out.select(
-        "trial", "min_probability", "min_topics", "f1",
+        "trial", "min_probability", "min_topics", "min_doc_len", "f1",
         (F.col("f1") >= F.lit(round(best, 6))).alias("is_best"),
         F.lit(len(trials) == n_trials).alias("ok_trials_complete"),
         ((F.col("f1") >= 0) & (F.col("f1") <= 1)).alias("ok_f1_range"),
@@ -375,6 +412,8 @@ def rule_point_search(
             & (F.col("min_probability") <= F.lit(p_hi))
             & (F.col("min_topics") >= F.lit(t_lo))
             & (F.col("min_topics") <= F.lit(t_hi))
+            & (F.col("min_doc_len") >= F.lit(l_lo))
+            & (F.col("min_doc_len") <= F.lit(l_hi))
         ).alias("ok_in_box"),
         F.lit(round(best, 9) >= round(corner_best, 9)).alias(
             "ok_best_geq_corners"

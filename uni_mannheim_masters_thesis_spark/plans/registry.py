@@ -5176,18 +5176,22 @@ def q_adaptive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "M22 (rule-operating-point surrogate search, forest_minimize "
     "analogue)",
     "The reference's SECOND Bayesian loop: skopt.forest_minimize over "
-    "the polysemy-rule OPERATING POINT — minimum_probability ∈ "
-    "[0.05, 0.1] × minimum_topics ∈ [1, 5] (polysemous_words.py:33-38,"
-    "48-52,271-281) — re-scoring the rule against gold per trial. Here "
-    "the LDA topic distributions are inferred ONCE and cached; each "
-    "trial is one distributed confusion aggregate over the cached "
-    "arrays (count(p>=min_prob)>min_topics vs a param-independent "
+    "the polysemy-rule OPERATING POINT — the full 3-D space "
+    "MIN_DOC_LEN ∈ [5, 500] (polysemous_words.py:49) × "
+    "minimum_probability ∈ [0.05, 0.1] × minimum_topics ∈ [1, 5] "
+    "(polysemous_words.py:33-38,48-52,271-281) — re-scoring the rule "
+    "against gold per trial. Here the LDA topic distributions are "
+    "inferred ONCE and cached; each trial admits docs with doc_len >= "
+    "min_doc_len (the reference's corpus-admission gate) and folds one "
+    "distributed confusion aggregate over the cached arrays "
+    "(count(p>=min_prob)>min_topics vs a param-independent "
     "lexical-diversity gold), so 15 trials cost 15 cheap Spark jobs, "
-    "not 15 pipeline re-runs. Warmup pins the box corners + center, "
-    "then TPE proposals condition on history. One row per trial with "
-    "[min_probability, min_topics, f1, is_best] and ok_* invariants "
-    "(trials complete, F1 valid, every trial inside the box, best "
-    "dominates all four corners).",
+    "not 15 pipeline re-runs. Warmup pins the 8 box corners + center, "
+    "then TPE proposals condition on history (KDE ratio for the "
+    "continuous and wide-integer dims, majority vote for min_topics). "
+    "One row per trial with [min_probability, min_topics, min_doc_len, "
+    "f1, is_best] and ok_* invariants (trials complete, F1 valid, "
+    "every trial inside the box, best dominates all eight corners).",
 )
 def q_rule_point_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import vector_to_array
@@ -5203,6 +5207,7 @@ def q_rule_point_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = model.transform(corpus).select(
         "doc_id",
         vector_to_array("topicDistribution").alias("topic_probs"),
+        F.size("tokens").alias("doc_len"),
         (
             F.size(F.array_distinct("tokens"))
             / F.greatest(F.size("tokens"), F.lit(1))
@@ -5215,7 +5220,9 @@ def q_rule_point_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(__diversity, 0.5)").alias("m")
     ).first()["m"]
     scored = dist.select(
-        "topic_probs", (F.col("__diversity") > F.lit(float(med))).alias("gold")
+        "topic_probs",
+        "doc_len",
+        (F.col("__diversity") > F.lit(float(med))).alias("gold"),
     )
     return rule_point_search(scored)
 
@@ -8382,6 +8389,405 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_stats(spark, _t(spark, sf_dir, "embeddings"))
 
 
+@_register(
+    "dsir_selection",
+    f"""
+    WITH inst AS (
+        SELECT doc_id, lang,
+               ('0x' || substring(md5(tok), 1, 8))::BIGINT % 256 AS bucket
+        FROM (SELECT doc_id, lang, unnest({sql_simple_tokens('text')}) AS tok
+              FROM documents)
+    ),
+    qc AS (SELECT bucket, COUNT(*) AS cq FROM inst GROUP BY bucket),
+    tc AS (SELECT bucket, COUNT(*) AS ct FROM inst WHERE lang = 'en'
+           GROUP BY bucket),
+    tot AS (
+        SELECT COUNT(*) AS tq,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+        FROM inst
+    ),
+    ratio AS (
+        SELECT qc.bucket,
+               CAST(ROUND(ln(((COALESCE(tc.ct, 0) + 1.0) * (tot.tq + 256.0))
+                            / ((qc.cq + 1.0) * (tot.tt + 256.0))), 9)
+                    AS DECIMAL(18,9)) AS lr9
+        FROM qc LEFT JOIN tc USING (bucket) CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(ROUND(CAST(SUM(lr9) AS DOUBLE), 6) AS DECIMAL(18,6)) AS logw6
+        FROM inst JOIN ratio USING (bucket)
+        GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+               COALESCE(p.logw6, CAST(0 AS DECIMAL(18,6))) AS logw6,
+               CAST(ROUND(-ln(-ln(
+                   (('0x' || substring(md5('dsir/' || CAST(d.doc_id AS VARCHAR)),
+                              1, 8))::BIGINT + 0.5) / 4294967296.0)), 9)
+                    AS DECIMAL(18,9)) AS g9
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens, logw6,
+               row_number() OVER (ORDER BY logw6 + g9 DESC, doc_id) AS sel_rank,
+               COUNT(*) OVER () AS n_docs
+        FROM scored
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(logw6 AS DOUBLE), 6) + 0 AS log_weight,
+           sel_rank,
+           CAST(CASE WHEN sel_rank <= (n_docs + 4) // 5 THEN 1 ELSE 0 END AS INT)
+               AS is_selected
+    FROM ranked
+    """,
+    "§2.11 training-data ops (DSIR importance resampling)",
+    "Data Selection via Importance Resampling (Xie et al. 2023): score "
+    "every raw document by the log importance weight between a TARGET "
+    "feature distribution (here the lang='en' slice, standing in for "
+    "the paper's Wiki/books formal-text target) and the RAW corpus "
+    "distribution, both as add-1-smoothed multinomials over 256 hashed "
+    "unigram buckets (md5-derived — the engine-portable hash; the "
+    "paper hashes unigrams+bigrams into 10k buckets, bucket count is "
+    "the scale/fidelity knob), then resample without replacement via "
+    "the paper's Gumbel-top-k trick: rank by logw + Gumbel(0,1) noise "
+    "g = -ln(-ln(u)) with a content-stable md5 uniform (NO rand() — "
+    "reproducible across runs, engines, partitionings) and keep the "
+    "top 20%. Determinism: per-bucket log-ratios and the Gumbel term "
+    "are 9-decimal-quantized and summed/added as DECIMAL (exact, "
+    "order-independent — distributed float sums are partition-order-"
+    "dependent), and the global top-k rank avoids a single-partition "
+    "window via the two-phase range-partitioned ordered_dense_rank "
+    "(the decile_bucketing machinery). Spark shape: one token "
+    "projection feeds three bounded aggregates (256-row bucket tables "
+    "+ a 1-row total, all broadcast); the scoring join shuffles "
+    "(doc_id, bucket) ints only; vectors of text never move. At "
+    "100 TB: the bucket tables stay KB-sized at any corpus size, "
+    "scoring is map-side-combined, and the rank is a range shuffle of "
+    "(key, doc_id) pairs — the selection threshold can also be read "
+    "off the bucket-weight CDF to skip ranking entirely.",
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    B = 256
+    docs = _t(spark, sf_dir, "documents")
+    inst = docs.select(
+        "doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % B)
+        .alias("bucket"),
+    )
+    qc = inst.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
+    tc = (
+        inst.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = inst.agg(
+        F.count(F.lit(1)).alias("tq"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("tt"),
+    )
+    lr9 = F.round(
+        F.log(
+            ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) * (F.col("tq") + float(B)))
+            / ((F.col("cq") + 1.0) * (F.col("tt") + float(B)))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    ratio = (
+        qc.join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("bucket", lr9.alias("lr9"))
+    )
+    per_doc = (
+        inst.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr9").cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias("logw6"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir/"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    g9 = F.round(-F.log(-F.log(u)), 9).cast("decimal(18,9)")
+    scored = (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce(F.col("logw6"), F.lit(0).cast("decimal(18,6)"))
+            .alias("logw6"),
+            g9.alias("g9"),
+        )
+        .withColumn(
+            "__ord",
+            F.struct(
+                (-(F.col("logw6") + F.col("g9"))).alias("negkey"), F.col("doc_id")
+            ),
+        )
+    )
+    ranked = ordered_dense_rank(scored, "__ord", rank_col="sel_rank")
+    n = ranked.count()  # scalar over the checkpointed frame
+    k = (n + 4) // 5  # ceil(n/5) in exact integer arithmetic
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        (F.round(F.col("logw6").cast("double"), 6) + F.lit(0.0)).alias(
+            "log_weight"
+        ),
+        "sel_rank",
+        F.when(F.col("sel_rank") <= k, 1).otherwise(0).cast("int")
+        .alias("is_selected"),
+    )
+
+
+@_register(
+    "cdc_merge_upsert",
+    """
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+        FROM events
+    ),
+    bounds AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+    base AS (
+        SELECT user_id, event_type AS b_type, value AS b_value, n_base
+        FROM (
+            SELECT ev.user_id, ev.event_type, ev.value,
+                   row_number() OVER (PARTITION BY ev.user_id
+                                      ORDER BY ev.us DESC,
+                                               ev.event_id DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY ev.user_id) AS n_base
+            FROM ev CROSS JOIN bounds WHERE ev.us <= bounds.mid
+        ) WHERE rn = 1
+    ),
+    cdc AS (
+        SELECT user_id, event_type AS c_type, value AS c_value, n_cdc
+        FROM (
+            SELECT ev.user_id, ev.event_type, ev.value,
+                   row_number() OVER (PARTITION BY ev.user_id
+                                      ORDER BY ev.us DESC,
+                                               ev.event_id DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY ev.user_id) AS n_cdc
+            FROM ev CROSS JOIN bounds WHERE ev.us > bounds.mid
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(base.user_id, cdc.user_id) AS user_id,
+           CASE WHEN cdc.user_id IS NULL THEN base.b_type
+                ELSE cdc.c_type END AS last_event_type,
+           ROUND(CASE WHEN cdc.user_id IS NULL THEN base.b_value
+                      ELSE cdc.c_value END, 2) + 0 AS last_value,
+           COALESCE(base.n_base, CAST(0 AS BIGINT)) AS n_base_ops,
+           COALESCE(cdc.n_cdc, CAST(0 AS BIGINT)) AS n_cdc_ops,
+           CASE WHEN cdc.user_id IS NULL THEN 'unchanged'
+                WHEN base.user_id IS NULL THEN 'insert'
+                ELSE 'update' END AS merge_action
+    FROM base FULL OUTER JOIN cdc ON base.user_id = cdc.user_id
+    WHERE NOT (cdc.user_id IS NOT NULL AND cdc.c_type = 'error')
+    """,
+    "§2.11 lakehouse ops (CDC MERGE / upsert-delete apply)",
+    "The MERGE INTO shape every lakehouse table-maintenance job runs "
+    "(Delta/Iceberg upsert semantics), expressed over the events "
+    "table: the first half of the time range (split at the integer "
+    "midpoint of epoch-micros, computed FROM the data so both engines "
+    "agree exactly) is the base snapshot's per-key latest state; the "
+    "second half is the CDC batch. Latest-op-per-key wins (us DESC, "
+    "event_id DESC — a deterministic total order), a trailing "
+    "event_type='error' op is the tombstone (DELETE: the key leaves "
+    "the snapshot, including delete-of-nonexistent as a no-op), "
+    "otherwise the op upserts — WHEN MATCHED UPDATE / WHEN NOT "
+    "MATCHED INSERT / untouched keys pass through as 'unchanged'. "
+    "Spark shape: each half is one user_id-keyed exchange carrying "
+    "TWO window functions (the latest-row rank and the per-key op "
+    "count ride the same shuffle), then a user_id full-outer join — "
+    "at 100 TB this is the standard sort-merge MERGE with AQE skew "
+    "handling, and the CDC side is typically orders of magnitude "
+    "smaller (broadcastable). No collects; the only driver value is "
+    "the 1-row bounds aggregate, cross-joined as a broadcast.",
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    bounds = F.broadcast(
+        ev.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    )
+
+    def latest_per_key(pred, type_a: str, value_a: str, n_a: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("us").desc(), F.col("event_id").desc()
+        )
+        wc = Window.partitionBy("user_id")
+        return (
+            ev.crossJoin(bounds)
+            .filter(pred)
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn(n_a, F.count(F.lit(1)).over(wc))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias(type_a),
+                F.col("value").alias(value_a),
+                n_a,
+            )
+        )
+
+    base = latest_per_key(F.col("us") <= F.col("mid"), "b_type", "b_value", "n_base")
+    cdc = latest_per_key(F.col("us") > F.col("mid"), "c_type", "c_value", "n_cdc")
+    merged = base.withColumnRenamed("user_id", "b_user").join(
+        cdc.withColumnRenamed("user_id", "c_user"),
+        F.col("b_user") == F.col("c_user"),
+        "full_outer",
+    )
+    survives = ~(F.col("c_user").isNotNull() & (F.col("c_type") == "error"))
+    return merged.filter(survives).select(
+        F.coalesce("b_user", "c_user").alias("user_id"),
+        F.when(F.col("c_user").isNull(), F.col("b_type"))
+        .otherwise(F.col("c_type"))
+        .alias("last_event_type"),
+        (
+            F.round(
+                F.when(F.col("c_user").isNull(), F.col("b_value")).otherwise(
+                    F.col("c_value")
+                ),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("last_value"),
+        F.coalesce(F.col("n_base"), F.lit(0).cast("long")).alias("n_base_ops"),
+        F.coalesce(F.col("n_cdc"), F.lit(0).cast("long")).alias("n_cdc_ops"),
+        F.when(F.col("c_user").isNull(), "unchanged")
+        .when(F.col("b_user").isNull(), "insert")
+        .otherwise("update")
+        .alias("merge_action"),
+    )
+
+
+_RRF_K = 60  # Cormack et al.'s constant; dampens high-rank dominance
+
+
+def _hybrid_rrf_sql() -> str:
+    # built lazily so it sees bm25_retrieval's registered SQL
+    return f"""
+    WITH bm AS (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+        FROM ({REGISTRY['bm25_retrieval'].sql})
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    cs AS (
+        SELECT e.vec_id AS doc_id,
+               list_dot_product(pv, e.v)
+                 / (sqrt(list_dot_product(pv, pv))
+                    * sqrt(list_dot_product(e.v, e.v))) AS sim
+        FROM e CROSS JOIN p
+        WHERE e.vec_id != 0
+    ),
+    dn AS (
+        SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r_dense
+        FROM cs ORDER BY sim DESC, doc_id LIMIT 20
+    ),
+    fused AS (
+        SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+               COALESCE(bm.r_lex, CAST(0 AS BIGINT)) AS lex_rank,
+               COALESCE(dn.r_dense, CAST(0 AS BIGINT)) AS dense_rank,
+               ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + bm.r_lex), 0.0)
+                     + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + dn.r_dense),
+                                0.0), 9) AS rrf_score
+        FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+    )
+    SELECT doc_id, lex_rank, dense_rank, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """
+
+
+@_register(
+    "hybrid_retrieval_rrf",
+    _hybrid_rrf_sql(),
+    "§2.11 retrieval (hybrid lexical+dense fusion, reciprocal-rank)",
+    "Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of the "
+    "two retrieval arms the engine already serves: the BM25 top-20 for "
+    "the fixed lexical query (bm25_retrieval's exact scoring, ranks "
+    "from the unrounded DECIMAL-summed score) and the dense top-20 by "
+    "exact cosine to the probe embedding (vec_id 0 — vec_id aligns "
+    "with doc_id in the corpus; the same sequential float64 fold as "
+    "knn_bruteforce_cosine, bit-identical between Spark's aggregate "
+    "HOF and DuckDB's list kernels). Fused score = sum over arms of "
+    "1/(60 + rank), missing membership contributing 0 and rank 0 in "
+    "the report — each term is ONE IEEE division and the sum ONE "
+    "addition, so the fusion is deterministic without decimal "
+    "scaffolding; top-10 by (score, doc_id). The hybrid-search shape "
+    "every RAG ingestion stack runs: at 100 TB both arms stay "
+    "distributed (BM25's pruned term shuffle, the dense arm a "
+    "broadcast-probe map + top-k — or the IVF/PQ path for big probe "
+    "sets) while the fusion itself joins two k-row lists — "
+    "driver-trivial at any corpus size.",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import cosine_similarity
+
+    bm = REGISTRY["bm25_retrieval"].fn(spark, sf_dir)
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = bm.select("doc_id", F.row_number().over(w_lex).alias("r_lex"))
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probe = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+    )
+    sim = cosine_similarity(F.col("pv"), F.col("v"))
+    cs = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(probe)
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+    )
+    w_dense = Window.orderBy(F.col("sim").desc(), "doc_id")
+    dense = (
+        cs.withColumn("r_dense", F.row_number().over(w_dense))
+        .filter(F.col("r_dense") <= 20)
+        .select("doc_id", "r_dense")
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("r_dense")), F.lit(0.0)),
+        9,
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("r_lex").cast("long"), F.lit(0).cast("long"))
+        .alias("lex_rank"),
+        F.coalesce(F.col("r_dense").cast("long"), F.lit(0).cast("long"))
+        .alias("dense_rank"),
+        rrf.alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
+
+
 # =========================================================================
 # Driver-check ordering
 # =========================================================================
@@ -8471,13 +8877,14 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "cross_source_containment", "mixture_sampling_manifest",
     "pii_redaction", "document_chunking", "paragraph_dedup",
     "heavy_hitters_sketch", "inverted_index_postings", "bm25_retrieval",
-    # training-prep components (oracle)
-    "semantic_dedup_srp", "training_order_shuffle", "document_packing",
-    "dataset_split_manifest", "embedding_quantization",
+    # training-prep components (oracle; packing/split/quant manifests
+    # stay evidenced through the r1-r6-verified training_prep_manifest)
+    "semantic_dedup_srp", "training_order_shuffle", "cdc_merge_upsert",
     # event-analytics components (oracle) + streaming throughput (rows)
     "funnel_conversion", "streaming_throughput_report",
-    # product quantization (oracle)
-    "pq_encode_codes", "pq_ann_recall",
+    # product quantization + DSIR selection + hybrid retrieval (oracle)
+    "pq_encode_codes", "pq_ann_recall", "dsir_selection",
+    "hybrid_retrieval_rrf",
     # resampling components (oracle)
     "smote_class_balance", "tomek_link_removal",
 })
@@ -8541,6 +8948,8 @@ _COST_HINT: dict[str, float] = {
     "leakage_safe_split": 1.0, "embedding_kmeans": 2.4,
     "duplicate_span_coverage": 1.9, "streaming_throughput_report": 22.0,
     "pq_encode_codes": 2.5, "pq_ann_recall": 6.5,
+    "dsir_selection": 2.7, "hybrid_retrieval_rrf": 1.3,
+    "cdc_merge_upsert": 0.5,
     "streaming_first_event_per_user_type": 1.7, "topic_coherence_cv": 3.3,
     "document_packing": 0.3, "dataset_split_manifest": 0.2,
     "embedding_quantization": 0.3, "rolling_week_order_value": 0.3,
