@@ -600,3 +600,17 @@ def test_cdc_merge_join_rides_the_window_partitioning(spark):
     assert len(exchanges) == 4, f"expected 4 shuffles, got {len(exchanges)}"
     # both window specs key on user_id
     assert plan.count("windowspecdefinition(user_id") >= 2
+
+
+def test_scd2_intervals_single_user_exchange(spark):
+    """The whole SCD-2 history build (lag change-flag, running-sum run
+    ids, per-run aggregate, lead valid_to) must ride ONE user_id
+    exchange — no joins, no re-shuffle between the windows and the
+    aggregate."""
+    import re
+
+    plan = _formatted_plan(spark, "scd2_state_intervals")
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, f"expected 1 shuffle, got {len(exchanges)}"
+    assert "Join" not in plan
+    assert plan.count("windowspecdefinition(user_id") >= 3

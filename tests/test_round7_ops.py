@@ -241,3 +241,36 @@ def test_cdc_merge_semantics(spark):
             assert r["merge_action"] == "update"
     # the tombstone path must actually fire on this dataset
     assert deleted, "fixture has no trailing-error users; test is vacuous"
+
+
+def test_scd2_intervals_tile_the_timeline(spark):
+    """Per user: versions are contiguous half-open intervals
+    ([from, to) chains with no gaps/overlaps), exactly one is_current
+    row with int64-max valid_to, version numbers are 1..k in interval
+    order, adjacent versions change state, and n_events sums to the
+    user's event count."""
+    from pyspark.sql import functions as F
+
+    from uni_mannheim_masters_thesis_spark.sources.testdata import load_table
+
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = REGISTRY["scd2_state_intervals"].fn(spark, SF_DIR).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == set(ev_counts)
+    INT64_MAX = 9223372036854775807
+    for u, vs in by_user.items():
+        vs.sort(key=lambda r: r["valid_from_us"])
+        assert [r["version_no"] for r in vs] == list(range(1, len(vs) + 1))
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]  # no gap/overlap
+            assert a["state"] != b["state"]  # runs are maximal
+            assert a["is_current"] == 0
+        assert vs[-1].is_current == 1
+        assert vs[-1].valid_to_us == INT64_MAX
+        assert sum(r["n_events"] for r in vs) == ev_counts[u]

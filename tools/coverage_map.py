@@ -253,6 +253,11 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                     "delete-tombstone semantics, join rides the window "
                     "partitioning (plan-tested), hash-exact",
                     ["cdc_merge_upsert"]),
+    "X-scd2-history": ("plans.registry:q_scd2_intervals  # SCD Type-2 "
+                       "dimension history: gaps-and-islands run "
+                       "collapse + [from,to) versioning on ONE user_id "
+                       "exchange (plan-tested), hash-exact",
+                       ["scd2_state_intervals"]),
     "X-cluster-kmeans": ("ml.cluster:kmeans_cluster_stats  # deterministic "
                          "integer Lloyd's — the k-means clustering arm "
                          "SemDeDup (Abbas et al. 2023) uses before "

@@ -8685,6 +8685,101 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "scd2_state_intervals",
+    """
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, us, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w != event_type
+                    THEN 1 ELSE 0 END AS is_start
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    grp AS (
+        SELECT user_id, event_type, us, event_id,
+               SUM(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM runs
+    ),
+    intervals AS (
+        SELECT user_id, event_type AS state, run_id,
+               MIN(us) AS valid_from_us,
+               COUNT(*) AS n_events
+        FROM grp GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, state,
+           CAST(run_id AS BIGINT) AS version_no,
+           valid_from_us,
+           COALESCE(lead(valid_from_us)
+                        OVER (PARTITION BY user_id ORDER BY valid_from_us),
+                    CAST(9223372036854775807 AS BIGINT)) AS valid_to_us,
+           CAST(CASE WHEN lead(valid_from_us)
+                         OVER (PARTITION BY user_id ORDER BY valid_from_us)
+                         IS NULL
+                     THEN 1 ELSE 0 END AS INT) AS is_current,
+           n_events
+    FROM intervals
+    """,
+    "§2.11 lakehouse ops (SCD Type-2 dimension history build)",
+    "Slowly-Changing-Dimension Type-2 history from an event log — the "
+    "standard warehouse dimension-versioning shape and the temporal "
+    "complement of cdc_merge_upsert (which keeps only the latest "
+    "state): collapse each user's event stream into maximal runs of "
+    "equal state (gaps-and-islands: a lag-based change flag + running "
+    "sum assigns run ids), then emit one versioned row per run with "
+    "[valid_from, valid_to) half-open validity — valid_to is the next "
+    "version's valid_from via lead, the open current version carries "
+    "int64-max and is_current=1. Timestamps as epoch micros, run ids "
+    "as version numbers; the deterministic (us, event_id) total order "
+    "makes the row set hash-exact. Spark shape: ONE user_id exchange "
+    "carries the lag window, the running-sum window, the per-run "
+    "aggregate, AND the lead window (all partition on user_id — "
+    "plan-tested single shuffle); state per row is O(1). At 100 TB "
+    "this is the canonical no-join history build: the only shuffle "
+    "moves (user_id, type, us, event_id) tuples, and a point-in-time "
+    "lookup becomes a range predicate on [valid_from_us, valid_to_us) "
+    "— the asof-join (events_asof_join) consumes exactly this layout.",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("event_type").over(w)
+    is_start = F.when(
+        prev.isNull() | (prev != F.col("event_type")), 1
+    ).otherwise(0)
+    grp = ev.withColumn(
+        "run_id",
+        F.sum(is_start).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = grp.groupBy(
+        "user_id", F.col("event_type").alias("state"), "run_id"
+    ).agg(
+        F.min("us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from_us")
+    nxt = F.lead("valid_from_us").over(wv)
+    return intervals.select(
+        "user_id",
+        "state",
+        F.col("run_id").cast("long").alias("version_no"),
+        "valid_from_us",
+        F.coalesce(nxt, F.lit(9223372036854775807).cast("long")).alias(
+            "valid_to_us"
+        ),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+        "n_events",
+    )
+
+
 _RRF_K = 60  # Cormack et al.'s constant; dampens high-rank dominance
 
 
@@ -8880,8 +8975,9 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # training-prep components (oracle; packing/split/quant manifests
     # stay evidenced through the r1-r6-verified training_prep_manifest)
     "semantic_dedup_srp", "training_order_shuffle", "cdc_merge_upsert",
-    # event-analytics components (oracle) + streaming throughput (rows)
-    "funnel_conversion", "streaming_throughput_report",
+    # event-analytics (funnel stays evidenced via the r1-r6-verified
+    # streaming_windowed_suite) + streaming throughput (rows)
+    "scd2_state_intervals", "streaming_throughput_report",
     # product quantization + DSIR selection + hybrid retrieval (oracle)
     "pq_encode_codes", "pq_ann_recall", "dsir_selection",
     "hybrid_retrieval_rrf",
@@ -8949,7 +9045,7 @@ _COST_HINT: dict[str, float] = {
     "duplicate_span_coverage": 1.9, "streaming_throughput_report": 22.0,
     "pq_encode_codes": 2.5, "pq_ann_recall": 6.5,
     "dsir_selection": 2.7, "hybrid_retrieval_rrf": 1.3,
-    "cdc_merge_upsert": 0.5,
+    "cdc_merge_upsert": 0.5, "scd2_state_intervals": 0.6,
     "streaming_first_event_per_user_type": 1.7, "topic_coherence_cv": 3.3,
     "document_packing": 0.3, "dataset_split_manifest": 0.2,
     "embedding_quantization": 0.3, "rolling_week_order_value": 0.3,
