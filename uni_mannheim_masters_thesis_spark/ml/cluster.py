@@ -207,7 +207,8 @@ def pq_train(quant: DataFrame, m: int, k: int,
 def pq_adc_topk(spark: SparkSession, embeddings: DataFrame,
                 probe_cap: int = 20, m: int = 4, k: int = 8,
                 iters: int = 2, topk: int = 5,
-                trained: tuple | None = None) -> DataFrame:
+                trained: tuple | None = None,
+                codes: DataFrame | None = None) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over the PQ code table: each
     probe precomputes an m x k integer distance table to the codebooks
     (driver-side — m*k*probes values), then every corpus vector is
@@ -229,7 +230,14 @@ def pq_adc_topk(spark: SparkSession, embeddings: DataFrame,
             books = pq_train(quant, m=m, k=k, iters=iters)
         m = len(books)
         sub = len(books[0][0][1])
-        codes = pq_codes_projection(quant, books, with_qerr=False)
+        if codes is None:
+            codes = pq_codes_projection(quant, books, with_qerr=False)
+        else:
+            # caller's (possibly cached) code table — the ADC scan only
+            # reads vec_id + the m code columns
+            codes = codes.select(
+                "vec_id", *[f"code{j}" for j in range(m)]
+            )
 
         probe_rows = quant.filter(F.col("vec_id") < probe_cap).collect()
         dt_rows = []

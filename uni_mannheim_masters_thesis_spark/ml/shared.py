@@ -154,6 +154,25 @@ def shared_pq(spark: SparkSession, sf_dir: str, m: int = 8, k: int = 16,
     return _CACHE[key]
 
 
+def shared_pq_codes(spark: SparkSession, sf_dir: str, m: int = 8,
+                    k: int = 16, iters: int = 2):
+    """The full-corpus PQ code table (vec_id, code0..code{m-1}, qerr_q),
+    CACHED: the 128-lambda literal-baked encode projection is analyzed
+    and computed once per session — ``pq_encode_codes`` returns it and
+    ``pq_ann_recall``'s ADC scan reuses it (the code table IS what ADC
+    reads instead of raw vectors, so sharing mirrors the deployment
+    shape where codes are a materialized artifact)."""
+    from .cluster import pq_codes_projection
+
+    key = _key(spark, sf_dir, f"pq_codes/{m}/{k}/{iters}")
+    if key not in _CACHE:
+        quant, books = shared_pq(spark, sf_dir, m=m, k=k, iters=iters)
+        _CACHE[key] = pq_codes_projection(
+            quant, books, with_qerr=True
+        ).cache()
+    return _CACHE[key]
+
+
 def shared_neardup_components(
     spark: SparkSession, sf_dir: str, id_cap: int = 300, threshold: float = 0.3
 ) -> DataFrame:

@@ -8197,11 +8197,9 @@ def _pq_oracle_sql(m: int = 4, sub: int = 16, k: int = 8) -> str:
     "encode is one map-only literal-baked projection.",
 )
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.cluster import pq_codes_projection
-    from ..ml.shared import shared_pq
+    from ..ml.shared import shared_pq_codes
 
-    quant, books = shared_pq(spark, sf_dir, m=8, k=16, iters=2)
-    return pq_codes_projection(quant, books, with_qerr=True)
+    return shared_pq_codes(spark, sf_dir, m=8, k=16, iters=2)
 
 
 @_register(
@@ -8257,12 +8255,13 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.cluster import exact_quantized_topk, pq_adc_topk
 
-    from ..ml.shared import shared_pq
+    from ..ml.shared import shared_pq, shared_pq_codes
 
     emb = _t(spark, sf_dir, "embeddings")
     exact = exact_quantized_topk(spark, emb).select("probe_id", "neighbor_id")
     trained = shared_pq(spark, sf_dir, m=8, k=16, iters=2)
-    approx = pq_adc_topk(spark, emb, trained=trained).select(
+    codes = shared_pq_codes(spark, sf_dir, m=8, k=16, iters=2)
+    approx = pq_adc_topk(spark, emb, trained=trained, codes=codes).select(
         "probe_id", "neighbor_id"
     )
     return _ann_recall_report(exact, approx, k=5, mean_floor=0.2)
