@@ -274,3 +274,27 @@ def test_scd2_intervals_tile_the_timeline(spark):
         assert vs[-1].is_current == 1
         assert vs[-1].valid_to_us == INT64_MAX
         assert sum(r["n_events"] for r in vs) == ev_counts[u]
+
+
+def test_pq_encode_standalone_wrapper(spark):
+    """ml.cluster.pq_encode — the cache-free public API (train + encode
+    in one call, own persist lifecycle) — produces the identical code
+    table the session-cached path serves, at non-default (m=4, k=8)."""
+    from uni_mannheim_masters_thesis_spark.ml.cluster import (
+        pq_codes_projection,
+        pq_encode,
+        pq_train,
+        quantize_vectors,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = pq_encode(spark, emb, m=4, k=8, iters=2).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        for j in range(4):
+            assert 0 <= r[f"code{j}"] < 8
+        assert r["qerr_q"] >= 0
+    quant = quantize_vectors(emb)
+    books = pq_train(quant, m=4, k=8, iters=2)
+    again = pq_codes_projection(quant, books, with_qerr=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -50,17 +50,6 @@ def quantize_vectors(df: DataFrame, vec_col: str = "embedding",
     return df.select(F.col(id_col).alias("vec_id"), qv.alias("qv"))
 
 
-def _sqdist(qv: F.Column, centroid: list[int]) -> F.Column:
-    # ONE array Literal node, not CreateArray over d child literals:
-    # with k=4 and d=64 the per-element form put ~256 literal nodes in
-    # every assignment expression and whole-stage codegen recompiled
-    # that tree each iteration (~2 s/pass measured at bench scale —
-    # compile time, not data time)
-    carr = F.lit([int(v) for v in centroid]).cast("array<long>")
-    diff2 = F.zip_with(qv, carr, lambda x, y: (x - y) * (x - y))
-    return F.aggregate(diff2, F.lit(0).cast("long"), lambda a, d: a + d)
-
-
 def _book_lit(centroids: list[tuple[int, list[int]]]) -> F.Column:
     """The codebook as ONE array<array<long>> literal, position = cid.
     Requires (and asserts) the 0..k-1 positional cid order that
