@@ -118,9 +118,12 @@ _QUERIES = [
     "duplicate_span_coverage",
     "knn_vote_lsh",
     # round-7 late additions: DSIR scoring join (bucket-int shuffle +
-    # two-phase global rank) and the RRF fusion over two k-row lists
+    # two-phase global rank), the RRF fusion over two k-row lists, and
+    # the two event-log lakehouse shapes (windowed MERGE / SCD-2)
     "dsir_selection",
     "hybrid_retrieval_rrf",
+    "cdc_merge_upsert",
+    "scd2_state_intervals",
 ]
 
 
