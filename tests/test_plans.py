@@ -614,3 +614,14 @@ def test_scd2_intervals_single_user_exchange(spark):
     assert len(exchanges) == 1, f"expected 1 shuffle, got {len(exchanges)}"
     assert "Join" not in plan
     assert plan.count("windowspecdefinition(user_id") >= 3
+
+
+def test_ewma_single_user_exchange(spark):
+    """Rank window, count window, and the final aggregate all ride ONE
+    user_id shuffle — the closed form needs no sequential fold."""
+    import re
+
+    plan = _formatted_plan(spark, "ewma_user_value")
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, f"expected 1 shuffle, got {len(exchanges)}"
+    assert "Join" not in plan

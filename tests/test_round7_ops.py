@@ -298,3 +298,31 @@ def test_pq_encode_standalone_wrapper(spark):
     books = pq_train(quant, m=4, k=8, iters=2)
     again = pq_codes_projection(quant, books, with_qerr=True).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ewma_matches_sequential_recursion(spark):
+    """The closed-form decimal-summed EWMA must equal the textbook
+    sequential recursion (ewma_i = 0.2*x_i + 0.8*ewma_{i-1}, init =
+    first value) computed row-by-row in Python, to the output round."""
+    from pyspark.sql import functions as F
+
+    from uni_mannheim_masters_thesis_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "value", F.unix_micros("ts").alias("us"), "event_id"
+    ).collect()
+    seq = {}
+    by_user = {}
+    for r in sorted(ev, key=lambda r: (r["us"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r["value"])
+    for u, xs in by_user.items():
+        e = xs[0]
+        for x in xs[1:]:
+            e = 0.2 * x + 0.8 * e
+        seq[u] = e
+    out = REGISTRY["ewma_user_value"].fn(spark, SF_DIR).collect()
+    assert {r["user_id"] for r in out} == set(seq)
+    for r in out:
+        assert r["n_events"] == len(by_user[r["user_id"]])
+        assert r["last_value"] == round(by_user[r["user_id"]][-1], 2)
+        assert abs(r["ewma"] - seq[r["user_id"]]) < 1e-5

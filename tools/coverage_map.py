@@ -272,9 +272,11 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "X-event-attribution": ("plans.registry:q_session_attribution",
                             ["streaming_windowed_suite",
                              "session_attribution"]),
-    "X-feature-rolling": ("plans.registry:q_rolling_user_features",
+    "X-feature-rolling": ("plans.registry:q_rolling_user_features  # + "
+                          "q_ewma_user_value: closed-form EWMA, exact "
+                          "decimal sums, single user_id exchange",
                           ["streaming_windowed_suite",
-                           "rolling_user_features"]),
+                           "rolling_user_features", "ewma_user_value"]),
     "X-profile-columns": ("plans.registry:q_column_profile",
                           ["training_prep_manifest", "column_profile"]),
     "X-feature-bucketing": ("plans.registry:q_decile_bucketing",

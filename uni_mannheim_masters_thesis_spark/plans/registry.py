@@ -8779,6 +8779,80 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ewma_user_value",
+    """
+    WITH ev AS (
+        SELECT user_id, value, epoch_us(ts) AS us, event_id FROM events
+    ),
+    ranked AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM ev
+    ),
+    terms AS (
+        SELECT user_id, n,
+               CASE WHEN rn = n THEN value END AS last_v,
+               CAST(ROUND(CASE WHEN rn = 1 THEN pow(0.8, n - 1) * value
+                               ELSE 0.2 * pow(0.8, n - rn) * value END, 9)
+                    AS DECIMAL(18,9)) AS t9
+        FROM ranked
+    )
+    SELECT user_id,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_events,
+           ROUND(MAX(last_v), 2) + 0 AS last_value,
+           ROUND(CAST(SUM(t9) AS DOUBLE), 6) + 0 AS ewma
+    FROM terms GROUP BY user_id
+    """,
+    "§2.11 feature engineering (exponentially-weighted moving average)",
+    "Per-user EWMA of event values (alpha=0.2, init = first value — the "
+    "pandas adjust=False recursion ewma_i = 0.2*x_i + 0.8*ewma_{i-1}), "
+    "computed by its CLOSED FORM instead of the sequential recursion: "
+    "each event contributes weight 0.8^(n-i)*0.2 (the first 0.8^(n-1)) "
+    "toward the final smoothed value, so the per-event terms are "
+    "independent, 9-decimal-quantized, and summed as DECIMAL — exact "
+    "and order-independent where the textbook recursion would force a "
+    "sequential per-key fold (the per-term quantization perturbs the "
+    "sum by < n*5e-10, far inside the 6-decimal output round). One "
+    "user_id exchange carries the rank window, the count window, and "
+    "the final aggregate (plan-tested single shuffle, no joins); at "
+    "100 TB this is a map-side-combinable aggregate over narrow "
+    "(user_id, weight-indexed value) rows — the streaming twin is a "
+    "trivial applyInPandasWithState fold, but the batch path never "
+    "needs per-key sequential state at all.",
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "value", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wc = Window.partitionBy("user_id")
+    ranked = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    weight = F.when(
+        F.col("rn") == 1, F.pow(F.lit(0.8), F.col("n") - 1) * F.col("value")
+    ).otherwise(
+        F.lit(0.2) * F.pow(F.lit(0.8), F.col("n") - F.col("rn")) * F.col("value")
+    )
+    terms = ranked.select(
+        "user_id",
+        "n",
+        F.when(F.col("rn") == F.col("n"), F.col("value")).alias("last_v"),
+        F.round(weight, 9).cast("decimal(18,9)").alias("t9"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.any_value("n").cast("long").alias("n_events"),
+        (F.round(F.max("last_v"), 2) + F.lit(0.0)).alias("last_value"),
+        (F.round(F.sum("t9").cast("double"), 6) + F.lit(0.0)).alias("ewma"),
+    )
+
+
 _RRF_K = 60  # Cormack et al.'s constant; dampens high-rank dominance
 
 
@@ -9045,6 +9119,7 @@ _COST_HINT: dict[str, float] = {
     "pq_encode_codes": 2.5, "pq_ann_recall": 6.5,
     "dsir_selection": 2.7, "hybrid_retrieval_rrf": 1.3,
     "cdc_merge_upsert": 0.5, "scd2_state_intervals": 0.6,
+    "ewma_user_value": 0.4,
     "streaming_first_event_per_user_type": 1.7, "topic_coherence_cv": 3.3,
     "document_packing": 0.3, "dataset_split_manifest": 0.2,
     "embedding_quantization": 0.3, "rolling_week_order_value": 0.3,
