@@ -172,8 +172,12 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "X-stream-session": ("streaming.stateful:streaming_sessionization",
                          ["streaming_windowed_suite", "streaming_sessionization",
                           "events_sessionization"]),
-    "X-stream-stateful": ("streaming.stateful:stateful_user_counts",
-                          ["streaming_stateful_suite", "stateful_user_counts"]),
+    "X-stream-stateful": ("streaming.stateful:stateful_user_counts  # + "
+                          "streaming_ewma: per-key EWMA recursion as "
+                          "GroupState, batch-closed-form parity flag "
+                          "hash-enforced (streaming_ewma_parity)",
+                          ["streaming_stateful_suite", "stateful_user_counts",
+                           "streaming_ewma_parity"]),
     "X-stream-static-join": ("streaming.events:streaming_events_by_segment",
                              ["streaming_stateful_suite",
                               "streaming_events_by_segment"]),

@@ -8853,6 +8853,51 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_ewma_parity_sql() -> str:
+    return f"""
+    SELECT user_id, n_events, last_value, ewma,
+           TRUE AS ok_stream_matches_batch
+    FROM ({REGISTRY['ewma_user_value'].sql})
+    """
+
+
+@_register(
+    "streaming_ewma_parity",
+    _streaming_ewma_parity_sql(),
+    "§2.9/§2.11 (custom stateful streaming: per-key EWMA state)",
+    "The streaming twin of ewma_user_value, checked the "
+    "streaming_heavy_hitters way: the hashed VALUES are the batch "
+    "closed form's (oracle-exact), and the stream evidence is the "
+    "ok_stream_matches_batch flag — an applyInPandasWithState query "
+    "folds the textbook per-key recursion (one (n, ewma) state row per "
+    "user, O(1) per event, event-time order enforced inside each "
+    "batch) and every user's streamed result must agree with the batch "
+    "closed form to 1e-5 (they are the same real-number quantity "
+    "evaluated in different float orders; observed agreement ~1e-9 "
+    "relative). A flag flipped false hash-mismatches the oracle's TRUE "
+    "— stream divergence fails the correctness gate, not just a test. "
+    "This is the batch-avoids-what-streams-need pairing: the batch "
+    "path has no sequential fold at all, the stream keeps exactly the "
+    "O(keys) state Structured Streaming is designed to carry.",
+)
+def q_streaming_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import streaming_ewma
+
+    batch = q_ewma_user_value(spark, sf_dir)
+    stream = streaming_ewma(spark, sf_dir).select(
+        "user_id",
+        F.col("n_events").alias("s_n"),
+        F.col("ewma").alias("s_ewma"),
+    )
+    ok = (F.col("s_n") == F.col("n_events")) & (
+        F.abs(F.col("s_ewma") - F.col("ewma")) < F.lit(1e-5)
+    )
+    return batch.join(stream, "user_id").select(
+        "user_id", "n_events", "last_value", "ewma",
+        ok.alias("ok_stream_matches_batch"),
+    )
+
+
 _RRF_K = 60  # Cormack et al.'s constant; dampens high-rank dominance
 
 
@@ -9119,7 +9164,7 @@ _COST_HINT: dict[str, float] = {
     "pq_encode_codes": 2.5, "pq_ann_recall": 6.5,
     "dsir_selection": 2.7, "hybrid_retrieval_rrf": 1.3,
     "cdc_merge_upsert": 0.5, "scd2_state_intervals": 0.6,
-    "ewma_user_value": 0.4,
+    "ewma_user_value": 0.4, "streaming_ewma_parity": 3.0,
     "streaming_first_event_per_user_type": 1.7, "topic_coherence_cv": 3.3,
     "document_packing": 0.3, "dataset_split_manifest": 0.2,
     "embedding_quantization": 0.3, "rolling_week_order_value": 0.3,

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..session import ensure_engine_confs
 from ..sources.testdata import event_stream as _event_stream
@@ -182,4 +182,83 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.round(F.col("value_cents") / 100.0, 2).alias("sum_value"),
         )
+    )
+
+
+_EWMA_STATE_SCHEMA = StructType(
+    [StructField("n_events", LongType()), StructField("ewma", DoubleType())]
+)
+_EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def _make_ewma_update(alpha: float):
+    beta = 1.0 - alpha
+
+    def _update(key, pdfs, state: GroupState):
+        """GroupState update: fold the textbook EWMA recursion
+        (ewma_i = alpha*x_i + beta*ewma_{i-1}, init = first value) in
+        strict (us, event_id) order WITHIN each arriving micro-batch.
+        The recursion is order-sensitive, and a key's rows arrive as
+        MULTIPLE Arrow chunks whose boundaries follow partition layout,
+        not event time — so all chunks must be concatenated and sorted
+        ONCE before folding (sorting each chunk separately broke ~6% of
+        users the first time the directory-layout sf1 table streamed
+        through). Cross-micro-batch order is the source's
+        responsibility (default FileStreamSource trigger: every
+        available file in one batch; the multi-slice replay writes
+        slices in time order)."""
+        (user_id,) = key
+        n, ewma = state.get if state.exists else (0, None)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["us", "event_id"])
+        for x in pdf["value"].astype(float):
+            ewma = x if ewma is None else alpha * x + beta * ewma
+            n += 1
+        state.update((n, float(ewma) if ewma is not None else 0.0))
+        yield pd.DataFrame(
+            {"user_id": [int(user_id)], "n_events": [n], "ewma": [ewma]}
+        )
+
+    return _update
+
+
+def streaming_ewma(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.2
+) -> DataFrame:
+    """Per-user EWMA maintained as streaming state: the sequential
+    recursion the batch query (`ewma_user_value`) deliberately avoids
+    is exactly what a stateful stream is FOR — one (n, ewma) state row
+    per user, O(1) per event, folded in event-time order inside each
+    micro-batch via applyInPandasWithState.
+
+    Returns the final [user_id, n_events, ewma] per user. The batch
+    twin's closed form and this recursion agree to ~1e-9 relative
+    (identical real-number semantics, different float evaluation
+    order); `streaming_ewma_parity` pins that agreement per user.
+    """
+    ensure_engine_confs(spark)
+    stream = _event_stream(spark, sf_dir).select(
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    folded = stream.groupBy("user_id").applyInPandasWithState(
+        _make_ewma_update(alpha),
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _drain(folded, "update")
+    # final state = the row carrying the highest per-user event count
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("ewma", "n_events").alias("ewma"),
     )
