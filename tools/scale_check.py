@@ -124,6 +124,7 @@ _QUERIES = [
     "hybrid_retrieval_rrf",
     "cdc_merge_upsert",
     "scd2_state_intervals",
+    "ewma_user_value",
 ]
 
 
