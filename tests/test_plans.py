@@ -625,3 +625,64 @@ def test_ewma_single_user_exchange(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
     assert len(exchanges) == 1, f"expected 1 shuffle, got {len(exchanges)}"
     assert "Join" not in plan
+
+
+def test_rank_bounded_no_window_and_exact(spark):
+    """rank_bounded (operators.indexing) ranks a bounded top-k relation
+    with NO window operator at all — the r7 hybrid-RRF regression was a
+    corpus-wide unpartitioned row_number; the bounded ranker must not
+    reintroduce even a warning-level global window — and must reproduce
+    ROW_NUMBER() over the mixed-direction order exactly."""
+    from uni_mannheim_masters_thesis_spark.operators.indexing import (
+        rank_bounded,
+    )
+
+    rows = [(1, 0.9), (2, 0.9), (3, 0.95), (4, 0.1), (5, 0.5)]
+    df = spark.createDataFrame(rows, ["doc_id", "score"])
+    ranked = rank_bounded(
+        df, [("score", "desc"), ("doc_id", "asc")], "r"
+    )
+    je = ranked._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = je.explainString(mode)
+    assert "windowspecdefinition(" not in plan
+    assert "Window" not in plan
+    got = {r["doc_id"]: r["r"] for r in ranked.collect()}
+    want_order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    want = {doc: i + 1 for i, (doc, _) in enumerate(want_order)}
+    assert got == want
+
+
+def test_no_unpartitioned_window_constructors_in_package():
+    """AST sweep: no source file in the package may build a window spec
+    as ``Window.orderBy(...)`` (an unpartitioned spec = single-executor
+    global sort + `WindowExec: No Partition Defined` log noise). The
+    sanctioned shapes are Window.partitionBy(...).orderBy(...),
+    ordered_dense_rank (two-phase, __pid-partitioned), and rank_bounded
+    (windowless). Docstrings/comments mentioning the anti-pattern are
+    naturally excluded because this walks the AST, not the text."""
+    import ast
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "uni_mannheim_masters_thesis_spark",
+    )
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            tree = ast.parse(open(path).read(), filename=path)
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Attribute)
+                    and node.attr == "orderBy"
+                    and isinstance(node.value, ast.Name)
+                    and node.value.id == "Window"
+                ):
+                    offenders.append(f"{path}:{node.lineno}")
+    assert not offenders, f"unpartitioned Window.orderBy at: {offenders}"

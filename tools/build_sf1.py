@@ -38,8 +38,11 @@ from scale_check import _DIMS, _FACT_IDS  # noqa: E402
 
 def build_sf1(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
     if os.path.isdir(out_dir):
+        # a table dir merely existing is not enough — an interrupted
+        # Spark write leaves a present-but-partial directory; require
+        # the per-table _SUCCESS marker before reusing the build
         if all(
-            os.path.isdir(os.path.join(out_dir, f"{t}.parquet"))
+            os.path.isfile(os.path.join(out_dir, f"{t}.parquet", "_SUCCESS"))
             for t in list(_FACT_IDS) + list(_DIMS)
         ):
             return  # complete build already present

@@ -120,14 +120,22 @@ def kernel_svm_report(
 
     train = to_rff(train).cache()
     test = to_rff(test).cache()
-    model = LinearSVC(maxIter=20, regParam=0.1).fit(train)
-    scored = model.transform(test)
-    report = evaluate_binary(scored).select(
-        "tp", "fp", "tn", "fn", "precision", "recall", "accuracy", "f1"
-    ).withColumn("n", F.lit(test.count()))
-    report = attach_eval_invariants(report)
-    if f1_floor is not None:
-        report = report.withColumn(
-            "ok_f1_floor", F.col("f1") >= F.lit(float(f1_floor))
-        )
-    return report
+    try:
+        model = LinearSVC(maxIter=20, regParam=0.1).fit(train)
+        scored = model.transform(test)
+        report = evaluate_binary(scored).select(
+            "tp", "fp", "tn", "fn", "precision", "recall", "accuracy", "f1"
+        ).withColumn("n", F.lit(test.count()))
+        report = attach_eval_invariants(report)
+        if f1_floor is not None:
+            report = report.withColumn(
+                "ok_f1_floor", F.col("f1") >= F.lit(float(f1_floor))
+            )
+        # the report is a small local relation — materialize it before
+        # releasing the RFF frames so repeated invocations in one
+        # session (suite + driver + bench) don't accumulate pinned
+        # cached frames (the q_leakage_safe_split leak class)
+        return report.localCheckpoint(eager=True)
+    finally:
+        train.unpersist()
+        test.unpersist()

@@ -71,3 +71,40 @@ def ordered_dense_rank(
         .withColumn(rank_col, (F.col("__lr") + F.col("__off")).cast("long"))
         .drop("__pid", "__lr", "__off")
     )
+
+
+def rank_bounded(
+    df: DataFrame,
+    order_cols: list[tuple[str, str]],
+    rank_col: str = "rank",
+) -> DataFrame:
+    """1-based total-order rank of a BOUNDED relation with NO window.
+
+    For a relation already known to hold at most k rows (a top-k
+    result, a fused candidate list), ``row_number().over(
+    Window.orderBy(...))`` is semantically fine but still logs
+    ``WindowExec: No Partition Defined`` — warning noise that masks
+    a *real* global-window regression elsewhere (the repo's bench
+    logs treat any such warning as a defect). This ranks via a
+    broadcast self-join counting strict predecessors instead:
+    O(k²) comparisons, trivial for top-k lists, zero warnings, and
+    fully lazy (no driver collect).
+
+    ``order_cols`` is ``[(col, "asc"|"desc"), ...]``; the combined
+    key must be a total order (put a unique tiebreaker last),
+    otherwise tied rows receive equal ranks with gaps undefined.
+    """
+    keys = [c for c, _ in order_cols]
+    right = df.select([F.col(c).alias(f"__rk_{c}") for c in keys])
+    # "r strictly precedes l": lexicographic OR-of-ANDs over the keys
+    prec = F.lit(False)
+    eq_prefix = F.lit(True)
+    for c, direction in order_cols:
+        rc, lc = F.col(f"__rk_{c}"), F.col(c)
+        strict = (rc > lc) if direction == "desc" else (rc < lc)
+        prec = prec | (eq_prefix & strict)
+        eq_prefix = eq_prefix & (rc == lc)
+    joined = df.join(F.broadcast(right), prec, "left")
+    return joined.groupBy(*[F.col(c) for c in df.columns]).agg(
+        (F.count(F.col(f"__rk_{keys[0]}")) + 1).cast("int").alias(rank_col)
+    )

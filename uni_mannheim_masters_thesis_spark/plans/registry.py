@@ -4073,12 +4073,14 @@ def q_make_wiki_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc_id").alias("docfreq"))
         .filter(F.col("docfreq") >= 3)
     )
-    dict_ids = dfreq.select(
-        (F.row_number().over(Window.orderBy("token")) - 1)
-        .cast("long")
-        .alias("id"),
-        "token",
-        "docfreq",
+    # two-phase ordered rank (operators/indexing.py), NOT
+    # row_number().over(Window.orderBy("token")) — same reasoning as
+    # dictionary_text_roundtrip: a global unpartitioned window sorts
+    # the whole vocabulary on one executor at corpus scale
+    dict_ids = (
+        ordered_dense_rank(dfreq, "token", rank_col="__r")
+        .withColumn("id", (F.col("__r") - 1).cast("long"))
+        .select("id", "token", "docfreq")
     )
     wordids = write_dictionary_text(dict_ids, num_docs=n_docs)
     dictionary = read_dictionary_text(spark, wordids)
@@ -8716,10 +8718,12 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(run_id AS BIGINT) AS version_no,
            valid_from_us,
            COALESCE(lead(valid_from_us)
-                        OVER (PARTITION BY user_id ORDER BY valid_from_us),
+                        OVER (PARTITION BY user_id
+                              ORDER BY valid_from_us, run_id),
                     CAST(9223372036854775807 AS BIGINT)) AS valid_to_us,
            CAST(CASE WHEN lead(valid_from_us)
-                         OVER (PARTITION BY user_id ORDER BY valid_from_us)
+                         OVER (PARTITION BY user_id
+                               ORDER BY valid_from_us, run_id)
                          IS NULL
                      THEN 1 ELSE 0 END AS INT) AS is_current,
            n_events
@@ -8764,7 +8768,11 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").alias("valid_from_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    wv = Window.partitionBy("user_id").orderBy("valid_from_us")
+    # run_id tiebreaker: two runs share valid_from_us when a user has
+    # different-typed events at the same timestamp (common in the
+    # duplicated scale corpus) — without it lead()/is_current are
+    # nondeterministic within the tie block (same fix in the oracle)
+    wv = Window.partitionBy("user_id").orderBy("valid_from_us", "run_id")
     nxt = F.lead("valid_from_us").over(wv)
     return intervals.select(
         "user_id",
@@ -8962,10 +8970,20 @@ def _hybrid_rrf_sql() -> str:
 )
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import cosine_similarity
+    from ..operators.indexing import rank_bounded
 
-    bm = REGISTRY["bm25_retrieval"].fn(spark, sf_dir)
-    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    lex = bm.select("doc_id", F.row_number().over(w_lex).alias("r_lex"))
+    # Both arms rank a BOUNDED top-20 list via rank_bounded — no
+    # window anywhere, so no corpus funnels through one partition
+    # (the r7 version ranked the full dense corpus through a single
+    # unpartitioned WindowExec) and no `No Partition Defined` noise.
+    # localCheckpoint pins the 20-row lists so rank_bounded's
+    # self-join reads them once instead of re-running the arm twice
+    bm = REGISTRY["bm25_retrieval"].fn(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # already top-20
+    lex = rank_bounded(
+        bm, [("bm25", "desc"), ("doc_id", "asc")], "r_lex"
+    ).select("doc_id", "r_lex")
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -8979,12 +8997,16 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(probe)
         .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
     )
-    w_dense = Window.orderBy(F.col("sim").desc(), "doc_id")
-    dense = (
-        cs.withColumn("r_dense", F.row_number().over(w_dense))
-        .filter(F.col("r_dense") <= 20)
-        .select("doc_id", "r_dense")
+    # distributed TakeOrdered (per-partition top-20 → merge), THEN
+    # rank the 20 surviving rows — the corpus never sees a window
+    top_dense = (
+        cs.orderBy(F.col("sim").desc(), "doc_id")
+        .limit(20)
+        .localCheckpoint(eager=True)
     )
+    dense = rank_bounded(
+        top_dense, [("sim", "desc"), ("doc_id", "asc")], "r_dense"
+    ).select("doc_id", "r_dense")
     rrf = F.round(
         F.coalesce(F.lit(1.0) / (_RRF_K + F.col("r_lex")), F.lit(0.0))
         + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("r_dense")), F.lit(0.0)),

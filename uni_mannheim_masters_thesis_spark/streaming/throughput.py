@@ -69,9 +69,23 @@ def split_events_dir(spark: SparkSession, sf_dir: str, n: int = N_SPLITS) -> str
     makes whole slices 'late', and the watermark silently drops their
     rows (observed: 17/23 join pairs survived a scrambled replay).
     """
+    # cache key: abs path + events-table mtime, not just the basename —
+    # two datasets sharing a directory basename (sf0.1 under different
+    # roots, a rebuilt .sf1) must NOT reuse each other's stale slices
+    import hashlib
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    try:
+        mtime = int(os.path.getmtime(ev_path))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()
+    ).hexdigest()[:10]
     base = os.path.join(
         tempfile.gettempdir(),
-        f"umt_stream_split_{os.path.basename(os.path.normpath(sf_dir))}_{n}",
+        f"umt_stream_split_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{n}_{key}",
     )
     marker = os.path.join(base, "_UMT_SPLIT_DONE")
     if os.path.exists(marker):
@@ -80,18 +94,23 @@ def split_events_dir(spark: SparkSession, sf_dir: str, n: int = N_SPLITS) -> str
     import shutil
     import time
 
-    from pyspark.sql import Window
-
     # a partial/stale dir (prior layout, interrupted write) must not
     # contribute extra files to the replay — rebuild from empty
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     ev = load_table(spark, sf_dir, "events")
-    # equal-row time slices: ntile over the ts order (test-harness
-    # plumbing at test scale; the operator under test is the stream)
-    sliced = ev.withColumn(
-        "_b", F.ntile(n).over(Window.orderBy("ts", "event_id"))
-    ).cache()
+    # time-ordered slices via range repartitioning: range partition i
+    # holds the i-th (ts, event_id) range, so slices replay in time
+    # order — same guarantee ntile-over-a-global-window gave, without
+    # funnelling the table through one WindowExec partition (slice row
+    # counts are sample-balanced rather than exactly equal, which the
+    # replay does not care about). The cache() pins the sampled range
+    # boundaries so the n filter jobs below all see the same buckets.
+    sliced = (
+        ev.repartitionByRange(n, F.col("ts"), F.col("event_id"))
+        .withColumn("_b", F.spark_partition_id() + 1)
+        .cache()
+    )
     t0 = time.time() - 2 * n
     for i in range(1, n + 1):
         staging = tempfile.mkdtemp(prefix="umt_slice_")
@@ -102,7 +121,11 @@ def split_events_dir(spark: SparkSession, sf_dir: str, n: int = N_SPLITS) -> str
             .write.mode("overwrite")
             .parquet(staging)
         )
-        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        parts = glob.glob(os.path.join(staging, "part-*.parquet"))
+        if not parts:  # a sample-balanced range slice can be empty
+            shutil.rmtree(staging, ignore_errors=True)
+            continue
+        part = parts[0]
         dest = os.path.join(base, f"batch_{i:02d}.parquet")
         shutil.move(part, dest)
         os.utime(dest, (t0 + i, t0 + i))
