@@ -61,9 +61,14 @@ def test_cumulative_driver_evidence_covers_every_operator():
     anchor the whole SURVEY §2 + extended inventory."""
     from uni_mannheim_masters_thesis_spark.plans.registry import (
         _DRIVER_VERIFIED_R1_R6,
+        _DRIVER_VERIFIED_R7,
     )
 
-    evidenced = set(list(REGISTRY)[:50]) | _DRIVER_VERIFIED_R1_R6
+    evidenced = (
+        set(list(REGISTRY)[:50])
+        | _DRIVER_VERIFIED_R1_R6
+        | _DRIVER_VERIFIED_R7
+    )
     missing = []
     for op_id, (impl, queries) in COVERAGE.items():
         if impl.startswith("excluded:"):

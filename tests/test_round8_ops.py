@@ -1,0 +1,168 @@
+"""Round-8 operator tests: the copy-on-write lakehouse table
+(sources/lakehouse.py) — commit atomicity, bucket-level CoW reuse,
+manifest pruning — plus the windowless bounded ranker's integration
+into hybrid retrieval."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+    N_BUCKETS,
+    create_table,
+    latest_version,
+    merge_table,
+    read_table,
+    table_history,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, state string, val double"
+    )
+
+
+def _cdc(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, state string, val double, __delete boolean"
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    tdir = str(tmp_path / "tbl")
+    base = _mk(
+        spark,
+        [(i, f"s{i % 3}", float(i)) for i in range(40)],  # buckets 0..15
+    )
+    create_table(base, tdir, "user_id")
+    return tdir
+
+
+def test_create_then_read_roundtrip(spark, table):
+    got = {r["user_id"]: r["val"] for r in read_table(spark, table).collect()}
+    assert got == {i: float(i) for i in range(40)}
+    assert latest_version(table) == 1
+
+
+def test_merge_is_copy_on_write_per_bucket(spark, table):
+    # CDC touches keys 3 and 19 — both bucket 3 — so v2 must rewrite
+    # ONLY bucket 3 and carry the other 15 buckets by reference to v1
+    cdc = _cdc(
+        spark, [(3, "upd", 99.0, False), (19, "gone", 0.0, True)]
+    )
+    merge_table(spark, table, cdc, "user_id", "__delete")
+    man = json.load(open(os.path.join(table, "manifest_v2.json")))
+    paths = {b: e["path"] for b, e in man["buckets"].items()}
+    assert paths["3"].startswith(os.path.join("data", "v2"))
+    for b, p in paths.items():
+        if b != "3":
+            assert p.startswith(os.path.join("data", "v1")), (b, p)
+    got = {r["user_id"]: (r["state"], r["val"])
+           for r in read_table(spark, table).collect()}
+    assert got[3] == ("upd", 99.0)
+    assert 19 not in got  # tombstone applied
+    assert len(got) == 39
+
+
+def test_delete_empties_bucket_drops_manifest_entry(spark, table):
+    # delete every key of bucket 5 (5, 21, 37) — the bucket must
+    # vanish from the v2 manifest, and reads must not see ghosts
+    cdc = _cdc(
+        spark,
+        [(5, "x", 0.0, True), (21, "x", 0.0, True), (37, "x", 0.0, True)],
+    )
+    merge_table(spark, table, cdc, "user_id", "__delete")
+    man = json.load(open(os.path.join(table, "manifest_v2.json")))
+    assert "5" not in man["buckets"]
+    users = {r["user_id"] for r in read_table(spark, table).collect()}
+    assert users.isdisjoint({5, 21, 37}) and len(users) == 37
+
+
+def test_time_travel_reads_pre_merge_state(spark, table):
+    cdc = _cdc(spark, [(0, "upd", -1.0, False)])
+    merge_table(spark, table, cdc, "user_id", "__delete")
+    v1 = {r["user_id"]: r["val"]
+          for r in read_table(spark, table, version=1).collect()}
+    v2 = {r["user_id"]: r["val"]
+          for r in read_table(spark, table, version=2).collect()}
+    assert v1[0] == 0.0 and v2[0] == -1.0
+    assert {k: v for k, v in v2.items() if k != 0} == {
+        k: v for k, v in v1.items() if k != 0
+    }
+
+
+def test_point_key_read_prunes_scanned_files(spark, table):
+    full = read_table(spark, table)
+    pruned = read_table(spark, table, point_keys=[3, 19])
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    # same rows as a full scan + filter — pruning is an optimization,
+    # never a semantics change
+    want = {
+        r["user_id"]
+        for r in full.filter(F.col("user_id").isin(3, 19)).collect()
+    }
+    got = {
+        r["user_id"]
+        for r in pruned.filter(F.col("user_id").isin(3, 19)).collect()
+    }
+    assert got == want == {3, 19}
+
+
+def test_min_max_stats_prune_out_of_range_keys(spark, tmp_path):
+    tdir = str(tmp_path / "tbl2")
+    create_table(
+        _mk(spark, [(0, "a", 0.0), (16, "a", 1.0)]), tdir, "user_id"
+    )  # bucket 0 holds keys {0, 16}
+    # key 32 routes to bucket 0 but exceeds its max_key stat → no scan
+    assert read_table(spark, tdir, point_keys=[32]).count() == 0
+
+
+def test_commit_point_is_atomic_latest_flip(spark, table):
+    # simulate a crash AFTER v2's data+manifest land but BEFORE the
+    # _LATEST flip: readers must still see v1, and the stray manifest
+    # must not corrupt anything
+    cdc = _cdc(spark, [(1, "upd", 5.0, False)])
+    merge_table(spark, table, cdc, "user_id", "__delete")
+    with open(os.path.join(table, "_LATEST"), "w") as f:
+        f.write("1")  # roll the commit pointer back = pre-flip state
+    assert latest_version(table) == 1
+    got = {r["user_id"]: r["val"] for r in read_table(spark, table).collect()}
+    assert got[1] == 1.0  # v1 state, not the half-committed merge
+
+
+def test_history_tracks_ops_and_counts(spark, table):
+    merge_table(
+        spark, table, _cdc(spark, [(2, "u", 0.0, False)]),
+        "user_id", "__delete",
+    )
+    merge_table(
+        spark, table, _cdc(spark, [(2, "x", 0.0, True)]),
+        "user_id", "__delete",
+    )
+    hist = {r["version"]: r for r in table_history(spark, table).collect()}
+    assert [hist[v]["op"] for v in (1, 2, 3)] == ["create", "merge", "merge"]
+    assert hist[2]["parent"] == 1 and hist[3]["parent"] == 2
+    assert hist[1]["n_rows"] == 40 and hist[3]["n_rows"] == 39
+
+
+def test_insert_into_brand_new_bucket(spark, tmp_path):
+    # create covers only buckets 0/1; a merge inserting bucket 7 keys
+    # must add a manifest entry without disturbing the others
+    tdir = str(tmp_path / "tbl3")
+    create_table(_mk(spark, [(0, "a", 0.0), (1, "a", 1.0)]), tdir, "user_id")
+    merge_table(
+        spark, tdir, _cdc(spark, [(7, "new", 7.0, False)]),
+        "user_id", "__delete",
+    )
+    got = {r["user_id"] for r in read_table(spark, tdir).collect()}
+    assert got == {0, 1, 7}
+
+
+def test_bucket_count_constant(spark):
+    assert N_BUCKETS == 16  # manifest layout contract (docs + oracle)

@@ -262,6 +262,28 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                        "collapse + [from,to) versioning on ONE user_id "
                        "exchange (plan-tested), hash-exact",
                        ["scd2_state_intervals"]),
+    "X-lakehouse-table": ("sources.lakehouse:merge_table  # CoW table (with "
+                          "create_table): versioned parquet snapshots, "
+                          "bucket-granular MERGE rewrites (unchanged "
+                          "buckets carried by manifest reference), "
+                          "os.replace-atomic commits, read back off disk "
+                          "hash-exact vs a relational era fold",
+                          ["lakehouse_merge_roundtrip"]),
+    "X-lakehouse-timetravel": ("sources.lakehouse:read_table  # version=N: "
+                               "immutable manifests reconstruct any "
+                               "committed snapshot — snapshot-isolation "
+                               "reads, all 3 versions hash-exact",
+                               ["lakehouse_time_travel"]),
+    "X-lakehouse-skipping": ("sources.lakehouse:read_table  # point_keys: "
+                             "manifest-level data skipping: bucket "
+                             "routing + per-bucket min/max key stats "
+                             "prune the scan (inputFiles plan-tested)",
+                             ["lakehouse_manifest_pruning"]),
+    "X-lakehouse-history": ("sources.lakehouse:table_history  # DESCRIBE "
+                            "HISTORY from the commit log; manifest "
+                            "bookkeeping hash-verified against first "
+                            "principles",
+                            ["lakehouse_history"]),
     "X-cluster-kmeans": ("ml.cluster:kmeans_cluster_stats  # deterministic "
                          "integer Lloyd's — the k-means clustering arm "
                          "SemDeDup (Abbas et al. 2023) uses before "

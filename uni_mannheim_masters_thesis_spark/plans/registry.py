@@ -9023,6 +9023,275 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
 
 
+# -------------------------------------------------------------------------
+# Lakehouse table materialization (sources/lakehouse.py consumers)
+# -------------------------------------------------------------------------
+
+# Shared oracle CTE chain: the events table split into three equal-width
+# epoch-micro eras (boundaries from integer arithmetic both engines
+# compute identically); era 0's latest-per-key state is the CREATE
+# snapshot, eras 1/2 are sequential CDC MERGE batches with a trailing
+# 'error' op as the tombstone — the exact fold the copy-on-write table
+# build in _lakehouse_table_dir materializes on disk.
+_LAKEHOUSE_SQL_PREFIX = """
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+        FROM events
+    ),
+    b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+    tagged AS (
+        SELECT ev.*, CASE WHEN us <= lo + (hi - lo) // 3 THEN 0
+                          WHEN us <= lo + 2 * ((hi - lo) // 3) THEN 1
+                          ELSE 2 END AS era
+        FROM ev CROSS JOIN b
+    ),
+    latest AS (
+        SELECT era, user_id, event_type AS last_event_type,
+               value AS last_value
+        FROM (SELECT t.*, row_number() OVER (PARTITION BY era, user_id
+                                             ORDER BY us DESC,
+                                                      event_id DESC) AS rn
+              FROM tagged t) WHERE rn = 1
+    ),
+    v1 AS (SELECT user_id, last_event_type, last_value
+           FROM latest WHERE era = 0),
+    v2 AS (
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               CASE WHEN c.user_id IS NULL THEN p.last_event_type
+                    ELSE c.last_event_type END AS last_event_type,
+               CASE WHEN c.user_id IS NULL THEN p.last_value
+                    ELSE c.last_value END AS last_value
+        FROM v1 p FULL OUTER JOIN
+             (SELECT * FROM latest WHERE era = 1) c
+          ON p.user_id = c.user_id
+        WHERE NOT (c.user_id IS NOT NULL AND c.last_event_type = 'error')
+    ),
+    v3 AS (
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               CASE WHEN c.user_id IS NULL THEN p.last_event_type
+                    ELSE c.last_event_type END AS last_event_type,
+               CASE WHEN c.user_id IS NULL THEN p.last_value
+                    ELSE c.last_value END AS last_value
+        FROM v2 p FULL OUTER JOIN
+             (SELECT * FROM latest WHERE era = 2) c
+          ON p.user_id = c.user_id
+        WHERE NOT (c.user_id IS NOT NULL AND c.last_event_type = 'error')
+    )
+"""
+
+_LAKEHOUSE_POINT_KEYS = [1, 18, 35]
+
+
+def _lakehouse_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per dataset — cache keyed by abs path +
+    events mtime) the 3-version copy-on-write table the lakehouse
+    queries read: v1 CREATE from era-0 latest state, v2/v3 MERGE of the
+    era-1/era-2 CDC batches."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.lakehouse import create_table, merge_table
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    try:
+        mtime = int(os.path.getmtime(ev_path))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()
+    ).hexdigest()[:10]
+    tdir = os.path.join(tempfile.gettempdir(), f"umt_lakehouse_{key}")
+    marker = os.path.join(tdir, "_UMT_BUILD_DONE")
+    if os.path.exists(marker):
+        return tdir
+    shutil.rmtree(tdir, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    bounds = F.broadcast(
+        ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    )
+    era = (
+        F.when(F.col("us") <= F.col("lo") + F.expr("(hi - lo) div 3"), 0)
+        .when(
+            F.col("us") <= F.col("lo") + F.expr("2 * ((hi - lo) div 3)"), 1
+        )
+        .otherwise(2)
+    )
+    w = Window.partitionBy("era", "user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.crossJoin(bounds)
+        .withColumn("era", era)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "era",
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        .localCheckpoint(eager=True)  # one scan feeds all three versions
+    )
+    create_table(latest.filter(F.col("era") == 0).drop("era"), tdir, "user_id")
+    for e in (1, 2):
+        cdc = (
+            latest.filter(F.col("era") == e)
+            .drop("era")
+            .withColumn("__delete", F.col("last_event_type") == "error")
+        )
+        merge_table(spark, tdir, cdc, "user_id", "__delete")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return tdir
+
+
+@_register(
+    "lakehouse_merge_roundtrip",
+    _LAKEHOUSE_SQL_PREFIX + """
+    SELECT user_id, last_event_type,
+           ROUND(last_value, 2) + 0 AS last_value
+    FROM v3
+    """,
+    "§2.11 lakehouse ops (copy-on-write MERGE materialized as a table)",
+    "The missing half of the cdc_merge_upsert story: the MERGE output "
+    "LIVES as an ACID table, not just a DataFrame. Three equal-width "
+    "time eras of the events log become CREATE + two sequential MERGE "
+    "commits of a copy-on-write versioned parquet table "
+    "(sources/lakehouse.py): hash-bucket-partitioned snapshots, a "
+    "per-version JSON manifest carrying unchanged buckets by "
+    "REFERENCE (a merge rewrites only the buckets its CDC keys "
+    "touch), and an os.replace-atomic _LATEST commit point — the "
+    "Delta/Iceberg shape from Spark-shipped parts. This query reads "
+    "the final committed version back OFF DISK; the oracle recomputes "
+    "the same era fold relationally, so any write/manifest/read "
+    "defect (lost bucket, stale reference, partial commit) breaks "
+    "the hash. At 100 TB the CoW granularity is the entire point: a "
+    "CDC batch touching 0.1% of keys rewrites ~0.1% of buckets "
+    "while the manifest carries the rest forward untouched.",
+)
+def q_lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.lakehouse import read_table
+
+    tdir = _lakehouse_table_dir(spark, sf_dir)
+    return read_table(spark, tdir).select(
+        "user_id",
+        "last_event_type",
+        (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
+    )
+
+
+@_register(
+    "lakehouse_time_travel",
+    _LAKEHOUSE_SQL_PREFIX + """
+    SELECT 1 AS version, user_id, last_event_type,
+           ROUND(last_value, 2) + 0 AS last_value FROM v1
+    UNION ALL
+    SELECT 2, user_id, last_event_type,
+           ROUND(last_value, 2) + 0 FROM v2
+    UNION ALL
+    SELECT 3, user_id, last_event_type,
+           ROUND(last_value, 2) + 0 FROM v3
+    """,
+    "§2.11 lakehouse ops (time travel / snapshot isolation reads)",
+    "VERSION AS OF over the copy-on-write table: every manifest is "
+    "immutable, so any session can reconstruct any committed snapshot "
+    "from the directory alone. Reads versions 1, 2 AND 3 of the "
+    "3-commit table and stacks them; the oracle recomputes each "
+    "era-fold state independently — a reader observing version N "
+    "must see exactly the pre-merge state, byte-for-byte, or the "
+    "hash breaks (this is the snapshot-isolation contract that makes "
+    "concurrent readers safe during a merge).",
+)
+def q_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.lakehouse import read_table
+
+    tdir = _lakehouse_table_dir(spark, sf_dir)
+    parts = [
+        read_table(spark, tdir, version=v).select(
+            F.lit(v).cast("int").alias("version"),
+            "user_id",
+            "last_event_type",
+            (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
+        )
+        for v in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_register(
+    "lakehouse_manifest_pruning",
+    _LAKEHOUSE_SQL_PREFIX + f"""
+    SELECT user_id, last_event_type,
+           ROUND(last_value, 2) + 0 AS last_value
+    FROM v3 WHERE user_id IN ({", ".join(map(str, _LAKEHOUSE_POINT_KEYS))})
+    """,
+    "§2.11 lakehouse ops (manifest-level data skipping)",
+    "Point lookups against the versioned table route each key to its "
+    "hash bucket and consult the manifest's per-bucket min/max key "
+    "stats BEFORE planning the scan — only the (few) directories that "
+    "can hold the keys are read, the rest are skipped at the manifest "
+    "level (the file-skipping that makes lakehouse point queries "
+    "feasible at 100 TB; a plan test asserts inputFiles() shrinks vs "
+    "the full-table read). The exact key predicate still applies on "
+    "the surviving buckets, so results are identical to a full scan — "
+    "which is exactly what the oracle computes.",
+)
+def q_lakehouse_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.lakehouse import read_table
+
+    tdir = _lakehouse_table_dir(spark, sf_dir)
+    keys = _LAKEHOUSE_POINT_KEYS
+    return (
+        read_table(spark, tdir, point_keys=keys)
+        .filter(F.col("user_id").isin(*keys))
+        .select(
+            "user_id",
+            "last_event_type",
+            (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
+        )
+    )
+
+
+@_register(
+    "lakehouse_history",
+    _LAKEHOUSE_SQL_PREFIX + """
+    SELECT 1 AS version, 'create' AS op, 0 AS parent,
+           CAST(COUNT(DISTINCT user_id % 16) AS INT) AS n_buckets,
+           COUNT(*) AS n_rows
+    FROM v1
+    UNION ALL
+    SELECT 2, 'merge', 1, CAST(COUNT(DISTINCT user_id % 16) AS INT),
+           COUNT(*) FROM v2
+    UNION ALL
+    SELECT 3, 'merge', 2, CAST(COUNT(DISTINCT user_id % 16) AS INT),
+           COUNT(*) FROM v3
+    """,
+    "§2.11 lakehouse ops (DESCRIBE HISTORY / commit log audit)",
+    "The table's commit log surfaced as a relation: one row per "
+    "committed version with op, parent pointer, live-bucket count and "
+    "row count — all read from the immutable manifests, no data files "
+    "touched (KB-sized driver reads, any table size). The oracle "
+    "recomputes every column from the raw events fold — bucket counts "
+    "as COUNT(DISTINCT user_id % 16) — so the manifests' bookkeeping "
+    "(carried-forward references, delete-emptied buckets dropping "
+    "out, per-version row totals) is hash-verified against first "
+    "principles.",
+)
+def q_lakehouse_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.lakehouse import table_history
+
+    tdir = _lakehouse_table_dir(spark, sf_dir)
+    return table_history(spark, tdir)
+
+
 # =========================================================================
 # Driver-check ordering
 # =========================================================================
@@ -9032,15 +9301,16 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # budget — unknown). The registry is therefore re-ordered
 # deterministically before export:
 #
-#   1. ``_DRIVER_PRIORITY`` — a 50-query window, ROTATED in round 7 per
-#      the round-6 verdict: the same 50 queries had been driver-checked
-#      for six straight rounds, so the window now keeps 20 core
-#      regression anchors and fills the other 30 slots with queries the
-#      driver has never hashed (the r5/r6/r7 operators plus the
-#      fine-grained components the consolidated suites had been
-#      standing in for). Cumulative driver evidence (rounds 1-6
-#      artifacts + this window) still covers every SURVEY §2 + extended
-#      operator — tests/test_coverage.py asserts exactly that;
+#   1. ``_DRIVER_PRIORITY`` — a 50-query window, rotated each round
+#      since round 7 so the driver's 50-query artifact accumulates
+#      hashes over queries it has never checked: round 8 keeps 10 core
+#      regression anchors and fills 40 slots with never-hashed queries
+#      (the new lakehouse table ops, the r7 EWMA pair, the streaming
+#      twins, feature-engineering and event-analytics components).
+#      Cumulative driver evidence (_DRIVER_VERIFIED_R1_R6 ∪
+#      _DRIVER_VERIFIED_R7 ∪ this window) still covers every SURVEY §2
+#      + extended operator — tests/test_coverage.py asserts exactly
+#      that;
 #   2. within each block: oracle-backed queries first (they yield the
 #      strong rows+schema+hash verdict), cheapest first — so a time
 #      budget maximizes verdicts per second.
@@ -9092,37 +9362,63 @@ _DRIVER_VERIFIED_R1_R6: frozenset[str] = frozenset({
     "classifier_battery",
 })
 
+# Queries hashed green in the round-7 driver artifact (CORRECTNESS_r07:
+# 48 oracle rows+schema+hash verdicts, 2 rows-only ML greens) — joins
+# _DRIVER_VERIFIED_R1_R6 as the cumulative rotation baseline.
+_DRIVER_VERIFIED_R7: frozenset[str] = frozenset({
+    "benchmark_contamination", "bm25_retrieval", "cdc_merge_upsert",
+    "classification_metrics_events", "classifier_battery", "clean_documents",
+    "confusion_matrix_events", "cross_source_containment", "dedup_canonical",
+    "dedup_stats_by_source", "distinct_user_event_pairs", "document_chunking",
+    "dsir_selection", "duplicate_span_coverage", "embedding_kmeans",
+    "events_asof_join", "first_order_per_customer", "gopher_admission",
+    "heavy_hitters_sketch", "hybrid_retrieval_rrf", "inverted_index_postings",
+    "jaro_winkler_pairs", "leakage_safe_split", "lemmatized_tokens",
+    "make_wiki_pipeline", "minhash_neardup_pairs",
+    "mixture_sampling_manifest", "neardup_pagerank", "neardup_triangles",
+    "nquads_provenance", "paragraph_dedup", "pii_redaction", "pq_ann_recall",
+    "pq_encode_codes", "repetition_quality", "replace_rewrite",
+    "revenue_by_nation", "scd2_state_intervals", "semantic_dedup_srp",
+    "smote_class_balance", "sparse_cosine_pairs", "spellcheck_filtered",
+    "streaming_throughput_report", "term_frequency", "tfidf",
+    "tokenized_documents", "tomek_link_removal",
+    "top3_lineitems_per_supplier", "training_order_shuffle", "vocabulary",
+})
+
 _DRIVER_PRIORITY: frozenset[str] = frozenset({
-    # --- 20 core regression anchors (all driver-green r1-r6) ----------
-    "clean_documents", "tokenized_documents", "nquads_provenance",
-    "tfidf", "vocabulary", "term_frequency", "lemmatized_tokens",
-    "revenue_by_nation", "confusion_matrix_events",
-    "classification_metrics_events", "replace_rewrite",
-    "dedup_stats_by_source", "distinct_user_event_pairs",
-    "spellcheck_filtered", "first_order_per_customer",
-    "top3_lineitems_per_supplier", "jaro_winkler_pairs",
-    "minhash_neardup_pairs", "events_asof_join", "classifier_battery",
-    # --- 30 never-driver-hashed rotations -----------------------------
-    # r5/r6/r7 operators (oracle)
-    "embedding_kmeans", "duplicate_span_coverage", "neardup_pagerank",
-    "neardup_triangles", "gopher_admission", "sparse_cosine_pairs",
-    "leakage_safe_split", "make_wiki_pipeline",
-    # curation-suite components (oracle)
-    "benchmark_contamination", "repetition_quality", "dedup_canonical",
-    "cross_source_containment", "mixture_sampling_manifest",
-    "pii_redaction", "document_chunking", "paragraph_dedup",
-    "heavy_hitters_sketch", "inverted_index_postings", "bm25_retrieval",
-    # training-prep components (oracle; packing/split/quant manifests
-    # stay evidenced through the r1-r6-verified training_prep_manifest)
-    "semantic_dedup_srp", "training_order_shuffle", "cdc_merge_upsert",
-    # event-analytics (funnel stays evidenced via the r1-r6-verified
-    # streaming_windowed_suite) + streaming throughput (rows)
-    "scd2_state_intervals", "streaming_throughput_report",
-    # product quantization + DSIR selection + hybrid retrieval (oracle)
-    "pq_encode_codes", "pq_ann_recall", "dsir_selection",
-    "hybrid_retrieval_rrf",
-    # resampling components (oracle)
-    "smote_class_balance", "tomek_link_removal",
+    # --- 10 core regression anchors (driver-green r1-r7) --------------
+    "clean_documents", "tokenized_documents", "tfidf",
+    "revenue_by_nation", "confusion_matrix_events", "nquads_provenance",
+    "dedup_stats_by_source", "minhash_neardup_pairs", "events_asof_join",
+    "classifier_battery",
+    # --- 40 never-driver-hashed rotations (round 8) -------------------
+    # lakehouse table (NEW r8) + r7 feature ops the r7 window missed
+    "lakehouse_merge_roundtrip", "lakehouse_time_travel",
+    "lakehouse_manifest_pruning", "lakehouse_history",
+    "ewma_user_value", "streaming_ewma_parity",
+    # feature engineering / profiling (oracle)
+    "rolling_user_features", "decile_bucketing", "column_profile",
+    "value_histogram", "measure_correlation", "iqr_outlier_fences",
+    # event analytics (oracle)
+    "funnel_conversion", "cohort_retention", "session_attribution",
+    "session_paths", "events_hourly_gapfill", "events_sessionization",
+    # streaming twins never hashed by the driver (oracle ok_* parity)
+    "streaming_sessionization", "streaming_heavy_hitters",
+    "streaming_interval_join", "stateful_user_counts",
+    "streaming_session_attribution",
+    "streaming_first_event_per_user_type",
+    # training-prep manifests (oracle)
+    "document_packing", "dataset_split_manifest",
+    "embedding_quantization", "mixture_temperature_weights",
+    "document_fingerprints", "bpe_subword_counts",
+    # text curation / linkage (oracle)
+    "winnowing_fingerprint", "quality_perplexity", "text_quality",
+    "blocked_jw_linkage", "knn_classifier_vote",
+    # format roundtrips (oracle)
+    "dictionary_text_roundtrip", "matrix_market_roundtrip",
+    "partitioned_write_pruning", "orc_corpus_roundtrip",
+    # topic quality (rows; extended c_v chain this round)
+    "topic_coherence_cv",
 })
 
 _COST_HINT: dict[str, float] = {
@@ -9186,6 +9482,10 @@ _COST_HINT: dict[str, float] = {
     "pq_encode_codes": 2.5, "pq_ann_recall": 6.5,
     "dsir_selection": 2.7, "hybrid_retrieval_rrf": 1.3,
     "cdc_merge_upsert": 0.5, "scd2_state_intervals": 0.6,
+    # merge_roundtrip pays the one-time 3-version table build; the
+    # other three lakehouse queries read the cached table
+    "lakehouse_merge_roundtrip": 6.0, "lakehouse_time_travel": 0.7,
+    "lakehouse_manifest_pruning": 0.4, "lakehouse_history": 0.5,
     "ewma_user_value": 0.4, "streaming_ewma_parity": 3.0,
     "streaming_first_event_per_user_type": 1.7, "topic_coherence_cv": 3.3,
     "document_packing": 0.3, "dataset_split_manifest": 0.2,

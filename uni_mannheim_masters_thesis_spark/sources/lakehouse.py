@@ -1,0 +1,264 @@
+"""Copy-on-write versioned parquet table with a JSON bucket manifest.
+
+The round-7 lakehouse queries (``cdc_merge_upsert``,
+``scd2_state_intervals``) compute MERGE/history *semantics* as
+DataFrames but never materialize an ACID table. This module is the
+missing half: a minimal Delta/Iceberg-shaped table format built from
+parts Spark ships with — partitioned parquet snapshots + an atomic
+JSON manifest — so MERGE output survives as a versioned, time-travel-
+readable, manifest-prunable table.
+
+Layout (everything under one ``table_dir``)::
+
+    manifest_v1.json       # immutable, one per committed version
+    manifest_v2.json
+    _LATEST                # text version number, flipped via os.replace
+    data/v1/__bucket=0/part-*.parquet
+    data/v2/__bucket=3/...          # merge rewrote ONLY bucket 3
+
+Design points (each mirrors the public Delta/Iceberg design):
+
+- **Copy-on-write at bucket granularity.** A MERGE rewrites only the
+  hash buckets its CDC keys touch; every untouched bucket is carried
+  into the new manifest *by reference* to the older snapshot's
+  directory. At 100 TB with date+bucket partitioning this is the
+  difference between rewriting a table and rewriting a few files.
+- **Atomic commits.** A version is born as data files (invisible — no
+  manifest references them), then ``manifest_v{N}.json`` via
+  write-tmp + ``os.replace``, then ``_LATEST`` the same way. A crash
+  at any point leaves the previous version fully readable; orphaned
+  data files are garbage, never corruption.
+- **Manifest-level data skipping.** The manifest records per-bucket
+  row counts and min/max key stats; point-lookup reads route keys to
+  their buckets and scan only those directories (the file-skipping
+  that makes lakehouse point queries feasible — verified by an
+  ``inputFiles()`` plan test).
+- **Time travel.** Every manifest is immutable; ``read_table`` takes
+  a version number and reconstructs exactly that snapshot.
+
+The table carries no Spark-session state: any session can read any
+version from the directory alone.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+N_BUCKETS = 16
+
+
+def _bucket_expr(key_col: str) -> F.Column:
+    """Bucket id for a numeric key: identity-mod layout.
+
+    Production tables would hash first (``pmod(conv(md5(...)),n)``) to
+    spread adversarial key ranges; identity-mod keeps point-lookup
+    routing trivially checkable in tests while exercising the same
+    bucket-pruning machinery.
+    """
+    return F.pmod(F.col(key_col).cast("long"), F.lit(N_BUCKETS)).cast("int")
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"manifest_v{version}.json")
+
+
+def _atomic_write(path: str, text: str) -> None:
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".tmp_")
+    with os.fdopen(fd, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
+def latest_version(table_dir: str) -> int:
+    with open(os.path.join(table_dir, "_LATEST")) as f:
+        return int(f.read().strip())
+
+
+def _load_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _bucket_stats(
+    df: DataFrame, key_col: str
+) -> dict[str, dict[str, int]]:
+    """Per-bucket (n_rows, min/max key) — ≤ N_BUCKETS rows collected."""
+    rows = (
+        df.groupBy("__bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(key_col).alias("lo"),
+            F.max(key_col).alias("hi"),
+        )
+        .collect()
+    )
+    return {
+        str(r["__bucket"]): {
+            "n_rows": int(r["n"]),
+            "min_key": int(r["lo"]),
+            "max_key": int(r["hi"]),
+        }
+        for r in rows
+    }
+
+
+def _write_snapshot(
+    df: DataFrame, table_dir: str, version: int, key_col: str
+) -> dict[str, dict]:
+    """Write ``df`` bucket-partitioned under data/v{version}; return the
+    manifest bucket entries (path + stats) for the buckets written."""
+    with_b = df.withColumn("__bucket", _bucket_expr(key_col))
+    rel = os.path.join("data", f"v{version}")
+    with_b.write.partitionBy("__bucket").mode("overwrite").parquet(
+        os.path.join(table_dir, rel)
+    )
+    stats = _bucket_stats(with_b, key_col)
+    return {
+        b: {"path": os.path.join(rel, f"__bucket={b}"), **st}
+        for b, st in stats.items()
+    }
+
+
+def _commit(
+    table_dir: str,
+    version: int,
+    op: str,
+    parent: int | None,
+    buckets: dict,
+    schema: StructType,
+) -> int:
+    manifest = {
+        "version": version,
+        "op": op,
+        "parent": parent,
+        "schema": schema.json(),
+        "n_rows": sum(e["n_rows"] for e in buckets.values()),
+        "buckets": buckets,
+    }
+    _atomic_write(
+        _manifest_path(table_dir, version),
+        json.dumps(manifest, sort_keys=True),
+    )
+    # flipping _LATEST is the commit point — the manifest above fully
+    # exists before any reader can observe the new version number
+    _atomic_write(os.path.join(table_dir, "_LATEST"), str(version))
+    return version
+
+
+def create_table(df: DataFrame, table_dir: str, key_col: str) -> int:
+    """Materialize ``df`` (one row per key) as version 1."""
+    os.makedirs(table_dir, exist_ok=True)
+    buckets = _write_snapshot(df, table_dir, 1, key_col)
+    return _commit(table_dir, 1, "create", None, buckets, df.schema)
+
+
+def merge_table(
+    spark: SparkSession,
+    table_dir: str,
+    cdc: DataFrame,
+    key_col: str,
+    delete_col: str,
+) -> int:
+    """MERGE a CDC batch (one row per key; ``delete_col`` boolean marks
+    tombstones) into the latest version, copy-on-write per bucket.
+
+    WHEN MATCHED AND delete → row leaves the table; WHEN MATCHED →
+    UPDATE (CDC row wins); WHEN NOT MATCHED AND NOT delete → INSERT.
+    Only buckets containing CDC keys are rewritten; all others carry
+    forward by manifest reference.
+    """
+    parent = latest_version(table_dir)
+    manifest = _load_manifest(table_dir, parent)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+
+    # pin the CDC batch: it feeds three jobs (changed-bucket discovery,
+    # the anti-join, the upsert union) and is the small side by design
+    cdcb = cdc.withColumn("__bucket", _bucket_expr(key_col)).localCheckpoint(
+        eager=True
+    )
+    changed = sorted(
+        r["__bucket"] for r in cdcb.select("__bucket").distinct().collect()
+    )  # ≤ N_BUCKETS values — bounded driver list
+    base_paths = [
+        os.path.join(table_dir, manifest["buckets"][str(b)]["path"])
+        for b in changed
+        if str(b) in manifest["buckets"]
+    ]
+    base = (
+        spark.read.schema(schema).parquet(*base_paths)
+        if base_paths
+        else spark.createDataFrame([], schema)
+    )
+    survivors = base.join(
+        cdcb.select(key_col).distinct(), key_col, "left_anti"
+    )
+    upserts = cdcb.filter(~F.col(delete_col)).drop(delete_col, "__bucket")
+    merged = survivors.unionByName(upserts)
+
+    version = parent + 1
+    written = _write_snapshot(merged, table_dir, version, key_col)
+    buckets = {
+        b: e for b, e in manifest["buckets"].items() if int(b) not in set(changed)
+    }
+    buckets.update(written)  # a bucket emptied by deletes simply drops out
+    return _commit(table_dir, version, "merge", parent, buckets, schema)
+
+
+def read_table(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    point_keys: list[int] | None = None,
+) -> DataFrame:
+    """Read a snapshot (latest by default; any version for time
+    travel). ``point_keys`` prunes the scan to the buckets that could
+    hold those keys — manifest-level data skipping; callers still apply
+    the exact key predicate on the survivors."""
+    if version is None:
+        version = latest_version(table_dir)
+    manifest = _load_manifest(table_dir, version)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    buckets = manifest["buckets"]
+    if point_keys is not None:
+        by_bucket: dict[int, list[int]] = {}
+        for k in point_keys:
+            by_bucket.setdefault(k % N_BUCKETS, []).append(k)
+        buckets = {
+            b: e
+            for b, e in buckets.items()
+            if int(b) in by_bucket
+            and any(
+                e["min_key"] <= k <= e["max_key"] for k in by_bucket[int(b)]
+            )
+        }
+    paths = [os.path.join(table_dir, e["path"]) for e in buckets.values()]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per committed version (driver-side
+    O(versions) manifest reads — manifests are KB-sized)."""
+    rows = []
+    for v in range(1, latest_version(table_dir) + 1):
+        m = _load_manifest(table_dir, v)
+        rows.append(
+            (
+                m["version"],
+                m["op"],
+                m["parent"] if m["parent"] is not None else 0,
+                len(m["buckets"]),
+                m["n_rows"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, op string, parent int, n_buckets int, n_rows long",
+    )
