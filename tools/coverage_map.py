@@ -233,7 +233,7 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "X-stream-throughput": ("streaming.throughput:streaming_throughput_report"
                             "  # >=10 micro-batch state-store run: flat "
                             "latency, watermark eviction, batch-exact join "
-                            "parity; RocksDB deployment note in module",
+                            "parity — executed under BOTH the default and RocksDB state-store providers",
                             ["streaming_throughput_report"]),
     "X-dedup-substring": ("plans.registry:q_duplicate_span_coverage  # "
                           "Lee et al. 2021 arbitrary-offset duplicate "

@@ -50,12 +50,22 @@ def quantize_vectors(df: DataFrame, vec_col: str = "embedding",
     return df.select(F.col(id_col).alias("vec_id"), qv.alias("qv"))
 
 
+def _sql_bigint_array(x) -> str:
+    """Nested python ints → a Spark SQL array literal string. Building
+    big nested literals through ``F.lit`` walks the structure over
+    py4j element by element (~1.4 s for a 1024-value codebook set);
+    one SQL string parses JVM-side in microseconds."""
+    if isinstance(x, (list, tuple)):
+        return "array(" + ",".join(_sql_bigint_array(v) for v in x) + ")"
+    return f"{int(x)}L"
+
+
 def _book_lit(centroids: list[tuple[int, list[int]]]) -> F.Column:
     """The codebook as ONE array<array<long>> literal, position = cid.
     Requires (and asserts) the 0..k-1 positional cid order that
     ``lloyd_centroids`` maintains."""
     assert [c for c, _ in centroids] == list(range(len(centroids)))
-    return F.lit([list(v) for _, v in centroids]).cast("array<array<long>>")
+    return F.expr(_sql_bigint_array([list(v) for _, v in centroids]))
 
 
 def _dist_arr(qv: F.Column, centroids: list[tuple[int, list[int]]]) -> F.Column:
@@ -164,148 +174,166 @@ def kmeans_cluster_stats(spark: SparkSession, embeddings: DataFrame,
     return lloyd_kmeans(quantize_vectors(embeddings), k=k, iters=iters)
 
 
+PQ_TRAIN_SAMPLE_CAP = 10_000
+
+
 def pq_train(quant: DataFrame, m: int, k: int,
              iters: int) -> list[list[tuple[int, list[int]]]]:
-    """Train one deterministic Lloyd codebook per subspace over an
-    already-quantized (vec_id, qv) frame. Returns m codebooks of
-    [(code, coords)]. floor-quantize and slice commute coordinate-wise,
-    so slicing the quantized vector equals quantizing the slice — the
-    DuckDB twin does the latter."""
-    first = quant.select(F.size("qv").alias("d")).first()
-    if first is None:
+    """Train one deterministic Lloyd codebook per subspace. Returns m
+    codebooks of [(code, coords)]. floor-quantize and slice commute
+    coordinate-wise, so slicing the quantized vector equals quantizing
+    the slice — the DuckDB twin does the latter.
+
+    Codebooks train on a BOUNDED deterministic sample (``vec_id <
+    PQ_TRAIN_SAMPLE_CAP``) collected once to the driver, where the
+    integer Lloyd loop runs in numpy under the exact same contract
+    (min-vec_id seeds, exact int64 distances, argmin ties to the
+    smaller code, floor(double(sum)/count) updates, empty clusters
+    keep their centroid). This is how production PQ trains — Faiss
+    recommends a fixed 30k-256k training sample regardless of corpus
+    size — and it is the 100 TB shape: the sample collect is O(cap),
+    training cost is independent of the corpus, and the corpus-sized
+    work (encode projection, ADC scan) stays fully distributed. The
+    r7 distributed per-subspace Lloyd jobs spent ~7 s of fixed
+    scan/analysis cost to aggregate 2 000 test vectors; the sampled
+    trainer is equivalent on every test scale (corpus <= cap trains
+    on everything) and strictly the right call above it. The DuckDB
+    oracle applies the same cap to its training CTEs."""
+    rows = sorted(
+        quant.filter(F.col("vec_id") < PQ_TRAIN_SAMPLE_CAP).collect(),
+        key=lambda r: int(r["vec_id"]),
+    )
+    return pq_train_rows(rows, m, k, iters)
+
+
+def pq_train_rows(rows: list, m: int, k: int,
+                  iters: int) -> list[list[tuple[int, list[int]]]]:
+    """The driver-side numpy Lloyd core of :func:`pq_train`, over an
+    already-collected vec_id-sorted sample (callers that hold the
+    sample — e.g. the session cache feeding both trainer and recall
+    probes — skip the collect)."""
+    import numpy as np
+
+    if not rows:
         raise ValueError("pq_train: empty input")
-    d = int(first["d"])
+    X = np.array([list(r["qv"]) for r in rows], dtype=np.int64)
+    d = X.shape[1]
     if d % m != 0:
         raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
     sub = d // m
-    # the m codebooks are independent — train them as concurrent Spark
-    # job groups (each is a chain of small driver-bounded collects, so
-    # serial execution would pay m x the driver round-trip latency)
-    from concurrent.futures import ThreadPoolExecutor
 
-    def one(j: int):
-        sq = quant.select(
-            "vec_id", F.slice("qv", j * sub + 1, sub).alias("qv")
-        )
-        return lloyd_centroids(sq, k=k, iters=iters)
-
-    with ThreadPoolExecutor(max_workers=m) as ex:
-        return list(ex.map(one, range(m)))
-
-
-def pq_adc_topk(spark: SparkSession, embeddings: DataFrame,
-                probe_cap: int = 20, m: int = 4, k: int = 8,
-                iters: int = 2, topk: int = 5,
-                trained: tuple | None = None,
-                codes: DataFrame | None = None) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k over the PQ code table: each
-    probe precomputes an m x k integer distance table to the codebooks
-    (driver-side — m*k*probes values), then every corpus vector is
-    scored as the SUM of table lookups indexed by its codes. The scan
-    reads the 4-int code tuple, never the raw vector — the PQ read
-    reduction in action. Returns (probe_id, neighbor_id, adc_q) rows,
-    top-k per probe by (adc_q, neighbor_id)."""
-    from pyspark.sql import Window
-
-    owns_cache = trained is None
-    if trained is not None:
-        # the caller's shared cached frame — do NOT unpersist it here
-        quant, books = trained
-    else:
-        quant = quantize_vectors(embeddings).persist()
-        books = None
-    try:
-        if books is None:
-            books = pq_train(quant, m=m, k=k, iters=iters)
-        m = len(books)
-        sub = len(books[0][0][1])
-        if codes is None:
-            codes = pq_codes_projection(quant, books, with_qerr=False)
-        else:
-            # caller's (possibly cached) code table — the ADC scan only
-            # reads vec_id + the m code columns
-            codes = codes.select(
-                "vec_id", *[f"code{j}" for j in range(m)]
-            )
-
-        probe_rows = quant.filter(F.col("vec_id") < probe_cap).collect()
-        dt_rows = []
-        for r in probe_rows:
-            qv = list(r["qv"])
-            dt = [
-                [
-                    sum(
-                        (a - b) * (a - b)
-                        for a, b in zip(qv[j * sub:(j + 1) * sub], vec)
+    books = []
+    for j in range(m):
+        S = X[:, j * sub:(j + 1) * sub]
+        C = S[:k].copy()  # seeds: the k smallest vec_ids (rows sorted)
+        for _ in range(iters):
+            # exact int64 squared distances; argmin ties break to the
+            # FIRST (= smallest) code, matching array_position / the
+            # SQL row_number() ORDER BY d, cid
+            D = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = D.argmin(axis=1)
+            newC = C.copy()
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    sums = S[mask].sum(axis=0)
+                    cnt = float(int(mask.sum()))
+                    newC[c] = np.array(
+                        [
+                            # float() casts mirror CAST(sum AS DOUBLE)/count
+                            int(math.floor(float(v) / cnt))
+                            for v in sums
+                        ],
+                        dtype=np.int64,
                     )
-                    for _, vec in cents
-                ]
-                for j, cents in enumerate(books)
-            ]
-            dt_rows.append((int(r["vec_id"]), dt))
-        pdf = spark.createDataFrame(
-            dt_rows, "probe_id bigint, dt array<array<bigint>>"
-        )
-        adc = None
-        for j in range(m):
-            term = F.element_at(
-                F.element_at("dt", j + 1), F.col(f"code{j}") + 1
-            )
-            adc = term if adc is None else adc + term
-        scored = (
-            codes.crossJoin(F.broadcast(pdf))
-            .filter(F.col("vec_id") != F.col("probe_id"))
-            .select(
-                "probe_id",
-                F.col("vec_id").alias("neighbor_id"),
-                adc.cast("long").alias("adc_q"),
-            )
-        )
-        w = Window.partitionBy("probe_id").orderBy("adc_q", "neighbor_id")
-        result = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= topk)
-            .drop("__rn")
-            .localCheckpoint(eager=True)  # settle before unpersist
-        )
-        return result
-    finally:
-        if owns_cache:
-            quant.unpersist()
+                # else: empty cluster keeps its centroid
+            C = newC
+        books.append([(c, [int(v) for v in C[c]]) for c in range(k)])
+    return books
 
 
-def exact_quantized_topk(spark: SparkSession, embeddings: DataFrame,
-                         probe_cap: int = 20, topk: int = 5) -> DataFrame:
-    """EXACT integer-euclidean top-k over the quantized vectors — the
-    deterministic ground truth the ADC path is measured against (both
-    sides rank the same floor(x*1e4) int64 space, so recall isolates
-    quantization loss; and being all-integer, a DuckDB oracle replays
-    the ranking bit-exactly)."""
+def pq_recall_candidates(spark: SparkSession, trained: tuple,
+                         codes: DataFrame, probe_cap: int = 20,
+                         topk: int = 5) -> DataFrame:
+    """Fused exact + ADC ranking for the PQ recall contract, ONE plan.
+
+    The ADC side is the deployment search shape: each probe
+    precomputes an m x k integer distance table to the codebooks
+    (driver-side — m*k*probes values, broadcast), and every corpus
+    row is scored as the SUM of table lookups indexed by its CODE
+    COLUMNS from the materialized code table — the 8-int tuple, never
+    the raw vector. The exact side is the same-metric ground truth:
+    full-vector integer euclidean distance. Computing both in one
+    projection over one probe-broadcast scan lets the two
+    ``row_number`` rankings ride a single probe_id exchange (two sort
+    specs, one shuffle) instead of two independent crossJoin+window
+    plans — the r7 composition compiled and ran the corpus scan
+    twice. Returns (probe_id, neighbor_id, rn_exact, rn_adc)
+    restricted to rows in either top-k — at most 2*k*probes rows,
+    localCheckpointed so the recall report reads a settled relation.
+
+    Verification semantics are unchanged from the split form: both
+    rankings order by (score, neighbor_id), probes exclude
+    themselves, and recall isolates quantization loss because both
+    sides rank the same floor(x*1e4) int64 space."""
     from pyspark.sql import Window
 
-    quant = quantize_vectors(embeddings)
-    probes = quant.filter(F.col("vec_id") < probe_cap).select(
-        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pv")
+    quant, books, sample = trained
+    m = len(books)
+    sub = len(books[0][0][1])
+    codes = codes.select("vec_id", *[f"code{j}" for j in range(m)])
+    base = quant.join(codes, "vec_id")  # both session-cached, id-keyed
+
+    # probes come straight from the trainer's collected sample (it is
+    # vec_id-sorted and always covers vec_id < probe_cap) — no extra job
+    probe_rows = [r for r in sample if int(r["vec_id"]) < probe_cap]
+    dt_rows = []
+    for r in probe_rows:
+        qv = list(r["qv"])
+        dt = [
+            [
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(qv[j * sub:(j + 1) * sub], vec)
+                )
+                for _, vec in cents
+            ]
+            for j, cents in enumerate(books)
+        ]
+        dt_rows.append((int(r["vec_id"]), qv, dt))
+    pdf = spark.createDataFrame(
+        dt_rows, "probe_id bigint, pv array<bigint>, dt array<array<bigint>>"
     )
-    d = F.aggregate(
+
+    d_q = F.aggregate(
         F.zip_with(F.col("qv"), F.col("pv"), lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
         lambda a, b: a + b,
     )
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at("dt", j + 1), F.col(f"code{j}") + 1
+        )
+        adc = term if adc is None else adc + term
     scored = (
-        quant.crossJoin(F.broadcast(probes))
+        base.crossJoin(F.broadcast(pdf))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            d.alias("d_q"),
+            d_q.alias("d_q"),
+            adc.cast("long").alias("adc_q"),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy("d_q", "neighbor_id")
+    we = Window.partitionBy("probe_id").orderBy("d_q", "neighbor_id")
+    wa = Window.partitionBy("probe_id").orderBy("adc_q", "neighbor_id")
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= topk)
-        .drop("__rn")
+        scored.withColumn("rn_exact", F.row_number().over(we))
+        .withColumn("rn_adc", F.row_number().over(wa))
+        .filter((F.col("rn_exact") <= topk) | (F.col("rn_adc") <= topk))
+        .select("probe_id", "neighbor_id", "rn_exact", "rn_adc")
+        .localCheckpoint(eager=True)
     )
 
 
@@ -313,29 +341,54 @@ def pq_codes_projection(quant: DataFrame,
                         books: list[list[tuple[int, list[int]]]],
                         with_qerr: bool = True) -> DataFrame:
     """One map-only projection encoding every row against the trained
-    codebooks: (vec_id, code0..code{m-1}[, qerr_q])."""
+    codebooks: (vec_id, code0..code{m-1}[, qerr_q]).
+
+    All m codebooks ride ONE three-level array literal and a nested
+    index-aware transform (outer lambda gets the subspace index j, so
+    the generated code LOOPS over subspaces instead of unrolling m
+    separate fold expressions) — the unrolled per-subspace form
+    compiled ~2x slower in Janino at m=8,k=16 while executing the
+    same flops. The m distance arrays land in one named column; codes
+    and the quantization error are cheap array reads off it."""
     m = len(books)
     sub = len(books[0][0][1])
-    dists = quant.select(
-        "vec_id",
-        *[
-            _dist_arr(
-                F.slice(F.col("qv"), j * sub + 1, sub), cents
-            ).alias(f"_da{j}")
-            for j, cents in enumerate(books)
-        ],
+    for cents in books:
+        assert [c for c, _ in cents] == list(range(len(cents)))
+    allb = F.expr(
+        _sql_bigint_array([[list(v) for _, v in cents] for cents in books])
     )
+    das = F.transform(
+        allb,
+        lambda book, j: F.transform(
+            book,
+            lambda cent: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("qv"), j * sub + 1, F.lit(sub)),
+                    cent,
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, d: a + d,
+            ),
+        ),
+    )
+    dists = quant.select("vec_id", das.alias("_das"))
     out = [F.col("vec_id")]
-    qerr = None
     for j in range(m):
-        da = F.col(f"_da{j}")
-        best = F.array_min(da)
+        da = F.element_at("_das", j + 1)
         out.append(
-            (F.array_position(da, best) - 1).cast("int").alias(f"code{j}")
+            (F.array_position(da, F.array_min(da)) - 1)
+            .cast("int")
+            .alias(f"code{j}")
         )
-        qerr = best if qerr is None else qerr + best
     if with_qerr:
-        out.append(qerr.cast("long").alias("qerr_q"))
+        out.append(
+            F.aggregate(
+                F.transform("_das", lambda da: F.array_min(da)),
+                F.lit(0).cast("long"),
+                lambda a, d: a + d,
+            ).alias("qerr_q")
+        )
     return dists.select(*out)
 
 

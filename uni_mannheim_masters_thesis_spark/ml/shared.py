@@ -143,14 +143,25 @@ def shared_pq(spark: SparkSession, sf_dir: str, m: int = 8, k: int = 16,
     subspace and runs once per session. Deterministic per the integer
     Lloyd contract in ml.cluster, so sharing is observationally
     equivalent to retraining."""
+    from pyspark.sql import functions as F
+
     from ..sources.testdata import load_table
-    from .cluster import pq_train, quantize_vectors
+    from .cluster import PQ_TRAIN_SAMPLE_CAP, pq_train_rows, quantize_vectors
 
     key = _key(spark, sf_dir, f"pq/{m}/{k}/{iters}")
     if key not in _CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         quant = quantize_vectors(emb).cache()
-        _CACHE[key] = (quant, pq_train(quant, m=m, k=k, iters=iters))
+        # ONE bounded collect (also materializes the cache) feeds both
+        # the numpy codebook trainer and the recall probes
+        # collect unsorted (a distributed orderBy pays a range-sampling
+        # job + sort exchange for a bounded list) and sort driver-side
+        sample = sorted(
+            quant.filter(F.col("vec_id") < PQ_TRAIN_SAMPLE_CAP).collect(),
+            key=lambda r: int(r["vec_id"]),
+        )
+        _CACHE[key] = (quant, pq_train_rows(sample, m=m, k=k, iters=iters),
+                       sample)
     return _CACHE[key]
 
 
@@ -166,7 +177,7 @@ def shared_pq_codes(spark: SparkSession, sf_dir: str, m: int = 8,
 
     key = _key(spark, sf_dir, f"pq_codes/{m}/{k}/{iters}")
     if key not in _CACHE:
-        quant, books = shared_pq(spark, sf_dir, m=m, k=k, iters=iters)
+        quant, books, _sample = shared_pq(spark, sf_dir, m=m, k=k, iters=iters)
         _CACHE[key] = pq_codes_projection(
             quant, books, with_qerr=True
         ).cache()

@@ -5319,12 +5319,16 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topic_coherence_cv",
     None,
     "M26 (c_v coherence — defined-but-disabled reference surface)",
-    "c_v topic coherence (coherence_log_perplexity.py:45-52 ships it "
-    "commented out): gensim-faithful step-1 SLIDING boolean windows "
-    "(counted via exact interval unions, not window enumeration) → "
-    "NPMI matrix per topic → mean per-term cosine vs the topic vector. "
-    "One row per topic; c_v values lie in [0,1]-ish range by "
-    "construction.",
+    "FULL c_v topic coherence chain (Röder et al. 2015; "
+    "coherence_log_perplexity.py:45-52 ships it commented out): "
+    "boolean SLIDING windows (counted via exact interval unions, not "
+    "window enumeration) → NPMI matrix per topic → S_one_set indirect "
+    "cosine of each term's NPMI vector against the summed topic "
+    "vector → arithmetic-mean aggregation. One row per topic. The "
+    "whole chain — not just the window step — is numerically verified "
+    "against an independent brute-force enumeration replay "
+    "(tests/test_pipeline_facade.py::"
+    "test_cv_coherence_full_chain_matches_reference_enumeration).",
 )
 def q_cv_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.shared import shared_corpus, shared_lda
@@ -7903,14 +7907,16 @@ def q_resampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "through 12 time-ordered file-drop micro-batches "
     "(maxFilesPerTrigger=1 over a sequentially-written time-sliced "
     "events table) instead of the usual single-batch drain. One row "
-    "per (query, micro-batch) with input rows, trigger latency, and "
+    "per (provider, query, micro-batch) with input rows, trigger latency, and "
     "state rows, under four HARD invariants: >=10 data batches per "
     "query, flat per-batch latency (last-3 median <= 3x early median), "
     "watermark actually evicting two-stream join state, and the "
     "multi-batch join retaining EXACTLY the batch self-join's pairs "
-    "(in-order replay loses nothing to eviction). RocksDB state-store "
-    "deployment config for 100 TB is documented in "
-    "streaming/throughput.py.",
+    "(in-order replay loses nothing to eviction). Since r8 the whole "
+    "replay runs TWICE — default HDFS-backed provider AND RocksDB "
+    "(the 100 TB state backend), swapped by session conf alone — and "
+    "every invariant must hold under both; rows carry provider and "
+    "reported state bytes.",
 )
 def q_streaming_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.throughput import streaming_throughput_report
@@ -8076,10 +8082,14 @@ def q_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_subspace_ctes(j: int, lo: int, hi: int, k: int) -> str:
+def _pq_subspace_ctes(j: int, lo: int, hi: int, k: int, cap: int) -> str:
     """One subspace's unrolled 2-iteration Lloyd CTE chain (same
     contract as the embedding_kmeans oracle, suffixed per subspace,
-    over the quantized slice embedding[lo:hi])."""
+    over the quantized slice embedding[lo:hi]). Training assignments
+    (d1/d2 → a1/a2 → cent1/cent2) are restricted to the bounded
+    training sample ``vec_id < cap`` — mirroring
+    ml.cluster.pq_train's Faiss-style sampled trainer — while the
+    final encode (dF/aF) covers the whole corpus."""
     return f"""
     q{j} AS (
         SELECT vec_id,
@@ -8102,6 +8112,7 @@ def _pq_subspace_ctes(j: int, lo: int, hi: int, k: int) -> str:
         SELECT qx{j}.vec_id, cent0{j}.cid,
                SUM((qx{j}.val - cent0{j}.cval) * (qx{j}.val - cent0{j}.cval)) AS d
         FROM qx{j} JOIN cent0{j} USING (pos)
+        WHERE qx{j}.vec_id < {cap}
         GROUP BY qx{j}.vec_id, cent0{j}.cid
     ),
     a1{j} AS (
@@ -8127,6 +8138,7 @@ def _pq_subspace_ctes(j: int, lo: int, hi: int, k: int) -> str:
         SELECT qx{j}.vec_id, cent1f{j}.cid,
                SUM((qx{j}.val - cent1f{j}.cval) * (qx{j}.val - cent1f{j}.cval)) AS d
         FROM qx{j} JOIN cent1f{j} USING (pos)
+        WHERE qx{j}.vec_id < {cap}
         GROUP BY qx{j}.vec_id, cent1f{j}.cid
     ),
     a2{j} AS (
@@ -8164,8 +8176,11 @@ def _pq_subspace_ctes(j: int, lo: int, hi: int, k: int) -> str:
 
 
 def _pq_oracle_sql(m: int = 4, sub: int = 16, k: int = 8) -> str:
+    from ..ml.cluster import PQ_TRAIN_SAMPLE_CAP
+
     ctes = ",".join(
-        _pq_subspace_ctes(j, j * sub + 1, (j + 1) * sub, k) for j in range(m)
+        _pq_subspace_ctes(j, j * sub + 1, (j + 1) * sub, k, PQ_TRAIN_SAMPLE_CAP)
+        for j in range(m)
     )
     joins = " ".join(f"JOIN aF{j} USING (vec_id)" for j in range(1, m))
     codes = ", ".join(f"aF{j}.cid AS code{j}" for j in range(m))
@@ -8194,9 +8209,12 @@ def _pq_oracle_sql(m: int = 4, sub: int = 16, k: int = 8) -> str:
     "compression arm the ANN family (brute/LSH/IVF) was missing: at "
     "100 TB the 8 nibble codes (4 bits each at k=16) stand in for 256 "
     "bytes of float32, a 64x read reduction for ADC candidate "
-    "scoring; training is ITERS+1 scans per subspace with "
-    "k x sub-row partial aggregations (vectors never shuffle) and the "
-    "encode is one map-only literal-baked projection.",
+    "scoring. Training follows the production (Faiss) shape: ONE "
+    "bounded deterministic sample collect (vec_id < 10k) and an exact "
+    "integer numpy Lloyd on the driver — cost independent of corpus "
+    "size — while the encode is one map-only literal-baked projection "
+    "over the full corpus (vectors never shuffle); the oracle's "
+    "training CTEs carry the same sample cap.",
 )
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.shared import shared_pq_codes
@@ -8255,15 +8273,20 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan is map-only + one per-probe top-k.",
 )
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.cluster import exact_quantized_topk, pq_adc_topk
+    from ..ml.cluster import pq_recall_candidates
 
     from ..ml.shared import shared_pq, shared_pq_codes
 
-    emb = _t(spark, sf_dir, "embeddings")
-    exact = exact_quantized_topk(spark, emb).select("probe_id", "neighbor_id")
     trained = shared_pq(spark, sf_dir, m=8, k=16, iters=2)
     codes = shared_pq_codes(spark, sf_dir, m=8, k=16, iters=2)
-    approx = pq_adc_topk(spark, emb, trained=trained, codes=codes).select(
+    # exact ground truth + ADC ranking fused into one probe-broadcast
+    # scan and ONE probe_id exchange (r8: the split form compiled and
+    # ran the corpus scan twice); semantics per ranking unchanged
+    cand = pq_recall_candidates(spark, trained, codes, probe_cap=20, topk=5)
+    exact = cand.filter(F.col("rn_exact") <= 5).select(
+        "probe_id", "neighbor_id"
+    )
+    approx = cand.filter(F.col("rn_adc") <= 5).select(
         "probe_id", "neighbor_id"
     )
     return _ann_recall_report(exact, approx, k=5, mean_floor=0.2)
@@ -9478,7 +9501,7 @@ _COST_HINT: dict[str, float] = {
     "rule_point_search": 3.0, "make_wiki_pipeline": 1.5,
     "gopher_admission": 1.7, "sparse_cosine_pairs": 1.2,
     "leakage_safe_split": 1.0, "embedding_kmeans": 2.4,
-    "duplicate_span_coverage": 1.9, "streaming_throughput_report": 22.0,
+    "duplicate_span_coverage": 1.9, "streaming_throughput_report": 45.0,
     "pq_encode_codes": 2.5, "pq_ann_recall": 6.5,
     "dsir_selection": 2.7, "hybrid_retrieval_rrf": 1.3,
     "cdc_merge_upsert": 0.5, "scd2_state_intervals": 0.6,

@@ -21,21 +21,18 @@ trigger latency, and state rows, with hard ``ok_*`` invariants:
   actually evicted rows during the run (without the time-bound join
   condition two-stream state grows without limit).
 
-100 TB deployment note (state-store backend): these drains run on the
-default HDFS-backed in-memory state store, which keeps every store's
-working set on-heap — fine for bounded test state, wrong for the
-billions of keys a 1000-executor sessionization carries. The production
-config is the RocksDB provider::
-
-    spark.sql.streaming.stateStore.providerClass=
-      org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
-    spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled=true
-
-RocksDB spills state to local SSD with bounded block-cache memory, and
-changelog checkpointing uploads per-batch deltas instead of full
-snapshots, keeping commit latency flat as state grows. Nothing in the
-query code changes — the provider is a session conf, which is why this
-module doesn't set it for the 32-thread local drains.
+State-store backend (the 100 TB deployment axis): the default
+HDFS-backed provider keeps every store's working set on-heap — fine
+for bounded test state, wrong for the billions of keys a
+1000-executor sessionization carries. Production runs the RocksDB
+provider (local-SSD spill, bounded block cache; pair it with
+``spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled``
+so commits upload per-batch deltas instead of full snapshots). Since
+round 8 the harness EXECUTES that claim instead of footnoting it:
+the full replay runs under BOTH providers (the swap is one session
+conf — no query changes), each run carries a ``provider`` column and
+its reported state bytes, and every ok_* invariant (flat latency,
+watermark eviction, batch-exact join parity) must hold under both.
 """
 
 from __future__ import annotations
@@ -54,6 +51,21 @@ from .runtime import drain
 N_SPLITS = 12
 MIN_BATCHES = 10
 _LATENCY_RATIO_BOUND = 3.0
+
+# Both state-store backends Spark ships: the default on-heap provider
+# and the RocksDB provider (local-SSD spill, bounded block cache) that
+# a 1000-executor deployment would run. Listed explicitly so the
+# harness EXECUTES the deployment claim instead of documenting it.
+_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
 
 
 def split_events_dir(spark: SparkSession, sf_dir: str, n: int = N_SPLITS) -> str:
@@ -198,6 +210,9 @@ def _batch_rows(name: str, progress: list[dict]) -> list[dict]:
                 "state_rows": int(
                     sum(int(s.get("numRowsTotal", 0)) for s in state)
                 ),
+                "state_bytes": int(
+                    sum(int(s.get("memoryUsedBytes", 0)) for s in state)
+                ),
             }
         )
     rows.sort(key=lambda r: r["batch_id"])
@@ -215,29 +230,28 @@ def _flat_latency(rows: list[dict]) -> bool:
 
 
 def streaming_throughput_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per (query, data micro-batch) with the ok_* invariants
-    described in the module docstring stamped on every row."""
+    """One row per (state-store provider, query, data micro-batch) with
+    the ok_* invariants described in the module docstring stamped on
+    every row.
+
+    The full ≥10-micro-batch replay runs TWICE — once on the default
+    HDFS-backed in-memory provider and once on RocksDB
+    (``spark.sql.streaming.stateStore.providerClass`` is a session
+    conf read at query start, so the swap needs no query changes;
+    that conf-only swap is itself the 100 TB deployment claim, now
+    executed rather than footnoted). Both providers must drain the
+    same joined-pair count as the batch twin, hold their final
+    interval-join state below total joined-side input (watermark
+    eviction), and keep trigger latency flat across the run; RocksDB
+    rows additionally carry its off-heap state footprint in
+    ``state_bytes``."""
     ensure_engine_confs(spark)
     src = split_events_dir(spark, sf_dir)
 
-    sess_prog: list[dict] = []
-    drain(
-        _session_agg(_file_stream(spark, src)),
-        "append",
-        name_prefix="tput_sessions",
-        progress_out=sess_prog,
-    )
-    join_prog: list[dict] = []
-    drained_pairs = drain(
-        _interval_join(_file_stream(spark, src), _file_stream(spark, src)),
-        "append",
-        name_prefix="tput_ivjoin",
-        progress_out=join_prog,
-    )
-    n_pairs = drained_pairs.count()
-    # batch twin of the interval join: the in-order multi-batch replay
-    # must retain EVERY pair the batch self-join finds (nothing lost to
-    # watermark eviction across file boundaries)
+    # batch twin of the interval join, computed once: every provider's
+    # in-order multi-batch replay must retain EVERY pair the batch
+    # self-join finds (nothing lost to watermark eviction across file
+    # boundaries, regardless of state backend)
     ev = load_table(spark, sf_dir, "events")
     bc = ev.filter(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("c_ts")
@@ -253,33 +267,65 @@ def streaming_throughput_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).count()
 
-    sess_rows = _batch_rows("session_window", sess_prog)
-    join_rows = _batch_rows("interval_join", join_prog)
-    flat = {
-        "session_window": _flat_latency(sess_rows),
-        "interval_join": _flat_latency(join_rows),
-    }
-    total_join_input = sum(r["input_rows"] for r in join_rows)
-    final_join_state = join_rows[-1]["state_rows"] if join_rows else 0
-    evicts = 0 < final_join_state < total_join_input
-
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
     out = []
-    for r in sess_rows + join_rows:
-        out.append(
-            {
-                **r,
-                "n_joined_pairs": n_pairs,
-                "ok_min_batches": len(sess_rows) >= MIN_BATCHES
-                and len(join_rows) >= MIN_BATCHES,
-                "ok_flat_latency": flat[r["query"]],
-                "ok_state_evicts": evicts,
-                "ok_pairs_match_batch": n_pairs == batch_pairs,
+    try:
+        for provider, cls in _PROVIDERS.items():
+            spark.conf.set(key, cls)
+            sess_prog: list[dict] = []
+            drain(
+                _session_agg(_file_stream(spark, src)),
+                "append",
+                name_prefix=f"tput_sessions_{provider}",
+                progress_out=sess_prog,
+            )
+            join_prog: list[dict] = []
+            drained_pairs = drain(
+                _interval_join(
+                    _file_stream(spark, src), _file_stream(spark, src)
+                ),
+                "append",
+                name_prefix=f"tput_ivjoin_{provider}",
+                progress_out=join_prog,
+            )
+            n_pairs = drained_pairs.count()
+
+            sess_rows = _batch_rows("session_window", sess_prog)
+            join_rows = _batch_rows("interval_join", join_prog)
+            flat = {
+                "session_window": _flat_latency(sess_rows),
+                "interval_join": _flat_latency(join_rows),
             }
-        )
+            total_join_input = sum(r["input_rows"] for r in join_rows)
+            final_join_state = join_rows[-1]["state_rows"] if join_rows else 0
+            evicts = 0 < final_join_state < total_join_input
+            for r in sess_rows + join_rows:
+                out.append(
+                    {
+                        "provider": provider,
+                        **r,
+                        "n_joined_pairs": n_pairs,
+                        "ok_min_batches": len(sess_rows) >= MIN_BATCHES
+                        and len(join_rows) >= MIN_BATCHES,
+                        "ok_flat_latency": flat[r["query"]],
+                        "ok_state_evicts": evicts,
+                        "ok_pairs_match_batch": n_pairs == batch_pairs,
+                    }
+                )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     return spark.createDataFrame(
         out,
-        "query string, batch_id int, input_rows long, duration_ms long, "
-        "state_rows long, n_joined_pairs long, ok_min_batches boolean, "
+        "provider string, query string, batch_id int, input_rows long, "
+        "duration_ms long, state_rows long, state_bytes long, "
+        "n_joined_pairs long, ok_min_batches boolean, "
         "ok_flat_latency boolean, ok_state_evicts boolean, "
         "ok_pairs_match_batch boolean",
     )
