@@ -82,6 +82,7 @@ _QUERIES = [
     # round-4 additions: SRP-bucketed semantic dedup (bucket equi-join
     # over plan-time ±1 projections), range-ranked global shuffle order
     "semantic_dedup_srp",
+    "minhash_neardup_pairs",
     "training_order_shuffle",
     # round-4: one-shuffle staged funnel + cohort retention over events
     "funnel_conversion",
@@ -125,6 +126,13 @@ _QUERIES = [
     "cdc_merge_upsert",
     "scd2_state_intervals",
     "ewma_user_value",
+    # round-8: copy-on-write lakehouse table (bucket-granular MERGE,
+    # time travel, manifest pruning), sample-trained PQ + fused recall
+    "lakehouse_merge_roundtrip",
+    "lakehouse_time_travel",
+    "lakehouse_manifest_pruning",
+    "pq_encode_codes",
+    "pq_ann_recall",
 ]
 
 

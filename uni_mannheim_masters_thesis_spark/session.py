@@ -44,6 +44,18 @@ def get_session(app_name: str = "umt_spark", cpus: int | None = None) -> SparkSe
         # exactly the 100 TB-shaped joins it exists for (plan-tested
         # with thresholds scaled down in test_plans.py).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # input-split sizing for the TEST corpus (the SCALING.md knob:
+        # size maxPartitionBytes to the data, not the default): the
+        # tables are MB-scale files, and the 128 MB default packs a
+        # whole multi-file directory (e.g. a 10x scale-check corpus)
+        # into ONE scan partition — CPU-dense per-doc ops (winnowing,
+        # lemmatization) then run single-task regardless of cores
+        # (measured: winnowing_fingerprint_set 12.3 s -> ~4 s at 10x).
+        # 4 MB restores file-level parallelism for multi-file inputs
+        # and cannot hurt the single-small-file 1x tables (a file only
+        # splits at row-group boundaries). A 100 TB deployment raises
+        # this back toward the default — it is a per-corpus knob.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # driver testdata stores timestamps as parquet TIMESTAMP(NANOS),
@@ -106,6 +118,7 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")  # see get_session
     # foreign sessions (e.g. the driver's) default to 200 shuffle
     # partitions — wrong for local mode; AQE coalescing then shrinks
     # them, but starting at ~cores avoids the scheduling overhead
