@@ -166,3 +166,76 @@ def test_insert_into_brand_new_bucket(spark, tmp_path):
 
 def test_bucket_count_constant(spark):
     assert N_BUCKETS == 16  # manifest layout contract (docs + oracle)
+
+
+def test_optimize_is_self_contained_and_content_preserving(spark, table):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        optimize_table,
+    )
+
+    merge_table(
+        spark, table, _cdc(spark, [(3, "upd", 99.0, False)]),
+        "user_id", "__delete",
+    )
+    before = {
+        (r["user_id"], r["state"], r["val"])
+        for r in read_table(spark, table).collect()
+    }
+    v = optimize_table(spark, table, "user_id")
+    assert v == 3 and latest_version(table) == 3
+    man = json.load(open(os.path.join(table, "manifest_v3.json")))
+    # self-contained: every bucket reference points at v3's own dir
+    assert all(e["path"].startswith(os.path.join("data", "v3"))
+               for e in man["buckets"].values())
+    # compacted: one data file per bucket dir
+    for e in man["buckets"].values():
+        files = [f for f in os.listdir(os.path.join(table, e["path"]))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1
+    after = {
+        (r["user_id"], r["state"], r["val"])
+        for r in read_table(spark, table).collect()
+    }
+    assert after == before
+
+
+def test_vacuum_removes_only_unreferenced_dirs(spark, table):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        optimize_table,
+        vacuum_table,
+    )
+
+    merge_table(
+        spark, table, _cdc(spark, [(3, "upd", 99.0, False)]),
+        "user_id", "__delete",
+    )
+    optimize_table(spark, table, "user_id")
+    stats = vacuum_table(table, retain_versions=1)
+    # v1 wrote 16 buckets, the merge rewrote bucket 3 (1 dir); the
+    # optimized v3 keeps its own 16
+    assert stats == {"removed_dirs": 17, "live_dirs": 16,
+                     "retained_from": 3}
+    # latest still fully readable; vacuumed versions fail explicitly
+    assert read_table(spark, table).count() == 40
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_table(spark, table, version=1)
+    # history (manifest audit log) survives vacuum
+    assert [r["op"] for r in table_history(spark, table).collect()] == [
+        "create", "merge", "optimize",
+    ]
+
+
+def test_vacuum_with_full_retention_removes_nothing(spark, table):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        vacuum_table,
+    )
+
+    merge_table(
+        spark, table, _cdc(spark, [(3, "upd", 99.0, False)]),
+        "user_id", "__delete",
+    )
+    stats = vacuum_table(table, retain_versions=2)
+    assert stats["removed_dirs"] == 0
+    # v2 carries 15 buckets by reference to v1 + rewrote 1: every
+    # physical dir is still referenced by the retained window
+    assert read_table(spark, table, version=1).count() == 40

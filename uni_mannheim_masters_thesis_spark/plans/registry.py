@@ -9315,6 +9315,177 @@ def q_lakehouse_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_history(spark, tdir)
 
 
+def _lakehouse_ov_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A private copy of the 3-version table taken through the full
+    maintenance lifecycle: OPTIMIZE (v4 — compact, self-contained
+    rewrite) then VACUUM (retain only v4's files). Copied so the shared
+    cached table the other lakehouse queries read stays time-travel-
+    complete. The vacuum accounting is persisted beside the table so
+    cached rebuilds report identical numbers."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.lakehouse import optimize_table, vacuum_table
+
+    base = _lakehouse_table_dir(spark, sf_dir)
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    try:
+        mtime = int(os.path.getmtime(ev_path))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}:ov".encode()
+    ).hexdigest()[:10]
+    tdir = os.path.join(tempfile.gettempdir(), f"umt_lakehouse_ov_{key}")
+    marker = os.path.join(tdir, "_UMT_OV_DONE")
+    if os.path.exists(marker):
+        return tdir
+    shutil.rmtree(tdir, ignore_errors=True)
+    shutil.copytree(base, tdir)
+    os.remove(os.path.join(tdir, "_UMT_BUILD_DONE"))
+    optimize_table(spark, tdir, "user_id")
+    stats = vacuum_table(tdir, retain_versions=1)
+    with open(os.path.join(tdir, "_UMT_OV_STATS.json"), "w") as f:
+        json.dump(stats, f)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return tdir
+
+
+@_register(
+    "lakehouse_read_after_vacuum",
+    _LAKEHOUSE_SQL_PREFIX + """
+    SELECT user_id, last_event_type,
+           ROUND(last_value, 2) + 0 AS last_value
+    FROM v3
+    """,
+    "§2.11 lakehouse ops (OPTIMIZE compaction + VACUUM retention)",
+    "The maintenance lifecycle a long-lived MERGE table needs: "
+    "OPTIMIZE rewrites the latest snapshot into one self-contained "
+    "compacted version (each bucket ONE file via a bucket-aligned "
+    "repartition; no references into older snapshots), then VACUUM "
+    "deletes every bucket directory outside the retention window "
+    "(manifests stay — the commit log is KB audit history; reads of "
+    "vacuumed versions fail explicitly). This query reads the table "
+    "back AFTER both: the hash against the raw era fold proves "
+    "compaction moved bytes without changing a row and vacuum "
+    "deleted only unreferenced files — a stale manifest reference or "
+    "an over-eager delete breaks it. At 100 TB this is the nightly "
+    "OPTIMIZE/VACUUM pair that keeps file counts and storage bounded "
+    "under continuous CDC.",
+)
+def q_lakehouse_read_after_vacuum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.lakehouse import read_table
+
+    tdir = _lakehouse_ov_table_dir(spark, sf_dir)
+    return read_table(spark, tdir).select(
+        "user_id",
+        "last_event_type",
+        (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
+    )
+
+
+@_register(
+    "lakehouse_optimize_vacuum",
+    _LAKEHOUSE_SQL_PREFIX + """
+    , era_buckets AS (
+        SELECT era, user_id % 16 AS b FROM latest
+    )
+    SELECT 4 AS latest_version,
+           (SELECT COUNT(DISTINCT user_id % 16) FROM v1)
+         + (SELECT COUNT(DISTINCT user_id % 16) FROM v2
+            WHERE user_id % 16 IN (SELECT b FROM era_buckets WHERE era = 1))
+         + (SELECT COUNT(DISTINCT user_id % 16) FROM v3
+            WHERE user_id % 16 IN (SELECT b FROM era_buckets WHERE era = 2))
+               AS removed_dirs,
+           (SELECT COUNT(DISTINCT user_id % 16) FROM v3) AS live_dirs,
+           (SELECT COUNT(*) FROM v3) AS latest_rows
+    """,
+    "§2.11 lakehouse ops (VACUUM file accounting, first-principles)",
+    "VACUUM's filesystem effect verified against first principles: "
+    "the oracle derives, from the raw event fold alone, exactly how "
+    "many bucket directories each commit physically wrote (v1 = the "
+    "create state's distinct buckets; each merge = the buckets its "
+    "CDC keys touched that still held rows afterwards) and therefore "
+    "how many dirs a retain-latest-only vacuum after OPTIMIZE must "
+    "remove, and how many live dirs the self-contained optimized "
+    "version keeps. The engine reports what the filesystem walk "
+    "actually counted and deleted — over-deletion, under-deletion, "
+    "or a compaction that silently dropped/duplicated a bucket all "
+    "break the hash.",
+)
+def q_lakehouse_optimize_vacuum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json
+    import os
+
+    from ..sources.lakehouse import latest_version, read_table
+
+    tdir = _lakehouse_ov_table_dir(spark, sf_dir)
+    with open(os.path.join(tdir, "_UMT_OV_STATS.json")) as f:
+        stats = json.load(f)
+    n_rows = read_table(spark, tdir).count()
+    return spark.createDataFrame(
+        [(latest_version(tdir), stats["removed_dirs"], stats["live_dirs"],
+          n_rows)],
+        "latest_version int, removed_dirs long, live_dirs long, "
+        "latest_rows long",
+    )
+
+
+# -------------------------------------------------------------------------
+# Skew-safe join (operators/relational.py:salted_join surfaced)
+# -------------------------------------------------------------------------
+
+
+@_register(
+    "skewed_join_salted",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    "§2.11 skew-safe joins (manual salting beyond AQE)",
+    "The event log's user_id key is Zipf-ish (power users hold a "
+    "disproportionate share of events); a plain shuffle join lands "
+    "each hot key on ONE reducer. salted_join "
+    "(operators/relational.py) spreads every large-side row across "
+    "n_salts=8 sub-keys via a deterministic full-row hash and "
+    "explodes the small dim x8 so all pairs still meet — the manual "
+    "skew spread for when AQE's skew splitting isn't enough (AQE "
+    "splits oversized PARTITIONS; a single hot KEY inside one "
+    "partition is indivisible without a salt). The oracle is the "
+    "PLAIN join: salting must be a pure physical rewrite with "
+    "byte-identical results. At 100 TB the x8 dim replication is "
+    "noise (dims are MBs) while the hot-key reducer ceiling drops "
+    "8x.",
+)
+def q_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, dim, "user_id", n_salts=8)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(_dec("value")).alias("total_value"),
+        )
+    )
+
+
 # =========================================================================
 # Driver-check ordering
 # =========================================================================

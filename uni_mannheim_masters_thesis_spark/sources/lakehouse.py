@@ -109,11 +109,16 @@ def _bucket_stats(
 
 
 def _write_snapshot(
-    df: DataFrame, table_dir: str, version: int, key_col: str
+    df: DataFrame, table_dir: str, version: int, key_col: str,
+    compact: bool = False,
 ) -> dict[str, dict]:
     """Write ``df`` bucket-partitioned under data/v{version}; return the
-    manifest bucket entries (path + stats) for the buckets written."""
+    manifest bucket entries (path + stats) for the buckets written.
+    ``compact`` shuffles rows bucket-aligned first so each bucket lands
+    as ONE file (the OPTIMIZE small-file collapse)."""
     with_b = df.withColumn("__bucket", _bucket_expr(key_col))
+    if compact:
+        with_b = with_b.repartition(N_BUCKETS, "__bucket")
     rel = os.path.join("data", f"v{version}")
     with_b.write.partitionBy("__bucket").mode("overwrite").parquet(
         os.path.join(table_dir, rel)
@@ -210,6 +215,58 @@ def merge_table(
     return _commit(table_dir, version, "merge", parent, buckets, schema)
 
 
+def optimize_table(spark: SparkSession, table_dir: str, key_col: str) -> int:
+    """OPTIMIZE (compaction): rewrite the latest snapshot fully into one
+    new self-contained version — every bucket lands under the new
+    version's directory as a single file (``repartition("__bucket")``
+    before the partitioned write), and the new manifest references no
+    older snapshot. This is the Delta ``OPTIMIZE`` shape: it collapses
+    the small files a long MERGE history accretes and cuts the
+    reference chain so old versions become vacuum-able. At 100 TB the
+    same operation runs per date-partition/bucket subset; rewriting
+    everything at once is the degenerate whole-table case."""
+    parent = latest_version(table_dir)
+    manifest = _load_manifest(table_dir, parent)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    full = read_table(spark, table_dir, version=parent)
+    version = parent + 1
+    written = _write_snapshot(full, table_dir, version, key_col, compact=True)
+    return _commit(table_dir, version, "optimize", parent, written, schema)
+
+
+def vacuum_table(table_dir: str, retain_versions: int = 1) -> dict[str, int]:
+    """VACUUM: delete bucket directories referenced by NONE of the
+    newest ``retain_versions`` manifests. Manifests themselves stay (KB
+    commit-log audit survives), but time travel to a vacuumed version
+    fails at read — exactly Delta's retention contract. Driver-side
+    O(dirs) filesystem walk; data files are never read."""
+    import shutil
+
+    latest = latest_version(table_dir)
+    keep_from = max(1, latest - retain_versions + 1)
+    referenced = set()
+    for v in range(keep_from, latest + 1):
+        m = _load_manifest(table_dir, v)
+        referenced |= {e["path"] for e in m["buckets"].values()}
+    removed = live = 0
+    data_dir = os.path.join(table_dir, "data")
+    for vdir in sorted(os.listdir(data_dir)):
+        vpath = os.path.join(data_dir, vdir)
+        if not os.path.isdir(vpath):
+            continue
+        for bdir in sorted(os.listdir(vpath)):
+            if not bdir.startswith("__bucket="):
+                continue
+            rel = os.path.join("data", vdir, bdir)
+            if rel in referenced:
+                live += 1
+            else:
+                shutil.rmtree(os.path.join(table_dir, rel))
+                removed += 1
+    return {"removed_dirs": removed, "live_dirs": live,
+            "retained_from": keep_from}
+
+
 def read_table(
     spark: SparkSession,
     table_dir: str,
@@ -240,6 +297,13 @@ def read_table(
     paths = [os.path.join(table_dir, e["path"]) for e in buckets.values()]
     if not paths:
         return spark.createDataFrame([], schema)
+    gone = [p for p in paths if not os.path.isdir(p)]
+    if gone:
+        raise FileNotFoundError(
+            f"version {version} of {table_dir} references vacuumed data "
+            f"({len(gone)} bucket dirs gone) — time travel past the "
+            f"retention window"
+        )
     return spark.read.schema(schema).parquet(*paths)
 
 
