@@ -239,3 +239,51 @@ def test_vacuum_with_full_retention_removes_nothing(spark, table):
     # v2 carries 15 buckets by reference to v1 + rewrote 1: every
     # physical dir is still referenced by the retained window
     assert read_table(spark, table, version=1).count() == 40
+
+
+def test_upsert_combine_folds_partials_and_reuses_buckets(spark, tmp_path):
+    from decimal import Decimal
+
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        create_table,
+        read_table,
+        upsert_combine,
+    )
+
+    tdir = str(tmp_path / "mv")
+    agg = spark.createDataFrame(
+        [(0, 2, Decimal("1.50")), (1, 1, Decimal("2.00")),
+         (17, 3, Decimal("0.25"))],
+        "user_id long, n long, s decimal(18,2)",
+    )
+    create_table(agg, tdir, "user_id")
+    # delta touches keys 1 (bucket 1) and 33 (bucket 1, new key) only
+    delta = spark.createDataFrame(
+        [(1, 4, Decimal("0.50")), (33, 1, Decimal("9.00"))],
+        "user_id long, n long, s decimal(18,2)",
+    )
+    upsert_combine(spark, tdir, delta, "user_id", ["n", "s"])
+    got = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in read_table(spark, tdir).collect()
+    }
+    assert got == {
+        0: (2, Decimal("1.50")),          # untouched, carried by reference
+        1: (5, Decimal("2.50")),          # existing + delta combined
+        17: (3, Decimal("0.25")),         # bucket 1 resident, no delta row
+        33: (1, Decimal("9.00")),         # brand-new key inserted
+    }
+    man = json.load(
+        open(os.path.join(tdir, "manifest_v2.json"))
+    )
+    # only bucket 1 was rewritten; buckets 0 and 17%16=1... key 17 IS
+    # bucket 1, so it was rewritten together; bucket 0 must still point
+    # at v1
+    assert man["buckets"]["0"]["path"].startswith(
+        os.path.join("data", "v1")
+    )
+    assert man["buckets"]["1"]["path"].startswith(
+        os.path.join("data", "v2")
+    )
+    # stored schema is stable across commits (widen-then-narrow cast)
+    assert dict(read_table(spark, tdir).dtypes)["s"] == "decimal(18,2)"
