@@ -287,3 +287,79 @@ def test_upsert_combine_folds_partials_and_reuses_buckets(spark, tmp_path):
     )
     # stored schema is stable across commits (widen-then-narrow cast)
     assert dict(read_table(spark, tdir).dtypes)["s"] == "decimal(18,2)"
+
+
+def test_bpe_train_known_trajectory(spark):
+    from uni_mannheim_masters_thesis_spark.ml.bpe import bpe_train
+
+    # classic Sennrich-style toy dict; hand-computed trajectory
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, freq long",
+    )
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"], r["merged"])
+        for r in bpe_train(spark, words, 4).collect()
+    ]
+    # step 1: (e,s) 9 vs (s,t) 9 vs (t,</w>) 9 — lexicographic tie-break
+    #   picks ('e','s'); step 2: ('es','t') 9; step 3: ('est','</w>') 9;
+    #   step 4: ('l','o') 7
+    assert got == [
+        (1, "e", "s", 9, "es"),
+        (2, "es", "t", 9, "est"),
+        (3, "est", "</w>", 9, "est</w>"),
+        (4, "l", "o", 7, "lo"),
+    ]
+
+
+def test_bpe_overlapping_pairs_merge_greedy_left_to_right(spark):
+    from uni_mannheim_masters_thesis_spark.ml.bpe import bpe_train
+
+    # 'aaaa' has 3 overlapping (a,a) pairs but greedy merging yields
+    # 'aa aa' — so step 2's pairs are (aa,aa) and (aa,</w>), tie broken
+    # lexicographically to (aa,</w>), and step 3 sees 'aa aa</w>'.
+    # (The buggy string-replace merge produced 'aa a a' instead, whose
+    # step-2 winner is (a,</w>) — this trajectory discriminates.)
+    words = spark.createDataFrame([("aaaa", 1)], "word string, freq long")
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train(spark, words, 3).collect()
+    ]
+    assert got == [
+        (1, "a", "a", 3),
+        (2, "aa", "</w>", 1),
+        (3, "aa", "aa</w>", 1),
+    ]
+
+
+def test_bpe_stops_early_when_fully_merged(spark):
+    from uni_mannheim_masters_thesis_spark.ml.bpe import bpe_train
+
+    # 'ab' exhausts after 2 merges: (a,b) then (ab,</w>) — further
+    # requested merges must stop cleanly, not error
+    words = spark.createDataFrame([("ab", 1)], "word string, freq long")
+    out = bpe_train(spark, words, 10).collect()
+    assert [r["merged"] for r in out] == ["ab", "ab</w>"]
+
+
+
+def test_bpe_oracle_gaps_and_islands_matches_greedy():
+    # the DuckDB twin uses a different merge-application algorithm
+    # (relational gaps-and-islands); pin it on the same discriminating
+    # input the Spark fold is pinned on
+    import duckdb
+
+    from uni_mannheim_masters_thesis_spark.plans.registry import (
+        _bpe_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT 'aaaa' AS text")
+    got = con.execute(
+        _bpe_oracle_sql(3) + " ORDER BY step"
+    ).fetchall()
+    assert got == [
+        (1, "a", "a", 3, "aa"),
+        (2, "aa", "</w>", 1, "aa</w>"),
+        (3, "aa", "aa</w>", 1, "aaaa</w>"),
+    ]

@@ -9542,6 +9542,129 @@ def q_lakehouse_incremental_mv(
 
 
 # -------------------------------------------------------------------------
+# BPE merge training (ml/bpe.py)
+# -------------------------------------------------------------------------
+
+_BPE_N_MERGES = 8
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled DuckDB twin of ml.bpe.bpe_train — deliberately a
+    DIFFERENT algorithm for the merge application. The Spark engine
+    walks each word with an index fold (skip flag); the oracle explodes
+    token positions and applies greedy left-to-right selection
+    relationally: among each run of CONSECUTIVE match positions
+    (gaps-and-islands per word), exactly the even-offset ones merge —
+    ``a a a a`` under (a,a) merges positions {1,3}, yielding ``aa aa``.
+    Hash agreement therefore certifies the trajectory, not a shared
+    transliteration. Every CTE is MATERIALIZED — each is referenced
+    more than once, and inlining would re-evaluate the whole prefix
+    chain per reference (exponential blowup)."""
+    parts = [
+        """
+    WITH w AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                  AS word
+              FROM documents)
+        GROUP BY word
+    ),
+    t0 AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY word) AS wid,
+               array_to_string(regexp_extract_all(word, '.'), ' ')
+                   || ' </w>' AS s,
+               freq
+        FROM w
+    )"""
+    ]
+    # per step: tk = exploded (pos, tok, next-tok) triples; p = weighted
+    # pair counts; m = deterministic argmax; ch = greedily-chosen merge
+    # positions; t = reassembled symbol strings
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+    tk{i} AS MATERIALIZED (
+        SELECT wid, freq, u.pos AS pos, u.tok AS tok, u.nxt AS nxt
+        FROM (SELECT wid, freq,
+                     unnest(list_transform(
+                         range(1, len(str_split(s, ' ')) + 1),
+                         j -> struct_pack(
+                             pos := j,
+                             tok := str_split(s, ' ')[j],
+                             nxt := CASE WHEN j < len(str_split(s, ' '))
+                                         THEN str_split(s, ' ')[j + 1]
+                                         END))) AS u
+              FROM t{i - 1})
+    ),
+    p{i} AS MATERIALIZED (
+        SELECT tok AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM tk{i} WHERE nxt IS NOT NULL
+        GROUP BY tok, nxt
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT lhs, rhs, cnt FROM p{i}
+        ORDER BY cnt DESC, lhs, rhs LIMIT 1
+    ),
+    ch{i} AS MATERIALIZED (
+        SELECT wid, pos
+        FROM (SELECT wid, pos,
+                     MIN(pos) OVER (PARTITION BY wid, isl) AS run_start
+              FROM (SELECT wid, pos,
+                           pos - row_number()
+                               OVER (PARTITION BY wid ORDER BY pos)
+                               AS isl
+                    FROM tk{i}
+                    WHERE tok = (SELECT lhs FROM m{i})
+                      AND nxt = (SELECT rhs FROM m{i})))
+        WHERE (pos - run_start) % 2 = 0
+    ),
+    t{i} AS MATERIALIZED (
+        SELECT tk.wid,
+               ANY_VALUE(tk.freq) AS freq,
+               string_agg(
+                   CASE WHEN c.pos IS NOT NULL
+                        THEN tk.tok || tk.nxt ELSE tk.tok END,
+                   ' ' ORDER BY tk.pos) AS s
+        FROM tk{i} tk
+        LEFT JOIN ch{i} c  ON tk.wid = c.wid AND tk.pos = c.pos
+        LEFT JOIN ch{i} cp ON tk.wid = cp.wid AND tk.pos = cp.pos + 1
+        WHERE cp.pos IS NULL
+        GROUP BY tk.wid
+    )""")
+    selects = "\n    UNION ALL\n".join(
+        f"    SELECT {i} AS step, lhs, rhs, cnt AS pair_count, "
+        f"lhs || rhs AS merged FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+@_register(
+    "bpe_merge_training",
+    _bpe_oracle_sql(_BPE_N_MERGES),
+    "§2.11 text analysis (BPE merge-table training, Sennrich 2016)",
+    "TRAINS the subword merge table the reference's BPE-ish counting "
+    "presupposes: the corpus collapses once to a word-frequency dict "
+    "(the scale lever — pair statistics over 100 TB equal pair "
+    "statistics over its word dict weighted by freq), then each of 8 "
+    "merge steps is one distributed job: explode adjacent symbol "
+    "pairs, weighted-count (map-side partials on the pair key), "
+    "deterministic argmax (count desc, lexicographic tie-break) via "
+    "TakeOrdered — ONE row per step reaches the driver — and a "
+    "literal greedy left-to-right replace applied as a chained "
+    "column expression. The oracle unrolls the identical loop as "
+    "materialized DuckDB CTEs, so counts, tie-breaks and merge "
+    "applications are hash-exact across engines — any divergence in "
+    "the training trajectory (a wrong count, an unstable tie, an "
+    "overlapping-merge bug) surfaces as a hash break.",
+)
+def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.bpe import bpe_train, word_dictionary
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(spark, word_dictionary(docs), _BPE_N_MERGES)
+
+
+# -------------------------------------------------------------------------
 # Skew-safe join (operators/relational.py:salted_join surfaced)
 # -------------------------------------------------------------------------
 
