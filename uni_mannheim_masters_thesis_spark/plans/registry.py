@@ -9541,6 +9541,79 @@ def q_lakehouse_incremental_mv(
     )
 
 
+@_register(
+    "streaming_lakehouse_sink",
+    """
+    WITH latest AS (
+        SELECT user_id, event_type, value
+        FROM (SELECT user_id, event_type, value,
+                     row_number() OVER (
+                         PARTITION BY user_id
+                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           ROUND(CAST(value AS DOUBLE), 2) + 0 AS last_value,
+           TRUE AS ok_multi_batch,
+           TRUE AS ok_commit_per_batch
+    FROM latest WHERE event_type <> 'error'
+    """,
+    "§2.9/§2.11 (streaming CDC upsert sink into the lakehouse table)",
+    "The bronze-to-silver pipeline as it actually runs in production: "
+    "a Structured Streaming query replays the event log as >=10 "
+    "time-ordered micro-batches and foreachBatch MERGEs each batch's "
+    "CDC reduction (latest state per key, 'error' as tombstone) into "
+    "the copy-on-write lakehouse table — one table version per "
+    "non-empty micro-batch, sequential commit order guaranteed by "
+    "the streaming engine. Because merges are per-key "
+    "last-writer-wins and batches arrive in (ts, event_id) order, "
+    "the final table must equal the GLOBAL latest-event-per-key fold "
+    "regardless of batch boundaries — the oracle computes exactly "
+    "that fold, so a lost commit, out-of-order batch, or tombstone "
+    "leak breaks the hash. ok_multi_batch pins that the run really "
+    "was incremental (>=10 data batches); ok_commit_per_batch pins "
+    "the version-per-batch commit-log shape. At 100 TB this is the "
+    "standard Delta streaming-upsert sink: per-batch cost is one "
+    "key shuffle plus a rewrite of only the touched buckets.",
+)
+def q_streaming_lakehouse_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.lakehouse import read_table
+    from ..streaming.lakehouse_sink import stream_cdc_into_table
+
+    tdir = os.path.join(
+        tempfile.mkdtemp(prefix="umt_stream_sink_"), "tbl"
+    )
+    try:
+        ev = stream_cdc_into_table(spark, sf_dir, tdir)
+        final = (
+            read_table(spark, tdir)
+            .select(
+                "user_id",
+                "last_event_type",
+                (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
+            )
+            # pin before the table dir is deleted below
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(tdir), ignore_errors=True)
+    return final.select(
+        "*",
+        F.lit(ev["n_data_batches"] >= 10).alias("ok_multi_batch"),
+        F.lit(ev["n_versions"] == ev["n_data_batches"]).alias(
+            "ok_commit_per_batch"
+        ),
+    )
+
+
 # -------------------------------------------------------------------------
 # BPE merge training (ml/bpe.py)
 # -------------------------------------------------------------------------
