@@ -333,6 +333,43 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                             ["curation_suite", "sparse_cosine_pairs"]),
     "X-split-leakage": ("plans.registry:q_leakage_safe_split",
                         ["training_prep_manifest", "leakage_safe_split"]),
+    "X-lakehouse-optimize": ("sources.lakehouse:optimize_table  # OPTIMIZE "
+                             "compaction: latest snapshot rewritten "
+                             "self-contained, one file per bucket; "
+                             "read-back hash-exact vs the raw era fold",
+                             ["lakehouse_read_after_vacuum"]),
+    "X-lakehouse-vacuum": ("sources.lakehouse:vacuum_table  # retention "
+                           "delete of unreferenced bucket dirs; the dir "
+                           "accounting is derived from first principles "
+                           "in the oracle SQL",
+                           ["lakehouse_optimize_vacuum",
+                            "lakehouse_read_after_vacuum"]),
+    "X-lakehouse-ivm": ("sources.lakehouse:upsert_combine  # incremental "
+                        "materialized-view maintenance: delta partial "
+                        "aggregates folded into bucket-pruned stored "
+                        "state; hash-exact vs the full recompute",
+                        ["lakehouse_incremental_mv"]),
+    "X-stream-lakehouse-sink": ("streaming.lakehouse_sink:"
+                                "stream_cdc_into_table  # foreachBatch "
+                                "CDC MERGE, one version per micro-batch; "
+                                "final table hash-exact vs the global "
+                                "latest-per-key fold",
+                                ["streaming_lakehouse_sink"]),
+    "X-join-salted": ("operators.relational:salted_join  # manual skew "
+                      "spread (x8 salts) for hot keys AQE cannot split; "
+                      "hash-exact vs the plain join",
+                      ["skewed_join_salted"]),
+    "X-bpe-training": ("ml.bpe:bpe_train  # distributed BPE merge-table "
+                       "training (Sennrich 2016): word-dict collapse + "
+                       "per-step pair-count argmax + codegen greedy "
+                       "fold; dual-algorithm DuckDB oracle, hash-exact",
+                       ["bpe_merge_training"]),
+    "X-bpe-encoding": ("plans.registry:q_bpe_encode_documents  # corpus "
+                       "tokenization with the trained vocab: per-doc "
+                       "word counts join the merged symbol dict (one "
+                       "word-key shuffle, text never re-scanned per "
+                       "merge); fertility ratio output; hash-exact",
+                       ["bpe_encode_documents"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -92,11 +92,14 @@ def _greedy_merge_expr(lhs: str, rhs: str) -> str:
     """
 
 
-def bpe_train(
+def bpe_train_full(
     spark: SparkSession, words: DataFrame, n_merges: int
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Run ``n_merges`` BPE merge steps over a (word, freq) dict;
-    return the merge table (step, lhs, rhs, pair_count, merged).
+    return ``(merge_table, final_dict)`` — the merge table
+    (step, lhs, rhs, pair_count, merged) plus the fully-merged symbol
+    dictionary (word, s, freq), i.e. the tokenizer state the encode
+    path applies to a corpus.
 
     Each step is one distributed scan of the dict (the pair-count
     argmax forces a pass anyway, since the winning pair feeds the next
@@ -106,6 +109,7 @@ def bpe_train(
     driver — one argmax row per step."""
     base = (
         words.select(
+            "word",
             F.concat(
                 F.concat_ws(" ", F.split(F.col("word"), "")),
                 F.lit(" " + END_MARK),
@@ -132,9 +136,17 @@ def bpe_train(
         lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
         merges.append((step, lhs, rhs, cnt, lhs + rhs))
         base = base.select(
-            F.expr(_greedy_merge_expr(lhs, rhs)).alias("s"), "freq"
+            "word", F.expr(_greedy_merge_expr(lhs, rhs)).alias("s"), "freq"
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    merge_df = spark.createDataFrame(
         merges,
         "step int, lhs string, rhs string, pair_count long, merged string",
     )
+    return merge_df, base
+
+
+def bpe_train(
+    spark: SparkSession, words: DataFrame, n_merges: int
+) -> DataFrame:
+    """The merge table alone (see :func:`bpe_train_full`)."""
+    return bpe_train_full(spark, words, n_merges)[0]
