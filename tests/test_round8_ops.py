@@ -363,3 +363,25 @@ def test_bpe_oracle_gaps_and_islands_matches_greedy():
         (2, "aa", "</w>", 1, "aa</w>"),
         (3, "aa", "aa</w>", 1, "aaaa</w>"),
     ]
+
+
+def test_table_changes_tags_insert_update_delete(spark, table):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        table_changes,
+    )
+
+    cdc = _cdc(
+        spark,
+        [(0, "upd", -1.0, False),     # update
+         (19, "x", 0.0, True),        # delete
+         (99, "new", 9.0, False)],    # insert
+    )
+    merge_table(spark, table, cdc, "user_id", "__delete")
+    got = {
+        r["user_id"]: (r["change_op"], r["before"], r["after"])
+        for r in table_changes(spark, table, 1, 2, "user_id").collect()
+    }
+    assert set(got) == {0, 19, 99}  # unchanged keys never leak in
+    assert got[0][0] == "update" and got[0][2]["val"] == -1.0
+    assert got[19][0] == "delete" and got[19][2] is None
+    assert got[99][0] == "insert" and got[99][1] is None

@@ -370,6 +370,12 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                        "word-key shuffle, text never re-scanned per "
                        "merge); fertility ratio output; hash-exact",
                        ["bpe_encode_documents"]),
+    "X-lakehouse-cdf": ("sources.lakehouse:table_changes  # change data "
+                        "feed: version-diff relation tagged insert/"
+                        "update/delete with before/after payloads, one "
+                        "co-located key exchange; hash-exact vs the "
+                        "era-fold diff",
+                        ["lakehouse_change_feed"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -133,6 +133,16 @@ _QUERIES = [
     "lakehouse_manifest_pruning",
     "pq_encode_codes",
     "pq_ann_recall",
+    # round-8 session 2: table lifecycle (OPTIMIZE/VACUUM read +
+    # accounting), incremental MV refresh, streaming CDC sink, manual
+    # skew salting, BPE train + encode
+    "lakehouse_read_after_vacuum",
+    "lakehouse_optimize_vacuum",
+    "lakehouse_incremental_mv",
+    "streaming_lakehouse_sink",
+    "skewed_join_salted",
+    "bpe_merge_training",
+    "bpe_encode_documents",
 ]
 
 

@@ -9315,6 +9315,50 @@ def q_lakehouse_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_history(spark, tdir)
 
 
+@_register(
+    "lakehouse_change_feed",
+    _LAKEHOUSE_SQL_PREFIX + """
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           CASE WHEN a.user_id IS NULL THEN 'insert'
+                WHEN b.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_op,
+           a.last_event_type AS before_event_type,
+           ROUND(a.last_value, 2) + 0 AS before_value,
+           b.last_event_type AS after_event_type,
+           ROUND(b.last_value, 2) + 0 AS after_value
+    FROM v1 a FULL OUTER JOIN v3 b ON a.user_id = b.user_id
+    WHERE a.user_id IS NULL OR b.user_id IS NULL
+       OR a.last_event_type <> b.last_event_type
+       OR a.last_value <> b.last_value
+    """,
+    "§2.11 lakehouse ops (change data feed / version diff)",
+    "How downstream incrementals consume a lakehouse table: the "
+    "CHANGES between two committed versions as a relation — one row "
+    "per key whose state differs, tagged insert/update/delete with "
+    "before/after payloads. Reconstructed as a full-outer key join of "
+    "the two immutable snapshots (both sides share the same bucket "
+    "layout, so the join is one co-located key exchange; per-commit "
+    "CDC batches are the free fast path this diff reconstructs when "
+    "those batches have been vacuumed). The oracle recomputes the "
+    "v1-vs-v3 era-fold diff relationally — a key wrongly tagged, a "
+    "missed delete, or an unchanged key leaking into the feed breaks "
+    "the hash.",
+)
+def q_lakehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.lakehouse import table_changes
+
+    tdir = _lakehouse_table_dir(spark, sf_dir)
+    ch = table_changes(spark, tdir, 1, 3, "user_id")
+    return ch.select(
+        "user_id",
+        "change_op",
+        F.col("before.last_event_type").alias("before_event_type"),
+        (F.round("before.last_value", 2) + F.lit(0.0)).alias("before_value"),
+        F.col("after.last_event_type").alias("after_event_type"),
+        (F.round("after.last_value", 2) + F.lit(0.0)).alias("after_value"),
+    )
+
+
 def _lakehouse_ov_table_dir(spark: SparkSession, sf_dir: str) -> str:
     """A private copy of the 3-version table taken through the full
     maintenance lifecycle: OPTIMIZE (v4 — compact, self-contained
@@ -9980,11 +10024,12 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # anchors — all in _DRIVER_VERIFIED_R7, so cumulative coverage is
     # untouched — ceded their slots to the 6 NEW round-8 operators
     # below) ------------------------------------------------------------
-    "clean_documents", "nquads_provenance", "classifier_battery",
+    "nquads_provenance", "classifier_battery",
     # --- NEW round-8 operators (never driver-hashed) ------------------
     "lakehouse_read_after_vacuum", "lakehouse_optimize_vacuum",
     "lakehouse_incremental_mv", "streaming_lakehouse_sink",
     "skewed_join_salted", "bpe_merge_training", "bpe_encode_documents",
+    "lakehouse_change_feed",
     # --- 40 never-driver-hashed rotations (round 8) -------------------
     # lakehouse table (NEW r8) + r7 feature ops the r7 window missed
     "lakehouse_merge_roundtrip", "lakehouse_time_travel",
@@ -10086,7 +10131,7 @@ _COST_HINT: dict[str, float] = {
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint
     # ordered just after it on purpose)
-    "bpe_encode_documents": 11.5,
+    "bpe_encode_documents": 11.5, "lakehouse_change_feed": 0.8,
     "ewma_user_value": 0.4, "streaming_ewma_parity": 3.0,
     "streaming_first_event_per_user_type": 1.7, "topic_coherence_cv": 3.3,
     "document_packing": 0.3, "dataset_split_manifest": 0.2,

@@ -359,6 +359,51 @@ def read_table(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    key_col: str,
+) -> DataFrame:
+    """Change data feed between two committed versions: one row per key
+    whose state differs, tagged ``insert`` / ``update`` / ``delete``,
+    carrying the before/after payload structs.
+
+    Reconstructed as a full-outer key join of the two immutable
+    snapshots — both sides are bucket-partitioned on the SAME key
+    layout, so the join shuffles nothing at rest on a cluster that
+    reports the bucketing (and is one key exchange here). A production
+    table additionally gets per-commit change batches for free — every
+    MERGE's CDC input IS that commit's change feed; the snapshot diff
+    is the reconstruction path for version ranges whose batches have
+    been vacuumed."""
+    older = read_table(spark, table_dir, version=v_from)
+    newer = read_table(spark, table_dir, version=v_to)
+    payload = [c for c in older.columns if c != key_col]
+    o = older.select(
+        key_col, F.struct(*payload).alias("before"), F.lit(1).alias("__o")
+    )
+    n = newer.select(
+        key_col, F.struct(*payload).alias("after"), F.lit(1).alias("__n")
+    )
+    j = o.join(n, key_col, "full")
+    return (
+        j.withColumn(
+            "change_op",
+            F.when(F.col("__o").isNull(), F.lit("insert"))
+            .when(F.col("__n").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update")),
+        )
+        .filter(
+            F.col("__o").isNull()
+            | F.col("__n").isNull()
+            | (F.col("before") != F.col("after"))
+        )
+        .select(key_col, "change_op", "before", "after")
+    )
+
+
 def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per committed version (driver-side
     O(versions) manifest reads — manifests are KB-sized)."""
