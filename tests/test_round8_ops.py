@@ -385,3 +385,57 @@ def test_table_changes_tags_insert_update_delete(spark, table):
     assert got[0][0] == "update" and got[0][2]["val"] == -1.0
     assert got[19][0] == "delete" and got[19][2] is None
     assert got[99][0] == "insert" and got[99][1] is None
+
+
+def test_zorder_zone_maps_prune_files_on_both_dims(spark, tmp_path):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        create_zordered_table,
+        read_zordered,
+    )
+
+    tdir = str(tmp_path / "z")
+    # a 64x64 grid: clustering must let a small rectangle touch only
+    # a few of the 16 files, on either dimension alone or both
+    df = spark.createDataFrame(
+        [(x, float(y), x * 64 + y) for x in range(64) for y in range(64)],
+        "a long, b double, payload long",
+    )
+    create_zordered_table(df, tdir, ("a", "b"))
+    full = read_zordered(spark, tdir)
+    assert full.count() == 64 * 64
+    n_all = len(full.inputFiles())
+    assert n_all > 1
+    for ranges in (
+        {"a": (0, 7), "b": (0.0, 7.0)},     # both dims
+        {"a": (0, 7)},                      # leading dim alone
+        {"b": (0.0, 7.0)},                  # NON-leading dim alone —
+                                            # impossible for a plain sort
+    ):
+        pruned = read_zordered(spark, tdir, ranges=ranges)
+        assert 0 < len(pruned.inputFiles()) < n_all, ranges
+        # pruning is an optimization, never a semantics change
+        cond = None
+        for c, (lo, hi) in ranges.items():
+            e = F.col(c).between(lo, hi)
+            cond = e if cond is None else (cond & e)
+        assert (
+            sorted(r["payload"] for r in pruned.filter(cond).collect())
+            == sorted(r["payload"] for r in full.filter(cond).collect())
+        )
+
+
+def test_zorder_constant_column_degenerates_safely(spark, tmp_path):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        create_zordered_table,
+        read_zordered,
+    )
+
+    tdir = str(tmp_path / "zc")
+    df = spark.createDataFrame(
+        [(1, float(y)) for y in range(32)], "a long, b double"
+    )
+    create_zordered_table(df, tdir, ("a", "b"))  # a is constant
+    got = read_zordered(spark, tdir, ranges={"a": (1, 1), "b": (0.0, 3.0)})
+    assert got.filter(F.col("b") <= 3.0).count() == 4
+    # a range missing the constant prunes everything
+    assert read_zordered(spark, tdir, ranges={"a": (5, 9)}).count() == 0

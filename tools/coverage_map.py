@@ -376,6 +376,13 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                         "co-located key exchange; hash-exact vs the "
                         "era-fold diff",
                         ["lakehouse_change_feed"]),
+    "X-lakehouse-zorder": ("sources.lakehouse:create_zordered_table  # "
+                           "OPTIMIZE ZORDER BY: Morton-interleaved "
+                           "clustering + per-file two-column zone maps; "
+                           "range queries prune files on either dim "
+                           "before the scan plans; hash-exact vs the "
+                           "raw-table aggregate",
+                           ["zorder_zone_map_pruning"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

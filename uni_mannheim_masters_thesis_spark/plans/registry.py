@@ -9879,6 +9879,97 @@ def q_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events Z-ORDER-clustered on (user_id, value) with file-level
+    zone maps (built once per process per dataset)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.lakehouse import create_zordered_table
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    try:
+        mtime = int(os.path.getmtime(ev_path))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}:z".encode()
+    ).hexdigest()[:10]
+    tdir = os.path.join(tempfile.gettempdir(), f"umt_zorder_{key}")
+    marker = os.path.join(tdir, "_UMT_Z_DONE")
+    if os.path.exists(marker):
+        return tdir
+    shutil.rmtree(tdir, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    create_zordered_table(ev, tdir, ("user_id", "value"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return tdir
+
+
+_Z_USER_RANGE = (10, 25)
+_Z_VALUE_RANGE = (20.0, 80.0)
+
+
+@_register(
+    "zorder_zone_map_pruning",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_value
+    FROM events
+    WHERE user_id BETWEEN {_Z_USER_RANGE[0]} AND {_Z_USER_RANGE[1]}
+      AND value BETWEEN {_Z_VALUE_RANGE[0]} AND {_Z_VALUE_RANGE[1]}
+    GROUP BY event_type
+    """,
+    "§2.11 lakehouse ops (Z-order clustering + file-level zone maps)",
+    "OPTIMIZE ZORDER BY, from Spark-shipped parts: the events table "
+    "rewritten clustered on a Morton interleave of (user_id, value) "
+    "— range-partitioned and sorted on the code, so each output file "
+    "covers a tight rectangle in the two-column space — with per-FILE "
+    "min/max zone maps of BOTH raw columns in the manifest. A "
+    "two-sided range query then prunes at file granularity before "
+    "the scan is planned (read_zordered; a single-column sort can "
+    "only skip on its leading column — the Morton interleave is what "
+    "buys simultaneous skipping on both). The exact predicate still "
+    "applies to the surviving files, and the oracle computes the "
+    "same aggregate over the raw table — over-pruning (zone map too "
+    "tight, quantization bug, lost file) surfaces as missing rows "
+    "and breaks the hash. Plan-tested: the pruned read scans fewer "
+    "files than the full table. At 100 TB this is the layout that "
+    "turns selective two-column analytics from full-scan into "
+    "touched-rectangles.",
+)
+def q_zorder_zone_map_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.lakehouse import read_zordered
+
+    tdir = _zorder_table_dir(spark, sf_dir)
+    lo_u, hi_u = _Z_USER_RANGE
+    lo_v, hi_v = _Z_VALUE_RANGE
+    pruned = read_zordered(
+        spark, tdir,
+        ranges={"user_id": (lo_u, hi_u), "value": (lo_v, hi_v)},
+    )
+    return (
+        pruned.filter(
+            F.col("user_id").between(lo_u, hi_u)
+            & F.col("value").between(lo_v, hi_v)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(_dec("value")).alias("total_value"),
+        )
+    )
+
+
 # -------------------------------------------------------------------------
 # Skew-safe join (operators/relational.py:salted_join surfaced)
 # -------------------------------------------------------------------------
@@ -10024,12 +10115,12 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # anchors — all in _DRIVER_VERIFIED_R7, so cumulative coverage is
     # untouched — ceded their slots to the 6 NEW round-8 operators
     # below) ------------------------------------------------------------
-    "nquads_provenance", "classifier_battery",
+    "classifier_battery",
     # --- NEW round-8 operators (never driver-hashed) ------------------
     "lakehouse_read_after_vacuum", "lakehouse_optimize_vacuum",
     "lakehouse_incremental_mv", "streaming_lakehouse_sink",
     "skewed_join_salted", "bpe_merge_training", "bpe_encode_documents",
-    "lakehouse_change_feed",
+    "lakehouse_change_feed", "zorder_zone_map_pruning",
     # --- 40 never-driver-hashed rotations (round 8) -------------------
     # lakehouse table (NEW r8) + r7 feature ops the r7 window missed
     "lakehouse_merge_roundtrip", "lakehouse_time_travel",
@@ -10132,6 +10223,7 @@ _COST_HINT: dict[str, float] = {
     # encode reuses the trained state when training ran first (hint
     # ordered just after it on purpose)
     "bpe_encode_documents": 11.5, "lakehouse_change_feed": 0.8,
+    "zorder_zone_map_pruning": 2.0,
     "ewma_user_value": 0.4, "streaming_ewma_parity": 3.0,
     "streaming_first_event_per_user_type": 1.7, "topic_coherence_cv": 3.3,
     "document_packing": 0.3, "dataset_split_manifest": 0.2,

@@ -359,6 +359,146 @@ def read_table(
     return spark.read.schema(schema).parquet(*paths)
 
 
+Z_BITS = 16  # per-dimension quantization for the Morton code
+Z_FILES = 16  # clustered files per table (a per-partition knob at scale)
+
+
+def _morton_expr(qx: F.Column, qy: F.Column) -> F.Column:
+    """Interleave the low Z_BITS bits of two quantized ranks into one
+    Morton code — locality in EITHER dimension maps to locality on the
+    code, which is what makes one sort order skippable on both
+    columns."""
+    code = F.lit(0).cast("long")
+    for b in range(Z_BITS):
+        code = code.bitwiseOR(
+            F.shiftleft(F.shiftright(qx, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(qy, b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+    return code
+
+
+def create_zordered_table(
+    df: DataFrame,
+    table_dir: str,
+    zcols: tuple[str, str],
+    n_files: int = Z_FILES,
+) -> int:
+    """Materialize ``df`` Z-ORDER-clustered on two numeric columns with
+    file-level zone maps — the OPTIMIZE ZORDER BY layout:
+
+    1. quantize each clustering column to a Z_BITS-bit rank by min/max
+       scaling (two scalar aggregates folded into the plan);
+    2. interleave the bits into a Morton code and range-partition +
+       sort the write on it, so each output file covers a tight
+       z-range — i.e. a small rectangle in (c1, c2) space;
+    3. record per-FILE min/max of BOTH raw columns in the manifest
+       (zone maps — one bounded stats scan of ≤ n_files groups).
+
+    A predicate on EITHER column (or both) then prunes at file
+    granularity before the scan plans (`read_zordered`) — the
+    multi-dimensional skipping a single-column sort cannot give. At
+    100 TB this runs per date-partition with n_files sized to the
+    partition; the zone-map read is KB of manifest, never data."""
+    c1, c2 = zcols
+    os.makedirs(table_dir, exist_ok=True)
+    bounds = df.agg(
+        F.min(c1).alias("lo1"), F.max(c1).alias("hi1"),
+        F.min(c2).alias("lo2"), F.max(c2).alias("hi2"),
+    ).first()
+    scale = (1 << Z_BITS) - 1
+
+    def _q(col: str, lo, hi) -> F.Column:
+        if hi == lo:
+            return F.lit(0).cast("long")
+        return F.least(
+            F.lit(scale).cast("long"),
+            F.floor(
+                (F.col(col).cast("double") - F.lit(float(lo)))
+                / F.lit(float(hi) - float(lo))
+                * scale
+            ).cast("long"),
+        )
+
+    z = _morton_expr(
+        _q(c1, bounds["lo1"], bounds["hi1"]),
+        _q(c2, bounds["lo2"], bounds["hi2"]),
+    )
+    rel = os.path.join("data", "z1")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(os.path.join(table_dir, rel))
+    )
+    # zone maps: per-file min/max of both clustering columns (≤ n_files
+    # result rows — bounded driver data)
+    spark_read = df.sparkSession.read.parquet(
+        os.path.join(table_dir, rel)
+    )
+    stats = (
+        spark_read.withColumn("__f", F.input_file_name())
+        .groupBy("__f")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(c1).alias("min1"), F.max(c1).alias("max1"),
+            F.min(c2).alias("min2"), F.max(c2).alias("max2"),
+        )
+        .collect()
+    )
+    manifest = {
+        "version": 1,
+        "op": "zorder",
+        "zcols": [c1, c2],
+        "schema": df.schema.json(),
+        "n_rows": sum(int(r["n"]) for r in stats),
+        "files": [
+            {
+                "path": os.path.join(rel, os.path.basename(r["__f"])),
+                "n_rows": int(r["n"]),
+                "min": [r["min1"], r["min2"]],
+                "max": [r["max1"], r["max2"]],
+            }
+            for r in sorted(stats, key=lambda r: r["__f"])
+        ],
+    }
+    _atomic_write(
+        os.path.join(table_dir, "zmanifest_v1.json"),
+        json.dumps(manifest, sort_keys=True),
+    )
+    return 1
+
+
+def read_zordered(
+    spark: SparkSession,
+    table_dir: str,
+    ranges: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Read the clustered table, pruning to the files whose zone maps
+    intersect every supplied ``col -> (lo, hi)`` range. Pruning is an
+    optimization only — callers still apply the exact predicate; any
+    over-pruning shows up as missing rows against the oracle."""
+    with open(os.path.join(table_dir, "zmanifest_v1.json")) as f:
+        manifest = json.load(f)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    zcols = manifest["zcols"]
+    files = manifest["files"]
+    if ranges:
+        for col, (lo, hi) in ranges.items():
+            i = zcols.index(col)
+            files = [
+                e for e in files
+                if not (e["max"][i] < lo or e["min"][i] > hi)
+            ]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(table_dir, e["path"]) for e in files]
+    )
+
+
 def table_changes(
     spark: SparkSession,
     table_dir: str,
