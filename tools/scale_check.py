@@ -143,6 +143,8 @@ _QUERIES = [
     "skewed_join_salted",
     "bpe_merge_training",
     "bpe_encode_documents",
+    "lakehouse_change_feed",
+    "zorder_zone_map_pruning",
 ]
 
 
