@@ -10028,10 +10028,15 @@ def q_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 #   1. ``_DRIVER_PRIORITY`` — a 50-query window, rotated each round
 #      since round 7 so the driver's 50-query artifact accumulates
-#      hashes over queries it has never checked: round 8 keeps 10 core
-#      regression anchors and fills 40 slots with never-hashed queries
-#      (the new lakehouse table ops, the r7 EWMA pair, the streaming
-#      twins, feature-engineering and event-analytics components).
+#      hashes over queries it has never checked: round 8 keeps ONE
+#      heavyweight regression anchor (classifier_battery, the 7-model
+#      rows-only suite) and fills 49 slots with never-hashed queries —
+#      the 9 session-2 operators (lakehouse lifecycle/IVM/CDF/Z-order,
+#      streaming sink, salted join, BPE train+encode), the r8 lakehouse
+#      table ops, the r7 EWMA pair, the streaming twins, and the
+#      feature-engineering / event-analytics components. The other
+#      former anchors are all in _DRIVER_VERIFIED_R7, so dropping them
+#      cannot un-cover an operator.
 #      Cumulative driver evidence (_DRIVER_VERIFIED_R1_R6 ∪
 #      _DRIVER_VERIFIED_R7 ∪ this window) still covers every SURVEY §2
 #      + extended operator — tests/test_coverage.py asserts exactly
