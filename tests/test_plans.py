@@ -686,3 +686,13 @@ def test_no_unpartitioned_window_constructors_in_package():
                 ):
                     offenders.append(f"{path}:{node.lineno}")
     assert not offenders, f"unpartitioned Window.orderBy at: {offenders}"
+
+
+def test_skewed_join_salted_plan_spreads_the_key(spark):
+    """The registered skew-safe join must really salt: the compiled
+    plan joins on (user_id, __salt) with the dim exploded, so a hot
+    user_id is spread over n_salts reducer sub-keys instead of one."""
+    df = REGISTRY["skewed_join_salted"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan          # dim side replicated
+    assert "__salt" in plan                    # join key carries the salt

@@ -439,3 +439,11 @@ def test_zorder_constant_column_degenerates_safely(spark, tmp_path):
     assert got.filter(F.col("b") <= 3.0).count() == 4
     # a range missing the constant prunes everything
     assert read_zordered(spark, tdir, ranges={"a": (5, 9)}).count() == 0
+
+
+def test_read_table_buckets_arg_prunes_scan(spark, table):
+    full = read_table(spark, table)
+    b3 = read_table(spark, table, buckets=[3])
+    assert 0 < len(b3.inputFiles()) < len(full.inputFiles())
+    # bucket 3 holds exactly keys {3, 19, 35} of 0..39
+    assert {r["user_id"] for r in b3.collect()} == {3, 19, 35}
