@@ -447,3 +447,85 @@ def test_read_table_buckets_arg_prunes_scan(spark, table):
     assert 0 < len(b3.inputFiles()) < len(full.inputFiles())
     # bucket 3 holds exactly keys {3, 19, 35} of 0..39
     assert {r["user_id"] for r in b3.collect()} == {3, 19, 35}
+
+
+# -- schema evolution + restore (session-3) -------------------------------
+
+def test_add_column_is_metadata_only(spark, table):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        add_column,
+    )
+
+    before = set(os.listdir(os.path.join(table, "data")))
+    v = add_column(table, "tier", "string")
+    assert v == 2 and latest_version(table) == 2
+    # no data directory was written — the commit is a KB manifest
+    assert set(os.listdir(os.path.join(table, "data"))) == before
+    man = json.load(open(os.path.join(table, "manifest_v2.json")))
+    v1 = json.load(open(os.path.join(table, "manifest_v1.json")))
+    assert man["buckets"] == v1["buckets"]  # carried by reference
+    # old files read back null-filled under the widened schema
+    got = read_table(spark, table)
+    assert got.columns == ["user_id", "state", "val", "tier"]
+    assert got.filter(F.col("tier").isNotNull()).count() == 0
+
+
+def test_add_column_rejects_duplicate(table):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        add_column,
+    )
+
+    with pytest.raises(ValueError):
+        add_column(table, "state", "string")
+
+
+def test_merge_after_evolution_populates_only_touched_keys(spark, table):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        add_column,
+    )
+
+    add_column(table, "tier", "string")
+    cdc = spark.createDataFrame(
+        [(3, "upd", 99.0, "gold", False)],
+        "user_id long, state string, val double, tier string, "
+        "__delete boolean",
+    )
+    merge_table(spark, table, cdc, "user_id", "__delete")
+    rows = {r["user_id"]: r["tier"] for r in read_table(spark, table).collect()}
+    assert rows[3] == "gold"
+    assert all(v is None for k, v in rows.items() if k != 3)
+    assert len(rows) == 40
+
+
+def test_restore_is_metadata_only_and_preserves_history(spark, table):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        restore_table,
+    )
+
+    cdc = _cdc(spark, [(3, "upd", 99.0, False), (19, "gone", 0.0, True)])
+    merge_table(spark, table, cdc, "user_id", "__delete")  # v2
+    before = set(os.listdir(os.path.join(table, "data")))
+    v = restore_table(table, 1)  # v3 rolls back to v1
+    assert v == 3 and latest_version(table) == 3
+    assert set(os.listdir(os.path.join(table, "data"))) == before
+    man3 = json.load(open(os.path.join(table, "manifest_v3.json")))
+    man1 = json.load(open(os.path.join(table, "manifest_v1.json")))
+    assert man3["buckets"] == man1["buckets"] and man3["parent"] == 2
+    # latest content == v1; the rolled-back v2 stays readable
+    got = {r["user_id"]: r["val"] for r in read_table(spark, table).collect()}
+    assert got == {i: float(i) for i in range(40)}
+    v2 = {r["user_id"]: r["val"] for r in
+          read_table(spark, table, version=2).collect()}
+    assert v2[3] == 99.0 and 19 not in v2
+    ops = [r["op"] for r in table_history(spark, table).collect()]
+    assert ops == ["create", "merge", "restore"]
+
+
+def test_restore_resets_schema_after_evolution(spark, table):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        add_column, restore_table,
+    )
+
+    add_column(table, "tier", "string")  # v2 widens
+    restore_table(table, 1)              # v3 rolls back pre-evolution
+    assert read_table(spark, table).columns == ["user_id", "state", "val"]

@@ -9483,6 +9483,139 @@ def q_lakehouse_optimize_vacuum(
     )
 
 
+def _lakehouse_evo_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A private copy of the 3-version table taken through schema
+    evolution + rollback: v4 = ALTER TABLE ADD COLUMN value_tier
+    (metadata-only), v5 = MERGE populating the new column for the
+    user_id % 4 == 0 keys, v6 = RESTORE to version 2 (metadata-only
+    rollback; v5 stays time-travel readable). Copied so the shared
+    cached table the other lakehouse queries read is never mutated."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.lakehouse import add_column, merge_table, read_table, \
+        restore_table
+
+    base = _lakehouse_table_dir(spark, sf_dir)
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    try:
+        mtime = int(os.path.getmtime(ev_path))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}:evo".encode()
+    ).hexdigest()[:10]
+    tdir = os.path.join(tempfile.gettempdir(), f"umt_lakehouse_evo_{key}")
+    marker = os.path.join(tdir, "_UMT_EVO_DONE")
+    if os.path.exists(marker):
+        return tdir
+    shutil.rmtree(tdir, ignore_errors=True)
+    shutil.copytree(base, tdir)
+    os.remove(os.path.join(tdir, "_UMT_BUILD_DONE"))
+    add_column(tdir, "value_tier", "string")  # v4: KB manifest, no data IO
+    cdc = (
+        read_table(spark, tdir)  # v4 read: value_tier null-filled
+        .filter((F.col("user_id") % 4) == 0)
+        .withColumn(
+            "value_tier",
+            F.when(F.col("last_value") >= 50.0, F.lit("high"))
+            .otherwise(F.lit("low")),
+        )
+        .withColumn("__delete", F.lit(False))
+    )
+    merge_table(spark, tdir, cdc, "user_id", "__delete")  # v5
+    restore_table(tdir, 2)  # v6: re-references v2's buckets + schema
+    with open(marker, "w") as f:
+        f.write("ok")
+    return tdir
+
+
+@_register(
+    "lakehouse_schema_evolution",
+    _LAKEHOUSE_SQL_PREFIX + """
+    SELECT user_id, last_event_type,
+           ROUND(last_value, 2) + 0 AS last_value,
+           CASE WHEN user_id % 4 = 0 THEN
+                CASE WHEN last_value >= 50.0 THEN 'high' ELSE 'low' END
+           END AS value_tier
+    FROM v3
+    """,
+    "§2.11 lakehouse ops (metadata-only schema evolution)",
+    "ALTER TABLE ADD COLUMN on the copy-on-write table: the evolution "
+    "commit is METADATA-ONLY (a plan test asserts zero new data "
+    "directories) — the widened schema lives in the manifest and the "
+    "parquet reader null-fills the column for every file written "
+    "before it; a follow-up MERGE then populates the column for the "
+    "quarter of keys it touches, rewriting only their buckets. This "
+    "query reads the post-merge version back off disk; the oracle "
+    "derives the same relation from the raw era fold (tier for the "
+    "merged keys, NULL for untouched rows), so a wrong null-fill, a "
+    "schema applied to the wrong files, or a merge that rewrote more "
+    "than its buckets all break the hash. At 100 TB this is why "
+    "column adds cost a KB manifest write instead of a table rewrite.",
+)
+def q_lakehouse_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.lakehouse import read_table
+
+    tdir = _lakehouse_evo_table_dir(spark, sf_dir)
+    return read_table(spark, tdir, version=5).select(
+        "user_id",
+        "last_event_type",
+        (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
+        "value_tier",
+    )
+
+
+@_register(
+    "lakehouse_restore",
+    _LAKEHOUSE_SQL_PREFIX + """
+    SELECT 5 AS version, 'merge' AS op, user_id, last_event_type,
+           ROUND(last_value, 2) + 0 AS last_value
+    FROM v3
+    UNION ALL
+    SELECT 6, 'restore', user_id, last_event_type,
+           ROUND(last_value, 2) + 0
+    FROM v2
+    """,
+    "§2.11 lakehouse ops (RESTORE / rollback as a new commit)",
+    "RESTORE TABLE ... VERSION AS OF 2 on the evolved table: the "
+    "rollback is a NEW metadata-only commit (v6) that re-references "
+    "version 2's buckets AND its pre-evolution schema — nothing is "
+    "deleted, so the bad history (v5, the post-evolution merge) stays "
+    "time-travel readable for audit. The query stacks the "
+    "still-readable v5 beside the restored latest; the oracle "
+    "recomputes both states from the raw era fold, so a restore that "
+    "copied data instead of references, resurrected the dropped "
+    "column, or clobbered intermediate history breaks the hash. This "
+    "is the Delta RESTORE contract: bad-deploy rollback in O(KB) on "
+    "a table of any size.",
+)
+def q_lakehouse_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.lakehouse import latest_version, read_table
+
+    tdir = _lakehouse_evo_table_dir(spark, sf_dir)
+    latest = latest_version(tdir)  # 6 — pinned by the oracle's literal
+    v5 = read_table(spark, tdir, version=5).select(
+        F.lit(5).cast("int").alias("version"),
+        F.lit("merge").alias("op"),
+        "user_id",
+        "last_event_type",
+        (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
+    )
+    restored = read_table(spark, tdir, version=latest).select(
+        F.lit(latest).cast("int").alias("version"),
+        F.lit("restore").alias("op"),
+        "user_id",
+        "last_event_type",
+        (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
+    )
+    return v5.unionByName(restored)
+
+
 def _lakehouse_mv_table_dir(spark: SparkSession, sf_dir: str) -> str:
     """Incrementally-maintained aggregate table: per-user (n_events,
     exact-decimal value sum) built as CREATE from era 0 then TWO

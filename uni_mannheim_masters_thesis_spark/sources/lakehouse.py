@@ -257,6 +257,45 @@ def upsert_combine(
     return merge_table(spark, table_dir, combined, key_col, "__delete")
 
 
+def add_column(table_dir: str, col_name: str, col_type: str) -> int:
+    """ALTER TABLE ADD COLUMN as a METADATA-ONLY commit — the Delta
+    schema-evolution shape: no data file is touched or rewritten. The
+    new manifest carries every bucket of the parent version by
+    reference and a WIDENED schema; ``read_table`` supplies that schema
+    to the parquet reader, which null-fills the column for files
+    written before the evolution. Subsequent MERGEs may then populate
+    the column for the keys they touch. At 100 TB this is the entire
+    value proposition: adding a column to a petabyte table costs one
+    KB manifest write, not a table rewrite."""
+    parent = latest_version(table_dir)
+    manifest = _load_manifest(table_dir, parent)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if col_name in schema.fieldNames():
+        raise ValueError(f"column {col_name!r} already exists")
+    widened = schema.add(col_name, col_type, True)
+    return _commit(
+        table_dir, parent + 1, "add_column", parent,
+        manifest["buckets"], widened,
+    )
+
+
+def restore_table(table_dir: str, to_version: int) -> int:
+    """RESTORE TABLE ... VERSION AS OF: roll the table back to an
+    earlier committed state as a NEW commit (metadata-only — the new
+    manifest re-references the target version's buckets and schema).
+    History is preserved: every intermediate version stays time-travel
+    readable, and the rollback itself appears in DESCRIBE HISTORY with
+    its parent pointer — the Delta RESTORE contract, not a destructive
+    reset."""
+    parent = latest_version(table_dir)
+    target = _load_manifest(table_dir, to_version)
+    return _commit(
+        table_dir, parent + 1, "restore", parent,
+        target["buckets"],
+        StructType.fromJson(json.loads(target["schema"])),
+    )
+
+
 def optimize_table(spark: SparkSession, table_dir: str, key_col: str) -> int:
     """OPTIMIZE (compaction): rewrite the latest snapshot fully into one
     new self-contained version — every bucket lands under the new
