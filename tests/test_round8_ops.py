@@ -529,3 +529,75 @@ def test_restore_resets_schema_after_evolution(spark, table):
     add_column(table, "tier", "string")  # v2 widens
     restore_table(table, 1)              # v3 rolls back pre-evolution
     assert read_table(spark, table).columns == ["user_id", "state", "val"]
+
+
+# -- data-quality expectations (session-3) ---------------------------------
+
+def test_expectations_flag_known_violations(spark):
+    from uni_mannheim_masters_thesis_spark.operators.expectations import (
+        completeness, compliance, run_checks, uniqueness,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (2, "c", 3.0), (4, "d", 0.5)],
+        "id long, name string, score double",
+    )
+    out = {
+        r["constraint_name"]: (r["metric"], r["passed"])
+        for r in run_checks(
+            df,
+            [
+                completeness("name_complete", "name"),
+                uniqueness("id_unique", "id"),
+                compliance("score_positive", F.col("score") > 0),
+                compliance("score_mostly_positive", F.col("score") > 0,
+                           threshold=0.7),
+            ],
+        ).collect()
+    }
+    assert out["name_complete"] == (0.75, False)
+    assert out["id_unique"] == (0.75, False)      # 3 distinct / 4 rows
+    assert out["score_positive"] == (0.75, False)
+    assert out["score_mostly_positive"] == (0.75, True)
+
+
+def test_expectations_null_predicate_counts_noncompliant(spark):
+    from uni_mannheim_masters_thesis_spark.operators.expectations import (
+        compliance, run_checks,
+    )
+
+    df = spark.createDataFrame([(1.0,), (None,)], "v double")
+    (r,) = run_checks(df, [compliance("v_pos", F.col("v") > 0)]).collect()
+    assert r["metric"] == 0.5 and not r["passed"]
+
+
+def test_referential_integrity_detects_orphans(spark):
+    from uni_mannheim_masters_thesis_spark.operators.expectations import (
+        referential_integrity,
+    )
+
+    fact = spark.createDataFrame([(1,), (2,), (9,), (9,)], "fk long")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    (r,) = referential_integrity(fact, dim, "fk", "pk", "ri").collect()
+    assert r["metric"] == 0.5 and not r["passed"]
+    # plan must broadcast the dim side (no key exchange of the fact)
+    plan = referential_integrity(
+        fact, dim, "fk", "pk", "ri"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_expectations_suite_is_single_pass(spark):
+    from uni_mannheim_masters_thesis_spark.operators.expectations import (
+        completeness, compliance, run_checks,
+    )
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)],
+                               "id long, v double")
+    out = run_checks(df, [completeness("c", "v"),
+                          compliance("p", F.col("v") >= 0)])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no count-distinct in this suite -> one partial+final aggregate
+    # pair over ONE scan; the explode of the metric array sits above it
+    assert plan.count("Scan ExistingRDD") == 1
+    assert "Generate explode" in plan

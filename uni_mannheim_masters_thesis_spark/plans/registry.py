@@ -10150,6 +10150,113 @@ def q_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------------------
+# Data-quality expectations (operators/expectations.py surfaced)
+# -------------------------------------------------------------------------
+
+
+@_register(
+    "data_quality_expectations",
+    """
+    WITH m AS (
+        SELECT 'completeness_o_custkey' AS constraint_name,
+               CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*) AS metric,
+               CAST(1.0 AS DOUBLE) AS threshold FROM orders
+        UNION ALL
+        SELECT 'completeness_o_orderdate',
+               CAST(COUNT(o_orderdate) AS DOUBLE) / COUNT(*),
+               CAST(1.0 AS DOUBLE) FROM orders
+        UNION ALL
+        SELECT 'uniqueness_o_orderkey',
+               CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*),
+               CAST(1.0 AS DOUBLE) FROM orders
+        UNION ALL
+        SELECT 'compliance_totalprice_positive',
+               CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*),
+               CAST(1.0 AS DOUBLE) FROM orders
+        UNION ALL
+        SELECT 'membership_orderstatus',
+               CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1
+                             ELSE 0 END) AS DOUBLE) / COUNT(*),
+               CAST(1.0 AS DOUBLE) FROM orders
+        UNION ALL
+        SELECT 'compliance_priority_format',
+               CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+               CAST(1.0 AS DOUBLE) FROM orders
+        UNION ALL
+        SELECT 'distribution_status_F_share',
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*),
+               CAST(0.25 AS DOUBLE) FROM orders
+        UNION ALL
+        SELECT 'ref_integrity_o_custkey',
+               CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*),
+               CAST(1.0 AS DOUBLE)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT constraint_name, metric, threshold,
+           metric >= threshold AS passed
+    FROM m
+    """,
+    "§2.11 data-quality expectations (declarative constraint suite)",
+    "The Deequ/Great-Expectations admission gate a 100 TB ingest runs "
+    "before data enters the lake: a SUITE of declared constraints "
+    "(completeness, key uniqueness, value compliance, set membership, "
+    "format regex, distribution floor) validated in ONE aggregation "
+    "pass — every metric is a commutative partial aggregate, so the "
+    "whole suite costs a single map-side-combined exchange of one row "
+    "regardless of table size or suite length "
+    "(operators/expectations.py). Referential integrity (every "
+    "o_custkey resolves in customer) is the one join-shaped check: a "
+    "broadcast left join folded to the same one-row fraction. Metrics "
+    "are CAST(exact-int AS DOUBLE)/COUNT(*) — one IEEE division, "
+    "bit-identical distributed vs sequential, so the suite hashes "
+    "against the oracle with NO rounding rescue; the pass/fail flags "
+    "ride the same hash.",
+)
+def q_data_quality_expectations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.expectations import (
+        completeness,
+        compliance,
+        referential_integrity,
+        run_checks,
+        uniqueness,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    suite = [
+        completeness("completeness_o_custkey", "o_custkey"),
+        completeness("completeness_o_orderdate", "o_orderdate"),
+        uniqueness("uniqueness_o_orderkey", "o_orderkey"),
+        compliance(
+            "compliance_totalprice_positive", F.col("o_totalprice") > 0
+        ),
+        compliance(
+            "membership_orderstatus",
+            F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        compliance(
+            "compliance_priority_format",
+            F.col("o_orderpriority").rlike("^[1-5]-"),
+        ),
+        compliance(
+            "distribution_status_F_share",
+            F.col("o_orderstatus") == "F",
+            threshold=0.25,
+        ),
+    ]
+    ref = referential_integrity(
+        o, _t(spark, sf_dir, "customer"), "o_custkey", "c_custkey",
+        "ref_integrity_o_custkey",
+    )
+    return run_checks(o, suite).unionByName(ref)
+
+
 # =========================================================================
 # Driver-check ordering
 # =========================================================================
