@@ -601,3 +601,48 @@ def test_expectations_suite_is_single_pass(spark):
     # pair over ONE scan; the explode of the metric array sits above it
     assert plan.count("Scan ExistingRDD") == 1
     assert "Generate explode" in plan
+
+
+# -- bloom filter semi-join (session-3) -------------------------------------
+
+def test_bloom_has_no_false_negatives(spark):
+    from uni_mannheim_masters_thesis_spark.operators.sketches import (
+        bloom_build, bloom_might_contain,
+    )
+
+    build = spark.range(0, 500).withColumnRenamed("id", "k")
+    words = bloom_build(build, "k")
+    # every build key must probe true — a false negative is corruption
+    assert build.filter(bloom_might_contain(F.col("k"), words)).count() == 500
+
+
+def test_bloom_prunes_disjoint_probe_keys(spark):
+    from uni_mannheim_masters_thesis_spark.operators.sketches import (
+        BLOOM_WORDS, bloom_build, bloom_might_contain,
+    )
+
+    build = spark.range(0, 200).withColumnRenamed("id", "k")
+    words = bloom_build(build, "k")
+    assert len(words) == BLOOM_WORDS
+    probe = spark.range(10_000, 20_000).withColumnRenamed("id", "k")
+    fp = probe.filter(bloom_might_contain(F.col("k"), words)).count()
+    # k=5, m=65536, n=200 -> FPR ~ (1-e^(-5*200/65536))^5 ~ 1e-9;
+    # allow generous slack for hash clustering
+    assert fp < 50
+
+
+def test_bloom_probe_is_a_plan_local_filter(spark):
+    from uni_mannheim_masters_thesis_spark.operators.sketches import (
+        bloom_build, bloom_might_contain,
+    )
+
+    build = spark.range(0, 10).withColumnRenamed("id", "k")
+    words = bloom_build(build, "k")
+    probe = spark.range(0, 100).withColumnRenamed("id", "k")
+    plan = (
+        probe.filter(bloom_might_contain(F.col("k"), words))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # a pure row-local predicate: Filter over the scan, no join/exchange
+    assert "Filter" in plan
+    assert "Exchange" not in plan and "Join" not in plan

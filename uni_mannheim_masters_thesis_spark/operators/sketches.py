@@ -69,3 +69,73 @@ def cms_estimates(
         .groupBy(key)
         .agg(F.min("c").alias("est"))
     )
+
+
+# -- Bloom filter (semi-join pruning) ---------------------------------------
+
+BLOOM_BITS = 1 << 16   # m: filter size in bits — 8 KB, cardinality-free
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 5            # probes per key
+
+
+def _bloom_positions(col: Column, k: int, m: int) -> list[Column]:
+    """k independent bit positions for one key — seeded xxhash64 mod m
+    (the same seeding discipline as ``cms_buckets``)."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key: str, k: int = BLOOM_K, m: int = BLOOM_BITS
+) -> list[int]:
+    """Build the filter DISTRIBUTED: every key maps to k bit positions,
+    positions fold to packed 64-bit words via a bit_or aggregate (a
+    commutative monoid — map-side combined, any partitioning), and only
+    the ≤ m/64 word rows reach the driver. The returned dense word list
+    is the whole filter: m bits regardless of build-side cardinality,
+    which is the point — a 100M-key build side that could never
+    broadcast as a hash relation still yields the same 8 KB filter."""
+    rows = (
+        df.select(
+            F.explode(
+                F.array(*_bloom_positions(F.col(key), k, m))
+            ).alias("p")
+        )
+        .select(
+            F.floor(F.col("p") / 64).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("p"), F.lit(64)).cast("int"),
+            ).alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_might_contain(
+    col: Column, words: list[int], k: int = BLOOM_K, m: int = BLOOM_BITS
+) -> Column:
+    """Probe predicate: true iff all k bits for ``col`` are set. The
+    filter rides the plan as an array literal (words are plan
+    constants, shipped once per task with the serialized plan), so the
+    probe is a pure JVM row-local expression — no join, no exchange,
+    whole-stage-codegen friendly. False positives possible (the exact
+    join behind it removes them), false negatives impossible."""
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    cond = F.lit(True)
+    for p in _bloom_positions(col, k, m):
+        word = F.element_at(arr, (F.floor(p / 64) + 1).cast("int"))
+        bit = F.pmod(p, F.lit(64)).cast("int")
+        cond = cond & (
+            F.call_function("shiftright", word, bit)
+            .bitwiseAND(F.lit(1)) == 1
+        )
+    return cond

@@ -10151,6 +10151,65 @@ def q_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (operators/sketches.py surfaced)
+# -------------------------------------------------------------------------
+
+
+@_register(
+    "bloom_semijoin_pruning",
+    """
+    SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+                 2) AS total_price
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING'
+                    AND c.c_acctbal > 9000)
+    GROUP BY o_orderpriority
+    """,
+    "§2.11 runtime filters (bloom-filter semi-join pruning)",
+    "The runtime-filter pattern behind every selective fact-dim semi "
+    "join at scale: the build side (high-balance BUILDING customers) "
+    "folds DISTRIBUTED into an 8 KB bloom bitset via a bit_or monoid "
+    "aggregate (operators/sketches.py:bloom_build — m bits regardless "
+    "of build cardinality, so it works where a broadcast hash relation "
+    "can't), and the probe side pre-filters with a row-local "
+    "whole-stage-codegen predicate BEFORE any exchange "
+    "(bloom_might_contain: the bitset rides the plan as an array "
+    "literal). The exact semi join behind it removes the (possible) "
+    "false positives, so the oracle is the PLAIN EXISTS semi join — "
+    "the bloom must be a pure physical pre-filter with byte-identical "
+    "results; one false NEGATIVE (a dropped order) breaks the hash. "
+    "At 100 TB the win is shuffle-input reduction: orders rows that "
+    "cannot match never enter the semi-join exchange.",
+)
+def q_bloom_semijoin_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import bloom_build, bloom_might_contain
+
+    keys = (
+        _t(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("c_acctbal") > 9000)
+        )
+        .select(F.col("c_custkey").alias("k"))
+    )
+    words = bloom_build(keys, "k")
+    orders = _t(spark, sf_dir, "orders")
+    candidates = orders.filter(
+        bloom_might_contain(F.col("o_custkey"), words)
+    )
+    exact = candidates.join(
+        keys, candidates["o_custkey"] == keys["k"], "left_semi"
+    )
+    return exact.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(_dec("o_totalprice")).alias("total_price"),
+    )
+
+
+# -------------------------------------------------------------------------
 # Data-quality expectations (operators/expectations.py surfaced)
 # -------------------------------------------------------------------------
 
