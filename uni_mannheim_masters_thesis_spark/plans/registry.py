@@ -10316,6 +10316,85 @@ def q_data_quality_expectations(
     return run_checks(o, suite).unionByName(ref)
 
 
+# -------------------------------------------------------------------------
+# Approximate-quantile sketch contract (GK percentile_approx)
+# -------------------------------------------------------------------------
+
+_AQ_PROBS = (0.25, 0.5, 0.9, 0.99)
+_AQ_ACCURACY = 1000  # GK sketch: rank error <= n / accuracy
+
+
+@_register(
+    "approx_quantile_contract",
+    """
+    WITH t AS (SELECT o_totalprice FROM orders)
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT CAST({p} AS DOUBLE) AS prob,
+           ROUND(quantile_cont(o_totalprice, {p}), 4) + 0 AS exact_value,
+           TRUE AS ok_rank_error
+    FROM t"""
+        for p in _AQ_PROBS
+    ),
+    "§2.11 sketches (Greenwald-Khanna approximate quantiles, "
+    "rank-error contract)",
+    "The single-pass mergeable-quantile path for 100 TB profiling: "
+    "percentile_approx (Spark's Greenwald-Khanna sketch — bounded "
+    "memory, map-side mergeable, one exchange of sketch state) "
+    "checked against its published guarantee. The engine computes the "
+    "approximate quantiles, then measures each answer's TRUE rank "
+    "with conditional sums (the approx values fold into the plan as "
+    "literals — one extra scan, no join) and asserts "
+    "|rank - p*n| <= n/accuracy + 1. The hashed output carries the "
+    "EXACT interpolated percentiles (Spark percentile ≡ DuckDB "
+    "quantile_cont, the acctbal_percentiles parity) plus the "
+    "genuinely-computed ok flags, so a sketch drifting outside its "
+    "rank bound — or an exact-percentile divergence — breaks the "
+    "hash. The exact twin is the verification path; at scale only "
+    "the sketch runs.",
+)
+def q_approx_quantile_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    first = o.agg(
+        F.percentile_approx(
+            "o_totalprice", list(_AQ_PROBS), _AQ_ACCURACY
+        ).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    approx, n = first["a"], first["n"]  # O(len(probs)) driver values
+    eps = n / float(_AQ_ACCURACY) + 1.0
+    agged = o.agg(
+        *[
+            F.sum((F.col("o_totalprice") <= F.lit(float(a))).cast("long"))
+            .alias(f"__r{i}")
+            for i, a in enumerate(approx)
+        ],
+        *[
+            F.expr(f"percentile(o_totalprice, {p})").alias(f"__e{i}")
+            for i, p in enumerate(_AQ_PROBS)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("double").alias("prob"),
+                F.round(F.col(f"__e{i}"), 4).alias("exact_value"),
+                (
+                    F.abs(F.col(f"__r{i}").cast("double") - F.lit(p * n))
+                    <= F.lit(eps)
+                ).alias("ok_rank_error"),
+            )
+            for i, p in enumerate(_AQ_PROBS)
+        ]
+    )
+    return agged.select(F.explode(rows).alias("r")).select(
+        "r.prob", "r.exact_value", "r.ok_rank_error"
+    )
+
+
 # =========================================================================
 # Driver-check ordering
 # =========================================================================
