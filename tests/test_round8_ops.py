@@ -646,3 +646,27 @@ def test_bloom_probe_is_a_plan_local_filter(spark):
     # a pure row-local predicate: Filter over the scan, no join/exchange
     assert "Filter" in plan
     assert "Exchange" not in plan and "Join" not in plan
+
+
+# -- rendezvous sharding (session-3) ----------------------------------------
+
+def test_hrw_minimal_movement_and_balance(spark):
+    from uni_mannheim_masters_thesis_spark.plans.registry import _hrw_shard
+
+    d = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = d.select(
+        _hrw_shard(F.col("doc_id"), 8).alias("s8"),
+        _hrw_shard(F.col("doc_id"), 9).alias("s9"),
+    )
+    r = a.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("s9") != F.col("s8")).cast("long")).alias("moved"),
+        F.sum(
+            ((F.col("s9") != F.col("s8")) & (F.col("s9") != 8)).cast("long")
+        ).alias("bad_moves"),
+        F.countDistinct("s8").alias("shards_used"),
+    ).first()
+    assert r["bad_moves"] == 0            # moves land ONLY on the new shard
+    assert r["shards_used"] == 8          # no empty shard at n=2000
+    frac = r["moved"] / r["n"]
+    assert 0.05 < frac < 0.20             # ~1/9 of keys relocate

@@ -10395,6 +10395,175 @@ def q_approx_quantile_contract(
     )
 
 
+# -------------------------------------------------------------------------
+# Rendezvous (HRW) sharding + exact-k stratified sampling
+# -------------------------------------------------------------------------
+
+_HRW_N = 8  # baseline shard count; the contract checks the N -> N+1 step
+
+
+def _hrw_score(doc_id: F.Column, shard: int) -> F.Column:
+    """Highest-random-weight score of (key, shard): the first 8 hex
+    digits of md5(key || '/' || shard) as an integer — exact integer
+    math, engine-portable (the mixture_sampling draw discipline)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(doc_id.cast("string"), F.lit(f"/{shard}"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+
+
+def _hrw_shard(doc_id: F.Column, n_shards: int) -> F.Column:
+    """argmax_s score(key, s) via array_max over (score, shard)
+    structs — ties (never at 32-bit scores, but defined anyway) break
+    toward the larger shard id, matching the oracle's ORDER BY score
+    DESC, shard DESC."""
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _hrw_score(doc_id, s).alias("score"),
+                    F.lit(s).cast("int").alias("shard"),
+                )
+                for s in range(n_shards)
+            ]
+        )
+    )["shard"]
+
+
+@_register(
+    "rendezvous_sharding",
+    f"""
+    WITH a8 AS (
+        SELECT doc_id, shard AS shard8 FROM (
+            SELECT d.doc_id, t.s AS shard,
+                   row_number() OVER (
+                       PARTITION BY d.doc_id
+                       ORDER BY ('0x' || substring(md5(
+                                     CAST(d.doc_id AS VARCHAR) || '/' ||
+                                     CAST(t.s AS VARCHAR)), 1, 8))::BIGINT
+                                DESC, t.s DESC) AS rn
+            FROM documents d CROSS JOIN generate_series(0, {_HRW_N - 1})
+                 AS t(s)
+        ) WHERE rn = 1
+    ),
+    a9 AS (
+        SELECT doc_id, shard AS shard9 FROM (
+            SELECT d.doc_id, t.s AS shard,
+                   row_number() OVER (
+                       PARTITION BY d.doc_id
+                       ORDER BY ('0x' || substring(md5(
+                                     CAST(d.doc_id AS VARCHAR) || '/' ||
+                                     CAST(t.s AS VARCHAR)), 1, 8))::BIGINT
+                                DESC, t.s DESC) AS rn
+            FROM documents d CROSS JOIN generate_series(0, {_HRW_N})
+                 AS t(s)
+        ) WHERE rn = 1
+    )
+    SELECT a8.shard8 AS shard, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN a9.shard9 <> a8.shard8 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved_out,
+           SUM(CASE WHEN a9.shard9 <> a8.shard8
+                     AND a9.shard9 <> {_HRW_N} THEN 1 ELSE 0 END) = 0
+               AS ok_moves_to_new
+    FROM a8 JOIN a9 USING (doc_id)
+    GROUP BY a8.shard8
+    """,
+    "§2.11 training-data ops (rendezvous/HRW consistent sharding)",
+    "Stable shard assignment for a corpus that outlives its cluster "
+    "topology: each key goes to argmax_s md5(key || shard) — "
+    "highest-random-weight hashing, computed as a row-local "
+    "whole-stage-codegen array_max (no shuffle, no shard ring state). "
+    "The query assigns every document at N=8 AND N=9 shards and "
+    "hash-verifies HRW's minimal-movement theorem per shard: a "
+    "resize from 8 to 9 may move keys ONLY onto the new shard "
+    "(ok_moves_to_new), never between survivors — the property that "
+    "makes shard-count changes cheap at 100 TB (an N->N+1 resize "
+    "relocates ~1/(N+1) of the data, vs nearly all of it under "
+    "key % N). Scores are exact 32-bit integers from md5 prefixes, "
+    "so assignment is engine-portable and the oracle recomputes it "
+    "bit-for-bit.",
+)
+def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    assigned = d.select(
+        "doc_id",
+        _hrw_shard(F.col("doc_id"), _HRW_N).alias("shard8"),
+        _hrw_shard(F.col("doc_id"), _HRW_N + 1).alias("shard9"),
+    )
+    moved = F.col("shard9") != F.col("shard8")
+    return assigned.groupBy(F.col("shard8").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(moved.cast("long")).alias("n_moved_out"),
+        (
+            F.sum(
+                (moved & (F.col("shard9") != _HRW_N)).cast("long")
+            )
+            == 0
+        ).alias("ok_moves_to_new"),
+    )
+
+
+_STRAT_K = 10  # exact per-stratum sample quota
+
+
+@_register(
+    "stratified_sample_exact",
+    f"""
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substring(md5(
+                                 'strat/' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT, doc_id) AS rn
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {_STRAT_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN rn <= {_STRAT_K} THEN doc_id ELSE 0 END)
+                AS BIGINT) AS sel_checksum
+    FROM r GROUP BY source
+    """,
+    "§2.11 training-data ops (exact-k stratified reservoir sample)",
+    "Deterministic without-replacement sampling with an exact per-"
+    "stratum quota: every document draws a content-stable md5 rank "
+    "and each source keeps its k lowest — the distributed equivalent "
+    "of a per-stratum reservoir, with NO rand() (reproducible across "
+    "runs, engines, and partitionings; the same draw discipline as "
+    "mixture_sampling_manifest, which does RATE-based Bernoulli "
+    "sampling — this is its exact-count complement for quota-balanced "
+    "eval/calibration sets). One partitioned window per stratum (never "
+    "global), one aggregation; the hashed output pins the selected "
+    "membership itself via a doc_id checksum, so one swapped sample "
+    "breaks the hash.",
+)
+def q_stratified_sample_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("strat/"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(draw.asc(), F.col("doc_id"))
+    r = d.withColumn("__rn", F.row_number().over(w))
+    sel = F.col("__rn") <= _STRAT_K
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(sel.cast("long")).alias("n_sampled"),
+        F.sum(F.when(sel, F.col("doc_id")).otherwise(0)).alias(
+            "sel_checksum"
+        ),
+    )
+
+
 # =========================================================================
 # Driver-check ordering
 # =========================================================================
