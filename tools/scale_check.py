@@ -145,6 +145,16 @@ _QUERIES = [
     "bpe_encode_documents",
     "lakehouse_change_feed",
     "zorder_zone_map_pruning",
+    # round-8 session 3: metadata-only schema evolution + restore,
+    # one-pass expectation suite, bloom semi-join pruning, GK quantile
+    # contract, HRW sharding, exact-k stratified sample
+    "lakehouse_schema_evolution",
+    "lakehouse_restore",
+    "data_quality_expectations",
+    "bloom_semijoin_pruning",
+    "approx_quantile_contract",
+    "rendezvous_sharding",
+    "stratified_sample_exact",
 ]
 
 

@@ -10673,6 +10673,15 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "lakehouse_incremental_mv", "streaming_lakehouse_sink",
     "skewed_join_salted", "bpe_merge_training", "bpe_encode_documents",
     "lakehouse_change_feed", "zorder_zone_map_pruning",
+    # --- NEW round-8 session-3 operators (never driver-hashed; took the
+    # slots of 4 never-hashed family-redundant rotations — value_histogram
+    # and session_paths have hashed siblings in the window
+    # [column_profile/decile_bucketing, funnel_conversion/
+    # session_attribution], matrix_market/orc roundtrips keep
+    # dictionary_text_roundtrip as the format-family representative;
+    # the full oracle walk still covers all of them) -------------------
+    "lakehouse_schema_evolution", "lakehouse_restore",
+    "bloom_semijoin_pruning", "data_quality_expectations",
     # --- 40 never-driver-hashed rotations (round 8) -------------------
     # lakehouse table (NEW r8) + r7 feature ops the r7 window missed
     "lakehouse_merge_roundtrip", "lakehouse_time_travel",
@@ -10680,10 +10689,10 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "ewma_user_value", "streaming_ewma_parity",
     # feature engineering / profiling (oracle)
     "rolling_user_features", "decile_bucketing", "column_profile",
-    "value_histogram", "measure_correlation", "iqr_outlier_fences",
+    "measure_correlation", "iqr_outlier_fences",
     # event analytics (oracle)
     "funnel_conversion", "cohort_retention", "session_attribution",
-    "session_paths", "events_hourly_gapfill", "events_sessionization",
+    "events_hourly_gapfill", "events_sessionization",
     # streaming twins never hashed by the driver (oracle ok_* parity)
     "streaming_sessionization", "streaming_heavy_hitters",
     "streaming_interval_join", "stateful_user_counts",
@@ -10697,8 +10706,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "winnowing_fingerprint", "quality_perplexity", "text_quality",
     "blocked_jw_linkage", "knn_classifier_vote",
     # format roundtrips (oracle)
-    "dictionary_text_roundtrip", "matrix_market_roundtrip",
-    "partitioned_write_pruning", "orc_corpus_roundtrip",
+    "dictionary_text_roundtrip", "partitioned_write_pruning",
     # topic quality (rows; extended c_v chain this round)
     "topic_coherence_cv",
 })
@@ -10770,6 +10778,11 @@ _COST_HINT: dict[str, float] = {
     "lakehouse_manifest_pruning": 0.4, "lakehouse_history": 0.5,
     # optimize_vacuum pays the one-time copied-table lifecycle build
     "lakehouse_optimize_vacuum": 3.5, "lakehouse_read_after_vacuum": 0.4,
+    # schema_evolution pays the one-time copied evo-table build
+    "lakehouse_schema_evolution": 4.0, "lakehouse_restore": 0.6,
+    "data_quality_expectations": 1.2, "bloom_semijoin_pruning": 1.5,
+    "approx_quantile_contract": 0.8, "rendezvous_sharding": 0.8,
+    "stratified_sample_exact": 0.3,
     "lakehouse_incremental_mv": 3.0, "streaming_lakehouse_sink": 25.0,
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint
