@@ -696,3 +696,16 @@ def test_skewed_join_salted_plan_spreads_the_key(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate explode" in plan          # dim side replicated
     assert "__salt" in plan                    # join key carries the salt
+
+
+def test_bucketed_colocated_join_plans_no_join_exchange(spark):
+    """Both sides are bucketBy tables on the join keys, so the
+    sort-merge join must consume the on-disk partitioning: bucketed
+    scans, zero Exchange on either join key (the only exchange in the
+    whole plan is the downstream segment groupBy)."""
+    df = REGISTRY["bucketed_colocated_join"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan          # bucketed file scans
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan

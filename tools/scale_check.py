@@ -155,6 +155,7 @@ _QUERIES = [
     "approx_quantile_contract",
     "rendezvous_sharding",
     "stratified_sample_exact",
+    "bucketed_colocated_join",
 ]
 
 
