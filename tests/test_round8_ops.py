@@ -670,3 +670,70 @@ def test_hrw_minimal_movement_and_balance(spark):
     assert r["shards_used"] == 8          # no empty shard at n=2000
     frac = r["moved"] / r["n"]
     assert 0.05 < frac < 0.20             # ~1/9 of keys relocate
+
+
+# -- partition evolution / rebucketing (session-3) --------------------------
+
+def test_rebucket_changes_layout_and_preserves_content(spark, table):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        rebucket_table,
+    )
+
+    v = rebucket_table(spark, table, "user_id", 32)
+    assert v == 2
+    man = json.load(open(os.path.join(table, "manifest_v2.json")))
+    assert man["n_buckets"] == 32 and man["op"] == "rebucket"
+    assert all(e["path"].startswith(os.path.join("data", "v2"))
+               for e in man["buckets"].values())  # self-contained rewrite
+    got = {r["user_id"]: r["val"] for r in read_table(spark, table).collect()}
+    assert got == {i: float(i) for i in range(40)}
+    # point lookups route with the NEW modulus and still prune
+    pruned = read_table(spark, table, point_keys=[35])
+    assert 0 < len(pruned.inputFiles()) < len(
+        read_table(spark, table).inputFiles()
+    )
+    assert {r["user_id"] for r in
+            pruned.filter(F.col("user_id") == 35).collect()} == {35}
+
+
+def test_merge_after_rebucket_cow_at_new_granularity(spark, table):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        rebucket_table,
+    )
+
+    rebucket_table(spark, table, "user_id", 32)
+    cdc = _cdc(spark, [(3, "upd", 99.0, False)])  # bucket 3 of 32
+    merge_table(spark, table, cdc, "user_id", "__delete")
+    man = json.load(open(os.path.join(table, "manifest_v3.json")))
+    assert man["n_buckets"] == 32
+    rewritten = [b for b, e in man["buckets"].items()
+                 if e["path"].startswith(os.path.join("data", "v3"))]
+    assert rewritten == ["3"]  # CoW at the NEW granularity
+    got = {r["user_id"]: r["val"] for r in read_table(spark, table).collect()}
+    assert got[3] == 99.0 and len(got) == 40
+
+
+def test_time_travel_across_rebucket_routes_old_modulus(spark, table):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        rebucket_table,
+    )
+
+    rebucket_table(spark, table, "user_id", 32)
+    # v1 still routes 19 -> bucket 3 of 16 and prunes correctly
+    old = read_table(spark, table, version=1, point_keys=[19])
+    assert {r["user_id"] for r in
+            old.filter(F.col("user_id") == 19).collect()} == {19}
+    assert 0 < len(old.inputFiles()) < len(
+        read_table(spark, table, version=1).inputFiles()
+    )
+
+
+def test_restore_past_rebucket_restores_old_layout(spark, table):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        rebucket_table, restore_table,
+    )
+
+    rebucket_table(spark, table, "user_id", 32)
+    restore_table(table, 1)
+    man = json.load(open(os.path.join(table, "manifest_v3.json")))
+    assert man["n_buckets"] == 16  # rollback restores the old routing

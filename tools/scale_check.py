@@ -156,6 +156,7 @@ _QUERIES = [
     "rendezvous_sharding",
     "stratified_sample_exact",
     "bucketed_colocated_join",
+    "lakehouse_rebucket",
 ]
 
 

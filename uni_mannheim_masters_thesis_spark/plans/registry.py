@@ -10564,6 +10564,81 @@ def q_stratified_sample_exact(
     )
 
 
+def _lakehouse_rb_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A private copy of the 3-version table taken through partition
+    evolution: v4 = REBUCKET 16 -> 32 (self-contained rewrite, new
+    layout in the manifest), v5 = MERGE doubling last_value for the
+    user_id % 10 == 7 keys — copy-on-write at the NEW granularity."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.lakehouse import merge_table, read_table, rebucket_table
+
+    base = _lakehouse_table_dir(spark, sf_dir)
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    try:
+        mtime = int(os.path.getmtime(ev_path))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}:rb".encode()
+    ).hexdigest()[:10]
+    tdir = os.path.join(tempfile.gettempdir(), f"umt_lakehouse_rb_{key}")
+    marker = os.path.join(tdir, "_UMT_RB_DONE")
+    if os.path.exists(marker):
+        return tdir
+    shutil.rmtree(tdir, ignore_errors=True)
+    shutil.copytree(base, tdir)
+    os.remove(os.path.join(tdir, "_UMT_BUILD_DONE"))
+    rebucket_table(spark, tdir, "user_id", 32)  # v4
+    cdc = (
+        read_table(spark, tdir)
+        .filter((F.col("user_id") % 10) == 7)
+        .withColumn("last_value", F.round(F.col("last_value") * 2, 2))
+        .withColumn("__delete", F.lit(False))
+    )
+    merge_table(spark, tdir, cdc, "user_id", "__delete")  # v5
+    with open(marker, "w") as f:
+        f.write("ok")
+    return tdir
+
+
+@_register(
+    "lakehouse_rebucket",
+    _LAKEHOUSE_SQL_PREFIX + """
+    SELECT user_id, last_event_type,
+           CASE WHEN user_id % 10 = 7 THEN ROUND(last_value * 2, 2) + 0
+                ELSE ROUND(last_value, 2) + 0 END AS last_value
+    FROM v3
+    """,
+    "§2.11 lakehouse ops (partition evolution / bucket-spec change)",
+    "The Iceberg partition-evolution move: when a table's volume "
+    "outgrows its bucket width, REBUCKET rewrites the latest snapshot "
+    "under a new bucket count as one self-contained version — and "
+    "every version keeps ITS OWN layout in its manifest, so time "
+    "travel to a pre-evolution snapshot still routes point lookups "
+    "with the old modulus (unit-tested) while the follow-up MERGE "
+    "copy-on-writes at the NEW granularity (a CDC batch touching "
+    "user_id % 10 == 7 rewrites only its buckets-of-32). The query "
+    "reads the post-evolution merged state off disk; the oracle "
+    "derives it from the raw era fold, so a row lost or duplicated "
+    "in the re-layout — or a merge routed with the wrong modulus, "
+    "which would orphan updates into unreferenced buckets — breaks "
+    "the hash.",
+)
+def q_lakehouse_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.lakehouse import read_table
+
+    tdir = _lakehouse_rb_table_dir(spark, sf_dir)
+    return read_table(spark, tdir).select(
+        "user_id",
+        "last_event_type",
+        (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
+    )
+
+
 # -------------------------------------------------------------------------
 # Bucketed co-located join (bucketBy tables, shuffle-free sort-merge)
 # -------------------------------------------------------------------------
@@ -10884,6 +10959,8 @@ _COST_HINT: dict[str, float] = {
     "stratified_sample_exact": 0.3,
     # pays the one-time bucketed saveAsTable build per session
     "bucketed_colocated_join": 2.5,
+    # pays the one-time copied rebucket-table build
+    "lakehouse_rebucket": 4.0,
     "lakehouse_incremental_mv": 3.0, "streaming_lakehouse_sink": 25.0,
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint

@@ -53,7 +53,7 @@ from pyspark.sql.types import StructType
 N_BUCKETS = 16
 
 
-def _bucket_expr(key_col: str) -> F.Column:
+def _bucket_expr(key_col: str, n_buckets: int = N_BUCKETS) -> F.Column:
     """Bucket id for a numeric key: identity-mod layout.
 
     Production tables would hash first (``pmod(conv(md5(...)),n)``) to
@@ -61,7 +61,7 @@ def _bucket_expr(key_col: str) -> F.Column:
     routing trivially checkable in tests while exercising the same
     bucket-pruning machinery.
     """
-    return F.pmod(F.col(key_col).cast("long"), F.lit(N_BUCKETS)).cast("int")
+    return F.pmod(F.col(key_col).cast("long"), F.lit(n_buckets)).cast("int")
 
 
 def _manifest_path(table_dir: str, version: int) -> str:
@@ -82,7 +82,11 @@ def latest_version(table_dir: str) -> int:
 
 def _load_manifest(table_dir: str, version: int) -> dict:
     with open(_manifest_path(table_dir, version)) as f:
-        return json.load(f)
+        m = json.load(f)
+    # manifests written before partition evolution carry no layout
+    # field; the layout was the module constant then
+    m.setdefault("n_buckets", N_BUCKETS)
+    return m
 
 
 def _bucket_stats(
@@ -110,15 +114,15 @@ def _bucket_stats(
 
 def _write_snapshot(
     df: DataFrame, table_dir: str, version: int, key_col: str,
-    compact: bool = False,
+    compact: bool = False, n_buckets: int = N_BUCKETS,
 ) -> dict[str, dict]:
     """Write ``df`` bucket-partitioned under data/v{version}; return the
     manifest bucket entries (path + stats) for the buckets written.
     ``compact`` shuffles rows bucket-aligned first so each bucket lands
     as ONE file (the OPTIMIZE small-file collapse)."""
-    with_b = df.withColumn("__bucket", _bucket_expr(key_col))
+    with_b = df.withColumn("__bucket", _bucket_expr(key_col, n_buckets))
     if compact:
-        with_b = with_b.repartition(N_BUCKETS, "__bucket")
+        with_b = with_b.repartition(n_buckets, "__bucket")
     rel = os.path.join("data", f"v{version}")
     with_b.write.partitionBy("__bucket").mode("overwrite").parquet(
         os.path.join(table_dir, rel)
@@ -137,12 +141,14 @@ def _commit(
     parent: int | None,
     buckets: dict,
     schema: StructType,
+    n_buckets: int = N_BUCKETS,
 ) -> int:
     manifest = {
         "version": version,
         "op": op,
         "parent": parent,
         "schema": schema.json(),
+        "n_buckets": n_buckets,
         "n_rows": sum(e["n_rows"] for e in buckets.values()),
         "buckets": buckets,
     }
@@ -184,9 +190,10 @@ def merge_table(
 
     # pin the CDC batch: it feeds three jobs (changed-bucket discovery,
     # the anti-join, the upsert union) and is the small side by design
-    cdcb = cdc.withColumn("__bucket", _bucket_expr(key_col)).localCheckpoint(
-        eager=True
-    )
+    n_buckets = manifest["n_buckets"]
+    cdcb = cdc.withColumn(
+        "__bucket", _bucket_expr(key_col, n_buckets)
+    ).localCheckpoint(eager=True)
     changed = sorted(
         r["__bucket"] for r in cdcb.select("__bucket").distinct().collect()
     )  # ≤ N_BUCKETS values — bounded driver list
@@ -207,12 +214,16 @@ def merge_table(
     merged = survivors.unionByName(upserts)
 
     version = parent + 1
-    written = _write_snapshot(merged, table_dir, version, key_col)
+    written = _write_snapshot(
+        merged, table_dir, version, key_col, n_buckets=n_buckets
+    )
     buckets = {
         b: e for b, e in manifest["buckets"].items() if int(b) not in set(changed)
     }
     buckets.update(written)  # a bucket emptied by deletes simply drops out
-    return _commit(table_dir, version, "merge", parent, buckets, schema)
+    return _commit(
+        table_dir, version, "merge", parent, buckets, schema, n_buckets
+    )
 
 
 def upsert_combine(
@@ -233,9 +244,14 @@ def upsert_combine(
     changed-bucket discovery), so a refresh's cost scales with the
     DELTA, not the accumulated table: the incremental-MV contract that
     replaces full recomputes at 100 TB."""
+    n_buckets = _load_manifest(table_dir, latest_version(table_dir))[
+        "n_buckets"
+    ]
     dbuckets = sorted(
         r[0]
-        for r in delta.select(_bucket_expr(key_col)).distinct().collect()
+        for r in delta.select(
+            _bucket_expr(key_col, n_buckets)
+        ).distinct().collect()
     )
     state = read_table(spark, table_dir, buckets=dbuckets)
     combined = (
@@ -275,7 +291,7 @@ def add_column(table_dir: str, col_name: str, col_type: str) -> int:
     widened = schema.add(col_name, col_type, True)
     return _commit(
         table_dir, parent + 1, "add_column", parent,
-        manifest["buckets"], widened,
+        manifest["buckets"], widened, manifest["n_buckets"],
     )
 
 
@@ -293,6 +309,7 @@ def restore_table(table_dir: str, to_version: int) -> int:
         table_dir, parent + 1, "restore", parent,
         target["buckets"],
         StructType.fromJson(json.loads(target["schema"])),
+        target["n_buckets"],
     )
 
 
@@ -311,8 +328,39 @@ def optimize_table(spark: SparkSession, table_dir: str, key_col: str) -> int:
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     full = read_table(spark, table_dir, version=parent)
     version = parent + 1
-    written = _write_snapshot(full, table_dir, version, key_col, compact=True)
-    return _commit(table_dir, version, "optimize", parent, written, schema)
+    written = _write_snapshot(
+        full, table_dir, version, key_col, compact=True,
+        n_buckets=manifest["n_buckets"],
+    )
+    return _commit(
+        table_dir, version, "optimize", parent, written, schema,
+        manifest["n_buckets"],
+    )
+
+
+def rebucket_table(
+    spark: SparkSession, table_dir: str, key_col: str, n_new: int
+) -> int:
+    """Partition evolution (the Iceberg bucket-spec change): rewrite
+    the latest snapshot under a NEW bucket count as one self-contained
+    version. Every version keeps ITS OWN layout in its manifest, so
+    time travel to a pre-evolution version routes point lookups with
+    the old modulus while new commits (merges, point reads) route with
+    the new one — layouts evolve, history stays readable. The rewrite
+    cost is one compacted pass (the OPTIMIZE shape); at 100 TB the
+    same operation runs per date-partition as the partition's volume
+    outgrows its bucket width."""
+    parent = latest_version(table_dir)
+    manifest = _load_manifest(table_dir, parent)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    full = read_table(spark, table_dir, version=parent)
+    version = parent + 1
+    written = _write_snapshot(
+        full, table_dir, version, key_col, compact=True, n_buckets=n_new
+    )
+    return _commit(
+        table_dir, version, "rebucket", parent, written, schema, n_new
+    )
 
 
 def vacuum_table(table_dir: str, retain_versions: int = 1) -> dict[str, int]:
@@ -376,7 +424,7 @@ def read_table(
     if point_keys is not None:
         by_bucket: dict[int, list[int]] = {}
         for k in point_keys:
-            by_bucket.setdefault(k % N_BUCKETS, []).append(k)
+            by_bucket.setdefault(k % manifest["n_buckets"], []).append(k)
         buckets = {
             b: e
             for b, e in buckets.items()
