@@ -10639,6 +10639,137 @@ def q_lakehouse_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QG_ARMS = """
+        SELECT {v} AS version, 'uniqueness_user_id' AS constraint_name,
+               CAST(COUNT(DISTINCT user_id) AS DOUBLE) / COUNT(*) AS metric,
+               CAST(1.0 AS DOUBLE) AS threshold FROM v{v}
+        UNION ALL
+        SELECT {v}, 'completeness_last_event_type',
+               CAST(COUNT(last_event_type) AS DOUBLE) / COUNT(*),
+               CAST(1.0 AS DOUBLE) FROM v{v}
+        UNION ALL
+        SELECT {v}, 'compliance_value_positive',
+               CAST(SUM(CASE WHEN last_value > 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*),
+               CAST(1.0 AS DOUBLE) FROM v{v}"""
+
+
+@_register(
+    "lakehouse_quality_gate",
+    _LAKEHOUSE_SQL_PREFIX
+    + ", m AS ("
+    + "\n    UNION ALL\n".join(_QG_ARMS.format(v=v) for v in (1, 2, 3))
+    + """
+    )
+    SELECT version, constraint_name, metric, threshold,
+           metric >= threshold AS passed
+    FROM m
+    """,
+    "§2.11 lakehouse ops × data quality (per-commit expectation gate)",
+    "The CI gate a production lakehouse runs on every commit: the "
+    "declarative expectation suite (operators/expectations.py) "
+    "validated against EACH committed version of the copy-on-write "
+    "table — key uniqueness (a MERGE that duplicates or loses a key "
+    "fails here before any consumer sees it), completeness of the "
+    "payload, and value compliance, one single-pass aggregation per "
+    "version over its manifest-reconstructed snapshot. The oracle "
+    "recomputes all nine (version, constraint) metrics from the raw "
+    "era folds, so the gate verifies BOTH the table's commit "
+    "integrity and the expectation engine's arithmetic in one hash. "
+    "At 100 TB the gate reads each commit's CHANGED buckets plus "
+    "carried references — the same pruned paths the merge wrote.",
+)
+def q_lakehouse_quality_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.expectations import (
+        completeness,
+        compliance,
+        run_checks,
+        uniqueness,
+    )
+    from ..sources.lakehouse import read_table
+
+    tdir = _lakehouse_table_dir(spark, sf_dir)
+    suite = lambda: [  # noqa: E731 — fresh Columns per version
+        uniqueness("uniqueness_user_id", "user_id"),
+        completeness(
+            "completeness_last_event_type", "last_event_type"
+        ),
+        compliance(
+            "compliance_value_positive", F.col("last_value") > 0
+        ),
+    ]
+    parts = [
+        run_checks(read_table(spark, tdir, version=v), suite())
+        .select(
+            F.lit(v).cast("int").alias("version"),
+            "constraint_name", "metric", "threshold", "passed",
+        )
+        for v in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_register(
+    "quality_quarantine_split",
+    """
+    WITH tagged AS (
+        SELECT *,
+               CASE WHEN o_totalprice <= 0 THEN 'nonpositive_price'
+                    WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 'bad_status'
+                    WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                         THEN 'bad_priority'
+                    WHEN o_custkey IS NULL THEN 'null_custkey'
+                    WHEN o_totalprice > 450000.0 THEN 'price_outlier'
+                    ELSE 'ok' END AS reason
+        FROM orders
+    )
+    SELECT reason, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM tagged GROUP BY reason
+    """,
+    "§2.11 data quality (row-level quarantine routing)",
+    "The row-level complement of the aggregate expectation suite: "
+    "every record is tagged with its FIRST failing rule (a CASE "
+    "cascade — one map-side pass, whole-stage codegen, no shuffle "
+    "until the per-reason accounting), so bad rows route to a "
+    "quarantine sink with a reason while clean rows flow on — the "
+    "split every ingest pipeline puts in front of the lake. The "
+    "hashed output pins per-reason counts AND an order-key checksum, "
+    "so one row routed to the wrong bucket breaks the hash. At "
+    "100 TB this is a zero-extra-scan tag on the existing ingest "
+    "pass; the quarantine side is typically 1e-4 of volume and "
+    "writes to its own partition.",
+)
+def q_quality_quarantine_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    reason = (
+        F.when(F.col("o_totalprice") <= 0, "nonpositive_price")
+        .when(~F.col("o_orderstatus").isin("O", "F", "P"), "bad_status")
+        .when(
+            ~F.col("o_orderpriority").rlike("^[1-5]-"), "bad_priority"
+        )
+        .when(F.col("o_custkey").isNull(), "null_custkey")
+        .when(F.col("o_totalprice") > 450000.0, "price_outlier")
+        .otherwise("ok")
+    )
+    return (
+        o.withColumn("reason", reason)
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+    )
+
+
 # -------------------------------------------------------------------------
 # Bucketed co-located join (bucketBy tables, shuffle-free sort-merge)
 # -------------------------------------------------------------------------
@@ -10961,6 +11092,7 @@ _COST_HINT: dict[str, float] = {
     "bucketed_colocated_join": 2.5,
     # pays the one-time copied rebucket-table build
     "lakehouse_rebucket": 4.0,
+    "lakehouse_quality_gate": 0.8, "quality_quarantine_split": 0.4,
     "lakehouse_incremental_mv": 3.0, "streaming_lakehouse_sink": 25.0,
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint
