@@ -737,3 +737,68 @@ def test_restore_past_rebucket_restores_old_layout(spark, table):
     restore_table(table, 1)
     man = json.load(open(os.path.join(table, "manifest_v3.json")))
     assert man["n_buckets"] == 16  # rollback restores the old routing
+
+
+# -- asof join directions + tolerance (session-3) ----------------------------
+
+def _asof_case(spark):
+    quotes = spark.createDataFrame(
+        [(1, 10, 101, "a"), (1, 20, 102, "b"), (1, 40, 103, "c")],
+        "k long, ts long, sid long, v string",
+    )
+    probes = spark.createDataFrame(
+        [(1, 5, 201), (1, 15, 202), (1, 25, 203), (1, 40, 204),
+         (1, 100, 205)],
+        "k long, ts long, sid long",
+    )
+    return probes, quotes
+
+
+def _run_asof(spark, **kw):
+    from uni_mannheim_masters_thesis_spark.operators.relational import (
+        asof_join,
+    )
+
+    probes, quotes = _asof_case(spark)
+    out = asof_join(probes, quotes, on="k", ts_col="ts",
+                    value_cols=["v"], seq_col="sid", **kw)
+    return {r["ts"]: r["asof_v"] for r in out.collect()}
+
+
+def test_asof_backward_default(spark):
+    assert _run_asof(spark) == {5: None, 15: "a", 25: "b", 40: "c",
+                                100: "c"}
+
+
+def test_asof_forward(spark):
+    assert _run_asof(spark, direction="forward") == {
+        5: "a", 15: "b", 25: "c", 40: "c", 100: None}
+
+
+def test_asof_nearest_ties_break_backward(spark):
+    # ts=15 is equidistant (10 vs 20) -> backward wins (pandas rule)
+    assert _run_asof(spark, direction="nearest") == {
+        5: "a", 15: "a", 25: "b", 40: "c", 100: "c"}
+
+
+def test_asof_nearest_tolerance_nulls_far_matches(spark):
+    assert _run_asof(spark, direction="nearest", tolerance=10) == {
+        5: "a", 15: "a", 25: "b", 40: "c", 100: None}
+
+
+def test_asof_rejects_bad_direction(spark):
+    with pytest.raises(ValueError):
+        _run_asof(spark, direction="sideways")
+
+
+def test_asof_nearest_single_exchange(spark):
+    from uni_mannheim_masters_thesis_spark.operators.relational import (
+        asof_join,
+    )
+
+    probes, quotes = _asof_case(spark)
+    out = asof_join(probes, quotes, on="k", ts_col="ts",
+                    value_cols=["v"], seq_col="sid", direction="nearest")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both direction windows ride ONE hashpartitioning exchange on k
+    assert plan.count("Exchange hashpartitioning") == 1

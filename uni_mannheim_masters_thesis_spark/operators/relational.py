@@ -55,23 +55,35 @@ def asof_join(
     ts_col: str,
     value_cols: Sequence[str],
     seq_col: str | None = None,
+    direction: str = "backward",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
-    """As-of join: for each probe row, the latest quote row of the same
-    key with ``quote.ts <= probe.ts``.
+    """As-of join with the full merge_asof surface. Per probe row:
+
+    - ``backward`` (default): the latest quote with ``q.ts <= p.ts``;
+    - ``forward``: the earliest quote with ``q.ts >= p.ts``;
+    - ``nearest``: the closer of the two (ties break backward, the
+      pandas ``merge_asof`` convention);
+
+    ``tolerance`` (in ``ts_col`` units) nulls out matches farther than
+    the bound — a row-local post-predicate, no extra pass.
 
     Spark has no native as-of join; the naive form (range join + per-probe
-    max) explodes to |probes|×|quotes-per-key|. This is the scalable
-    union-merge form instead: tag both sides, union, ONE window over
-    (key, ts) carrying the quote values forward with
-    ``last(..., ignorenulls=True)`` — a single shuffle on the key, linear
-    in rows, no pair blowup. Ties (quote.ts == probe.ts) match because
-    quotes sort before probes at equal ts (tag 0 < 1); pass ``seq_col``
-    (a unique id present on both sides) to make the order total and the
-    result fully deterministic.
+    extremum) explodes to |probes|x|quotes-per-key|. This is the scalable
+    union-merge form instead: tag both sides, union, ONE window per
+    direction over (key, ts) carrying the quote values with
+    ``last(..., ignorenulls=True)`` — a single shuffle on the key
+    (nearest adds a second SORT, never a second exchange), linear in
+    rows, no pair blowup. Ties (quote.ts == probe.ts) match in every
+    direction because quotes sort before probes at equal ts (tag 0 < 1);
+    pass ``seq_col`` (a unique id present on both sides) to make the
+    order total and the result fully deterministic.
 
     Returns the probe rows + ``asof_<ts_col>`` + carried value columns
-    (null where no quote precedes the probe).
+    (null where no quote qualifies).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     seq = (F.col(seq_col) if seq_col else F.monotonically_increasing_id())
     q = quotes.select(
         on,
@@ -96,18 +108,63 @@ def asof_join(
     merged = q.select(*[F.lit(None).cast(p.schema[c].dataType).alias(c)
                         if c not in q.columns else F.col(c)
                         for c in p.columns]).unionByName(p)
-    w = (
-        Window.partitionBy(on)
-        .orderBy("__ts", "__tag", "__seq")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = merged.select(
-        "*",
-        F.last("__q_ts", ignorenulls=True).over(w).alias(f"asof_{ts_col}"),
-        *[
-            F.last(f"__q_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+    cols: list = [F.col("*")]
+    if direction in ("backward", "nearest"):
+        wb = (
+            Window.partitionBy(on)
+            .orderBy("__ts", "__tag", "__seq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cols.append(F.last("__q_ts", ignorenulls=True).over(wb).alias("__b_ts"))
+        cols.extend(
+            F.last(f"__q_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
             for c in value_cols
-        ],
+        )
+    if direction in ("forward", "nearest"):
+        # descending ts: the frame up to the probe holds every quote at
+        # or after it; last non-null = the earliest such quote. Quotes
+        # still sort before probes at equal ts (tag 0 < 1).
+        wf = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__ts").desc(), "__tag", "__seq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cols.append(F.last("__q_ts", ignorenulls=True).over(wf).alias("__f_ts"))
+        cols.extend(
+            F.last(f"__q_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+            for c in value_cols
+        )
+    carried = merged.select(*cols)
+
+    if direction == "backward":
+        chosen_ts = F.col("__b_ts")
+        chosen = {c: F.col(f"__b_{c}") for c in value_cols}
+    elif direction == "forward":
+        chosen_ts = F.col("__f_ts")
+        chosen = {c: F.col(f"__f_{c}") for c in value_cols}
+    else:
+        use_b = F.col("__f_ts").isNull() | (
+            F.col("__b_ts").isNotNull()
+            & (
+                (F.col("__ts") - F.col("__b_ts"))
+                <= (F.col("__f_ts") - F.col("__ts"))
+            )
+        )
+        chosen_ts = F.when(use_b, F.col("__b_ts")).otherwise(F.col("__f_ts"))
+        chosen = {
+            c: F.when(use_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))
+            for c in value_cols
+        }
+    if tolerance is not None:
+        ok = chosen_ts.isNotNull() & (
+            F.abs(F.col("__ts") - chosen_ts) <= F.lit(tolerance)
+        )
+        chosen_ts = F.when(ok, chosen_ts)
+        chosen = {c: F.when(ok, e) for c, e in chosen.items()}
+    carried = carried.select(
+        "*",
+        chosen_ts.alias(f"asof_{ts_col}"),
+        *[chosen[c].alias(f"asof_{c}") for c in value_cols],
     )
     keep = [on, "__ts", f"asof_{ts_col}"] + [f"asof_{c}" for c in value_cols] + [
         c for c in probes.columns if c not in (on, ts_col)

@@ -4586,6 +4586,91 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_US = 43_200_000_000  # 12 h — splits matches vs nulled-out
+
+
+@_register(
+    "events_asof_nearest",
+    f"""
+    WITH tagged AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, 0 AS tag, event_id,
+               epoch_us(ts) AS q_ts, value AS q_value
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, epoch_us(ts) AS ts_us, 1 AS tag, event_id,
+               NULL AS q_ts, NULL AS q_value
+        FROM events WHERE event_type = 'click'
+    ),
+    carried AS (
+        SELECT user_id, ts_us, tag, event_id,
+               last_value(q_ts IGNORE NULLS) OVER wb AS b_ts,
+               last_value(q_value IGNORE NULLS) OVER wb AS b_value,
+               last_value(q_ts IGNORE NULLS) OVER wf AS f_ts,
+               last_value(q_value IGNORE NULLS) OVER wf AS f_value
+        FROM tagged
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id
+                      ORDER BY ts_us DESC, tag, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    chosen AS (
+        SELECT event_id, user_id, ts_us,
+               CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL
+                         AND (ts_us - b_ts) <= (f_ts - ts_us))
+                    THEN b_ts ELSE f_ts END AS n_ts,
+               CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL
+                         AND (ts_us - b_ts) <= (f_ts - ts_us))
+                    THEN b_value ELSE f_value END AS n_value
+        FROM carried WHERE tag = 1
+    )
+    SELECT event_id, user_id, ts_us AS click_ts_us,
+           CASE WHEN n_ts IS NOT NULL
+                 AND ABS(ts_us - n_ts) <= {_ASOF_TOL_US}
+                THEN n_ts END AS asof_ts_us,
+           CASE WHEN n_ts IS NOT NULL
+                 AND ABS(ts_us - n_ts) <= {_ASOF_TOL_US}
+                THEN ROUND(CAST(n_value AS DOUBLE), 2) END AS asof_value
+    FROM chosen
+    """,
+    "§2.11 custom temporal operator (as-of join: nearest + tolerance)",
+    "The rest of the merge_asof surface events_asof_join leaves "
+    "uncovered: for every click, the NEAREST purchase in either "
+    "direction (ties break backward, the pandas convention), nulled "
+    "out past a 12-hour tolerance. Same union-merge scale shape as "
+    "the backward join — one key exchange feeding TWO window sorts "
+    "(ascending and descending carry-forward), then a row-local "
+    "chooser and tolerance predicate; still linear in rows, still no "
+    "range-join pair blowup. The oracle runs the identical two-window "
+    "program in DuckDB, so a wrong tie-break, a forward carry off by "
+    "one row, or a tolerance edge ( <= vs < ) breaks the hash.",
+)
+def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", ts_col="ts_us",
+        value_cols=["value"], seq_col="event_id",
+        direction="nearest", tolerance=_ASOF_TOL_US,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+        F.col("asof_ts_us"),
+        F.round(F.col("asof_value").cast("double"), 2).alias("asof_value"),
+    )
+
+
 @_register(
     "lda_k_sweep",
     None,
@@ -11093,6 +11178,7 @@ _COST_HINT: dict[str, float] = {
     # pays the one-time copied rebucket-table build
     "lakehouse_rebucket": 4.0,
     "lakehouse_quality_gate": 0.8, "quality_quarantine_split": 0.4,
+    "events_asof_nearest": 0.6,
     "lakehouse_incremental_mv": 3.0, "streaming_lakehouse_sink": 25.0,
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint
