@@ -4672,6 +4672,62 @@ def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "event_pattern_match",
+    """
+    WITH seq AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               string_agg(substring(event_type, 1, 1), ''
+                          ORDER BY epoch_us(ts), event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(s, 'v[vc]*p')) AS BIGINT)
+               AS n_conversion_runs,
+           CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT)
+               AS n_error_bursts
+    FROM seq
+    """,
+    "§2.11 event analytics (MATCH_RECOGNIZE-style sequence patterns)",
+    "Row-pattern recognition without a MATCH_RECOGNIZE engine: each "
+    "user's event history collapses to an ordered initial-string "
+    "(deterministic (ts, event_id) sort inside one groupBy — the "
+    "exchange moves 1-char tokens, never payloads), and conversion "
+    "runs (view, then views/clicks, then purchase: 'v[vc]*p') and "
+    "error bursts ('ee+') are counted with a row-local regex — the "
+    "same left-to-right non-overlapping scan in Spark's regexp_count "
+    "and DuckDB's regexp_extract_all, so the counts hash. "
+    "Complements the fixed-stage funnel (funnel_conversion) with "
+    "arbitrary-pattern matching; at 100 TB the per-user string is "
+    "bounded by activity (sessionize first to bound it harder), and "
+    "the whole query is one key exchange.",
+)
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id"),
+            F.substring("event_type", 1, 1).alias("i"),
+        ).alias("e"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda e: e["i"]
+            ),
+            "",
+        ).alias("s"),
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.regexp_count("s", F.lit("v[vc]*p")).alias("n_conversion_runs"),
+        F.regexp_count("s", F.lit("ee+")).alias("n_error_bursts"),
+    )
+
+
+@_register(
     "lda_k_sweep",
     None,
     "M1/M25/A8 (LDA k-sweep + model selection)",
@@ -11178,7 +11234,7 @@ _COST_HINT: dict[str, float] = {
     # pays the one-time copied rebucket-table build
     "lakehouse_rebucket": 4.0,
     "lakehouse_quality_gate": 0.8, "quality_quarantine_split": 0.4,
-    "events_asof_nearest": 0.6,
+    "events_asof_nearest": 0.6, "event_pattern_match": 0.6,
     "lakehouse_incremental_mv": 3.0, "streaming_lakehouse_sink": 25.0,
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint
