@@ -383,6 +383,92 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                            "before the scan plans; hash-exact vs the "
                            "raw-table aggregate",
                            ["zorder_zone_map_pruning"]),
+    "X-lakehouse-evolution": ("sources.lakehouse:add_column  # "
+                              "metadata-only ALTER TABLE ADD COLUMN: "
+                              "manifest-level schema widening, old files "
+                              "null-fill at read, follow-up MERGE "
+                              "backfills only its buckets; hash-exact vs "
+                              "the era fold",
+                              ["lakehouse_schema_evolution"]),
+    "X-lakehouse-restore": ("sources.lakehouse:restore_table  # RESTORE "
+                            "VERSION AS OF: metadata-only rollback commit "
+                            "re-referencing the target's buckets+schema; "
+                            "intermediate history stays readable; "
+                            "hash-exact",
+                            ["lakehouse_restore"]),
+    "X-lakehouse-rebucket": ("sources.lakehouse:rebucket_table  # "
+                             "partition evolution (Iceberg bucket-spec "
+                             "change): self-contained rewrite under a new "
+                             "bucket count; per-version layouts in the "
+                             "manifest keep old snapshots point-lookup "
+                             "routable; follow-up MERGE CoWs at the new "
+                             "granularity; hash-exact",
+                             ["lakehouse_rebucket"]),
+    "X-lakehouse-quality-gate": ("plans.registry:q_lakehouse_quality_gate"
+                                 "  # per-commit CI gate: the expectation "
+                                 "suite validated against every committed "
+                                 "table version (key uniqueness, "
+                                 "completeness, compliance), one "
+                                 "single-pass agg per snapshot; all nine "
+                                 "(version, constraint) metrics "
+                                 "hash-exact",
+                                 ["lakehouse_quality_gate"]),
+    "X-quality-expectations": ("operators.expectations:run_checks  # "
+                               "Deequ-style declarative constraint suite "
+                               "(completeness/uniqueness/compliance/"
+                               "membership/regex/distribution + broadcast "
+                               "referential integrity) validated in ONE "
+                               "aggregation pass; exact-int/count "
+                               "divisions, hash-exact with no rounding",
+                               ["data_quality_expectations"]),
+    "X-quality-quarantine": ("plans.registry:q_quality_quarantine_split  "
+                             "# row-level first-failing-rule routing "
+                             "(CASE cascade, map-only) with per-reason "
+                             "counts + key checksum hashed; the "
+                             "quarantine/clean split ahead of the lake",
+                             ["quality_quarantine_split"]),
+    "X-join-bloom": ("operators.sketches:bloom_build  # distributed bloom "
+                     "bitset via bit_or monoid (8 KB, cardinality-free) + "
+                     "row-local might_contain probe ahead of the exact "
+                     "semi join; hash-exact vs plain EXISTS",
+                     ["bloom_semijoin_pruning"]),
+    "X-join-bucketed": ("plans.registry:q_bucketed_colocated_join  # "
+                        "bucketBy tables on the join keys: zero-exchange "
+                        "sort-merge join consuming the on-disk "
+                        "partitioning, plan-tested; hash-exact vs the "
+                        "plain join",
+                        ["bucketed_colocated_join"]),
+    "X-sketch-quantile": ("plans.registry:q_approx_quantile_contract  # "
+                          "Greenwald-Khanna percentile_approx checked "
+                          "against its |rank - p*n| <= n/accuracy "
+                          "guarantee; exact percentiles + "
+                          "genuinely-computed ok flags hashed",
+                          ["approx_quantile_contract"]),
+    "X-shard-rendezvous": ("plans.registry:q_rendezvous_sharding  # HRW "
+                           "consistent sharding as row-local array_max "
+                           "over md5-prefix integer scores; the N->N+1 "
+                           "minimal-movement theorem hash-verified per "
+                           "shard",
+                           ["rendezvous_sharding"]),
+    "X-sample-stratified": ("plans.registry:q_stratified_sample_exact  # "
+                            "exact-k per-stratum reservoir via "
+                            "content-stable md5 ranks (no rand()); "
+                            "selected membership pinned by doc_id "
+                            "checksum",
+                            ["stratified_sample_exact"]),
+    "X-asof-full-surface": ("operators.relational:asof_join  # full "
+                            "merge_asof surface: backward/forward/nearest "
+                            "directions (ties break backward) + tolerance "
+                            "null-out; one key exchange feeding both "
+                            "window sorts (plan-tested)",
+                            ["events_asof_nearest", "events_asof_join"]),
+    "X-event-patterns": ("plans.registry:q_event_pattern_match  # "
+                         "MATCH_RECOGNIZE-style row-pattern counts over "
+                         "per-user ordered initial-strings (one key "
+                         "exchange of 1-char tokens, row-local regex); "
+                         "non-overlapping scan semantics proven identical "
+                         "across engines",
+                         ["event_pattern_match"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -11128,17 +11128,25 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # the full oracle walk still covers all of them) -------------------
     "lakehouse_schema_evolution", "lakehouse_restore",
     "bloom_semijoin_pruning", "data_quality_expectations",
+    "lakehouse_rebucket", "lakehouse_quality_gate",
+    "quality_quarantine_split", "bucketed_colocated_join",
+    "approx_quantile_contract", "rendezvous_sharding",
+    "stratified_sample_exact", "event_pattern_match",
+    # (the 8 extra slots came from never-hashed event/profiling
+    # rotations whose OPERATORS keep driver evidence through verified
+    # suite siblings: funnel/cohort/attribution/gapfill/rolling ride
+    # streaming_windowed_suite, column_profile/decile/correlation ride
+    # training_prep_manifest — test_cumulative_driver_evidence asserts
+    # this)
     # --- 40 never-driver-hashed rotations (round 8) -------------------
     # lakehouse table (NEW r8) + r7 feature ops the r7 window missed
     "lakehouse_merge_roundtrip", "lakehouse_time_travel",
     "lakehouse_manifest_pruning", "lakehouse_history",
     "ewma_user_value", "streaming_ewma_parity",
     # feature engineering / profiling (oracle)
-    "rolling_user_features", "decile_bucketing", "column_profile",
-    "measure_correlation", "iqr_outlier_fences",
+    "iqr_outlier_fences",
     # event analytics (oracle)
-    "funnel_conversion", "cohort_retention", "session_attribution",
-    "events_hourly_gapfill", "events_sessionization",
+    "events_sessionization",
     # streaming twins never hashed by the driver (oracle ok_* parity)
     "streaming_sessionization", "streaming_heavy_hitters",
     "streaming_interval_join", "stateful_user_counts",
