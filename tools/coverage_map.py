@@ -462,6 +462,13 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                             "null-out; one key exchange feeding both "
                             "window sorts (plan-tested)",
                             ["events_asof_nearest", "events_asof_join"]),
+    "X-dedup-incremental-store": ("plans.registry:"
+                                  "q_incremental_dedup_commit  # batch-"
+                                  "vs-persisted-store dedup: bucket-"
+                                  "pruned state reads, CoW merge of new "
+                                  "fingerprints only; per-era accounting "
+                                  "hash-exact vs first principles",
+                                  ["incremental_dedup_commit"]),
     "X-event-patterns": ("plans.registry:q_event_pattern_match  # "
                          "MATCH_RECOGNIZE-style row-pattern counts over "
                          "per-user ordered initial-strings (one key "

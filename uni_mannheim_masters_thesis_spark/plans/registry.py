@@ -10911,6 +10911,134 @@ def q_quality_quarantine_split(
     )
 
 
+def _incremental_dedup_metrics(spark: SparkSession, sf_dir: str) -> list:
+    """Drive three 'crawl snapshots' (doc_id % 3) through a lakehouse
+    fingerprint STORE: era 0 creates it, each later era bucket-prunes
+    the store read to its batch's buckets, splits the batch into
+    carryover vs new fingerprints, and MERGEs only the new ones in.
+    Returns the per-era accounting (3 tuples — bounded driver data);
+    cached beside the store since merges mutate state."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.lakehouse import (
+        _bucket_expr, create_table, merge_table, read_table,
+    )
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = int(os.path.getmtime(doc_path))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}:idd".encode()
+    ).hexdigest()[:10]
+    tdir = os.path.join(tempfile.gettempdir(), f"umt_lakehouse_idd_{key}")
+    stats_path = os.path.join(tdir, "_UMT_IDD_STATS.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            return [tuple(r) for r in _json.load(f)]
+    shutil.rmtree(tdir, ignore_errors=True)
+
+    fp_num = F.conv(
+        F.substring(F.md5("text"), 1, 15), 16, 10
+    ).cast("long")  # 60-bit positive fingerprint key
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 3).alias("era"), fp_num.alias("fp")
+    ).localCheckpoint(eager=True)  # one text scan feeds all three eras
+
+    rows = []
+    for era in (0, 1, 2):
+        batch = (
+            docs.filter(F.col("era") == era)
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("doc_id").alias("first_doc_id"))
+            .localCheckpoint(eager=True)  # feeds counts + join + merge
+        )
+        agg = batch.agg(
+            F.sum("n").alias("docs"), F.count(F.lit(1)).alias("fps")
+        ).first()
+        n_docs, n_fps = int(agg["docs"]), int(agg["fps"])
+        if era == 0:
+            create_table(
+                batch.select("fp", "first_doc_id"), tdir, "fp"
+            )
+            n_carry = 0
+        else:
+            dbuckets = sorted(
+                r[0]
+                for r in batch.select(_bucket_expr("fp")).distinct().collect()
+            )
+            state = read_table(spark, tdir, buckets=dbuckets)
+            n_carry = batch.join(state, "fp", "left_semi").count()
+            new = (
+                batch.join(state, "fp", "left_anti")
+                .select("fp", "first_doc_id")
+                .withColumn("__delete", F.lit(False))
+            )
+            merge_table(spark, tdir, new, "fp", "__delete")
+        rows.append(
+            (era, n_docs, n_docs - n_fps, n_carry, n_fps - n_carry)
+        )
+    with open(stats_path, "w") as f:
+        _json.dump(rows, f)
+    return rows
+
+
+@_register(
+    "incremental_dedup_commit",
+    """
+    WITH fp AS (
+        SELECT doc_id, doc_id % 3 AS era,
+               substring(md5(text), 1, 15) AS f
+        FROM documents
+    ),
+    by_era AS (
+        SELECT era, f, COUNT(*) AS n FROM fp GROUP BY era, f
+    ),
+    firsts AS (SELECT f, MIN(era) AS first_era FROM by_era GROUP BY f)
+    SELECT era,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_intra_batch_dup,
+           CAST(SUM(CASE WHEN first_era < era THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_carryover_fps,
+           CAST(SUM(CASE WHEN first_era = era THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new_fps
+    FROM by_era JOIN firsts USING (f)
+    GROUP BY era
+    """,
+    "§2.11 dedup × lakehouse (incremental dedup against a versioned "
+    "fingerprint store)",
+    "How dedup actually runs at 100 TB: never corpus-vs-corpus, but "
+    "each incoming batch against a PERSISTED fingerprint store. Three "
+    "crawl snapshots stream through a lakehouse table keyed by a "
+    "60-bit md5 fingerprint: the batch first dedups internally, then "
+    "anti/semi-joins a BUCKET-PRUNED store read (the upsert_combine "
+    "read path — cost scales with the batch's bucket set, not "
+    "accumulated history), and MERGEs only genuinely-new fingerprints "
+    "in (copy-on-write, touched buckets only). The oracle derives "
+    "every per-era count (docs, intra-batch dups, carryover vs the "
+    "store, new fingerprints) from first principles on the raw "
+    "corpus, so a store that loses, duplicates, or resurrects a "
+    "fingerprint across commits breaks the hash. Text never shuffles "
+    "— one scan feeds all eras; everything downstream moves 16-byte "
+    "keys.",
+)
+def q_incremental_dedup_commit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    rows = _incremental_dedup_metrics(spark, sf_dir)
+    return spark.createDataFrame(
+        rows,
+        "era long, n_docs long, n_intra_batch_dup long, "
+        "n_carryover_fps long, n_new_fps long",
+    )
+
+
 # -------------------------------------------------------------------------
 # Bucketed co-located join (bucketBy tables, shuffle-free sort-merge)
 # -------------------------------------------------------------------------
@@ -11143,8 +11271,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "lakehouse_merge_roundtrip", "lakehouse_time_travel",
     "lakehouse_manifest_pruning", "lakehouse_history",
     "ewma_user_value", "streaming_ewma_parity",
-    # feature engineering / profiling (oracle)
-    "iqr_outlier_fences",
+    "incremental_dedup_commit",
     # event analytics (oracle)
     "events_sessionization",
     # streaming twins never hashed by the driver (oracle ok_* parity)
@@ -11243,6 +11370,8 @@ _COST_HINT: dict[str, float] = {
     "lakehouse_rebucket": 4.0,
     "lakehouse_quality_gate": 0.8, "quality_quarantine_split": 0.4,
     "events_asof_nearest": 0.6, "event_pattern_match": 0.6,
+    # pays the one-time fingerprint-store lifecycle build
+    "incremental_dedup_commit": 3.0,
     "lakehouse_incremental_mv": 3.0, "streaming_lakehouse_sink": 25.0,
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint
