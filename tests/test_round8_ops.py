@@ -802,3 +802,34 @@ def test_asof_nearest_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # both direction windows ride ONE hashpartitioning exchange on k
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# -- shallow clone (session-3) -----------------------------------------------
+
+def test_shallow_clone_is_zero_copy_and_isolated(spark, table, tmp_path):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        clone_table, vacuum_table,
+    )
+
+    dst = str(tmp_path / "clone")
+    v = clone_table(table, dst)
+    assert v == 1
+    # zero data copied: the clone has no data/ dir at all yet
+    assert not os.path.isdir(os.path.join(dst, "data"))
+    got = {r["user_id"]: r["val"] for r in read_table(spark, dst).collect()}
+    assert got == {i: float(i) for i in range(40)}
+    # a merge into the clone lands under the CLONE's data dir and the
+    # source never sees it
+    cdc = _cdc(spark, [(3, "upd", 99.0, False)])
+    merge_table(spark, dst, cdc, "user_id", "__delete")
+    assert os.path.isdir(os.path.join(dst, "data", "v2"))
+    src = {r["user_id"]: r["val"] for r in read_table(spark, table).collect()}
+    assert src[3] == 3.0                      # source untouched
+    cl = {r["user_id"]: r["val"] for r in read_table(spark, dst).collect()}
+    assert cl[3] == 99.0                      # clone diverged
+    # vacuuming the clone walks only the clone's data/ — source files
+    # stay live even when unreferenced by the clone's latest version
+    stats = vacuum_table(dst, retain_versions=1)
+    assert stats["removed_dirs"] == 0
+    assert src == {r["user_id"]: r["val"]
+                   for r in read_table(spark, table).collect()}

@@ -469,6 +469,19 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                                   "fingerprints only; per-era accounting "
                                   "hash-exact vs first principles",
                                   ["incremental_dedup_commit"]),
+    "X-lakehouse-clone": ("sources.lakehouse:clone_table  # zero-copy "
+                          "SHALLOW CLONE: v1 references source files by "
+                          "absolute path; divergent merges CoW into the "
+                          "clone's own dir; clone vacuum can never touch "
+                          "source files (unit-tested); hash-exact both "
+                          "tables",
+                          ["lakehouse_shallow_clone"]),
+    "X-lakehouse-gdpr": ("plans.registry:q_lakehouse_gdpr_purge  # "
+                         "right-to-be-forgotten: tombstone MERGE + "
+                         "OPTIMIZE + VACUUM, then physical erasure "
+                         "proven by a recursive residual-file scan and "
+                         "an explicit time-travel failure; hash-exact",
+                         ["lakehouse_gdpr_purge"]),
     "X-event-patterns": ("plans.registry:q_event_pattern_match  # "
                          "MATCH_RECOGNIZE-style row-pattern counts over "
                          "per-user ordered initial-strings (one key "

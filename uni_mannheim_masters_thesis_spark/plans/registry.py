@@ -11039,6 +11039,196 @@ def q_incremental_dedup_commit(
     )
 
 
+def _lakehouse_clone_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Shallow clone of the shared 3-version table + one divergent
+    MERGE (tombstones for user_id % 5 == 2) applied to the CLONE only.
+    The clone references the source's files by absolute path — nothing
+    is copied; its merge writes land under its own data/ dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.lakehouse import clone_table, merge_table, read_table
+
+    base = _lakehouse_table_dir(spark, sf_dir)
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    try:
+        mtime = int(os.path.getmtime(ev_path))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}:cl".encode()
+    ).hexdigest()[:10]
+    tdir = os.path.join(tempfile.gettempdir(), f"umt_lakehouse_cl_{key}")
+    marker = os.path.join(tdir, "_UMT_CL_DONE")
+    if os.path.exists(marker):
+        return tdir
+    shutil.rmtree(tdir, ignore_errors=True)
+    clone_table(base, tdir)
+    cdc = (
+        read_table(spark, tdir)
+        .filter((F.col("user_id") % 5) == 2)
+        .withColumn("__delete", F.lit(True))
+    )
+    merge_table(spark, tdir, cdc, "user_id", "__delete")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return tdir
+
+
+@_register(
+    "lakehouse_shallow_clone",
+    _LAKEHOUSE_SQL_PREFIX + """
+    SELECT 'source' AS rel, user_id, last_event_type,
+           ROUND(last_value, 2) + 0 AS last_value
+    FROM v3
+    UNION ALL
+    SELECT 'clone', user_id, last_event_type,
+           ROUND(last_value, 2) + 0
+    FROM v3 WHERE user_id % 5 <> 2
+    """,
+    "§2.11 lakehouse ops (zero-copy SHALLOW CLONE + divergence)",
+    "Delta SHALLOW CLONE from manifest parts: the clone's v1 "
+    "references the source's current data files by absolute path — "
+    "O(KB) metadata, zero bytes copied (unit test: the clone has no "
+    "data directory until its first own write) — and a divergent "
+    "MERGE (deleting every fifth user) copy-on-writes into the "
+    "CLONE's directory only. The query stacks both tables' latest "
+    "states; the oracle recomputes them independently, so clone "
+    "leakage in either direction (source rows mutated, or the "
+    "clone still showing deleted keys through stale references) "
+    "breaks the hash. At 100 TB this is how dev/test/experiment "
+    "copies of production tables cost nothing until they diverge.",
+)
+def q_lakehouse_shallow_clone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.lakehouse import read_table
+
+    src = _lakehouse_table_dir(spark, sf_dir)
+    clone = _lakehouse_clone_dir(spark, sf_dir)
+    cols = lambda rel: [  # noqa: E731
+        F.lit(rel).alias("rel"),
+        F.col("user_id"),
+        F.col("last_event_type"),
+        (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
+    ]
+    return read_table(spark, src).select(*cols("source")).unionByName(
+        read_table(spark, clone).select(*cols("clone"))
+    )
+
+
+_GDPR_USER = 7
+
+
+def _lakehouse_gdpr_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A private copy of the 3-version table taken through a privacy
+    purge of one user: tombstone MERGE (v4) -> OPTIMIZE into a
+    self-contained v5 -> VACUUM retaining only v5. The user's pre-purge
+    row count is persisted beside the table (post-vacuum history is
+    deliberately unreadable)."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.lakehouse import (
+        merge_table, optimize_table, read_table, vacuum_table,
+    )
+
+    base = _lakehouse_table_dir(spark, sf_dir)
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    try:
+        mtime = int(os.path.getmtime(ev_path))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}:gd".encode()
+    ).hexdigest()[:10]
+    tdir = os.path.join(tempfile.gettempdir(), f"umt_lakehouse_gd_{key}")
+    marker = os.path.join(tdir, "_UMT_GD_DONE")
+    if os.path.exists(marker):
+        return tdir
+    shutil.rmtree(tdir, ignore_errors=True)
+    shutil.copytree(base, tdir)
+    os.remove(os.path.join(tdir, "_UMT_BUILD_DONE"))
+    pre = (
+        read_table(spark, tdir)
+        .filter(F.col("user_id") == _GDPR_USER)
+        .count()
+    )
+    cdc = (
+        read_table(spark, tdir)
+        .filter(F.col("user_id") == _GDPR_USER)
+        .withColumn("__delete", F.lit(True))
+    )
+    merge_table(spark, tdir, cdc, "user_id", "__delete")  # v4 tombstone
+    optimize_table(spark, tdir, "user_id")  # v5 self-contained
+    vacuum_table(tdir, retain_versions=1)   # physical erase of history
+    with open(os.path.join(tdir, "_UMT_GD_STATS.json"), "w") as f:
+        _json.dump({"prepurge_rows": pre}, f)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return tdir
+
+
+@_register(
+    "lakehouse_gdpr_purge",
+    _LAKEHOUSE_SQL_PREFIX + f"""
+    SELECT (SELECT COUNT(*) FROM v3 WHERE user_id <> {_GDPR_USER})
+               AS n_rows_latest,
+           (SELECT COUNT(*) FROM v3 WHERE user_id = {_GDPR_USER})
+               AS n_user_rows_prepurge,
+           CAST(0 AS BIGINT) AS trace_rows,
+           TRUE AS ok_history_unreadable
+    """,
+    "§2.11 lakehouse ops (GDPR right-to-be-forgotten purge)",
+    "The privacy delete a versioned table must support DESPITE "
+    "immutable history: tombstone MERGE, then OPTIMIZE into a "
+    "self-contained version, then VACUUM to the latest — after which "
+    "the engine PROVES physical erasure two ways: a recursive scan of "
+    "every parquet file still on disk finds zero rows for the user "
+    "(trace_rows, genuinely counted), and time travel to any "
+    "pre-purge version fails explicitly (ok_history_unreadable from "
+    "the raised read error, not an assumption). The oracle pins the "
+    "surviving row count and the user's pre-purge footprint from the "
+    "raw fold. This is the Delta deletion-compliance recipe "
+    "(DELETE + VACUUM) — at 100 TB the optimize step runs only on "
+    "the tombstoned buckets' partitions, not the whole table.",
+)
+def q_lakehouse_gdpr_purge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+    import os
+
+    from ..sources.lakehouse import read_table
+
+    tdir = _lakehouse_gdpr_dir(spark, sf_dir)
+    with open(os.path.join(tdir, "_UMT_GD_STATS.json")) as f:
+        pre = _json.load(f)["prepurge_rows"]
+    n_latest = read_table(spark, tdir).count()
+    # physical-trace audit: every parquet file left under the table
+    trace = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(tdir, "data"))
+        .filter(F.col("user_id") == _GDPR_USER)
+        .count()
+    )
+    try:
+        read_table(spark, tdir, version=3).count()
+        unreadable = False
+    except FileNotFoundError:
+        unreadable = True
+    return spark.createDataFrame(
+        [(n_latest, pre, trace, unreadable)],
+        "n_rows_latest long, n_user_rows_prepurge long, "
+        "trace_rows long, ok_history_unreadable boolean",
+    )
+
+
 # -------------------------------------------------------------------------
 # Bucketed co-located join (bucketBy tables, shuffle-free sort-merge)
 # -------------------------------------------------------------------------
@@ -11260,6 +11450,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "quality_quarantine_split", "bucketed_colocated_join",
     "approx_quantile_contract", "rendezvous_sharding",
     "stratified_sample_exact", "event_pattern_match",
+    "lakehouse_shallow_clone", "lakehouse_gdpr_purge",
     # (the 8 extra slots came from never-hashed event/profiling
     # rotations whose OPERATORS keep driver evidence through verified
     # suite siblings: funnel/cohort/attribution/gapfill/rolling ride
@@ -11282,10 +11473,10 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # training-prep manifests (oracle)
     "document_packing", "dataset_split_manifest",
     "embedding_quantization", "mixture_temperature_weights",
-    "document_fingerprints", "bpe_subword_counts",
+    "bpe_subword_counts",
     # text curation / linkage (oracle)
     "winnowing_fingerprint", "quality_perplexity", "text_quality",
-    "blocked_jw_linkage", "knn_classifier_vote",
+    "blocked_jw_linkage",
     # format roundtrips (oracle)
     "dictionary_text_roundtrip", "partitioned_write_pruning",
     # topic quality (rows; extended c_v chain this round)
@@ -11372,6 +11563,8 @@ _COST_HINT: dict[str, float] = {
     "events_asof_nearest": 0.6, "event_pattern_match": 0.6,
     # pays the one-time fingerprint-store lifecycle build
     "incremental_dedup_commit": 3.0,
+    # clone + gdpr pay one-time copied-table lifecycle builds
+    "lakehouse_shallow_clone": 1.5, "lakehouse_gdpr_purge": 3.0,
     "lakehouse_incremental_mv": 3.0, "streaming_lakehouse_sink": 25.0,
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint

@@ -338,6 +338,30 @@ def optimize_table(spark: SparkSession, table_dir: str, key_col: str) -> int:
     )
 
 
+def clone_table(src_dir: str, dst_dir: str) -> int:
+    """SHALLOW CLONE: a new table whose v1 manifest references the
+    source's CURRENT data files by absolute path — zero data copied,
+    O(KB) metadata. Writes to the clone copy-on-write on top (its new
+    buckets land under its OWN data/ dir), so the source never sees
+    them; the clone's VACUUM walks only the clone's data/ directory,
+    so it can never delete source files. This is the Delta SHALLOW
+    CLONE contract: instant dev/test/experiment copies of a 100 TB
+    table. (As in Delta, vacuuming the SOURCE can invalidate a shallow
+    clone — the production pairing is clone + source retention
+    policy.)"""
+    src_latest = latest_version(src_dir)
+    m = _load_manifest(src_dir, src_latest)
+    os.makedirs(dst_dir, exist_ok=True)
+    buckets = {
+        b: {**e, "path": os.path.join(os.path.abspath(src_dir), e["path"])}
+        for b, e in m["buckets"].items()
+    }
+    return _commit(
+        dst_dir, 1, "clone", None, buckets,
+        StructType.fromJson(json.loads(m["schema"])), m["n_buckets"],
+    )
+
+
 def rebucket_table(
     spark: SparkSession, table_dir: str, key_col: str, n_new: int
 ) -> int:
