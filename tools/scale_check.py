@@ -157,6 +157,13 @@ _QUERIES = [
     "stratified_sample_exact",
     "bucketed_colocated_join",
     "lakehouse_rebucket",
+    "lakehouse_quality_gate",
+    "quality_quarantine_split",
+    "events_asof_nearest",
+    "event_pattern_match",
+    "incremental_dedup_commit",
+    "lakehouse_shallow_clone",
+    "lakehouse_gdpr_purge",
 ]
 
 
