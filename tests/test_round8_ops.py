@@ -833,3 +833,37 @@ def test_shallow_clone_is_zero_copy_and_isolated(spark, table, tmp_path):
     assert stats["removed_dirs"] == 0
     assert src == {r["user_id"]: r["val"]
                    for r in read_table(spark, table).collect()}
+
+
+# -- exactly-once streaming sink (session-3) ---------------------------------
+
+def test_sink_replayed_batch_is_transactionally_skipped(spark, tmp_path):
+    from uni_mannheim_masters_thesis_spark.streaming.lakehouse_sink import (
+        apply_cdc_batch,
+    )
+
+    tdir = str(tmp_path / "sink_tbl")
+
+    def _batch(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+                  "value double, ts timestamp",
+        ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+
+    b0 = _batch([(1, 10, "view", 1.0, None)])
+    b1 = _batch([(2, 10, "purchase", 5.0, None), (3, 11, "view", 2.0, None)])
+
+    assert apply_cdc_batch(spark, tdir, b0, 0) is True   # create
+    assert apply_cdc_batch(spark, tdir, b1, 1) is True   # merge
+    v_after = latest_version(tdir)
+    state = sorted(read_table(spark, tdir).collect())
+    # crash-replay of BOTH already-committed batches: no content change,
+    # no phantom versions
+    assert apply_cdc_batch(spark, tdir, b0, 0) is False
+    assert apply_cdc_batch(spark, tdir, b1, 1) is False
+    assert latest_version(tdir) == v_after
+    assert sorted(read_table(spark, tdir).collect()) == state
+    # the next NEW batch still applies
+    b2 = _batch([(4, 11, "error", 0.0, None)])           # tombstone 11
+    assert apply_cdc_batch(spark, tdir, b2, 2) is True
+    assert {r["user_id"] for r in read_table(spark, tdir).collect()} == {10}

@@ -80,6 +80,17 @@ def latest_version(table_dir: str) -> int:
         return int(f.read().strip())
 
 
+def last_committed_note(table_dir: str) -> dict:
+    """The latest commit's metadata note ({} for tables that never set
+    one) — the exactly-once watermark readers like the streaming sink
+    consult before applying a possibly-replayed batch."""
+    if not os.path.exists(os.path.join(table_dir, "_LATEST")):
+        return {}
+    return _load_manifest(table_dir, latest_version(table_dir)).get(
+        "note", {}
+    )
+
+
 def _load_manifest(table_dir: str, version: int) -> dict:
     with open(_manifest_path(table_dir, version)) as f:
         m = json.load(f)
@@ -142,6 +153,7 @@ def _commit(
     buckets: dict,
     schema: StructType,
     n_buckets: int = N_BUCKETS,
+    note: dict | None = None,
 ) -> int:
     manifest = {
         "version": version,
@@ -151,6 +163,10 @@ def _commit(
         "n_buckets": n_buckets,
         "n_rows": sum(e["n_rows"] for e in buckets.values()),
         "buckets": buckets,
+        # free-form commit metadata (e.g. the streaming sink's batch_id
+        # exactly-once watermark) — rides the atomic manifest write, so
+        # it is transactional with the data it describes
+        "note": note or {},
     }
     _atomic_write(
         _manifest_path(table_dir, version),
@@ -162,11 +178,16 @@ def _commit(
     return version
 
 
-def create_table(df: DataFrame, table_dir: str, key_col: str) -> int:
+def create_table(
+    df: DataFrame, table_dir: str, key_col: str,
+    note: dict | None = None,
+) -> int:
     """Materialize ``df`` (one row per key) as version 1."""
     os.makedirs(table_dir, exist_ok=True)
     buckets = _write_snapshot(df, table_dir, 1, key_col)
-    return _commit(table_dir, 1, "create", None, buckets, df.schema)
+    return _commit(
+        table_dir, 1, "create", None, buckets, df.schema, N_BUCKETS, note
+    )
 
 
 def merge_table(
@@ -175,6 +196,7 @@ def merge_table(
     cdc: DataFrame,
     key_col: str,
     delete_col: str,
+    note: dict | None = None,
 ) -> int:
     """MERGE a CDC batch (one row per key; ``delete_col`` boolean marks
     tombstones) into the latest version, copy-on-write per bucket.
@@ -222,7 +244,8 @@ def merge_table(
     }
     buckets.update(written)  # a bucket emptied by deletes simply drops out
     return _commit(
-        table_dir, version, "merge", parent, buckets, schema, n_buckets
+        table_dir, version, "merge", parent, buckets, schema, n_buckets,
+        note,
     )
 
 

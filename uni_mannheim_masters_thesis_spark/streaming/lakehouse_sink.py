@@ -24,16 +24,24 @@ error-latest keys absent — independent of where the batch boundaries
 fall. That is the hash-exact oracle contract
 (``streaming_lakehouse_sink`` in plans/registry.py).
 
+**Exactly-once under replay.** ``foreachBatch`` is at-least-once: a
+crash between a table commit and the checkpoint advance replays the
+batch on restart. The sink therefore records each batch_id in its
+commit's manifest NOTE — the note rides the same atomic manifest
+write as the data, so "was this batch applied?" is answered by the
+table itself, transactionally. ``apply_cdc_batch`` skips any
+batch_id at or below the last committed watermark: replays neither
+change content NOR mint phantom versions (the Delta
+txnAppId/txnVersion idempotent-writer recipe, unit-tested).
+
 At 100 TB: foreachBatch-MERGE is the standard Delta/Iceberg streaming
 upsert sink; the per-batch cost is the CDC reduction (one shuffle on
-the key) plus a copy-on-write rewrite of only the touched buckets,
-and checkpointing makes the sink restartable (a replayed batch
-re-merges idempotently — last-writer-wins per key is idempotent under
-replay of the same batch).
+the key) plus a copy-on-write rewrite of only the touched buckets.
 """
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
@@ -47,6 +55,56 @@ from .runtime import _CKPT_ROOT
 from .throughput import split_events_dir
 
 
+def apply_cdc_batch(
+    spark: SparkSession, table_dir: str, batch: DataFrame, batch_id: int
+) -> bool:
+    """Reduce one micro-batch to CDC and commit it EXACTLY ONCE:
+    the batch_id is written into the commit's manifest note (atomic
+    with the data), and any batch at or below the table's last
+    committed batch_id is skipped — so foreachBatch replays after a
+    crash neither change content nor mint phantom versions. Returns
+    True iff the table was mutated."""
+    from ..sources.lakehouse import (
+        create_table,
+        last_committed_note,
+        merge_table,
+    )
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    cdc = (
+        batch.select(
+            "event_id", "user_id", "event_type", "value",
+            F.unix_micros("ts").alias("us"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            (F.col("event_type") == "error").alias("__delete"),
+        )
+    )
+    if cdc.isEmpty():
+        return False
+    note = {"batch_id": batch_id}
+    if not os.path.exists(os.path.join(table_dir, "_LATEST")):
+        create_table(
+            cdc.filter(~F.col("__delete")).drop("__delete"),
+            table_dir,
+            "user_id",
+            note=note,
+        )
+        return True
+    last = last_committed_note(table_dir).get("batch_id")
+    if last is not None and batch_id <= last:
+        return False  # replayed batch: already committed transactionally
+    merge_table(spark, table_dir, cdc, "user_id", "__delete", note=note)
+    return True
+
+
 def stream_cdc_into_table(
     spark: SparkSession, sf_dir: str, table_dir: str
 ) -> dict[str, int]:
@@ -54,11 +112,7 @@ def stream_cdc_into_table(
     lakehouse table at ``table_dir``. Returns run evidence:
     ``n_data_batches`` (non-empty micro-batches processed) and
     ``n_versions`` (table versions committed)."""
-    from ..sources.lakehouse import (
-        create_table,
-        latest_version,
-        merge_table,
-    )
+    from ..sources.lakehouse import latest_version
 
     ensure_engine_confs(spark)
     src = split_events_dir(spark, sf_dir)
@@ -70,38 +124,11 @@ def stream_cdc_into_table(
         "ts",
     )
 
-    state = {"created": False, "n_data_batches": 0}
+    state = {"n_data_batches": 0}
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("us").desc(), F.col("event_id").desc()
-        )
-        cdc = (
-            batch.select(
-                "event_id", "user_id", "event_type", "value",
-                F.unix_micros("ts").alias("us"),
-            )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(
-                "user_id",
-                F.col("event_type").alias("last_event_type"),
-                F.col("value").alias("last_value"),
-                (F.col("event_type") == "error").alias("__delete"),
-            )
-        )
-        if cdc.isEmpty():
-            return
-        state["n_data_batches"] += 1
-        if not state["created"]:
-            create_table(
-                cdc.filter(~F.col("__delete")).drop("__delete"),
-                table_dir,
-                "user_id",
-            )
-            state["created"] = True
-        else:
-            merge_table(spark, table_dir, cdc, "user_id", "__delete")
+        if apply_cdc_batch(spark, table_dir, batch, batch_id):
+            state["n_data_batches"] += 1
 
     name = f"lakehouse_sink_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"{name}_", dir=_CKPT_ROOT)
