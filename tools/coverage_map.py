@@ -351,9 +351,11 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                         ["lakehouse_incremental_mv"]),
     "X-stream-lakehouse-sink": ("streaming.lakehouse_sink:"
                                 "stream_cdc_into_table  # foreachBatch "
-                                "CDC MERGE, one version per micro-batch; "
-                                "final table hash-exact vs the global "
-                                "latest-per-key fold",
+                                "CDC MERGE, one version per micro-batch, "
+                                "EXACTLY-ONCE under replay (batch_id "
+                                "watermark rides the atomic manifest "
+                                "commit); final table hash-exact vs the "
+                                "global latest-per-key fold",
                                 ["streaming_lakehouse_sink"]),
     "X-join-salted": ("operators.relational:salted_join  # manual skew "
                       "spread (x8 salts) for hot keys AQE cannot split; "
