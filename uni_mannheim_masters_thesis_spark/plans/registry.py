@@ -9500,44 +9500,67 @@ def q_lakehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lakehouse_ov_table_dir(spark: SparkSession, sf_dir: str) -> str:
-    """A private copy of the 3-version table taken through the full
-    maintenance lifecycle: OPTIMIZE (v4 — compact, self-contained
-    rewrite) then VACUUM (retain only v4's files). Copied so the shared
-    cached table the other lakehouse queries read stays time-travel-
-    complete. The vacuum accounting is persisted beside the table so
-    cached rebuilds report identical numbers."""
+def _derived_lakehouse_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    suffix: str,
+    build,
+    copy_shared: bool = True,
+):
+    """Materialize a PRIVATE derived table once per dataset (cache key:
+    abs sf_dir + events mtime + suffix; done-marker guarded). The shared
+    cached table the other lakehouse queries read is never mutated —
+    lifecycle builders either work on a full copy of it or start from
+    an empty dir (``copy_shared=False``); ``build(tdir)`` applies the
+    suffix-specific commits."""
     import hashlib
-    import json
     import os
     import shutil
     import tempfile
 
-    from ..sources.lakehouse import optimize_table, vacuum_table
-
-    base = _lakehouse_table_dir(spark, sf_dir)
+    base = _lakehouse_table_dir(spark, sf_dir) if copy_shared else None
     ev_path = os.path.join(sf_dir, "events.parquet")
     try:
         mtime = int(os.path.getmtime(ev_path))
     except OSError:
         mtime = 0
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}:ov".encode()
+        f"{os.path.abspath(sf_dir)}:{mtime}:{suffix}".encode()
     ).hexdigest()[:10]
-    tdir = os.path.join(tempfile.gettempdir(), f"umt_lakehouse_ov_{key}")
-    marker = os.path.join(tdir, "_UMT_OV_DONE")
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"umt_lakehouse_{suffix}_{key}"
+    )
+    marker = os.path.join(tdir, f"_UMT_{suffix.upper()}_DONE")
     if os.path.exists(marker):
         return tdir
     shutil.rmtree(tdir, ignore_errors=True)
-    shutil.copytree(base, tdir)
-    os.remove(os.path.join(tdir, "_UMT_BUILD_DONE"))
-    optimize_table(spark, tdir, "user_id")
-    stats = vacuum_table(tdir, retain_versions=1)
-    with open(os.path.join(tdir, "_UMT_OV_STATS.json"), "w") as f:
-        json.dump(stats, f)
+    if copy_shared:
+        shutil.copytree(base, tdir)
+        os.remove(os.path.join(tdir, "_UMT_BUILD_DONE"))
+    build(tdir)
     with open(marker, "w") as f:
         f.write("ok")
     return tdir
+
+
+def _lakehouse_ov_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A private copy of the 3-version table taken through the full
+    maintenance lifecycle: OPTIMIZE (v4 — compact, self-contained
+    rewrite) then VACUUM (retain only v4's files). The vacuum
+    accounting is persisted beside the table so cached rebuilds report
+    identical numbers."""
+    import json
+    import os
+
+    from ..sources.lakehouse import optimize_table, vacuum_table
+
+    def build(tdir: str) -> None:
+        optimize_table(spark, tdir, "user_id")
+        stats = vacuum_table(tdir, retain_versions=1)
+        with open(os.path.join(tdir, "_UMT_OV_STATS.json"), "w") as f:
+            json.dump(stats, f)
+
+    return _derived_lakehouse_dir(spark, sf_dir, "ov", build)
 
 
 @_register(
@@ -9629,48 +9652,26 @@ def _lakehouse_evo_table_dir(spark: SparkSession, sf_dir: str) -> str:
     evolution + rollback: v4 = ALTER TABLE ADD COLUMN value_tier
     (metadata-only), v5 = MERGE populating the new column for the
     user_id % 4 == 0 keys, v6 = RESTORE to version 2 (metadata-only
-    rollback; v5 stays time-travel readable). Copied so the shared
-    cached table the other lakehouse queries read is never mutated."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
+    rollback; v5 stays time-travel readable)."""
     from ..sources.lakehouse import add_column, merge_table, read_table, \
         restore_table
 
-    base = _lakehouse_table_dir(spark, sf_dir)
-    ev_path = os.path.join(sf_dir, "events.parquet")
-    try:
-        mtime = int(os.path.getmtime(ev_path))
-    except OSError:
-        mtime = 0
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}:evo".encode()
-    ).hexdigest()[:10]
-    tdir = os.path.join(tempfile.gettempdir(), f"umt_lakehouse_evo_{key}")
-    marker = os.path.join(tdir, "_UMT_EVO_DONE")
-    if os.path.exists(marker):
-        return tdir
-    shutil.rmtree(tdir, ignore_errors=True)
-    shutil.copytree(base, tdir)
-    os.remove(os.path.join(tdir, "_UMT_BUILD_DONE"))
-    add_column(tdir, "value_tier", "string")  # v4: KB manifest, no data IO
-    cdc = (
-        read_table(spark, tdir)  # v4 read: value_tier null-filled
-        .filter((F.col("user_id") % 4) == 0)
-        .withColumn(
-            "value_tier",
-            F.when(F.col("last_value") >= 50.0, F.lit("high"))
-            .otherwise(F.lit("low")),
+    def build(tdir: str) -> None:
+        add_column(tdir, "value_tier", "string")  # v4: KB manifest only
+        cdc = (
+            read_table(spark, tdir)  # v4 read: value_tier null-filled
+            .filter((F.col("user_id") % 4) == 0)
+            .withColumn(
+                "value_tier",
+                F.when(F.col("last_value") >= 50.0, F.lit("high"))
+                .otherwise(F.lit("low")),
+            )
+            .withColumn("__delete", F.lit(False))
         )
-        .withColumn("__delete", F.lit(False))
-    )
-    merge_table(spark, tdir, cdc, "user_id", "__delete")  # v5
-    restore_table(tdir, 2)  # v6: re-references v2's buckets + schema
-    with open(marker, "w") as f:
-        f.write("ok")
-    return tdir
+        merge_table(spark, tdir, cdc, "user_id", "__delete")  # v5
+        restore_table(tdir, 2)  # v6: re-references v2's buckets+schema
+
+    return _derived_lakehouse_dir(spark, sf_dir, "evo", build)
 
 
 @_register(
@@ -10710,40 +10711,19 @@ def _lakehouse_rb_table_dir(spark: SparkSession, sf_dir: str) -> str:
     evolution: v4 = REBUCKET 16 -> 32 (self-contained rewrite, new
     layout in the manifest), v5 = MERGE doubling last_value for the
     user_id % 10 == 7 keys — copy-on-write at the NEW granularity."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..sources.lakehouse import merge_table, read_table, rebucket_table
 
-    base = _lakehouse_table_dir(spark, sf_dir)
-    ev_path = os.path.join(sf_dir, "events.parquet")
-    try:
-        mtime = int(os.path.getmtime(ev_path))
-    except OSError:
-        mtime = 0
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}:rb".encode()
-    ).hexdigest()[:10]
-    tdir = os.path.join(tempfile.gettempdir(), f"umt_lakehouse_rb_{key}")
-    marker = os.path.join(tdir, "_UMT_RB_DONE")
-    if os.path.exists(marker):
-        return tdir
-    shutil.rmtree(tdir, ignore_errors=True)
-    shutil.copytree(base, tdir)
-    os.remove(os.path.join(tdir, "_UMT_BUILD_DONE"))
-    rebucket_table(spark, tdir, "user_id", 32)  # v4
-    cdc = (
-        read_table(spark, tdir)
-        .filter((F.col("user_id") % 10) == 7)
-        .withColumn("last_value", F.round(F.col("last_value") * 2, 2))
-        .withColumn("__delete", F.lit(False))
-    )
-    merge_table(spark, tdir, cdc, "user_id", "__delete")  # v5
-    with open(marker, "w") as f:
-        f.write("ok")
-    return tdir
+    def build(tdir: str) -> None:
+        rebucket_table(spark, tdir, "user_id", 32)  # v4
+        cdc = (
+            read_table(spark, tdir)
+            .filter((F.col("user_id") % 10) == 7)
+            .withColumn("last_value", F.round(F.col("last_value") * 2, 2))
+            .withColumn("__delete", F.lit(False))
+        )
+        merge_table(spark, tdir, cdc, "user_id", "__delete")  # v5
+
+    return _derived_lakehouse_dir(spark, sf_dir, "rb", build)
 
 
 @_register(
@@ -11044,37 +11024,21 @@ def _lakehouse_clone_dir(spark: SparkSession, sf_dir: str) -> str:
     MERGE (tombstones for user_id % 5 == 2) applied to the CLONE only.
     The clone references the source's files by absolute path — nothing
     is copied; its merge writes land under its own data/ dir."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..sources.lakehouse import clone_table, merge_table, read_table
 
     base = _lakehouse_table_dir(spark, sf_dir)
-    ev_path = os.path.join(sf_dir, "events.parquet")
-    try:
-        mtime = int(os.path.getmtime(ev_path))
-    except OSError:
-        mtime = 0
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}:cl".encode()
-    ).hexdigest()[:10]
-    tdir = os.path.join(tempfile.gettempdir(), f"umt_lakehouse_cl_{key}")
-    marker = os.path.join(tdir, "_UMT_CL_DONE")
-    if os.path.exists(marker):
-        return tdir
-    shutil.rmtree(tdir, ignore_errors=True)
-    clone_table(base, tdir)
-    cdc = (
-        read_table(spark, tdir)
-        .filter((F.col("user_id") % 5) == 2)
-        .withColumn("__delete", F.lit(True))
-    )
-    merge_table(spark, tdir, cdc, "user_id", "__delete")
-    with open(marker, "w") as f:
-        f.write("ok")
-    return tdir
+
+    def build(tdir: str) -> None:
+        clone_table(base, tdir)
+        cdc = (
+            read_table(spark, tdir)
+            .filter((F.col("user_id") % 5) == 2)
+            .withColumn("__delete", F.lit(True))
+        )
+        merge_table(spark, tdir, cdc, "user_id", "__delete")
+
+    return _derived_lakehouse_dir(spark, sf_dir, "cl", build,
+                                  copy_shared=False)
 
 
 @_register(
@@ -11128,50 +11092,31 @@ def _lakehouse_gdpr_dir(spark: SparkSession, sf_dir: str) -> str:
     self-contained v5 -> VACUUM retaining only v5. The user's pre-purge
     row count is persisted beside the table (post-vacuum history is
     deliberately unreadable)."""
-    import hashlib
     import json as _json
     import os
-    import shutil
-    import tempfile
 
     from ..sources.lakehouse import (
         merge_table, optimize_table, read_table, vacuum_table,
     )
 
-    base = _lakehouse_table_dir(spark, sf_dir)
-    ev_path = os.path.join(sf_dir, "events.parquet")
-    try:
-        mtime = int(os.path.getmtime(ev_path))
-    except OSError:
-        mtime = 0
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}:gd".encode()
-    ).hexdigest()[:10]
-    tdir = os.path.join(tempfile.gettempdir(), f"umt_lakehouse_gd_{key}")
-    marker = os.path.join(tdir, "_UMT_GD_DONE")
-    if os.path.exists(marker):
-        return tdir
-    shutil.rmtree(tdir, ignore_errors=True)
-    shutil.copytree(base, tdir)
-    os.remove(os.path.join(tdir, "_UMT_BUILD_DONE"))
-    pre = (
-        read_table(spark, tdir)
-        .filter(F.col("user_id") == _GDPR_USER)
-        .count()
-    )
-    cdc = (
-        read_table(spark, tdir)
-        .filter(F.col("user_id") == _GDPR_USER)
-        .withColumn("__delete", F.lit(True))
-    )
-    merge_table(spark, tdir, cdc, "user_id", "__delete")  # v4 tombstone
-    optimize_table(spark, tdir, "user_id")  # v5 self-contained
-    vacuum_table(tdir, retain_versions=1)   # physical erase of history
-    with open(os.path.join(tdir, "_UMT_GD_STATS.json"), "w") as f:
-        _json.dump({"prepurge_rows": pre}, f)
-    with open(marker, "w") as f:
-        f.write("ok")
-    return tdir
+    def build(tdir: str) -> None:
+        pre = (
+            read_table(spark, tdir)
+            .filter(F.col("user_id") == _GDPR_USER)
+            .count()
+        )
+        cdc = (
+            read_table(spark, tdir)
+            .filter(F.col("user_id") == _GDPR_USER)
+            .withColumn("__delete", F.lit(True))
+        )
+        merge_table(spark, tdir, cdc, "user_id", "__delete")  # tombstone
+        optimize_table(spark, tdir, "user_id")  # self-contained
+        vacuum_table(tdir, retain_versions=1)   # physical erase
+        with open(os.path.join(tdir, "_UMT_GD_STATS.json"), "w") as f:
+            _json.dump({"prepurge_rows": pre}, f)
+
+    return _derived_lakehouse_dir(spark, sf_dir, "gd", build)
 
 
 @_register(
