@@ -867,3 +867,43 @@ def test_sink_replayed_batch_is_transactionally_skipped(spark, tmp_path):
     b2 = _batch([(4, 11, "error", 0.0, None)])           # tombstone 11
     assert apply_cdc_batch(spark, tdir, b2, 2) is True
     assert {r["user_id"] for r in read_table(spark, tdir).collect()} == {10}
+
+
+# -- commit crash-consistency (session-3) ------------------------------------
+
+def test_crash_between_commit_steps_never_corrupts_readers(spark, table):
+    """Simulate a writer dying at each stage of the commit protocol
+    (data written / manifest written / _LATEST flipped) and assert
+    readers always see a fully consistent version, and that a retry
+    completes the interrupted commit."""
+    from uni_mannheim_masters_thesis_spark.sources import lakehouse as lh
+
+    base = {r["user_id"]: r["val"] for r in read_table(spark, table).collect()}
+
+    # stage 1: crash AFTER data files, BEFORE manifest — orphan data,
+    # no reader impact
+    merged = read_table(spark, table).withColumn(
+        "val", F.col("val") + 1000.0
+    )
+    lh._write_snapshot(merged, table, 2, "user_id")
+    assert latest_version(table) == 1
+    got = {r["user_id"]: r["val"] for r in read_table(spark, table).collect()}
+    assert got == base
+
+    # stage 2: crash AFTER manifest, BEFORE _LATEST — version invisible
+    man = lh._load_manifest(table, 1)
+    lh._atomic_write(
+        os.path.join(table, "manifest_v2.json"),
+        json.dumps({**man, "version": 2, "op": "merge", "parent": 1}),
+    )
+    assert latest_version(table) == 1
+    assert {r["user_id"]: r["val"]
+            for r in read_table(spark, table).collect()} == base
+
+    # stage 3: the writer retries the SAME merge — overwrite-by-version
+    # makes the interrupted commit idempotent and it completes cleanly
+    cdc = _cdc(spark, [(3, "upd", 99.0, False)])
+    merge_table(spark, table, cdc, "user_id", "__delete")
+    assert latest_version(table) == 2
+    got = {r["user_id"]: r["val"] for r in read_table(spark, table).collect()}
+    assert got[3] == 99.0 and len(got) == 40
