@@ -484,6 +484,17 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                          "proven by a recursive residual-file scan and "
                          "an explicit time-travel failure; hash-exact",
                          ["lakehouse_gdpr_purge"]),
+    "X-gov-pseudonymize": ("plans.registry:q_pseudonymized_export  # "
+                           "stable salted-md5 pseudonyms + measure "
+                           "banding, map-only; joinability preserved "
+                           "(distinct pseudonyms == distinct keys, "
+                           "genuinely counted and hashed)",
+                           ["pseudonymized_export"]),
+    "X-gov-kanonymity": ("plans.registry:q_k_anonymity_audit  # "
+                         "quasi-identifier equivalence-class audit: "
+                         "groups below k + suppression accounting in "
+                         "one exchange; hash-exact",
+                         ["k_anonymity_audit"]),
     "X-event-patterns": ("plans.registry:q_event_pattern_match  # "
                          "MATCH_RECOGNIZE-style row-pattern counts over "
                          "per-user ordered initial-strings (one key "

@@ -11174,6 +11174,109 @@ def q_lakehouse_gdpr_purge(
     )
 
 
+@_register(
+    "pseudonymized_export",
+    """
+    WITH p AS (
+        SELECT substring(md5('pseud/' || CAST(o_custkey AS VARCHAR)),
+                         1, 16) AS pseudonym,
+               o_custkey,
+               CAST(FLOOR(o_totalprice / 100000.0) AS BIGINT) AS band
+        FROM orders
+    )
+    SELECT band, COUNT(*) AS n_orders,
+           CAST(COUNT(DISTINCT pseudonym) AS BIGINT) AS n_pseudonyms,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+           COUNT(DISTINCT pseudonym) = COUNT(DISTINCT o_custkey)
+               AS ok_joinability
+    FROM p GROUP BY band
+    """,
+    "§2.11 governance (stable pseudonymization export)",
+    "The privacy-preserving export that pairs with the GDPR purge: "
+    "direct identifiers are replaced by STABLE salted-md5 pseudonyms "
+    "(row-local, whole-stage codegen — the same key always maps to "
+    "the same token, so downstream joins and per-entity analytics "
+    "still work on the exported data) and the sensitive measure is "
+    "coarsened to bands. The hashed output proves joinability "
+    "survived (distinct pseudonyms == distinct keys per band, "
+    "genuinely counted) — a pseudonym collision, which would silently "
+    "merge two customers' histories, breaks both the flag and the "
+    "hash. At 100 TB this is a map-only pass; the salt lives in a "
+    "secret store, never the data.",
+)
+def q_pseudonymized_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pseudonym = F.substring(
+        F.md5(F.concat(F.lit("pseud/"), F.col("o_custkey").cast("string"))),
+        1, 16,
+    )
+    p = o.select(
+        pseudonym.alias("pseudonym"),
+        "o_custkey",
+        F.floor(F.col("o_totalprice") / 100000.0).cast("long").alias("band"),
+    )
+    return p.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("pseudonym").alias("n_pseudonyms"),
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        (
+            F.countDistinct("pseudonym") == F.countDistinct("o_custkey")
+        ).alias("ok_joinability"),
+    )
+
+
+_KANON_K = 5
+
+
+@_register(
+    "k_anonymity_audit",
+    f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS grp_n
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST({_KANON_K} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(grp_n) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN grp_n < {_KANON_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_groups_below_k,
+           CAST(SUM(CASE WHEN grp_n < {_KANON_K} THEN grp_n ELSE 0 END)
+                AS BIGINT) AS n_rows_suppressed,
+           MIN(grp_n) >= {_KANON_K} AS ok_k_anonymous
+    FROM g
+    """,
+    "§2.11 governance (k-anonymity audit over quasi-identifiers)",
+    "The release gate for the pseudonymized export: even with direct "
+    "identifiers tokenized, quasi-identifier combinations "
+    "(nation x market segment here) can re-identify members of small "
+    "groups. One aggregation computes every group's size and the "
+    "k={0}-anonymity verdict: how many groups fall below k and how "
+    "many rows a suppress-small-groups policy would withhold. "
+    "Hash-exact against the oracle — an equivalence class miscounted "
+    "by one flips the suppression accounting. At 100 TB this is one "
+    "partial-aggregated exchange of the quasi-identifier tuple, and "
+    "the audit runs per export, not per query.".format(_KANON_K),
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+    )
+    return g.agg(
+        F.lit(_KANON_K).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("grp_n").alias("min_group_size"),
+        F.sum((F.col("grp_n") < _KANON_K).cast("long")).alias(
+            "n_groups_below_k"
+        ),
+        F.sum(
+            F.when(F.col("grp_n") < _KANON_K, F.col("grp_n")).otherwise(0)
+        ).alias("n_rows_suppressed"),
+        (F.min("grp_n") >= _KANON_K).alias("ok_k_anonymous"),
+    )
+
+
 # -------------------------------------------------------------------------
 # Bucketed co-located join (bucketBy tables, shuffle-free sort-merge)
 # -------------------------------------------------------------------------
@@ -11396,6 +11499,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "approx_quantile_contract", "rendezvous_sharding",
     "stratified_sample_exact", "event_pattern_match",
     "lakehouse_shallow_clone", "lakehouse_gdpr_purge",
+    "pseudonymized_export", "k_anonymity_audit",
     # (the 8 extra slots came from never-hashed event/profiling
     # rotations whose OPERATORS keep driver evidence through verified
     # suite siblings: funnel/cohort/attribution/gapfill/rolling ride
@@ -11416,8 +11520,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "streaming_session_attribution",
     "streaming_first_event_per_user_type",
     # training-prep manifests (oracle)
-    "document_packing", "dataset_split_manifest",
-    "embedding_quantization", "mixture_temperature_weights",
+    "document_packing", "mixture_temperature_weights",
     "bpe_subword_counts",
     # text curation / linkage (oracle)
     "winnowing_fingerprint", "quality_perplexity", "text_quality",
@@ -11510,6 +11613,7 @@ _COST_HINT: dict[str, float] = {
     "incremental_dedup_commit": 3.0,
     # clone + gdpr pay one-time copied-table lifecycle builds
     "lakehouse_shallow_clone": 1.5, "lakehouse_gdpr_purge": 3.0,
+    "pseudonymized_export": 0.5, "k_anonymity_audit": 0.3,
     "lakehouse_incremental_mv": 3.0, "streaming_lakehouse_sink": 25.0,
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint
