@@ -164,6 +164,8 @@ _QUERIES = [
     "incremental_dedup_commit",
     "lakehouse_shallow_clone",
     "lakehouse_gdpr_purge",
+    "pseudonymized_export",
+    "k_anonymity_audit",
 ]
 
 
