@@ -484,6 +484,14 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                          "proven by a recursive residual-file scan and "
                          "an explicit time-travel failure; hash-exact",
                          ["lakehouse_gdpr_purge"]),
+    "X-ts-interpolation": ("plans.registry:"
+                           "q_events_linear_interpolation  # linear "
+                           "lerp gap-fill between nearest observed "
+                           "neighbors via the two-direction carry "
+                           "machinery (one exchange, two window "
+                           "sorts); mode-free half-up quantization "
+                           "keeps the hash exact across engines",
+                           ["events_linear_interpolation"]),
     "X-gov-pseudonymize": ("plans.registry:q_pseudonymized_export  # "
                            "stable salted-md5 pseudonyms + measure "
                            "banding, map-only; joinability preserved "

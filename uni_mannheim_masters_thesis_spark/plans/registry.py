@@ -1159,6 +1159,136 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_linear_interpolation",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT t.h FROM b,
+               UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(h)
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT h, event_type FROM hours CROSS JOIN types),
+    j AS (
+        SELECT epoch_us(spine.h) AS hu, spine.event_type, v
+        FROM spine LEFT JOIN hourly
+          ON spine.h = hourly.h AND spine.event_type = hourly.event_type
+    ),
+    carried AS (
+        SELECT hu, event_type, v,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN hu END IGNORE NULLS)
+                   OVER wp AS ph,
+               last_value(v IGNORE NULLS) OVER wn AS nv,
+               last_value(CASE WHEN v IS NOT NULL THEN hu END IGNORE NULLS)
+                   OVER wn AS nh
+        FROM j
+        WINDOW wp AS (PARTITION BY event_type ORDER BY hu
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY hu DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT hu AS hour_start_us, event_type,
+           -- explicit half-up quantization: both engines share the
+           -- bit-identical double, but ROUND() ties diverge (Spark
+           -- half-up vs DuckDB half-even); floor(x*1e4 + 0.5) is
+           -- mode-free
+           FLOOR((CASE WHEN v IS NOT NULL THEN v
+                       WHEN pv IS NULL THEN nv
+                       WHEN nv IS NULL THEN pv
+                       ELSE pv + (nv - pv)
+                            * (CAST(hu - ph AS DOUBLE) / (nh - ph))
+                  END) * 10000 + 0.5) / 10000 AS value_interp,
+           v IS NULL AS is_interpolated
+    FROM carried
+    """,
+    "§2.11 time series (linear-interpolation gap filling)",
+    "The continuous complement of events_hourly_gapfill's zero-fill: "
+    "silent hours on each event type's hourly mean-value series are "
+    "filled by LINEAR interpolation between the nearest observed "
+    "neighbors (leading/trailing gaps take the nearest edge value). "
+    "Same two-direction carry-forward machinery as the nearest as-of "
+    "join — one exchange on the series key feeding an ascending and a "
+    "descending window sort, then a row-local lerp; the spine stays "
+    "O(hours x types) off a 1-row bounds aggregate. Hourly means are "
+    "exact-decimal-sum / count (one IEEE division), so the oracle's "
+    "identical two-window program hashes bit-for-bit, interpolated "
+    "values included.",
+)
+def q_events_linear_interpolation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    j = spine.join(hourly, ["h", "event_type"], "left").select(
+        F.unix_micros("h").alias("hu"), "event_type", "v"
+    )
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    wp = (
+        Window.partitionBy("event_type").orderBy("hu").rowsBetween(*frame)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hu").desc())
+        .rowsBetween(*frame)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("hu"))
+    carried = j.select(
+        "hu",
+        "event_type",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.last("v", ignorenulls=True).over(wn).alias("nv"),
+        F.last(obs_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("hu") - F.col("ph")).cast("double")
+        / (F.col("nh") - F.col("ph"))
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(lerp)
+    )
+    # explicit half-up quantization — ROUND() ties diverge between
+    # engines (Spark half-up, DuckDB half-even) on the shared double
+    return carried.select(
+        F.col("hu").alias("hour_start_us"),
+        "event_type",
+        (F.floor(filled * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "value_interp"
+        ),
+        F.col("v").isNull().alias("is_interpolated"),
+    )
+
+
+@_register(
     "events_sessionization",
     """
     SELECT user_id,
@@ -11500,6 +11630,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "stratified_sample_exact", "event_pattern_match",
     "lakehouse_shallow_clone", "lakehouse_gdpr_purge",
     "pseudonymized_export", "k_anonymity_audit",
+    "events_linear_interpolation",
     # (the 8 extra slots came from never-hashed event/profiling
     # rotations whose OPERATORS keep driver evidence through verified
     # suite siblings: funnel/cohort/attribution/gapfill/rolling ride
@@ -11520,8 +11651,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "streaming_session_attribution",
     "streaming_first_event_per_user_type",
     # training-prep manifests (oracle)
-    "document_packing", "mixture_temperature_weights",
-    "bpe_subword_counts",
+    "document_packing", "bpe_subword_counts",
     # text curation / linkage (oracle)
     "winnowing_fingerprint", "quality_perplexity", "text_quality",
     "blocked_jw_linkage",
@@ -11614,6 +11744,7 @@ _COST_HINT: dict[str, float] = {
     # clone + gdpr pay one-time copied-table lifecycle builds
     "lakehouse_shallow_clone": 1.5, "lakehouse_gdpr_purge": 3.0,
     "pseudonymized_export": 0.5, "k_anonymity_audit": 0.3,
+    "events_linear_interpolation": 0.8,
     "lakehouse_incremental_mv": 3.0, "streaming_lakehouse_sink": 25.0,
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint
