@@ -166,6 +166,7 @@ _QUERIES = [
     "lakehouse_gdpr_purge",
     "pseudonymized_export",
     "k_anonymity_audit",
+    "events_linear_interpolation",
 ]
 
 
