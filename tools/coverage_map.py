@@ -492,6 +492,14 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                            "sorts); mode-free half-up quantization "
                            "keeps the hash exact across engines",
                            ["events_linear_interpolation"]),
+    "X-linkage-levenshtein": ("plans.registry:"
+                              "q_levenshtein_blocked_pairs  # blocked "
+                              "edit-distance matching with the built-in "
+                              "F.levenshtein (whole-stage codegen, no "
+                              "Python); (brand,size) equi-join blocking; "
+                              "matched membership pinned by key "
+                              "checksum",
+                              ["levenshtein_blocked_pairs"]),
     "X-gov-pseudonymize": ("plans.registry:q_pseudonymized_export  # "
                            "stable salted-md5 pseudonyms + measure "
                            "banding, map-only; joinability preserved "

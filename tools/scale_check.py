@@ -167,6 +167,7 @@ _QUERIES = [
     "pseudonymized_export",
     "k_anonymity_audit",
     "events_linear_interpolation",
+    "levenshtein_blocked_pairs",
 ]
 
 
