@@ -500,6 +500,12 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                               "matched membership pinned by key "
                               "checksum",
                               ["levenshtein_blocked_pairs"]),
+    "X-multimodal-resize": ("operators.multimodal:resize_binary_column"
+                            "  # aspect-preserving 224-box fit geometry "
+                            "(downscale-only) over the Arrow-batched "
+                            "binary column; resample stubbed, geometry "
+                            "IEEE-exact and hash-replayed by the oracle",
+                            ["multimodal_resize"]),
     "X-gov-pseudonymize": ("plans.registry:q_pseudonymized_export  # "
                            "stable salted-md5 pseudonyms + measure "
                            "banding, map-only; joinability preserved "

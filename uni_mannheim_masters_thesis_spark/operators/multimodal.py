@@ -81,3 +81,52 @@ def documents_as_binary(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_width int, out_height int, "
+    "ok_fits boolean"
+)
+
+RESIZE_BOX = 224  # target bounding box (the ViT-style model input)
+
+
+def resize_binary_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: aspect-preserving fit of each payload's
+    (stub-decoded) dimensions into a RESIZE_BOX square — downscale
+    only, never upscale. The pixel resample itself is the stubbed
+    step (PIL not in container); the geometry, batch shape, and
+    Arrow plumbing are real, and the geometry is pure IEEE double
+    math replayable by the oracle."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            width, height, _ = _decode_stub(bytes(payload))
+            scale = min(RESIZE_BOX / width, RESIZE_BOX / height, 1.0)
+            out_w = int(width * scale)
+            out_h = int(height * scale)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "width": width,
+                    "height": height,
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "ok_fits": 1 <= out_w <= RESIZE_BOX
+                    and 1 <= out_h <= RESIZE_BOX,
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+def resize_binary_column(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Run the (geometry-real, resample-stubbed) resizer over a binary
+    column, Arrow-batched."""
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+    return src.mapInPandas(resize_binary_batch, schema=RESIZE_SCHEMA)

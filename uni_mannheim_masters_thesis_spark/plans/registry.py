@@ -11365,6 +11365,49 @@ def q_levenshtein_blocked_pairs(
 
 
 @_register(
+    "multimodal_resize",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(64 + ('0x' || substring(sha256(text), 1, 2))::INT
+                    % 192 AS INT) AS width,
+               CAST(64 + ('0x' || substring(sha256(text), 3, 2))::INT
+                    % 192 AS INT) AS height
+        FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(FLOOR(width * LEAST(224.0 / width, 224.0 / height, 1.0))
+                AS INT) AS out_width,
+           CAST(FLOOR(height * LEAST(224.0 / width, 224.0 / height, 1.0))
+                AS INT) AS out_height,
+           TRUE AS ok_fits
+    FROM d
+    """,
+    "§2.11 multimodal columns (aspect-preserving resize geometry)",
+    "The resize stage of the multimodal family (decode / resize / "
+    "frame-sample / feature-extract): each payload's decoded "
+    "dimensions fit aspect-preserved into a 224-box, downscale-only — "
+    "the preprocessing every ViT-style image model needs. The pixel "
+    "resample is the stubbed step (PIL not in container; BASELINE "
+    "scope note), but the Arrow-batched mapInPandas plumbing and the "
+    "fit GEOMETRY are real — and the geometry is pure IEEE double "
+    "math off the sha256-derived dims, so the oracle replays every "
+    "output dimension exactly (a floor/scale disagreement of one "
+    "pixel breaks the hash). At 100 TB this is the same "
+    "embarrassingly-parallel one-Arrow-crossing shape as the "
+    "decoder.",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        documents_as_binary,
+        resize_binary_column,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return resize_binary_column(documents_as_binary(docs))
+
+
+@_register(
     "pseudonymized_export",
     """
     WITH p AS (
@@ -11691,6 +11734,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "lakehouse_shallow_clone", "lakehouse_gdpr_purge",
     "pseudonymized_export", "k_anonymity_audit",
     "events_linear_interpolation", "levenshtein_blocked_pairs",
+    "multimodal_resize",
     # (the 8 extra slots came from never-hashed event/profiling
     # rotations whose OPERATORS keep driver evidence through verified
     # suite siblings: funnel/cohort/attribution/gapfill/rolling ride
@@ -11710,8 +11754,6 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "streaming_interval_join", "stateful_user_counts",
     "streaming_session_attribution",
     "streaming_first_event_per_user_type",
-    # training-prep manifests (oracle)
-    "bpe_subword_counts",
     # text curation / linkage (oracle)
     "winnowing_fingerprint", "quality_perplexity", "text_quality",
     "blocked_jw_linkage",
@@ -11805,6 +11847,7 @@ _COST_HINT: dict[str, float] = {
     "lakehouse_shallow_clone": 1.5, "lakehouse_gdpr_purge": 3.0,
     "pseudonymized_export": 0.5, "k_anonymity_audit": 0.3,
     "events_linear_interpolation": 0.8, "levenshtein_blocked_pairs": 0.5,
+    "multimodal_resize": 0.5,
     "lakehouse_incremental_mv": 3.0, "streaming_lakehouse_sink": 25.0,
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint
