@@ -506,6 +506,19 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                             "binary column; resample stubbed, geometry "
                             "IEEE-exact and hash-replayed by the oracle",
                             ["multimodal_resize"]),
+    "X-ops-skew-report": ("plans.registry:q_skew_detection_report  # "
+                          "per-join-key hot-key ceiling + max/mean skew "
+                          "factor in one pass per family; flags keys "
+                          "above the salting threshold; mode-free "
+                          "quantization, hash-exact",
+                          ["skew_detection_report"]),
+    "X-ann-matryoshka": ("plans.registry:"
+                         "q_matryoshka_truncation_overlap  # MRL "
+                         "prefix-truncation acceptance gate: full-dim "
+                         "vs 16-dim top-10 overlap per probe, both "
+                         "rankings off one pair frame (one exchange, "
+                         "two sorts); bit-identical cosine folds",
+                         ["matryoshka_truncation_overlap"]),
     "X-gov-pseudonymize": ("plans.registry:q_pseudonymized_export  # "
                            "stable salted-md5 pseudonyms + measure "
                            "banding, map-only; joinability preserved "

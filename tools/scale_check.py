@@ -168,6 +168,9 @@ _QUERIES = [
     "k_anonymity_audit",
     "events_linear_interpolation",
     "levenshtein_blocked_pairs",
+    "multimodal_resize",
+    "skew_detection_report",
+    "matryoshka_truncation_overlap",
 ]
 
 

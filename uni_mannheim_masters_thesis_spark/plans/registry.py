@@ -11408,6 +11408,167 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "skew_detection_report",
+    """
+    WITH k AS (
+        SELECT 'events.user_id' AS key_name,
+               CAST(user_id AS VARCHAR) AS key FROM events
+        UNION ALL
+        SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    ),
+    f AS (
+        SELECT key_name, key, COUNT(*) AS n FROM k GROUP BY key_name, key
+    )
+    SELECT key_name,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           FLOOR(MAX(n) * COUNT(*) * 10000.0 / SUM(n) + 0.5) / 10000
+               AS skew_factor,
+           MAX(n) * COUNT(*) * 1.0 / SUM(n) > 4.0 AS needs_salting
+    FROM f GROUP BY key_name
+    """,
+    "§2.11 ops tooling (join-key skew detection report)",
+    "The diagnostic that decides when skewed_join_salted's manual "
+    "salting (or AQE skew split) is worth invoking: for each join-key "
+    "family, one aggregation pass computes the hot-key ceiling "
+    "(max single-key rows — the indivisible reducer floor a plain "
+    "shuffle join hits) and the skew factor max/mean; keys above the "
+    "4x advisory threshold get flagged. Two stacked exchanges of "
+    "(key, partial count) pairs — the report costs one pass per key "
+    "family regardless of table size, and at 100 TB it runs on a "
+    "sample or the stats store first. skew_factor is quantized "
+    "mode-free (floor(x*1e4+0.5)) for engine parity.",
+)
+def q_skew_detection_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    fams = [
+        ("events.user_id", _t(spark, sf_dir, "events"), "user_id"),
+        ("lineitem.l_orderkey", _t(spark, sf_dir, "lineitem"),
+         "l_orderkey"),
+        ("orders.o_custkey", _t(spark, sf_dir, "orders"), "o_custkey"),
+    ]
+    parts = [
+        t.select(
+            F.lit(name).alias("key_name"),
+            F.col(col).cast("string").alias("key"),
+        )
+        for name, t, col in fams
+    ]
+    k = parts[0]
+    for p in parts[1:]:
+        k = k.unionByName(p)
+    f = k.groupBy("key_name", "key").agg(F.count(F.lit(1)).alias("n"))
+    ratio = (
+        F.max("n") * F.count(F.lit(1)) * F.lit(1.0) / F.sum("n")
+    )
+    return f.groupBy("key_name").agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_key_rows"),
+        (
+            F.floor(
+                F.max("n") * F.count(F.lit(1)) * F.lit(10000.0)
+                / F.sum("n")
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("skew_factor"),
+        (ratio > 4.0).alias("needs_salting"),
+    )
+
+
+_MRL_DIM = 16  # truncated prefix dimensionality (of 64)
+
+
+@_register(
+    "matryoshka_truncation_overlap",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, v AS pv FROM e
+               WHERE vec_id < 5),
+    pairs AS (
+        SELECT probe_id, e.vec_id AS nid,
+               list_dot_product(pv, e.v)
+                 / (sqrt(list_dot_product(pv, pv))
+                    * sqrt(list_dot_product(e.v, e.v))) AS sf,
+               list_dot_product(pv[1:{_MRL_DIM}], e.v[1:{_MRL_DIM}])
+                 / (sqrt(list_dot_product(pv[1:{_MRL_DIM}],
+                                          pv[1:{_MRL_DIM}]))
+                    * sqrt(list_dot_product(e.v[1:{_MRL_DIM}],
+                                            e.v[1:{_MRL_DIM}]))) AS st
+        FROM probes CROSS JOIN e WHERE e.vec_id != probe_id
+    ),
+    r AS (
+        SELECT probe_id, nid,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sf DESC, nid) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY st DESC, nid) AS rt
+        FROM pairs
+    )
+    SELECT probe_id,
+           CAST(SUM(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap_at_10
+    FROM r GROUP BY probe_id
+    """,
+    "§2.11 similarity search (Matryoshka prefix-truncation contract)",
+    "The MRL deployment question answered with data: how much of the "
+    "full-dimension top-10 survives when retrieval runs on the first "
+    f"{_MRL_DIM} of 64 dims (4x cheaper dot products, 4x smaller "
+    "index)? Both rankings compute over ONE pair frame — full and "
+    "truncated cosines side by side, two windows on the same probe "
+    "partitioning (one exchange, two sorts, the asof-nearest "
+    "discipline) — and the per-probe top-10 overlap is hashed. "
+    "Cosines use the bit-identical sequential HOF fold ≡ DuckDB "
+    "list_dot_product (the knn_bruteforce parity), so a one-position "
+    "rank flip breaks the hash. The bounded probe panel is the "
+    "verification twin; at 100 TB the truncated arm IS the serving "
+    "index and this contract is the offline acceptance gate.",
+)
+def q_matryoshka_truncation_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    pairs = probes.crossJoin(emb).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    pt = F.slice("pv", 1, _MRL_DIM)
+    vt = F.slice("v", 1, _MRL_DIM)
+    scored = pairs.select(
+        "probe_id",
+        F.col("vec_id").alias("nid"),
+        cosine_similarity(F.col("pv"), F.col("v")).alias("sf"),
+        cosine_similarity(pt, vt).alias("st"),
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.col("sf").desc(), F.col("nid")
+    )
+    wt = Window.partitionBy("probe_id").orderBy(
+        F.col("st").desc(), F.col("nid")
+    )
+    r = scored.select(
+        "probe_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    return r.groupBy("probe_id").agg(
+        F.sum(
+            ((F.col("rf") <= 10) & (F.col("rt") <= 10)).cast("long")
+        ).alias("n_overlap_at_10")
+    )
+
+
+@_register(
     "pseudonymized_export",
     """
     WITH p AS (
@@ -11734,7 +11895,8 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "lakehouse_shallow_clone", "lakehouse_gdpr_purge",
     "pseudonymized_export", "k_anonymity_audit",
     "events_linear_interpolation", "levenshtein_blocked_pairs",
-    "multimodal_resize",
+    "multimodal_resize", "skew_detection_report",
+    "matryoshka_truncation_overlap",
     # (the 8 extra slots came from never-hashed event/profiling
     # rotations whose OPERATORS keep driver evidence through verified
     # suite siblings: funnel/cohort/attribution/gapfill/rolling ride
@@ -11755,8 +11917,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "streaming_session_attribution",
     "streaming_first_event_per_user_type",
     # text curation / linkage (oracle)
-    "winnowing_fingerprint", "quality_perplexity", "text_quality",
-    "blocked_jw_linkage",
+    "winnowing_fingerprint", "blocked_jw_linkage",
     # format roundtrips (oracle)
     "dictionary_text_roundtrip", "partitioned_write_pruning",
     # topic quality (rows; extended c_v chain this round)
@@ -11847,7 +12008,8 @@ _COST_HINT: dict[str, float] = {
     "lakehouse_shallow_clone": 1.5, "lakehouse_gdpr_purge": 3.0,
     "pseudonymized_export": 0.5, "k_anonymity_audit": 0.3,
     "events_linear_interpolation": 0.8, "levenshtein_blocked_pairs": 0.5,
-    "multimodal_resize": 0.5,
+    "multimodal_resize": 0.5, "skew_detection_report": 0.8,
+    "matryoshka_truncation_overlap": 0.7,
     "lakehouse_incremental_mv": 3.0, "streaming_lakehouse_sink": 25.0,
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint
