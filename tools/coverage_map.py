@@ -519,6 +519,18 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                          "rankings off one pair frame (one exchange, "
                          "two sorts); bit-identical cosine folds",
                          ["matryoshka_truncation_overlap"]),
+    "X-train-hard-negatives": ("plans.registry:q_hard_negative_mining"
+                               "  # contrastive pair mining: per-anchor "
+                               "best positive + hard negative + margin "
+                               "via ONE window over (anchor, same-label) "
+                               "partitions; mined identities hash-exact",
+                               ["hard_negative_mining"]),
+    "X-train-curriculum": ("plans.registry:q_curriculum_interleave  # "
+                           "difficulty-quartile banding via plan-literal "
+                           "percentiles + banded md5 shuffle + "
+                           "round-robin interleave; top-40 order "
+                           "hash-pinned",
+                           ["curriculum_interleave"]),
     "X-gov-pseudonymize": ("plans.registry:q_pseudonymized_export  # "
                            "stable salted-md5 pseudonyms + measure "
                            "banding, map-only; joinability preserved "

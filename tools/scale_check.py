@@ -171,6 +171,8 @@ _QUERIES = [
     "multimodal_resize",
     "skew_detection_report",
     "matryoshka_truncation_overlap",
+    "hard_negative_mining",
+    "curriculum_interleave",
 ]
 
 

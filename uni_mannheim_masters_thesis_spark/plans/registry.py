@@ -11569,6 +11569,176 @@ def q_matryoshka_truncation_overlap(
 
 
 @_register(
+    "hard_negative_mining",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, label AS plabel, v AS pv
+               FROM e WHERE vec_id < 8),
+    pairs AS (
+        SELECT probe_id, plabel, e.vec_id AS nid, e.label AS nlabel,
+               list_dot_product(pv, e.v)
+                 / (sqrt(list_dot_product(pv, pv))
+                    * sqrt(list_dot_product(e.v, e.v))) AS sim
+        FROM probes CROSS JOIN e WHERE e.vec_id != probe_id
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY probe_id, (nlabel = plabel)
+                   ORDER BY sim DESC, nid) AS rn
+        FROM pairs
+    )
+    SELECT p.probe_id,
+           p.nid AS positive_id, ROUND(p.sim, 6) AS positive_sim,
+           n.nid AS hard_negative_id, ROUND(n.sim, 6) AS negative_sim,
+           ROUND(p.sim - n.sim, 6) AS margin
+    FROM (SELECT * FROM ranked WHERE nlabel = plabel AND rn = 1) p
+    JOIN (SELECT * FROM ranked WHERE nlabel <> plabel AND rn = 1) n
+      USING (probe_id)
+    """,
+    "§2.11 training-data ops (contrastive hard-negative mining)",
+    "The pair-mining step of contrastive embedding training: per "
+    "anchor, the most-similar SAME-label vector (positive) and the "
+    "most-similar OTHER-label vector (the hard negative — the "
+    "near-miss that carries the gradient) with the margin between "
+    "them. One ranking window partitioned by (anchor, same-label "
+    "flag) does both selections in a single pass; cosines are the "
+    "bit-identical HOF fold, so the mined pair IDENTITIES — not just "
+    "counts — hash against the oracle. The bounded anchor panel is "
+    "the verification twin; at 100 TB the candidate set comes from "
+    "the LSH/IVF/PQ index (the repo's ANN family), never a cross "
+    "join, and mining is one ranked pass over index candidates.",
+)
+def q_hard_negative_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("plabel"),
+        F.col("v").alias("pv"),
+    )
+    pairs = (
+        probes.crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "plabel",
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("nlabel"),
+            cosine_similarity(F.col("pv"), F.col("v")).alias("sim"),
+        )
+    )
+    same = F.col("nlabel") == F.col("plabel")
+    w = Window.partitionBy("probe_id", same).orderBy(
+        F.col("sim").desc(), F.col("nid")
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    p = ranked.filter(same).select(
+        "probe_id",
+        F.col("nid").alias("positive_id"),
+        F.round("sim", 6).alias("positive_sim"),
+        F.col("sim").alias("__ps"),
+    )
+    n = ranked.filter(~same).select(
+        "probe_id",
+        F.col("nid").alias("hard_negative_id"),
+        F.round("sim", 6).alias("negative_sim"),
+        F.col("sim").alias("__ns"),
+    )
+    return p.join(n, "probe_id").select(
+        "probe_id",
+        "positive_id",
+        "positive_sim",
+        "hard_negative_id",
+        "negative_sim",
+        F.round(F.col("__ps") - F.col("__ns"), 6).alias("margin"),
+    )
+
+
+@_register(
+    "curriculum_interleave",
+    """
+    WITH q AS (
+        SELECT quantile_cont(n_chars, 0.25) AS q1,
+               quantile_cont(n_chars, 0.50) AS q2,
+               quantile_cont(n_chars, 0.75) AS q3
+        FROM documents
+    ),
+    banded AS (
+        SELECT doc_id,
+               CASE WHEN n_chars <= q1 THEN 0
+                    WHEN n_chars <= q2 THEN 1
+                    WHEN n_chars <= q3 THEN 2
+                    ELSE 3 END AS band
+        FROM documents CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT doc_id, band,
+               ROW_NUMBER() OVER (
+                   PARTITION BY band
+                   ORDER BY ('0x' || substring(md5(
+                       'curr/' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                            doc_id) AS rn
+        FROM banded
+    )
+    SELECT CAST((rn - 1) * 4 + band AS BIGINT) AS global_pos,
+           band, doc_id
+    FROM ranked WHERE (rn - 1) * 4 + band < 40
+    """,
+    "§2.11 training-data ops (curriculum band interleave)",
+    "Curriculum data ordering without a global sort: documents band "
+    "into difficulty quartiles via plan-literal percentile thresholds "
+    "(one scalar aggregate — no unpartitioned window, the "
+    "indexing.py discipline), shuffle WITHIN each band by a "
+    "content-stable md5 draw (banded window — partitioned), and the "
+    "serving order round-robins across bands "
+    "(pos = band_rank*4 + band), so every training window sees the "
+    "full difficulty mix while order stays reproducible across "
+    "runs/engines/partitionings. The hashed top-40 manifest pins the "
+    "actual order, not just counts. At 100 TB this is one banded "
+    "exchange; the interleave position is row-local arithmetic.",
+)
+def q_curriculum_interleave(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    q = docs.agg(
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.50)").alias("q2"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    ).first()  # 3 scalars folded into the plan as literals
+    band = (
+        F.when(F.col("n_chars") <= q["q1"], 0)
+        .when(F.col("n_chars") <= q["q2"], 1)
+        .when(F.col("n_chars") <= q["q3"], 2)
+        .otherwise(3)
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("curr/"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    banded = docs.select("doc_id", band.alias("band"))
+    w = Window.partitionBy("band").orderBy(draw.asc(), F.col("doc_id"))
+    ranked = banded.withColumn("rn", F.row_number().over(w))
+    pos = (F.col("rn") - 1) * 4 + F.col("band")
+    return (
+        ranked.withColumn("global_pos", pos.cast("long"))
+        .filter(F.col("global_pos") < 40)
+        .select("global_pos", "band", "doc_id")
+    )
+
+
+@_register(
     "pseudonymized_export",
     """
     WITH p AS (
@@ -11896,7 +12066,8 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "pseudonymized_export", "k_anonymity_audit",
     "events_linear_interpolation", "levenshtein_blocked_pairs",
     "multimodal_resize", "skew_detection_report",
-    "matryoshka_truncation_overlap",
+    "matryoshka_truncation_overlap", "hard_negative_mining",
+    "curriculum_interleave",
     # (the 8 extra slots came from never-hashed event/profiling
     # rotations whose OPERATORS keep driver evidence through verified
     # suite siblings: funnel/cohort/attribution/gapfill/rolling ride
@@ -11917,7 +12088,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "streaming_session_attribution",
     "streaming_first_event_per_user_type",
     # text curation / linkage (oracle)
-    "winnowing_fingerprint", "blocked_jw_linkage",
+
     # format roundtrips (oracle)
     "dictionary_text_roundtrip", "partitioned_write_pruning",
     # topic quality (rows; extended c_v chain this round)
@@ -12009,7 +12180,8 @@ _COST_HINT: dict[str, float] = {
     "pseudonymized_export": 0.5, "k_anonymity_audit": 0.3,
     "events_linear_interpolation": 0.8, "levenshtein_blocked_pairs": 0.5,
     "multimodal_resize": 0.5, "skew_detection_report": 0.8,
-    "matryoshka_truncation_overlap": 0.7,
+    "matryoshka_truncation_overlap": 0.7, "hard_negative_mining": 0.7,
+    "curriculum_interleave": 0.5,
     "lakehouse_incremental_mv": 3.0, "streaming_lakehouse_sink": 25.0,
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint
