@@ -531,6 +531,13 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                            "round-robin interleave; top-40 order "
                            "hash-pinned",
                            ["curriculum_interleave"]),
+    "X-ops-join-cardinality": ("plans.registry:"
+                               "q_join_cardinality_estimate  # join "
+                               "output size predicted exactly from two "
+                               "per-key count histograms (narrow-tuple "
+                               "dot product) then hash-verified against "
+                               "the executed join + hot-key ceiling",
+                               ["join_cardinality_estimate"]),
     "X-gov-pseudonymize": ("plans.registry:q_pseudonymized_export  # "
                            "stable salted-md5 pseudonyms + measure "
                            "banding, map-only; joinability preserved "

@@ -173,6 +173,7 @@ _QUERIES = [
     "matryoshka_truncation_overlap",
     "hard_negative_mining",
     "curriculum_interleave",
+    "join_cardinality_estimate",
 ]
 
 

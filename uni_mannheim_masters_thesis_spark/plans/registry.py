@@ -11739,6 +11739,72 @@ def q_curriculum_interleave(
 
 
 @_register(
+    "join_cardinality_estimate",
+    """
+    WITH ec AS (SELECT user_id AS k, COUNT(*) AS n FROM events
+                GROUP BY user_id),
+    cc AS (SELECT c_custkey AS k, COUNT(*) AS n FROM customer
+           GROUP BY c_custkey),
+    pred AS (
+        SELECT CAST(SUM(ec.n * cc.n) AS BIGINT) AS predicted_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_join_keys,
+               CAST(MAX(ec.n * cc.n) AS BIGINT) AS max_key_contribution
+        FROM ec JOIN cc USING (k)
+    ),
+    act AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    )
+    SELECT predicted_rows, actual_rows, n_join_keys,
+           max_key_contribution,
+           predicted_rows = actual_rows AS ok_exact
+    FROM pred CROSS JOIN act
+    """,
+    "§2.11 ops tooling (join cardinality estimation from key "
+    "histograms)",
+    "The planner question answered before the join runs: the output "
+    "size of events JOIN customer is exactly the dot product of the "
+    "two sides' per-key count vectors — computed from two partial-"
+    "aggregated key histograms joined on the key (narrow (key, count) "
+    "tuples, never payloads). The engine then RUNS the join and "
+    "hashes prediction == actual, plus the max single-key "
+    "contribution (the same hot-key ceiling the skew report flags — "
+    "a fan-out misprediction here is how shuffle-explosion joins "
+    "sneak into production). At 100 TB the histograms come from a "
+    "sample or the stats store and this exact contract is the "
+    "offline calibration check.",
+)
+def q_join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    ec = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("en")
+    )
+    cc = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cn")
+    )
+    pred = ec.join(cc, "k").agg(
+        F.sum(F.col("en") * F.col("cn")).alias("predicted_rows"),
+        F.count(F.lit(1)).alias("n_join_keys"),
+        F.max(F.col("en") * F.col("cn")).alias("max_key_contribution"),
+    )
+    act = ev.join(cust, ev["user_id"] == cust["c_custkey"]).agg(
+        F.count(F.lit(1)).alias("actual_rows")
+    )
+    return pred.crossJoin(act).select(
+        "predicted_rows",
+        "actual_rows",
+        "n_join_keys",
+        "max_key_contribution",
+        (F.col("predicted_rows") == F.col("actual_rows")).alias(
+            "ok_exact"
+        ),
+    )
+
+
+@_register(
     "pseudonymized_export",
     """
     WITH p AS (
@@ -12067,7 +12133,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "events_linear_interpolation", "levenshtein_blocked_pairs",
     "multimodal_resize", "skew_detection_report",
     "matryoshka_truncation_overlap", "hard_negative_mining",
-    "curriculum_interleave",
+    "curriculum_interleave", "join_cardinality_estimate",
     # (the 8 extra slots came from never-hashed event/profiling
     # rotations whose OPERATORS keep driver evidence through verified
     # suite siblings: funnel/cohort/attribution/gapfill/rolling ride
@@ -12090,7 +12156,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # text curation / linkage (oracle)
 
     # format roundtrips (oracle)
-    "dictionary_text_roundtrip", "partitioned_write_pruning",
+    "partitioned_write_pruning",
     # topic quality (rows; extended c_v chain this round)
     "topic_coherence_cv",
 })
@@ -12181,7 +12247,7 @@ _COST_HINT: dict[str, float] = {
     "events_linear_interpolation": 0.8, "levenshtein_blocked_pairs": 0.5,
     "multimodal_resize": 0.5, "skew_detection_report": 0.8,
     "matryoshka_truncation_overlap": 0.7, "hard_negative_mining": 0.7,
-    "curriculum_interleave": 0.5,
+    "curriculum_interleave": 0.5, "join_cardinality_estimate": 0.6,
     "lakehouse_incremental_mv": 3.0, "streaming_lakehouse_sink": 25.0,
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint
