@@ -538,6 +538,13 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                                "dot product) then hash-verified against "
                                "the executed join + hot-key ceiling",
                                ["join_cardinality_estimate"]),
+    "X-window-ranking-surface": ("plans.registry:"
+                                 "q_ranking_function_surface  # rank / "
+                                 "dense_rank / percent_rank / cume_dist "
+                                 "/ ntile over one partitioned window "
+                                 "family (one exchange, three sorts, "
+                                 "zero global windows); hash-exact",
+                                 ["ranking_function_surface"]),
     "X-gov-pseudonymize": ("plans.registry:q_pseudonymized_export  # "
                            "stable salted-md5 pseudonyms + measure "
                            "banding, map-only; joinability preserved "

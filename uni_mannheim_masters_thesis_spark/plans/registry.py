@@ -11805,6 +11805,76 @@ def q_join_cardinality_estimate(
 
 
 @_register(
+    "ranking_function_surface",
+    """
+    WITH r AS (
+        SELECT c_mktsegment AS segment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey)
+                   AS sel,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+               ROUND(CUME_DIST() OVER w, 6) AS cdist,
+               NTILE(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey)
+                   AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+    )
+    SELECT segment, c_custkey, ROUND(c_acctbal, 2) + 0 AS acctbal,
+           CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+           prnk, cdist, quartile
+    FROM r WHERE sel <= 3
+    """,
+    "§2.9 windows (full ranking-function surface)",
+    "The five SQL ranking functions over one partitioned window "
+    "family: rank / dense_rank (value-tie sensitive, ordered by the "
+    "measure alone), percent_rank and cume_dist (their normalized "
+    "forms — one exact-integer division each, so they hash with no "
+    "rounding rescue beyond display), and ntile (which NEEDS the "
+    "total tie-broken order to be deterministic — ordered by "
+    "(measure, key)). Selection is a separate row_number on the "
+    "total order. Every window is partitioned by segment — one "
+    "exchange, three sorts, zero global windows (the indexing.py "
+    "rule) — and DuckDB runs the identical window program.",
+)
+def q_ranking_function_surface(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"), "c_custkey", "c_acctbal"
+    )
+    w_total = Window.partitionBy("segment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_val = Window.partitionBy("segment").orderBy(
+        F.col("c_acctbal").desc()
+    )
+    r = c.select(
+        "segment",
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w_total).alias("sel"),
+        F.rank().over(w_val).alias("rnk"),
+        F.dense_rank().over(w_val).alias("drnk"),
+        F.round(F.percent_rank().over(w_val), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w_val), 6).alias("cdist"),
+        F.ntile(4).over(w_total).alias("quartile"),
+    )
+    return r.filter(F.col("sel") <= 3).select(
+        "segment",
+        "c_custkey",
+        (F.round("c_acctbal", 2) + F.lit(0.0)).alias("acctbal"),
+        F.col("rnk").cast("long"),
+        F.col("drnk").cast("long"),
+        "prnk",
+        "cdist",
+        "quartile",
+    )
+
+
+@_register(
     "pseudonymized_export",
     """
     WITH p AS (
@@ -12134,6 +12204,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "multimodal_resize", "skew_detection_report",
     "matryoshka_truncation_overlap", "hard_negative_mining",
     "curriculum_interleave", "join_cardinality_estimate",
+    "ranking_function_surface",
     # (the 8 extra slots came from never-hashed event/profiling
     # rotations whose OPERATORS keep driver evidence through verified
     # suite siblings: funnel/cohort/attribution/gapfill/rolling ride
@@ -12144,7 +12215,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # lakehouse table (NEW r8) + r7 feature ops the r7 window missed
     "lakehouse_merge_roundtrip", "lakehouse_time_travel",
     "lakehouse_manifest_pruning", "lakehouse_history",
-    "ewma_user_value", "streaming_ewma_parity",
+    "streaming_ewma_parity",
     "incremental_dedup_commit",
     # event analytics (oracle)
     "events_sessionization",
@@ -12247,7 +12318,7 @@ _COST_HINT: dict[str, float] = {
     "events_linear_interpolation": 0.8, "levenshtein_blocked_pairs": 0.5,
     "multimodal_resize": 0.5, "skew_detection_report": 0.8,
     "matryoshka_truncation_overlap": 0.7, "hard_negative_mining": 0.7,
-    "curriculum_interleave": 0.5, "join_cardinality_estimate": 0.6,
+    "curriculum_interleave": 0.5, "join_cardinality_estimate": 0.6, "ranking_function_surface": 0.4,
     "lakehouse_incremental_mv": 3.0, "streaming_lakehouse_sink": 25.0,
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint
