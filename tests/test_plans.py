@@ -709,3 +709,25 @@ def test_bucketed_colocated_join_plans_no_join_exchange(spark):
     assert "SelectedBucketsCount" in plan          # bucketed file scans
     assert "Exchange hashpartitioning(o_custkey" not in plan
     assert "Exchange hashpartitioning(c_custkey" not in plan
+
+
+def test_matryoshka_both_rankings_share_one_exchange(spark):
+    """Full-dim and truncated rankings are two window sorts over the
+    SAME probe partitioning — one hashpartitioning exchange, plus the
+    final per-probe aggregation."""
+    df = REGISTRY["matryoshka_truncation_overlap"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(probe_id") <= 2
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+
+
+def test_hard_negative_mining_is_one_aggregation_pass(spark):
+    """Positive and hard-negative selection fold in ONE aggregation
+    over the pair frame — no window, and no ranked-frame self-join
+    (which would execute the probe x corpus frame twice)."""
+    df = REGISTRY["hard_negative_mining"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan  # no self-join of ranked arms
+    # exactly one pair frame: one nested-loop probe x corpus join
+    assert plan.count("BroadcastNestedLoopJoin") == 1

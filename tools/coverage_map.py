@@ -522,8 +522,9 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "X-train-hard-negatives": ("plans.registry:q_hard_negative_mining"
                                "  # contrastive pair mining: per-anchor "
                                "best positive + hard negative + margin "
-                               "via ONE window over (anchor, same-label) "
-                               "partitions; mined identities hash-exact",
+                               "in ONE aggregation pass (max-by-struct "
+                               "per arm, no window/self-join); mined "
+                               "identities hash-exact",
                                ["hard_negative_mining"]),
     "X-train-curriculum": ("plans.registry:q_curriculum_interleave  # "
                            "difficulty-quartile banding via plan-literal "

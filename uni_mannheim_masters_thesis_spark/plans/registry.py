@@ -11602,8 +11602,11 @@ def q_matryoshka_truncation_overlap(
     "anchor, the most-similar SAME-label vector (positive) and the "
     "most-similar OTHER-label vector (the hard negative — the "
     "near-miss that carries the gradient) with the margin between "
-    "them. One ranking window partitioned by (anchor, same-label "
-    "flag) does both selections in a single pass; cosines are the "
+    "them. Both selections fold in ONE aggregation pass (max over "
+    "(sim, -id) structs per arm — no window, no ranked-frame "
+    "self-join that would execute the pair frame twice); the "
+    "oracle's window program lands on identical picks because the "
+    "struct order equals its (sim DESC, id) total order. Cosines are "
     "bit-identical HOF fold, so the mined pair IDENTITIES — not just "
     "counts — hash against the oracle. The bounded anchor panel is "
     "the verification twin; at 100 TB the candidate set comes from "
@@ -11634,31 +11637,24 @@ def q_hard_negative_mining(
         )
     )
     same = F.col("nlabel") == F.col("plabel")
-    w = Window.partitionBy("probe_id", same).orderBy(
-        F.col("sim").desc(), F.col("nid")
+    # best-per-arm via ONE aggregation pass (no self-join, no window —
+    # a ranked-frame self-join would execute the pair frame twice):
+    # max over (sim, -nid, nid) structs = highest sim, ties to the
+    # smallest nid, the same total order the oracle's window uses
+    best = F.struct(
+        F.col("sim"), (-F.col("nid")).alias("__nn"), F.col("nid")
     )
-    ranked = pairs.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    agged = pairs.groupBy("probe_id").agg(
+        F.max(F.when(same, best)).alias("p"),
+        F.max(F.when(~same, best)).alias("n"),
     )
-    p = ranked.filter(same).select(
+    return agged.select(
         "probe_id",
-        F.col("nid").alias("positive_id"),
-        F.round("sim", 6).alias("positive_sim"),
-        F.col("sim").alias("__ps"),
-    )
-    n = ranked.filter(~same).select(
-        "probe_id",
-        F.col("nid").alias("hard_negative_id"),
-        F.round("sim", 6).alias("negative_sim"),
-        F.col("sim").alias("__ns"),
-    )
-    return p.join(n, "probe_id").select(
-        "probe_id",
-        "positive_id",
-        "positive_sim",
-        "hard_negative_id",
-        "negative_sim",
-        F.round(F.col("__ps") - F.col("__ns"), 6).alias("margin"),
+        F.col("p.nid").alias("positive_id"),
+        F.round("p.sim", 6).alias("positive_sim"),
+        F.col("n.nid").alias("hard_negative_id"),
+        F.round("n.sim", 6).alias("negative_sim"),
+        F.round(F.col("p.sim") - F.col("n.sim"), 6).alias("margin"),
     )
 
 
