@@ -907,3 +907,53 @@ def test_crash_between_commit_steps_never_corrupts_readers(spark, table):
     assert latest_version(table) == 2
     got = {r["user_id"]: r["val"] for r in read_table(spark, table).collect()}
     assert got[3] == 99.0 and len(got) == 40
+
+
+# -- empty-input hardening (session-3) ---------------------------------------
+
+def test_bloom_empty_build_side_rejects_everything(spark):
+    from uni_mannheim_masters_thesis_spark.operators.sketches import (
+        bloom_build, bloom_might_contain,
+    )
+
+    empty = spark.range(0, 0).withColumnRenamed("id", "k")
+    words = bloom_build(empty, "k")
+    assert all(w == 0 for w in words)
+    probe = spark.range(0, 100).withColumnRenamed("id", "k")
+    assert probe.filter(bloom_might_contain(F.col("k"), words)).count() == 0
+
+
+def test_expectations_on_empty_frame_return_null_metrics(spark):
+    from uni_mannheim_masters_thesis_spark.operators.expectations import (
+        completeness, run_checks,
+    )
+
+    df = spark.createDataFrame([], "v double")
+    (r,) = run_checks(df, [completeness("c", "v")]).collect()
+    # 0/0 -> null metric; the check FAILS explicitly, never silently
+    assert r["metric"] is None and r["passed"] is False
+
+
+def test_asof_with_no_quotes_yields_all_null_matches(spark):
+    from uni_mannheim_masters_thesis_spark.operators.relational import (
+        asof_join,
+    )
+
+    probes = spark.createDataFrame(
+        [(1, 5, 201), (1, 15, 202)], "k long, ts long, sid long"
+    )
+    quotes = spark.createDataFrame([], "k long, ts long, sid long, v string")
+    for direction in ("backward", "forward", "nearest"):
+        out = asof_join(probes, quotes, on="k", ts_col="ts",
+                        value_cols=["v"], seq_col="sid",
+                        direction=direction).collect()
+        assert len(out) == 2
+        assert all(r["asof_v"] is None for r in out)
+
+
+def test_hrw_single_shard_never_moves(spark):
+    from uni_mannheim_masters_thesis_spark.plans.registry import _hrw_shard
+
+    d = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    got = d.select(_hrw_shard(F.col("doc_id"), 1).alias("s")).distinct()
+    assert [r["s"] for r in got.collect()] == [0]

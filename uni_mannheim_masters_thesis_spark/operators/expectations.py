@@ -38,7 +38,9 @@ class Check:
 
 
 def _fraction(numerator: Column) -> Column:
-    return numerator.cast("double") / F.count(F.lit(1))
+    # try_divide: an EMPTY relation yields a null metric (and a failed
+    # check) instead of an ANSI divide-by-zero — silence is never a pass
+    return F.try_divide(numerator.cast("double"), F.count(F.lit(1)))
 
 
 def completeness(name: str, col: str, threshold: float = 1.0) -> Check:
@@ -85,7 +87,12 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     return (
         agged.select(F.explode(rows).alias("r"))
         .select("r.constraint_name", "r.metric", "r.threshold")
-        .withColumn("passed", F.col("metric") >= F.col("threshold"))
+        .withColumn(
+            "passed",
+            F.coalesce(
+                F.col("metric") >= F.col("threshold"), F.lit(False)
+            ),
+        )
     )
 
 
@@ -109,10 +116,13 @@ def referential_integrity(
     joined = fact.join(d, fact[fk] == F.col("__pk"), "left")
     return joined.agg(
         F.lit(name).alias("constraint_name"),
-        (
+        F.try_divide(
             F.sum(F.when(F.col("__pk").isNotNull(), 1).otherwise(0))
-            .cast("double")
-            / F.count(F.lit(1))
+            .cast("double"),
+            F.count(F.lit(1)),
         ).alias("metric"),
         F.lit(threshold).alias("threshold"),
-    ).withColumn("passed", F.col("metric") >= F.col("threshold"))
+    ).withColumn(
+        "passed",
+        F.coalesce(F.col("metric") >= F.col("threshold"), F.lit(False)),
+    )
