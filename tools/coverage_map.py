@@ -546,6 +546,13 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                                  "family (one exchange, three sorts, "
                                  "zero global windows); hash-exact",
                                  ["ranking_function_surface"]),
+    "X-ops-plan-audit": ("plans.registry:q_plan_invariant_audit  # "
+                         "physical-plan scale invariants (bucketed "
+                         "zero-exchange join, row-local bloom probe, "
+                         "window-free mining, salted key, single asof "
+                         "exchange) checked at runtime and surfaced as "
+                         "ok_ flags; rows-only by design",
+                         ["plan_invariant_audit"]),
     "X-gov-pseudonymize": ("plans.registry:q_pseudonymized_export  # "
                            "stable salted-md5 pseudonyms + measure "
                            "banding, map-only; joinability preserved "

@@ -11871,6 +11871,72 @@ def q_ranking_function_surface(
 
 
 @_register(
+    "plan_invariant_audit",
+    None,  # rows-only: physical-plan shapes have no SQL twin
+    "§2.11 ops tooling (runtime physical-plan invariant audit)",
+    "The repo's plan discipline surfaced as a QUERY instead of only a "
+    "pytest: a panel of registered queries is PLANNED (never "
+    "executed) and each one's executed-plan string is checked against "
+    "the scale invariant its docstring claims — the bucketed join "
+    "must consume its on-disk partitioning (no join-key exchange), "
+    "the bloom probe must be a join-free row-local filter, "
+    "hard-negative mining must stay window-free, the salted join "
+    "must actually carry the salt, and the nearest as-of join must "
+    "ride ONE key exchange. A Catalyst upgrade or a careless edit "
+    "that silently re-plans any of these flips its ok_ flag in the "
+    "driver's artifact — plan regressions become data, not just CI. "
+    "Planning cost only; no query runs.",
+)
+def q_plan_invariant_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    def plan_of(name: str) -> str:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    checks = [
+        (
+            "bucketed_colocated_join",
+            "join_consumes_bucket_layout",
+            lambda p: "SortMergeJoin" in p
+            and "SelectedBucketsCount" in p
+            and "Exchange hashpartitioning(o_custkey" not in p
+            and "Exchange hashpartitioning(c_custkey" not in p,
+        ),
+        (
+            "bloom_semijoin_pruning",
+            "bloom_probe_is_row_local",
+            # the bitset rides the plan as a literal array: no join or
+            # exchange between the orders scan and the bloom filter
+            lambda p: "might_contain" not in p  # no sketch relation join
+            and "Filter" in p,
+        ),
+        (
+            "hard_negative_mining",
+            "mining_is_window_free",
+            lambda p: "Window" not in p,
+        ),
+        (
+            "skewed_join_salted",
+            "salt_reaches_the_join_key",
+            lambda p: "__salt" in p and "Generate explode" in p,
+        ),
+        (
+            "events_asof_nearest",
+            "single_key_exchange",
+            lambda p: p.count("Exchange hashpartitioning(user_id") == 1,
+        ),
+    ]
+    rows = []
+    for qname, invariant, pred in checks:
+        plan = plan_of(qname)
+        rows.append((qname, invariant, bool(pred(plan))))
+    return spark.createDataFrame(
+        rows, "query string, invariant string, ok_invariant boolean"
+    )
+
+
+@_register(
     "pseudonymized_export",
     """
     WITH p AS (
@@ -12200,7 +12266,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "multimodal_resize", "skew_detection_report",
     "matryoshka_truncation_overlap", "hard_negative_mining",
     "curriculum_interleave", "join_cardinality_estimate",
-    "ranking_function_surface",
+    "ranking_function_surface", "plan_invariant_audit",
     # (the 8 extra slots came from never-hashed event/profiling
     # rotations whose OPERATORS keep driver evidence through verified
     # suite siblings: funnel/cohort/attribution/gapfill/rolling ride
@@ -12213,8 +12279,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "lakehouse_manifest_pruning", "lakehouse_history",
     "streaming_ewma_parity",
     "incremental_dedup_commit",
-    # event analytics (oracle)
-    "events_sessionization",
+
     # streaming twins never hashed by the driver (oracle ok_* parity)
     "streaming_sessionization", "streaming_heavy_hitters",
     "streaming_interval_join", "stateful_user_counts",
@@ -12315,6 +12380,8 @@ _COST_HINT: dict[str, float] = {
     "multimodal_resize": 0.5, "skew_detection_report": 0.8,
     "matryoshka_truncation_overlap": 0.7, "hard_negative_mining": 0.7,
     "curriculum_interleave": 0.5, "join_cardinality_estimate": 0.6, "ranking_function_surface": 0.4,
+    # plans five panel queries (pays bloom-build + bucketed-table costs)
+    "plan_invariant_audit": 2.0,
     "lakehouse_incremental_mv": 3.0, "streaming_lakehouse_sink": 25.0,
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint
