@@ -553,6 +553,12 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                          "exchange) checked at runtime and surfaced as "
                          "ok_ flags; rows-only by design",
                          ["plan_invariant_audit"]),
+    "X-ann-graph-beam": ("plans.registry:q_graph_ann_beam_search  # "
+                         "HNSW-layer-0 beam search over a degree-8 kNN "
+                         "graph (3 hops, beam 16, deterministic "
+                         "tie-breaks); oracle unrolls the identical "
+                         "hops; per-probe recall@10 hash-exact",
+                         ["graph_ann_beam_search"]),
     "X-gov-pseudonymize": ("plans.registry:q_pseudonymized_export  # "
                            "stable salted-md5 pseudonyms + measure "
                            "banding, map-only; joinability preserved "

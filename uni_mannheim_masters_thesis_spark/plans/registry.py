@@ -11936,6 +11936,188 @@ def q_plan_invariant_audit(
     )
 
 
+_BEAM_SUBSET = 300   # bounded verification corpus (the neardup panel)
+_BEAM_DEGREE = 8     # kNN-graph out-degree
+_BEAM_WIDTH = 16
+_BEAM_HOPS = 3
+
+
+_BEAM_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < {_BEAM_SUBSET}),
+    sims AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS s
+        FROM e a JOIN e b ON a.vec_id != b.vec_id
+    ),
+    graph AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY s DESC, dst) AS rn
+            FROM sims) WHERE rn <= {_BEAM_DEGREE}
+    ),
+    probes AS (SELECT vec_id AS probe_id, v AS pv FROM e
+               WHERE vec_id < 5),
+    psim AS (
+        SELECT p.probe_id, e.vec_id AS node,
+               list_dot_product(p.pv, e.v)
+                 / (sqrt(list_dot_product(p.pv, p.pv))
+                    * sqrt(list_dot_product(e.v, e.v))) AS s
+        FROM probes p CROSS JOIN e
+    ),
+    beam0 AS (
+        SELECT probe_id, node, s FROM psim WHERE node = 0
+    ),
+    exp1 AS (
+        SELECT DISTINCT b.probe_id, g.dst AS node FROM beam0 b
+        JOIN graph g ON g.src = b.node
+        UNION SELECT probe_id, node FROM beam0
+    ),
+    beam1 AS (
+        SELECT probe_id, node, s FROM (
+            SELECT x.probe_id, x.node, ps.s,
+                   ROW_NUMBER() OVER (PARTITION BY x.probe_id
+                                      ORDER BY ps.s DESC, x.node) AS rn
+            FROM exp1 x JOIN psim ps
+              ON ps.probe_id = x.probe_id AND ps.node = x.node
+        ) WHERE rn <= {_BEAM_WIDTH}
+    ),
+    exp2 AS (
+        SELECT DISTINCT b.probe_id, g.dst AS node FROM beam1 b
+        JOIN graph g ON g.src = b.node
+        UNION SELECT probe_id, node FROM beam1
+    ),
+    beam2 AS (
+        SELECT probe_id, node, s FROM (
+            SELECT x.probe_id, x.node, ps.s,
+                   ROW_NUMBER() OVER (PARTITION BY x.probe_id
+                                      ORDER BY ps.s DESC, x.node) AS rn
+            FROM exp2 x JOIN psim ps
+              ON ps.probe_id = x.probe_id AND ps.node = x.node
+        ) WHERE rn <= {_BEAM_WIDTH}
+    ),
+    exp3 AS (
+        SELECT DISTINCT b.probe_id, g.dst AS node FROM beam2 b
+        JOIN graph g ON g.src = b.node
+        UNION SELECT probe_id, node FROM beam2
+    ),
+    beam3 AS (
+        SELECT probe_id, node, s FROM (
+            SELECT x.probe_id, x.node, ps.s,
+                   ROW_NUMBER() OVER (PARTITION BY x.probe_id
+                                      ORDER BY ps.s DESC, x.node) AS rn
+            FROM exp3 x JOIN psim ps
+              ON ps.probe_id = x.probe_id AND ps.node = x.node
+        ) WHERE rn <= {_BEAM_WIDTH}
+    ),
+    found AS (
+        SELECT probe_id, node FROM (
+            SELECT probe_id, node,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY s DESC, node) AS rn
+            FROM beam3) WHERE rn <= 10
+    ),
+    truth AS (
+        SELECT probe_id, node FROM (
+            SELECT probe_id, node,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY s DESC, node) AS rn
+            FROM psim WHERE node != probe_id) WHERE rn <= 10
+    )
+    SELECT t.probe_id,
+           CAST(SUM(CASE WHEN f.node IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_found_of_10
+    FROM truth t LEFT JOIN found f
+      ON f.probe_id = t.probe_id AND f.node = t.node
+    GROUP BY t.probe_id
+"""
+
+
+@_register(
+    "graph_ann_beam_search",
+    _BEAM_SQL,
+    "§2.11 similarity search (graph-ANN beam search, HNSW layer-0 "
+    "shape)",
+    "The fourth ANN family beside LSH/IVF/PQ: greedy BEAM SEARCH over "
+    f"a degree-{_BEAM_DEGREE} kNN graph — enter at a fixed node, "
+    f"expand every beam member's neighbors, keep the best "
+    f"{_BEAM_WIDTH} by true similarity, {_BEAM_HOPS} hops (the HNSW "
+    "base-layer search, which at scale visits O(beam x degree x hops) "
+    "vectors instead of the corpus). Hops are DataFrame joins against "
+    "the edge relation — frontier tuples shuffle, vectors don't move "
+    "(similarity lookups join a precomputed probe-sim relation). "
+    "Deterministic throughout ((sim DESC, id) tie-breaks), so the "
+    "oracle unrolls the identical three hops in SQL and the hashed "
+    "output is per-probe recall@10 vs the exact top-10 — one beam "
+    "member diverging breaks the hash. Bounded panel = verification "
+    "twin; the graph build at 100 TB comes from the LSH/IVF candidate "
+    "machinery, not all-pairs.",
+)
+def q_graph_ann_beam_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.relational import topk_per_group
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _BEAM_SUBSET)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sims = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("s"),
+    )
+    graph = topk_per_group(
+        sims, ["src"], [F.col("s").desc(), F.col("dst")], _BEAM_DEGREE
+    ).select("src", "dst")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    psim = probes.crossJoin(e).select(
+        "probe_id",
+        F.col("vec_id").alias("node"),
+        cosine_similarity(F.col("pv"), F.col("v")).alias("s"),
+    ).localCheckpoint(eager=True)  # looked up by every hop; bounded
+    graph = graph.localCheckpoint(eager=True)
+
+    beam = psim.filter(F.col("node") == 0)  # fixed entry point
+    for _ in range(_BEAM_HOPS):
+        expanded = (
+            beam.select("probe_id", "node")
+            .join(graph, beam["node"] == graph["src"])
+            .select("probe_id", F.col("dst").alias("node"))
+            .unionByName(beam.select("probe_id", "node"))
+            .distinct()
+        )
+        scored = expanded.join(psim, ["probe_id", "node"])
+        beam = topk_per_group(
+            scored, ["probe_id"], [F.col("s").desc(), F.col("node")],
+            _BEAM_WIDTH,
+        )
+    found = topk_per_group(
+        beam, ["probe_id"], [F.col("s").desc(), F.col("node")], 10
+    ).select("probe_id", "node")
+    truth = topk_per_group(
+        psim.filter(F.col("node") != F.col("probe_id")),
+        ["probe_id"], [F.col("s").desc(), F.col("node")], 10,
+    ).select("probe_id", "node")
+    hit = found.withColumn("__hit", F.lit(1))
+    return (
+        truth.join(hit, ["probe_id", "node"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_found_of_10")
+        )
+    )
+
+
 @_register(
     "pseudonymized_export",
     """
@@ -12267,6 +12449,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "matryoshka_truncation_overlap", "hard_negative_mining",
     "curriculum_interleave", "join_cardinality_estimate",
     "ranking_function_surface", "plan_invariant_audit",
+    "graph_ann_beam_search",
     # (the 8 extra slots came from never-hashed event/profiling
     # rotations whose OPERATORS keep driver evidence through verified
     # suite siblings: funnel/cohort/attribution/gapfill/rolling ride
@@ -12282,7 +12465,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
 
     # streaming twins never hashed by the driver (oracle ok_* parity)
     "streaming_sessionization", "streaming_heavy_hitters",
-    "streaming_interval_join", "stateful_user_counts",
+    "streaming_interval_join",
     "streaming_session_attribution",
     "streaming_first_event_per_user_type",
     # text curation / linkage (oracle)
@@ -12381,7 +12564,7 @@ _COST_HINT: dict[str, float] = {
     "matryoshka_truncation_overlap": 0.7, "hard_negative_mining": 0.7,
     "curriculum_interleave": 0.5, "join_cardinality_estimate": 0.6, "ranking_function_surface": 0.4,
     # plans five panel queries (pays bloom-build + bucketed-table costs)
-    "plan_invariant_audit": 2.0,
+    "plan_invariant_audit": 2.0, "graph_ann_beam_search": 1.5,
     "lakehouse_incremental_mv": 3.0, "streaming_lakehouse_sink": 25.0,
     "skewed_join_salted": 0.7, "bpe_merge_training": 11.0,
     # encode reuses the trained state when training ran first (hint
