@@ -174,6 +174,7 @@ _QUERIES = [
     "hard_negative_mining",
     "curriculum_interleave",
     "join_cardinality_estimate",
+    "graph_ann_beam_search",
 ]
 
 
