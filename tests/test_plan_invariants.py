@@ -1,0 +1,165 @@
+"""Physical-plan invariants as CI assertions (round-8 verdict task 6):
+the runtime `plan_invariant_audit` query's five checks, widened with a
+no-global-window sweep, broadcast-dim-join checks, and a bucket-pruned
+lakehouse point read. These are PLAN tests — queries are constructed
+(never collected), so a Catalyst upgrade or careless edit that
+re-plans a scale-critical operator fails CI before it ships.
+
+Scale invariants asserted here (the SCALING.md claims, as code):
+- no operator funnels the corpus through one WindowExec partition
+- small dimension joins broadcast (no shuffle of the fact side's key)
+- the bucketed join consumes its on-disk layout (zero join exchanges)
+- the bloom probe is a row-local filter expression, not a join
+- lakehouse point reads open only the key's bucket files
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyspark.sql.functions as F
+
+from uni_mannheim_masters_thesis_spark.plans.registry import REGISTRY
+
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Window operator lines running in a single global partition.
+
+    A partitioned+ordered window prints ``Window [funcs], [partExprs],
+    [sortExprs]`` (two ``], [`` separators); a partitioned unordered
+    one prints ``Window [funcs], [partExprs]``; the global shape —
+    which forces Exchange SinglePartition below it — prints ``Window
+    [funcs], [sortExprs]``: one separator whose FINAL group is a sort
+    spec (ASC/DESC markers).
+    """
+    hits = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-:* ").strip()
+        if not s.startswith("Window ") or s.count("], [") >= 2:
+            continue
+        last_group = s.rsplit("], [", 1)[-1]
+        if " ASC" in last_group or " DESC" in last_group:
+            hits.append(s[:120])
+    return hits
+
+
+# -- the five runtime-audit invariants, CI-side ------------------------------
+
+def test_bucketed_join_consumes_bucket_layout(spark):
+    p = _plan(spark, "bucketed_colocated_join")
+    assert "SortMergeJoin" in p
+    assert "SelectedBucketsCount" in p
+    # co-located by bucketBy: neither side re-shuffles on the join key
+    assert "Exchange hashpartitioning(o_custkey" not in p
+    assert "Exchange hashpartitioning(c_custkey" not in p
+
+
+def test_bloom_probe_is_row_local(spark):
+    p = _plan(spark, "bloom_semijoin_pruning")
+    # scoped POSITIVELY to our probe's literal bit arithmetic — a
+    # Catalyst-injected runtime bloom filter may add its own
+    # might_contain, which is not a regression
+    assert "shiftright" in p and "Filter" in p
+
+
+def test_hard_negative_mining_is_window_free(spark):
+    assert "Window" not in _plan(spark, "hard_negative_mining")
+
+
+def test_salted_join_carries_the_salt(spark):
+    p = _plan(spark, "skewed_join_salted")
+    assert "__salt" in p and "Generate explode" in p
+
+
+def test_asof_nearest_rides_one_key_exchange(spark):
+    p = _plan(spark, "events_asof_nearest")
+    assert p.count("Exchange hashpartitioning(user_id") == 1
+
+
+# -- widened: no global-window funnel anywhere cheap to plan ------------------
+
+# Construction-cheap batch queries spanning every window-using family.
+# (Streaming queries execute inside fn; ML fits train inside fn — both
+# excluded: this is a plan sweep, not an execution sweep.)
+_WINDOW_SWEEP = [
+    "pricing_summary", "revenue_by_nation", "top3_lineitems_per_supplier",
+    "first_order_per_customer", "running_order_total",
+    "order_window_functions", "rolling_week_order_value",
+    "top_users_by_value", "ewma_user_value", "rolling_user_features",
+    "funnel_conversion", "cohort_retention", "session_attribution",
+    "session_paths", "events_hourly_gapfill", "events_asof_join",
+    "events_asof_nearest", "scd2_state_intervals", "cdc_merge_upsert",
+    "tokenized_documents", "tfidf", "bm25_retrieval",
+    "hybrid_retrieval_rrf", "minhash_neardup_pairs", "simhash_documents",
+    "dedup_canonical", "paragraph_dedup", "document_chunking",
+    "document_packing", "training_order_shuffle", "value_histogram",
+    "column_profile", "decile_bucketing", "knn_bruteforce_cosine",
+    "ranking_function_surface", "curriculum_interleave",
+    "hard_negative_mining", "matryoshka_truncation_overlap",
+    "dataset_split_manifest", "leakage_safe_split",
+]
+
+
+def test_no_unpartitioned_window_in_sweep(spark):
+    offenders = {}
+    for name in _WINDOW_SWEEP:
+        hits = unpartitioned_windows(_plan(spark, name))
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"global-window funnels: {offenders}"
+
+
+def test_window_detector_actually_detects():
+    """Guard the guard: the detector must flag the global-window shape
+    and pass the partitioned one (both real Spark 4 plan lines)."""
+    bad = (
+        "+- Window [row_number() windowspecdefinition(id#0L ASC NULLS "
+        "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS rn#2], [id#0L ASC NULLS FIRST]"
+    )
+    good = (
+        "+- Window [row_number() windowspecdefinition(g#1L, id#0L ASC "
+        "NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$())) AS rn#4], [g#1L], "
+        "[id#0L ASC NULLS FIRST]"
+    )
+    assert unpartitioned_windows(bad)
+    assert not unpartitioned_windows(good)
+
+
+# -- widened: dimension joins broadcast ---------------------------------------
+
+def test_dim_joins_broadcast(spark):
+    # nation/region/customer-side dims must ride BroadcastHashJoin —
+    # a shuffled SortMergeJoin against a 25-row dim is the classic
+    # at-scale regression
+    for name in ["revenue_by_nation", "shipping_priority",
+                 "top_brands_by_revenue", "region_nation_rollup"]:
+        p = _plan(spark, name)
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, name
+
+
+# -- widened: lakehouse point read prunes to the key's bucket ----------------
+
+def test_lakehouse_point_read_is_bucket_pruned(spark):
+    from uni_mannheim_masters_thesis_spark.plans.registry import (
+        _lakehouse_table_dir,
+    )
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        read_table,
+    )
+
+    tdir = _lakehouse_table_dir(spark, SF_DIR)
+    full = read_table(spark, tdir)
+    point = read_table(spark, tdir, point_keys=[1])
+    assert 0 < len(point.inputFiles()) < len(full.inputFiles())

@@ -1,0 +1,157 @@
+"""Round-9 contract tests: the staged atomic publication of cached
+/tmp tables, the merge_table one-row-per-key CDC contract, and bloom
+auto-sizing (the fixes for the round-8 ADVICE items)."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pyspark.sql.functions as F
+import pytest
+
+from uni_mannheim_masters_thesis_spark.cachedir import staged_cache_dir
+
+
+# -- staged_cache_dir ---------------------------------------------------------
+
+def test_staged_dir_builds_once_and_publishes_marker(tmp_path):
+    tdir = str(tmp_path / "cache")
+    calls = []
+
+    def build(stage):
+        calls.append(stage)
+        with open(os.path.join(stage, "data.txt"), "w") as f:
+            f.write("payload")
+
+    assert staged_cache_dir(tdir, "_DONE", build) == tdir
+    assert open(os.path.join(tdir, "data.txt")).read() == "payload"
+    assert os.path.exists(os.path.join(tdir, "_DONE"))
+    # builds happened in a PRIVATE staging dir, never in tdir itself
+    assert calls[0] != tdir
+    # second call is a pure cache hit
+    staged_cache_dir(tdir, "_DONE", build)
+    assert len(calls) == 1
+
+
+def test_staged_dir_never_exposes_partial_state(tmp_path):
+    """A reader polling the target path mid-build must only ever see
+    'absent' or 'complete with marker' — never a half-built dir."""
+    tdir = str(tmp_path / "cache")
+    seen_partial = []
+    release = threading.Event()
+
+    def build(stage):
+        with open(os.path.join(stage, "data.txt"), "w") as f:
+            f.write("payload")
+        release.set()  # half-built: data exists, no marker, unpublished
+        if os.path.exists(tdir) and not os.path.exists(
+            os.path.join(tdir, "_DONE")
+        ):
+            seen_partial.append(tdir)
+
+    t = threading.Thread(target=staged_cache_dir, args=(tdir, "_DONE", build))
+    t.start()
+    release.wait(10)
+    # mid-build: the target path must not exist yet
+    partial_visible = os.path.exists(tdir) and not os.path.exists(
+        os.path.join(tdir, "_DONE")
+    )
+    t.join(10)
+    assert not partial_visible
+    assert not seen_partial
+    assert os.path.exists(os.path.join(tdir, "_DONE"))
+
+
+def test_staged_dir_loser_adopts_winners_publication(tmp_path):
+    """If another process publishes while we build, our staging copy is
+    discarded and the winner's dir is used untouched."""
+    tdir = str(tmp_path / "cache")
+
+    def winner_publishes_first(stage):
+        os.makedirs(tdir)
+        with open(os.path.join(tdir, "data.txt"), "w") as f:
+            f.write("winner")
+        with open(os.path.join(tdir, "_DONE"), "w") as f:
+            f.write("ok")
+        with open(os.path.join(stage, "data.txt"), "w") as f:
+            f.write("loser")
+
+    assert staged_cache_dir(tdir, "_DONE", winner_publishes_first) == tdir
+    assert open(os.path.join(tdir, "data.txt")).read() == "winner"
+
+
+def test_staged_dir_replaces_stale_markerless_dir(tmp_path):
+    """A half-built dir from a pre-staging-era crash (exists, no
+    marker) is replaced, not trusted."""
+    tdir = str(tmp_path / "cache")
+    os.makedirs(tdir)
+    with open(os.path.join(tdir, "stale.txt"), "w") as f:
+        f.write("junk")
+
+    def build(stage):
+        with open(os.path.join(stage, "data.txt"), "w") as f:
+            f.write("fresh")
+
+    staged_cache_dir(tdir, "_DONE", build)
+    assert os.path.exists(os.path.join(tdir, "_DONE"))
+    assert not os.path.exists(os.path.join(tdir, "stale.txt"))
+    assert open(os.path.join(tdir, "data.txt")).read() == "fresh"
+
+
+def test_staged_dir_failed_build_leaves_nothing(tmp_path):
+    tdir = str(tmp_path / "cache")
+
+    def build(stage):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        staged_cache_dir(tdir, "_DONE", build)
+    assert not os.path.exists(tdir)
+    assert os.listdir(str(tmp_path)) == []  # staging dir cleaned up too
+
+
+# -- merge_table CDC contract -------------------------------------------------
+
+def test_merge_rejects_duplicate_cdc_keys(spark, tmp_path):
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        create_table, merge_table,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "user_id long, state string, val double"
+    )
+    create_table(base, tdir, "user_id")
+    dup_cdc = spark.createDataFrame(
+        [(1, "x", 9.0, False), (1, "y", 8.0, False)],
+        "user_id long, state string, val double, __delete boolean",
+    )
+    with pytest.raises(ValueError, match="one-row-per-key"):
+        merge_table(spark, tdir, dup_cdc, "user_id", "__delete")
+
+
+# -- bloom auto-sizing ----------------------------------------------------------
+
+def test_bloom_auto_sizes_above_the_floor(spark):
+    from uni_mannheim_masters_thesis_spark.operators.sketches import (
+        BLOOM_BITS, bloom_build, bloom_fill_factor, bloom_might_contain,
+        bloom_size_bits,
+    )
+
+    # 10k keys at 16 bits/key -> 160k bits -> next pow2 = 2^18, above
+    # the 2^16 floor that would saturate (fill ~ 1 - e^{-5*10k/65536}
+    # ~ 0.53 per probe bit -> fpr ~ 4%; sized, fpr ~ 0.1%)
+    assert bloom_size_bits(10_000) == 1 << 18
+    assert bloom_size_bits(10) == BLOOM_BITS  # floor
+    build = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    words = bloom_build(build, "k")
+    assert len(words) * 64 >= 1 << 17  # approx_count_distinct jitter
+    fill = bloom_fill_factor(words)
+    assert 0.05 < fill < 0.35  # healthy, far from saturation
+    # no false negatives at the auto size
+    assert build.filter(bloom_might_contain(F.col("k"), words)).count() == 10_000
+    # disjoint probes almost all pruned
+    probe = spark.range(1_000_000, 1_010_000).withColumnRenamed("id", "k")
+    fp = probe.filter(bloom_might_contain(F.col("k"), words)).count()
+    assert fp < 100

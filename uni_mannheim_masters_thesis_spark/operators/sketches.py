@@ -86,16 +86,39 @@ def _bloom_positions(col: Column, k: int, m: int) -> list[Column]:
     ]
 
 
+BLOOM_BITS_PER_KEY = 16  # auto-sizing target: fpr ≈ 0.1% at k=5
+
+
+def bloom_size_bits(n_keys: int, bits_per_key: int = BLOOM_BITS_PER_KEY) -> int:
+    """Filter size for ``n_keys`` build-side keys: the next power of
+    two ≥ ``bits_per_key * n_keys`` (floor BLOOM_BITS). A fixed m
+    saturates — above ~m/bits_per_key keys the fill factor approaches
+    1 and the probe passes everything, silently erasing the pruning —
+    so the size must track build cardinality."""
+    m = BLOOM_BITS
+    target = max(1, int(n_keys)) * bits_per_key
+    while m < target:
+        m <<= 1
+    return m
+
+
 def bloom_build(
-    df: DataFrame, key: str, k: int = BLOOM_K, m: int = BLOOM_BITS
+    df: DataFrame, key: str, k: int = BLOOM_K, m: int | None = None
 ) -> list[int]:
     """Build the filter DISTRIBUTED: every key maps to k bit positions,
     positions fold to packed 64-bit words via a bit_or aggregate (a
     commutative monoid — map-side combined, any partitioning), and only
-    the ≤ m/64 word rows reach the driver. The returned dense word list
-    is the whole filter: m bits regardless of build-side cardinality,
-    which is the point — a 100M-key build side that could never
-    broadcast as a hash relation still yields the same 8 KB filter."""
+    the ≤ m/64 word rows reach the driver. With ``m=None`` the filter
+    is auto-sized from ``approx_count_distinct`` of the build side
+    (~16 bits/key, next power of two), so a 100M-key build side that
+    could never broadcast as a hash relation still yields a ~200 MB
+    plan-constant filter with a useful false-positive rate — a fixed m
+    would saturate (fill → 1) and prune nothing at that scale."""
+    if m is None:
+        n = df.agg(
+            F.approx_count_distinct(key).alias("n")
+        ).first()["n"]
+        m = bloom_size_bits(n)
     rows = (
         df.select(
             F.explode(
@@ -120,15 +143,27 @@ def bloom_build(
     return words
 
 
+def bloom_fill_factor(words: list[int]) -> float:
+    """Fraction of set bits — the saturation gauge. Near 1.0 the probe
+    passes everything and the pruning has silently vanished; logged by
+    callers so saturation shows up in scale evidence, not just in a
+    mysteriously large shuffle."""
+    m = len(words) * 64
+    return sum(bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in words) / m
+
+
 def bloom_might_contain(
-    col: Column, words: list[int], k: int = BLOOM_K, m: int = BLOOM_BITS
+    col: Column, words: list[int], k: int = BLOOM_K, m: int | None = None
 ) -> Column:
-    """Probe predicate: true iff all k bits for ``col`` are set. The
+    """Probe predicate: true iff all k bits for ``col`` are set
+    (``m`` defaults to the size the word list implies). The
     filter rides the plan as an array literal (words are plan
     constants, shipped once per task with the serialized plan), so the
     probe is a pure JVM row-local expression — no join, no exchange,
     whole-stage-codegen friendly. False positives possible (the exact
     join behind it removes them), false negatives impossible."""
+    if m is None:
+        m = len(words) * 64
     arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
     cond = F.lit(True)
     for p in _bloom_positions(col, k, m):

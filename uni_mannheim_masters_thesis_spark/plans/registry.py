@@ -9376,17 +9376,13 @@ _LAKEHOUSE_SQL_PREFIX = """
 _LAKEHOUSE_POINT_KEYS = [1, 18, 35]
 
 
-def _lakehouse_table_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per process per dataset — cache keyed by abs path +
-    events mtime) the 3-version copy-on-write table the lakehouse
-    queries read: v1 CREATE from era-0 latest state, v2/v3 MERGE of the
-    era-1/era-2 CDC batches."""
+def _dataset_cache_path(sf_dir: str, name: str, salt: str = "") -> str:
+    """/tmp path keyed by abs dataset path + events-table mtime (+
+    variant salt) — a new dataset or rewritten events file gets a fresh
+    cache dir, never a mutation of the shared one."""
     import hashlib
     import os
-    import shutil
     import tempfile
-
-    from ..sources.lakehouse import create_table, merge_table
 
     ev_path = os.path.join(sf_dir, "events.parquet")
     try:
@@ -9394,13 +9390,31 @@ def _lakehouse_table_dir(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         mtime = 0
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}".encode()
+        f"{os.path.abspath(sf_dir)}:{mtime}{salt}".encode()
     ).hexdigest()[:10]
-    tdir = os.path.join(tempfile.gettempdir(), f"umt_lakehouse_{key}")
-    marker = os.path.join(tdir, "_UMT_BUILD_DONE")
-    if os.path.exists(marker):
-        return tdir
-    shutil.rmtree(tdir, ignore_errors=True)
+    return os.path.join(tempfile.gettempdir(), f"{name}_{key}")
+
+
+def _lakehouse_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per dataset — cache keyed by abs path + events
+    mtime; staged-rename published, so concurrent processes are safe)
+    the 3-version copy-on-write table the lakehouse queries read: v1
+    CREATE from era-0 latest state, v2/v3 MERGE of the era-1/era-2 CDC
+    batches."""
+    from ..cachedir import staged_cache_dir
+
+    tdir = _dataset_cache_path(sf_dir, "umt_lakehouse")
+    return staged_cache_dir(
+        tdir, "_UMT_BUILD_DONE",
+        lambda stage: _build_lakehouse_table(spark, sf_dir, stage),
+    )
+
+
+def _build_lakehouse_table(
+    spark: SparkSession, sf_dir: str, tdir: str
+) -> None:
+    from ..sources.lakehouse import create_table, merge_table
+
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value",
         F.unix_micros("ts").alias("us"),
@@ -9439,9 +9453,6 @@ def _lakehouse_table_dir(spark: SparkSession, sf_dir: str) -> str:
             .withColumn("__delete", F.col("last_event_type") == "error")
         )
         merge_table(spark, tdir, cdc, "user_id", "__delete")
-    with open(marker, "w") as f:
-        f.write("ok")
-    return tdir
 
 
 @_register(
@@ -9638,39 +9649,29 @@ def _derived_lakehouse_dir(
     copy_shared: bool = True,
 ):
     """Materialize a PRIVATE derived table once per dataset (cache key:
-    abs sf_dir + events mtime + suffix; done-marker guarded). The shared
-    cached table the other lakehouse queries read is never mutated —
-    lifecycle builders either work on a full copy of it or start from
-    an empty dir (``copy_shared=False``); ``build(tdir)`` applies the
+    abs sf_dir + events mtime + suffix; staged-rename published, so
+    concurrent processes are safe). The shared cached table the other
+    lakehouse queries read is never mutated — lifecycle builders either
+    work on a full copy of it or start from an empty dir
+    (``copy_shared=False``); ``build(tdir)`` applies the
     suffix-specific commits."""
-    import hashlib
     import os
     import shutil
-    import tempfile
+
+    from ..cachedir import staged_cache_dir
 
     base = _lakehouse_table_dir(spark, sf_dir) if copy_shared else None
-    ev_path = os.path.join(sf_dir, "events.parquet")
-    try:
-        mtime = int(os.path.getmtime(ev_path))
-    except OSError:
-        mtime = 0
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}:{suffix}".encode()
-    ).hexdigest()[:10]
-    tdir = os.path.join(
-        tempfile.gettempdir(), f"umt_lakehouse_{suffix}_{key}"
+    tdir = _dataset_cache_path(
+        sf_dir, f"umt_lakehouse_{suffix}", salt=f":{suffix}"
     )
-    marker = os.path.join(tdir, f"_UMT_{suffix.upper()}_DONE")
-    if os.path.exists(marker):
-        return tdir
-    shutil.rmtree(tdir, ignore_errors=True)
-    if copy_shared:
-        shutil.copytree(base, tdir)
-        os.remove(os.path.join(tdir, "_UMT_BUILD_DONE"))
-    build(tdir)
-    with open(marker, "w") as f:
-        f.write("ok")
-    return tdir
+
+    def _build(stage: str) -> None:
+        if copy_shared:
+            shutil.copytree(base, stage, dirs_exist_ok=True)
+            os.remove(os.path.join(stage, "_UMT_BUILD_DONE"))
+        build(stage)
+
+    return staged_cache_dir(tdir, f"_UMT_{suffix.upper()}_DONE", _build)
 
 
 def _lakehouse_ov_table_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -9893,26 +9894,18 @@ def _lakehouse_mv_table_dir(spark: SparkSession, sf_dir: str) -> str:
     exact-decimal value sum) built as CREATE from era 0 then TWO
     ``upsert_combine`` refreshes folding the era-1/era-2 partial
     aggregates into stored state — never a full recompute."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
+    from ..cachedir import staged_cache_dir
 
+    tdir = _dataset_cache_path(sf_dir, "umt_lakehouse_mv", salt=":mv")
+    return staged_cache_dir(
+        tdir, "_UMT_MV_DONE",
+        lambda stage: _build_mv_table(spark, sf_dir, stage),
+    )
+
+
+def _build_mv_table(spark: SparkSession, sf_dir: str, tdir: str) -> None:
     from ..sources.lakehouse import create_table, upsert_combine
 
-    ev_path = os.path.join(sf_dir, "events.parquet")
-    try:
-        mtime = int(os.path.getmtime(ev_path))
-    except OSError:
-        mtime = 0
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}:mv".encode()
-    ).hexdigest()[:10]
-    tdir = os.path.join(tempfile.gettempdir(), f"umt_lakehouse_mv_{key}")
-    marker = os.path.join(tdir, "_UMT_MV_DONE")
-    if os.path.exists(marker):
-        return tdir
-    shutil.rmtree(tdir, ignore_errors=True)
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "value", F.unix_micros("ts").alias("us")
     )
@@ -9947,9 +9940,6 @@ def _lakehouse_mv_table_dir(spark: SparkSession, sf_dir: str) -> str:
             "user_id",
             ["n_events", "sum_value"],
         )
-    with open(marker, "w") as f:
-        f.write("ok")
-    return tdir
 
 
 @_register(
@@ -10286,34 +10276,18 @@ def q_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _zorder_table_dir(spark: SparkSession, sf_dir: str) -> str:
     """Events Z-ORDER-clustered on (user_id, value) with file-level
-    zone maps (built once per process per dataset)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
+    zone maps (built once per dataset; staged-rename published)."""
+    from ..cachedir import staged_cache_dir
     from ..sources.lakehouse import create_zordered_table
 
-    ev_path = os.path.join(sf_dir, "events.parquet")
-    try:
-        mtime = int(os.path.getmtime(ev_path))
-    except OSError:
-        mtime = 0
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}:z".encode()
-    ).hexdigest()[:10]
-    tdir = os.path.join(tempfile.gettempdir(), f"umt_zorder_{key}")
-    marker = os.path.join(tdir, "_UMT_Z_DONE")
-    if os.path.exists(marker):
-        return tdir
-    shutil.rmtree(tdir, ignore_errors=True)
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value"
-    )
-    create_zordered_table(ev, tdir, ("user_id", "value"))
-    with open(marker, "w") as f:
-        f.write("ok")
-    return tdir
+    def build(stage: str) -> None:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        create_zordered_table(ev, stage, ("user_id", "value"))
+
+    tdir = _dataset_cache_path(sf_dir, "umt_zorder", salt=":z")
+    return staged_cache_dir(tdir, "_UMT_Z_DONE", build)
 
 
 _Z_USER_RANGE = (10, 25)
@@ -10443,10 +10417,12 @@ def q_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "§2.11 runtime filters (bloom-filter semi-join pruning)",
     "The runtime-filter pattern behind every selective fact-dim semi "
     "join at scale: the build side (high-balance BUILDING customers) "
-    "folds DISTRIBUTED into an 8 KB bloom bitset via a bit_or monoid "
-    "aggregate (operators/sketches.py:bloom_build — m bits regardless "
-    "of build cardinality, so it works where a broadcast hash relation "
-    "can't), and the probe side pre-filters with a row-local "
+    "folds DISTRIBUTED into a bloom bitset via a bit_or monoid "
+    "aggregate (operators/sketches.py:bloom_build — auto-sized from "
+    "an approx_count_distinct of the build side at ~16 bits/key, so "
+    "the fill factor stays useful instead of saturating, and it works "
+    "where a broadcast hash relation can't), and the probe side "
+    "pre-filters with a row-local "
     "whole-stage-codegen predicate BEFORE any exchange "
     "(bloom_might_contain: the bitset rides the plan as an array "
     "literal). The exact semi join behind it removes the (possible) "
@@ -11027,16 +11003,15 @@ def _incremental_dedup_metrics(spark: SparkSession, sf_dir: str) -> list:
     the store read to its batch's buckets, splits the batch into
     carryover vs new fingerprints, and MERGEs only the new ones in.
     Returns the per-era accounting (3 tuples — bounded driver data);
-    cached beside the store since merges mutate state."""
+    cached beside the store since merges mutate state. Keyed by the
+    DOCUMENTS mtime (the input it derives from), staged-rename
+    published like the other /tmp builders."""
     import hashlib
     import json as _json
     import os
-    import shutil
     import tempfile
 
-    from ..sources.lakehouse import (
-        _bucket_expr, create_table, merge_table, read_table,
-    )
+    from ..cachedir import staged_cache_dir
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
     try:
@@ -11047,11 +11022,25 @@ def _incremental_dedup_metrics(spark: SparkSession, sf_dir: str) -> list:
         f"{os.path.abspath(sf_dir)}:{mtime}:idd".encode()
     ).hexdigest()[:10]
     tdir = os.path.join(tempfile.gettempdir(), f"umt_lakehouse_idd_{key}")
-    stats_path = os.path.join(tdir, "_UMT_IDD_STATS.json")
-    if os.path.exists(stats_path):
-        with open(stats_path) as f:
-            return [tuple(r) for r in _json.load(f)]
-    shutil.rmtree(tdir, ignore_errors=True)
+    stats_name = "_UMT_IDD_STATS.json"
+    staged_cache_dir(
+        tdir, stats_name,
+        lambda stage: _build_incremental_dedup_store(spark, sf_dir, stage,
+                                                     stats_name),
+    )
+    with open(os.path.join(tdir, stats_name)) as f:
+        return [tuple(r) for r in _json.load(f)]
+
+
+def _build_incremental_dedup_store(
+    spark: SparkSession, sf_dir: str, tdir: str, stats_name: str
+) -> None:
+    import json as _json
+    import os
+
+    from ..sources.lakehouse import (
+        _bucket_expr, create_table, merge_table, read_table,
+    )
 
     fp_num = F.conv(
         F.substring(F.md5("text"), 1, 15), 16, 10
@@ -11094,9 +11083,8 @@ def _incremental_dedup_metrics(spark: SparkSession, sf_dir: str) -> list:
         rows.append(
             (era, n_docs, n_docs - n_fps, n_carry, n_fps - n_carry)
         )
-    with open(stats_path, "w") as f:
+    with open(os.path.join(tdir, stats_name), "w") as f:
         _json.dump(rows, f)
-    return rows
 
 
 @_register(
@@ -11648,6 +11636,10 @@ def q_hard_negative_mining(
         F.max(F.when(same, best)).alias("p"),
         F.max(F.when(~same, best)).alias("n"),
     )
+    # a probe whose label is unique (no positive) or universal (no
+    # negative) has no mineable pair — drop it, matching the oracle's
+    # inner join of the two ranked arms
+    agged = agged.filter(F.col("p").isNotNull() & F.col("n").isNotNull())
     return agged.select(
         "probe_id",
         F.col("p.nid").alias("positive_id"),
@@ -11906,10 +11898,12 @@ def q_plan_invariant_audit(
         (
             "bloom_semijoin_pruning",
             "bloom_probe_is_row_local",
-            # the bitset rides the plan as a literal array: no join or
-            # exchange between the orders scan and the bloom filter
-            lambda p: "might_contain" not in p  # no sketch relation join
-            and "Filter" in p,
+            # the bitset rides the plan as a literal expression over the
+            # orders scan: assert the shiftright/bitwiseAND probe is
+            # PRESENT in a Filter (scoped positively — a Catalyst
+            # runtime bloom filter legitimately adds its own
+            # might_contain, so absence tests would false-flag)
+            lambda p: "shiftright" in p and "Filter" in p,
         ),
         (
             "hard_negative_mining",
@@ -12367,6 +12361,12 @@ _DRIVER_SUITES: frozenset[str] = frozenset({
     # evidence, not new plan coverage, so it would double-count those
     # plans (plus ~20 s of per-trigger fixed cost) in the headline
     "streaming_throughput_report",
+    # same rationale again: the plan audit re-plans five other registry
+    # queries (each already timed individually in the headline) purely
+    # to inspect their physical plans — counting it would double-bill
+    # those constructions. tests/test_plan_invariants.py carries the
+    # widened CI-side version of the same checks.
+    "plan_invariant_audit",
 })
 
 # Queries hashed green in every CORRECTNESS_r01..r06 driver artifact —

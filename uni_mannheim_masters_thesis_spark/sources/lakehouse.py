@@ -216,6 +216,21 @@ def merge_table(
     cdcb = cdc.withColumn(
         "__bucket", _bucket_expr(key_col, n_buckets)
     ).localCheckpoint(eager=True)
+    # enforce the one-row-per-key CDC contract the whole table stack
+    # (time travel, change feed, quality gate uniqueness) assumes: a
+    # duplicate key would anti-join away the base row and then insert
+    # BOTH cdc rows, silently corrupting the snapshot. One cheap
+    # aggregate on the (small, checkpointed) cdc side.
+    dup = cdcb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(key_col).alias("nk"),
+    ).first()
+    if dup["n"] != dup["nk"]:
+        raise ValueError(
+            f"merge_table: CDC batch violates the one-row-per-key "
+            f"contract ({dup['n']} rows, {dup['nk']} distinct "
+            f"{key_col!r}); dedup to last-writer-wins upstream"
+        )
     changed = sorted(
         r["__bucket"] for r in cdcb.select("__bucket").distinct().collect()
     )  # ≤ N_BUCKETS values — bounded driver list

@@ -99,17 +99,24 @@ def split_events_dir(spark: SparkSession, sf_dir: str, n: int = N_SPLITS) -> str
         f"umt_stream_split_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{n}_{key}",
     )
-    marker = os.path.join(base, "_UMT_SPLIT_DONE")
-    if os.path.exists(marker):
-        return base
+    from ..cachedir import staged_cache_dir
+
+    return staged_cache_dir(
+        base, "_UMT_SPLIT_DONE",
+        lambda stage: _build_event_splits(spark, sf_dir, stage, n),
+    )
+
+
+def _build_event_splits(
+    spark: SparkSession, sf_dir: str, base: str, n: int
+) -> None:
+    """Write the n time-slice files into ``base`` (a private staging
+    dir — the atomic-rename publication in split_events_dir guarantees
+    no other process can replay a partially-written slice set)."""
     import glob
     import shutil
     import time
 
-    # a partial/stale dir (prior layout, interrupted write) must not
-    # contribute extra files to the replay — rebuild from empty
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
     ev = load_table(spark, sf_dir, "events")
     # time-ordered slices via range repartitioning: range partition i
     # holds the i-th (ts, event_id) range, so slices replay in time
@@ -143,9 +150,6 @@ def split_events_dir(spark: SparkSession, sf_dir: str, n: int = N_SPLITS) -> str
         os.utime(dest, (t0 + i, t0 + i))
         shutil.rmtree(staging, ignore_errors=True)
     sliced.unpersist()
-    with open(marker, "w") as f:
-        f.write("ok")
-    return base
 
 
 def _file_stream(spark: SparkSession, src: str) -> DataFrame:
