@@ -10001,7 +10001,7 @@ def q_lakehouse_incremental_mv(
     """,
     "§2.9/§2.11 (streaming CDC upsert sink into the lakehouse table)",
     "The bronze-to-silver pipeline as it actually runs in production: "
-    "a Structured Streaming query replays the event log as >=10 "
+    "a Structured Streaming query replays the event log as >=5 "
     "time-ordered micro-batches and foreachBatch MERGEs each batch's "
     "CDC reduction (latest state per key, 'error' as tombstone) into "
     "the copy-on-write lakehouse table — one table version per "
@@ -10012,7 +10012,9 @@ def q_lakehouse_incremental_mv(
     "regardless of batch boundaries — the oracle computes exactly "
     "that fold, so a lost commit, out-of-order batch, or tombstone "
     "leak breaks the hash. ok_multi_batch pins that the run really "
-    "was incremental (>=10 data batches); ok_commit_per_batch pins "
+    "was incremental (>=5 data batches — CREATE plus sequential "
+    "MERGEs; the count trades test-scale wall-clock, never the "
+    "exactly-once contract); ok_commit_per_batch pins "
     "the version-per-batch commit-log shape. At 100 TB this is the "
     "standard Delta streaming-upsert sink: per-batch cost is one "
     "key shuffle plus a rewrite of only the touched buckets.",
@@ -10046,7 +10048,7 @@ def q_streaming_lakehouse_sink(
         shutil.rmtree(os.path.dirname(tdir), ignore_errors=True)
     return final.select(
         "*",
-        F.lit(ev["n_data_batches"] >= 10).alias("ok_multi_batch"),
+        F.lit(ev["n_data_batches"] >= 5).alias("ok_multi_batch"),
         F.lit(ev["n_versions"] == ev["n_data_batches"]).alias(
             "ok_commit_per_batch"
         ),

@@ -216,24 +216,26 @@ def merge_table(
     cdcb = cdc.withColumn(
         "__bucket", _bucket_expr(key_col, n_buckets)
     ).localCheckpoint(eager=True)
-    # enforce the one-row-per-key CDC contract the whole table stack
-    # (time travel, change feed, quality gate uniqueness) assumes: a
-    # duplicate key would anti-join away the base row and then insert
-    # BOTH cdc rows, silently corrupting the snapshot. One cheap
-    # aggregate on the (small, checkpointed) cdc side.
-    dup = cdcb.agg(
+    # one bounded job (≤ N_BUCKETS rows) serves two purposes: discover
+    # the changed buckets, and enforce the one-row-per-key CDC contract
+    # the whole table stack (time travel, change feed, quality gate
+    # uniqueness) assumes — a duplicate key would anti-join away the
+    # base row and then insert BOTH cdc rows, silently corrupting the
+    # snapshot. Per-bucket distincts sum to the global distinct because
+    # a key maps to exactly one bucket.
+    stats = cdcb.groupBy("__bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(key_col).alias("nk"),
-    ).first()
-    if dup["n"] != dup["nk"]:
+    ).collect()
+    n_rows = sum(r["n"] for r in stats)
+    n_keys = sum(r["nk"] for r in stats)
+    if n_rows != n_keys:
         raise ValueError(
             f"merge_table: CDC batch violates the one-row-per-key "
-            f"contract ({dup['n']} rows, {dup['nk']} distinct "
+            f"contract ({n_rows} rows, {n_keys} distinct "
             f"{key_col!r}); dedup to last-writer-wins upstream"
         )
-    changed = sorted(
-        r["__bucket"] for r in cdcb.select("__bucket").distinct().collect()
-    )  # ≤ N_BUCKETS values — bounded driver list
+    changed = sorted(r["__bucket"] for r in stats)
     base_paths = [
         os.path.join(table_dir, manifest["buckets"][str(b)]["path"])
         for b in changed

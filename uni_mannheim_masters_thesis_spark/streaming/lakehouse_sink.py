@@ -6,7 +6,7 @@ batch MERGE queries compute CDC semantics as relations, and the table
 layer materializes versioned snapshots — here a STREAM drives the
 table, the way a production bronze→silver pipeline actually runs:
 
-- the events table replays as ≥10 time-ordered micro-batches
+- the events table replays as multiple time-ordered micro-batches
   (``split_events_dir``'s file drops, ``maxFilesPerTrigger=1``);
 - every micro-batch reduces to a CDC batch (latest state per key
   within the batch, ``error`` events as tombstones) and is MERGEd
@@ -106,16 +106,24 @@ def apply_cdc_batch(
 
 
 def stream_cdc_into_table(
-    spark: SparkSession, sf_dir: str, table_dir: str
+    spark: SparkSession, sf_dir: str, table_dir: str,
+    n_splits: int = 5,
 ) -> dict[str, int]:
-    """Replay the events log as micro-batches and MERGE each into a
-    lakehouse table at ``table_dir``. Returns run evidence:
+    """Replay the events log as ``n_splits`` micro-batches and MERGE
+    each into a lakehouse table at ``table_dir``. Returns run evidence:
     ``n_data_batches`` (non-empty micro-batches processed) and
-    ``n_versions`` (table versions committed)."""
+    ``n_versions`` (table versions committed).
+
+    ``n_splits`` trades evidence for wall-clock at TEST scale only —
+    the exactly-once contract (batch_id watermark riding the atomic
+    manifest commit) is identical for any batch count, and the final
+    table state is batch-boundary-independent by construction. 5
+    batches still exercises CREATE + 4 sequential MERGEs + replay
+    skipping; production batch cadence is the trigger interval."""
     from ..sources.lakehouse import latest_version
 
     ensure_engine_confs(spark)
-    src = split_events_dir(spark, sf_dir)
+    src = split_events_dir(spark, sf_dir, n=n_splits)
     static = spark.read.parquet(src)
     stream = normalize_ts(
         spark.readStream.schema(static.schema)
