@@ -550,8 +550,11 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                          "physical-plan scale invariants (bucketed "
                          "zero-exchange join, row-local bloom probe, "
                          "window-free mining, salted key, single asof "
-                         "exchange) checked at runtime and surfaced as "
-                         "ok_ flags; rows-only by design",
+                         "exchange) surfaced as ok_ flags; rows-only by "
+                         "design — primary evidence is the WIDENED CI "
+                         "twin tests/test_plan_invariants.py (adds the "
+                         "global-window sweep, broadcast dim joins, "
+                         "bucket-pruned point reads)",
                          ["plan_invariant_audit"]),
     "X-ann-graph-beam": ("plans.registry:q_graph_ann_beam_search  # "
                          "HNSW-layer-0 beam search over a degree-8 kNN "
@@ -577,6 +580,14 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                          "non-overlapping scan semantics proven identical "
                          "across engines",
                          ["event_pattern_match"]),
+    "X-dedup-binary": ("operators.binary_dedup:binary_neardup_pairs  # "
+                       "byte-level fuzzy dedup of binary payloads: "
+                       "content-defined chunking (stateless "
+                       "window-hash boundaries, pure Column "
+                       "expression) + MinHash over chunk digests + "
+                       "banded candidate join + exact chunk-Jaccard "
+                       "verify; payload bytes never shuffle",
+                       ["binary_neardup_pairs"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -175,6 +175,8 @@ _QUERIES = [
     "curriculum_interleave",
     "join_cardinality_estimate",
     "graph_ann_beam_search",
+    # round-9 additions
+    "binary_neardup_pairs",
 ]
 
 

@@ -12316,6 +12316,122 @@ def q_bucketed_colocated_join(
     )
 
 
+# -------------------------------------------------------------------------
+# Byte-level fuzzy dedup of binary payloads (operators/binary_dedup.py)
+# -------------------------------------------------------------------------
+
+
+def _sql_binary_neardup(
+    window: int = 8, divisor: int = 16,
+    n_sig: int = 8, n_bands: int = 4, threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of operators.binary_dedup.binary_neardup_pairs —
+    the identical stateless window-hash boundary rule, chunk digests,
+    md5-permutation MinHash bands, and exact chunk-Jaccard verify.
+    (The engine slices the BINARY payload; the oracle slices the
+    VARCHAR — byte-identical on the all-ASCII fixture, asserted by
+    tests/test_round9_ops.py on the real table.)"""
+    rows = n_sig // n_bands
+    sig_cols = ", ".join(
+        f"list_min(list_transform(ts, t -> md5(t || '#{s}'))) AS s{s}"
+        for s in range(1, n_sig + 1)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        f"md5({' || '.join(f's{b * rows + r}' for r in range(1, rows + 1))}) AS bh "
+        "FROM sigs"
+        for b in range(n_bands)
+    )
+    start_k = "CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END"
+    return f"""
+    WITH p AS (
+        SELECT doc_id AS id, text AS s, length(text) AS n
+        FROM documents WHERE length(text) > 0
+    ),
+    bnd AS (
+        SELECT id, s, n,
+               [i for i in generate_series({window}, n)
+                  if ('0x' || substring(md5(substring(
+                          s, i - {window - 1}, {window})), 1, 4))::BIGINT
+                     % {divisor} = 0] AS bpos
+        FROM p
+    ),
+    seg AS (
+        SELECT id, s,
+               CASE WHEN len(bpos) > 0 AND bpos[-1] = n THEN bpos
+                    ELSE list_append(bpos, n) END AS ends
+        FROM bnd
+    ),
+    ch AS (
+        SELECT id,
+               list_transform(
+                   generate_series(1, len(ends)),
+                   k -> md5(substring(s, {start_k},
+                                      ends[k] - ({start_k}) + 1))
+               ) AS chunks
+        FROM seg
+    ),
+    ts AS (SELECT id, list_distinct(chunks) AS ts FROM ch),
+    sigs AS (SELECT id, {sig_cols} FROM ts),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               len(x.ts) AS n_chunks_a, len(y.ts) AS n_chunks_b,
+               ROUND(1.0 - len(list_intersect(x.ts, y.ts))::DOUBLE
+                     / (len(x.ts) + len(y.ts)
+                        - len(list_intersect(x.ts, y.ts))),
+                     6) AS jaccard_dist
+        FROM cand
+        JOIN ts x ON cand.id_a = x.id
+        JOIN ts y ON cand.id_b = y.id
+    )
+    SELECT id_a, id_b, n_chunks_a, n_chunks_b, jaccard_dist FROM scored
+    WHERE jaccard_dist <= {threshold}
+    """
+
+
+@_register(
+    "binary_neardup_pairs",
+    _sql_binary_neardup(),
+    "§2.11 dedup (byte-level fuzzy dedup of binary payloads: "
+    "content-defined chunking + MinHash over chunk digests)",
+    "Fuzzy dedup where text shingling can't go: opaque BINARY "
+    "payloads (the multimodal column). Each payload chunks at "
+    "content-defined boundaries — a stateless rolling-window hash "
+    "(md5 of the trailing 8 bytes, divisor condition), so an edit "
+    "anywhere re-synchronizes at the next unmodified window and "
+    "near-dup payloads share most chunk digests; fixed-width "
+    "blocking would lose every block after one inserted byte. The "
+    "per-payload digest SET then rides the standard banded-MinHash "
+    "candidate join + exact chunk-Jaccard verify "
+    "(operators/binary_dedup.py over dedup.minhash_banded_pairs). "
+    "Chunking is a pure Column expression (no UDF) on the binary "
+    "column itself; the oracle replays boundaries, digests, bands, "
+    "and Jaccard on the VARCHAR twin — byte-identical on the "
+    "all-ASCII fixture — so one drifted boundary or digest breaks "
+    "the hash. At 100 TB: payload bytes never leave their "
+    "partition; only (band, hash, id) tuples and 16-byte chunk "
+    "fingerprints of candidate survivors shuffle — generalizes D1 "
+    "(supervised_classifier.py:174-175) to payloads.",
+)
+def q_binary_neardup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.binary_dedup import binary_neardup_pairs
+    from ..operators.multimodal import documents_as_binary
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    payloads = documents_as_binary(docs)
+    return binary_neardup_pairs(payloads)
+
+
 # =========================================================================
 # Driver-check ordering
 # =========================================================================
@@ -12420,62 +12536,59 @@ _DRIVER_VERIFIED_R7: frozenset[str] = frozenset({
     "top3_lineitems_per_supplier", "training_order_shuffle", "vocabulary",
 })
 
+# Queries hashed green in the round-8 driver artifact (CORRECTNESS_r08:
+# 47 oracle rows+schema+hash verdicts; its 3 "err" rows were by-design
+# rows-only queries, rotated out per the r8 verdict) — joins the
+# cumulative rotation baseline.
+_DRIVER_VERIFIED_R8: frozenset[str] = frozenset({
+    "approx_quantile_contract", "bloom_semijoin_pruning", "bpe_encode_documents",
+    "bpe_merge_training", "bucketed_colocated_join", "curriculum_interleave",
+    "data_quality_expectations", "event_pattern_match", "events_linear_interpolation",
+    "graph_ann_beam_search", "hard_negative_mining", "incremental_dedup_commit",
+    "join_cardinality_estimate", "k_anonymity_audit", "lakehouse_change_feed",
+    "lakehouse_gdpr_purge", "lakehouse_history", "lakehouse_incremental_mv",
+    "lakehouse_manifest_pruning", "lakehouse_merge_roundtrip", "lakehouse_optimize_vacuum",
+    "lakehouse_quality_gate", "lakehouse_read_after_vacuum", "lakehouse_rebucket",
+    "lakehouse_restore", "lakehouse_schema_evolution", "lakehouse_shallow_clone",
+    "lakehouse_time_travel", "levenshtein_blocked_pairs", "matryoshka_truncation_overlap",
+    "multimodal_resize", "partitioned_write_pruning", "pseudonymized_export",
+    "quality_quarantine_split", "ranking_function_surface", "rendezvous_sharding",
+    "skew_detection_report", "skewed_join_salted", "stratified_sample_exact",
+    "streaming_ewma_parity", "streaming_first_event_per_user_type", "streaming_heavy_hitters",
+    "streaming_interval_join", "streaming_lakehouse_sink", "streaming_session_attribution",
+    "streaming_sessionization", "zorder_zone_map_pruning",
+})
+
 _DRIVER_PRIORITY: frozenset[str] = frozenset({
-    # --- 4 core regression anchors (driver-green r1-r7; 6 former
-    # anchors — all in _DRIVER_VERIFIED_R7, so cumulative coverage is
-    # untouched — ceded their slots to the 6 NEW round-8 operators
-    # below) ------------------------------------------------------------
-    "classifier_battery",
-    # --- NEW round-8 operators (never driver-hashed) ------------------
-    "lakehouse_read_after_vacuum", "lakehouse_optimize_vacuum",
-    "lakehouse_incremental_mv", "streaming_lakehouse_sink",
-    "skewed_join_salted", "bpe_merge_training", "bpe_encode_documents",
-    "lakehouse_change_feed", "zorder_zone_map_pruning",
-    # --- NEW round-8 session-3 operators (never driver-hashed; took the
-    # slots of 4 never-hashed family-redundant rotations — value_histogram
-    # and session_paths have hashed siblings in the window
-    # [column_profile/decile_bucketing, funnel_conversion/
-    # session_attribution], matrix_market/orc roundtrips keep
-    # dictionary_text_roundtrip as the format-family representative;
-    # the full oracle walk still covers all of them) -------------------
-    "lakehouse_schema_evolution", "lakehouse_restore",
-    "bloom_semijoin_pruning", "data_quality_expectations",
-    "lakehouse_rebucket", "lakehouse_quality_gate",
-    "quality_quarantine_split", "bucketed_colocated_join",
-    "approx_quantile_contract", "rendezvous_sharding",
-    "stratified_sample_exact", "event_pattern_match",
-    "lakehouse_shallow_clone", "lakehouse_gdpr_purge",
-    "pseudonymized_export", "k_anonymity_audit",
-    "events_linear_interpolation", "levenshtein_blocked_pairs",
-    "multimodal_resize", "skew_detection_report",
-    "matryoshka_truncation_overlap", "hard_negative_mining",
-    "curriculum_interleave", "join_cardinality_estimate",
-    "ranking_function_surface", "plan_invariant_audit",
-    "graph_ann_beam_search",
-    # (the 8 extra slots came from never-hashed event/profiling
-    # rotations whose OPERATORS keep driver evidence through verified
-    # suite siblings: funnel/cohort/attribution/gapfill/rolling ride
-    # streaming_windowed_suite, column_profile/decile/correlation ride
-    # training_prep_manifest — test_cumulative_driver_evidence asserts
-    # this)
-    # --- 40 never-driver-hashed rotations (round 8) -------------------
-    # lakehouse table (NEW r8) + r7 feature ops the r7 window missed
-    "lakehouse_merge_roundtrip", "lakehouse_time_travel",
-    "lakehouse_manifest_pruning", "lakehouse_history",
-    "streaming_ewma_parity",
-    "incremental_dedup_commit",
-
-    # streaming twins never hashed by the driver (oracle ok_* parity)
-    "streaming_sessionization", "streaming_heavy_hitters",
-    "streaming_interval_join",
-    "streaming_session_attribution",
-    "streaming_first_event_per_user_type",
-    # text curation / linkage (oracle)
-
-    # format roundtrips (oracle)
-    "partitioned_write_pruning",
-    # topic quality (rows; extended c_v chain this round)
-    "topic_coherence_cv",
+    # --- round-9 window: every slot is a query the driver has NEVER
+    # hashed, all oracle-backed (the r8 verdict flagged the 3 rows-only
+    # slots as wasted; this round the artifact can read 50/50 hashed).
+    # Former anchors/rotations all live in _DRIVER_VERIFIED_R1_R6 ∪ R7
+    # ∪ R8, so cumulative operator evidence only grows —
+    # test_cumulative_driver_evidence asserts exactly that. The ~28
+    # still-never-hashed oracle queries deferred to round 10 are
+    # family-redundant siblings (their operators keep evidence through
+    # hashed suite/sibling queries) or multi-second streaming twins.
+    # --- NEW round-9 operators --------------------------------------
+    "binary_neardup_pairs",
+    # --- 49 never-driver-hashed oracle rotations (round 9) -----------
+    "acctbal_percentiles", "approx_distinct_sketch", "approx_quantile_sketch",
+    "blocked_jw_linkage", "bpe_subword_counts", "cohort_retention",
+    "column_profile", "csv_metrics_roundtrip", "custom_lexicon_tokens",
+    "customers_without_orders", "dataset_split_manifest", "decile_bucketing",
+    "dictionary_text_roundtrip", "document_jaccard_neardup", "document_packing",
+    "embedding_quantization", "events_asof_nearest", "events_hourly_gapfill",
+    "events_sessionization", "events_sliding_window", "ewma_user_value",
+    "fold_assignment", "funnel_conversion", "grouped_trend_pandas",
+    "iqr_outlier_fences", "json_artifact_roundtrip", "knn_classifier_vote",
+    "matrix_market_roundtrip", "measure_correlation", "membership_classification",
+    "minhash_signatures", "mixture_temperature_weights", "multimodal_decode",
+    "multimodal_frame_sample", "nation_presence_intersect", "orc_corpus_roundtrip",
+    "order_window_functions", "orders_with_returns_exists", "quality_perplexity",
+    "region_nation_rollup", "rolling_user_features", "segment_balance_unpivot",
+    "segment_counts_pivot", "session_attribution", "session_paths",
+    "union_all_entity_counts", "value_histogram", "winnowing_fingerprint",
+    "xml_corpus_roundtrip",
 })
 
 _COST_HINT: dict[str, float] = {
