@@ -231,3 +231,78 @@ def test_binary_neardup_shuffles_fingerprints_not_payloads(spark):
     assert "payload" not in plan      # checkpointed digests cut it off
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -- persisted IVF ANN index --------------------------------------------------
+
+SF_001 = "/root/testdata/sf0.001"
+
+
+def test_ann_query_reads_only_the_persisted_index(spark):
+    """The serving plan must touch ONLY the index tables — never the
+    raw embeddings parquet (the lakehouse_manifest_pruning
+    discipline)."""
+    import os
+
+    from uni_mannheim_masters_thesis_spark.plans.registry import (
+        REGISTRY, _ann_index_dir,
+    )
+
+    idx = os.path.realpath(_ann_index_dir(spark, SF_001))
+    df = REGISTRY["ann_query_from_index"].fn(spark, SF_001)
+    files = df.inputFiles()
+    assert files
+    for f in files:
+        path = os.path.realpath(f.replace("file:", ""))
+        assert path.startswith(idx), f
+
+
+def test_ann_candidate_read_is_bucket_pruned(spark):
+    """A probed-cell point read opens fewer posting buckets than the
+    full index scan."""
+    import os
+
+    from uni_mannheim_masters_thesis_spark.plans.registry import (
+        _ann_index_dir,
+    )
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        read_table,
+    )
+
+    post = os.path.join(_ann_index_dir(spark, SF_001), "postings")
+    full = read_table(spark, post)
+    pruned = read_table(spark, post, point_keys=[0, 3])
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_ann_index_refresh_is_time_travelable(spark):
+    """v1 = initial (even-id) corpus only; latest = everything. The
+    refresh must neither lose nor duplicate a vector."""
+    import os
+
+    from uni_mannheim_masters_thesis_spark.plans.registry import (
+        _ann_index_dir,
+    )
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        read_table,
+    )
+    from uni_mannheim_masters_thesis_spark.sources.testdata import (
+        load_table,
+    )
+
+    post = os.path.join(_ann_index_dir(spark, SF_001), "postings")
+    v1_ids = (
+        read_table(spark, post, version=1)
+        .select(F.explode("postings").alias("p"))
+        .select("p.vec_id")
+    )
+    cur_ids = (
+        read_table(spark, post)
+        .select(F.explode("postings").alias("p"))
+        .select("p.vec_id")
+    )
+    n_emb = load_table(spark, SF_001, "embeddings").count()
+    assert v1_ids.count() == v1_ids.distinct().count()
+    assert v1_ids.filter(F.col("vec_id") % 2 == 1).count() == 0
+    assert cur_ids.count() == n_emb
+    assert cur_ids.distinct().count() == n_emb

@@ -580,6 +580,21 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                          "non-overlapping scan semantics proven identical "
                          "across engines",
                          ["event_pattern_match"]),
+    "X-ann-index-persist": ("ml.ann_index:build_ivf_index  # IVF "
+                            "centroids + per-cell posting lists as "
+                            "VERSIONED lakehouse tables: deterministic "
+                            "integer-Lloyd build (even-id half), "
+                            "same-centroid MERGE refresh (odd half), "
+                            "time-travelable history; build evidence "
+                            "read off disk, hash-exact",
+                            ["ann_index_build"]),
+    "X-ann-index-serve": ("ml.ann_index:query_ivf_index  # ANN served "
+                          "from the persisted index ONLY (probes out "
+                          "of postings, cells out of centroids, "
+                          "bucket-pruned point read of probed cells; "
+                          "inputFiles plan-tested); exact int64-L2 "
+                          "top-5 hash-exact vs relational re-derivation",
+                          ["ann_query_from_index"]),
     "X-dedup-binary": ("operators.binary_dedup:binary_neardup_pairs  # "
                        "byte-level fuzzy dedup of binary payloads: "
                        "content-defined chunking (stateless "

@@ -177,6 +177,8 @@ _QUERIES = [
     "graph_ann_beam_search",
     # round-9 additions
     "binary_neardup_pairs",
+    "ann_index_build",
+    "ann_query_from_index",
 ]
 
 

@@ -12432,6 +12432,222 @@ def q_binary_neardup_pairs(
     return binary_neardup_pairs(payloads)
 
 
+# -------------------------------------------------------------------------
+# Persisted IVF ANN index in the lakehouse (ml/ann_index.py)
+# -------------------------------------------------------------------------
+
+
+def _ivf_oracle_ctes(k: int = 8, iters: int = 2) -> str:
+    """DuckDB twin of ml/ann_index.py's index build: the
+    embedding_kmeans integer-Lloyd chain (same contract, programmatic
+    like the PQ oracle), trained on the EVEN-vec_id half, with the
+    final assignment ``aF`` covering ALL vectors. Multi-referenced
+    CTEs are MATERIALIZED."""
+    parts = [
+        """quant AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    qx AS MATERIALIZED (
+        SELECT vec_id, unnest(range(len(qv))) AS pos, unnest(qv) AS val
+        FROM quant
+    ),
+    tx AS MATERIALIZED (SELECT * FROM qx WHERE vec_id % 2 = 0),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+               vec_id
+        FROM (SELECT DISTINCT vec_id FROM tx ORDER BY vec_id LIMIT """
+        + str(k)
+        + """)
+    ),
+    cent0 AS MATERIALIZED (
+        SELECT c0.cid, tx.pos, tx.val AS cval FROM c0 JOIN tx USING (vec_id)
+    )"""
+    ]
+    prev = "cent0"
+    for i in range(1, iters + 1):
+        parts.append(f"""d{i} AS (
+        SELECT tx.vec_id, {prev}.cid,
+               SUM((tx.val - {prev}.cval) * (tx.val - {prev}.cval)) AS d
+        FROM tx JOIN {prev} USING (pos)
+        GROUP BY tx.vec_id, {prev}.cid
+    ),
+    a{i} AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    ),
+    cent{i} AS (
+        SELECT a{i}.cid, tx.pos,
+               CAST(floor(CAST(SUM(tx.val) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS cval
+        FROM a{i} JOIN tx USING (vec_id)
+        GROUP BY a{i}.cid, tx.pos
+    ),
+    cent{i}f AS MATERIALIZED (
+        SELECT * FROM cent{i}
+        UNION ALL
+        SELECT cid, pos, cval FROM {prev}
+        WHERE cid NOT IN (SELECT DISTINCT cid FROM a{i})
+    )""")
+        prev = f"cent{i}f"
+    parts.append(f"""dF AS (
+        SELECT qx.vec_id, {prev}.cid,
+               SUM((qx.val - {prev}.cval) * (qx.val - {prev}.cval)) AS d
+        FROM qx JOIN {prev} USING (pos)
+        GROUP BY qx.vec_id, {prev}.cid
+    ),
+    aF AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rn
+            FROM dF
+        ) WHERE rn = 1
+    )""")
+    return ",\n    ".join(parts), prev
+
+
+_IVF_CTES, _IVF_CENT_FINAL = _ivf_oracle_ctes()
+
+
+@_register(
+    "ann_index_build",
+    f"""
+    WITH {_IVF_CTES},
+    md5s AS (
+        SELECT cid,
+               md5(string_agg(CAST(cval AS VARCHAR), ',' ORDER BY pos))
+                   AS centroid_md5
+        FROM {_IVF_CENT_FINAL} GROUP BY cid
+    )
+    SELECT aF.cid AS cell,
+           CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_vectors_initial,
+           COUNT(*) AS n_vectors_current,
+           ANY_VALUE(md5s.centroid_md5) AS centroid_md5
+    FROM aF JOIN md5s USING (cid)
+    GROUP BY aF.cid
+    """,
+    "§2.11 similarity search × lakehouse (persisted, versioned IVF "
+    "index build + refresh)",
+    "The serving index stops being a per-query throwaway: IVF "
+    "centroids and per-cell posting lists live as VERSIONED lakehouse "
+    "tables (ml/ann_index.py over sources/lakehouse.py). Build = "
+    "deterministic integer Lloyd (the embedding_kmeans contract, "
+    "k=8) on the even-vec_id corpus half + CREATE; refresh = the odd "
+    "half assigned to the SAME centroids and MERGEd per cell "
+    "(bucket-pruned state read, copy-on-write commit — index "
+    "maintenance cost scales with the delta, not the corpus). This "
+    "query reads the build evidence OFF DISK — the time-traveled v1 "
+    "counts, the current counts, the stored centroid md5s — while "
+    "the oracle re-derives all three from the raw embeddings "
+    "relationally, so a lost posting, double-counted refresh, or "
+    "drifted centroid breaks the hash. At 100 TB this is how a "
+    "serving index actually ships: versioned artifacts, incremental "
+    "refresh, rollback via time travel.",
+)
+def q_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.ann_index import index_summary
+
+    return index_summary(spark, _ann_index_dir(spark, sf_dir))
+
+
+@_register(
+    "ann_query_from_index",
+    f"""
+    WITH {_IVF_CTES},
+    d_pc AS (
+        SELECT qx.vec_id AS probe_id, {_IVF_CENT_FINAL}.cid,
+               SUM((qx.val - {_IVF_CENT_FINAL}.cval)
+                   * (qx.val - {_IVF_CENT_FINAL}.cval)) AS d
+        FROM qx JOIN {_IVF_CENT_FINAL} USING (pos)
+        WHERE qx.vec_id < 5
+        GROUP BY qx.vec_id, {_IVF_CENT_FINAL}.cid
+    ),
+    pc AS (
+        SELECT probe_id, cid FROM (
+            SELECT probe_id, cid,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY d, cid) AS rn
+            FROM d_pc
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT pc.probe_id, aF.vec_id AS neighbor_id
+        FROM pc JOIN aF ON aF.cid = pc.cid AND aF.vec_id != pc.probe_id
+    ),
+    dists AS (
+        SELECT c.probe_id, c.neighbor_id,
+               SUM((px.val - nx.val) * (px.val - nx.val)) AS d_q
+        FROM cand c
+        JOIN qx px ON px.vec_id = c.probe_id
+        JOIN qx nx ON nx.vec_id = c.neighbor_id AND nx.pos = px.pos
+        GROUP BY c.probe_id, c.neighbor_id
+    )
+    SELECT probe_id, neighbor_id, CAST(d_q AS BIGINT) AS d_q FROM (
+        SELECT probe_id, neighbor_id, d_q,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY d_q, neighbor_id) AS rn
+        FROM dists
+    ) WHERE rn <= 5
+    """,
+    "§2.11 similarity search × lakehouse (ANN served from the "
+    "persisted index only)",
+    "The query half of the persisted-index story: probe vectors come "
+    "OUT OF the postings table, candidate cells out of the stored "
+    "centroids, and the candidate scan is a bucket-pruned "
+    "read_table(point_keys=probed_cells) — the query plan touches "
+    "ONLY the two index tables, never the raw embeddings parquet "
+    "(inputFiles plan-tested, the lakehouse_manifest_pruning "
+    "discipline). Scoring is exact int64 L2 in the quantized space "
+    "with (distance, id) tie-breaks, so the DuckDB oracle — which "
+    "re-derives the same index state relationally — hash-matches the "
+    "full per-probe top-5, proving the STORED index serves exactly "
+    "what a fresh build would. At 100 TB the probed-cell point read "
+    "is the entire point of IVF: the scan touches n_probe/k of the "
+    "corpus, routed by the manifest before planning.",
+)
+def q_ann_query_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..ml.ann_index import query_ivf_index
+
+    return query_ivf_index(spark, _ann_index_dir(spark, sf_dir))
+
+
+def _ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build the persisted IVF index once per dataset (keyed by the
+    EMBEDDINGS mtime; staged-rename published like every /tmp cache)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..cachedir import staged_cache_dir
+    from ..ml.ann_index import build_ivf_index
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = int(os.path.getmtime(emb_path))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}:ann".encode()
+    ).hexdigest()[:10]
+    tdir = os.path.join(tempfile.gettempdir(), f"umt_ann_index_{key}")
+    return staged_cache_dir(
+        tdir, "_UMT_ANN_DONE",
+        lambda stage: build_ivf_index(
+            spark, _t(spark, sf_dir, "embeddings"), stage
+        ),
+    )
+
+
 # =========================================================================
 # Driver-check ordering
 # =========================================================================
@@ -12570,7 +12786,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # family-redundant siblings (their operators keep evidence through
     # hashed suite/sibling queries) or multi-second streaming twins.
     # --- NEW round-9 operators --------------------------------------
-    "binary_neardup_pairs",
+    "binary_neardup_pairs", "ann_index_build", "ann_query_from_index",
     # --- 49 never-driver-hashed oracle rotations (round 9) -----------
     "acctbal_percentiles", "approx_distinct_sketch", "approx_quantile_sketch",
     "blocked_jw_linkage", "bpe_subword_counts", "cohort_retention",
@@ -12587,8 +12803,12 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "order_window_functions", "orders_with_returns_exists", "quality_perplexity",
     "region_nation_rollup", "rolling_user_features", "segment_balance_unpivot",
     "segment_counts_pivot", "session_attribution", "session_paths",
-    "union_all_entity_counts", "value_histogram", "winnowing_fingerprint",
-    "xml_corpus_roundtrip",
+    "value_histogram", "winnowing_fingerprint",
+    # (xml_corpus_roundtrip and union_all_entity_counts ceded their
+    # slots to the two new ANN-index queries; both defer to round 10 —
+    # the format family keeps csv/json/orc/matrix-market/dictionary
+    # representatives in this window, the union-all shape has hashed
+    # set-op siblings)
 })
 
 _COST_HINT: dict[str, float] = {
