@@ -5813,38 +5813,62 @@ _SRP_TAU = 0.35
 _SRP_DIM = 64  # testdata embedding width (both engines fail loudly if not)
 
 
-def _srp_weights() -> list[list[int]]:
+def _srp_weights(tag: str = "srp",
+                 planes: int = _SRP_PLANES) -> list[list[int]]:
     """±1 projection weights, one row per plane: parity of the first hex
-    digit of md5('srp_{plane}_{dim}'). Derived ONCE at plan-build time
+    digit of md5('{tag}_{plane}_{dim}'). Derived ONCE at plan-build time
     with hashlib (bit-identical to SQL md5) and folded into the plan as
     literal arrays — the per-row cost is a plain dot product, not
-    planes×dim md5 calls per vector."""
+    planes×dim md5 calls per vector. ``tag`` seeds independent hash
+    tables (the beam-graph candidate generator uses several)."""
     import hashlib
 
     return [
         [
             1
-            if int(hashlib.md5(f"srp_{p}_{i}".encode()).hexdigest()[0], 16) % 2
-            == 0
+            if int(
+                hashlib.md5(f"{tag}_{p}_{i}".encode()).hexdigest()[0], 16
+            ) % 2 == 0
             else -1
             for i in range(_SRP_DIM)
         ]
-        for p in range(_SRP_PLANES)
+        for p in range(planes)
     ]
 
 
-def _sql_srp_bucket(qcol: str) -> str:
+def _sql_srp_bucket(qcol: str, weights: list[list[int]] | None = None) -> str:
     """DuckDB twin of the signed-random-projection bucket id over an
     integer-quantized vector column: same plan-time weight literals, so
     the per-row work is list_dot_product against a constant list."""
     terms = []
-    for p, w in enumerate(_srp_weights()):
+    for p, w in enumerate(weights or _srp_weights()):
         lit = "[" + ", ".join(str(x) for x in w) + "]"
         terms.append(
             f"CASE WHEN list_dot_product({qcol}, {lit}) >= 0 "
             f"THEN {1 << p} ELSE 0 END"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def _srp_bucket_col(
+    qc: F.Column, weights: list[list[int]], bits: list[int] | None = None
+) -> F.Column:
+    """Spark twin of ``_sql_srp_bucket``: the SRP bucket id of an
+    integer-quantized vector column against plan-literal ±1 weights.
+    ``bits`` overrides each plane's bit value (the adaptive-plane
+    caller keeps the ORIGINAL plane indices so bucket ids match the
+    oracle's gated-term sum)."""
+    acc = F.lit(0)
+    for p, w in enumerate(weights):
+        wlit = F.array(*[F.lit(x).cast("long") for x in w])
+        dot_p = F.aggregate(
+            F.zip_with(qc, wlit, lambda x, wt: x * wt),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        )
+        bit = bits[p] if bits is not None else (1 << p)
+        acc = acc + F.when(dot_p >= 0, F.lit(bit)).otherwise(F.lit(0))
+    return acc
 
 
 @_register(
@@ -5891,16 +5915,7 @@ def q_semantic_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = F.transform(v, lambda x: F.round(x * 1_000_000, 0).cast("long"))
 
     def bucket_col(qc: F.Column) -> F.Column:
-        acc = F.lit(0)
-        for p, w in enumerate(_srp_weights()):
-            wlit = F.array(*[F.lit(x).cast("long") for x in w])
-            dot_p = F.aggregate(
-                F.zip_with(qc, wlit, lambda x, wt: x * wt),
-                F.lit(0).cast("long"),
-                lambda a, b: a + b,
-            )
-            acc = acc + F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        return acc
+        return _srp_bucket_col(qc, _srp_weights())
 
     # Fail loudly on a width mismatch: zip_with would pad with nulls and
     # silently zero the affected planes' votes (DuckDB's list_dot_product
@@ -11932,21 +11947,92 @@ def q_plan_invariant_audit(
     )
 
 
-_BEAM_SUBSET = 300   # bounded verification corpus (the neardup panel)
 _BEAM_DEGREE = 8     # kNN-graph out-degree
 _BEAM_WIDTH = 16
 _BEAM_HOPS = 3
+_BEAM_TABLES = 4     # SRP hash tables feeding graph candidates
+# adaptive plane count: plane p is ACTIVE iff p < 4 (the floor) or
+# 2^p * TARGET <= corpus_count — so expected bucket population stays
+# ~TARGET and the within-bucket pair stage is LINEAR in the corpus
+# (fixed planes would go quadratic as buckets fill). Both engines
+# evaluate the same rule: Spark folds the count into the plan as
+# literals, the oracle gates each plane term on a scalar COUNT(*).
+_BEAM_TARGET_BUCKET = 32
+_BEAM_MAX_PLANES = 24
+
+
+def _beam_graph_weights() -> list[list[list[int]]]:
+    """One independent SRP weight set per candidate table, sized at the
+    plane ceiling (callers activate a corpus-dependent prefix)."""
+    return [
+        _srp_weights(tag=f"srpg{t}", planes=_BEAM_MAX_PLANES)
+        for t in range(_BEAM_TABLES)
+    ]
+
+
+def _beam_active_planes(n: int) -> list[int]:
+    return [
+        p
+        for p in range(_BEAM_MAX_PLANES)
+        if p < 4 or (1 << p) * _BEAM_TARGET_BUCKET <= n
+    ]
+
+
+def _sql_srp_bucket_adaptive(qcol: str, weights: list[list[int]]) -> str:
+    """Bucket id with the adaptive plane rule: each plane's bit is
+    gated on the corpus count (``nn.n`` from the cross-joined count
+    CTE) exactly like the Spark side's literal-folded rule."""
+    terms = []
+    for p, w in enumerate(weights):
+        lit = "[" + ", ".join(str(x) for x in w) + "]"
+        gate = (
+            "TRUE" if p < 4
+            else f"{(1 << p) * _BEAM_TARGET_BUCKET} <= nn.n"
+        )
+        terms.append(
+            f"CASE WHEN ({gate}) AND list_dot_product({qcol}, {lit}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _beam_cand_sql() -> str:
+    """Candidate edges from the SRP bucket tables (the banded-LSH
+    discipline): a pair is a candidate iff it collides in ANY table —
+    a UNION of per-table bucket equi-joins, never corpus × corpus."""
+    buckets = ", ".join(
+        f"{_sql_srp_bucket_adaptive('q', w)} AS b{t}"
+        for t, w in enumerate(_beam_graph_weights())
+    )
+    joins = "\n        UNION SELECT a.vec_id AS src, b.vec_id AS dst ".join(
+        f"FROM bk a JOIN bk b ON a.b{t} = b.b{t} AND a.vec_id != b.vec_id"
+        for t in range(_BEAM_TABLES)
+    )
+    return f"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    bk AS MATERIALIZED (
+        SELECT vec_id, {buckets} FROM e CROSS JOIN nn
+    ),
+    cand AS MATERIALIZED (
+        SELECT a.vec_id AS src, b.vec_id AS dst {joins}
+    )"""
 
 
 _BEAM_SQL = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE vec_id < {_BEAM_SUBSET}),
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    {_beam_cand_sql()},
     sims AS (
-        SELECT a.vec_id AS src, b.vec_id AS dst,
+        SELECT c.src, c.dst,
                list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v))
                     * sqrt(list_dot_product(b.v, b.v))) AS s
-        FROM e a JOIN e b ON a.vec_id != b.vec_id
+        FROM cand c
+        JOIN e a ON a.vec_id = c.src
+        JOIN e b ON b.vec_id = c.dst
     ),
     graph AS (
         SELECT src, dst FROM (
@@ -12048,25 +12134,69 @@ _BEAM_SQL = f"""
     "Deterministic throughout ((sim DESC, id) tie-breaks), so the "
     "oracle unrolls the identical three hops in SQL and the hashed "
     "output is per-probe recall@10 vs the exact top-10 — one beam "
-    "member diverging breaks the hash. Bounded panel = verification "
-    "twin; the graph build at 100 TB comes from the LSH/IVF candidate "
-    "machinery, not all-pairs.",
+    "member diverging breaks the hash. The graph builds over the FULL "
+    f"corpus from the SRP candidate machinery ({_BEAM_TABLES} "
+    "independent 4-plane hash tables, candidate = any-table bucket "
+    "collision — the semantic_dedup_srp discipline): per-table bucket "
+    "equi-joins, never corpus × corpus (plan-tested), exactly how an "
+    "HNSW/NN-descent graph seeds its neighbor lists at 100 TB.",
 )
 def q_graph_ann_beam_search(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from ..operators.relational import topk_per_group
 
+    v = F.col("embedding").cast("array<double>")
+    qv = F.transform(v, lambda x: F.round(x * 1_000_000, 0).cast("long"))
+    emb = _t(spark, sf_dir, "embeddings")
+    # adaptive plane prefix from ONE scalar count (folded into the plan
+    # as literals — the curriculum_interleave discipline); keeps bucket
+    # population ~TARGET so the pair stage stays linear in the corpus
+    active = _beam_active_planes(emb.count())
+    # ONE materialized pass computes vectors + all 4 tables' bucket ids;
+    # it feeds the 4 bucket joins, both sims vector lookups, and the
+    # probe panel without recomputing anything
     e = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < _BEAM_SUBSET)
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        emb.select(
+            "vec_id",
+            v.alias("v"),
+            *[
+                _srp_bucket_col(
+                    qv, [w[p] for p in active], bits=[1 << p for p in active]
+                ).alias(f"b{t}")
+                for t, w in enumerate(_beam_graph_weights())
+            ],
+        )
+        .localCheckpoint(eager=True)
     )
-    a, b = e.alias("a"), e.alias("b")
-    sims = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("src"),
-        F.col("b.vec_id").alias("dst"),
-        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("s"),
+    bk = e
+    cand = None
+    for t in range(_BEAM_TABLES):
+        a = bk.select(F.col("vec_id").alias("src"), F.col(f"b{t}").alias("b"))
+        b = bk.select(F.col("vec_id").alias("dst"), F.col(f"b{t}").alias("b"))
+        pairs_t = (
+            a.join(b, "b")
+            # score each unordered pair ONCE (cosine is symmetric);
+            # the mirror below restores both edge directions
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+        )
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    cand = cand.distinct()
+    va = e.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    half = (
+        cand.join(va, "src")
+        .join(vb, "dst")
+        .select(
+            "src", "dst",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("s"),
+        )
+    )
+    sims = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "s"
+        )
     )
     graph = topk_per_group(
         sims, ["src"], [F.col("s").desc(), F.col("dst")], _BEAM_DEGREE
