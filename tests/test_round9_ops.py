@@ -356,3 +356,43 @@ def test_beam_graph_candidates_are_bucket_bounded(spark):
             ):
                 n_cand += 1
     assert n_cand > 0  # the generator yields candidates on real data
+
+
+# -- forest-EI surrogate (the 500-call forest_minimize arm) -------------------
+
+def test_forest_ei_finds_the_interior_optimum(spark):
+    """Same synthetic landscape as the TPE test: perfect F1 is only
+    reachable at interior points (the length gate must exclude short
+    noise). The forest/EI arm at the reference's 500-call budget must
+    find it, dominate the corners, and at least match the equal-budget
+    random baseline — deterministically."""
+    from uni_mannheim_masters_thesis_spark.ml.search import (
+        forest_ei_search, random_search_baseline,
+    )
+
+    rows = []
+    for i in range(400):
+        if i % 2:
+            rows.append(([0.08, 0.08, 0.08, 0.76] + [0.0] * 6, True, 300))
+        else:
+            rows.append(([0.9, 0.06, 0.04] + [0.0] * 7, False, 300))
+    for _ in range(50):
+        rows.append(([0.9, 0.06, 0.04] + [0.0] * 7, True, 10))
+    scored = spark.createDataFrame(
+        rows, "topic_probs array<double>, gold boolean, doc_len int"
+    )
+    out = forest_ei_search(scored)
+    assert out["n_calls"] == 500
+    assert out["best_f1"] == 1.0
+    assert out["best_f1"] >= out["corner_best"]
+    # perfect separation needs mp <= 0.08 (sees the 0.08 probs; the
+    # positives' dominant 0.76 also clears any floor, so counts are 4
+    # vs 1 and any mt in 1..3 works) and a length gate excluding the
+    # len-10 noise
+    mp, mt, ml = out["best"]
+    assert 0.05 <= mp <= 0.08 and mt in (1, 2, 3) and 10 < ml <= 300
+    rnd = random_search_baseline(scored)
+    assert rnd["n_calls"] == 500
+    assert out["best_f1"] >= rnd["best_f1"]
+    again = forest_ei_search(scored)
+    assert again == out  # seeded determinism

@@ -123,15 +123,19 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "M21": ("ml.resample:remove_tomek_links  # blocked exact 1-NN "
             "(distributed BLAS), no driver-side collect",
             ["resampling_report", "tomek_link_removal"]),
-    "M22": ("ml.search:adaptive_search_logistic  # + ml.search:"
-            "rule_point_search — TPE-style surrogate search over BOTH "
+    "M22": ("ml.search:forest_ei_search  # + adaptive_search_logistic "
+            "+ rule_point_search — surrogate search over BOTH "
             "reference loops: classifier hyperparams (BayesSearchCV "
-            "analogue) and the polysemy-rule operating point "
-            "(forest_minimize analogue over the FULL 3-D space: "
-            "MIN_DOC_LEN [5,500] x minimum_probability [0.05,0.1] x "
-            "minimum_topics [1,5], polysemous_words.py:33-52 — the "
-            "per-trial doc-length admission gate filters the cached "
-            "frame, no corpus rebuild)",
+            "analogue, TPE) and the polysemy-rule operating point, "
+            "where the r9 forest_ei arm runs the reference's ACTUAL "
+            "algorithm shape (extra-trees regression surrogate + "
+            "expected-improvement acquisition) at its exact 500-call "
+            "budget (polysemous_words.py:29-30,271-281; batch-EI, "
+            "~25 distributed passes) head-to-head vs the TPE stand-in "
+            "and an equal-budget random baseline "
+            "(ok_surrogate_beats_random); FULL 3-D space MIN_DOC_LEN "
+            "[5,500] x minimum_probability [0.05,0.1] x minimum_topics "
+            "[1,5], per-call admission gate on the cached frame",
             ["adaptive_search_lr", "grid_search_lr", "rule_point_search"]),
     "M23": ("ml.classify:evaluate_binary", ["classifier_battery"]),
     "M24": ("ml.search:holdout_transfer", ["holdout_transfer_report"]),

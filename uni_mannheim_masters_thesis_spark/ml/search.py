@@ -419,3 +419,240 @@ def rule_point_search(
             "ok_best_geq_corners"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forest-surrogate EI search (round 9: closes the last documented
+# deviation — the reference's skopt.forest_minimize semantics at its
+# full 500-call budget, polysemous_words.py:29-30,271-281)
+# ---------------------------------------------------------------------------
+
+FOREST_N_CALLS = 500     # the reference's n_calls budget
+FOREST_BATCH = 50        # proposals evaluated per distributed pass
+FOREST_TREES = 32
+FOREST_POOL = 256        # acquisition candidate pool per round
+
+
+def _rule_f1_batch(base: DataFrame, params: list[tuple]) -> list[float]:
+    """Score a BATCH of rule operating points in ONE distributed pass:
+    the (tiny) param relation broadcasts against the cached per-doc
+    arrays, each doc contributes its confusion cell to every admitted
+    param, and one groupBy returns ≤ len(params) rows. 500 calls cost
+    ~25 jobs instead of 500 — batch evaluation is how sequential
+    model-based optimization maps onto a cluster (q-EI / constant-liar
+    batching), and the surrogate only ever conditions on COMPLETED
+    batches, exactly like skopt's n_points-per-ask mode."""
+    spark = base.sparkSession
+    pdf = spark.createDataFrame(
+        [
+            (i, float(mp), int(mt), int(ml))
+            for i, (mp, mt, ml) in enumerate(params)
+        ],
+        "pid int, mp double, mt int, ml int",
+    )
+    pred = (
+        F.size(F.filter("__probs", lambda p: p >= F.col("mp")))
+        > F.col("mt")
+    )
+    rows = (
+        base.crossJoin(F.broadcast(pdf))
+        .filter(F.col("__len") >= F.col("ml"))
+        .groupBy("pid")
+        .agg(
+            F.sum((pred & F.col("__gold")).cast("long")).alias("tp"),
+            F.sum((pred & ~F.col("__gold")).cast("long")).alias("fp"),
+            F.sum((~pred & F.col("__gold")).cast("long")).alias("fn"),
+        )
+        .collect()
+    )
+    by_pid = {r["pid"]: r for r in rows}
+    out = []
+    for i in range(len(params)):
+        r = by_pid.get(i)
+        if r is None:  # the length gate admitted nothing
+            out.append(0.0)
+            continue
+        tp, fp, fn = r["tp"] or 0, r["fp"] or 0, r["fn"] or 0
+        out.append(2.0 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0)
+    return out
+
+
+def _extra_tree_fit(X, y, rng, depth: int = 6, min_leaf: int = 3):
+    """One extremely-randomized regression tree (random feature +
+    random threshold per split, mean-y leaves) as a nested-tuple —
+    deterministic given the RandomState."""
+    import numpy as np
+
+    def build(idx, d):
+        if d >= depth or len(idx) <= min_leaf:
+            return float(np.mean(y[idx]))
+        f = int(rng.randint(0, X.shape[1]))
+        lo, hi = float(X[idx, f].min()), float(X[idx, f].max())
+        if hi <= lo:
+            return float(np.mean(y[idx]))
+        thr = float(rng.uniform(lo, hi))
+        left = idx[X[idx, f] <= thr]
+        right = idx[X[idx, f] > thr]
+        if len(left) == 0 or len(right) == 0:
+            return float(np.mean(y[idx]))
+        return (f, thr, build(left, d + 1), build(right, d + 1))
+
+    import numpy as np
+
+    return build(np.arange(len(y)), 0)
+
+
+def _tree_predict(tree, Xc):
+    import numpy as np
+
+    out = np.empty(len(Xc))
+    for i, x in enumerate(Xc):
+        node = tree
+        while isinstance(node, tuple):
+            f, thr, l, r = node
+            node = l if x[f] <= thr else r
+        out[i] = node
+    return out
+
+
+def forest_ei_search(
+    scored: DataFrame,
+    n_calls: int = FOREST_N_CALLS,
+    batch: int = FOREST_BATCH,
+    prob_bounds: tuple = (0.05, 0.1),
+    topic_bounds: tuple = (1, 5),
+    len_bounds: tuple = (5, 500),
+    probs_col: str = "topic_probs",
+    gold_col: str = "gold",
+    len_col: str = "doc_len",
+    seed: int = SEED,
+) -> dict:
+    """The reference's ``forest_minimize`` semantics, Spark-shaped: a
+    random-forest (extra-trees) regression surrogate over the observed
+    trials with EXPECTED-IMPROVEMENT acquisition, spending the
+    reference's full 500-call budget. Proposals come in batches of
+    ``batch`` scored in one distributed pass each; warmup pins the 8
+    box corners + center (so the winner provably dominates every
+    corner) plus random fill to one batch.
+
+    Returns {"best_f1", "best": (mp, mt, ml), "n_calls",
+    "corner_best"} — deterministic given the seed."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    p_lo, p_hi = prob_bounds
+    t_lo, t_hi = topic_bounds
+    l_lo, l_hi = len_bounds
+    span = np.array([p_hi - p_lo, t_hi - t_lo, l_hi - l_lo], dtype=float)
+    lo = np.array([p_lo, t_lo, l_lo], dtype=float)
+
+    base = scored.select(
+        F.col(probs_col).alias("__probs"),
+        F.col(gold_col).cast("boolean").alias("__gold"),
+        F.col(len_col).cast("long").alias("__len"),
+    ).cache()
+
+    def draw(n):
+        u = rng.uniform(size=(n, 3))
+        pts = lo + u * span
+        return [
+            (float(p), int(round(t)), int(round(ln)))
+            for p, t, ln in pts
+        ]
+
+    warmup = [
+        (p, t, ln)
+        for p in (p_lo, p_hi)
+        for t in (t_lo, t_hi)
+        for ln in (l_lo, l_hi)
+    ] + [(0.5 * (p_lo + p_hi), (t_lo + t_hi) // 2, (l_lo + l_hi) // 2)]
+    warmup = warmup + draw(max(0, batch - len(warmup)))
+
+    X: list[tuple] = []
+    y: list[float] = []
+    try:
+        for params in [warmup]:
+            y += _rule_f1_batch(base, params)
+            X += params
+        while len(X) < n_calls:
+            b = min(batch, n_calls - len(X))
+            Xn = (np.array(X, dtype=float) - lo) / span
+            yn = np.array(y)
+            trees = [
+                _extra_tree_fit(Xn, yn, rng) for _ in range(FOREST_TREES)
+            ]
+            cand = draw(FOREST_POOL)
+            Cn = (np.array(cand, dtype=float) - lo) / span
+            preds = np.stack([_tree_predict(t, Cn) for t in trees])
+            mu, sigma = preds.mean(axis=0), preds.std(axis=0) + 1e-9
+            best = float(yn.max())
+            z = (mu - best) / sigma
+            cdf = 0.5 * (1.0 + np.vectorize(math.erf)(z / math.sqrt(2.0)))
+            pdf = np.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
+            ei = (mu - best) * cdf + sigma * pdf
+            picks = np.argsort(-ei)[:b]  # top-b of the pool: q-EI-lite
+            params = [cand[int(i)] for i in picks]
+            y += _rule_f1_batch(base, params)
+            X += params
+    finally:
+        base.unpersist()
+
+    best_i = max(range(len(y)), key=lambda i: (y[i], -i))
+    return {
+        "best_f1": float(y[best_i]),
+        "best": X[best_i],
+        "n_calls": len(y),
+        "corner_best": float(max(y[:8])),
+    }
+
+
+def random_search_baseline(
+    scored: DataFrame,
+    n_calls: int = FOREST_N_CALLS,
+    batch: int = 125,
+    prob_bounds: tuple = (0.05, 0.1),
+    topic_bounds: tuple = (1, 5),
+    len_bounds: tuple = (5, 500),
+    probs_col: str = "topic_probs",
+    gold_col: str = "gold",
+    len_col: str = "doc_len",
+    seed: int = SEED + 1,
+) -> dict:
+    """Equal-budget pure-random baseline for the surrogate comparison
+    (an independent seed — the arms share nothing but the box)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    p_lo, p_hi = prob_bounds
+    t_lo, t_hi = topic_bounds
+    l_lo, l_hi = len_bounds
+    base = scored.select(
+        F.col(probs_col).alias("__probs"),
+        F.col(gold_col).cast("boolean").alias("__gold"),
+        F.col(len_col).cast("long").alias("__len"),
+    ).cache()
+    X: list[tuple] = []
+    y: list[float] = []
+    try:
+        while len(X) < n_calls:
+            b = min(batch, n_calls - len(X))
+            params = [
+                (
+                    float(rng.uniform(p_lo, p_hi)),
+                    int(rng.randint(t_lo, t_hi + 1)),
+                    int(rng.randint(l_lo, l_hi + 1)),
+                )
+                for _ in range(b)
+            ]
+            y += _rule_f1_batch(base, params)
+            X += params
+    finally:
+        base.unpersist()
+    best_i = max(range(len(y)), key=lambda i: (y[i], -i))
+    return {
+        "best_f1": float(y[best_i]),
+        "best": X[best_i],
+        "n_calls": len(y),
+    }

@@ -5446,30 +5446,100 @@ def q_adaptive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "rule_point_search",
     None,
-    "M22 (rule-operating-point surrogate search, forest_minimize "
-    "analogue)",
+    "M22 (rule-operating-point surrogate search, forest_minimize at "
+    "the reference's 500-call budget, head-to-head arms)",
     "The reference's SECOND Bayesian loop: skopt.forest_minimize over "
     "the polysemy-rule OPERATING POINT — the full 3-D space "
     "MIN_DOC_LEN ∈ [5, 500] (polysemous_words.py:49) × "
     "minimum_probability ∈ [0.05, 0.1] × minimum_topics ∈ [1, 5] "
     "(polysemous_words.py:33-38,48-52,271-281) — re-scoring the rule "
-    "against gold per trial. Here the LDA topic distributions are "
-    "inferred ONCE and cached; each trial admits docs with doc_len >= "
-    "min_doc_len (the reference's corpus-admission gate) and folds one "
-    "distributed confusion aggregate over the cached arrays "
-    "(count(p>=min_prob)>min_topics vs a param-independent "
-    "lexical-diversity gold), so 15 trials cost 15 cheap Spark jobs, "
-    "not 15 pipeline re-runs. Warmup pins the 8 box corners + center, "
-    "then TPE proposals condition on history (KDE ratio for the "
-    "continuous and wide-integer dims, majority vote for min_topics). "
-    "One row per trial with [min_probability, min_topics, min_doc_len, "
-    "f1, is_best] and ok_* invariants (trials complete, F1 valid, "
-    "every trial inside the box, best dominates all eight corners).",
+    "against gold per call. The LDA topic distributions are inferred "
+    "ONCE and cached; every call is a distributed confusion aggregate "
+    "(count(p>=min_prob)>min_topics under the doc_len admission gate "
+    "vs a param-independent lexical-diversity gold). THREE arms run "
+    "head-to-head, one summary row each: forest_ei — the reference's "
+    "actual algorithm shape (extra-trees regression surrogate + "
+    "expected-improvement acquisition) at the reference's FULL "
+    "500-call budget (polysemous_words.py:29-30), proposals scored in "
+    "batches of 20 per distributed pass (q-EI batching — 500 calls ≈ "
+    "25 jobs); tpe — the 15-trial KDE-ratio stand-in of earlier "
+    "rounds (kept for comparison); random — an equal-500-budget "
+    "pure-random baseline. ok_surrogate_beats_random pins "
+    "forest_best ≥ random_best at equal budget; both surrogate arms "
+    "pin the 8 box corners in warmup, so ok_best_geq_corners holds by "
+    "construction and a violation means broken bookkeeping. This "
+    "closes the last documented deviation: the forest/EI semantics at "
+    "the reference's exact call budget, not just a TPE analogue.",
 )
 def q_rule_point_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE materialization serves all three arms' trial loops (each arm
+    # would otherwise re-run the LDA transform when caching its own
+    # projection)
+    scored = _rule_search_corpus(spark, sf_dir).localCheckpoint(eager=True)
+
+    from ..ml.search import (
+        forest_ei_search, random_search_baseline, rule_point_search,
+    )
+
+    tpe_rows = rule_point_search(scored).collect()
+    tpe_best = max(r["f1"] for r in tpe_rows)
+    tpe_pick = max(tpe_rows, key=lambda r: (r["f1"], -r["trial"]))
+    forest = forest_ei_search(scored)
+    rnd = random_search_baseline(scored)
+    p_lo, p_hi, t_lo, t_hi, l_lo, l_hi = 0.05, 0.1, 1, 5, 5, 500
+
+    def in_box(mp, mt, ml):
+        return bool(
+            p_lo <= mp <= p_hi and t_lo <= mt <= t_hi and l_lo <= ml <= l_hi
+        )
+
+    rows = [
+        (
+            "forest_ei", forest["n_calls"], round(forest["best_f1"], 6),
+            round(forest["best"][0], 6), forest["best"][1],
+            forest["best"][2],
+            forest["n_calls"] == 500,
+            0.0 <= forest["best_f1"] <= 1.0,
+            in_box(*forest["best"]),
+            forest["best_f1"] >= forest["corner_best"],
+            forest["best_f1"] >= rnd["best_f1"],
+        ),
+        (
+            "tpe", len(tpe_rows), round(tpe_best, 6),
+            tpe_pick["min_probability"], tpe_pick["min_topics"],
+            tpe_pick["min_doc_len"],
+            all(r["ok_trials_complete"] for r in tpe_rows),
+            all(r["ok_f1_range"] for r in tpe_rows),
+            all(r["ok_in_box"] for r in tpe_rows),
+            all(r["ok_best_geq_corners"] for r in tpe_rows),
+            True,  # the budget-equal comparison is the forest arm's
+        ),
+        (
+            "random", rnd["n_calls"], round(rnd["best_f1"], 6),
+            round(rnd["best"][0], 6), rnd["best"][1], rnd["best"][2],
+            rnd["n_calls"] == 500,
+            0.0 <= rnd["best_f1"] <= 1.0,
+            in_box(*rnd["best"]),
+            True,  # no corner warmup in the random arm
+            True,
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "arm string, n_calls int, best_f1 double, "
+        "best_min_probability double, best_min_topics int, "
+        "best_min_doc_len int, ok_trials_complete boolean, "
+        "ok_f1_range boolean, ok_in_box boolean, "
+        "ok_best_geq_corners boolean, ok_surrogate_beats_random boolean",
+    )
+
+
+def _rule_search_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The once-inferred (topic_probs, doc_len, gold) corpus all three
+    search arms score against — cached by each arm for its trial
+    loop."""
     from pyspark.ml.functions import vector_to_array
 
-    from ..ml.search import rule_point_search
     from ..ml.shared import shared_lda
 
     # k=10 matches the reference's lda_model_topics=10
@@ -5492,12 +5562,11 @@ def q_rule_point_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = dist.select(
         F.expr("percentile(__diversity, 0.5)").alias("m")
     ).first()["m"]
-    scored = dist.select(
+    return dist.select(
         "topic_probs",
         "doc_len",
         (F.col("__diversity") > F.lit(float(med))).alias("gold"),
     )
-    return rule_point_search(scored)
 
 
 @_register(
@@ -12995,7 +13064,7 @@ _COST_HINT: dict[str, float] = {
     "user_value_trend": 0.3, "grouped_trend_pandas": 0.7,
     "segment_balance_unpivot": 0.2, "kernel_svm_rff": 10.0,
     "adaptive_search_lr": 6.0, "shipping_priority": 0.6,
-    "rule_point_search": 3.0, "make_wiki_pipeline": 1.5,
+    "rule_point_search": 11.0, "make_wiki_pipeline": 1.5,
     "gopher_admission": 1.7, "sparse_cosine_pairs": 1.2,
     "leakage_safe_split": 1.0, "embedding_kmeans": 2.4,
     "duplicate_span_coverage": 1.9, "streaming_throughput_report": 45.0,
