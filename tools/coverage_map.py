@@ -605,8 +605,10 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                        "window-hash boundaries, pure Column "
                        "expression) + MinHash over chunk digests + "
                        "banded candidate join + exact chunk-Jaccard "
-                       "verify; payload bytes never shuffle",
-                       ["binary_neardup_pairs"]),
+                       "verify + keep-one cluster manifest "
+                       "(connected components; singletons keep "
+                       "themselves); payload bytes never shuffle",
+                       ["binary_neardup_pairs", "binary_dedup_manifest"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

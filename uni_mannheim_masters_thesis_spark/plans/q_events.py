@@ -1,0 +1,1527 @@
+"""Event-analytics + streaming queries (windows, sessionization, funnels, stateful streaming twins).
+
+Mechanically split out of the former single-module registry (round 9):
+same queries, same names, same registration semantics — every
+``@_register`` call lands in the shared ``REGISTRY`` from
+``plans._shared``; ``plans.registry`` re-exports everything and applies
+the deterministic driver ordering.
+"""
+
+from __future__ import annotations
+
+from ._shared import (
+    DataFrame,
+    F,
+    REGISTRY,
+    SparkSession,
+    Window,
+    _dec,
+    _dsum,
+    _register,
+    _t,
+    streaming_hourly_event_stats,
+)
+
+
+
+
+# =========================================================================
+# Events: time windows, sessionization, JSON, streaming
+# =========================================================================
+
+
+@_register(
+    "events_hourly",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "§2.9/§2.11 (event-time tumbling window, batch)",
+    "Hourly per-type event rollup; epoch-micros keys for oracle parity.",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_start_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(_dec("value")).alias("sum_value"),
+        )
+    )
+
+
+@_register(
+    "events_linear_interpolation",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT t.h FROM b,
+               UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(h)
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT h, event_type FROM hours CROSS JOIN types),
+    j AS (
+        SELECT epoch_us(spine.h) AS hu, spine.event_type, v
+        FROM spine LEFT JOIN hourly
+          ON spine.h = hourly.h AND spine.event_type = hourly.event_type
+    ),
+    carried AS (
+        SELECT hu, event_type, v,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN hu END IGNORE NULLS)
+                   OVER wp AS ph,
+               last_value(v IGNORE NULLS) OVER wn AS nv,
+               last_value(CASE WHEN v IS NOT NULL THEN hu END IGNORE NULLS)
+                   OVER wn AS nh
+        FROM j
+        WINDOW wp AS (PARTITION BY event_type ORDER BY hu
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY hu DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT hu AS hour_start_us, event_type,
+           -- explicit half-up quantization: both engines share the
+           -- bit-identical double, but ROUND() ties diverge (Spark
+           -- half-up vs DuckDB half-even); floor(x*1e4 + 0.5) is
+           -- mode-free
+           FLOOR((CASE WHEN v IS NOT NULL THEN v
+                       WHEN pv IS NULL THEN nv
+                       WHEN nv IS NULL THEN pv
+                       ELSE pv + (nv - pv)
+                            * (CAST(hu - ph AS DOUBLE) / (nh - ph))
+                  END) * 10000 + 0.5) / 10000 AS value_interp,
+           v IS NULL AS is_interpolated
+    FROM carried
+    """,
+    "§2.11 time series (linear-interpolation gap filling)",
+    "The continuous complement of events_hourly_gapfill's zero-fill: "
+    "silent hours on each event type's hourly mean-value series are "
+    "filled by LINEAR interpolation between the nearest observed "
+    "neighbors (leading/trailing gaps take the nearest edge value). "
+    "Same two-direction carry-forward machinery as the nearest as-of "
+    "join — one exchange on the series key feeding an ascending and a "
+    "descending window sort, then a row-local lerp; the spine stays "
+    "O(hours x types) off a 1-row bounds aggregate. Hourly means are "
+    "exact-decimal-sum / count (one IEEE division), so the oracle's "
+    "identical two-window program hashes bit-for-bit, interpolated "
+    "values included.",
+)
+def q_events_linear_interpolation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    j = spine.join(hourly, ["h", "event_type"], "left").select(
+        F.unix_micros("h").alias("hu"), "event_type", "v"
+    )
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    wp = (
+        Window.partitionBy("event_type").orderBy("hu").rowsBetween(*frame)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hu").desc())
+        .rowsBetween(*frame)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("hu"))
+    carried = j.select(
+        "hu",
+        "event_type",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.last("v", ignorenulls=True).over(wn).alias("nv"),
+        F.last(obs_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("hu") - F.col("ph")).cast("double")
+        / (F.col("nh") - F.col("ph"))
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(lerp)
+    )
+    # explicit half-up quantization — ROUND() ties diverge between
+    # engines (Spark half-up, DuckDB half-even) on the shared double
+    return carried.select(
+        F.col("hu").alias("hour_start_us"),
+        "event_type",
+        (F.floor(filled * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "value_interp"
+        ),
+        F.col("v").isNull().alias("is_interpolated"),
+    )
+
+
+@_register(
+    "events_sessionization",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(1 + SUM(CASE WHEN prev_us IS NOT NULL AND epoch_us(ts) - prev_us > 1800000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM (SELECT user_id, ts,
+                 LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events)
+    GROUP BY user_id
+    """,
+    "§2.11 sessionization (lag + gap threshold)",
+    "Session counting with a 30-minute inactivity gap — the batch twin "
+    "of session_window.",
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1_800_000_000
+        ).alias("new_session"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (1 + F.sum(F.when(F.col("new_session"), 1).otherwise(0))).cast("long").alias(
+            "n_sessions"
+        ),
+    )
+
+
+@_register(
+    "events_hourly_gapfill",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT t.h FROM b, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(h)
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT h, event_type FROM hours CROSS JOIN types)
+    SELECT epoch_us(h) AS hour_start_us, event_type,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           ROUND(CAST(COALESCE(sv, CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_value
+    FROM spine LEFT JOIN hourly USING (h, event_type)
+    """,
+    "§2.11 time series (calendar-spine gap filling)",
+    "Dense hourly series per event type: a calendar spine generated "
+    "from the observed [min, max] hour via sequence()/generate_series "
+    "× the distinct type set, left-joined onto the hourly aggregate so "
+    "silent hours surface as explicit zero rows — the resample/gap-fill "
+    "primitive every downstream window or trend model needs (a missing "
+    "row and a zero row are different answers). The spine is "
+    "O(hours × types) — generated from a 1-row bounds aggregate, never "
+    "collected to the driver — and the heavy side is the same hourly "
+    "aggregate as events_hourly; at 100 TB the spine stays tiny and "
+    "broadcastable while the fact aggregation shuffles (hour, type) "
+    "partials.",
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).alias("sv"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    return spine.join(hourly, ["h", "event_type"], "left").select(
+        F.unix_micros("h").alias("hour_start_us"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.round(
+            F.coalesce("sv", F.lit(0).cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("sum_value"),
+    )
+
+
+@_register(
+    "measure_correlation",
+    """
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+        FROM lineitem
+    ),
+    agg AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM base GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                        * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+                 6) + 0 AS corr_qty_price
+    FROM agg
+    """,
+    "§2.11 statistics (exact Pearson correlation, decimal partials)",
+    "Per-group Pearson correlation of quantity vs extended price with "
+    "the user_value_trend determinism discipline: both measures scaled "
+    "to exact integer centi-units, the five sufficient statistics "
+    "summed EXACTLY (Spark DECIMAL(38,0) / DuckDB HUGEINT — "
+    "order-independent under any partitioning), and the correlation "
+    "evaluated in an identical double expression on both engines "
+    "(numerator cast once, each variance term cast once, multiplied as "
+    "doubles THEN square-rooted — same op order, same bits). The "
+    "trailing + 0 normalizes a rounded -0.0. One shuffle (the "
+    "group-by); float native corr()/covar partials would be "
+    "partition-order dependent — this is the exact replacement.",
+)
+def q_measure_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast(
+        "decimal(18,0)"
+    )
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(18,0)"
+    )
+    agg = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    num = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (nn * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (F.round(num / F.sqrt(dx * dy), 6) + F.lit(0.0)).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+@_register(
+    "session_paths",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NOT NULL
+                         AND epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    ),
+    paths AS (
+        SELECT user_id, sid,
+               array_to_string(
+                   (list(event_type ORDER BY ts, event_id))[1:5], '>')
+                   AS path
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+    "§2.11 event analytics (session path mining)",
+    "Top-20 session journeys: each 30-min-gap session's ordered "
+    "event-type sequence (first 5 steps), counted across the corpus — "
+    "the path-mining view that complements the funnel (which fixes the "
+    "sequence) and attribution (which keeps only the first touch). "
+    "Determinism: the step order is the unique (ts, event_id) key, "
+    "assembled via array_sort over collected structs (collect_list is "
+    "partition-order nondeterministic; the sort makes it exact — the "
+    "lexicon-regroup pattern). Plan shape: the session machinery rides "
+    "the one user-keyed exchange, per-path counting is a small "
+    "second shuffle, top-20 via ORDER+LIMIT plans as TakeOrdered — "
+    "no global sort materialization at any scale.",
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1_800_000_000
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_s = F.when(
+        prev_us.isNotNull() & (F.unix_micros("ts") - prev_us > gap_us), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "sid", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    path = F.concat_ws(
+        ">",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            1,
+            5,
+        ),
+    )
+    paths = sess.groupBy("user_id", "sid").agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+@_register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    "§2.11 JSON functions over the props column",
+    "get_json_object extraction + integer aggregation.",
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
+        )
+    )
+
+
+@_register(
+    "event_type_share",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM events GROUP BY event_type
+    """,
+    "§2.9 window-over-aggregate",
+    "Per-type share of total events. The oracle spells it as a window "
+    "over an aggregate; the Spark plan computes the global total as a "
+    "1-row aggregate broadcast-crossed back instead of an empty-"
+    "partition window — same result, no single-partition WindowExec "
+    "(and no `No Partition Defined` warning noise in bench logs).",
+)
+def q_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    total = F.broadcast(agg.agg(F.sum("n_events").alias("__total")))
+    return agg.crossJoin(total).select(
+        "event_type",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double") / F.col("__total"), 6
+        ).alias("share"),
+    )
+
+
+@_register(
+    "top_users_by_value",
+    """
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 10
+    """,
+    "O4 (global top-k after aggregation)",
+    "Top-10 users by exact-decimal total event value.",
+)
+def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            _dsum(_dec("value")).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(10)
+    )
+
+
+@_register(
+    "streaming_events_hourly",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "§2.9 Structured Streaming (watermark + tumbling window)",
+    "The events_hourly aggregation executed as a REAL streaming query "
+    "(memory sink, processAllAvailable). Oracle-exact: epoch-aligned "
+    "1-hour tumbling windows are date_trunc('hour') buckets, so the "
+    "batch SQL replays the drained stream result bit-for-bit (decimal "
+    "sum, 2-decimal round on both engines).",
+)
+def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_hourly_event_stats(spark, sf_dir)
+
+
+@_register(
+    "events_sliding_window",
+    """
+    SELECT epoch_us(date_trunc('hour', ts) - off * INTERVAL 1 HOUR) AS win_start_us,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events, (VALUES (0), (1)) o(off)
+    GROUP BY 1, 2
+    """,
+    "§2.9 sliding window (2h window, 1h slide)",
+    "Sliding event-time windows: each event lands in two overlapping "
+    "2-hour windows (Spark window(ts, '2 hours', '1 hour')).",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@_register(
+    "funnel_conversion",
+    """
+    WITH base AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts, event_type
+        FROM events
+    ),
+    w1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+        FROM base
+    ),
+    w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM w2
+    )
+    SELECT user_id, MIN(t1) AS view_us, MIN(t2) AS click_us,
+           MIN(t3) AS purchase_us,
+           CAST(CASE WHEN MIN(t3) IS NOT NULL THEN 3
+                     WHEN MIN(t2) IS NOT NULL THEN 2
+                     WHEN MIN(t1) IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stages_completed
+    FROM w3 GROUP BY user_id
+    """,
+    "§2.11 event analytics (staged funnel, strict sequence order)",
+    "Per-user funnel completion view → click → purchase under strict "
+    "temporal ordering: stage k+1 only counts if it happens AFTER the "
+    "user's earliest qualifying stage-k event. Each stage's timestamp "
+    "is a conditional MIN window over the user partition — the three "
+    "windows and the final aggregate all share the user_id hash "
+    "partitioning, so the whole funnel costs ONE shuffle and no "
+    "self-joins (the naive per-stage join chain would shuffle the fact "
+    "table once per stage). Exact integer micros end-to-end, so the "
+    "manifest is bit-deterministic. At 100 TB the plan is "
+    "embarrassingly parallel by user; skewed power-users only widen "
+    "one partition's sort, which AQE splits.",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id", F.unix_micros("ts").alias("ts"), "event_type"
+    )
+    s1 = base.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return (
+        s3.groupBy("user_id")
+        .agg(
+            F.min("t1").alias("view_us"),
+            F.min("t2").alias("click_us"),
+            F.min("t3").alias("purchase_us"),
+        )
+        .withColumn(
+            "stages_completed",
+            F.when(F.col("purchase_us").isNotNull(), 3)
+            .when(F.col("click_us").isNotNull(), 2)
+            .when(F.col("view_us").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int"),
+        )
+    )
+
+
+@_register(
+    "cohort_retention",
+    """
+    WITH cohorts AS (
+        SELECT user_id,
+               date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        FROM events
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_size
+        FROM cohorts GROUP BY cohort_week
+    )
+    SELECT CAST(epoch_us(c.cohort_week) AS BIGINT) AS cohort_week_us,
+           CAST((epoch_us(a.active_week) - epoch_us(c.cohort_week))
+                / 604800000000 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_active,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM activity a
+    JOIN cohorts c USING (user_id)
+    JOIN sizes s ON s.cohort_week = c.cohort_week
+    GROUP BY c.cohort_week, s.cohort_size, a.active_week
+    """,
+    "§2.11 event analytics (cohort retention matrix)",
+    "Weekly cohort retention: users are cohorted by the week of their "
+    "first event, every (user, active-week) pair counts once, and each "
+    "cohort×offset cell reports active users and the retention rate "
+    "against the cohort size. All three building blocks are user_id- "
+    "keyed aggregates/joins (min-week, distinct activity, size rollup) "
+    "that share one hash partitioning before the final small "
+    "cohort-cell aggregate; the retention division is exact-int/"
+    "exact-int in both engines so the 6-decimal round never straddles. "
+    "Week arithmetic is UTC date_trunc — offsets are exact multiples "
+    "of 604800e6 micros, no DST drift. At 100 TB the heavy stages "
+    "shuffle (user_id) and (user_id, week) only; cohort cells are "
+    "O(weeks²) — trivially small.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    week_us = 604_800_000_000
+    return (
+        activity.join(cohorts, "user_id")
+        .join(sizes, "cohort_week")
+        .groupBy("cohort_week", "cohort_size", "active_week")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            (
+                (F.unix_micros("active_week") - F.unix_micros("cohort_week"))
+                / F.lit(week_us)
+            )
+            .cast("long")
+            .alias("week_offset"),
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+@_register(
+    "session_attribution",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NOT NULL
+                         AND epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    ),
+    per_sess AS (
+        SELECT user_id, session_id,
+               (MIN({'t': ts, 'e': event_id, 'y': event_type}))['y'] AS entry_type,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS purchase_value,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT entry_type,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converting,
+           CAST(SUM(n_purch) AS BIGINT) AS n_purchases,
+           ROUND(CAST(SUM(purchase_value) AS DOUBLE), 2) AS attributed_value
+    FROM per_sess GROUP BY entry_type
+    """,
+    "§2.11 event analytics (first-touch session attribution)",
+    "First-touch attribution: sessions are cut at 30-minute inactivity "
+    "gaps (the events_sessionization convention), each session's entry "
+    "channel is the event_type of its FIRST event (exact lexicographic "
+    "min over the unique (ts, event_id) pair — min(struct), no "
+    "first_value nondeterminism), and all purchase value inside the "
+    "session is attributed to that channel. Plan shape: the lag window, "
+    "the running-sum session id, AND the per-session aggregate all key "
+    "on user_id — Spark's ClusteredDistribution accepts the "
+    "(user_id)-hash partitioning for the (user_id, session_id) "
+    "groupBy, so the whole pipeline rides ONE user-keyed exchange "
+    "before the final 5-row channel rollup (same single-shuffle "
+    "contract as funnel_conversion; plan-regression-tested). Purchase "
+    "sums are DECIMAL-exact; the double cast happens once at output.",
+)
+def q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1_800_000_000
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_s = F.when(
+        prev_us.isNotNull() & (F.unix_micros("ts") - prev_us > gap_us), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "entry_type"
+        ),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", _dec("value")
+            ).otherwise(dec0)
+        ).alias("purchase_value"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purch"),
+    )
+    return per_sess.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_purch") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_converting"),
+        F.sum("n_purch").cast("long").alias("n_purchases"),
+        F.round(F.sum("purchase_value").cast("double"), 2).alias(
+            "attributed_value"
+        ),
+    )
+
+
+@_register(
+    "rolling_user_features",
+    """
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS roll_n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+               AS roll_sum,
+           ROUND(CAST(MAX(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+               AS roll_max,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / (COUNT(*) OVER w), 6) AS roll_mean
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    "§2.11 event analytics (per-entity rolling-window feature frame)",
+    "ML feature generation: for every event, the count / exact-decimal "
+    "sum / max / mean of the user's last ≤5 event values in "
+    "event-time order — the ROWS-frame sliding window that feeds "
+    "per-entity behavioral features into a training table (the RANGE "
+    "twin is rolling_week_order_value). One user-keyed exchange; the "
+    "frame is bounded (5 rows) so window state is O(1) per row "
+    "regardless of user history length. The sum is DECIMAL-exact; "
+    "roll_mean divides its one double cast by the exact integer count, "
+    "so both engines round an identical quotient. Deterministic: "
+    "(ts, event_id) is a unique order key.",
+)
+def q_rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    roll_sum = F.round(F.sum(_dec("value")).over(w).cast("double"), 2)
+    roll_n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        roll_n.alias("roll_n"),
+        roll_sum.alias("roll_sum"),
+        F.round(F.max(_dec("value")).over(w).cast("double"), 2).alias(
+            "roll_max"
+        ),
+        F.round(
+            F.sum(_dec("value")).over(w).cast("double") / roll_n, 6
+        ).alias("roll_mean"),
+    )
+
+
+@_register(
+    "stateful_user_counts",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    "§2.9 streaming (custom stateful operator, applyInPandasWithState)",
+    "Per-user running counters kept in GroupState across micro-batches "
+    "(integer-cents accumulation for exactness); the oracle checks the "
+    "final state equals the batch GROUP BY.",
+)
+def q_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import stateful_user_counts
+
+    return stateful_user_counts(spark, sf_dir)
+
+
+@_register(
+    "streaming_sessionization",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+               -- event_id tiebreaker: with duplicate (user_id, ts) rows
+               -- (the 10x scaled corpus has 10 copies of every event) a
+               -- bare ts order lets the lag scan and the cumsum scan
+               -- sort ties DIFFERENTLY, splitting phantom sessions
+               -- inside tie blocks (observed: +5 rows at sf1)
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM seq
+    ),
+    sess AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    "§2.9 streaming (session_window state merging)",
+    "Gap-based sessions (30 min) maintained in the streaming state "
+    "store via native session_window. Oracle-exact: DuckDB replays the "
+    "merge with gaps-and-islands (a new session starts when the gap to "
+    "the previous event is ≥ the 30-min window — session_window merges "
+    "only strictly-overlapping [ts, ts+gap) intervals), then aggregates "
+    "per island. Same decimal sum + round discipline as the batch twin.",
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import streaming_sessionization
+
+    return streaming_sessionization(spark, sf_dir)
+
+
+@_register(
+    "streaming_session_attribution",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM seq
+    ),
+    sess AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ),
+    per_sess AS (
+        SELECT user_id, sid,
+               (MIN({'t': ts, 'e': event_id, 'y': event_type}))['y'] AS entry_type,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS purchase_value,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT entry_type,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converting,
+           CAST(SUM(n_purch) AS BIGINT) AS n_purchases,
+           ROUND(CAST(SUM(purchase_value) AS DOUBLE), 2) AS attributed_value
+    FROM per_sess GROUP BY entry_type
+    """,
+    "§2.9/§2.11 streaming (session_window first-touch attribution)",
+    "The streaming twin of session_attribution: session_window state "
+    "merging carries the lexicographic-min (ts, event_id, event_type) "
+    "entry struct (min over structs is ASSOCIATIVE, so out-of-order "
+    "merges preserve first-touch exactly), the DECIMAL purchase sum, "
+    "and the purchase count per open session; the drained per-session "
+    "frame rolls up per entry channel. Oracle-exact via the "
+    "gaps-and-islands replay with session_window's >= gap boundary "
+    "(the batch twin's lag rule is strictly >; both agree unless a gap "
+    "is exactly 30:00.000000). State is bounded by ACTIVE sessions, "
+    "not input volume — the watermark closes sessions 1 h after their "
+    "last event.",
+)
+def q_streaming_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import streaming_session_attribution
+
+    return streaming_session_attribution(spark, sf_dir)
+
+
+@_register(
+    "streaming_events_by_segment",
+    """
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY c_mktsegment
+    """,
+    "§2.9 streaming (stream-static broadcast join)",
+    "The event stream enriched against the static customer dimension "
+    "(broadcast per micro-batch, no stream-side shuffle), aggregated per "
+    "segment; oracle-checked against the equivalent batch join.",
+)
+def q_streaming_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import streaming_events_by_segment
+
+    return streaming_events_by_segment(spark, sf_dir)
+
+
+@_register(
+    "streaming_interval_join",
+    """
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+    "§2.9 streaming (stream-stream interval join)",
+    "TWO watermarked event streams joined on user with a 30-minute "
+    "time bound (click → subsequent purchases): the canonical "
+    "Structured Streaming stateful two-stream join, where the interval "
+    "condition is what lets the state store evict each side once the "
+    "other's watermark passes. Drained append pairs are aggregated per "
+    "user; the oracle replays the identical batch interval self-join.",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import streaming_interval_join
+
+    return streaming_interval_join(spark, sf_dir)
+
+
+@_register(
+    "events_asof_join",
+    """
+    WITH tagged AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, 0 AS tag, event_id,
+               epoch_us(ts) AS q_ts, value AS q_value
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, epoch_us(ts) AS ts_us, 1 AS tag, event_id,
+               NULL AS q_ts, NULL AS q_value
+        FROM events WHERE event_type = 'click'
+    ),
+    carried AS (
+        SELECT user_id, ts_us, tag, event_id,
+               last_value(q_ts IGNORE NULLS) OVER w AS asof_ts_us,
+               last_value(q_value IGNORE NULLS) OVER w AS asof_value
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts_us AS click_ts_us, asof_ts_us,
+           ROUND(CAST(asof_value AS DOUBLE), 2) AS asof_value
+    FROM carried WHERE tag = 1
+    """,
+    "§2.11 custom temporal operator (as-of join)",
+    "For every click, the user's latest purchase at-or-before it. "
+    "Union-merge form: one window over (user, ts) with carry-forward — "
+    "single shuffle, linear in rows, no range-join pair blowup (the "
+    "100 TB-safe as-of pattern). Oracle runs the identical window "
+    "program in DuckDB.",
+)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", ts_col="ts_us",
+        value_cols=["value"], seq_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+        F.col("asof_ts_us"),
+        F.round(F.col("asof_value").cast("double"), 2).alias("asof_value"),
+    )
+
+
+_ASOF_TOL_US = 43_200_000_000  # 12 h — splits matches vs nulled-out
+
+
+@_register(
+    "events_asof_nearest",
+    f"""
+    WITH tagged AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, 0 AS tag, event_id,
+               epoch_us(ts) AS q_ts, value AS q_value
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, epoch_us(ts) AS ts_us, 1 AS tag, event_id,
+               NULL AS q_ts, NULL AS q_value
+        FROM events WHERE event_type = 'click'
+    ),
+    carried AS (
+        SELECT user_id, ts_us, tag, event_id,
+               last_value(q_ts IGNORE NULLS) OVER wb AS b_ts,
+               last_value(q_value IGNORE NULLS) OVER wb AS b_value,
+               last_value(q_ts IGNORE NULLS) OVER wf AS f_ts,
+               last_value(q_value IGNORE NULLS) OVER wf AS f_value
+        FROM tagged
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id
+                      ORDER BY ts_us DESC, tag, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    chosen AS (
+        SELECT event_id, user_id, ts_us,
+               CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL
+                         AND (ts_us - b_ts) <= (f_ts - ts_us))
+                    THEN b_ts ELSE f_ts END AS n_ts,
+               CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL
+                         AND (ts_us - b_ts) <= (f_ts - ts_us))
+                    THEN b_value ELSE f_value END AS n_value
+        FROM carried WHERE tag = 1
+    )
+    SELECT event_id, user_id, ts_us AS click_ts_us,
+           CASE WHEN n_ts IS NOT NULL
+                 AND ABS(ts_us - n_ts) <= {_ASOF_TOL_US}
+                THEN n_ts END AS asof_ts_us,
+           CASE WHEN n_ts IS NOT NULL
+                 AND ABS(ts_us - n_ts) <= {_ASOF_TOL_US}
+                THEN ROUND(CAST(n_value AS DOUBLE), 2) END AS asof_value
+    FROM chosen
+    """,
+    "§2.11 custom temporal operator (as-of join: nearest + tolerance)",
+    "The rest of the merge_asof surface events_asof_join leaves "
+    "uncovered: for every click, the NEAREST purchase in either "
+    "direction (ties break backward, the pandas convention), nulled "
+    "out past a 12-hour tolerance. Same union-merge scale shape as "
+    "the backward join — one key exchange feeding TWO window sorts "
+    "(ascending and descending carry-forward), then a row-local "
+    "chooser and tolerance predicate; still linear in rows, still no "
+    "range-join pair blowup. The oracle runs the identical two-window "
+    "program in DuckDB, so a wrong tie-break, a forward carry off by "
+    "one row, or a tolerance edge ( <= vs < ) breaks the hash.",
+)
+def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", ts_col="ts_us",
+        value_cols=["value"], seq_col="event_id",
+        direction="nearest", tolerance=_ASOF_TOL_US,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+        F.col("asof_ts_us"),
+        F.round(F.col("asof_value").cast("double"), 2).alias("asof_value"),
+    )
+
+
+@_register(
+    "event_pattern_match",
+    """
+    WITH seq AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               string_agg(substring(event_type, 1, 1), ''
+                          ORDER BY epoch_us(ts), event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(s, 'v[vc]*p')) AS BIGINT)
+               AS n_conversion_runs,
+           CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT)
+               AS n_error_bursts
+    FROM seq
+    """,
+    "§2.11 event analytics (MATCH_RECOGNIZE-style sequence patterns)",
+    "Row-pattern recognition without a MATCH_RECOGNIZE engine: each "
+    "user's event history collapses to an ordered initial-string "
+    "(deterministic (ts, event_id) sort inside one groupBy — the "
+    "exchange moves 1-char tokens, never payloads), and conversion "
+    "runs (view, then views/clicks, then purchase: 'v[vc]*p') and "
+    "error bursts ('ee+') are counted with a row-local regex — the "
+    "same left-to-right non-overlapping scan in Spark's regexp_count "
+    "and DuckDB's regexp_extract_all, so the counts hash. "
+    "Complements the fixed-stage funnel (funnel_conversion) with "
+    "arbitrary-pattern matching; at 100 TB the per-user string is "
+    "bounded by activity (sessionize first to bound it harder), and "
+    "the whole query is one key exchange.",
+)
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id"),
+            F.substring("event_type", 1, 1).alias("i"),
+        ).alias("e"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda e: e["i"]
+            ),
+            "",
+        ).alias("s"),
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.regexp_count("s", F.lit("v[vc]*p")).alias("n_conversion_runs"),
+        F.regexp_count("s", F.lit("ee+")).alias("n_error_bursts"),
+    )
+
+
+@_register(
+    "streaming_first_event_per_user_type",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    "§2.9 streaming (stateful dropDuplicates with watermark)",
+    "Streaming dedup: keep the first event per (user, type) — state one "
+    "row per pair, bounded by the watermark — then count users per "
+    "type. Arrival order cannot change the counts, so the batch "
+    "COUNT(DISTINCT) is the exact oracle.",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from ..sources.testdata import event_stream
+
+    stream = (
+        event_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    name = f"dedup_{_uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def _heavy_hitter_report(
+    events: DataFrame, counters: DataFrame, extra_flags: list[F.Column] | None = None
+) -> DataFrame:
+    """Exact top-10 users with CMS-contract flags probed against a
+    counter table (batch- or streaming-built)."""
+    from ..operators.sketches import cms_estimates
+
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+        .localCheckpoint(eager=True)  # 10 rows; reused by 3 plan branches
+    )
+    a, b = top.alias("a"), top.alias("b")
+    rank = (
+        a.join(
+            b,
+            (F.col("b.n_events") > F.col("a.n_events"))
+            | (
+                (F.col("b.n_events") == F.col("a.n_events"))
+                & (F.col("b.user_id") < F.col("a.user_id"))
+            ),
+            "left",
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg((F.count(F.col("b.user_id")) + 1).cast("int").alias("rank"))
+    )
+    est = cms_estimates(top, counters, "user_id")
+    total = F.broadcast(events.agg(F.count(F.lit(1)).alias("n_total")))
+    return (
+        top.join(rank, "user_id")
+        .join(est, "user_id")
+        .crossJoin(total)
+        .select(
+            "user_id",
+            "n_events",
+            "rank",
+            (F.col("est") >= F.col("n_events")).alias("ok_cms_ge_exact"),
+            (F.col("est") <= F.col("n_events") + F.ceil(0.01 * F.col("n_total")))
+            .alias("ok_cms_within_eps"),
+            *(extra_flags or []),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+    )
+
+
+@_register(
+    "heavy_hitters_sketch",
+    """
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS INT) AS rank,
+           TRUE AS ok_cms_ge_exact,
+           TRUE AS ok_cms_within_eps
+    FROM counts
+    ORDER BY n_events DESC, user_id
+    LIMIT 10
+    """,
+    "§2.11 sketches (count-min heavy hitters vs exact top-k)",
+    "Heavy-hitter detection with a count-min sketch cross-checked "
+    "against the exact group-count, built ENTIRELY as DataFrame "
+    "aggregations: the CMS counter table is depth=5 seeded xxhash64 "
+    "rows x width=2048 buckets, i.e. one explode + groupBy whose "
+    "counters are plain sums (commutative, so the sketch is "
+    "bit-identical under any partitioning); estimates for the exact "
+    "top-10 users come from joining their bucket coordinates back "
+    "against the counter table and taking min over the depth rows. "
+    "The output carries the exact counts (hash-verified against "
+    "DuckDB) plus two invariant flags: ok_cms_ge_exact is a "
+    "mathematical CMS guarantee (estimates never undercount), "
+    "ok_cms_within_eps checks est <= exact + 1%% of total mass — both "
+    "deterministic, so the oracle states them as TRUE literals. Scale "
+    "shape: the exact side is one map-side-combining aggregation + "
+    "top-k; the sketch side shuffles at most depth*width = 10,240 "
+    "counter rows regardless of input size — the 100 TB path for key "
+    "cardinalities too large to group exactly.",
+)
+def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_counter_table
+
+    events = _t(spark, sf_dir, "events")
+    return _heavy_hitter_report(events, cms_counter_table(events, "user_id"))
+
+
+@_register(
+    "streaming_heavy_hitters",
+    f"""
+    SELECT user_id, n_events, rank, ok_cms_ge_exact, ok_cms_within_eps,
+           TRUE AS ok_stream_equals_batch
+    FROM ({REGISTRY['heavy_hitters_sketch'].sql})
+    """,
+    "§2.9/§2.11 (streaming sketch: bounded-state CMS over the stream)",
+    "The count-min sketch maintained BY a Structured Streaming query: "
+    "a streaming groupBy over CMS bucket coordinates, whose state "
+    "store is bounded at depth*width = 10,240 rows — independent of "
+    "input volume AND key cardinality, unlike a per-key streaming "
+    "count whose state grows with distinct keys. Because counter sums "
+    "commute, the streamed sketch must be BIT-IDENTICAL to the "
+    "batch-built one over the same events: ok_stream_equals_batch "
+    "asserts zero mismatched counter cells (full outer join of the "
+    "two 10,240-row tables), and the heavy-hitter report is probed "
+    "from the STREAMED counters. At 100 TB streaming volume this is "
+    "the approximate top-k shape: tiny fixed state, mergeable across "
+    "executors, point-queried without stopping the stream.",
+)
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_counter_table
+    from ..streaming.events import streaming_cms_counters
+
+    events = _t(spark, sf_dir, "events")
+    streamed = streaming_cms_counters(spark, sf_dir).select(
+        "hi", "bucket", F.col("c").alias("sc")
+    )
+    batch = cms_counter_table(events, "user_id").select(
+        "hi", "bucket", F.col("c").alias("bc")
+    )
+    mismatch = (
+        streamed.join(batch, ["hi", "bucket"], "full")
+        .where(~F.col("sc").eqNullSafe(F.col("bc")))
+    )
+    eq = F.broadcast(
+        mismatch.agg(
+            (F.count(F.lit(1)) == 0).alias("ok_stream_equals_batch")
+        )
+    )
+    report = _heavy_hitter_report(
+        events, streamed.select("hi", "bucket", F.col("sc").alias("c"))
+    )
+    return report.crossJoin(eq)
+
+
+@_register(
+    "streaming_throughput_report",
+    None,
+    "§2.9 streaming (multi-micro-batch state-store evidence)",
+    "r6 verdict task 5: the sessionization + interval-join pair driven "
+    "through 12 time-ordered file-drop micro-batches "
+    "(maxFilesPerTrigger=1 over a sequentially-written time-sliced "
+    "events table) instead of the usual single-batch drain. One row "
+    "per (provider, query, micro-batch) with input rows, trigger latency, and "
+    "state rows, under four HARD invariants: >=10 data batches per "
+    "query, flat per-batch latency (last-3 median <= 3x early median), "
+    "watermark actually evicting two-stream join state, and the "
+    "multi-batch join retaining EXACTLY the batch self-join's pairs "
+    "(in-order replay loses nothing to eviction). Since r8 the whole "
+    "replay runs TWICE — default HDFS-backed provider AND RocksDB "
+    "(the 100 TB state backend), swapped by session conf alone — and "
+    "every invariant must hold under both; rows carry provider and "
+    "reported state bytes.",
+)
+def q_streaming_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.throughput import streaming_throughput_report
+
+    return streaming_throughput_report(spark, sf_dir)
+
+
+@_register(
+    "ewma_user_value",
+    """
+    WITH ev AS (
+        SELECT user_id, value, epoch_us(ts) AS us, event_id FROM events
+    ),
+    ranked AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM ev
+    ),
+    terms AS (
+        SELECT user_id, n,
+               CASE WHEN rn = n THEN value END AS last_v,
+               CAST(ROUND(CASE WHEN rn = 1 THEN pow(0.8, n - 1) * value
+                               ELSE 0.2 * pow(0.8, n - rn) * value END, 9)
+                    AS DECIMAL(18,9)) AS t9
+        FROM ranked
+    )
+    SELECT user_id,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_events,
+           ROUND(MAX(last_v), 2) + 0 AS last_value,
+           ROUND(CAST(SUM(t9) AS DOUBLE), 6) + 0 AS ewma
+    FROM terms GROUP BY user_id
+    """,
+    "§2.11 feature engineering (exponentially-weighted moving average)",
+    "Per-user EWMA of event values (alpha=0.2, init = first value — the "
+    "pandas adjust=False recursion ewma_i = 0.2*x_i + 0.8*ewma_{i-1}), "
+    "computed by its CLOSED FORM instead of the sequential recursion: "
+    "each event contributes weight 0.8^(n-i)*0.2 (the first 0.8^(n-1)) "
+    "toward the final smoothed value, so the per-event terms are "
+    "independent, 9-decimal-quantized, and summed as DECIMAL — exact "
+    "and order-independent where the textbook recursion would force a "
+    "sequential per-key fold (the per-term quantization perturbs the "
+    "sum by < n*5e-10, far inside the 6-decimal output round). One "
+    "user_id exchange carries the rank window, the count window, and "
+    "the final aggregate (plan-tested single shuffle, no joins); at "
+    "100 TB this is a map-side-combinable aggregate over narrow "
+    "(user_id, weight-indexed value) rows — the streaming twin is a "
+    "trivial applyInPandasWithState fold, but the batch path never "
+    "needs per-key sequential state at all.",
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "value", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wc = Window.partitionBy("user_id")
+    ranked = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    weight = F.when(
+        F.col("rn") == 1, F.pow(F.lit(0.8), F.col("n") - 1) * F.col("value")
+    ).otherwise(
+        F.lit(0.2) * F.pow(F.lit(0.8), F.col("n") - F.col("rn")) * F.col("value")
+    )
+    terms = ranked.select(
+        "user_id",
+        "n",
+        F.when(F.col("rn") == F.col("n"), F.col("value")).alias("last_v"),
+        F.round(weight, 9).cast("decimal(18,9)").alias("t9"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.any_value("n").cast("long").alias("n_events"),
+        (F.round(F.max("last_v"), 2) + F.lit(0.0)).alias("last_value"),
+        (F.round(F.sum("t9").cast("double"), 6) + F.lit(0.0)).alias("ewma"),
+    )
+
+
+def _streaming_ewma_parity_sql() -> str:
+    return f"""
+    SELECT user_id, n_events, last_value, ewma,
+           TRUE AS ok_stream_matches_batch
+    FROM ({REGISTRY['ewma_user_value'].sql})
+    """
+
+
+@_register(
+    "streaming_ewma_parity",
+    _streaming_ewma_parity_sql(),
+    "§2.9/§2.11 (custom stateful streaming: per-key EWMA state)",
+    "The streaming twin of ewma_user_value, checked the "
+    "streaming_heavy_hitters way: the hashed VALUES are the batch "
+    "closed form's (oracle-exact), and the stream evidence is the "
+    "ok_stream_matches_batch flag — an applyInPandasWithState query "
+    "folds the textbook per-key recursion (one (n, ewma) state row per "
+    "user, O(1) per event, event-time order enforced inside each "
+    "batch) and every user's streamed result must agree with the batch "
+    "closed form to 1e-5 (they are the same real-number quantity "
+    "evaluated in different float orders; observed agreement ~1e-9 "
+    "relative). A flag flipped false hash-mismatches the oracle's TRUE "
+    "— stream divergence fails the correctness gate, not just a test. "
+    "This is the batch-avoids-what-streams-need pairing: the batch "
+    "path has no sequential fold at all, the stream keeps exactly the "
+    "O(keys) state Structured Streaming is designed to carry.",
+)
+def q_streaming_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import streaming_ewma
+
+    batch = q_ewma_user_value(spark, sf_dir)
+    stream = streaming_ewma(spark, sf_dir).select(
+        "user_id",
+        F.col("n_events").alias("s_n"),
+        F.col("ewma").alias("s_ewma"),
+    )
+    ok = (F.col("s_n") == F.col("n_events")) & (
+        F.abs(F.col("s_ewma") - F.col("ewma")) < F.lit(1e-5)
+    )
+    return batch.join(stream, "user_id").select(
+        "user_id", "n_events", "last_value", "ewma",
+        ok.alias("ok_stream_matches_batch"),
+    )

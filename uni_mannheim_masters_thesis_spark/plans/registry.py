@@ -1,12850 +1,29 @@
-"""Driver-facing query registry: every operator exposed through
-``__spark_entry__.queries()``, with a DuckDB oracle SQL twin where the
-semantics are SQL-expressible (the driver's correctness gate).
+"""Query registry — assembly module.
 
-Parity rules that keep the order-insensitive value-hash exact:
-
-- **Exact arithmetic for big sums.** Money columns are 2-decimal doubles;
-  both sides cast to DECIMAL before summing (exact, order-independent),
-  then cast back to double and round. Distributed double summation would
-  differ from DuckDB's sequential kernel by ~1e-3 at sf0.1 — far above
-  any rounding rescue.
-- **Identical aliases + explicit integer casts.** DuckDB ``sum(int)`` is
-  HUGEINT → always CAST to BIGINT; Spark count/sum(int) is long already.
-- **Timestamps as epoch micros** (bigint) — avoids ns-vs-us formatting
-  drift between engines.
-- **Deterministic total orders** in every top-k / per-group-first
-  (explicit tiebreaker keys), so LIMIT contents are unique.
-- **Per-row float math in float64 with a sequential fold** (cosine),
-  bit-identical between Spark's aggregate HOF and DuckDB's list kernels;
-  rounded to 6 digits for safety.
-
-Spark side uses the DataFrame API (Catalyst plans joins/pushdown); the
-SQL strings target DuckDB only.
+The registry was a single 13k-line module through round 8; round 9
+splits it by operator family (the r8 verdict's task 5). This module
+re-exports EVERY name the old module defined (tests and the driver
+import helpers from ``plans.registry``), then applies the
+deterministic driver ordering exactly as before. Import order: the
+shared infra first, then each family module (whose ``@_register``
+calls fill the shared REGISTRY), then the ordering tail verbatim.
 """
 
-from __future__ import annotations
-
-import math
-
-from collections.abc import Callable
-from dataclasses import dataclass
-
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from ..functions.text import (
-    MIN_DOC_WORDS,
-    STOPWORDS,
-    clean_string,
-    sql_clean_string,
-    sql_morphy_lemma,
-    sql_stopword_list,
-    tokens_pipeline,
-)
-from ..functions.similarity import cosine_similarity, jaro_winkler
-from ..operators.dedup import add_simhash, dedup_stats, minhash_lsh_pairs
-from ..operators.indexing import ordered_dense_rank
-from ..operators.evaluation import classification_metrics, confusion_matrix
-from ..operators.relational import per_group_first, topk_per_group
-from ..operators.similarity_search import knn_bruteforce
-from ..operators import textstats as TS
-from ..sources.testdata import load_table
-from ..streaming.events import streaming_hourly_event_stats
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    fn: QueryFn
-    sql: str | None  # DuckDB oracle; None → rows-only check
-    survey: str      # SURVEY.md §2 operator ids covered
-    doc: str
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-
-def _register(name: str, sql: str | None, survey: str, doc: str):
-    def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = QuerySpec(fn=fn, sql=sql, survey=survey, doc=doc)
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
-
-
-def _dec(col: str | F.Column, prec: str = "decimal(18,2)") -> F.Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast(prec)
-
-
-def _dsum(expr: F.Column, ndigits: int = 2) -> F.Column:
-    """Exact decimal sum → double, rounded."""
-    return F.round(F.sum(expr).cast("double"), ndigits)
-
-
-# --- SQL fragments -------------------------------------------------------
-
-_SQL_TOKENS = None
-
-
-def sql_tokens_pipeline(expr: str) -> str:
-    """DuckDB twin of functions.text.tokens_pipeline."""
-    clean = sql_clean_string(expr)
-    split = f"CASE WHEN {clean} = '' THEN [] ELSE str_split({clean}, ' ') END"
-    dedigit = f"list_transform({split}, t -> regexp_replace(t, '[0-9]', '', 'g'))"
-    nostop = f"list_filter({dedigit}, t -> t NOT IN {sql_stopword_list(STOPWORDS)})"
-    return f"list_filter({nostop}, t -> length(t) >= 3 AND t != '')"
-
-
-def sql_simple_tokens(expr: str) -> str:
-    """DuckDB twin of functions.text.tokenize (clean + split, no filters)."""
-    clean = sql_clean_string(expr)
-    return f"CASE WHEN {clean} = '' THEN [] ELSE str_split({clean}, ' ') END"
-
-
-# =========================================================================
-# Relational core (scans, filters, joins, aggs, windows, set ops)
-# =========================================================================
-
-
-@_register(
-    "pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_charge,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    "A4-A6, P-filters, S-scan",
-    "TPC-H Q1-style pricing summary: predicate pushdown + 8-agg groupBy.",
-)
-def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    qty = _dec("l_quantity")
-    price = _dec("l_extendedprice")
-    disc = _dec("l_discount", "decimal(4,2)")
-    tax = _dec("l_tax", "decimal(4,2)")
-    n = F.count(F.lit(1))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _dsum(qty).alias("sum_qty"),
-            _dsum(price).alias("sum_base_price"),
-            _dsum(price * (F.lit(1) - disc)).alias("sum_disc_price"),
-            _dsum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).alias("sum_charge"),
-            F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
-            F.round(F.sum(price).cast("double") / n, 6).alias("avg_price"),
-            F.round(F.sum(disc).cast("double") / n, 6).alias("avg_disc"),
-            n.alias("count_order"),
-        )
-    )
-
-
-@_register(
-    "top_brands_by_revenue",
-    """
-    SELECT p_brand,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue,
-           COUNT(*) AS n_items
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    GROUP BY p_brand
-    ORDER BY revenue DESC, p_brand
-    LIMIT 10
-    """,
-    "J4 (broadcast dim join), A-aggs, O4 top-k",
-    "Fact-to-dim broadcast join + top-10 brands by exact-decimal revenue.",
-)
-def q_top_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", "decimal(4,2)"))
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_brand")
-        .agg(_dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
-        .orderBy(F.desc("revenue"), "p_brand")
-        .limit(10)
-    )
-
-
-@_register(
-    "revenue_by_nation",
-    """
-    SELECT r_name, n_name,
-           COUNT(*) AS n_orders,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_revenue
-    FROM orders
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    GROUP BY r_name, n_name
-    """,
-    "J4/J5 (multi-hop dim joins)",
-    "Three-way snowflake join, dims broadcast, grouped revenue.",
-)
-def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            _dsum(_dec("o_totalprice")).alias("total_revenue"),
-        )
-    )
-
-
-@_register(
-    "customer_order_class",
-    """
-    WITH per_cust AS (
-        SELECT c_custkey,
-               MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS has_f,
-               MAX(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS has_any
-        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        GROUP BY c_custkey
-    )
-    SELECT CASE WHEN has_f = 1 THEN 1 WHEN has_any = 1 THEN 2 ELSE 0 END AS label,
-           COUNT(*) AS n_customers
-    FROM per_cust GROUP BY 1
-    """,
-    "J8 (membership classification: two lookups + CASE)",
-    "Reference evaluate.py:160-168 membership labeling re-expressed "
-    "relationally: label 1/2/0 by order-status membership.",
-)
-def q_customer_order_class(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("has_f"),
-            F.max(F.when(F.col("o_orderkey").isNotNull(), 1).otherwise(0)).alias(
-                "has_any"
-            ),
-        )
-    )
-    return (
-        per_cust.select(
-            F.when(F.col("has_f") == 1, 1)
-            .when(F.col("has_any") == 1, 2)
-            .otherwise(0)
-            .alias("label")
-        )
-        .groupBy("label")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-    )
-
-
-@_register(
-    "first_order_per_customer",
-    """
-    SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_ts_us
-    FROM (
-        SELECT o_custkey, o_orderkey, o_orderdate,
-               ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_orderdate, o_orderkey) AS rn
-        FROM orders
-    ) WHERE rn = 1
-    """,
-    "J1/O3 (per-group LIMIT 1)",
-    "Reference Read_And_Clean.py:114-124 'first triple per context' as a "
-    "row_number window; deterministic via (date, key) total order.",
-)
-def q_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    first = per_group_first(
-        orders, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")]
-    )
-    return first.select(
-        "o_custkey", "o_orderkey", F.unix_micros("o_orderdate").alias("order_ts_us")
-    )
-
-
-@_register(
-    "top3_lineitems_per_supplier",
-    """
-    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
-    FROM (
-        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
-               ROW_NUMBER() OVER (PARTITION BY l_suppkey
-                                  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
-        FROM lineitem
-    ) WHERE rn <= 3
-    """,
-    "O1/O2/O4 (top-k per group)",
-    "Per-group descending top-k (reference's sorted topic lists, "
-    "polysemous_words.py:82) over a fact table.",
-)
-def q_top3_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    top = topk_per_group(
-        li,
-        ["l_suppkey"],
-        [F.desc("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
-        3,
-    )
-    return top.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
-
-
-@_register(
-    "running_order_total",
-    """
-    SELECT o_custkey, o_orderkey,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
-    FROM orders
-    """,
-    "§2.9 window (running aggregate)",
-    "Cumulative per-customer revenue; exact decimal window sum.",
-)
-def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum(_dec("o_totalprice")).over(w).cast("double"), 2).alias(
-            "running_total"
-        ),
-    )
-
-
-@_register(
-    "customers_without_orders",
-    """
-    SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-    "J6 (set difference / anti join)",
-    "Reference evaluate.py:135 set difference as a left-anti join.",
-)
-def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
-
-
-@_register(
-    "customers_with_both_statuses",
-    """
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-    """,
-    "J7/D3 (set intersection)",
-    "Reference evaluate.py:138 set intersection (INTERSECT dedups).",
-)
-def q_customers_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    return f.intersect(o)
-
-
-@_register(
-    "distinct_user_event_pairs",
-    "SELECT DISTINCT user_id, event_type FROM events",
-    "D2 (distinct)",
-    "Set dedup over the events stream table.",
-)
-def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
-
-
-@_register(
-    "acctbal_stats_by_segment",
-    """
-    SELECT c_mktsegment,
-           COUNT(*) AS n_customers,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) + 0 AS avg_bal,
-           ROUND(STDDEV_SAMP(c_acctbal), 4) AS std_bal,
-           MIN(c_acctbal) AS min_bal,
-           MAX(c_acctbal) AS max_bal
-    FROM customer GROUP BY c_mktsegment
-    """,
-    "A7/A8 (mean ± std, extremes)",
-    "Reference supervised_classifier.py:527-537 fold statistics as "
-    "grouped aggregates.",
-)
-def q_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    n = F.count(F.lit(1))
-    return cust.groupBy("c_mktsegment").agg(
-        n.alias("n_customers"),
-        F.round(F.sum(_dec("c_acctbal")).cast("double") / n, 6).alias("avg_bal"),
-        F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
-        F.min("c_acctbal").alias("min_bal"),
-        F.max("c_acctbal").alias("max_bal"),
-    )
-
-
-@_register(
-    "region_nation_rollup",
-    """
-    SELECT r_name, n_name,
-           COUNT(*) AS n_customers,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) + 0 AS total_bal
-    FROM customer
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    GROUP BY ROLLUP (r_name, n_name)
-    """,
-    "§2.9 grouping sets / rollup",
-    "Hierarchical rollup region → nation → grand total.",
-)
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    return (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .rollup("r_name", "n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            _dsum(_dec("c_acctbal")).alias("total_bal"),
-        )
-    )
-
-
-@_register(
-    "segment_counts_pivot",
-    """
-    SELECT n_name,
-           CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS automobile,
-           CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS building,
-           CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS furniture,
-           CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS household,
-           CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS machinery
-    FROM customer JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY n_name
-    """,
-    "A9 (class-composition counts) / pivot",
-    "Pivot via conditional aggregation (portable across engines).",
-)
-def q_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-
-    def cnt(seg: str) -> F.Column:
-        return F.sum(F.when(F.col("c_mktsegment") == seg, 1).otherwise(0)).cast("long")
-
-    return (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            cnt("AUTOMOBILE").alias("automobile"),
-            cnt("BUILDING").alias("building"),
-            cnt("FURNITURE").alias("furniture"),
-            cnt("HOUSEHOLD").alias("household"),
-            cnt("MACHINERY").alias("machinery"),
-        )
-    )
-
-
-# =========================================================================
-# Evaluation operators (confusion matrix + derived metrics)
-# =========================================================================
-
-_CM_SQL_BASE = """
-        SELECT CAST(SUM(CASE WHEN gold AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-               CAST(SUM(CASE WHEN NOT gold AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-               CAST(SUM(CASE WHEN NOT gold AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-               CAST(SUM(CASE WHEN gold AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn
-        FROM (SELECT event_type = 'purchase' AS gold, value > 150 AS pred FROM events)
-"""
-
-
-@_register(
-    "confusion_matrix_events",
-    _CM_SQL_BASE,
-    "A4 (confusion-matrix counts)",
-    "Reference evaluate.py:176-215 TP/FP/TN/FN tallies as four "
-    "conditional sums in one pass (pred: value>150, gold: purchase).",
-)
-def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return confusion_matrix(
-        ev, pred=F.col("value") > 150, gold=F.col("event_type") == "purchase"
-    )
-
-
-@_register(
-    "classification_metrics_events",
-    f"""
-    SELECT tp, fp, tn, fn,
-           ROUND(CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
-           ROUND(CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
-           ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 6) AS accuracy,
-           ROUND(CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END)
-                         + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END) = 0 THEN 0.0
-                 ELSE 2 * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END)
-                         * (CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END)
-                       / ((CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END)
-                         + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END)) END, 6) AS f1
-    FROM ({_CM_SQL_BASE})
-    """,
-    "A5 (derived metrics: P/R/Acc/F1) + S13 (metrics published to a sink)",
-    "Reference EVResult (evaluate.py:21-63) as scalar expressions over "
-    "the confusion-matrix row — then PUBLISHED through the S13 metrics "
-    "sink (pipeline.publish_metrics: df.write JSON-lines, the engine's "
-    "stand-in for the reference's Neptune.ai network push) and read "
-    "back, so the oracle verifies the values as they land in the sink.",
-)
-def q_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..pipeline import publish_metrics
-
-    ev = _t(spark, sf_dir, "events")
-    cm = confusion_matrix(
-        ev, pred=F.col("value") > 150, gold=F.col("event_type") == "purchase"
-    )
-    metrics = classification_metrics(cm)
-    return publish_metrics(
-        metrics,
-        "tp long, fp long, tn long, fn long, precision double, "
-        "recall double, accuracy double, f1 double",
-    )
-
-
-# =========================================================================
-# Text analysis over documents (cleaning pipeline + stats + vocabulary)
-# =========================================================================
-
-
-@_register(
-    "clean_documents",
-    f"SELECT doc_id, {sql_clean_string('text')} AS clean_text FROM documents",
-    "T1/T2 (lower + Unicode punctuation strip)",
-    "The reference cleanString (polysemous_words.py:71-75) as one "
-    "codegen'd Column expression.",
-)
-def q_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", clean_string(F.col("text")).alias("clean_text"))
-
-
-@_register(
-    "tokenized_documents",
-    f"""
-    SELECT doc_id,
-           array_to_string({sql_tokens_pipeline('text')}, ' ') AS clean_tokens,
-           len({sql_tokens_pipeline('text')}) AS n_tokens
-    FROM documents
-    """,
-    "T3/T4/T7, P4/P5/P8 (full token pipeline)",
-    "Full 10-stage cleaning pipeline (Read_And_Clean.py:53-86); output "
-    "re-joined to a string for engine-portable comparison.",
-)
-def q_tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    # pipeline projected once (HOFs inside it block CSE)
-    wt = docs.select("doc_id", tokens_pipeline(F.col("text")).alias("toks"))
-    return wt.select(
-        "doc_id",
-        F.concat_ws(" ", F.col("toks")).alias("clean_tokens"),
-        F.size("toks").cast("long").alias("n_tokens"),
-    )
-
-
-@_register(
-    "token_stats",
-    f"""
-    SELECT doc_id,
-           len({sql_simple_tokens('text')}) AS n_words,
-           len(list_distinct({sql_simple_tokens('text')})) AS n_distinct_words,
-           ROUND(CASE WHEN len({sql_simple_tokens('text')}) = 0 THEN 0.0
-                 ELSE CAST(list_aggregate(list_transform({sql_simple_tokens('text')}, t -> length(t)), 'sum') AS DOUBLE)
-                      / len({sql_simple_tokens('text')}) END, 6) AS avg_word_len
-    FROM documents
-    """,
-    "T4/T7 + §2.11 text analysis (token counting)",
-    "Per-document token statistics, all HOF expressions.",
-)
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokenize
-
-    docs = _t(spark, sf_dir, "documents")
-    # tokens projected once — the three statistics share the array (HOFs
-    # block CSE; see operators.textstats module docstring)
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
-    return toks.select(
-        "doc_id",
-        TS.word_count_from_tokens(F.col("toks")).cast("long").alias("n_words"),
-        TS.distinct_word_count_from_tokens(F.col("toks")).cast("long").alias("n_distinct_words"),
-        F.round(TS.avg_word_length_from_tokens(F.col("toks")), 6).alias("avg_word_len"),
-    )
-
-
-@_register(
-    "doc_length_classes",
-    f"""
-    SELECT lang,
-           CASE WHEN len({sql_tokens_pipeline('text')}) < {MIN_DOC_WORDS} THEN 'short'
-                WHEN len({sql_tokens_pipeline('text')}) <= 40 THEN 'medium'
-                ELSE 'long' END AS length_class,
-           COUNT(*) AS n_docs
-    FROM documents GROUP BY 1, 2
-    """,
-    "P3 (doc-length range predicate)",
-    "Reference MIN_DOC_WORDS admission filter (webisalod_lda.py:28,32-33) "
-    "as a bucketing expression.",
-)
-def q_doc_length_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    # pipeline evaluated once per row, length reused by the when-chain
-    docs = docs.select(
-        docs["*"], F.size(tokens_pipeline(F.col("text"))).alias("__n")
-    )
-    n = F.col("__n")
-    cls = (
-        F.when(n < MIN_DOC_WORDS, "short").when(n <= 40, "medium").otherwise("long")
-    )
-    return (
-        docs.select("lang", cls.alias("length_class"))
-        .groupBy("lang", "length_class")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-
-
-@_register(
-    "vocabulary",
-    f"""
-    SELECT token,
-           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docfreq,
-           COUNT(*) AS collfreq
-    FROM (SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents)
-    GROUP BY token
-    HAVING COUNT(DISTINCT doc_id) >= 3
-    """,
-    "A1/A3 (vocabulary group-count + extremes filter)",
-    "gensim Dictionary build (webisalod_lda.py:41-48) as explode + "
-    "group-count with a minDF filter.",
-)
-def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    exploded = docs.select(
-        "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
-    )
-    return (
-        exploded.groupBy("token")
-        .agg(
-            F.countDistinct("doc_id").alias("docfreq"),
-            F.count(F.lit(1)).alias("collfreq"),
-        )
-        .filter(F.col("docfreq") >= 3)
-    )
-
-
-@_register(
-    "term_frequency",
-    f"""
-    SELECT doc_id, token, COUNT(*) AS tf
-    FROM (SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents)
-    WHERE doc_id < 50
-    GROUP BY doc_id, token
-    """,
-    "A2 (doc2bow term-frequency vectorization)",
-    "BoW counts per (doc, term) — the relational core of doc2bow "
-    "(webisalod_lda.py:50).",
-)
-def q_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return (
-        docs.select("doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-
-
-@_register(
-    "tfidf",
-    f"""
-    WITH toks AS (
-        SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents
-    ),
-    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
-    df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY token),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents)
-    SELECT tf.doc_id, tf.token,
-           ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
-    FROM tf JOIN df USING (token) CROSS JOIN n
-    WHERE tf.doc_id < 20
-    """,
-    "A10 (TF-IDF weighting, MLlib IDF formula)",
-    "TF-IDF with MLlib's smoothed idf = ln((N+1)/(df+1)), computed "
-    "relationally so the oracle can check it exactly.",
-)
-def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
-    )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar; broadcast into the expression
-    return (
-        tf.join(F.broadcast(df), "token")
-        .filter(F.col("doc_id") < 20)
-        .select(
-            "doc_id",
-            "token",
-            F.round(
-                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
-            ).alias("tfidf"),
-        )
-    )
-
-
-@_register(
-    "document_fingerprints",
-    f"SELECT doc_id, md5({sql_clean_string('text')}) AS fingerprint FROM documents",
-    "§2.11 text analysis (document fingerprinting)",
-    "Deterministic md5 fingerprint of the normalized text (exact-dedup key).",
-)
-def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TS.fingerprint(F.col("text")).alias("fingerprint"))
-
-
-@_register(
-    "dedup_stats_by_source",
-    """
-    SELECT source,
-           COUNT(*) AS n_rows,
-           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
-           COUNT(*) - CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_duplicates
-    FROM documents GROUP BY source
-    """,
-    "D1 (exact dedup accounting)",
-    "Reference list(set(corpus)) dedup (supervised_classifier.py:174-175) "
-    "as fingerprint-based group accounting.",
-)
-def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return dedup_stats(docs, "text", ["source"])
-
-
-@_register(
-    "text_quality",
-    f"""
-    SELECT doc_id,
-           n_chars,
-           len({sql_simple_tokens('text')}) AS n_words,
-           ROUND(CASE WHEN length(text) = 0 THEN 0.0
-                 ELSE CAST(length(text) - length(regexp_replace(text, '[\\p{{P}}\\p{{S}}]', '', 'g')) AS DOUBLE)
-                      / length(text) END, 6) AS punct_ratio,
-           ROUND(CASE WHEN len({sql_simple_tokens('text')}) = 0 THEN 0.0
-                 ELSE CAST(len(list_filter({sql_simple_tokens('text')}, t -> t IN {sql_stopword_list(STOPWORDS)})) AS DOUBLE)
-                      / len({sql_simple_tokens('text')}) END, 6) AS stopword_ratio
-    FROM documents
-    """,
-    "§2.11 text analysis (quality scoring)",
-    "Length / punctuation / stopword-ratio quality signals, all "
-    "codegen'd expressions.",
-)
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokenize
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "n_chars", "text", tokenize(F.col("text")).alias("toks")
-    )
-    return toks.select(
-        "doc_id",
-        "n_chars",
-        TS.word_count_from_tokens(F.col("toks")).cast("long").alias("n_words"),
-        F.round(TS.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        F.round(TS.stopword_ratio_from_tokens(F.col("toks")), 6).alias("stopword_ratio"),
-    )
-
-
-@_register(
-    "gopher_admission",
-    f"""
-    WITH d AS (
-        SELECT doc_id, source, {sql_simple_tokens('text')} AS toks, text
-        FROM documents
-    ),
-    r AS (
-        SELECT source,
-            len(toks) BETWEEN 30 AND 100000 AS ok_words,
-            CASE WHEN len(toks) = 0 THEN 0.0
-                 ELSE CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks)
-            END BETWEEN 3 AND 10 AS ok_meanlen,
-            len(list_filter(toks, x -> x IN {{sw}})) >= 2 AS ok_stopwords,
-            CASE WHEN length(text) = 0 THEN 0.0
-                 ELSE CAST(length(text) - length(regexp_replace(text, '[\\p{{P}}\\p{{S}}]', '', 'g')) AS DOUBLE) / length(text)
-            END <= 0.1 AS ok_punct,
-            CASE WHEN len(toks) = 0 THEN 0.0
-                 ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE) / len(toks)
-            END >= 0.8 AS ok_alpha,
-            CASE WHEN len(toks) = 0 THEN 0.0
-                 ELSE CAST(list_max(list_transform(list_distinct(toks), u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE) / len(toks)
-            END <= 0.1 AS ok_repetition
-        FROM d
-    )
-    SELECT source,
-           COUNT(*) AS n_docs,
-           CAST(SUM(CAST(ok_words AND ok_meanlen AND ok_stopwords
-                         AND ok_punct AND ok_alpha AND ok_repetition AS INT)) AS BIGINT) AS n_admitted,
-           ROUND(CAST(SUM(CAST(ok_words AND ok_meanlen AND ok_stopwords
-                         AND ok_punct AND ok_alpha AND ok_repetition AS INT)) AS DOUBLE) / COUNT(*), 6) AS admission_rate,
-           CAST(SUM(CAST(NOT ok_words AS INT)) AS BIGINT) AS n_fail_words,
-           CAST(SUM(CAST(NOT ok_meanlen AS INT)) AS BIGINT) AS n_fail_meanlen,
-           CAST(SUM(CAST(NOT ok_stopwords AS INT)) AS BIGINT) AS n_fail_stopwords,
-           CAST(SUM(CAST(NOT ok_punct AS INT)) AS BIGINT) AS n_fail_punct,
-           CAST(SUM(CAST(NOT ok_alpha AS INT)) AS BIGINT) AS n_fail_alpha,
-           CAST(SUM(CAST(NOT ok_repetition AS INT)) AS BIGINT) AS n_fail_repetition
-    FROM r GROUP BY source
-    """.replace("{sw}", sql_stopword_list(STOPWORDS)),
-    "§2.11 text analysis (composite Gopher/C4 admission filter)",
-    "The standard pre-training admission battery (Gopher, Rae et al. "
-    "2021 Table A1; C4, Raffel et al. 2020) as ONE map-only pass: "
-    "word-count bounds, mean-word-length window [3,10], minimum "
-    "stop-word evidence, symbol/punctuation ratio cap, alphabetic-word "
-    "fraction floor, and a top-token repetition cap — per-source "
-    "admitted counts, admission rate, and per-rule failure tallies "
-    "(the triage report a curation run starts from). Bounds are the "
-    "published rules scaled to this corpus's short synthetic docs "
-    "(30-word floor vs Gopher's 50; 0.1 top-token cap). Every signal "
-    "is a codegen'd HOF over the token array — the repetition scan is "
-    "O(distinct × words) per doc, bounded by document length, so the "
-    "whole filter is scan-throughput-bound at 100 TB and the only "
-    "shuffle is the tiny per-source rollup. Oracle recomputes every "
-    "rule in DuckDB list kernels; integer-ratio doubles divide "
-    "identically on both engines.",
-)
-def q_gopher_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokenize
-
-    docs = _t(spark, sf_dir, "documents")
-    # materialize the token array ONCE in its own projection: the six
-    # rule expressions all consume it, and higher-order functions block
-    # common-subexpression elimination — inlining tokenize() per rule
-    # re-ran the cleaning regex + split 6× per row (measured ~3× the
-    # whole-query cost at sf0.1)
-    with_toks = docs.select("source", "text", tokenize(F.col("text")).alias("toks"))
-    toks = F.col("toks")
-    n = F.size(toks)
-    mean_len = F.when(n == 0, F.lit(0.0)).otherwise(
-        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n
-    )
-    sw_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(
-        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double") / n
-    )
-    # top-token count via sorted-run scan: O(n log n) per doc instead of
-    # the O(distinct × n) nested filter (same value — the mode count is
-    # algorithm-independent, so the oracle's list-kernel version agrees)
-    run_scan = F.aggregate(
-        F.array_sort(toks),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda a, x: F.struct(
-            x.alias("prev"),
-            F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                a.best, F.when(x == a.prev, a.run + 1).otherwise(F.lit(1))
-            ).alias("best"),
-        ),
-        lambda a: a.best,
-    )
-    top_frac = F.when(n == 0, F.lit(0.0)).otherwise(run_scan.cast("double") / n)
-    flags = with_toks.select(
-        "source",
-        n.between(30, 100000).alias("ok_words"),
-        mean_len.between(3, 10).alias("ok_meanlen"),
-        (sw_hits >= 2).alias("ok_stopwords"),
-        (TS.punct_ratio(F.col("text")) <= 0.1).alias("ok_punct"),
-        (alpha_frac >= 0.8).alias("ok_alpha"),
-        (top_frac <= 0.1).alias("ok_repetition"),
-    )
-    admitted = (
-        F.col("ok_words") & F.col("ok_meanlen") & F.col("ok_stopwords")
-        & F.col("ok_punct") & F.col("ok_alpha") & F.col("ok_repetition")
-    )
-    return flags.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(admitted.cast("int")).cast("long").alias("n_admitted"),
-        F.round(
-            F.sum(admitted.cast("int")).cast("double") / F.count(F.lit(1)), 6
-        ).alias("admission_rate"),
-        F.sum((~F.col("ok_words")).cast("int")).cast("long").alias("n_fail_words"),
-        F.sum((~F.col("ok_meanlen")).cast("int")).cast("long").alias("n_fail_meanlen"),
-        F.sum((~F.col("ok_stopwords")).cast("int")).cast("long").alias("n_fail_stopwords"),
-        F.sum((~F.col("ok_punct")).cast("int")).cast("long").alias("n_fail_punct"),
-        F.sum((~F.col("ok_alpha")).cast("int")).cast("long").alias("n_fail_alpha"),
-        F.sum((~F.col("ok_repetition")).cast("int")).cast("long").alias("n_fail_repetition"),
-    )
-
-
-def _sql_lang_hits(code: str) -> str:
-    words = ", ".join(f"'{w}'" for w in TS.LANG_MARKERS[code])
-    return (
-        f"len(list_filter({sql_simple_tokens('text')}, t -> t IN ({words})))"
-    )
-
-
-def _sql_langid() -> str:
-    codes = sorted(TS.LANG_MARKERS)
-    clauses = []
-    for i, c in enumerate(codes):
-        conds = [f"{_sql_lang_hits(c)} > 0"]
-        for other in codes[i + 1 :]:
-            conds.append(f"{_sql_lang_hits(c)} >= {_sql_lang_hits(other)}")
-        for other in codes[:i]:
-            conds.append(f"{_sql_lang_hits(c)} > {_sql_lang_hits(other)}")
-        clauses.append(f"WHEN {' AND '.join(conds)} THEN '{c}'")
-    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
-
-
-@_register(
-    "language_id",
-    f"""
-    SELECT lang, {_sql_langid()} AS predicted_lang, COUNT(*) AS n_docs
-    FROM documents GROUP BY 1, 2
-    """,
-    "§2.11 text analysis (language ID heuristic)",
-    "Marker-word language ID vs the labeled lang column (confusion table).",
-)
-def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokenize
-
-    docs = _t(spark, sf_dir, "documents")
-    # single tokenize projection: the 4 per-language marker scores share
-    # the array (2.4x at sf0.1 vs re-tokenizing per language)
-    toks = docs.select("lang", tokenize(F.col("text")).alias("toks"))
-    return (
-        toks.select(
-            "lang", TS.langid_from_tokens(F.col("toks")).alias("predicted_lang")
-        )
-        .groupBy("lang", "predicted_lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-
-
-# =========================================================================
-# Fuzzy matching / near-dup (Jaro-Winkler, n-gram Jaccard)
-# =========================================================================
-
-
-@_register(
-    "jaro_winkler_pairs",
-    """
-    SELECT a.n_name AS name_a, b.n_name AS name_b,
-           ROUND(jaro_winkler_similarity(a.n_name, b.n_name), 4) AS jw_sim
-    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
-    WHERE jaro_winkler_similarity(a.n_name, b.n_name) >= 0.5
-    """,
-    "T9 (Jaro-Winkler fuzzy match)",
-    "Reference evaluate.py:100-106 JW name matching; engine side is an "
-    "Arrow-vectorized pandas_udf.",
-)
-def q_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = _t(spark, sf_dir, "nation")
-    a = nation.select(
-        F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("name_a")
-    )
-    b = nation.select(
-        F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("name_b")
-    )
-    pairs = a.join(b, F.col("key_a") < F.col("key_b"))
-    sim = jaro_winkler(F.col("name_a"), F.col("name_b"))
-    return (
-        pairs.withColumn("jw_sim_raw", sim)
-        .filter(F.col("jw_sim_raw") >= 0.5)
-        .select("name_a", "name_b", F.round("jw_sim_raw", 4).alias("jw_sim"))
-    )
-
-
-@_register(
-    "ngram_jaccard_pairs",
-    """
-    WITH grams AS (
-        SELECT n_nationkey AS key, n_name AS name,
-               list_distinct(list_transform(range(1, length(n_name) - 1),
-                                            i -> substring(n_name, i, 3))) AS g
-        FROM nation
-    )
-    SELECT a.name AS name_a, b.name AS name_b,
-           ROUND(CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)
-                 / (len(a.g) + len(b.g) - len(list_filter(a.g, x -> list_contains(b.g, x)))), 6) AS jaccard
-    FROM grams a JOIN grams b ON a.key < b.key
-    WHERE len(list_filter(a.g, x -> list_contains(b.g, x))) > 0
-    """,
-    "§2.11 dedup (n-gram Jaccard near-dup)",
-    "Character-trigram Jaccard similarity between names — the scoring "
-    "kernel of shingle-based near-dup.",
-)
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = _t(spark, sf_dir, "nation")
-    grams = nation.select(
-        F.col("n_nationkey").alias("key"),
-        F.col("n_name").alias("name"),
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, length(n_name) - 2), i -> substring(n_name, i, 3))"
-            )
-        ).alias("g"),
-    )
-    a = grams.select(
-        F.col("key").alias("key_a"), F.col("name").alias("name_a"), F.col("g").alias("ga")
-    )
-    b = grams.select(
-        F.col("key").alias("key_b"), F.col("name").alias("name_b"), F.col("g").alias("gb")
-    )
-    pairs = a.join(b, F.col("key_a") < F.col("key_b"))
-    inter = F.size(F.array_intersect("ga", "gb"))
-    union = F.size("ga") + F.size("gb") - inter
-    return (
-        pairs.withColumn("inter", inter)
-        .filter(F.col("inter") > 0)
-        .select(
-            "name_a",
-            "name_b",
-            F.round(F.col("inter").cast("double") / union, 6).alias("jaccard"),
-        )
-    )
-
-
-# =========================================================================
-# Embeddings: similarity search, vector stats, polysemy rule shape
-# =========================================================================
-
-
-@_register(
-    "knn_bruteforce_cosine",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
-    pairs AS (
-        SELECT probe_id, e.vec_id AS neighbor_id,
-               list_dot_product(pv, e.v)
-                 / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
-        FROM probes CROSS JOIN e
-        WHERE e.vec_id != probe_id
-    )
-    SELECT probe_id, neighbor_id, ROUND(sim, 6) AS cosine_sim
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
-          FROM pairs)
-    WHERE rn <= 5
-    """,
-    "§2.11 similarity search (brute-force cosine top-k), M14 shape",
-    "Exact kNN: probe broadcast × corpus scan, cosine via zip_with/"
-    "aggregate HOFs (no UDF), window top-k.",
-)
-def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 5)
-    return knn_bruteforce(emb, probes, k=5)
-
-
-@_register(
-    "embedding_norm_stats",
-    """
-    SELECT label,
-           COUNT(*) AS n_vectors,
-           ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
-    FROM embeddings GROUP BY label
-    """,
-    "§2.11 multimodal columns (vector stats)",
-    "Per-label embedding L2-norm statistics, float64 sequential fold.",
-)
-def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.similarity import dot
-
-    emb = _t(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    return (
-        emb.select("label", F.sqrt(dot(v, v)).alias("norm"))
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("norm"), 6).alias("avg_norm"),
-        )
-    )
-
-
-@_register(
-    "polysemy_rule_vectors",
-    """
-    SELECT label,
-           COUNT(*) AS n_vectors,
-           CAST(SUM(CASE WHEN len(list_filter(embedding, p -> p >= 0.0575)) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_polysemous,
-           ROUND(CAST(SUM(len(list_filter(embedding, p -> p >= 0.0575))) AS DOUBLE) / COUNT(*), 6) AS avg_above
-    FROM embeddings GROUP BY label
-    """,
-    "M4/P10 (threshold rule over a probability/score vector)",
-    "The polysemy decision rule (polysemous_words.py:84: #entries ≥ "
-    "0.0575 > 2) applied to the embedding vectors — same expression "
-    "shape the LDA path uses on topicDistribution.",
-)
-def q_polysemy_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    n_above = F.size(F.filter(F.col("embedding"), lambda p: p >= F.lit(0.0575)))
-    return (
-        emb.select("label", n_above.alias("n_above"))
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.sum(F.when(F.col("n_above") > 2, 1).otherwise(0))
-            .cast("long")
-            .alias("n_polysemous"),
-            F.round(F.sum("n_above").cast("double") / F.count(F.lit(1)), 6).alias(
-                "avg_above"
-            ),
-        )
-    )
-
-
-# =========================================================================
-# Events: time windows, sessionization, JSON, streaming
-# =========================================================================
-
-
-@_register(
-    "events_hourly",
-    """
-    SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us,
-           event_type,
-           COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-    "§2.9/§2.11 (event-time tumbling window, batch)",
-    "Hourly per-type event rollup; epoch-micros keys for oracle parity.",
-)
-def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_start_us"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            _dsum(_dec("value")).alias("sum_value"),
-        )
-    )
-
-
-@_register(
-    "events_linear_interpolation",
-    """
-    WITH hourly AS (
-        SELECT date_trunc('hour', ts) AS h, event_type,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                   / COUNT(*) AS v
-        FROM events GROUP BY 1, 2
-    ),
-    b AS (
-        SELECT date_trunc('hour', MIN(ts)) AS lo,
-               date_trunc('hour', MAX(ts)) AS hi
-        FROM events
-    ),
-    hours AS (
-        SELECT t.h FROM b,
-               UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(h)
-    ),
-    types AS (SELECT DISTINCT event_type FROM events),
-    spine AS (SELECT h, event_type FROM hours CROSS JOIN types),
-    j AS (
-        SELECT epoch_us(spine.h) AS hu, spine.event_type, v
-        FROM spine LEFT JOIN hourly
-          ON spine.h = hourly.h AND spine.event_type = hourly.event_type
-    ),
-    carried AS (
-        SELECT hu, event_type, v,
-               last_value(v IGNORE NULLS) OVER wp AS pv,
-               last_value(CASE WHEN v IS NOT NULL THEN hu END IGNORE NULLS)
-                   OVER wp AS ph,
-               last_value(v IGNORE NULLS) OVER wn AS nv,
-               last_value(CASE WHEN v IS NOT NULL THEN hu END IGNORE NULLS)
-                   OVER wn AS nh
-        FROM j
-        WINDOW wp AS (PARTITION BY event_type ORDER BY hu
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-               wn AS (PARTITION BY event_type ORDER BY hu DESC
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    )
-    SELECT hu AS hour_start_us, event_type,
-           -- explicit half-up quantization: both engines share the
-           -- bit-identical double, but ROUND() ties diverge (Spark
-           -- half-up vs DuckDB half-even); floor(x*1e4 + 0.5) is
-           -- mode-free
-           FLOOR((CASE WHEN v IS NOT NULL THEN v
-                       WHEN pv IS NULL THEN nv
-                       WHEN nv IS NULL THEN pv
-                       ELSE pv + (nv - pv)
-                            * (CAST(hu - ph AS DOUBLE) / (nh - ph))
-                  END) * 10000 + 0.5) / 10000 AS value_interp,
-           v IS NULL AS is_interpolated
-    FROM carried
-    """,
-    "§2.11 time series (linear-interpolation gap filling)",
-    "The continuous complement of events_hourly_gapfill's zero-fill: "
-    "silent hours on each event type's hourly mean-value series are "
-    "filled by LINEAR interpolation between the nearest observed "
-    "neighbors (leading/trailing gaps take the nearest edge value). "
-    "Same two-direction carry-forward machinery as the nearest as-of "
-    "join — one exchange on the series key feeding an ascending and a "
-    "descending window sort, then a row-local lerp; the spine stays "
-    "O(hours x types) off a 1-row bounds aggregate. Hourly means are "
-    "exact-decimal-sum / count (one IEEE division), so the oracle's "
-    "identical two-window program hashes bit-for-bit, interpolated "
-    "values included.",
-)
-def q_events_linear_interpolation(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("h"), "event_type"
-    ).agg(
-        (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias("v")
-    )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    hours = bounds.select(
-        F.explode(
-            F.sequence("lo", "hi", F.expr("interval 1 hour"))
-        ).alias("h")
-    )
-    types = ev.select("event_type").distinct()
-    spine = hours.crossJoin(F.broadcast(types))
-    j = spine.join(hourly, ["h", "event_type"], "left").select(
-        F.unix_micros("h").alias("hu"), "event_type", "v"
-    )
-    frame = (Window.unboundedPreceding, Window.currentRow)
-    wp = (
-        Window.partitionBy("event_type").orderBy("hu").rowsBetween(*frame)
-    )
-    wn = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("hu").desc())
-        .rowsBetween(*frame)
-    )
-    obs_h = F.when(F.col("v").isNotNull(), F.col("hu"))
-    carried = j.select(
-        "hu",
-        "event_type",
-        "v",
-        F.last("v", ignorenulls=True).over(wp).alias("pv"),
-        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
-        F.last("v", ignorenulls=True).over(wn).alias("nv"),
-        F.last(obs_h, ignorenulls=True).over(wn).alias("nh"),
-    )
-    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
-        (F.col("hu") - F.col("ph")).cast("double")
-        / (F.col("nh") - F.col("ph"))
-    )
-    filled = (
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .when(F.col("pv").isNull(), F.col("nv"))
-        .when(F.col("nv").isNull(), F.col("pv"))
-        .otherwise(lerp)
-    )
-    # explicit half-up quantization — ROUND() ties diverge between
-    # engines (Spark half-up, DuckDB half-even) on the shared double
-    return carried.select(
-        F.col("hu").alias("hour_start_us"),
-        "event_type",
-        (F.floor(filled * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias(
-            "value_interp"
-        ),
-        F.col("v").isNull().alias("is_interpolated"),
-    )
-
-
-@_register(
-    "events_sessionization",
-    """
-    SELECT user_id,
-           COUNT(*) AS n_events,
-           CAST(1 + SUM(CASE WHEN prev_us IS NOT NULL AND epoch_us(ts) - prev_us > 1800000000
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
-    FROM (SELECT user_id, ts,
-                 LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-          FROM events)
-    GROUP BY user_id
-    """,
-    "§2.11 sessionization (lag + gap threshold)",
-    "Session counting with a 30-minute inactivity gap — the batch twin "
-    "of session_window.",
-)
-def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = ev.select(
-        "user_id",
-        (
-            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1_800_000_000
-        ).alias("new_session"),
-    )
-    return gaps.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (1 + F.sum(F.when(F.col("new_session"), 1).otherwise(0))).cast("long").alias(
-            "n_sessions"
-        ),
-    )
-
-
-@_register(
-    "events_hourly_gapfill",
-    """
-    WITH hourly AS (
-        SELECT date_trunc('hour', ts) AS h, event_type,
-               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv
-        FROM events GROUP BY 1, 2
-    ),
-    b AS (
-        SELECT date_trunc('hour', MIN(ts)) AS lo,
-               date_trunc('hour', MAX(ts)) AS hi
-        FROM events
-    ),
-    hours AS (
-        SELECT t.h FROM b, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(h)
-    ),
-    types AS (SELECT DISTINCT event_type FROM events),
-    spine AS (SELECT h, event_type FROM hours CROSS JOIN types)
-    SELECT epoch_us(h) AS hour_start_us, event_type,
-           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
-           ROUND(CAST(COALESCE(sv, CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 2)
-               AS sum_value
-    FROM spine LEFT JOIN hourly USING (h, event_type)
-    """,
-    "§2.11 time series (calendar-spine gap filling)",
-    "Dense hourly series per event type: a calendar spine generated "
-    "from the observed [min, max] hour via sequence()/generate_series "
-    "× the distinct type set, left-joined onto the hourly aggregate so "
-    "silent hours surface as explicit zero rows — the resample/gap-fill "
-    "primitive every downstream window or trend model needs (a missing "
-    "row and a zero row are different answers). The spine is "
-    "O(hours × types) — generated from a 1-row bounds aggregate, never "
-    "collected to the driver — and the heavy side is the same hourly "
-    "aggregate as events_hourly; at 100 TB the spine stays tiny and "
-    "broadcastable while the fact aggregation shuffles (hour, type) "
-    "partials.",
-)
-def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("h"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(_dec("value")).alias("sv"),
-    )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    hours = bounds.select(
-        F.explode(
-            F.sequence("lo", "hi", F.expr("interval 1 hour"))
-        ).alias("h")
-    )
-    types = ev.select("event_type").distinct()
-    spine = hours.crossJoin(F.broadcast(types))
-    return spine.join(hourly, ["h", "event_type"], "left").select(
-        F.unix_micros("h").alias("hour_start_us"),
-        "event_type",
-        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
-        F.round(
-            F.coalesce("sv", F.lit(0).cast("decimal(18,2)")).cast("double"),
-            2,
-        ).alias("sum_value"),
-    )
-
-
-@_register(
-    "measure_correlation",
-    """
-    WITH base AS (
-        SELECT l_returnflag,
-               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x,
-               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
-        FROM lineitem
-    ),
-    agg AS (
-        SELECT l_returnflag, COUNT(*) AS n,
-               SUM(x) AS sx, SUM(y) AS sy,
-               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
-        FROM base GROUP BY l_returnflag
-    )
-    SELECT l_returnflag, n,
-           ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
-                 / SQRT(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
-                        * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
-                 6) + 0 AS corr_qty_price
-    FROM agg
-    """,
-    "§2.11 statistics (exact Pearson correlation, decimal partials)",
-    "Per-group Pearson correlation of quantity vs extended price with "
-    "the user_value_trend determinism discipline: both measures scaled "
-    "to exact integer centi-units, the five sufficient statistics "
-    "summed EXACTLY (Spark DECIMAL(38,0) / DuckDB HUGEINT — "
-    "order-independent under any partitioning), and the correlation "
-    "evaluated in an identical double expression on both engines "
-    "(numerator cast once, each variance term cast once, multiplied as "
-    "doubles THEN square-rooted — same op order, same bits). The "
-    "trailing + 0 normalizes a rounded -0.0. One shuffle (the "
-    "group-by); float native corr()/covar partials would be "
-    "partition-order dependent — this is the exact replacement.",
-)
-def q_measure_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    x = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast(
-        "decimal(18,0)"
-    )
-    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
-        "decimal(18,0)"
-    )
-    agg = (
-        li.select("l_returnflag", x.alias("x"), y.alias("y"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        )
-    )
-    nn = F.col("n").cast("decimal(38,0)")
-    num = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    dx = (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    dy = (nn * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    return agg.select(
-        "l_returnflag",
-        "n",
-        (F.round(num / F.sqrt(dx * dy), 6) + F.lit(0.0)).alias(
-            "corr_qty_price"
-        ),
-    )
-
-
-@_register(
-    "session_paths",
-    """
-    WITH seq AS (
-        SELECT user_id, ts, event_id, event_type,
-               CASE WHEN LAG(epoch_us(ts)) OVER w IS NOT NULL
-                         AND epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
-                    THEN 1 ELSE 0 END AS new_s
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sess AS (
-        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS sid
-        FROM seq
-    ),
-    paths AS (
-        SELECT user_id, sid,
-               array_to_string(
-                   (list(event_type ORDER BY ts, event_id))[1:5], '>')
-                   AS path
-        FROM sess GROUP BY user_id, sid
-    )
-    SELECT path, COUNT(*) AS n_sessions
-    FROM paths GROUP BY path
-    ORDER BY n_sessions DESC, path
-    LIMIT 20
-    """,
-    "§2.11 event analytics (session path mining)",
-    "Top-20 session journeys: each 30-min-gap session's ordered "
-    "event-type sequence (first 5 steps), counted across the corpus — "
-    "the path-mining view that complements the funnel (which fixes the "
-    "sequence) and attribution (which keeps only the first touch). "
-    "Determinism: the step order is the unique (ts, event_id) key, "
-    "assembled via array_sort over collected structs (collect_list is "
-    "partition-order nondeterministic; the sort makes it exact — the "
-    "lexicon-regroup pattern). Plan shape: the session machinery rides "
-    "the one user-keyed exchange, per-path counting is a small "
-    "second shuffle, top-20 via ORDER+LIMIT plans as TakeOrdered — "
-    "no global sort materialization at any scale.",
-)
-def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = 1_800_000_000
-    prev_us = F.lag(F.unix_micros("ts")).over(w)
-    new_s = F.when(
-        prev_us.isNotNull() & (F.unix_micros("ts") - prev_us > gap_us), 1
-    ).otherwise(0)
-    sess = ev.withColumn(
-        "sid", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    path = F.concat_ws(
-        ">",
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("ts", "event_id", "event_type"))
-                ),
-                lambda s: s["event_type"],
-            ),
-            1,
-            5,
-        ),
-    )
-    paths = sess.groupBy("user_id", "sid").agg(path.alias("path"))
-    return (
-        paths.groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n_sessions"))
-        .orderBy(F.desc("n_sessions"), "path")
-        .limit(20)
-    )
-
-
-@_register(
-    "events_json_extract",
-    """
-    SELECT event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_k
-    FROM events GROUP BY event_type
-    """,
-    "§2.11 JSON functions over the props column",
-    "get_json_object extraction + integer aggregation.",
-)
-def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return (
-        ev.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("k").alias("sum_k"),
-            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
-        )
-    )
-
-
-@_register(
-    "event_type_share",
-    """
-    SELECT event_type,
-           COUNT(*) AS n_events,
-           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
-    FROM events GROUP BY event_type
-    """,
-    "§2.9 window-over-aggregate",
-    "Per-type share of total events. The oracle spells it as a window "
-    "over an aggregate; the Spark plan computes the global total as a "
-    "1-row aggregate broadcast-crossed back instead of an empty-"
-    "partition window — same result, no single-partition WindowExec "
-    "(and no `No Partition Defined` warning noise in bench logs).",
-)
-def q_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    total = F.broadcast(agg.agg(F.sum("n_events").alias("__total")))
-    return agg.crossJoin(total).select(
-        "event_type",
-        "n_events",
-        F.round(
-            F.col("n_events").cast("double") / F.col("__total"), 6
-        ).alias("share"),
-    )
-
-
-@_register(
-    "top_users_by_value",
-    """
-    SELECT user_id,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
-           COUNT(*) AS n_events
-    FROM events GROUP BY user_id
-    ORDER BY total_value DESC, user_id
-    LIMIT 10
-    """,
-    "O4 (global top-k after aggregation)",
-    "Top-10 users by exact-decimal total event value.",
-)
-def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id")
-        .agg(
-            _dsum(_dec("value")).alias("total_value"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .orderBy(F.desc("total_value"), "user_id")
-        .limit(10)
-    )
-
-
-# =========================================================================
-# Rows-only checks (ML / LSH / streaming — not SQL-expressible)
-# =========================================================================
-
-
-@_register(
-    "flagship_polysemy",
-    None,
-    "M1/M3/M4/A1/A2 end-to-end",
-    "documents → clean → CountVectorizer → LDA(k=10) → polysemy rule → "
-    "per-lang report (rows-only: LDA is seed/implementation-sensitive; "
-    "harness-enforced ok_* invariants: polysemous ⊆ group counts, mean "
-    "topic count within [0, k]).",
-)
-def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .flagship import flagship_polysemy
-
-    return flagship_polysemy(spark, sf_dir)
-
-
-def _sql_minhash_pairs(n_sig: int = 8, n_bands: int = 4,
-                       threshold: float = 0.5, id_bound: int = 200) -> str:
-    """DuckDB twin of operators.dedup.minhash_banded_pairs: identical
-    md5-permutation signatures, band hashes, bucket join, and exact
-    Jaccard verification."""
-    rows = n_sig // n_bands
-    sig_cols = ", ".join(
-        f"list_min(list_transform(ts, t -> md5(t || '#{s}'))) AS s{s}"
-        for s in range(1, n_sig + 1)
-    )
-    band_selects = "\n        UNION ALL ".join(
-        f"SELECT id, {b} AS band, "
-        f"md5({' || '.join(f's{b * rows + r}' for r in range(1, rows + 1))}) AS bh "
-        "FROM sigs"
-        for b in range(n_bands)
-    )
-    return f"""
-    WITH ts AS (
-        SELECT doc_id AS id, list_distinct({sql_tokens_pipeline('text')}) AS ts
-        FROM documents WHERE doc_id < {id_bound}
-    ),
-    ne AS (SELECT * FROM ts WHERE len(ts) > 0),
-    sigs AS (SELECT id, {sig_cols} FROM (SELECT id, ts FROM ne)),
-    bands AS (
-        {band_selects}
-    ),
-    cand AS (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
-    ),
-    scored AS (
-        SELECT id_a, id_b,
-               ROUND(1.0 - len(list_intersect(x.ts, y.ts))::DOUBLE
-                     / (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))),
-                     6) AS jaccard_dist
-        FROM cand
-        JOIN ne x ON cand.id_a = x.id
-        JOIN ne y ON cand.id_b = y.id
-    )
-    SELECT id_a, id_b, jaccard_dist FROM scored
-    WHERE jaccard_dist <= {threshold}
-    """
-
-
-@_register(
-    "minhash_neardup_pairs",
-    _sql_minhash_pairs(),
-    "§2.11 dedup (MinHash LSH banding, deterministic), M14 shape",
-    "Deterministic MinHash LSH near-dup pairs: md5-permutation "
-    "signatures → band-hash bucket join → EXACT Jaccard verification of "
-    "every candidate (jaccard_dist ≤ 0.5) — shingle→minhash→band→"
-    "bucket-join with an engine-portable hash family, so the DuckDB "
-    "oracle replays every step (the MLlib MinHashLSH variant remains as "
-    "operators.dedup.minhash_lsh_pairs).",
-)
-def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import minhash_banded_pairs
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    toks = docs.select(
-        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
-    )
-    return minhash_banded_pairs(toks, threshold=0.5)
-
-
-def _sql_simhash60() -> str:
-    """DuckDB twin of the portable 60-bit SimHash: md5-derived per-token
-    hash, per-bit-plane majority vote, bit fold."""
-    hs = (
-        f"list_transform({sql_tokens_pipeline('text')}, "
-        "t -> ('0x' || substring(md5(t), 1, 15))::BIGINT)"
-    )
-    bits = " + ".join(
-        f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {i}) & 1) = 1)) "
-        f"> len(hs) THEN (1::BIGINT << {i}) ELSE 0 END)"
-        for i in range(60)
-    )
-    return f"""
-    SELECT doc_id, ({bits}) AS simhash
-    FROM (SELECT doc_id, {hs} AS hs FROM documents)
-    """
-
-
-@_register(
-    "simhash_documents",
-    _sql_simhash60(),
-    "§2.11 dedup (SimHash, engine-portable)",
-    "60-bit SimHash per document via bitwise-majority HOF expression "
-    "over an md5-derived portable token hash — DuckDB replays the "
-    "identical hash/vote/fold, so the fingerprints are oracle-exact "
-    "(the xxhash64 64-bit variant remains the default of "
-    "operators.dedup.add_simhash for pure-Spark pipelines).",
-)
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import portable_hash60
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens_pipeline(F.col("text")).alias("tokens"))
-    return add_simhash(
-        toks, "tokens", hash_fn=portable_hash60, n_bits=60
-    ).select("doc_id", "simhash")
-
-
-@_register(
-    "streaming_events_hourly",
-    """
-    SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us,
-           event_type,
-           COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-    "§2.9 Structured Streaming (watermark + tumbling window)",
-    "The events_hourly aggregation executed as a REAL streaming query "
-    "(memory sink, processAllAvailable). Oracle-exact: epoch-aligned "
-    "1-hour tumbling windows are date_trunc('hour') buckets, so the "
-    "batch SQL replays the drained stream result bit-for-bit (decimal "
-    "sum, 2-decimal round on both engines).",
-)
-def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return streaming_hourly_event_stats(spark, sf_dir)
-
-
-@_register(
-    "nquads_provenance",
-    None,  # replaced below by _nquads_oracle_sql() — needs the sample
-    "S1, J1-J3, P1/P2 (N-Quads scan + two-hop provenance traversal)",
-    "Parses an inline WebIsALOD-shaped N-Quads sample and runs the "
-    "two-hop wasDerivedFrom/value traversal (Read_And_Clean.py:114-146). "
-    "The DuckDB oracle parses the SAME raw lines with the same regex "
-    "grammar and replicates per-graph-first + both hops relationally.",
-)
-def q_nquads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.nquads import parse_nquads_lines, provenance_sentences
-
-    raw = spark.createDataFrame(
-        [(line,) for line in _NQUADS_SAMPLE_LINES], ["value"]
-    )
-    quads = parse_nquads_lines(raw)
-    return provenance_sentences(quads, _NQUADS_PREFIX)
-
-
-_NQUADS_PREFIX = "http://example.org/concept/"
-
-
-def _nquads_sample_lines() -> list[str]:
-    lines = []
-    for i in range(20):
-        g = f"http://example.org/prov/{i}"
-        concept = f"{_NQUADS_PREFIX}thing_{i % 5}_"
-        lines.append(
-            f"<{concept}> <http://example.org/skos#broader> "
-            f"<{_NQUADS_PREFIX}parent_> <{g}> ."
-        )
-        lines.append(
-            f"<{g}> <http://www.w3.org/ns/prov#wasDerivedFrom> "
-            f"<http://example.org/deriv/{i}> ."
-        )
-        lines.append(
-            f'<http://example.org/deriv/{i}> <http://www.w3.org/ns/prov#value> '
-            f'"a thing {i % 5} is an example sentence number {i}." .'
-        )
-    return lines
-
-
-_NQUADS_SAMPLE_LINES = _nquads_sample_lines()
-
-
-def _nquads_oracle_sql() -> str:
-    """DuckDB twin of q_nquads: same raw lines (VALUES), same N-Quads
-    regex grammar (sources.nquads._NQ_RE), same traversal:
-    per-graph first triple (J1) → prefix predicate + URI→name strip
-    (P1/P2) → wasDerivedFrom hop (J2) → prov:value hop (J3)."""
-    values = ",\n        ".join(
-        "('" + line.replace("'", "''") + "')" for line in _NQUADS_SAMPLE_LINES
-    )
-    pat = (
-        r'^\s*<([^>]*)>\s+<([^>]*)>\s+'
-        r'(<[^>]*>|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@\S+)?)\s*'
-        r'(?:<([^>]*)>\s*)?\.\s*$'
-    )
-    p = len(_NQUADS_PREFIX)
-    return f"""
-    WITH lines(value) AS (VALUES
-        {values}
-    ),
-    parsed AS (
-        SELECT regexp_extract(value, '{pat}', 1) AS subject,
-               regexp_extract(value, '{pat}', 2) AS predicate,
-               regexp_extract(value, '{pat}', 3) AS raw_object,
-               regexp_extract(value, '{pat}', 4) AS graph
-        FROM lines
-        WHERE regexp_extract(value, '{pat}', 1) != ''
-    ),
-    quads AS (
-        SELECT subject, predicate,
-               CASE WHEN raw_object LIKE '<%'
-                    THEN substring(raw_object, 2, length(raw_object) - 2)
-                    ELSE regexp_extract(raw_object, '^"((?:[^"\\\\]|\\\\.)*)"', 1)
-               END AS object,
-               CASE WHEN graph = '' THEN NULL ELSE graph END AS graph
-        FROM parsed
-    ),
-    concept_per_graph AS (
-        SELECT graph AS g, substring(subject, {p + 1}) AS concept
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY graph ORDER BY subject, predicate, object
-            ) AS rn
-            FROM quads WHERE graph IS NOT NULL
-        )
-        WHERE rn = 1 AND starts_with(subject, '{_NQUADS_PREFIX}')
-    ),
-    hop1 AS (
-        SELECT subject AS prov_node, object AS derivation FROM quads
-        WHERE predicate = 'http://www.w3.org/ns/prov#wasDerivedFrom'
-    ),
-    hop2 AS (
-        SELECT subject AS derivation2, object AS sentence FROM quads
-        WHERE predicate = 'http://www.w3.org/ns/prov#value'
-    )
-    SELECT concept, sentence
-    FROM concept_per_graph
-    JOIN hop1 ON g = prov_node
-    JOIN hop2 ON derivation = derivation2
-    """
-
-
-# patch the registered spec with the generated oracle (the sample lines
-# are defined after the decorator runs)
-REGISTRY["nquads_provenance"] = QuerySpec(
-    fn=REGISTRY["nquads_provenance"].fn,
-    sql=_nquads_oracle_sql(),
-    survey=REGISTRY["nquads_provenance"].survey,
-    doc=REGISTRY["nquads_provenance"].doc,
-)
-
-
-# =========================================================================
-# Batch 2: string rewrites, lemmatization, windows, percentiles, cube,
-# range joins, sliding windows, documents/embeddings dedup, minhash
-# signatures, portable folds
-# =========================================================================
-
-
-@_register(
-    "lemmatized_tokens",
-    f"""
-    SELECT doc_id,
-           array_to_string({sql_morphy_lemma(sql_tokens_pipeline('text'))}, ' ') AS lemmas
-    FROM documents
-    """,
-    "T5 (lemmatization, morphy-style: exception map + detachment rules)",
-    "WordNet-morphy-style lemmatizer over the cleaned token stream "
-    "(Read_And_Clean.py:38-43,71): irregular-form exception map first "
-    "(the *.exc role), then the ordered suffix-detachment table with "
-    "consonant-doubling undo. Map + CASE are expression-embedded (no "
-    "broadcast join, whole-stage codegen); DuckDB replays the identical "
-    "constants.",
-)
-def q_lemmatized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import morphy_lemmatize
-
-    docs = _t(spark, sf_dir, "documents")
-    lemmas = morphy_lemmatize(tokens_pipeline(F.col("text")))
-    return docs.select("doc_id", F.concat_ws(" ", lemmas).alias("lemmas"))
-
-
-@_register(
-    "replace_rewrite",
-    "SELECT doc_id, md5(replace(text, 'spark', 'engine')) AS rewritten_hash FROM documents",
-    "S2/T6 (line rewrite: literal substring replace)",
-    "fix_dataset_uris.py:1-12 semantics: scan → replace(old, new) → sink "
-    "(hash of the rewritten line keeps comparison compact).",
-)
-def q_replace_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.md5(F.expr("replace(text, 'spark', 'engine')")).alias("rewritten_hash")
-    )
-
-
-@_register(
-    "concat_segment_name",
-    """
-    SELECT c_custkey, concat_ws(' ', c_mktsegment, c_name) AS seg_name
-    FROM customer
-    """,
-    "T8 (string concat of columns)",
-    "ADD_NAME_IN_DOC-style prefix concat (supervised_classifier.py:132-133).",
-)
-def q_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    return cust.select(
-        "c_custkey", F.concat_ws(" ", "c_mktsegment", "c_name").alias("seg_name")
-    )
-
-
-@_register(
-    "order_window_functions",
-    """
-    SELECT o_custkey, o_orderkey,
-           ROW_NUMBER() OVER w AS rn,
-           LAG(o_orderkey) OVER w AS prev_order,
-           LEAD(o_orderkey) OVER w AS next_order,
-           NTILE(4) OVER w AS quartile
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-    "§2.9 window functions (row_number, lag, lead, ntile)",
-    "Full ranking/offset window surface over a deterministic total order.",
-)
-def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.row_number().over(w).alias("rn"),
-        F.lag("o_orderkey").over(w).alias("prev_order"),
-        F.lead("o_orderkey").over(w).alias("next_order"),
-        F.ntile(4).over(w).alias("quartile"),
-    )
-
-
-@_register(
-    "acctbal_percentiles",
-    """
-    SELECT c_mktsegment,
-           ROUND(quantile_cont(c_acctbal, 0.25), 4) + 0 AS p25,
-           ROUND(quantile_cont(c_acctbal, 0.50), 4) + 0 AS p50,
-           ROUND(quantile_cont(c_acctbal, 0.75), 4) + 0 AS p75
-    FROM customer GROUP BY c_mktsegment
-    """,
-    "§2.11 quantiles (exact interpolated percentiles)",
-    "Exact linear-interpolation percentiles (Spark percentile ≡ DuckDB "
-    "quantile_cont).",
-)
-def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    return cust.groupBy("c_mktsegment").agg(
-        F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(c_acctbal, 0.50)"), 4).alias("p50"),
-        F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("p75"),
-    )
-
-
-@_register(
-    "iqr_outlier_fences",
-    """
-    WITH q AS (
-        SELECT c_mktsegment,
-               quantile_cont(c_acctbal, 0.25) AS q1,
-               quantile_cont(c_acctbal, 0.75) AS q3
-        FROM customer GROUP BY c_mktsegment
-    ),
-    f AS (
-        SELECT c_mktsegment,
-               ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
-               ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi_fence
-        FROM q
-    )
-    SELECT f.c_mktsegment AS segment,
-           COUNT(*) AS n_rows,
-           CAST(SUM(CASE WHEN c_acctbal < lo_fence OR c_acctbal > hi_fence
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           lo_fence, hi_fence
-    FROM customer JOIN f ON customer.c_mktsegment = f.c_mktsegment
-    GROUP BY f.c_mktsegment, lo_fence, hi_fence
-    """,
-    "§2.11 data cleaning (IQR outlier fencing per group)",
-    "Tukey outlier fences per segment: exact interpolated Q1/Q3 "
-    "(Spark percentile ≡ DuckDB quantile_cont, the acctbal_percentiles "
-    "parity), fences ROUNDED to 6 decimals on BOTH engines before the "
-    "comparison so the outlier count can never flip on a last-ulp "
-    "quantile difference, then one broadcast join of the 5-row fence "
-    "table back onto the scan. Two passes over the fact, no shuffle on "
-    "the second (fences broadcast). At 100 TB the exact percentile "
-    "(which holds per-group values in memory) is the wrong tool — "
-    "approx_quantile_sketch is the registered scale path; the fence "
-    "join and counting pass are scale-indifferent.",
-)
-def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    q = cust.groupBy("c_mktsegment").agg(
-        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
-        F.expr("percentile(c_acctbal, 0.75)").alias("q3"),
-    )
-    iqr = F.col("q3") - F.col("q1")
-    fences = q.select(
-        "c_mktsegment",
-        F.round(F.col("q1") - 1.5 * iqr, 6).alias("lo_fence"),
-        F.round(F.col("q3") + 1.5 * iqr, 6).alias("hi_fence"),
-    )
-    out = (
-        F.col("c_acctbal") < F.col("lo_fence")
-    ) | (F.col("c_acctbal") > F.col("hi_fence"))
-    return (
-        cust.join(F.broadcast(fences), "c_mktsegment")
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"), "lo_fence", "hi_fence"
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.when(out, 1).otherwise(0)).cast("long").alias(
-                "n_outliers"
-            ),
-        )
-        .select(
-            "segment", "n_rows", "n_outliers", "lo_fence", "hi_fence"
-        )
-    )
-
-
-@_register(
-    "blocked_jw_linkage",
-    """
-    WITH p AS (
-        SELECT p_partkey AS k, p_name AS nm,
-               str_split(p_name, ' ')[1] AS blk
-        FROM part WHERE p_partkey < 1000
-    ),
-    pairs AS (
-        SELECT a.blk,
-               jaro_winkler_similarity(a.nm, b.nm) AS jw
-        FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k
-    )
-    SELECT blk AS block,
-           COUNT(*) AS n_pairs,
-           CAST(SUM(CASE WHEN jw >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_matches,
-           ROUND(MAX(jw), 4) AS top_sim
-    FROM pairs GROUP BY blk
-    """,
-    "T9/§2.11 entity resolution (blocked record linkage)",
-    "The 100 TB shape of Jaro-Winkler matching (T9, evaluate.py:100-106): "
-    "candidate pairs come from an equi-join on a BLOCKING key (first "
-    "name token) instead of the all-pairs product — the shuffle is "
-    "block-keyed, the pandas_udf JW kernel (Arrow-vectorized) runs on "
-    "in-block candidates only, and the per-block report (pair count, "
-    "matches at ≥0.9, rounded max similarity) keeps the output "
-    "aggregate-sized. Oracle-exact against DuckDB's built-in "
-    "jaro_winkler_similarity (bit-agreement with the Python kernel is "
-    "the established jaro_winkler_pairs parity). Skewed blocks are the "
-    "known hazard at scale — the documented refinement is a second "
-    "blocking key (e.g. name length), same plan shape.",
-)
-def q_blocked_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 1000)
-    p = part.select(
-        F.col("p_partkey").alias("k"),
-        F.col("p_name").alias("nm"),
-        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
-    )
-    a = p.select(F.col("blk"), F.col("k").alias("ka"), F.col("nm").alias("na"))
-    b = p.select(
-        F.col("blk").alias("blk_b"),
-        F.col("k").alias("kb"),
-        F.col("nm").alias("nb"),
-    )
-    pairs = a.join(
-        b, (F.col("blk") == F.col("blk_b")) & (F.col("ka") < F.col("kb"))
-    ).withColumn("jw", jaro_winkler(F.col("na"), F.col("nb")))
-    return pairs.groupBy(F.col("blk").alias("block")).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(F.when(F.col("jw") >= 0.9, 1).otherwise(0))
-        .cast("long")
-        .alias("n_matches"),
-        F.round(F.max("jw"), 4).alias("top_sim"),
-    )
-
-
-@_register(
-    "value_histogram",
-    """
-    WITH c AS (
-        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                   AS v
-        FROM lineitem
-    ),
-    b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM c)
-    SELECT CAST((c.v - b.lo) * 20 // (b.hi - b.lo + 1) AS BIGINT) AS bin,
-           COUNT(*) AS n_rows,
-           ROUND(MIN(c.v) / 100.0, 2) AS min_price,
-           ROUND(MAX(c.v) / 100.0, 2) AS max_price
-    FROM c CROSS JOIN b
-    GROUP BY 1
-    """,
-    "§2.11 data profiling (equi-width histogram, exact integer binning)",
-    "Fixed-width 20-bin histogram of extended price — the equi-WIDTH "
-    "complement of decile_bucketing's equi-depth bins. Values are "
-    "exact integer cents; the bin index ((v-lo)*k) div (hi-lo+1) is "
-    "pure integer arithmetic, so bin edges can never drift between "
-    "engines the way a float (v-lo)/width would at the boundaries. "
-    "Plan: one 1-row bounds aggregate broadcast-crossed onto the scan, "
-    "one bin-keyed partial-aggregating shuffle (k=20 groups) — two "
-    "passes, no driver collect, the same shape at any scale.",
-)
-def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    v = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-    c = li.select(v.alias("v"))
-    b = c.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-    binned = c.crossJoin(F.broadcast(b)).select(
-        F.expr("(v - lo) * 20 div (hi - lo + 1)").cast("long").alias("bin"),
-        "v",
-    )
-    return binned.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.min("v") / 100.0, 2).alias("min_price"),
-        F.round(F.max("v") / 100.0, 2).alias("max_price"),
-    )
-
-
-@_register(
-    "order_status_cube",
-    """
-    SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n_orders,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-    "§2.9 grouping sets (CUBE)",
-    "Full cube over status × priority with exact decimal sums.",
-)
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        _dsum(_dec("o_totalprice")).alias("total_price"),
-    )
-
-
-@_register(
-    "value_bucket_range_join",
-    """
-    SELECT bucket, COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
-    FROM events
-    JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1000000.0))
-         b(bucket, lo, hi)
-      ON value >= lo AND value < hi
-    GROUP BY bucket
-    """,
-    "§2.11 range join (non-equi band join)",
-    "Banding join against a broadcast range dimension — the pattern "
-    "behind as-of/range joins at scale.",
-)
-def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    buckets = spark.createDataFrame(
-        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e6)],
-        ["bucket", "lo", "hi"],
-    )
-    return (
-        ev.join(
-            F.broadcast(buckets),
-            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            _dsum(_dec("value")).alias("sum_value"),
-        )
-    )
-
-
-@_register(
-    "customers_with_open_order",
-    """
-    SELECT c_custkey, c_name FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
-    """,
-    "J7 (semi join / EXISTS)",
-    "Left-semi membership (the EXISTS twin of customers_without_orders).",
-)
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-@_register(
-    "union_all_entity_counts",
-    """
-    SELECT 'events' AS entity, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events
-    UNION ALL
-    SELECT 'orders' AS entity, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n FROM orders
-    """,
-    "D3 (union)",
-    "UNION ALL of two aggregated branches.",
-)
-def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").agg(
-        F.lit("events").alias("entity"), F.countDistinct("user_id").alias("n")
-    )
-    orders = _t(spark, sf_dir, "orders").agg(
-        F.lit("orders").alias("entity"), F.countDistinct("o_custkey").alias("n")
-    )
-    return ev.unionByName(orders)
-
-
-@_register(
-    "embedding_centroid_norm",
-    """
-    WITH pos AS (
-        SELECT label, generate_subscripts(embedding, 1) AS pos,
-               unnest(embedding::DOUBLE[]) AS v
-        FROM embeddings
-    ),
-    dims AS (SELECT label, pos, AVG(v) AS m FROM pos GROUP BY label, pos)
-    SELECT label, ROUND(sqrt(SUM(m * m)), 6) AS centroid_norm
-    FROM dims GROUP BY label
-    """,
-    "§2.11 similarity (per-class centroid — the IVF coarse quantizer step)",
-    "Element-wise mean vector per label via positional explode, then its "
-    "L2 norm. This is the centroid computation an IVF index build uses.",
-)
-def q_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    pos = emb.select(
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
-    )
-    dims = pos.groupBy("label", "pos").agg(F.avg("v").alias("m"))
-    return dims.groupBy("label").agg(
-        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
-    )
-
-
-@_register(
-    "bpe_subword_counts",
-    """
-    SELECT doc_id,
-           len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}')) AS n_subwords,
-           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words
-    FROM documents
-    """,
-    "§2.11 text analysis (token counting, BPE-ish regex)",
-    "Greedy ≤4-char subword chunking — the regex analogue of BPE token "
-    "counting for budget estimation.",
-)
-def q_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]{1,4}', 0)"))
-        .cast("long")
-        .alias("n_subwords"),
-        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
-        .cast("long")
-        .alias("n_words"),
-    )
-
-
-from ..functions.text import POLY_WEIGHTS as _POLY_W  # noqa: E402
-
-_POLY_TERM_SQL_DUCK = " + ".join(
-    f"cs[i+{j}]*CAST({w} AS BIGINT)" for j, w in enumerate(_POLY_W)
-)
-
-
-@_register(
-    "winnowing_fingerprint",
-    f"""
-    WITH cleaned AS (
-        SELECT doc_id, {sql_clean_string('text')} AS c FROM documents
-    ),
-    coded AS (
-        SELECT doc_id, c,
-               list_transform(regexp_extract_all(c, '.'),
-                              ch -> CAST(ascii(ch) AS BIGINT)) AS cs
-        FROM cleaned
-    )
-    SELECT doc_id,
-           CASE WHEN length(c) = 0 THEN CAST(0 AS BIGINT)
-                WHEN length(c) >= 8
-                THEN list_min(list_transform(range(1, length(c) - 6),
-                                             i -> {_POLY_TERM_SQL_DUCK}))
-                ELSE list_reduce(cs, (a, x) -> a*31 + x) END AS shingle_fp
-    FROM coded
-    """,
-    "§2.11 text analysis (rolling-hash / winnowing fingerprint)",
-    "Min-of-rolling-8-gram-hashes document fingerprint (winnowing-lite): "
-    "robust to small edits, unlike the exact md5. The per-position hash "
-    "is the base-31 polynomial over codepoints — exact int64 arithmetic "
-    "both engines replay bit-identically (max codepoint 0x10FFFF × "
-    "31^7 × 8 ≈ 2.4e17 < 2^63, no overflow), and ~two orders of "
-    "magnitude cheaper per position than the previous per-substring "
-    "md5 (the r2 bench's 2.65× regression). One codepoint-split pass "
-    "per document, then O(1) array reads per window.",
-)
-def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import winnowing_fingerprint_expr
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", winnowing_fingerprint_expr(F.col("text")).alias("shingle_fp")
-    )
-
-
-_WINNOW_W = 4  # winnowing guarantee window (hashes per selection window)
-
-
-@_register(
-    "winnowing_fingerprint_set",
-    f"""
-    WITH coded AS (
-        SELECT doc_id, c,
-               list_transform(regexp_extract_all(c, '.'),
-                              ch -> CAST(ascii(ch) AS BIGINT)) AS cs
-        FROM (SELECT doc_id, {sql_clean_string('text')} AS c FROM documents)
-    ),
-    hashed AS (
-        SELECT doc_id,
-               CASE WHEN length(c) >= 8
-                    THEN list_transform(range(1, length(c) - 6),
-                                        i -> {_POLY_TERM_SQL_DUCK})
-                    WHEN length(c) > 0
-                    THEN [list_reduce(cs, (a, x) -> a*31 + x)]
-                    ELSE CAST([] AS BIGINT[]) END AS h
-        FROM coded
-    ),
-    sel AS (
-        SELECT doc_id,
-               CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
-                    WHEN len(h) < {_WINNOW_W} THEN [list_min(h)]
-                    ELSE list_sort(list_distinct(list_transform(
-                        range(1, len(h) - {_WINNOW_W - 2}),
-                        p -> list_min(h[p:p+{_WINNOW_W - 1}])))) END AS fps
-        FROM hashed
-    )
-    SELECT doc_id,
-           CAST(len(fps) AS INT) AS n_fps,
-           md5(array_to_string(fps, ',')) AS fpset_md5
-    FROM sel
-    """,
-    "§2.11 text analysis (winnowing proper: window-minima fingerprint set)",
-    "TRUE winnowing (Schleimer/Wilkerson/Aiken): slide a window of "
-    f"{_WINNOW_W} consecutive 8-gram rolling hashes, select each "
-    "window's minimum, dedupe+sort the selections — the guarantee-"
-    "bounded fingerprint SET used for plagiarism/overlap detection "
-    "(the single-min variant is winnowing_fingerprint). Relation "
-    "carries the set size and the md5 of the sorted set (compact, "
-    "hash-exact); all arithmetic is the same engine-portable int64 "
-    "polynomial, so DuckDB replays every selection. Map-only scan — "
-    "no shuffle, no UDF.",
-)
-def q_winnowing_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import POLY_WEIGHTS, POLY_WINDOW
-
-    docs = _t(spark, sf_dir, "documents")
-    cleaned = clean_string(F.col("text"))
-    cs = F.transform(F.split(cleaned, ""), lambda ch: F.ascii(ch).cast("long"))
-    row = F.array(F.struct(cleaned.alias("c"), cs.alias("cs")))
-
-    def body(x):
-        c, codes = x["c"], x["cs"]
-        n = F.length(c)
-
-        def poly(i):
-            acc = None
-            for j, w in enumerate(POLY_WEIGHTS):
-                t = F.element_at(codes, i + j) * F.lit(w).cast("long")
-                acc = t if acc is None else acc + t
-            return acc
-
-        h = (
-            F.when(
-                n >= POLY_WINDOW,
-                F.transform(F.sequence(F.lit(1), n - (POLY_WINDOW - 1)), poly),
-            )
-            .when(
-                n > 0,
-                F.array(
-                    F.aggregate(
-                        codes, F.lit(0).cast("long"), lambda a, ch: a * 31 + ch
-                    )
-                ),
-            )
-            .otherwise(F.expr("CAST(array() AS array<bigint>)"))
-        )
-        return h
-
-    hcol = F.element_at(F.transform(row, body), 1)
-    hashed = docs.select("doc_id", hcol.alias("h"))
-    hrow = F.array(F.struct(F.col("h").alias("h")))
-
-    def select_minima(x):
-        h = x["h"]
-        m = F.size(h)
-        sel = F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), m - (_WINNOW_W - 1)),
-                    lambda p: F.array_min(F.slice(h, p, _WINNOW_W)),
-                )
-            )
-        )
-        return (
-            F.when(m == 0, F.expr("CAST(array() AS array<bigint>)"))
-            .when(m < _WINNOW_W, F.array(F.array_min(h)))
-            .otherwise(sel)
-        )
-
-    fps = F.element_at(F.transform(hrow, select_minima), 1)
-    return hashed.select(
-        "doc_id",
-        F.size(fps).cast("int").alias("n_fps"),
-        F.md5(F.concat_ws(",", F.transform(fps, lambda v: v.cast("string")))).alias(
-            "fpset_md5"
-        ),
-    )
-
-
-@_register(
-    "supplier_part_reach",
-    """
-    SELECT s_name,
-           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-           COUNT(*) AS n_items
-    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-    GROUP BY s_name
-    HAVING COUNT(DISTINCT l_partkey) >= 5
-    """,
-    "J2/J3 shape (fact-dim hop + distinct-count + HAVING)",
-    "Two-hop reach aggregation (the relational shape of the provenance "
-    "traversal on warehouse data).",
-)
-def q_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    sup = _t(spark, sf_dir, "supplier")
-    return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .groupBy("s_name")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-        .filter(F.col("n_parts") >= 5)
-    )
-
-
-@_register(
-    "events_sliding_window",
-    """
-    SELECT epoch_us(date_trunc('hour', ts) - off * INTERVAL 1 HOUR) AS win_start_us,
-           event_type,
-           COUNT(*) AS n_events
-    FROM events, (VALUES (0), (1)) o(off)
-    GROUP BY 1, 2
-    """,
-    "§2.9 sliding window (2h window, 1h slide)",
-    "Sliding event-time windows: each event lands in two overlapping "
-    "2-hour windows (Spark window(ts, '2 hours', '1 hour')).",
-)
-def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.unix_micros(F.col("w.start")).alias("win_start_us"),
-            "event_type",
-            "n_events",
-        )
-    )
-
-
-@_register(
-    "funnel_conversion",
-    """
-    WITH base AS (
-        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts, event_type
-        FROM events
-    ),
-    w1 AS (
-        SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
-                      OVER (PARTITION BY user_id) AS t1
-        FROM base
-    ),
-    w2 AS (
-        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
-                      OVER (PARTITION BY user_id) AS t2
-        FROM w1
-    ),
-    w3 AS (
-        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
-                      OVER (PARTITION BY user_id) AS t3
-        FROM w2
-    )
-    SELECT user_id, MIN(t1) AS view_us, MIN(t2) AS click_us,
-           MIN(t3) AS purchase_us,
-           CAST(CASE WHEN MIN(t3) IS NOT NULL THEN 3
-                     WHEN MIN(t2) IS NOT NULL THEN 2
-                     WHEN MIN(t1) IS NOT NULL THEN 1
-                     ELSE 0 END AS INT) AS stages_completed
-    FROM w3 GROUP BY user_id
-    """,
-    "§2.11 event analytics (staged funnel, strict sequence order)",
-    "Per-user funnel completion view → click → purchase under strict "
-    "temporal ordering: stage k+1 only counts if it happens AFTER the "
-    "user's earliest qualifying stage-k event. Each stage's timestamp "
-    "is a conditional MIN window over the user partition — the three "
-    "windows and the final aggregate all share the user_id hash "
-    "partitioning, so the whole funnel costs ONE shuffle and no "
-    "self-joins (the naive per-stage join chain would shuffle the fact "
-    "table once per stage). Exact integer micros end-to-end, so the "
-    "manifest is bit-deterministic. At 100 TB the plan is "
-    "embarrassingly parallel by user; skewed power-users only widen "
-    "one partition's sort, which AQE splits.",
-)
-def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    base = ev.select(
-        "user_id", F.unix_micros("ts").alias("ts"), "event_type"
-    )
-    s1 = base.withColumn(
-        "t1",
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
-    )
-    s2 = s1.withColumn(
-        "t2",
-        F.min(
-            F.when(
-                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
-                F.col("ts"),
-            )
-        ).over(w),
-    )
-    s3 = s2.withColumn(
-        "t3",
-        F.min(
-            F.when(
-                (F.col("event_type") == "purchase")
-                & (F.col("ts") > F.col("t2")),
-                F.col("ts"),
-            )
-        ).over(w),
-    )
-    return (
-        s3.groupBy("user_id")
-        .agg(
-            F.min("t1").alias("view_us"),
-            F.min("t2").alias("click_us"),
-            F.min("t3").alias("purchase_us"),
-        )
-        .withColumn(
-            "stages_completed",
-            F.when(F.col("purchase_us").isNotNull(), 3)
-            .when(F.col("click_us").isNotNull(), 2)
-            .when(F.col("view_us").isNotNull(), 1)
-            .otherwise(0)
-            .cast("int"),
-        )
-    )
-
-
-@_register(
-    "cohort_retention",
-    """
-    WITH cohorts AS (
-        SELECT user_id,
-               date_trunc('week', MIN(ts)) AS cohort_week
-        FROM events GROUP BY user_id
-    ),
-    activity AS (
-        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
-        FROM events
-    ),
-    sizes AS (
-        SELECT cohort_week, COUNT(*) AS cohort_size
-        FROM cohorts GROUP BY cohort_week
-    )
-    SELECT CAST(epoch_us(c.cohort_week) AS BIGINT) AS cohort_week_us,
-           CAST((epoch_us(a.active_week) - epoch_us(c.cohort_week))
-                / 604800000000 AS BIGINT) AS week_offset,
-           COUNT(*) AS n_active,
-           ROUND(CAST(COUNT(*) AS DOUBLE) / s.cohort_size, 6) AS retention
-    FROM activity a
-    JOIN cohorts c USING (user_id)
-    JOIN sizes s ON s.cohort_week = c.cohort_week
-    GROUP BY c.cohort_week, s.cohort_size, a.active_week
-    """,
-    "§2.11 event analytics (cohort retention matrix)",
-    "Weekly cohort retention: users are cohorted by the week of their "
-    "first event, every (user, active-week) pair counts once, and each "
-    "cohort×offset cell reports active users and the retention rate "
-    "against the cohort size. All three building blocks are user_id- "
-    "keyed aggregates/joins (min-week, distinct activity, size rollup) "
-    "that share one hash partitioning before the final small "
-    "cohort-cell aggregate; the retention division is exact-int/"
-    "exact-int in both engines so the 6-decimal round never straddles. "
-    "Week arithmetic is UTC date_trunc — offsets are exact multiples "
-    "of 604800e6 micros, no DST drift. At 100 TB the heavy stages "
-    "shuffle (user_id) and (user_id, week) only; cohort cells are "
-    "O(weeks²) — trivially small.",
-)
-def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    cohorts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
-    activity = ev.select(
-        "user_id", F.date_trunc("week", "ts").alias("active_week")
-    ).distinct()
-    sizes = cohorts.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
-    week_us = 604_800_000_000
-    return (
-        activity.join(cohorts, "user_id")
-        .join(sizes, "cohort_week")
-        .groupBy("cohort_week", "cohort_size", "active_week")
-        .agg(F.count(F.lit(1)).alias("n_active"))
-        .select(
-            F.unix_micros("cohort_week").alias("cohort_week_us"),
-            (
-                (F.unix_micros("active_week") - F.unix_micros("cohort_week"))
-                / F.lit(week_us)
-            )
-            .cast("long")
-            .alias("week_offset"),
-            "n_active",
-            F.round(
-                F.col("n_active").cast("double") / F.col("cohort_size"), 6
-            ).alias("retention"),
-        )
-    )
-
-
-@_register(
-    "session_attribution",
-    """
-    WITH seq AS (
-        SELECT user_id, ts, event_id, event_type, value,
-               CASE WHEN LAG(epoch_us(ts)) OVER w IS NOT NULL
-                         AND epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
-                    THEN 1 ELSE 0 END AS new_s
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sess AS (
-        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM seq
-    ),
-    per_sess AS (
-        SELECT user_id, session_id,
-               (MIN({'t': ts, 'e': event_id, 'y': event_type}))['y'] AS entry_type,
-               SUM(CASE WHEN event_type = 'purchase'
-                        THEN CAST(value AS DECIMAL(18,2))
-                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS purchase_value,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
-        FROM sess GROUP BY user_id, session_id
-    )
-    SELECT entry_type,
-           COUNT(*) AS n_sessions,
-           CAST(SUM(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_converting,
-           CAST(SUM(n_purch) AS BIGINT) AS n_purchases,
-           ROUND(CAST(SUM(purchase_value) AS DOUBLE), 2) AS attributed_value
-    FROM per_sess GROUP BY entry_type
-    """,
-    "§2.11 event analytics (first-touch session attribution)",
-    "First-touch attribution: sessions are cut at 30-minute inactivity "
-    "gaps (the events_sessionization convention), each session's entry "
-    "channel is the event_type of its FIRST event (exact lexicographic "
-    "min over the unique (ts, event_id) pair — min(struct), no "
-    "first_value nondeterminism), and all purchase value inside the "
-    "session is attributed to that channel. Plan shape: the lag window, "
-    "the running-sum session id, AND the per-session aggregate all key "
-    "on user_id — Spark's ClusteredDistribution accepts the "
-    "(user_id)-hash partitioning for the (user_id, session_id) "
-    "groupBy, so the whole pipeline rides ONE user-keyed exchange "
-    "before the final 5-row channel rollup (same single-shuffle "
-    "contract as funnel_conversion; plan-regression-tested). Purchase "
-    "sums are DECIMAL-exact; the double cast happens once at output.",
-)
-def q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = 1_800_000_000
-    prev_us = F.lag(F.unix_micros("ts")).over(w)
-    new_s = F.when(
-        prev_us.isNotNull() & (F.unix_micros("ts") - prev_us > gap_us), 1
-    ).otherwise(0)
-    sess = ev.withColumn(
-        "session_id",
-        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    dec0 = F.lit(0).cast("decimal(18,2)")
-    per_sess = sess.groupBy("user_id", "session_id").agg(
-        F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
-            "entry_type"
-        ),
-        F.sum(
-            F.when(
-                F.col("event_type") == "purchase", _dec("value")
-            ).otherwise(dec0)
-        ).alias("purchase_value"),
-        F.sum(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("n_purch"),
-    )
-    return per_sess.groupBy("entry_type").agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.sum(F.when(F.col("n_purch") > 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_converting"),
-        F.sum("n_purch").cast("long").alias("n_purchases"),
-        F.round(F.sum("purchase_value").cast("double"), 2).alias(
-            "attributed_value"
-        ),
-    )
-
-
-@_register(
-    "rolling_user_features",
-    """
-    SELECT user_id, event_id,
-           COUNT(*) OVER w AS roll_n,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
-               AS roll_sum,
-           ROUND(CAST(MAX(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
-               AS roll_max,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
-                 / (COUNT(*) OVER w), 6) AS roll_mean
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-    """,
-    "§2.11 event analytics (per-entity rolling-window feature frame)",
-    "ML feature generation: for every event, the count / exact-decimal "
-    "sum / max / mean of the user's last ≤5 event values in "
-    "event-time order — the ROWS-frame sliding window that feeds "
-    "per-entity behavioral features into a training table (the RANGE "
-    "twin is rolling_week_order_value). One user-keyed exchange; the "
-    "frame is bounded (5 rows) so window state is O(1) per row "
-    "regardless of user history length. The sum is DECIMAL-exact; "
-    "roll_mean divides its one double cast by the exact integer count, "
-    "so both engines round an identical quotient. Deterministic: "
-    "(ts, event_id) is a unique order key.",
-)
-def q_rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-4, 0)
-    )
-    roll_sum = F.round(F.sum(_dec("value")).over(w).cast("double"), 2)
-    roll_n = F.count(F.lit(1)).over(w)
-    return ev.select(
-        "user_id",
-        "event_id",
-        roll_n.alias("roll_n"),
-        roll_sum.alias("roll_sum"),
-        F.round(F.max(_dec("value")).over(w).cast("double"), 2).alias(
-            "roll_max"
-        ),
-        F.round(
-            F.sum(_dec("value")).over(w).cast("double") / roll_n, 6
-        ).alias("roll_mean"),
-    )
-
-
-_DOC_SHINGLES = (
-    f"list_distinct(list_transform(range(1, len({sql_tokens_pipeline('text')})), "
-    f"i -> {sql_tokens_pipeline('text')}[i] || ' ' || {sql_tokens_pipeline('text')}[i + 1]))"
-)
-
-
-@_register(
-    "document_jaccard_neardup",
-    f"""
-    WITH sh AS (
-        SELECT doc_id, {_DOC_SHINGLES} AS g
-        FROM documents
-        WHERE doc_id < 60 AND len({sql_tokens_pipeline('text')}) >= 2
-    ),
-    pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)
-                 / (len(a.g) + len(b.g) - len(list_filter(a.g, x -> list_contains(b.g, x)))) AS j
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b, ROUND(j, 6) AS jaccard
-    FROM pairs WHERE j >= 0.2
-    """,
-    "§2.11 dedup (word-bigram shingle Jaccard on documents)",
-    "Near-duplicate detection on the documents table: word-bigram "
-    "shingles, exact Jaccard, threshold 0.2.",
-)
-def q_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    toks = docs.select("doc_id", tokens_pipeline(F.col("text")).alias("toks")).filter(
-        F.size("toks") >= 2
-    )
-    shingles = toks.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1), "
-                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
-            )
-        ).alias("g"),
-    )
-    a = shingles.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
-    b = shingles.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
-    inter = F.size(F.array_intersect("ga", "gb"))
-    union = F.size("ga") + F.size("gb") - inter
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("j", inter.cast("double") / union)
-        .filter(F.col("j") >= 0.2)
-        .select("id_a", "id_b", F.round("j", 6).alias("jaccard"))
-    )
-
-
-@_register(
-    "embedding_cosine_neardup",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
-    pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-    )
-    SELECT id_a, id_b, ROUND(sim, 6) AS cosine_sim
-    FROM pairs WHERE sim >= 0.3
-    """,
-    "§2.11 dedup (embedding-cosine near-dup)",
-    "All-pairs cosine near-duplicate candidates over the embeddings "
-    "table (bounded probe set; the LSH variant is the scale path).",
-)
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.similarity import dot
-
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    # norms once per row, one dot per pair (bit-identical cosine,
-    # 3x less HOF work in the O(n^2) stage — knn_bruteforce pattern)
-    v = F.col("embedding").cast("array<double>")
-    base = emb.select("vec_id", v.alias("v"), F.sqrt(dot(v, v)).alias("nrm"))
-    a = base.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = base.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
-        "sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    )
-    return (
-        pairs.filter(F.col("sim") >= 0.3)
-        .select("id_a", "id_b", F.round("sim", 6).alias("cosine_sim"))
-    )
-
-
-def _sql_minhash_sig(seed: int) -> str:
-    return (
-        f"list_min(list_transform({sql_tokens_pipeline('text')}, "
-        f"t -> md5(t || '#{seed}')))"
-    )
-
-
-@_register(
-    "minhash_signatures",
-    f"""
-    SELECT doc_id,
-           {_sql_minhash_sig(1)} AS sig1,
-           {_sql_minhash_sig(2)} AS sig2,
-           {_sql_minhash_sig(3)} AS sig3,
-           {_sql_minhash_sig(4)} AS sig4
-    FROM documents
-    """,
-    "§2.11 dedup (MinHash signatures, engine-portable md5 permutations)",
-    "Four md5-permutation MinHash signatures per document — the "
-    "band-hash input for LSH bucketing, oracle-exact across engines.",
-)
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    # pipeline projected once: the four signature permutations share the
-    # token array (HOFs block CSE — inlining re-cleaned the text 4x)
-    wt = docs.select("doc_id", tokens_pipeline(F.col("text")).alias("toks"))
-    toks = F.col("toks")
-
-    def sig(seed: int) -> F.Column:
-        suffix = F.lit(f"#{seed}")
-        # single-arg lambda: a two-arg lambda would receive the array
-        # INDEX as the second argument, not the closure value
-        return F.array_min(F.transform(toks, lambda t: F.md5(F.concat(t, suffix))))
-
-    return wt.select(
-        "doc_id", *[sig(s).alias(f"sig{s}") for s in (1, 2, 3, 4)]
-    )
-
-
-@_register(
-    "sparse_cosine_pairs",
-    f"""
-    WITH corpus AS (
-        SELECT doc_id, {sql_tokens_pipeline('text')} AS tk
-        FROM documents WHERE doc_id < 100
-    ),
-    tok AS (SELECT doc_id, unnest(tk) AS term FROM corpus),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
-    dfreq AS (
-        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-        FROM tok GROUP BY term
-    ),
-    n AS (SELECT COUNT(*) AS n_docs FROM corpus),
-    w AS (
-        SELECT tf.doc_id, tf.term,
-               CAST(ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6)
-                    AS DECIMAL(18,6)) AS w
-        FROM tf JOIN dfreq USING (term) CROSS JOIN n
-        WHERE dfreq.df <= 20
-    ),
-    norms AS (
-        SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
-        FROM w GROUP BY doc_id
-    ),
-    dots AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(SUM(a.w * b.w) AS DOUBLE) AS dot
-        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine_sim
-    FROM dots
-    JOIN norms na ON na.doc_id = doc_a
-    JOIN norms nb ON nb.doc_id = doc_b
-    WHERE dot / (na.nrm * nb.nrm) >= 0.1
-    ORDER BY cosine_sim DESC, doc_a, doc_b
-    LIMIT 50
-    """,
-    "§2.11 similarity (sparse TF-IDF cosine via postings self-join)",
-    "Document similarity WITHOUT embeddings: the classic sparse-vector "
-    "cosine computed relationally — TF-IDF weights per (doc, term), "
-    "postings self-joined on the TERM key so only documents sharing a "
-    "term ever meet (the MapReduce text-similarity pattern; Elsayed et "
-    "al. 2008 'Pairwise Document Similarity in Large Collections with "
-    "MapReduce'), exact-DECIMAL dot products and norms so the "
-    "distributed sums are order-independent, then one double division "
-    "per surviving pair. The df <= 20 prune is the load-bearing scale "
-    "knob: dropping stop-like high-df terms bounds the per-term join "
-    "fan-out from O(df^2) on the hottest term to a constant, exactly "
-    "like the MinHash band and SRP bucket caps elsewhere — at 100 TB "
-    "the term-keyed shuffle carries (term, doc, weight) triples only "
-    "and the norms join back broadcast. Complements the dense-"
-    "embedding ANN family: same contract, lexical feature space. "
-    "Deterministic top-50 (rounded-sim, doc_a, doc_b order).",
-)
-def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    corpus = docs.select(
-        "doc_id", tokens_pipeline(F.col("text")).alias("tk")
-    )
-    n_docs = corpus.count()  # driver scalar folded into the idf literal
-    tok = corpus.select("doc_id", F.explode("tk").alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    w = (
-        tf.join(F.broadcast(dfreq.filter(F.col("df") <= 20)), "term")
-        .select(
-            "doc_id",
-            "term",
-            F.round(
-                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
-            )
-            .cast("decimal(18,6)")
-            .alias("w"),
-        )
-    )
-    norms = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
-    )
-    a = w.select(
-        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
-    )
-    b = w.select(
-        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
-    )
-    dots = (
-        a.join(b, "term")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
-    )
-    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
-    sim = F.col("dot") / (F.col("na") * F.col("nb"))
-    return (
-        dots.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
-        .filter(sim >= 0.1)
-        .select("doc_a", "doc_b", F.round(sim, 6).alias("cosine_sim"))
-        .orderBy(F.desc("cosine_sim"), "doc_a", "doc_b")
-        .limit(50)
-    )
-
-
-@_register(
-    "fold_assignment",
-    """
-    SELECT lang,
-           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS fold,
-           COUNT(*) AS n_docs
-    FROM documents GROUP BY 1, 2
-    """,
-    "M18 (deterministic fold assignment, hash-mod variant)",
-    "Engine-portable k-fold assignment (md5-mod — the shuffle-free "
-    "100 TB default; the per-label window variant is ml.classify."
-    "add_stratified_fold).",
-)
-def q_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.classify import add_hash_fold
-
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        add_hash_fold(docs, k=10)
-        .groupBy("lang", "fold")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-
-
-# =========================================================================
-# Batch 2 rows-only: classifier battery, topic quality, HDP, multimodal
-# =========================================================================
-
-
-@_register(
-    "classifier_battery",
-    None,
-    "M5-M17, M19, M23 (supervised suite end-to-end, MLP included)",
-    "documents → LDA features (+length) → 80/20 split → StandardScaler → "
-    "LR/LinearSVC/GaussianNB/DT/RF/GBT/MLP battery → per-model "
-    "P/R/Acc/F1 (rows-only: model fitting is seed/implementation-"
-    "sensitive; harness-enforced ok_* invariants — confusion counts "
-    "cover the whole test set, every metric in [0,1]). MLP rides along "
-    "so one driver verdict covers M16 too; "
-    "mlp_classifier remains the standalone M16 query.",
-)
-def q_classifier_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .supervised import supervised_battery_report
-
-    return supervised_battery_report(spark, sf_dir, include_mlp=True)
-
-
-@_register(
-    "stratified_fold_balance",
-    """
-    WITH cnt AS (
-        SELECT CAST(n_chars >= 300 AS INT) AS label, COUNT(*) AS n
-        FROM documents GROUP BY 1
-    ),
-    f AS (SELECT CAST(unnest(range(5)) AS INT) AS fold)
-    SELECT f.fold, cnt.label,
-           CAST(n // 5 + CASE WHEN f.fold < n % 5 THEN 1 ELSE 0 END AS BIGINT)
-               AS n_docs
-    FROM cnt CROSS JOIN f
-    """,
-    "M18 (stratified k-fold, per-label window variant)",
-    "Per-(fold, label) counts from the stratified assignment — every "
-    "fold must carry an equal share of each class (±1). Oracle-exact: "
-    "per-label row_number mod k gives fold f exactly "
-    "n//k + (f < n%k) rows whichever order the seeded hash shuffles, "
-    "so DuckDB replays the counts in closed form.",
-)
-def q_stratified_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.classify import add_stratified_fold
-
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", (F.col("n_chars") >= 300).cast("int").alias("label")
-    )
-    return (
-        add_stratified_fold(docs, k=5)
-        .groupBy("fold", "label")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-
-
-@_register(
-    "topic_coherence_umass",
-    None,
-    "M26 (u_mass topic coherence)",
-    "Per-topic u_mass coherence of the flagship LDA — DataFrame "
-    "aggregation over describeTopics ⋈ doc-term incidence "
-    "(coherence_log_perplexity.py:45-52).",
-)
-def q_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.shared import shared_lda
-    from ..ml.topic_quality import umass_coherence
-
-    # M25/M26 score the SAME saved model in the reference
-    # (coherence_log_perplexity.py:36-55) — the fit is shared, not re-run
-    model, corpus = shared_lda(spark, sf_dir, k=5, max_iter=5)
-    out = umass_coherence(model, corpus, top_n=5)
-    # u_mass is a mean of log((D(wi,wj)+1)/D(wj)) terms: finite by
-    # construction (the +1 smoothing bars log 0) — enforce it
-    return out.withColumn(
-        "ok_finite", ~F.isnan("coherence") & F.col("coherence").isNotNull()
-    )
-
-
-@_register(
-    "lda_log_perplexity",
-    None,
-    "M25 (log-perplexity)",
-    "Held-out log-perplexity of the flagship LDA "
-    "(coherence_log_perplexity.py:36-43).",
-)
-def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.shared import shared_lda
-    from ..ml.topic_quality import log_perplexity
-
-    model, corpus = shared_lda(spark, sf_dir, k=5, max_iter=5)
-    lp = float(log_perplexity(model, corpus))
-    return spark.createDataFrame(
-        [(lp, math.isfinite(lp) and lp > 0)],
-        "log_perplexity double, ok_perplexity boolean",
-    )
-
-
-@_register(
-    "hdp_topic_mass",
-    None,
-    "M2 (HDP emulation: LDA at truncation + mass pruning)",
-    "Corpus-level topic-mass table with kept/pruned flags — the "
-    "suggested_lda_model analogue (wiki_hdp.py:19-26).",
-)
-def q_hdp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.shared import shared_corpus
-    from ..ml.topic_quality import hdp_emulation
-
-    _, corpus = shared_corpus(spark, sf_dir)
-    _, masses = hdp_emulation(corpus, truncation_k=20, max_iter=5)
-    return masses
-
-
-@_register(
-    "multimodal_decode",
-    """
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           sha256(text) AS sha256,
-           CAST(64 + ('0x' || substring(sha256(text), 1, 2))::INT % 192 AS INT) AS width,
-           CAST(64 + ('0x' || substring(sha256(text), 3, 2))::INT % 192 AS INT) AS height,
-           array_to_string(list_transform(range(0, 8),
-               i -> CAST(CAST(round(
-                   ('0x' || substring(sha256(text), CAST(5 + i * 2 AS BIGINT), 2))::INT / 255.0,
-                   6) AS DECIMAL(18,6)) AS VARCHAR)
-           ), ',') AS feature
-    FROM documents
-    """,
-    "§2.11 multimodal columns (binary payload → metadata + features)",
-    "Arrow-batched mapInPandas over a binary column: deterministic "
-    "stub decoder (real image/audio libs not in container) producing "
-    "dims + an 8-dim feature vector; the Spark plumbing is real. The "
-    "stub derives everything from sha256(payload), which DuckDB also "
-    "exposes — so the oracle replays the decode EXACTLY (byte i of the "
-    "digest = hex pair i of the hash string), upgrading this from a "
-    "rows-only check to full hash parity.",
-)
-def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import decode_binary_column, documents_as_binary
-
-    docs = _t(spark, sf_dir, "documents")
-    decoded = decode_binary_column(documents_as_binary(docs))
-    # the operator's API keeps feature as array<double>; the registry
-    # wrapper serializes it (fixed-scale decimal strings) because the
-    # driver's pandas canonicalizer can't sort array columns
-    return decoded.withColumn(
-        "feature",
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.col("feature"),
-                lambda p: F.round(p, 6).cast("decimal(18,6)").cast("string"),
-            ),
-        ),
-    )
-
-
-def _ann_recall_report(
-    exact: DataFrame,
-    approx: DataFrame,
-    k: int,
-    mean_floor: float,
-) -> DataFrame:
-    """Oracle-hashable ANN verification report (upgraded round 5 from
-    the rows-only recall dump, mirroring the ``knn_vote_lsh`` contract
-    promotion): one row per probe carrying
-
-    - ``exact_top{k}_md5`` — md5 of the probe's EXACT same-metric
-      top-k neighbor-id set (ids sorted ascending, comma-joined). This
-      side is fully deterministic, so a DuckDB oracle recomputes and
-      hash-verifies it — any drift in the exact-kNN plan (metric,
-      tie-break, rank boundary) is now a hard driver-level failure.
-    - ``ok_mean_recall`` — the approximate side's AGGREGATE contract:
-      TRUE iff mean recall@k across all probes ≥ ``mean_floor``. The
-      oracle emits literal TRUE, so a recall collapse hash-fails; the
-      exact per-probe recall value stays out of the hashed output
-      because it depends on Spark's LSH hash family / KMeans cells,
-      which no oracle can recompute.
-    """
-    hits = approx.withColumn("__hit", F.lit(1))
-    per_probe = (
-        exact.join(hits, ["probe_id", "neighbor_id"], "left")
-        .groupBy("probe_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hit"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list("neighbor_id")),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias(f"exact_top{k}_md5"),
-        )
-        .withColumn("__recall", F.col("n_hit") / F.col("n_exact"))
-    )
-    # materialize the per-probe frame ONCE (one row per probe): the
-    # mean aggregate and the output projection both read the
-    # checkpoint instead of re-running the exact-kNN join + ANN plan
-    per_probe = per_probe.localCheckpoint(eager=True)
-    mean_ok = per_probe.agg(
-        (F.avg("__recall") >= F.lit(mean_floor)).alias("ok_mean_recall")
-    )
-    # 1-row aggregate crossed back (broadcast NL join, no shuffle on the
-    # probe side) — the window-free global-total pattern
-    return per_probe.select(
-        "probe_id", "n_exact", f"exact_top{k}_md5"
-    ).crossJoin(F.broadcast(mean_ok))
-
-
-@_register(
-    "lsh_ann_neighbors",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 20),
-    pairs AS (
-        SELECT probe_id, e.vec_id AS neighbor_id,
-               -- left-to-right fold of (a[i]-b[i])^2, bit-identical to
-               -- the Spark side's zip_with+aggregate sq_dist
-               list_reduce(
-                   list_transform(range(1, len(pv) + 1),
-                                  i -> (pv[i] - e.v[i]) * (pv[i] - e.v[i])),
-                   (acc, x) -> acc + x) AS d2
-        FROM probes CROSS JOIN e
-        WHERE e.vec_id != probe_id
-    ),
-    topk AS (
-        SELECT probe_id, neighbor_id
-        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-                                           ORDER BY d2, neighbor_id) AS rn
-              FROM pairs)
-        WHERE rn <= 5
-    )
-    SELECT probe_id, COUNT(*) AS n_exact,
-           md5(string_agg(CAST(neighbor_id AS VARCHAR), ','
-                          ORDER BY neighbor_id)) AS exact_top5_md5,
-           TRUE AS ok_mean_recall
-    FROM topk GROUP BY probe_id
-    """,
-    "M14/§2.11 (LSH approximate nearest neighbors — the scale path)",
-    "BucketedRandomProjectionLSH approx kNN for 20 probes, verified two "
-    "ways (r5 oracle promotion): the exact EUCLIDEAN top-5 per probe is "
-    "hash-verified against a DuckDB recomputation (md5 of the sorted "
-    "neighbor-id set — same metric as the LSH, so recall isolates "
-    "bucketing loss rather than metric mismatch), and the LSH side is "
-    "held to the aggregate ok_mean_recall contract (mean recall@5 ≥ "
-    "0.8; the oracle emits literal TRUE, so a recall collapse is a "
-    "hard hash failure). Fixed seed; pinned in tests.",
-)
-def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.similarity import sq_dist
-    from ..operators.similarity_search import lsh_ann
-
-    emb = _t(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 20)
-    # exact Euclidean top-5 (broadcast probes × corpus scan, JVM HOFs)
-    p = probes.select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").cast("array<double>").alias("probe_vec"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("cand_vec"),
-    )
-    we = Window.partitionBy("probe_id").orderBy("d2", "neighbor_id")
-    exact = (
-        F.broadcast(p)
-        .crossJoin(c)
-        .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("d2", sq_dist(F.col("probe_vec"), F.col("cand_vec")))
-        .withColumn("__rn", F.row_number().over(we))
-        .filter(F.col("__rn") <= 5)
-        .select("probe_id", "neighbor_id")
-    )
-    approx = lsh_ann(emb, probes, k=5).select("probe_id", "neighbor_id")
-    return _ann_recall_report(exact, approx, k=5, mean_floor=0.8)
-
-
-# =========================================================================
-# Batch 3: set operators, grouping sets, source/sink format roundtrips
-# (CSV / JSON / gensim dictionary / Matrix Market / model save-load),
-# resampling (SMOTE / Tomek), grid search, hold-out transfer, kNN vote,
-# IVF ANN, MLP, stateful streaming
-# =========================================================================
-
-
-@_register(
-    "nation_presence_intersect",
-    """
-    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
-    INTERSECT
-    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
-    """,
-    "J7/D3 (set intersection)",
-    "Nations with both customers and suppliers — the evaluate.py:138 "
-    "set-intersection pattern as a relational INTERSECT.",
-)
-def q_nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = _t(spark, sf_dir, "nation")
-    cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    with_cust = nation.join(
-        cust, nation.n_nationkey == cust.c_nationkey
-    ).select("n_name")
-    with_supp = nation.join(
-        supp, nation.n_nationkey == supp.s_nationkey
-    ).select("n_name")
-    return with_cust.intersect(with_supp)
-
-
-@_register(
-    "nation_presence_except",
-    """
-    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
-    WHERE c_acctbal < -950
-    EXCEPT
-    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
-    WHERE s_acctbal < 0
-    """,
-    "J6/D3 (set difference)",
-    "Nations with deep-negative-balance customers but no "
-    "negative-balance suppliers — evaluate.py:135 set difference as "
-    "relational EXCEPT (set semantics: subtract, not exceptAll).",
-)
-def q_nation_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = _t(spark, sf_dir, "nation")
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < -950)
-    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
-    with_cust = nation.join(
-        cust, nation.n_nationkey == cust.c_nationkey
-    ).select("n_name")
-    with_supp = nation.join(
-        supp, nation.n_nationkey == supp.s_nationkey
-    ).select("n_name")
-    return with_cust.subtract(with_supp)
-
-
-@_register(
-    "orders_grouping_sets",
-    """
-    SELECT coalesce(o_orderstatus, 'ALL') AS status,
-           coalesce(o_orderpriority, 'ALL') AS priority,
-           COUNT(*) AS n_orders,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
-    """,
-    "§2.9 (grouping sets)",
-    "Multi-granularity aggregate in one pass — Catalyst expands grouping "
-    "sets into a single Expand+Aggregate (one shuffle, not three).",
-)
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    view = f"orders_gs_{abs(hash(sf_dir)) % 10_000}"
-    orders.createOrReplaceTempView(view)
-    return spark.sql(
-        f"""
-        SELECT coalesce(o_orderstatus, 'ALL') AS status,
-               coalesce(o_orderpriority, 'ALL') AS priority,
-               COUNT(*) AS n_orders,
-               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
-        FROM {view}
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
-        """
-    )
-
-
-@_register(
-    "csv_metrics_roundtrip",
-    """
-    SELECT c_mktsegment AS segment,
-           COUNT(*) AS n_customers,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) + 0 AS total_acctbal
-    FROM customer GROUP BY c_mktsegment
-    """,
-    "S6/S7 (CSV sink + scan)",
-    "Metrics-log roundtrip (polysemous_words.py:164-178 sink, "
-    "evaluate.py:78-86 scan): aggregate → write headered CSV → read back "
-    "with explicit schema. The oracle checks the post-roundtrip values, "
-    "so type fidelity through the text format is part of the contract.",
-)
-def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.formats import csv_roundtrip
-
-    cust = _t(spark, sf_dir, "customer")
-    metrics = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        _dsum(_dec("c_acctbal")).alias("total_acctbal"),
-    )
-    return csv_roundtrip(
-        metrics, "segment string, n_customers long, total_acctbal double"
-    )
-
-
-@_register(
-    "json_artifact_roundtrip",
-    """
-    SELECT source, lang, COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents GROUP BY source, lang
-    """,
-    "S5 (JSON artifact write/read)",
-    "jsonpickle-style artifact persistence (polysemous_words.py:111-126) "
-    "as a JSON-lines roundtrip with explicit schema on read.",
-)
-def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.formats import json_roundtrip
-
-    docs = _t(spark, sf_dir, "documents")
-    gold = docs.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-    )
-    return json_roundtrip(
-        gold, "source string, lang string, n_docs long, total_chars long"
-    )
-
-
-@_register(
-    "dictionary_text_roundtrip",
-    f"""
-    WITH vocab AS (
-        SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docfreq
-        FROM (SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents)
-        GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 3
-    )
-    SELECT CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS INT) AS id, token, docfreq
-    FROM vocab
-    """,
-    "S9 (gensim dictionary text format)",
-    "Dictionary.load_from_text format (wiki_lda.py:13): vocabulary with "
-    "deterministic ids → `num_docs` header + id\\ttoken\\tdocfreq lines → "
-    "parsed back. Oracle recomputes the table directly.",
-)
-def q_dictionary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.formats import read_dictionary_text, write_dictionary_text
-
-    docs = _t(spark, sf_dir, "documents")
-    exploded = docs.select(
-        "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
-    )
-    vocab = (
-        exploded.groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("docfreq"))
-        .filter(F.col("docfreq") >= 3)
-    )
-    # two-phase ordered rank, not Window.orderBy("token") — a global
-    # unpartitioned window is a single-executor sort at corpus scale
-    with_ids = (
-        ordered_dense_rank(vocab, "token", rank_col="__r")
-        .withColumn("id", (F.col("__r") - 1).cast("int"))
-        .select("id", "token", "docfreq")
-    )
-    target = write_dictionary_text(with_ids, num_docs=docs.count())
-    return read_dictionary_text(spark, target)
-
-
-@_register(
-    "matrix_market_roundtrip",
-    f"""
-    WITH toks AS (
-        SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents
-    ),
-    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
-    df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY token),
-    ids AS (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) AS term_id FROM df),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents)
-    SELECT tf.doc_id AS row_id, ids.term_id AS col_id,
-           ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS value
-    FROM tf JOIN df USING (token) JOIN ids USING (token) CROSS JOIN n
-    WHERE tf.doc_id < 20
-    """,
-    "S10 (Matrix Market corpus scan/sink)",
-    "MmCorpus roundtrip (wiki_lda.py:14): TF-IDF triplets → "
-    "`%%MatrixMarket` coordinate text → parsed back to (row, col, value). "
-    "Oracle recomputes the triplets directly.",
-)
-def q_matrix_market_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.formats import read_matrix_market, write_matrix_market
-
-    docs = _t(spark, sf_dir, "documents")
-    # tf is only needed for the exported docs — push the doc_id predicate
-    # into that branch (reaches the parquet scan); document frequencies
-    # still come from the full corpus, cached (vocab-sized) because the
-    # id assignment and the term count reuse it
-    toks_small = docs.filter(F.col("doc_id") < 20).select(
-        "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
-    )
-    tf = toks_small.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    toks_all = docs.select(
-        "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
-    )
-    dfreq = toks_all.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
-    ).cache()
-    try:
-        ids = (
-            ordered_dense_rank(dfreq.select("token"), "token", rank_col="__r")
-            .withColumn("term_id", (F.col("__r") - 1).cast("long"))
-            .select("token", "term_id")
-        )
-        n_docs = docs.count()
-        triplets = (
-            tf.join(F.broadcast(dfreq), "token")
-            .join(F.broadcast(ids), "token")
-            .select(
-                F.col("doc_id").alias("row_id"),
-                F.col("term_id").alias("col_id"),
-                F.round(
-                    F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
-                ).alias("value"),
-            )
-        )
-        n_terms = dfreq.count()
-        target = write_matrix_market(triplets, n_rows=n_docs, n_cols=n_terms)
-    finally:
-        dfreq.unpersist()
-    return read_matrix_market(spark, target)
-
-
-@_register(
-    "knn_classifier_vote",
-    """
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 20 = 0 AND vec_id < 5000),
-    corpus AS (SELECT * FROM e WHERE vec_id % 20 != 0),
-    pairs AS (
-        SELECT probe_id, corpus.vec_id AS neighbor_id, corpus.label,
-               list_dot_product(pv, corpus.v)
-                 / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(corpus.v, corpus.v))) AS sim
-        FROM probes CROSS JOIN corpus
-    ),
-    topk AS (
-        SELECT probe_id, neighbor_id, label
-        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
-              FROM pairs)
-        WHERE rn <= 5
-    ),
-    votes AS (
-        SELECT probe_id, label, COUNT(*) AS n_votes
-        FROM topk GROUP BY probe_id, label
-    )
-    SELECT probe_id, CAST(label AS INT) AS predicted_label, CAST(n_votes AS BIGINT) AS n_votes
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY n_votes DESC, label) AS vr
-          FROM votes)
-    WHERE vr = 1
-    """,
-    "M14 (kNN classifier, majority vote)",
-    "KNeighborsClassifier(n=5) semantics (supervised_classifier.py:427-446): "
-    "brute-force 5-NN by cosine, majority vote over neighbor labels, "
-    "deterministic tie-break on smallest label.",
-)
-def q_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.shared import shared_exact_knn_vote
-
-    return shared_exact_knn_vote(spark, sf_dir)
-
-
-@_register(
-    "knn_vote_lsh",
-    f"""
-    SELECT probe_id, predicted_label, TRUE AS lsh_agreement_ok
-    FROM ({REGISTRY['knn_classifier_vote'].sql})
-    """,
-    "M14 (kNN classifier, LSH-backed scale path)",
-    "The same 5-NN majority vote as knn_classifier_vote but with "
-    "candidate generation via BucketedRandomProjectionLSH "
-    "(bucket equi-join, no cross product) — the shape the vote takes "
-    "at 100 TB. Oracle-checked at the PREDICTION level via the exact "
-    "vote (per-probe labels, hash-exact), with the LSH path asserted "
-    "as an AGGREGATE contract: lsh_agreement_ok is TRUE iff >= 90% of "
-    "probes get the identical label from the LSH and brute-force "
-    "votes (a probe the LSH path drops counts as disagreement). The "
-    "previous per-row TRUE flag asserted PERFECT agreement — it held "
-    "25/25 at the tested SFs with seed 42, but any Spark hash-family "
-    "change or testdata regeneration could legitimately flip one vote "
-    "and turn a healthy approximation into a hard failure; a rate "
-    "contract is the honest invariant (mirrors the ANN recall "
-    "queries).",
-)
-def q_knn_vote_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity_search import lsh_ann, majority_vote
-
-    emb = _t(spark, sf_dir, "embeddings")
-    # same bounded probe panel as the exact arm (ml.shared) — no-op at
-    # sf <= 0.1, keeps probe x LSH-candidate cost linear in corpus size
-    probes = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 5000))
-    corpus = emb.filter(F.col("vec_id") % 20 != 0)
-    nn = lsh_ann(corpus, probes, k=5, bucket_length=5.0, num_hash_tables=6)
-    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
-    lsh_vote = majority_vote(nn, labels).select(
-        "probe_id", F.col("predicted_label").alias("lsh_label")
-    )
-    exact_vote = q_knn_vote(spark, sf_dir).select(
-        "probe_id", "predicted_label"
-    )
-    # materialize the tiny per-probe join ONCE (≈25 rows): both the
-    # agreement aggregate and the output projection read the
-    # checkpoint, so the LSH + brute-force vote pipelines don't execute
-    # twice (r4 bench evidence: the un-checkpointed double-eval cost
-    # 6.7s vs 3.9s for the single pass)
-    joined = exact_vote.join(lsh_vote, "probe_id", "left").localCheckpoint(
-        eager=True
-    )
-    agreement = F.broadcast(
-        joined.agg(
-            (
-                F.avg(
-                    F.when(
-                        F.col("lsh_label") == F.col("predicted_label"), 1.0
-                    ).otherwise(0.0)
-                )
-                >= 0.9
-            ).alias("lsh_agreement_ok")
-        )
-    )
-    return joined.select("probe_id", "predicted_label").crossJoin(agreement)
-
-
-@_register(
-    "stateful_user_counts",
-    """
-    SELECT user_id, COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
-    FROM events GROUP BY user_id
-    """,
-    "§2.9 streaming (custom stateful operator, applyInPandasWithState)",
-    "Per-user running counters kept in GroupState across micro-batches "
-    "(integer-cents accumulation for exactness); the oracle checks the "
-    "final state equals the batch GROUP BY.",
-)
-def q_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.stateful import stateful_user_counts
-
-    return stateful_user_counts(spark, sf_dir)
-
-
-@_register(
-    "streaming_sessionization",
-    """
-    WITH seq AS (
-        SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
-               -- event_id tiebreaker: with duplicate (user_id, ts) rows
-               -- (the 10x scaled corpus has 10 copies of every event) a
-               -- bare ts order lets the lag scan and the cumsum scan
-               -- sort ties DIFFERENTLY, splitting phantom sessions
-               -- inside tie blocks (observed: +5 rows at sf1)
-               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   AS prev_us
-        FROM events
-    ),
-    marked AS (
-        SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
-                       THEN 1 ELSE 0 END AS is_new
-        FROM seq
-    ),
-    sess AS (
-        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-        FROM marked
-    )
-    SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
-               AS sum_value
-    FROM sess GROUP BY user_id, sid
-    """,
-    "§2.9 streaming (session_window state merging)",
-    "Gap-based sessions (30 min) maintained in the streaming state "
-    "store via native session_window. Oracle-exact: DuckDB replays the "
-    "merge with gaps-and-islands (a new session starts when the gap to "
-    "the previous event is ≥ the 30-min window — session_window merges "
-    "only strictly-overlapping [ts, ts+gap) intervals), then aggregates "
-    "per island. Same decimal sum + round discipline as the batch twin.",
-)
-def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.stateful import streaming_sessionization
-
-    return streaming_sessionization(spark, sf_dir)
-
-
-@_register(
-    "streaming_session_attribution",
-    """
-    WITH seq AS (
-        SELECT user_id, ts, event_id, event_type, value, epoch_us(ts) AS us,
-               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   AS prev_us
-        FROM events
-    ),
-    marked AS (
-        SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
-                       THEN 1 ELSE 0 END AS is_new
-        FROM seq
-    ),
-    sess AS (
-        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-        FROM marked
-    ),
-    per_sess AS (
-        SELECT user_id, sid,
-               (MIN({'t': ts, 'e': event_id, 'y': event_type}))['y'] AS entry_type,
-               SUM(CASE WHEN event_type = 'purchase'
-                        THEN CAST(value AS DECIMAL(18,2))
-                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS purchase_value,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
-        FROM sess GROUP BY user_id, sid
-    )
-    SELECT entry_type,
-           COUNT(*) AS n_sessions,
-           CAST(SUM(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_converting,
-           CAST(SUM(n_purch) AS BIGINT) AS n_purchases,
-           ROUND(CAST(SUM(purchase_value) AS DOUBLE), 2) AS attributed_value
-    FROM per_sess GROUP BY entry_type
-    """,
-    "§2.9/§2.11 streaming (session_window first-touch attribution)",
-    "The streaming twin of session_attribution: session_window state "
-    "merging carries the lexicographic-min (ts, event_id, event_type) "
-    "entry struct (min over structs is ASSOCIATIVE, so out-of-order "
-    "merges preserve first-touch exactly), the DECIMAL purchase sum, "
-    "and the purchase count per open session; the drained per-session "
-    "frame rolls up per entry channel. Oracle-exact via the "
-    "gaps-and-islands replay with session_window's >= gap boundary "
-    "(the batch twin's lag rule is strictly >; both agree unless a gap "
-    "is exactly 30:00.000000). State is bounded by ACTIVE sessions, "
-    "not input volume — the watermark closes sessions 1 h after their "
-    "last event.",
-)
-def q_streaming_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.stateful import streaming_session_attribution
-
-    return streaming_session_attribution(spark, sf_dir)
-
-
-@_register(
-    "smote_class_balance",
-    """
-    WITH e AS (SELECT CAST(label = 0 AS INT) AS label FROM embeddings),
-    c AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
-    m AS (SELECT MAX(CASE WHEN label != 1 THEN n END) AS n_maj,
-                 MAX(CASE WHEN label = 1 THEN n END) AS n_min FROM c)
-    SELECT c.label, c.n AS n_before,
-           CAST(CASE WHEN c.label = 1 AND m.n_maj > m.n_min AND m.n_min >= 2
-                     THEN m.n_maj ELSE c.n END AS BIGINT) AS n_after,
-           CAST(CASE WHEN c.label = 1 AND m.n_maj > m.n_min AND m.n_min >= 2
-                     THEN m.n_maj - m.n_min ELSE 0 END AS BIGINT)
-               AS n_synthetic
-    FROM c CROSS JOIN m
-    """,
-    "M20 (SMOTE oversampling, LSH/kNN + interpolation)",
-    "Faithful distributed SMOTE (supervised_classifier.py:578-581): "
-    "minority = binarized label 0 (~10%), kNN within class, seeded "
-    "interpolation on connecting segments. Oracle-exact on the class "
-    "accounting: the per-point quota machinery satisfies the shortfall "
-    "EXACTLY (sum of quotas == n_maj - n_min), so DuckDB replays the "
-    "before/after/synthetic counts in closed form — a wrong quota "
-    "split, duplicate synthetic id, or lost row breaks the hash.",
-)
-def q_smote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.resample import smote
-
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", (F.col("label") == 0).cast("int").alias("label")
-    )
-    before = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_before"))
-    after = (
-        smote(emb, minority_label=1)
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_after"),
-            F.sum((F.col("vec_id") < 0).cast("long")).alias("n_synthetic"),
-        )
-    )
-    return (
-        before.join(after, "label")
-        .select("label", "n_before", "n_after", "n_synthetic")
-        .orderBy("label")
-    )
-
-
-@_register(
-    "tomek_link_removal",
-    """
-    WITH e AS (
-        SELECT vec_id, CAST(label = 0 AS INT) AS label,
-               embedding::DOUBLE[] AS v
-        FROM embeddings
-    ),
-    nn1 AS (
-        -- min-of-struct aggregation, NOT a ROW_NUMBER window: the
-        -- window form materializes all n^2 joined rows for the
-        -- partition sort (observed: >79 GB spill at the 50k-row sf1
-        -- scale), while the grouped min streams the cross product with
-        -- O(groups) memory. Identical semantics: lexicographic struct
-        -- comparison = (distance, id) tiebreak (0 mismatches vs the
-        -- window form at sf0.1).
-        SELECT a.vec_id AS id,
-               (min({'d': list_distance(a.v, b.v), 'i': b.vec_id})).i AS nn_id
-        FROM e a JOIN e b ON a.vec_id != b.vec_id
-        GROUP BY a.vec_id
-    ),
-    mutual AS (
-        SELECT f.id, f.nn_id FROM nn1 f
-        JOIN nn1 r ON f.id = r.nn_id AND f.nn_id = r.id
-        WHERE f.id < f.nn_id
-    ),
-    links AS (
-        SELECT m.id AS id_a, m.nn_id AS id_b,
-               la.label AS label_a, lb.label AS label_b
-        FROM mutual m
-        JOIN e la ON la.vec_id = m.id
-        JOIN e lb ON lb.vec_id = m.nn_id
-        WHERE la.label != lb.label
-    ),
-    dropped AS (
-        SELECT DISTINCT vid FROM (
-            SELECT id_a AS vid FROM links WHERE label_a = 0
-            UNION ALL
-            SELECT id_b AS vid FROM links WHERE label_b = 0
-        )
-    ),
-    b AS (SELECT label, COUNT(*) AS n_before FROM e GROUP BY label),
-    a AS (
-        SELECT label, COUNT(*) AS n_after FROM e
-        WHERE vec_id NOT IN (SELECT vid FROM dropped) GROUP BY label
-    )
-    SELECT b.label, n_before, n_after
-    FROM b JOIN a USING (label) ORDER BY b.label
-    """,
-    "M21 (Tomek-links undersampling)",
-    "Mutual-1-NN cross-class pairs; majority member dropped "
-    "(supervised_classifier.py:582-584, default-enabled in the "
-    "reference). Returns per-class counts before/after. Oracle-exact: "
-    "the blocked distributed 1-NN is deterministic ((dist, id) "
-    "tie-break), so DuckDB replays the full mutual-1-NN link set by "
-    "brute force and reproduces the counts.",
-)
-def q_tomek(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.resample import remove_tomek_links
-
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", (F.col("label") == 0).cast("int").alias("label")
-    )
-    before = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_before"))
-    cleaned = remove_tomek_links(emb, majority_label=0)
-    after = cleaned.groupBy("label").agg(F.count(F.lit(1)).alias("n_after"))
-    return (
-        before.join(after, "label")
-        .select("label", "n_before", "n_after")
-        .orderBy("label")
-    )
-
-
-def _embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared helper: embeddings as MLlib features with a binary label
-    (memoized + cached once per session/sf_dir — the M16/M22/M24 queries
-    all start from this table)."""
-    from ..ml.shared import shared_embedding_features
-
-    return shared_embedding_features(spark, sf_dir)
-
-
-@_register(
-    "grid_search_lr",
-    None,
-    "M22 (hyperparameter search, CrossValidator + ParamGrid)",
-    "BayesSearchCV surrogate (supervised_classifier.py:227-234, "
-    "documented deviation → grid): 3-fold CV over LR regParam × "
-    "elasticNet, one row per grid point with avg F1 and best flag; "
-    "harness-enforced ok_* invariants (full grid scored, F1 in [0,1]).",
-)
-def q_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.search import grid_search_logistic
-
-    data = _embedding_features(spark, sf_dir)
-    return grid_search_logistic(data)
-
-
-@_register(
-    "holdout_transfer_report",
-    None,
-    "M24 (hold-out transfer test)",
-    "testModelonExcluded (supervised_classifier.py:546-561): fit on "
-    "length-admitted docs (n_chars ≤ median via doc join), score the "
-    "length-excluded partition; P/R/Acc/F1 per split, with "
-    "harness-enforced ok_* invariants (counts cover each split, metrics "
-    "in [0,1]); the metric DERIVATION itself is oracle-green via the "
-    "A4/A5 relational twins (confusion_matrix_events, "
-    "classification_metrics_events).",
-)
-def q_holdout_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.search import holdout_transfer
-
-    data = _embedding_features(spark, sf_dir)
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("vec_id"), "n_chars"
-    )
-    joined = data.join(docs, "vec_id")
-    median = joined.agg(F.expr("percentile_approx(n_chars, 0.5)")).first()[0]
-    admitted = joined.filter(F.col("n_chars") <= median).cache()
-    excluded = joined.filter(F.col("n_chars") > median).cache()
-    return holdout_transfer(admitted, excluded)
-
-
-@_register(
-    "mlp_classifier",
-    None,
-    "M16 (multilayer perceptron, 140-140-140)",
-    "MultilayerPerceptronClassifier with the reference's hidden layers "
-    "(supervised_classifier.py:471-490) on the battery's separable "
-    "document-feature task (LDA topics + length, train-fit scaling — "
-    "the same prep the M5-M23 battery uses), so the rows-only check "
-    "enforces a HARD ok_f1_floor=0.75 (r6 verdict task 6) instead of "
-    "range-only invariants. One row of confusion counts + P/R/Acc/F1 "
-    "on the 20% holdout.",
-)
-def q_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.classify import (
-        attach_eval_invariants,
-        evaluate_binary,
-        mlp_spec,
-    )
-    from ..ml.shared import shared_scaled_doc_split
-
-    train, test = shared_scaled_doc_split(spark, sf_dir)
-    n_features = len(train.select("features").first()["features"])
-    model = mlp_spec(n_features=n_features).estimator.fit(train)
-    scored = model.transform(test)
-    report = evaluate_binary(scored).select(
-        "tp", "fp", "tn", "fn", "precision", "recall", "accuracy", "f1"
-    ).withColumn("n", F.lit(test.count()))
-    report = attach_eval_invariants(report)
-    return report.withColumn("ok_f1_floor", F.col("f1") >= F.lit(0.75))
-
-
-@_register(
-    "ivf_ann_recall",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 20),
-    pairs AS (
-        SELECT probe_id, e.vec_id AS neighbor_id,
-               list_dot_product(pv, e.v)
-                 / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
-        FROM probes CROSS JOIN e
-        WHERE e.vec_id != probe_id
-    ),
-    topk AS (
-        SELECT probe_id, neighbor_id
-        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-                                           ORDER BY sim DESC, neighbor_id) AS rn
-              FROM pairs)
-        WHERE rn <= 5
-    )
-    SELECT probe_id, COUNT(*) AS n_exact,
-           md5(string_agg(CAST(neighbor_id AS VARCHAR), ','
-                          ORDER BY neighbor_id)) AS exact_top5_md5,
-           TRUE AS ok_mean_recall
-    FROM topk GROUP BY probe_id
-    """,
-    "§2.11 similarity search (IVF ANN: KMeans cells + n_probe search)",
-    "Inverted-file ANN over embeddings: KMeans(8) partitions the corpus; "
-    "probes search their 2 nearest cells only (scan cost drops ~4× at "
-    "n_probe=2). Verified two ways (r5 oracle promotion): the exact "
-    "COSINE top-5 per probe is hash-verified against a DuckDB "
-    "recomputation (md5 of the sorted neighbor-id set — both sides "
-    "cosine, so recall isolates cell-pruning loss), and the IVF side is "
-    "held to the aggregate ok_mean_recall contract (mean recall@5 ≥ "
-    "0.4; oracle emits literal TRUE — a recall collapse hash-fails); "
-    "fixed seeds, pinned in tests.",
-)
-def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity_search import ivf_ann
-
-    emb = _t(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 20)
-    exact = knn_bruteforce(emb, probes, k=5).select("probe_id", "neighbor_id")
-    approx = ivf_ann(emb, probes, k=5).select("probe_id", "neighbor_id")
-    return _ann_recall_report(exact, approx, k=5, mean_floor=0.4)
-
-
-@_register(
-    "model_save_load",
-    f"""
-    WITH v AS (
-        SELECT token FROM (
-            SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token
-            FROM documents
-        ) GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 3
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
-           CAST(COUNT(*) AS BIGINT) AS n_loaded,
-           CAST(COUNT(*) AS BIGINT) AS n_match
-    FROM v
-    """,
-    "S11 (MLlib model persistence)",
-    "CountVectorizerModel save/load roundtrip (gensim model.save/load, "
-    "webisalod_lda.py:48,57): vocabulary survives persistence verbatim. "
-    "Oracle-exact: CountVectorizer(minDF=3) vocabulary size is the "
-    "count of tokens appearing in ≥3 documents, which DuckDB recomputes "
-    "directly; a lossy save/load would break n_loaded/n_match equality "
-    "against that independent count.",
-)
-def q_model_save_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.feature import CountVectorizer, CountVectorizerModel
-
-    from ..sources.formats import model_save_load_roundtrip
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
-    )
-    cv = CountVectorizer(inputCol="tokens", outputCol="tf", minDF=3.0)
-    model = cv.fit(toks)
-    loaded = model_save_load_roundtrip(model, CountVectorizerModel)
-    orig, back = model.vocabulary, loaded.vocabulary
-    n_match = sum(1 for a, b in zip(orig, back) if a == b)
-    return spark.createDataFrame(
-        [(len(orig), len(back), n_match)],
-        "n_vocab long, n_loaded long, n_match long",
-    )
-
-
-# =========================================================================
-# Batch 4: XML corpus ingest (S12), per-fold metric stats (A7), 3-way
-# membership classification (J8), multimodal frame sampling, stream-static
-# join
-# =========================================================================
-
-
-@_register(
-    "xml_corpus_roundtrip",
-    "SELECT doc_id, lang, source, n_chars FROM documents",
-    "S12 (XML dump ingest)",
-    "Wikipedia-XML-dump ingest path (README.md:15-33) on Spark's native "
-    "XML source: write the corpus metadata as <doc> rows, read it back "
-    "with rowTag + explicit schema. Oracle checks the parsed rows.",
-)
-def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
-    target = os.path.join(tempfile.mkdtemp(prefix="xml_corpus_"), "dump")
-    (
-        docs.write.format("xml")
-        .option("rootTag", "corpus")
-        .option("rowTag", "doc")
-        .mode("overwrite")
-        .save(target)
-    )
-    return (
-        spark.read.format("xml")
-        .option("rowTag", "doc")
-        .schema("doc_id long, lang string, source string, n_chars long")
-        .load(target)
-    )
-
-
-@_register(
-    "make_wiki_pipeline",
-    f"""
-    WITH toks AS (
-        SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents
-    ),
-    dfreq AS (
-        SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docfreq
-        FROM toks GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 3
-    ),
-    dict AS (
-        SELECT token, docfreq,
-               CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
-        FROM dfreq
-    ),
-    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents)
-    SELECT tf.doc_id, dict.token_id, dict.token,
-           ROUND(tf.tf * ln((n.n_docs + 1.0) / (dict.docfreq + 1.0)), 6) AS tfidf
-    FROM tf JOIN dict USING (token) CROSS JOIN n
-    WHERE tf.doc_id < 20
-    """,
-    "S12+T1-T4+A1/A3+S9+A10 (make_wiki end-to-end composition)",
-    "The reference's make_wiki entry point composed end-to-end "
-    "(README.md:15-33, wiki_lda.py:13-14: gensim make_wiki = XML dump "
-    "→ tokenize → Dictionary(filter_extremes) → wordids file → TF-IDF "
-    "corpus): the corpus is written as an XML dump and re-ingested "
-    "(S12), tokenized (T1-T4), the minDF-filtered vocabulary is "
-    "assigned dense token ids and round-tripped through the gensim "
-    "dictionary TEXT format (S9 sink + scan), and the BoW counts join "
-    "the re-read dictionary for smoothed TF-IDF (A10). The oracle "
-    "computes the identical relation straight from `documents` — so a "
-    "mangled XML escape, a dictionary-format drift, or an id "
-    "misassignment anywhere in the chain breaks the hash. The "
-    "token-id window sorts only the vocabulary (bounded ≤ vocab-cap "
-    "rows — gensim holds the same dictionary in driver memory); the "
-    "corpus-sized relations shuffle by token/doc_id only, and the "
-    "dictionary joins back broadcast.",
-)
-def q_make_wiki_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
-    from ..sources.formats import read_dictionary_text, write_dictionary_text
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    dump = os.path.join(tempfile.mkdtemp(prefix="make_wiki_"), "dump")
-    (
-        docs.write.format("xml")
-        .option("rootTag", "corpus")
-        .option("rowTag", "doc")
-        .mode("overwrite")
-        .save(dump)
-    )
-    ingested = (
-        spark.read.format("xml")
-        .option("rowTag", "doc")
-        .schema("doc_id long, text string")
-        .load(dump)
-    )
-    n_docs = ingested.count()  # driver scalar, folded into the idf literal
-    toks = ingested.select(
-        "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
-    )
-    dfreq = (
-        toks.groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("docfreq"))
-        .filter(F.col("docfreq") >= 3)
-    )
-    # two-phase ordered rank (operators/indexing.py), NOT
-    # row_number().over(Window.orderBy("token")) — same reasoning as
-    # dictionary_text_roundtrip: a global unpartitioned window sorts
-    # the whole vocabulary on one executor at corpus scale
-    dict_ids = (
-        ordered_dense_rank(dfreq, "token", rank_col="__r")
-        .withColumn("id", (F.col("__r") - 1).cast("long"))
-        .select("id", "token", "docfreq")
-    )
-    wordids = write_dictionary_text(dict_ids, num_docs=n_docs)
-    dictionary = read_dictionary_text(spark, wordids)
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    return (
-        tf.join(F.broadcast(dictionary), "token")
-        .filter(F.col("doc_id") < 20)
-        .select(
-            "doc_id",
-            F.col("id").cast("long").alias("token_id"),
-            "token",
-            F.round(
-                F.col("tf") * F.log((n_docs + 1.0) / (F.col("docfreq") + 1.0)), 6
-            ).alias("tfidf"),
-        )
-    )
-
-
-@_register(
-    "partitioned_write_pruning",
-    """
-    SELECT lang,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents
-    WHERE source IN ('src0', 'src1', 'src2')
-    GROUP BY lang
-    """,
-    "S4/§2.1 extended (partitioned layout + partition pruning)",
-    "The 100 TB layout primitive: write the corpus hive-partitioned by "
-    "`source` (`write.partitionBy` — one directory per partition "
-    "value), read it back, and aggregate a 3-partition slice. The "
-    "`source IN (...)` predicate prunes at PLANNING time — the scan "
-    "touches only the matching directories (visible as "
-    "PartitionFilters in the plan, pinned by a plan test), which is "
-    "how a petabyte corpus serves selective queries at "
-    "partition-subset cost. Oracle aggregates the same slice from the "
-    "original table.",
-)
-def q_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars", "source"
-    )
-    target = os.path.join(tempfile.mkdtemp(prefix="part_corpus_"), "docs")
-    docs.write.partitionBy("source").mode("overwrite").parquet(target)
-    back = spark.read.parquet(target)
-    return (
-        back.filter(F.col("source").isin("src0", "src1", "src2"))
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-        )
-    )
-
-
-@_register(
-    "orc_corpus_roundtrip",
-    """
-    SELECT source,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents GROUP BY source
-    """,
-    "S5-S7 extended (columnar ORC source/sink)",
-    "Source-format breadth: the corpus metadata aggregate written as "
-    "ORC (Spark's second native columnar format — predicate pushdown "
-    "and column pruning work the same as parquet) and read back with "
-    "an explicit schema. Oracle recomputes the aggregate from the "
-    "original table, so a lossy roundtrip breaks the hash.",
-)
-def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
-    agg = (
-        _t(spark, sf_dir, "documents")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-        )
-    )
-    target = os.path.join(tempfile.mkdtemp(prefix="orc_corpus_"), "agg")
-    agg.write.mode("overwrite").orc(target)
-    return spark.read.schema(
-        "source string, n_docs long, total_chars long"
-    ).orc(target)
-
-
-@_register(
-    "fold_metric_stats",
-    """
-    WITH scored AS (
-        SELECT ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold,
-               len(list_filter(embedding, p -> p >= 0.0575)) > 2 AS pred,
-               label = 0 AS gold
-        FROM embeddings
-    ),
-    per_fold AS (
-        SELECT fold,
-               CAST(SUM(CASE WHEN pred AND gold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-               CAST(SUM(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-               CAST(SUM(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END) AS BIGINT) AS fn
-        FROM scored GROUP BY fold
-    ),
-    f1s AS (
-        SELECT fold,
-               CASE WHEN 2*tp + fp + fn = 0 THEN 0.0
-                    ELSE 2.0*tp / (2*tp + fp + fn) END AS f1
-        FROM per_fold
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_folds,
-           ROUND(AVG(f1), 6) AS mean_f1,
-           ROUND(stddev_samp(f1), 6) AS std_f1
-    FROM f1s
-    """,
-    "A7 (mean ± std over folds)",
-    "np.mean/np.std of per-fold F1 (supervised_classifier.py:527-537): "
-    "the M4 threshold rule scored per hash-fold, folded to mean±std — "
-    "one aggregation tree, no driver loop.",
-)
-def q_fold_metric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    hashed = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
-    scored = emb.select(
-        (hashed.cast("long") % 5).alias("fold"),
-        (F.size(F.filter(F.col("embedding"), lambda p: p >= F.lit(0.0575))) > 2).alias("pred"),
-        (F.col("label") == 0).alias("gold"),
-    )
-    per_fold = scored.groupBy("fold").agg(
-        F.sum(F.when(F.col("pred") & F.col("gold"), 1).otherwise(0)).cast("long").alias("tp"),
-        F.sum(F.when(F.col("pred") & ~F.col("gold"), 1).otherwise(0)).cast("long").alias("fp"),
-        F.sum(F.when(~F.col("pred") & F.col("gold"), 1).otherwise(0)).cast("long").alias("fn"),
-    )
-    f1 = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
-        2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
-    )
-    return (
-        per_fold.select(f1.alias("f1"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_folds"),
-            F.round(F.avg("f1"), 6).alias("mean_f1"),
-            F.round(F.stddev_samp("f1"), 6).alias("std_f1"),
-        )
-    )
-
-
-@_register(
-    "membership_classification",
-    """
-    WITH open_parts AS (
-        SELECT DISTINCT l_partkey FROM lineitem
-        JOIN orders ON o_orderkey = l_orderkey WHERE o_orderstatus = 'O' AND l_quantity >= 49
-    ),
-    any_parts AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 45)
-    SELECT CASE WHEN op.l_partkey IS NOT NULL THEN 1
-                WHEN ap.l_partkey IS NOT NULL THEN 2
-                ELSE 0 END AS membership,
-           COUNT(*) AS n_parts
-    FROM part
-    LEFT JOIN open_parts op ON op.l_partkey = p_partkey
-    LEFT JOIN any_parts ap ON ap.l_partkey = p_partkey
-    GROUP BY 1
-    """,
-    "J8 (two-left-join CASE membership classification)",
-    "The gold-label assignment shape (evaluate.py:160-168: in "
-    "disambiguation → 1, in wiki → 2, else 0) over parts: in an open "
-    "order → 1, ordered at all → 2, never ordered → 0.",
-)
-def q_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    open_parts = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter((F.col("o_orderstatus") == "O") & (F.col("l_quantity") >= 49))
-        .select(F.col("l_partkey").alias("op_key"))
-        .distinct()
-    )
-    any_parts = (
-        li.filter(F.col("l_quantity") >= 45)
-        .select(F.col("l_partkey").alias("ap_key"))
-        .distinct()
-    )
-    return (
-        part.join(open_parts, part.p_partkey == F.col("op_key"), "left")
-        .join(any_parts, part.p_partkey == F.col("ap_key"), "left")
-        .select(
-            F.when(F.col("op_key").isNotNull(), 1)
-            .when(F.col("ap_key").isNotNull(), 2)
-            .otherwise(0)
-            .alias("membership")
-        )
-        .groupBy("membership")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-    )
-
-
-@_register(
-    "multimodal_frame_sample",
-    """
-    WITH payloads AS (
-        -- the corpus text is pure ASCII, so VARCHAR chunking here equals
-        -- the byte chunking Spark does on the binary payload
-        SELECT doc_id, text AS payload FROM documents WHERE doc_id < 50
-    ),
-    frames AS (
-        SELECT doc_id, i AS frame_idx,
-               substring(payload, CAST(1 + i * 32 AS BIGINT), 32) AS frame
-        FROM payloads, unnest(range(0, 1 + CAST(floor((length(payload) - 1) / 32) AS BIGINT), 4)) AS t(i)
-    )
-    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-           CAST(octet_length(encode(frame)) AS INT) AS frame_bytes,
-           sha256(frame) AS frame_sha256
-    FROM frames WHERE length(frame) > 0
-    """,
-    "§2.11 multimodal (frame sampling over a binary column)",
-    "Video-style frame sampling as pure relational ops: the opaque "
-    "binary payload is chunked into fixed 32-byte 'frames', every 4th "
-    "frame is sampled (sequence + substring — no UDF), each fingerprinted "
-    "with sha256. The decode stub stays in operators.multimodal; this is "
-    "the samping plan the real decoder plugs into.",
-)
-def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    # greatest(...,1): an empty payload would make the sequence bound
-    # (0, -1) and throw; one zero-length frame instead, which the final
-    # frame_bytes > 0 filter drops — same empty result as the oracle
-    n_frames = F.greatest(
-        (F.floor((F.octet_length("payload") - 1) / 32) + 1).cast("long"), F.lit(1)
-    )
-    frames = payloads.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1, F.lit(4).cast("long"))).alias("frame_idx"),
-        "payload",
-    ).select(
-        "doc_id",
-        F.col("frame_idx").cast("int").alias("frame_idx"),
-        F.expr("substring(payload, 1 + frame_idx * 32, 32)").alias("frame"),
-    )
-    return frames.filter(F.octet_length("frame") > 0).select(
-        "doc_id",
-        "frame_idx",
-        F.octet_length("frame").cast("int").alias("frame_bytes"),
-        F.sha2(F.col("frame"), 256).alias("frame_sha256"),
-    )
-
-
-@_register(
-    "streaming_events_by_segment",
-    """
-    SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
-    FROM events JOIN customer ON c_custkey = user_id
-    GROUP BY c_mktsegment
-    """,
-    "§2.9 streaming (stream-static broadcast join)",
-    "The event stream enriched against the static customer dimension "
-    "(broadcast per micro-batch, no stream-side shuffle), aggregated per "
-    "segment; oracle-checked against the equivalent batch join.",
-)
-def q_streaming_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.events import streaming_events_by_segment
-
-    return streaming_events_by_segment(spark, sf_dir)
-
-
-@_register(
-    "streaming_interval_join",
-    """
-    SELECT c.user_id,
-           COUNT(*) AS n_pairs,
-           ROUND(CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE), 2)
-               AS sum_purchase_value
-    FROM events c JOIN events p
-      ON c.user_id = p.user_id
-     AND c.event_type = 'click' AND p.event_type = 'purchase'
-     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-    GROUP BY c.user_id
-    """,
-    "§2.9 streaming (stream-stream interval join)",
-    "TWO watermarked event streams joined on user with a 30-minute "
-    "time bound (click → subsequent purchases): the canonical "
-    "Structured Streaming stateful two-stream join, where the interval "
-    "condition is what lets the state store evict each side once the "
-    "other's watermark passes. Drained append pairs are aggregated per "
-    "user; the oracle replays the identical batch interval self-join.",
-)
-def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.events import streaming_interval_join
-
-    return streaming_interval_join(spark, sf_dir)
-
-
-@_register(
-    "spellcheck_filtered",
-    f"""
-    WITH vocab AS (
-        SELECT token FROM (
-            SELECT token, COUNT(DISTINCT doc_id) AS df
-            FROM (SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents)
-            GROUP BY token
-        ) WHERE df >= 3
-    ),
-    exploded AS (
-        SELECT doc_id, unnest({sql_tokens_pipeline('text')}) AS token FROM documents
-    )
-    SELECT doc_id,
-           array_to_string(list_sort(list(DISTINCT token)), ' ')
-               AS known_tokens
-    FROM exploded SEMI JOIN vocab USING (token)
-    GROUP BY doc_id
-    """,
-    "P6/P7 (spelling / lexicon filter via semi-join)",
-    "The reference drops tokens unknown to the spellchecker / English "
-    "lexicon via Python set difference (Read_And_Clean.py:19-29,77,80). "
-    "Distributed form: explode tokens, LEFT SEMI join against the "
-    "(broadcastable) lexicon — here the corpus vocabulary at df ≥ 3 — "
-    "and re-collect per doc (sorted set, deterministic).",
-)
-def q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    # the token explode feeds both the lexicon build and the semi join;
-    # recompute it on each side rather than materialize O(tokens) rows —
-    # the explode is map-side-cheap, and only the (small) vocab side is
-    # checkpointed so the broadcast below has a bounded, settled input
-    exploded = docs.select(
-        "doc_id", F.explode(tokens_pipeline(F.col("text"))).alias("token")
-    )
-    vocab = (
-        exploded.groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 3)
-        .select("token")
-        .localCheckpoint(eager=False)
-    )
-    return (
-        exploded.join(F.broadcast(vocab), "token", "left_semi")
-        .groupBy("doc_id")
-        # space-joined sorted set, not an array: the driver's pandas
-        # canonicalizer sorts on every output column and arrays are
-        # unhashable there (round-2 FAIL-err)
-        .agg(
-            F.concat_ws(" ", F.sort_array(F.collect_set("token"))).alias(
-                "known_tokens"
-            )
-        )
-    )
-
-
-# User-supplied lexicon demo (P4/P6/P7 pluggability). Stands in for the
-# reference's runtime-loaded NLTK stopword / spellchecker word lists
-# (Read_And_Clean.py:68,171-172): any single-column table of words plugs
-# in with identical token semantics. Mix of corpus-present and absent
-# words so both match and no-match paths are exercised.
-CUSTOM_LEXICON: tuple[str, ...] = (
-    "data", "query", "row", "table", "alphaword", "omegaword",
-)
-
-
-@_register(
-    "custom_lexicon_tokens",
-    f"""
-    SELECT doc_id,
-           COALESCE(array_to_string(
-               list_filter({sql_tokens_pipeline('text')},
-                           t -> t NOT IN {sql_stopword_list(CUSTOM_LEXICON)}),
-               ' '), '') AS kept_tokens,
-           COALESCE(array_to_string(
-               list_filter({sql_tokens_pipeline('text')},
-                           t -> t IN {sql_stopword_list(CUSTOM_LEXICON)}),
-               ' '), '') AS lexicon_tokens
-    FROM documents
-    """,
-    "P4/P6/P7 (pluggable user-supplied lexicon)",
-    "The reference's stopword / spellcheck lexica are runtime-loaded "
-    "word lists (Read_And_Clean.py:68,171-172); this query feeds a "
-    "user-supplied lexicon DataFrame through BOTH engine strategies — "
-    "drop-mode via the posexplode + broadcast ANTI join + ordered "
-    "regroup (functions.lexicon, the unbounded-lexicon path) and "
-    "keep-mode via the inline literal-array HOF (the dim-sized path) — "
-    "and hash-verifies each against DuckDB's plain list_filter, proving "
-    "the join machinery preserves token order and multiplicity exactly.",
-)
-def q_custom_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.lexicon import (
-        filter_tokens_inline,
-        filter_tokens_with_lexicon,
-        lexicon_from_words,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
-    )
-    lex = lexicon_from_words(spark, CUSTOM_LEXICON)
-    out = filter_tokens_with_lexicon(
-        docs, "tokens", lex, id_cols=["doc_id"], mode="drop",
-        out_col="kept", strategy="join",
-    )
-    out = out.withColumn(
-        "only_lex", filter_tokens_inline(F.col("tokens"), CUSTOM_LEXICON, "keep")
-    )
-    return out.select(
-        "doc_id",
-        F.concat_ws(" ", F.col("kept")).alias("kept_tokens"),
-        F.concat_ws(" ", F.col("only_lex")).alias("lexicon_tokens"),
-    )
-
-
-@_register(
-    "sorted_topic_vectors",
-    """
-    SELECT vec_id,
-           array_to_string(
-               list_transform(
-                   list_reverse_sort(embedding::DOUBLE[])[1:5],
-                   p -> CAST(CAST(round(p, 6) AS DECIMAL(18,6)) AS VARCHAR)
-               ), ','
-           ) AS top5_desc
-    FROM embeddings WHERE vec_id < 100
-    """,
-    "O2 (descending sort of a score vector)",
-    "SORT_TOPICS (supervised_classifier.py:163-164,716): the per-doc "
-    "score vector sorted descending before feature assembly — array_sort "
-    "with inverted comparator, top-5 slice for compactness.",
-)
-def q_sorted_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    desc_sorted = F.sort_array(F.col("embedding").cast("array<double>"), asc=False)
-    # fixed-scale decimal strings, comma-joined: arrays are unhashable in
-    # the driver's pandas canonicalizer, and DECIMAL(18,6)::VARCHAR
-    # renders identically on both engines (trailing zeros kept)
-    return emb.select(
-        "vec_id",
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(desc_sorted, 1, 5),
-                lambda p: F.round(p, 6).cast("decimal(18,6)").cast("string"),
-            ),
-        ).alias("top5_desc"),
-    )
-
-
-@_register(
-    "events_asof_join",
-    """
-    WITH tagged AS (
-        SELECT user_id, epoch_us(ts) AS ts_us, 0 AS tag, event_id,
-               epoch_us(ts) AS q_ts, value AS q_value
-        FROM events WHERE event_type = 'purchase'
-        UNION ALL
-        SELECT user_id, epoch_us(ts) AS ts_us, 1 AS tag, event_id,
-               NULL AS q_ts, NULL AS q_value
-        FROM events WHERE event_type = 'click'
-    ),
-    carried AS (
-        SELECT user_id, ts_us, tag, event_id,
-               last_value(q_ts IGNORE NULLS) OVER w AS asof_ts_us,
-               last_value(q_value IGNORE NULLS) OVER w AS asof_value
-        FROM tagged
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    )
-    SELECT event_id, user_id, ts_us AS click_ts_us, asof_ts_us,
-           ROUND(CAST(asof_value AS DOUBLE), 2) AS asof_value
-    FROM carried WHERE tag = 1
-    """,
-    "§2.11 custom temporal operator (as-of join)",
-    "For every click, the user's latest purchase at-or-before it. "
-    "Union-merge form: one window over (user, ts) with carry-forward — "
-    "single shuffle, linear in rows, no range-join pair blowup (the "
-    "100 TB-safe as-of pattern). Oracle runs the identical window "
-    "program in DuckDB.",
-)
-def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.relational import asof_join
-
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts_us", F.unix_micros("ts")
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts_us", "event_id"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts_us", "event_id", "value"
-    )
-    out = asof_join(
-        clicks, purchases, on="user_id", ts_col="ts_us",
-        value_cols=["value"], seq_col="event_id",
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        F.col("ts_us").alias("click_ts_us"),
-        F.col("asof_ts_us"),
-        F.round(F.col("asof_value").cast("double"), 2).alias("asof_value"),
-    )
-
-
-_ASOF_TOL_US = 43_200_000_000  # 12 h — splits matches vs nulled-out
-
-
-@_register(
-    "events_asof_nearest",
-    f"""
-    WITH tagged AS (
-        SELECT user_id, epoch_us(ts) AS ts_us, 0 AS tag, event_id,
-               epoch_us(ts) AS q_ts, value AS q_value
-        FROM events WHERE event_type = 'purchase'
-        UNION ALL
-        SELECT user_id, epoch_us(ts) AS ts_us, 1 AS tag, event_id,
-               NULL AS q_ts, NULL AS q_value
-        FROM events WHERE event_type = 'click'
-    ),
-    carried AS (
-        SELECT user_id, ts_us, tag, event_id,
-               last_value(q_ts IGNORE NULLS) OVER wb AS b_ts,
-               last_value(q_value IGNORE NULLS) OVER wb AS b_value,
-               last_value(q_ts IGNORE NULLS) OVER wf AS f_ts,
-               last_value(q_value IGNORE NULLS) OVER wf AS f_value
-        FROM tagged
-        WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-               wf AS (PARTITION BY user_id
-                      ORDER BY ts_us DESC, tag, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    ),
-    chosen AS (
-        SELECT event_id, user_id, ts_us,
-               CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL
-                         AND (ts_us - b_ts) <= (f_ts - ts_us))
-                    THEN b_ts ELSE f_ts END AS n_ts,
-               CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL
-                         AND (ts_us - b_ts) <= (f_ts - ts_us))
-                    THEN b_value ELSE f_value END AS n_value
-        FROM carried WHERE tag = 1
-    )
-    SELECT event_id, user_id, ts_us AS click_ts_us,
-           CASE WHEN n_ts IS NOT NULL
-                 AND ABS(ts_us - n_ts) <= {_ASOF_TOL_US}
-                THEN n_ts END AS asof_ts_us,
-           CASE WHEN n_ts IS NOT NULL
-                 AND ABS(ts_us - n_ts) <= {_ASOF_TOL_US}
-                THEN ROUND(CAST(n_value AS DOUBLE), 2) END AS asof_value
-    FROM chosen
-    """,
-    "§2.11 custom temporal operator (as-of join: nearest + tolerance)",
-    "The rest of the merge_asof surface events_asof_join leaves "
-    "uncovered: for every click, the NEAREST purchase in either "
-    "direction (ties break backward, the pandas convention), nulled "
-    "out past a 12-hour tolerance. Same union-merge scale shape as "
-    "the backward join — one key exchange feeding TWO window sorts "
-    "(ascending and descending carry-forward), then a row-local "
-    "chooser and tolerance predicate; still linear in rows, still no "
-    "range-join pair blowup. The oracle runs the identical two-window "
-    "program in DuckDB, so a wrong tie-break, a forward carry off by "
-    "one row, or a tolerance edge ( <= vs < ) breaks the hash.",
-)
-def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.relational import asof_join
-
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts_us", F.unix_micros("ts")
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts_us", "event_id"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts_us", "event_id", "value"
-    )
-    out = asof_join(
-        clicks, purchases, on="user_id", ts_col="ts_us",
-        value_cols=["value"], seq_col="event_id",
-        direction="nearest", tolerance=_ASOF_TOL_US,
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        F.col("ts_us").alias("click_ts_us"),
-        F.col("asof_ts_us"),
-        F.round(F.col("asof_value").cast("double"), 2).alias("asof_value"),
-    )
-
-
-@_register(
-    "event_pattern_match",
-    """
-    WITH seq AS (
-        SELECT user_id, COUNT(*) AS n_events,
-               string_agg(substring(event_type, 1, 1), ''
-                          ORDER BY epoch_us(ts), event_id) AS s
-        FROM events GROUP BY user_id
-    )
-    SELECT user_id, n_events,
-           CAST(len(regexp_extract_all(s, 'v[vc]*p')) AS BIGINT)
-               AS n_conversion_runs,
-           CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT)
-               AS n_error_bursts
-    FROM seq
-    """,
-    "§2.11 event analytics (MATCH_RECOGNIZE-style sequence patterns)",
-    "Row-pattern recognition without a MATCH_RECOGNIZE engine: each "
-    "user's event history collapses to an ordered initial-string "
-    "(deterministic (ts, event_id) sort inside one groupBy — the "
-    "exchange moves 1-char tokens, never payloads), and conversion "
-    "runs (view, then views/clicks, then purchase: 'v[vc]*p') and "
-    "error bursts ('ee+') are counted with a row-local regex — the "
-    "same left-to-right non-overlapping scan in Spark's regexp_count "
-    "and DuckDB's regexp_extract_all, so the counts hash. "
-    "Complements the fixed-stage funnel (funnel_conversion) with "
-    "arbitrary-pattern matching; at 100 TB the per-user string is "
-    "bounded by activity (sessionize first to bound it harder), and "
-    "the whole query is one key exchange.",
-)
-def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.struct(
-            F.unix_micros("ts").alias("ts_us"),
-            F.col("event_id"),
-            F.substring("event_type", 1, 1).alias("i"),
-        ).alias("e"),
-    )
-    seq = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list("e")), lambda e: e["i"]
-            ),
-            "",
-        ).alias("s"),
-    )
-    return seq.select(
-        "user_id",
-        "n_events",
-        F.regexp_count("s", F.lit("v[vc]*p")).alias("n_conversion_runs"),
-        F.regexp_count("s", F.lit("ee+")).alias("n_error_bursts"),
-    )
-
-
-@_register(
-    "lda_k_sweep",
-    None,
-    "M1/M25/A8 (LDA k-sweep + model selection)",
-    "The reference's hallmark loop (wiki_lda.py:17-21: k = 10..990): fit "
-    "LDA per k over the CACHED corpus, score each by held-out "
-    "log-perplexity, flag the argmin (A8 max-over-scores shape). Sweep "
-    "bounded to k ∈ {5,10,15} at bench scale; each fit is distributed, "
-    "the loop is the driver's.",
-)
-def q_lda_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.topics import fit_lda, vectorize
-
-    # sweep on a bounded subset (the reference likewise sweeps on
-    # pre-split subsets, Utils/Filename.py:17); predicate reaches the scan
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    toks = docs.select(
-        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
-    ).filter(F.size("tokens") > 0)
-    _, corpus = vectorize(toks, vocab_size=1 << 16)
-    corpus = corpus.cache()
-    try:
-        rows = []
-        for k in (5, 10, 15):
-            model = fit_lda(corpus, k=k, max_iter=3)
-            rows.append((k, float(model.logPerplexity(corpus))))
-    finally:
-        corpus.unpersist()
-    best = min(r[1] for r in rows)
-    # tightened invariants (r6): on this corpus the perplexity ordering
-    # and band are DETERMINISTIC (fixed seed, deterministic fit) —
-    # verified at sf0.001/0.01/0.1. The synthetic text has no latent
-    # structure beyond a handful of topics, so extra topics only pay
-    # the ELBO prior penalty: log-perplexity is monotone NON-DECREASING
-    # in k (k=5 wins), and all values sit in a narrow band around
-    # ln(effective-vocab) ≈ 3.5. A silent regression in tokenization,
-    # vectorization, or the LDA fit (empty docs, wrong vocab, broken
-    # inference) moves the values far outside [2.5, 4.5] (uniform over
-    # the 2^16 vocab would be ~11.1) or scrambles the ordering.
-    monotone = all(a[1] <= b[1] for a, b in zip(rows, rows[1:]))
-    out = spark.createDataFrame(rows, "k int, log_perplexity double")
-    finite = ~F.isnan("log_perplexity") & F.col("log_perplexity").isNotNull()
-    return out.select(
-        "k",
-        F.round("log_perplexity", 4).alias("log_perplexity"),
-        (F.col("log_perplexity") <= F.lit(best)).alias("is_best"),
-        F.lit(len(rows) == 3).alias("ok_sweep_complete"),
-        (finite & (F.col("log_perplexity") > 0)).alias("ok_perplexity"),
-        (
-            finite
-            & (F.col("log_perplexity") >= 2.5)
-            & (F.col("log_perplexity") <= 4.5)
-        ).alias("ok_perplexity_band"),
-        F.lit(monotone).alias("ok_k_monotone_nondecreasing"),
-    )
-
-
-@_register(
-    "neardup_clusters",
-    """
-    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
-    pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
-    ),
-    edges AS (
-        SELECT id_a AS u, id_b AS v FROM pairs
-        UNION SELECT id_b, id_a FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT u AS node FROM edges),
-    reach(node, m) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT eg.v, r.m FROM reach r JOIN edges eg ON eg.u = r.node
-    )
-    SELECT node, MIN(m) AS cluster FROM reach GROUP BY node
-    """,
-    "§2.11 dedup (near-dup clustering, connected components)",
-    "Pairwise near-dup candidates → duplicate CLUSTERS: iterative "
-    "min-label propagation to fixpoint (cluster id = smallest reachable "
-    "node). The oracle computes exact transitive closure with a "
-    "recursive CTE — the distributed loop must land on identical "
-    "components. This is the keep-one-per-cluster step real dedup "
-    "pipelines need after MinHash/cosine candidate generation.",
-)
-def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.shared import shared_neardup_components
-
-    return shared_neardup_components(spark, sf_dir)
-
-
-@_register(
-    "neardup_pagerank",
-    """
-    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
-    pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
-    ),
-    edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs
-    ),
-    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
-    n_tot AS (SELECT COUNT(*) AS n FROM nodes),
-    pr AS (
-        SELECT 0 AS iter, node, CAST(1000000000000 // n AS BIGINT) AS rank_u
-        FROM nodes CROSS JOIN n_tot
-        UNION ALL
-        SELECT pr.iter + 1, edges.dst,
-               CAST(150000000000 // n_tot.n
-                    + (85 * SUM(pr.rank_u // deg.d)) // 100 AS BIGINT)
-        FROM pr
-        JOIN edges ON edges.src = pr.node
-        JOIN deg ON deg.src = pr.node
-        CROSS JOIN n_tot
-        WHERE pr.iter < 5
-        GROUP BY pr.iter, edges.dst, n_tot.n
-    )
-    SELECT node AS vec_id, rank_u AS rank_e12 FROM pr WHERE iter = 5
-    """,
-    "§2.11 dedup / graph analytics (PageRank centrality, exact integer "
-    "iteration)",
-    "PageRank (damping 0.85, 5 iterations) over the SAME symmetric "
-    "cosine near-dup graph that neardup_clusters partitions — "
-    "centrality scores the most-connected member of each duplicate "
-    "cluster, the quality signal a keep-one policy can use instead of "
-    "min-id. Iterative algorithms are normally the rows-only class; "
-    "this one is HASH-EXACT against a DuckDB recursive CTE because "
-    "every step is integer arithmetic in 1e-12 rank units: init "
-    "1e12 div n, contribution rank div degree, update (15e10 div n) + "
-    "(85*sum) div 100 — floor division and commutative BIGINT sums "
-    "make each iteration bit-identical on both engines under any "
-    "partition order (no float accumulation anywhere). Spark shape: "
-    "the degree-annotated edge list is localCheckpoint-frozen once, "
-    "each iteration is one join + one dst-keyed partial-aggregating "
-    "shuffle over the prior ranks (Pregel message passing as "
-    "DataFrames), ranks checkpointed per iteration to truncate "
-    "lineage. At 100 TB: edges partition by src, ranks by node — the "
-    "per-iteration shuffle moves (dst, long) messages only; iteration "
-    "count and checkpoint cadence are the knobs.",
-)
-def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.shared import shared_neardup_pairs
-
-    pairs = shared_neardup_pairs(spark, sf_dir)
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    edges_d = edges.join(deg, "src").localCheckpoint(eager=True)
-    nodes = edges_d.select(F.col("src").alias("node")).distinct()
-    n = nodes.count()  # driver scalar: node count folded into literals
-    if n == 0:
-        # empty near-dup graph (higher threshold / different data):
-        # match the oracle's empty relation instead of dividing by zero
-        return nodes.select(
-            F.col("node").alias("vec_id"),
-            F.lit(None).cast("long").alias("rank_e12"),
-        )
-    init = 1_000_000_000_000 // n
-    base = 150_000_000_000 // n
-    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_u"))
-    for _ in range(5):
-        msgs = ranks.join(edges_d, ranks.node == edges_d.src).select(
-            F.col("dst").alias("node"), F.expr("rank_u div d").alias("c")
-        )
-        ranks = (
-            msgs.groupBy("node")
-            .agg(F.sum("c").alias("s"))
-            .select(
-                "node",
-                (F.lit(base) + F.expr("(85 * s) div 100"))
-                .cast("long")
-                .alias("rank_u"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return ranks.select(
-        F.col("node").alias("vec_id"), F.col("rank_u").alias("rank_e12")
-    )
-
-
-@_register(
-    "neardup_triangles",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
-    pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
-    ),
-    tris AS (
-        SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
-        FROM pairs p1
-        JOIN pairs p2 ON p2.id_a = p1.id_b
-        JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
-    ),
-    node_tris AS (
-        SELECT node, COUNT(*) AS n_triangles FROM (
-            SELECT a AS node FROM tris
-            UNION ALL SELECT b FROM tris
-            UNION ALL SELECT c FROM tris
-        ) GROUP BY node
-    ),
-    deg AS (
-        SELECT node, COUNT(*) AS degree FROM (
-            SELECT id_a AS node FROM pairs
-            UNION ALL SELECT id_b FROM pairs
-        ) GROUP BY node
-    )
-    SELECT deg.node AS vec_id, deg.degree,
-           COALESCE(node_tris.n_triangles, 0) AS n_triangles,
-           ROUND(CASE WHEN deg.degree >= 2
-                      THEN CAST(2 * COALESCE(node_tris.n_triangles, 0) AS DOUBLE)
-                           / (deg.degree * (deg.degree - 1))
-                      ELSE 0.0 END, 6) AS clustering_coeff
-    FROM deg LEFT JOIN node_tris USING (node)
-    """,
-    "§2.11 dedup / graph analytics (triangle count + local clustering)",
-    "Per-node triangle counts and local clustering coefficients over "
-    "the cosine near-dup graph — the density diagnostic that separates "
-    "tight duplicate cliques (coefficient → 1) from chain-like false "
-    "merges (→ 0), complementing the component and PageRank views of "
-    "the same graph. Triangles are enumerated once each via the "
-    "id-ordered orientation (a < b < c): two equi-joins on the "
-    "id_a < id_b pair relation, no direction double-counting, no "
-    "DISTINCT pass. Everything is integer until the one "
-    "coefficient division (2*tri / deg*(deg-1)) — both engines round "
-    "an identical double. At 100 TB the standard refinement is "
-    "degree-ordered orientation (point edges low→high degree) to "
-    "bound the join fan-out of hub nodes; the id orientation here is "
-    "the same plan shape with the cheaper key, and the pair relation "
-    "shuffles (int, int) tuples only.",
-)
-def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.shared import shared_neardup_pairs
-
-    pairs = shared_neardup_pairs(spark, sf_dir)
-    p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    p2 = pairs.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
-    p3 = pairs.select(F.col("id_a").alias("a3"), F.col("id_b").alias("c3"))
-    tris = (
-        p1.join(p2, p1.b == p2.b2)
-        .join(p3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
-        .select("a", "b", "c")
-    )
-    node_tris = (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    deg = (
-        pairs.select(F.col("id_a").alias("node"))
-        .unionAll(pairs.select(F.col("id_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    coeff = F.when(
-        F.col("degree") >= 2,
-        F.round(
-            (2 * F.col("n_triangles")).cast("double")
-            / (F.col("degree") * (F.col("degree") - 1)),
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
-    return (
-        deg.join(node_tris, "node", "left")
-        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)))
-        .select(
-            F.col("node").alias("vec_id"),
-            "degree",
-            F.col("n_triangles").cast("long").alias("n_triangles"),
-            coeff.alias("clustering_coeff"),
-        )
-    )
-
-
-# =========================================================================
-# Batch 5: subquery decorrelation, EXISTS, per-group regression,
-# applyInPandas grouped map
-# =========================================================================
-
-
-@_register(
-    "small_quantity_revenue",
-    """
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE p_type = 'PROMO'
-      AND l_quantity < (
-          SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
-      )
-    """,
-    "§2.9 relational (correlated scalar subquery, TPC-H Q17 shape)",
-    "Revenue from small-quantity orders of PROMO parts: the correlated "
-    "per-part average is written as a scalar subquery and Catalyst "
-    "DECORRELATES it into an aggregate + join (no per-row re-execution) "
-    "— visible as one extra shuffle, not |lineitem| subquery runs.",
-)
-def q_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    li.createOrReplaceTempView("li_q17")
-    part.createOrReplaceTempView("part_q17")
-    return spark.sql(
-        """
-        SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
-        FROM li_q17 JOIN part_q17 ON p_partkey = l_partkey
-        WHERE p_type = 'PROMO'
-          AND l_quantity < (
-              SELECT 0.2 * AVG(l_quantity) FROM li_q17 l2 WHERE l2.l_partkey = p_partkey
-          )
-        """
-    )
-
-
-@_register(
-    "orders_with_returns_exists",
-    """
-    SELECT o_orderpriority, COUNT(*) AS n_orders
-    FROM orders
-    WHERE EXISTS (
-        SELECT 1 FROM lineitem
-        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
-    )
-    GROUP BY o_orderpriority
-    """,
-    "§2.9 relational (correlated EXISTS, TPC-H Q4 shape)",
-    "Orders having at least one returned lineitem, counted per priority "
-    "— the correlated EXISTS plans as a LEFT SEMI join (one pass, no "
-    "row-at-a-time probing).",
-)
-def q_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
-    return (
-        orders.join(
-            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-
-
-_TREND_ORACLE_SQL = """
-    WITH base AS (
-        SELECT user_id,
-               CAST(epoch_us(ts) - MIN(epoch_us(ts))
-                   OVER (PARTITION BY user_id) AS HUGEINT) AS x,
-               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS yi
-        FROM events
-    ), agg AS (
-        SELECT user_id, COUNT(*) AS n_events,
-               SUM(x) AS sx, SUM(x * x) AS sxx,
-               SUM(yi) AS sy, SUM(x * yi) AS sxy
-        FROM base GROUP BY user_id HAVING COUNT(*) >= 2
-    )
-    SELECT user_id, n_events,
-           -- + 0 normalizes IEEE -0.0 to +0.0: DuckDB ROUND(double, n)
-           -- preserves the sign of zero while Spark's BigDecimal round
-           -- does not, and the driver hashes value REPRESENTATIONS, so
-           -- a tiny negative slope that rounds to zero would otherwise
-           -- hash-mismatch (-0.0 vs 0.0) despite numeric equality.
-           ROUND(CAST(CAST(n_events AS HUGEINT) * sxy - sx * sy AS DOUBLE)
-                 / NULLIF(CAST(CAST(n_events AS HUGEINT) * sxx - sx * sx
-                               AS DOUBLE), 0), 6) + 0 AS slope_per_sec
-    FROM agg
-    """
-
-
-@_register(
-    "user_value_trend",
-    _TREND_ORACLE_SQL,
-    "§2.11 analytics (per-group linear regression, native aggregates)",
-    "Per-user value-over-time trend via ORDER-INDEPENDENT exact partials: "
-    "x is centered on the per-user MIN(ts) in integer micros, y is scaled "
-    "to integer micro-units (testdata values carry <=6 decimals), and the "
-    "five sufficient statistics n, Sx, Sxx, Sy, Sxy are summed EXACTLY "
-    "(Spark DECIMAL(38,0) partials / DuckDB HUGEINT) so the aggregate is "
-    "bit-identical under any partitioning or accumulation order. The "
-    "slope (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) — the 1e-12 unit scalings of "
-    "numerator and denominator cancel, leaving slope in value-per-second "
-    "— is evaluated in ONE float division at the end, so the 6-decimal "
-    "round sees the same double on every engine and every run. This "
-    "replaced float covar_pop/var_pop whose partition-order-dependent "
-    "float accumulation flipped the round at half-way boundaries "
-    "(CORRECTNESS_r02/r03 flake). The centering window hash-partitions "
-    "on the same key as the groupBy — one shuffle total, no UDF. "
-    "Headroom: x up to ~3e14 micros (10y span) and 1e6 rows/user keep "
-    "every partial below 1e36 < DECIMAL(38,0) max.",
-)
-def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events")
-    ts_us = F.unix_micros("ts")
-    w = Window.partitionBy("user_id")
-    # x: centered integer micros as DECIMAL(18,0) — x*x typed (37,0),
-    # x*yi typed (35,0), both exact (no precision-loss rescale kicks in).
-    x = (ts_us - F.min(ts_us).over(w)).cast("decimal(18,0)")
-    yi = (F.col("value").cast("decimal(18,6)") * 1_000_000).cast(
-        "decimal(16,0)"
-    )
-    agg = (
-        ev.select("user_id", x.alias("x"), yi.alias("yi"))
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("x").alias("sx"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum("yi").alias("sy"),
-            F.sum(F.col("x") * F.col("yi")).alias("sxy"),
-        )
-        .filter(F.col("n_events") >= 2)
-    )
-    n = F.col("n_events").cast("decimal(38,0)")
-    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    return agg.select(
-        "user_id",
-        "n_events",
-        # + 0.0 mirrors the oracle's "+ 0": Spark round (BigDecimal)
-        # already normalizes -0.0, but the explicit add makes the
-        # zero-sign contract visible and engine-independent.
-        (F.round(num / F.nullif(den, F.lit(0.0)), 6) + F.lit(0.0)).alias(
-            "slope_per_sec"
-        ),
-    )
-
-
-@_register(
-    "grouped_trend_pandas",
-    _TREND_ORACLE_SQL,
-    "§2.10 UDF surface (applyInPandas grouped map)",
-    "The same per-user trend computed by a grouped-map applyInPandas "
-    "kernel (one Arrow batch per user group) — the engine's template for "
-    "per-group model scoring the reference does with sklearn in-memory. "
-    "Oracle-exact against the SAME SQL as user_value_trend: the kernel "
-    "mirrors the exact-partial formulation — centered integer-micros x, "
-    "micro-unit integer y, the five sufficient statistics as Python "
-    "arbitrary-precision ints (order-independent by construction), and "
-    "slope as float(num)/float(den), the same two-cast-one-divide IEEE "
-    "sequence the SQL expresses — so the 6-decimal round sees a "
-    "bit-identical double on every engine and run.",
-)
-def q_grouped_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_micros("ts").alias("x_us"),
-        # same micro-unit integer scaling as the SQL: CAST(y AS
-        # DECIMAL(18,6)) * 1e6, computed engine-side so the kernel never
-        # re-rounds a float
-        (F.col("value").cast("decimal(18,6)") * 1_000_000)
-        .cast("long")
-        .alias("yi"),
-    )
-
-    def trend(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                columns=["user_id", "n_events", "slope_per_sec"]
-            ).astype({"user_id": "int64", "n_events": "int64", "slope_per_sec": "float64"})
-        x_us = pdf["x_us"].to_list()
-        mn = min(x_us)
-        xs = [v - mn for v in x_us]  # Python ints: exact, any magnitude
-        ys = pdf["yi"].to_list()
-        n = len(xs)
-        sx = sum(xs)
-        sxx = sum(v * v for v in xs)
-        sy = sum(ys)
-        sxy = sum(a * b for a, b in zip(xs, ys))
-        den = n * sxx - sx * sx
-        # None (→ SQL NULL), not NaN: the relational twin emits NULL via
-        # NULLIF when the denominator is 0, and NaN would not match it.
-        # float()/float() mirrors the SQL's CAST(..AS DOUBLE)/CAST(..):
-        # two roundings then one IEEE division — NOT Python's correctly-
-        # rounded big-int division, which can differ in the last ulp.
-        # + 0.0 normalizes the sign of zero: Python round(-1e-9, 6) is
-        # -0.0, which is numerically equal to but representationally
-        # different from the oracle's normalized +0.0.
-        slope = (
-            None
-            if den == 0
-            else round(float(n * sxy - sx * sy) / float(den), 6) + 0.0
-        )
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [n],
-                "slope_per_sec": pd.Series([slope], dtype="object"),
-            }
-        )
-
-    return ev.groupBy("user_id").applyInPandas(
-        trend, "user_id long, n_events long, slope_per_sec double"
-    )
-
-
-@_register(
-    "segment_balance_unpivot",
-    """
-    WITH agg AS (
-        SELECT c_mktsegment,
-               ROUND(CAST(SUM(CASE WHEN c_acctbal >= 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS pos_bal,
-               ROUND(CAST(SUM(CASE WHEN c_acctbal < 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) + 0 AS neg_bal
-        FROM customer GROUP BY c_mktsegment
-    )
-    SELECT c_mktsegment AS segment, kind, amount
-    FROM agg UNPIVOT (amount FOR kind IN (pos_bal, neg_bal))
-    """,
-    "§2.9 relational (unpivot / melt)",
-    "Wide→long reshape: per-segment positive/negative balance columns "
-    "unpivoted to (segment, kind, amount) rows — the inverse of the "
-    "pivot query, via DataFrame.unpivot (Expand, no shuffle).",
-)
-def q_segment_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    agg = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
-        _dsum(F.when(F.col("c_acctbal") >= 0, _dec("c_acctbal")).otherwise(
-            F.lit(0).cast("decimal(18,2)"))).alias("pos_bal"),
-        _dsum(F.when(F.col("c_acctbal") < 0, _dec("c_acctbal")).otherwise(
-            F.lit(0).cast("decimal(18,2)"))).alias("neg_bal"),
-    )
-    return agg.unpivot(
-        ids=["segment"],
-        values=["pos_bal", "neg_bal"],
-        variableColumnName="kind",
-        valueColumnName="amount",
-    )
-
-
-@_register(
-    "kernel_svm_rff",
-    None,
-    "M9 (kernel SVM via Random Fourier Features + LinearSVC)",
-    "rbf-kernel SVC approximation (supervised_classifier.py:292-333): "
-    "seeded RFF map z(x)=sqrt(2/D)cos(Wx+b) broadcast to executors, one "
-    "matmul per Arrow batch, then LinearSVC on z — the Rahimi-Recht "
-    "scale-out; no O(n^2) kernel matrix. Runs on the battery's "
-    "separable document-feature task (LDA topics + length, FIXTURES "
-    "§A3) with train-fit StandardScaler before the distance-based "
-    "kernel map, so the rows-only check can enforce a HARD "
-    "ok_f1_floor=0.75 (r6 verdict task 6): a silent regression in the "
-    "feature map, scaling, or fit collapses F1 to ~0.5 and fails the "
-    "invariant. One metrics row on the 20% holdout.",
-)
-def q_kernel_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.kernel import kernel_svm_report
-    from ..ml.shared import shared_scaled_doc_split
-
-    train, test = shared_scaled_doc_split(spark, sf_dir)
-    return kernel_svm_report(None, presplit=(train, test), f1_floor=0.75)
-
-
-@_register(
-    "adaptive_search_lr",
-    None,
-    "M22 (sequential surrogate-guided search, BayesSearchCV analogue)",
-    "TPE-style sequential model-based search (Bergstra et al. 2011) "
-    "over log-regParam × elasticNet: seeded warmup trials, then each "
-    "proposal maximizes the good/bad KDE density ratio over the "
-    "observed F1s — the same conditioning-on-history semantics as the "
-    "reference's BayesSearchCV/forest_minimize loop "
-    "(supervised_classifier.py:210-244, polysemous_words.py:271-281); "
-    "every fit is a distributed job over cached CV folds. One row per "
-    "trial with best flag.",
-)
-def q_adaptive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.search import adaptive_search_logistic
-
-    data = _embedding_features(spark, sf_dir)
-    return adaptive_search_logistic(data)
-
-
-@_register(
-    "rule_point_search",
-    None,
-    "M22 (rule-operating-point surrogate search, forest_minimize at "
-    "the reference's 500-call budget, head-to-head arms)",
-    "The reference's SECOND Bayesian loop: skopt.forest_minimize over "
-    "the polysemy-rule OPERATING POINT — the full 3-D space "
-    "MIN_DOC_LEN ∈ [5, 500] (polysemous_words.py:49) × "
-    "minimum_probability ∈ [0.05, 0.1] × minimum_topics ∈ [1, 5] "
-    "(polysemous_words.py:33-38,48-52,271-281) — re-scoring the rule "
-    "against gold per call. The LDA topic distributions are inferred "
-    "ONCE and cached; every call is a distributed confusion aggregate "
-    "(count(p>=min_prob)>min_topics under the doc_len admission gate "
-    "vs a param-independent lexical-diversity gold). THREE arms run "
-    "head-to-head, one summary row each: forest_ei — the reference's "
-    "actual algorithm shape (extra-trees regression surrogate + "
-    "expected-improvement acquisition) at the reference's FULL "
-    "500-call budget (polysemous_words.py:29-30), proposals scored in "
-    "batches of 20 per distributed pass (q-EI batching — 500 calls ≈ "
-    "25 jobs); tpe — the 15-trial KDE-ratio stand-in of earlier "
-    "rounds (kept for comparison); random — an equal-500-budget "
-    "pure-random baseline. ok_surrogate_beats_random pins "
-    "forest_best ≥ random_best at equal budget; both surrogate arms "
-    "pin the 8 box corners in warmup, so ok_best_geq_corners holds by "
-    "construction and a violation means broken bookkeeping. This "
-    "closes the last documented deviation: the forest/EI semantics at "
-    "the reference's exact call budget, not just a TPE analogue.",
-)
-def q_rule_point_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ONE materialization serves all three arms' trial loops (each arm
-    # would otherwise re-run the LDA transform when caching its own
-    # projection)
-    scored = _rule_search_corpus(spark, sf_dir).localCheckpoint(eager=True)
-
-    from ..ml.search import (
-        forest_ei_search, random_search_baseline, rule_point_search,
-    )
-
-    tpe_rows = rule_point_search(scored).collect()
-    tpe_best = max(r["f1"] for r in tpe_rows)
-    tpe_pick = max(tpe_rows, key=lambda r: (r["f1"], -r["trial"]))
-    forest = forest_ei_search(scored)
-    rnd = random_search_baseline(scored)
-    p_lo, p_hi, t_lo, t_hi, l_lo, l_hi = 0.05, 0.1, 1, 5, 5, 500
-
-    def in_box(mp, mt, ml):
-        return bool(
-            p_lo <= mp <= p_hi and t_lo <= mt <= t_hi and l_lo <= ml <= l_hi
-        )
-
-    rows = [
-        (
-            "forest_ei", forest["n_calls"], round(forest["best_f1"], 6),
-            round(forest["best"][0], 6), forest["best"][1],
-            forest["best"][2],
-            forest["n_calls"] == 500,
-            0.0 <= forest["best_f1"] <= 1.0,
-            in_box(*forest["best"]),
-            forest["best_f1"] >= forest["corner_best"],
-            forest["best_f1"] >= rnd["best_f1"],
-        ),
-        (
-            "tpe", len(tpe_rows), round(tpe_best, 6),
-            tpe_pick["min_probability"], tpe_pick["min_topics"],
-            tpe_pick["min_doc_len"],
-            all(r["ok_trials_complete"] for r in tpe_rows),
-            all(r["ok_f1_range"] for r in tpe_rows),
-            all(r["ok_in_box"] for r in tpe_rows),
-            all(r["ok_best_geq_corners"] for r in tpe_rows),
-            True,  # the budget-equal comparison is the forest arm's
-        ),
-        (
-            "random", rnd["n_calls"], round(rnd["best_f1"], 6),
-            round(rnd["best"][0], 6), rnd["best"][1], rnd["best"][2],
-            rnd["n_calls"] == 500,
-            0.0 <= rnd["best_f1"] <= 1.0,
-            in_box(*rnd["best"]),
-            True,  # no corner warmup in the random arm
-            True,
-        ),
-    ]
-    return spark.createDataFrame(
-        rows,
-        "arm string, n_calls int, best_f1 double, "
-        "best_min_probability double, best_min_topics int, "
-        "best_min_doc_len int, ok_trials_complete boolean, "
-        "ok_f1_range boolean, ok_in_box boolean, "
-        "ok_best_geq_corners boolean, ok_surrogate_beats_random boolean",
-    )
-
-
-def _rule_search_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The once-inferred (topic_probs, doc_len, gold) corpus all three
-    search arms score against — cached by each arm for its trial
-    loop."""
-    from pyspark.ml.functions import vector_to_array
-
-    from ..ml.shared import shared_lda
-
-    # k=10 matches the reference's lda_model_topics=10
-    # (polysemous_words.py:31): with 10 topics the uniform probability
-    # is 0.1, so the searched floor range [0.05, 0.1] actually bites —
-    # at k=5 (uniform 0.2) the continuous dimension would be degenerate
-    model, corpus = shared_lda(spark, sf_dir, k=10, max_iter=5)
-    dist = model.transform(corpus).select(
-        "doc_id",
-        vector_to_array("topicDistribution").alias("topic_probs"),
-        F.size("tokens").alias("doc_len"),
-        (
-            F.size(F.array_distinct("tokens"))
-            / F.greatest(F.size("tokens"), F.lit(1))
-        ).alias("__diversity"),
-    )
-    # gold: docs in the top diversity half — the analogue of the
-    # reference's external wiki-disambiguation gold set: derived from
-    # the corpus once, independent of the searched rule parameters
-    med = dist.select(
-        F.expr("percentile(__diversity, 0.5)").alias("m")
-    ).first()["m"]
-    return dist.select(
-        "topic_probs",
-        "doc_len",
-        (F.col("__diversity") > F.lit(float(med))).alias("gold"),
-    )
-
-
-@_register(
-    "shipping_priority",
-    """
-    SELECT l_orderkey,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue,
-           epoch_us(o_orderdate) AS orderdate_us,
-           o_orderpriority
-    FROM customer JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1998-01-01'
-      AND l_shipdate > TIMESTAMP '1998-01-01'
-    GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, l_orderkey
-    LIMIT 10
-    """,
-    "§2.9 relational (TPC-H Q3 shape: 3-way join, date predicates, top-k)",
-    "Shipping priority: segment-filtered customers ⋈ orders ⋈ lineitem "
-    "with date range predicates pushed to both fact scans, grouped "
-    "revenue, deterministic top-10.",
-)
-def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
-    )
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            _dsum(
-                _dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)"))
-            ).alias("revenue")
-        )
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.unix_micros("o_orderdate").alias("orderdate_us"),
-            "o_orderpriority",
-        )
-        .orderBy(F.desc("revenue"), "l_orderkey")
-        .limit(10)
-    )
-
-
-@_register(
-    "streaming_first_event_per_user_type",
-    """
-    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM events GROUP BY event_type
-    """,
-    "§2.9 streaming (stateful dropDuplicates with watermark)",
-    "Streaming dedup: keep the first event per (user, type) — state one "
-    "row per pair, bounded by the watermark — then count users per "
-    "type. Arrival order cannot change the counts, so the batch "
-    "COUNT(DISTINCT) is the exact oracle.",
-)
-def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid as _uuid
-
-    from ..sources.testdata import event_stream
-
-    stream = (
-        event_stream(spark, sf_dir)
-        .withWatermark("ts", "1 hour")
-        .dropDuplicates(["user_id", "event_type"])
-    )
-    name = f"dedup_{_uuid.uuid4().hex[:8]}"
-    q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return (
-        spark.table(name)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    )
-
-
-@_register(
-    "topic_coherence_cv",
-    None,
-    "M26 (c_v coherence — defined-but-disabled reference surface)",
-    "FULL c_v topic coherence chain (Röder et al. 2015; "
-    "coherence_log_perplexity.py:45-52 ships it commented out): "
-    "boolean SLIDING windows (counted via exact interval unions, not "
-    "window enumeration) → NPMI matrix per topic → S_one_set indirect "
-    "cosine of each term's NPMI vector against the summed topic "
-    "vector → arithmetic-mean aggregation. One row per topic. The "
-    "whole chain — not just the window step — is numerically verified "
-    "against an independent brute-force enumeration replay "
-    "(tests/test_pipeline_facade.py::"
-    "test_cv_coherence_full_chain_matches_reference_enumeration).",
-)
-def q_cv_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.shared import shared_corpus, shared_lda
-    from ..ml.topic_quality import cv_coherence
-
-    cv_model, corpus = shared_corpus(spark, sf_dir)
-    model, _ = shared_lda(spark, sf_dir, k=5, max_iter=5)
-    # the corpus frame still carries the tokens column for windowing
-    out = cv_coherence(model, corpus, cv_model.vocabulary, top_n=10)
-    return out.withColumn(
-        "ok_finite",
-        ~F.isnan("cv_coherence") & F.col("cv_coherence").isNotNull(),
-    )
-
-
-# =========================================================================
-# Batch 6: training-data pipeline ops — sequence packing, split
-# manifests, embedding quantization
-# =========================================================================
-
-
-@_register(
-    "document_packing",
-    """
-    WITH toks AS (
-        SELECT doc_id, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
-        FROM documents
-    ),
-    ordered AS (
-        SELECT doc_id, n_tokens,
-               SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        FROM toks
-    )
-    SELECT CAST(floor((cum - 1) / 2048) AS BIGINT) AS pack_id,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
-    FROM ordered GROUP BY 1
-    """,
-    "§2.11 training-data ops (sequence packing)",
-    "Pack short documents into ~2048-token training sequences: "
-    "cumulative token count over a deterministic order, pack = "
-    "floor(cum/target) — the distributed-friendly packing variant "
-    "(greedy first-fit needs sequential state; floor-cumsum has the "
-    "same fill factor on shuffled data). The prefix sum is TWO-PHASE: "
-    "a partition-parallel within-bucket window (bucket = doc_id range) "
-    "plus a bucket-prefix offset joined broadcast — identical result "
-    "to a global-order window with no single-partition sort, so the "
-    "plan survives a fact-sized input. Whitespace token count = the "
-    "tokenizer-free estimator both engines share.",
-)
-def q_document_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    n_tokens = (
-        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
-    ).cast("long")
-    toks = docs.select("doc_id", n_tokens.alias("n_tokens"))
-    # phase 1: bucket by doc_id range (dense ids → ~n_buckets even
-    # slices), cumsum within each bucket in parallel
-    n_buckets = 32
-    max_id = toks.agg(F.max("doc_id")).first()[0] or 0
-    span = max(1, (int(max_id) // n_buckets) + 1)
-    bucketed = toks.withColumn("__b", (F.col("doc_id") / span).cast("long"))
-    wb = (
-        Window.partitionBy("__b")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = bucketed.withColumn("local_cum", F.sum("n_tokens").over(wb))
-    # phase 2: bucket totals (≤ n_buckets rows) → exclusive prefix
-    # offsets, folded on the driver and broadcast back (the
-    # `_dense_index` pattern from ml/resample). A tiny unpartitioned
-    # window would compute the same thing but logs
-    # `WindowExec: No Partition Defined` on every run — warning noise
-    # that can mask a REAL global-window regression. Exact longs both
-    # ways; the recompute of `bucketed` for the counts job is
-    # deterministic (no sampling in its lineage).
-    totals = {
-        r["__b"]: r["t"]
-        for r in bucketed.groupBy("__b")
-        .agg(F.sum("n_tokens").alias("t"))
-        .collect()
-    }
-    acc = 0
-    off_rows = []
-    for b in sorted(totals):
-        off_rows.append((b, acc))
-        acc += int(totals[b])
-    offsets = docs.sparkSession.createDataFrame(
-        off_rows or [(0, 0)], "__b long, off long"
-    )
-    ordered = local.join(F.broadcast(offsets), "__b").withColumn(
-        "cum", F.col("local_cum") + F.col("off")
-    )
-    return (
-        ordered.select(
-            F.floor((F.col("cum") - 1) / 2048).cast("long").alias("pack_id"),
-            "n_tokens",
-        )
-        .groupBy("pack_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("pack_tokens"),
-        )
-    )
-
-
-@_register(
-    "dataset_split_manifest",
-    """
-    WITH assigned AS (
-        SELECT doc_id,
-               CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
-        FROM (SELECT doc_id,
-                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
-              FROM documents)
-    )
-    SELECT split, COUNT(*) AS n_docs,
-           CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
-    FROM assigned GROUP BY split
-    """,
-    "§2.11 training-data ops (deterministic split manifest)",
-    "80/10/10 train/val/test assignment from a content-stable hash — "
-    "a pure map (zero shuffles for the assignment itself), reproducible "
-    "across runs/engines, no rand() in the plan (M17/M18 generalized "
-    "to manifest form).",
-)
-def q_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    ) % 100
-    assigned = docs.select(
-        "doc_id",
-        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split"),
-    )
-    return assigned.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("doc_id").cast("long").alias("min_doc"),
-        F.max("doc_id").cast("long").alias("max_doc"),
-    )
-
-
-@_register(
-    "embedding_quantization",
-    """
-    WITH q AS (
-        SELECT vec_id,
-               list_transform(embedding::DOUBLE[],
-                              x -> CAST(greatest(-127, least(127, round(x * 64.0))) AS BIGINT)) AS qvec,
-               embedding::DOUBLE[] AS v
-        FROM embeddings WHERE vec_id < 200
-    )
-    SELECT vec_id,
-           ROUND(sqrt(list_sum(list_transform(qvec, x -> (x / 64.0) * (x / 64.0)))
-                      / len(qvec)), 6) AS dequant_rms,
-           ROUND(sqrt(list_sum(list_transform(list_zip(v, qvec),
-                      p -> (p[1] - p[2] / 64.0) * (p[1] - p[2] / 64.0))) / len(v)), 6) AS quant_err_rms
-    FROM q
-    """,
-    "§2.11 training-data ops (int8 embedding quantization)",
-    "Symmetric int8 quantization (scale 64, clamp ±127) of the "
-    "embedding column — the 4× storage cut for 100 TB vector corpora — "
-    "with per-vector dequantized RMS and quantization-error RMS so the "
-    "fidelity loss is measurable. Pure array HOFs, no UDF.",
-)
-def q_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    v = F.col("embedding").cast("array<double>")
-    qvec = F.transform(
-        v,
-        lambda x: F.greatest(
-            F.lit(-127.0), F.least(F.lit(127.0), F.round(x * 64.0, 0))
-        ).cast("long"),
-    )
-    dq = lambda q: q / 64.0  # noqa: E731
-    with_q = emb.select("vec_id", v.alias("v"), qvec.alias("qvec"))
-    n = F.size("v")
-    dequant_rms = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.transform("qvec", lambda q: dq(q) * dq(q)),
-                F.lit(0.0),
-                lambda a, b: a + b,
-            )
-            / n
-        ),
-        6,
-    )
-    err_rms = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with("v", "qvec", lambda x, q: (x - dq(q)) * (x - dq(q))),
-                F.lit(0.0),
-                lambda a, b: a + b,
-            )
-            / n
-        ),
-        6,
-    )
-    return with_q.select(
-        "vec_id", dequant_rms.alias("dequant_rms"), err_rms.alias("quant_err_rms")
-    )
-
-
-# Signed-random-projection semantic dedup: plane count and cosine
-# threshold. 4 planes → 16 buckets keeps ~30 vectors/bucket at the test
-# scale; at corpus scale planes grow with log2(n/target_bucket_size) so
-# the within-bucket pairwise stage stays bounded.
-_SRP_PLANES = 4
-_SRP_TAU = 0.35
-_SRP_DIM = 64  # testdata embedding width (both engines fail loudly if not)
-
-
-def _srp_weights(tag: str = "srp",
-                 planes: int = _SRP_PLANES) -> list[list[int]]:
-    """±1 projection weights, one row per plane: parity of the first hex
-    digit of md5('{tag}_{plane}_{dim}'). Derived ONCE at plan-build time
-    with hashlib (bit-identical to SQL md5) and folded into the plan as
-    literal arrays — the per-row cost is a plain dot product, not
-    planes×dim md5 calls per vector. ``tag`` seeds independent hash
-    tables (the beam-graph candidate generator uses several)."""
-    import hashlib
-
-    return [
-        [
-            1
-            if int(
-                hashlib.md5(f"{tag}_{p}_{i}".encode()).hexdigest()[0], 16
-            ) % 2 == 0
-            else -1
-            for i in range(_SRP_DIM)
-        ]
-        for p in range(planes)
-    ]
-
-
-def _sql_srp_bucket(qcol: str, weights: list[list[int]] | None = None) -> str:
-    """DuckDB twin of the signed-random-projection bucket id over an
-    integer-quantized vector column: same plan-time weight literals, so
-    the per-row work is list_dot_product against a constant list."""
-    terms = []
-    for p, w in enumerate(weights or _srp_weights()):
-        lit = "[" + ", ".join(str(x) for x in w) + "]"
-        terms.append(
-            f"CASE WHEN list_dot_product({qcol}, {lit}) >= 0 "
-            f"THEN {1 << p} ELSE 0 END"
-        )
-    return "(" + " + ".join(terms) + ")"
-
-
-def _srp_bucket_col(
-    qc: F.Column, weights: list[list[int]], bits: list[int] | None = None
-) -> F.Column:
-    """Spark twin of ``_sql_srp_bucket``: the SRP bucket id of an
-    integer-quantized vector column against plan-literal ±1 weights.
-    ``bits`` overrides each plane's bit value (the adaptive-plane
-    caller keeps the ORIGINAL plane indices so bucket ids match the
-    oracle's gated-term sum)."""
-    acc = F.lit(0)
-    for p, w in enumerate(weights):
-        wlit = F.array(*[F.lit(x).cast("long") for x in w])
-        dot_p = F.aggregate(
-            F.zip_with(qc, wlit, lambda x, wt: x * wt),
-            F.lit(0).cast("long"),
-            lambda a, b: a + b,
-        )
-        bit = bits[p] if bits is not None else (1 << p)
-        acc = acc + F.when(dot_p >= 0, F.lit(bit)).otherwise(F.lit(0))
-    return acc
-
-
-@_register(
-    "semantic_dedup_srp",
-    f"""
-    WITH e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-               list_transform(embedding::DOUBLE[],
-                              x -> CAST(round(x * 1000000) AS BIGINT)) AS q
-        FROM embeddings
-    ),
-    b AS (SELECT vec_id, v, {_sql_srp_bucket('q')} AS bucket FROM e),
-    dropped AS (
-        SELECT DISTINCT b2.vec_id
-        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-        WHERE ROUND(list_dot_product(a.v, b2.v)
-              / (sqrt(list_dot_product(a.v, a.v))
-                 * sqrt(list_dot_product(b2.v, b2.v))), 6) >= {_SRP_TAU}
-    )
-    SELECT b.vec_id, CAST(bucket AS INT) AS bucket,
-           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
-    FROM b LEFT JOIN dropped d ON b.vec_id = d.vec_id
-    """,
-    "§2.11 dedup (SemDeDup-style cluster-scoped semantic dedup)",
-    "Semantic (embedding-space) dedup in the SemDeDup shape: partition "
-    "the corpus into buckets with signed random projections, compare "
-    "pairs ONLY within a bucket, keep the first occurrence (min id) of "
-    "every near-duplicate group. Unlike the stochastic KMeans variant, "
-    "the 'clustering' here is deterministic and engine-portable: plane "
-    "weights are ±1 drawn from md5(plane,dim) parity, and the projection "
-    "sign is decided on 1e-6-quantized INTEGER vectors — an exact, "
-    "order-independent sum, so the bucket id is bit-identical across "
-    "engines, partitionings, and runs (no float-at-the-boundary flake). "
-    "Scale: the only shuffle is the bucket-key equi-join; plane count "
-    "grows with log2(corpus/target_bucket) to bound the within-bucket "
-    "quadratic stage, and buckets are the unit of parallelism — the "
-    "100 TB path never compares across buckets. The all-pairs "
-    "`embedding_cosine_neardup` is the exactness baseline; this is the "
-    "scale path with a deterministic contract.",
-)
-def q_semantic_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    qv = F.transform(v, lambda x: F.round(x * 1_000_000, 0).cast("long"))
-
-    def bucket_col(qc: F.Column) -> F.Column:
-        return _srp_bucket_col(qc, _srp_weights())
-
-    # Fail loudly on a width mismatch: zip_with would pad with nulls and
-    # silently zero the affected planes' votes (DuckDB's list_dot_product
-    # errors; the Spark side must too, not mis-bucket).
-    checked = F.when(
-        F.size(v) == _SRP_DIM, bucket_col(qv)
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"semantic_dedup_srp: embedding width != {_SRP_DIM}: "),
-                F.size(v).cast("string"),
-            )
-        )
-    )
-    base = emb.select("vec_id", v.alias("v"), checked.alias("bucket"))
-    a = base.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
-    )
-    b = base.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
-    )
-    dropped = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
-            >= F.lit(_SRP_TAU)
-        )
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
-    return base.join(
-        dropped.withColumn("__d", F.lit(1)), "vec_id", "left"
-    ).select(
-        "vec_id",
-        F.col("bucket").cast("int").alias("bucket"),
-        F.when(F.col("__d").isNull(), 1).otherwise(0).cast("int").alias("keep"),
-    )
-
-
-@_register(
-    "training_order_shuffle",
-    """
-    WITH r AS (
-        SELECT doc_id,
-               ROW_NUMBER() OVER (
-                   ORDER BY md5('shuf42_' || CAST(doc_id AS VARCHAR))
-               ) AS epoch_pos
-        FROM documents
-    )
-    SELECT doc_id, CAST(epoch_pos AS BIGINT) AS epoch_pos,
-           CAST((epoch_pos - 1) % 8 AS BIGINT) AS shard
-    FROM r
-    """,
-    "§2.11 training-data ops (deterministic global shuffle + sharding)",
-    "Reproducible training order: every document gets a content-stable "
-    "shuffle key md5(seed, doc_id), the global rank of that key is its "
-    "epoch position, and positions round-robin into 8 output shards so "
-    "each shard is a stratified sample of the shuffled order (what a "
-    "multi-worker data loader needs). The global rank comes from "
-    "operators.indexing.ordered_dense_rank — range-repartition on the "
-    "key, rank within each range partition, broadcast cumulative "
-    "offsets — NOT a single-partition ORDER BY window, so the shuffle "
-    "order is computed at full cluster parallelism and is bit-equal to "
-    "the oracle's ROW_NUMBER() OVER (ORDER BY md5(...)). No rand() "
-    "anywhere: re-running the manifest on the same corpus and seed "
-    "reproduces the identical order on any engine.",
-)
-def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.md5(
-            F.concat(F.lit("shuf42_"), F.col("doc_id").cast("string"))
-        ).alias("__k"),
-    )
-    ranked = ordered_dense_rank(docs, "__k", rank_col="epoch_pos")
-    return ranked.select(
-        "doc_id",
-        F.col("epoch_pos").cast("long").alias("epoch_pos"),
-        ((F.col("epoch_pos") - 1) % 8).cast("long").alias("shard"),
-    )
-
-
-@_register(
-    "rolling_week_order_value",
-    """
-    SELECT o_custkey, CAST(epoch_us(o_orderdate) AS BIGINT) AS orderdate_us,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate
-                       RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
-             AS week_value
-    FROM orders WHERE o_custkey < 100
-    """,
-    "§2.9 windows (RANGE frame over event time)",
-    "Per-customer rolling 7-day order value: a RANGE frame bounded by a "
-    "time interval — value-based framing (peer rows by timestamp), "
-    "unlike the ROWS frames elsewhere; one shuffle on the partition key.",
-)
-def q_rolling_week(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
-    view = "orders_range_frame"
-    orders.createOrReplaceTempView(view)
-    return spark.sql(
-        f"""
-        SELECT o_custkey, CAST(unix_micros(o_orderdate) AS BIGINT) AS orderdate_us,
-               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate
-                           RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
-                 AS week_value
-        FROM {view}
-        """
-    )
-
-
-@_register(
-    "approx_distinct_sketch",
-    """
-    SELECT event_type,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS within_contract
-    FROM events GROUP BY event_type
-    """,
-    "§2.11 sketches (HyperLogLog approx distinct)",
-    "approx_count_distinct (HLL, rsd=0.05) vs exact COUNT(DISTINCT) per "
-    "event type: at 100 TB the sketch is the only mergeable "
-    "constant-memory option. Oracle-checked via the accuracy CONTRACT: "
-    "the relation carries the exact count plus a within_contract flag "
-    "(relative error ≤ 3×rsd); DuckDB asserts the exact counts and "
-    "predicts the flag TRUE, so an HLL regression past the bound flips "
-    "the flag and breaks the hash. (The raw estimate is "
-    "engine-specific, hence not hashed directly.)",
-)
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    out = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
-    )
-    return out.select(
-        "event_type",
-        "exact_users",
-        (
-            F.abs(F.col("approx_users") - F.col("exact_users"))
-            / F.col("exact_users")
-            <= 0.15
-        ).alias("within_contract"),
-    )
-
-
-@_register(
-    "approx_quantile_sketch",
-    """
-    SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
-           TRUE AS within_contract
-    FROM events GROUP BY event_type
-    """,
-    "§2.11 sketches (mergeable approximate quantiles)",
-    "percentile_approx (Greenwald-Khanna sketch, accuracy 1000) vs "
-    "exact interpolated median per event type: at 100 TB an exact "
-    "quantile needs a full sort per group, while the sketch is a "
-    "constant-memory mergeable aggregate (one map-side pass + combiner "
-    "merge). Oracle-checked via the accuracy CONTRACT: the relation "
-    "carries the exact interpolated median (identical semantics to "
-    "DuckDB quantile_cont) plus a within_contract flag (relative error "
-    "≤ 5%); a sketch regression flips the flag and breaks the hash.",
-)
-def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    out = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
-        F.expr("percentile_approx(value, 0.5, 1000)").alias("approx_p50"),
-    )
-    return out.select(
-        "event_type",
-        "exact_p50",
-        (
-            F.abs(F.col("approx_p50") - F.col("exact_p50"))
-            / F.abs(F.col("exact_p50"))
-            <= 0.05
-        ).alias("within_contract"),
-    )
-
-
-# =========================================================================
-# Batch 7: LLM-pipeline curation ops — contamination, repetition,
-# canonical dedup output, incremental snapshot dedup
-# =========================================================================
-
-_SQL_8GRAMS = (
-    f"list_transform(range(1, len({sql_simple_tokens('text')}) - 6), "
-    f"i -> array_to_string(list_slice({sql_simple_tokens('text')}, i, i + 7), ' '))"
-)
-
-
-@_register(
-    "benchmark_contamination",
-    f"""
-    WITH sh AS (
-        SELECT doc_id, doc_id % 97 = 0 AS is_eval,
-               unnest({_SQL_8GRAMS}) AS sh
-        FROM documents
-    ),
-    eval_sh AS (SELECT DISTINCT doc_id, sh FROM sh WHERE is_eval),
-    corpus_sh AS (SELECT DISTINCT sh FROM sh WHERE NOT is_eval)
-    SELECT e.doc_id,
-           COUNT(*) AS n_shingles,
-           CAST(COUNT(c.sh) AS BIGINT) AS n_contaminated,
-           ROUND(CAST(COUNT(c.sh) AS DOUBLE) / COUNT(*), 6) AS contamination_ratio
-    FROM eval_sh e LEFT JOIN corpus_sh c USING (sh)
-    GROUP BY e.doc_id
-    """,
-    "§2.11 curation (benchmark-contamination check, 8-gram overlap)",
-    "Train/eval contamination audit: the held-out eval slice "
-    "(doc_id % 97 = 0) is checked for 8-gram (token shingle) overlap "
-    "against the training corpus — the decontamination step every "
-    "LLM data pipeline runs before training. Distinct-shingle "
-    "equi-join; at 100 TB the join key becomes xxhash64(shingle) "
-    "(64-bit, shuffle-compact) and the eval side — always the small "
-    "side — broadcasts; the corpus side stays partitioned, never "
-    "collected.",
-)
-def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokenize
-
-    docs = _t(spark, sf_dir, "documents")
-    # materialize tokens as a column FIRST: referencing the tokenize
-    # expression inside the transform lambda would re-run the Unicode
-    # regex once per generated shingle (~50× per row)
-    toks = docs.select(
-        "doc_id", (F.col("doc_id") % 97 == 0).alias("is_eval"),
-        tokenize(F.col("text")).alias("t"),
-    )
-    t = F.col("t")
-    shingles = F.when(
-        F.size(t) >= 8,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - 8),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, 8)),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    sh = toks.select("doc_id", "is_eval", F.explode(shingles).alias("sh"))
-    eval_sh = sh.filter("is_eval").select("doc_id", "sh").distinct()
-    corpus_sh = sh.filter(~F.col("is_eval")).select("sh").distinct()
-    return (
-        eval_sh.join(corpus_sh.withColumn("hit", F.lit(1)), "sh", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count("hit").cast("long").alias("n_contaminated"),
-            F.round(
-                F.count("hit").cast("double") / F.count(F.lit(1)), 6
-            ).alias("contamination_ratio"),
-        )
-    )
-
-
-_SQL_BIGRAMS = (
-    f"list_transform(range(1, len({sql_simple_tokens('text')})), "
-    f"i -> array_to_string(list_slice({sql_simple_tokens('text')}, i, i + 1), ' '))"
-)
-
-
-@_register(
-    "repetition_quality",
-    f"""
-    WITH bg AS (
-        SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bigram FROM documents
-    ),
-    counts AS (
-        SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
-    )
-    SELECT doc_id,
-           CAST(SUM(c) AS BIGINT) AS n_bigrams,
-           CAST(MAX(c) AS BIGINT) AS top_bigram_n,
-           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS rep_ratio,
-           CAST(CASE WHEN CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.2
-                     THEN 1 ELSE 0 END AS INT) AS is_repetitive
-    FROM counts GROUP BY doc_id
-    """,
-    "§2.11 curation (repetition-based quality filter)",
-    "Gopher-style repetition signal: fraction of a document's 2-grams "
-    "taken by its single most-frequent 2-gram; docs above 0.2 are "
-    "flagged (boilerplate / degenerate repetition). Explode + two-level "
-    "aggregate — fully distributed, map-side partial aggregation on "
-    "(doc, bigram), no UDF.",
-)
-def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokenize
-
-    docs = _t(spark, sf_dir, "documents")
-    # tokens as a named column — see q_benchmark_contamination: lambda
-    # capture of the raw expression re-evaluates the regex per element
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    t = F.col("t")
-    bigrams = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - 2),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    counts = (
-        toks.select("doc_id", F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    ratio = F.max("c").cast("double") / F.sum("c")
-    return counts.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_bigrams"),
-        F.max("c").cast("long").alias("top_bigram_n"),
-        F.round(ratio, 6).alias("rep_ratio"),
-        F.when(ratio > 0.2, 1).otherwise(0).cast("int").alias("is_repetitive"),
-    )
-
-
-@_register(
-    "quality_perplexity",
-    f"""
-    WITH bgi AS (
-        SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bgram FROM documents
-    ),
-    bc AS (SELECT bgram, COUNT(*) AS c2 FROM bgi GROUP BY bgram),
-    uni AS (
-        SELECT tok, COUNT(*) AS c1
-        FROM (SELECT unnest({sql_simple_tokens('text')}) AS tok FROM documents)
-        GROUP BY tok
-    ),
-    v AS (SELECT COUNT(*) AS vsize FROM uni),
-    agg AS (
-        SELECT doc_id,
-               COUNT(*) AS n_bigrams,
-               exp(-(CAST(SUM(CAST(ROUND(ln((c2 + 1.0) / (c1 + vsize)), 9)
-                                   AS DECIMAL(18,9)) ) AS DOUBLE)
-                     / COUNT(*))) AS raw_ppl
-        FROM bgi JOIN bc USING (bgram)
-        JOIN uni ON str_split(bgi.bgram, ' ')[1] = uni.tok
-        CROSS JOIN v
-        GROUP BY doc_id
-    )
-    SELECT doc_id, n_bigrams,
-           ROUND(raw_ppl, 4) AS ppl,
-           CAST(CASE WHEN raw_ppl > 32.0 THEN 1 ELSE 0 END AS INT)
-               AS is_low_quality
-    FROM agg
-    """,
-    "§2.11 curation (LM-perplexity quality filter, CCNet-style)",
-    "Statistical-LM quality scoring — the CCNet/Gopher curation signal: "
-    "train an add-1-smoothed bigram model ON the corpus itself (token "
-    "and bigram count aggregates, nothing learned), score every "
-    "document by the perplexity of its own bigrams, flag the "
-    "high-perplexity tail (> 32, ≈ p90 on this corpus) as low-quality. "
-    "Pure DataFrame plan: two count aggregates + an equi-join of the "
-    "per-doc bigram instances against the (vocab-bounded, "
-    "broadcastable) count tables — at 100 TB the counts come from one "
-    "map-side-combined pass and the scoring join shuffles on the "
-    "bigram key only. Determinism: each per-bigram log term is rounded "
-    "to 9 decimals and summed as DECIMAL(18,9) — an ORDER-INDEPENDENT "
-    "exact sum (float AVG accumulated partition-order-dependently, the "
-    "same flake class as the r3 user_value_trend miss) — then one "
-    "float division + exp at the end; the 1e-9 term quantization "
-    "perturbs ppl by ~1e-8, far inside the 4-decimal round.",
-)
-def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokenize
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    t = F.col("t")
-    bigrams = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - 2),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    bgi = toks.select("doc_id", F.explode(bigrams).alias("bgram"))
-    bc = bgi.groupBy("bgram").agg(F.count(F.lit(1)).alias("c2"))
-    uni = (
-        toks.select(F.explode("t").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c1"))
-    )
-    vsize = F.broadcast(uni.agg(F.count(F.lit(1)).alias("vsize")))
-    # 9-decimal-quantized log terms summed as DECIMAL → the per-doc
-    # aggregate is exact and order-independent under any partitioning
-    logp9 = F.round(
-        F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vsize"))), 9
-    ).cast("decimal(18,9)")
-    scored = (
-        bgi.join(bc, "bgram")
-        .withColumn("tok", F.split(F.col("bgram"), " ").getItem(0))
-        .join(F.broadcast(uni), "tok")
-        .crossJoin(vsize)
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.exp(
-            -(F.sum(logp9).cast("double") / F.count(F.lit(1)))
-        ).alias("raw_ppl"),
-    )
-    return agg.select(
-        "doc_id",
-        "n_bigrams",
-        F.round("raw_ppl", 4).alias("ppl"),
-        F.when(F.col("raw_ppl") > 32.0, 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("is_low_quality"),
-    )
-
-
-@_register(
-    "dedup_canonical",
-    f"""
-    WITH cc AS ({REGISTRY['neardup_clusters'].sql})
-    SELECT e.vec_id,
-           CAST(COALESCE(cc.cluster, e.vec_id) AS BIGINT) AS cluster_id,
-           CAST(CASE WHEN COALESCE(cc.cluster, e.vec_id) = e.vec_id
-                     THEN 1 ELSE 0 END AS INT) AS keep
-    FROM (SELECT vec_id FROM embeddings WHERE vec_id < 300) e
-    LEFT JOIN cc ON cc.node = e.vec_id
-    """,
-    "§2.11 dedup (canonical-representative selection)",
-    "The dedup OUTPUT step: after near-dup clustering "
-    "(neardup_clusters), keep exactly one canonical representative per "
-    "cluster (smallest id) and mark the rest dropped — the row-level "
-    "keep/drop manifest a 100 TB dedup job writes back. Singletons "
-    "(no near-dup edge) keep themselves via the left join; no extra "
-    "shuffle beyond the component propagation.",
-)
-def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.shared import shared_neardup_components
-
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    cc = shared_neardup_components(spark, sf_dir)
-    return (
-        emb.select("vec_id")
-        .join(cc, emb.vec_id == cc.node, "left")
-        .select(
-            "vec_id",
-            F.coalesce(F.col("cluster"), F.col("vec_id"))
-            .cast("long")
-            .alias("cluster_id"),
-            F.when(
-                F.coalesce(F.col("cluster"), F.col("vec_id")) == F.col("vec_id"), 1
-            )
-            .otherwise(0)
-            .cast("int")
-            .alias("keep"),
-        )
-    )
-
-
-@_register(
-    "leakage_safe_split",
-    f"""
-    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
-    pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
-    ),
-    edges AS (
-        SELECT id_a AS u, id_b AS v FROM pairs
-        UNION SELECT id_b, id_a FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT u AS node FROM edges),
-    reach(node, m) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT eg.v, r.m FROM reach r JOIN edges eg ON eg.u = r.node
-    ),
-    cc AS (SELECT node, MIN(m) AS cluster FROM reach GROUP BY node),
-    members AS (
-        SELECT emb.vec_id,
-               CAST(COALESCE(cc.cluster, emb.vec_id) AS BIGINT) AS cluster_id
-        FROM (SELECT vec_id FROM embeddings WHERE vec_id < 300) emb
-        LEFT JOIN cc ON cc.node = emb.vec_id
-    ),
-    assigned AS (
-        SELECT vec_id, cluster_id,
-               CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
-                    ELSE 'test' END AS split
-        FROM (
-            SELECT vec_id, cluster_id,
-                   ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS h
-            FROM members
-        )
-    ),
-    cross_cnt AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n
-        FROM pairs p
-        JOIN assigned sa ON sa.vec_id = p.id_a
-        JOIN assigned sb ON sb.vec_id = p.id_b
-        WHERE sa.split <> sb.split
-    )
-    SELECT split,
-           COUNT(*) AS n_vecs,
-           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
-           (SELECT n FROM cross_cnt) AS cross_split_pairs
-    FROM assigned GROUP BY split
-    """,
-    "§2.11 training prep (dedup-cluster-aware leakage-safe split)",
-    "Train/val/test assignment that CANNOT leak near-duplicates across "
-    "splits: the split hash is taken over the near-dup CLUSTER id "
-    "(connected components of the cosine graph), not the row id, so "
-    "every member of a duplicate cluster lands in the same split by "
-    "construction — the standard fix for the contaminated-eval failure "
-    "where a test document's near-copy sits in train (cf. the "
-    "train/test overlap audits in GPT-2/C4 and the SemDeDup line of "
-    "work). Output is the per-split manifest (rows, distinct clusters) "
-    "plus the cross-split near-dup pair count, which the oracle proves "
-    "is ZERO — the invariant itself is part of the hashed result. The "
-    "8/1/1 assignment reuses the engine-portable md5 fold hash "
-    "(ml.classify.add_hash_fold), so splits are reproducible across "
-    "engines and runs; at 100 TB the only additions over the dedup "
-    "manifest are a map-side hash and a pair-vs-assignment join that "
-    "shuffles (id, split) pairs.",
-)
-def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.shared import shared_neardup_components, shared_neardup_pairs
-
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    cc = shared_neardup_components(spark, sf_dir)
-    members = (
-        emb.select("vec_id")
-        .join(cc, emb.vec_id == cc.node, "left")
-        .select(
-            "vec_id",
-            F.coalesce(F.col("cluster"), F.col("vec_id"))
-            .cast("long")
-            .alias("cluster_id"),
-        )
-    )
-    h = (
-        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 10
-    )
-    assigned = members.withColumn(
-        "split",
-        F.when(h < 8, "train").when(h == 8, "val").otherwise("test"),
-    ).cache()
-    pairs = shared_neardup_pairs(spark, sf_dir)
-    sa = assigned.select(F.col("vec_id").alias("id_a"), F.col("split").alias("split_a"))
-    sb = assigned.select(F.col("vec_id").alias("id_b"), F.col("split").alias("split_b"))
-    cross = (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .filter(F.col("split_a") != F.col("split_b"))
-        .count()  # driver scalar: the leakage invariant (must be 0)
-    )
-    # release the cache now that the eager cross-split count consumed
-    # it (repeated invocations — suite + driver + bench — must not
-    # accumulate pinned frames); the returned 3-row aggregate simply
-    # recomputes the assignment lineage once when collected, keeping
-    # the lazy plan inspectable (join shape / pushdown plan test)
-    assigned.unpersist()
-    return assigned.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.countDistinct("cluster_id").alias("n_clusters"),
-        F.lit(cross).cast("long").alias("cross_split_pairs"),
-    )
-
-
-@_register(
-    "cross_source_containment",
-    """
-    WITH fp AS (
-        SELECT source, md5(text) AS f FROM documents
-    ),
-    firsts AS (SELECT f, MIN(source) AS first_source FROM fp GROUP BY f)
-    SELECT fp.source,
-           COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN fp.source > firsts.first_source THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_prior,
-           ROUND(CAST(SUM(CASE WHEN fp.source > firsts.first_source THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS carryover_ratio
-    FROM fp JOIN firsts USING (f)
-    GROUP BY fp.source
-    """,
-    "§2.11 dedup (incremental cross-snapshot containment)",
-    "Incremental-crawl dedup accounting: sources ordered "
-    "lexicographically stand in for successive snapshots; a doc whose "
-    "exact fingerprint already appeared in an earlier snapshot is "
-    "carryover, not new data. One fingerprint aggregation + one "
-    "fingerprint-key join — both shuffle on md5(text) (never the full "
-    "text), the same movement-minimizing shape as dedup_stats_by_source.",
-)
-def q_cross_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    fp = docs.select("source", F.md5("text").alias("f"))
-    firsts = fp.groupBy("f").agg(F.min("source").alias("first_source"))
-    dup = (F.col("source") > F.col("first_source")).cast("int")
-    return (
-        fp.join(firsts, "f")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(dup).cast("long").alias("n_dup_prior"),
-            F.round(F.sum(dup).cast("double") / F.count(F.lit(1)), 6).alias(
-                "carryover_ratio"
-            ),
-        )
-    )
-
-
-_PARA_BLK = 20  # tokens per pseudo-paragraph block
-
-
-@_register(
-    "paragraph_dedup",
-    f"""
-    WITH toks AS (
-        SELECT doc_id, str_split(text, ' ') AS tk FROM documents
-    ),
-    blocks AS (
-        SELECT doc_id, CAST(i AS INT) AS blk,
-               array_to_string(tk[(i*{_PARA_BLK}+1):(i*{_PARA_BLK}+{_PARA_BLK})], ' ') AS block
-        FROM toks, UNNEST(range(CAST(ceil(len(tk) / {_PARA_BLK}.0) AS BIGINT))) AS t(i)
-    ),
-    hashed AS (
-        SELECT doc_id, blk, block, md5(block) AS h FROM blocks
-    ),
-    -- struct min, NOT doc_id*K+blk: a scalar pos_key breaks ordering
-    -- (and can collide) once a document exceeds K blocks; ROW min is
-    -- exact lexicographic (doc_id, blk) at any document length.
-    firsts AS (
-        SELECT h, MIN(ROW(doc_id, blk)) AS first_key FROM hashed GROUP BY h
-    )
-    SELECT doc_id,
-           COUNT(*) AS blocks_total,
-           CAST(SUM(CASE WHEN ROW(doc_id, blk) = first_key THEN 1 ELSE 0 END) AS BIGINT)
-               AS blocks_kept,
-           md5(COALESCE(string_agg(
-               CASE WHEN ROW(doc_id, blk) = first_key THEN block END, ' ' ORDER BY blk), ''))
-               AS dedup_fingerprint
-    FROM hashed JOIN firsts USING (h)
-    GROUP BY doc_id
-    """,
-    "§2.11 dedup (sub-document / paragraph-level exact dedup)",
-    "MassiveText-style sub-document dedup: each document is split into "
-    f"fixed {_PARA_BLK}-token blocks (the synthetic corpus has no newline "
-    "paragraph marks, so token windows stand in for paragraphs); a block "
-    "whose exact md5 already appeared at a smaller (doc_id, blk) position "
-    "anywhere in the corpus is dropped, and the survivors are re-joined "
-    "in order into the deduplicated document (reported as its md5 so the "
-    "oracle hash stays compact). Scale shape: one block-fingerprint "
-    "aggregation + one fingerprint-key equi-join — only 16-byte hashes "
-    "and the kept block text shuffle, the same movement-minimizing "
-    "design as cross_source_containment; no window over the full corpus.",
-)
-def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    blk = F.lit(_PARA_BLK)
-    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
-    nblk = F.ceil(F.size("tk") / F.lit(float(_PARA_BLK))).cast("int")
-    blocks = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nblk - 1),
-                lambda i: F.array_join(F.slice("tk", i * blk + 1, blk), " "),
-            )
-        ).alias("blk", "block"),
-    )
-    # struct min, not doc_id*K+blk: lexicographic (doc_id, blk) min is
-    # exact and collision-free at any document length (a scalar packing
-    # breaks past K blocks/doc — judge-flagged r4).
-    pos = F.struct(F.col("doc_id").alias("d"), F.col("blk").alias("b"))
-    hashed = blocks.select(
-        "doc_id",
-        "blk",
-        "block",
-        F.md5("block").alias("h"),
-        pos.alias("pos_key"),
-    )
-    firsts = hashed.groupBy("h").agg(F.min("pos_key").alias("first_key"))
-    keep = F.col("pos_key") == F.col("first_key")
-    kept_struct = F.when(keep, F.struct("blk", "block"))
-    return (
-        hashed.join(firsts, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("blocks_total"),
-            F.sum(keep.cast("int")).cast("long").alias("blocks_kept"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(kept_struct)),
-                        lambda s: s["block"],
-                    ),
-                    " ",
-                )
-            ).alias("dedup_fingerprint"),
-        )
-    )
-
-
-@_register(
-    "inverted_index_postings",
-    f"""
-    WITH tok AS (
-        SELECT doc_id, {sql_simple_tokens('text')} AS tk FROM documents
-    ),
-    pos AS (
-        SELECT doc_id, tk[CAST(i AS INT)] AS term, CAST(i - 1 AS INT) AS pos
-        FROM tok, UNNEST(range(1, len(tk) + 1)) AS t(i)
-    )
-    SELECT term,
-           COUNT(DISTINCT doc_id) AS df,
-           COUNT(*) AS tf_total,
-           md5(string_agg(doc_id || ':' || pos, ',' ORDER BY doc_id, pos))
-               AS postings_md5
-    FROM pos
-    GROUP BY term
-    HAVING COUNT(DISTINCT doc_id) >= 5
-    """,
-    "§2.11 text analysis (inverted index build — retrieval primitive)",
-    "Positional inverted index over the corpus: every (term, doc_id, "
-    "position) occurrence, aggregated per term into document frequency, "
-    "total term frequency, and an md5 fingerprint of the canonical "
-    "ordered posting list 'doc:pos,...' (compact but hash-exact — any "
-    "lost or re-ordered posting breaks the oracle). Terms with df < 5 "
-    "are pruned (the long tail a real index would tier out). Scale "
-    "shape: posexplode fans out map-side, one shuffle on the term key "
-    "with partial aggregation; posting lists stay distributed — this "
-    "is the build side of distributed retrieval, shuffling (term, "
-    "doc, pos) triples only.",
-)
-def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokenize
-
-    docs = _t(spark, sf_dir, "documents")
-    pos = docs.select(
-        "doc_id",
-        F.posexplode(tokenize(F.col("text"))).alias("pos", "term"),
-    )
-    return (
-        pos.groupBy("term")
-        .agg(
-            F.count_distinct("doc_id").alias("df"),
-            F.count(F.lit(1)).alias("tf_total"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("doc_id", "pos"))
-                        ),
-                        lambda s: F.concat_ws(
-                            ":", s["doc_id"].cast("string"), s["pos"].cast("string")
-                        ),
-                    ),
-                    ",",
-                )
-            ).alias("postings_md5"),
-        )
-        .where(F.col("df") >= 5)
-    )
-
-
-_BM25_TERMS = ("spark", "query", "merge")
-_BM25_K1, _BM25_B = 1.2, 0.75
-
-
-@_register(
-    "bm25_retrieval",
-    f"""
-    WITH tok AS (
-        SELECT doc_id, {sql_simple_tokens('text')} AS tk FROM documents
-    ),
-    dl AS (SELECT doc_id, len(tk) AS dl FROM tok),
-    stats AS (
-        SELECT COUNT(*) AS n_docs,
-               CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
-                   AS avgdl
-        FROM dl
-    ),
-    tf AS (
-        SELECT doc_id, t.tok AS term, COUNT(*) AS tf
-        FROM tok, UNNEST(tk) AS t(tok)
-        WHERE t.tok IN {tuple(_BM25_TERMS)!r}
-        GROUP BY doc_id, t.tok
-    ),
-    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-    contrib AS (
-        SELECT tf.doc_id,
-               CAST(ROUND(
-                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-                   * (tf.tf * ({_BM25_K1} + 1.0))
-                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                      + {_BM25_B} * dl.dl / stats.avgdl)), 9)
-                   AS DECIMAL(18,9)) AS c
-        FROM tf JOIN df USING (term)
-        JOIN dl ON dl.doc_id = tf.doc_id
-        CROSS JOIN stats
-    )
-    SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS bm25
-    FROM contrib
-    GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id
-    LIMIT 20
-    """,
-    "§2.11 text analysis (BM25 ranked retrieval over the corpus)",
-    f"BM25 (k1={_BM25_K1}, b={_BM25_B}, Lucene idf variant) top-20 for "
-    f"the fixed query {_BM25_TERMS}: per-(doc, term) contributions from "
-    "tf / df / doc-length / global avgdl, summed per document. "
-    "Determinism: each contribution is rounded to 9 decimals and "
-    "summed as DECIMAL (exact, partition-order-independent — the "
-    "engine's standard float-aggregation convention), one final "
-    "6-decimal round; ties broken by doc_id. Scale shape: the query-"
-    "term filter prunes the explode BEFORE the shuffle (only matching "
-    "(doc, term) pairs move), df and avgdl are 1-row/3-row broadcast "
-    "aggregates, and top-20 is takeOrdered — no global sort.",
-)
-def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokenize
-
-    docs = _t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", tokenize(F.col("text")).alias("tk"))
-    dl = tok.select("doc_id", F.size("tk").alias("dl"))
-    stats = F.broadcast(
-        dl.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            (
-                F.sum(F.col("dl").cast("decimal(18,0)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avgdl"),
-        )
-    )
-    tf = (
-        tok.select("doc_id", F.explode("tk").alias("term"))
-        .where(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_t = F.broadcast(tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
-    contrib = (
-        tf.join(df_t, "term")
-        .join(dl, "doc_id")
-        .crossJoin(stats)
-        .select(
-            "doc_id",
-            F.round(
-                F.log(
-                    (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                    + 1.0
-                )
-                * (F.col("tf") * (_BM25_K1 + 1.0))
-                / (
-                    F.col("tf")
-                    + _BM25_K1
-                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-                ),
-                9,
-            )
-            .cast("decimal(18,9)")
-            .alias("c"),
-        )
-    )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(F.round(F.sum("c").cast("double"), 6).alias("bm25"))
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(20)
-    )
-
-
-def _heavy_hitter_report(
-    events: DataFrame, counters: DataFrame, extra_flags: list[F.Column] | None = None
-) -> DataFrame:
-    """Exact top-10 users with CMS-contract flags probed against a
-    counter table (batch- or streaming-built)."""
-    from ..operators.sketches import cms_estimates
-
-    top = (
-        events.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy(F.desc("n_events"), "user_id")
-        .limit(10)
-        .localCheckpoint(eager=True)  # 10 rows; reused by 3 plan branches
-    )
-    a, b = top.alias("a"), top.alias("b")
-    rank = (
-        a.join(
-            b,
-            (F.col("b.n_events") > F.col("a.n_events"))
-            | (
-                (F.col("b.n_events") == F.col("a.n_events"))
-                & (F.col("b.user_id") < F.col("a.user_id"))
-            ),
-            "left",
-        )
-        .groupBy(F.col("a.user_id").alias("user_id"))
-        .agg((F.count(F.col("b.user_id")) + 1).cast("int").alias("rank"))
-    )
-    est = cms_estimates(top, counters, "user_id")
-    total = F.broadcast(events.agg(F.count(F.lit(1)).alias("n_total")))
-    return (
-        top.join(rank, "user_id")
-        .join(est, "user_id")
-        .crossJoin(total)
-        .select(
-            "user_id",
-            "n_events",
-            "rank",
-            (F.col("est") >= F.col("n_events")).alias("ok_cms_ge_exact"),
-            (F.col("est") <= F.col("n_events") + F.ceil(0.01 * F.col("n_total")))
-            .alias("ok_cms_within_eps"),
-            *(extra_flags or []),
-        )
-        .orderBy(F.desc("n_events"), "user_id")
-    )
-
-
-@_register(
-    "heavy_hitters_sketch",
-    """
-    WITH counts AS (
-        SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
-    )
-    SELECT user_id, n_events,
-           CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS INT) AS rank,
-           TRUE AS ok_cms_ge_exact,
-           TRUE AS ok_cms_within_eps
-    FROM counts
-    ORDER BY n_events DESC, user_id
-    LIMIT 10
-    """,
-    "§2.11 sketches (count-min heavy hitters vs exact top-k)",
-    "Heavy-hitter detection with a count-min sketch cross-checked "
-    "against the exact group-count, built ENTIRELY as DataFrame "
-    "aggregations: the CMS counter table is depth=5 seeded xxhash64 "
-    "rows x width=2048 buckets, i.e. one explode + groupBy whose "
-    "counters are plain sums (commutative, so the sketch is "
-    "bit-identical under any partitioning); estimates for the exact "
-    "top-10 users come from joining their bucket coordinates back "
-    "against the counter table and taking min over the depth rows. "
-    "The output carries the exact counts (hash-verified against "
-    "DuckDB) plus two invariant flags: ok_cms_ge_exact is a "
-    "mathematical CMS guarantee (estimates never undercount), "
-    "ok_cms_within_eps checks est <= exact + 1%% of total mass — both "
-    "deterministic, so the oracle states them as TRUE literals. Scale "
-    "shape: the exact side is one map-side-combining aggregation + "
-    "top-k; the sketch side shuffles at most depth*width = 10,240 "
-    "counter rows regardless of input size — the 100 TB path for key "
-    "cardinalities too large to group exactly.",
-)
-def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketches import cms_counter_table
-
-    events = _t(spark, sf_dir, "events")
-    return _heavy_hitter_report(events, cms_counter_table(events, "user_id"))
-
-
-@_register(
-    "streaming_heavy_hitters",
-    f"""
-    SELECT user_id, n_events, rank, ok_cms_ge_exact, ok_cms_within_eps,
-           TRUE AS ok_stream_equals_batch
-    FROM ({REGISTRY['heavy_hitters_sketch'].sql})
-    """,
-    "§2.9/§2.11 (streaming sketch: bounded-state CMS over the stream)",
-    "The count-min sketch maintained BY a Structured Streaming query: "
-    "a streaming groupBy over CMS bucket coordinates, whose state "
-    "store is bounded at depth*width = 10,240 rows — independent of "
-    "input volume AND key cardinality, unlike a per-key streaming "
-    "count whose state grows with distinct keys. Because counter sums "
-    "commute, the streamed sketch must be BIT-IDENTICAL to the "
-    "batch-built one over the same events: ok_stream_equals_batch "
-    "asserts zero mismatched counter cells (full outer join of the "
-    "two 10,240-row tables), and the heavy-hitter report is probed "
-    "from the STREAMED counters. At 100 TB streaming volume this is "
-    "the approximate top-k shape: tiny fixed state, mergeable across "
-    "executors, point-queried without stopping the stream.",
-)
-def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketches import cms_counter_table
-    from ..streaming.events import streaming_cms_counters
-
-    events = _t(spark, sf_dir, "events")
-    streamed = streaming_cms_counters(spark, sf_dir).select(
-        "hi", "bucket", F.col("c").alias("sc")
-    )
-    batch = cms_counter_table(events, "user_id").select(
-        "hi", "bucket", F.col("c").alias("bc")
-    )
-    mismatch = (
-        streamed.join(batch, ["hi", "bucket"], "full")
-        .where(~F.col("sc").eqNullSafe(F.col("bc")))
-    )
-    eq = F.broadcast(
-        mismatch.agg(
-            (F.count(F.lit(1)) == 0).alias("ok_stream_equals_batch")
-        )
-    )
-    report = _heavy_hitter_report(
-        events, streamed.select("hi", "bucket", F.col("sc").alias("c"))
-    )
-    return report.crossJoin(eq)
-
-
-# =========================================================================
-# Consolidated driver-coverage suites
-# =========================================================================
-#
-# The round-1 driver correctness gate recorded verdicts for only the
-# FIRST 50 registry entries, leaving every later operator unverdicted.
-# Whether the cutoff is a row cap or a time budget, the fix is the
-# same: guarantee that the first 50 entries alone cover the complete
-# SURVEY §2 + extended operator inventory. A minimal hitting set of the
-# fine-grained queries needs 67 entries, so the suites below merge
-# groups of related components into single multi-part queries with one
-# UNION-ALL oracle each. The fine-grained per-component queries all
-# remain registered (after position 50) — local parity keeps checking
-# them individually; the suites only make the driver verdict reachable.
-
-
-@_register(
-    "set_ops_nations",
-    f"""
-    SELECT 'intersect' AS op, n_name AS k, CAST(1 AS BIGINT) AS n
-    FROM ({REGISTRY['nation_presence_intersect'].sql})
-    UNION ALL
-    SELECT 'except' AS op, n_name AS k, CAST(1 AS BIGINT) AS n
-    FROM ({REGISTRY['nation_presence_except'].sql})
-    UNION ALL
-    SELECT 'membership' AS op, CAST(membership AS VARCHAR) AS k, n_parts AS n
-    FROM ({REGISTRY['membership_classification'].sql})
-    """,
-    "J6/J7/J8/D3 (set difference, intersection, membership classification)",
-    "Driver-coverage suite: the three set-operation queries "
-    "(evaluate.py:135,138,160-168) tagged into one relation so one "
-    "driver verdict covers J6+J7+J8+D3. Components: "
-    "nation_presence_except, nation_presence_intersect, "
-    "membership_classification (each still registered individually).",
-)
-def q_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    one = F.lit(1).cast("long")
-    inter = q_nation_intersect(spark, sf_dir).select(
-        F.lit("intersect").alias("op"), F.col("n_name").alias("k"), one.alias("n")
-    )
-    exc = q_nation_except(spark, sf_dir).select(
-        F.lit("except").alias("op"), F.col("n_name").alias("k"), one.alias("n")
-    )
-    mem = q_membership(spark, sf_dir).select(
-        F.lit("membership").alias("op"),
-        F.col("membership").cast("string").alias("k"),
-        F.col("n_parts").cast("long").alias("n"),
-    )
-    return inter.unionByName(exc).unionByName(mem)
-
-
-@_register(
-    "text_profile",
-    f"""
-    SELECT doc_id,
-           n_chars,
-           len({sql_simple_tokens('text')}) AS n_words,
-           len(list_distinct({sql_simple_tokens('text')})) AS n_distinct_words,
-           ROUND(CASE WHEN len({sql_simple_tokens('text')}) = 0 THEN 0.0
-                 ELSE CAST(list_aggregate(list_transform({sql_simple_tokens('text')}, t -> length(t)), 'sum') AS DOUBLE)
-                      / len({sql_simple_tokens('text')}) END, 6) AS avg_word_len,
-           ROUND(CASE WHEN length(text) = 0 THEN 0.0
-                 ELSE CAST(length(text) - length(regexp_replace(text, '[\\p{{P}}\\p{{S}}]', '', 'g')) AS DOUBLE)
-                      / length(text) END, 6) AS punct_ratio,
-           ROUND(CASE WHEN len({sql_simple_tokens('text')}) = 0 THEN 0.0
-                 ELSE CAST(len(list_filter({sql_simple_tokens('text')}, t -> t IN {sql_stopword_list(STOPWORDS)})) AS DOUBLE)
-                      / len({sql_simple_tokens('text')}) END, 6) AS stopword_ratio,
-           md5({sql_clean_string('text')}) AS fingerprint
-    FROM documents
-    """,
-    "§2.11 text analysis (token counting + quality scoring + fingerprinting)",
-    "Driver-coverage suite: the per-document text-analysis columns of "
-    "token_stats + text_quality + document_fingerprints in one wide "
-    "single-pass projection (all codegen'd Column expressions — one "
-    "scan instead of three).",
-)
-def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokenize
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "n_chars", "text", tokenize(F.col("text")).alias("toks")
-    )
-    return toks.select(
-        "doc_id",
-        "n_chars",
-        TS.word_count_from_tokens(F.col("toks")).cast("long").alias("n_words"),
-        TS.distinct_word_count_from_tokens(F.col("toks")).cast("long").alias("n_distinct_words"),
-        F.round(TS.avg_word_length_from_tokens(F.col("toks")), 6).alias("avg_word_len"),
-        F.round(TS.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        F.round(TS.stopword_ratio_from_tokens(F.col("toks")), 6).alias("stopword_ratio"),
-        TS.fingerprint(F.col("text")).alias("fingerprint"),
-    )
-
-
-@_register(
-    "artifact_formats_roundtrip",
-    f"""
-    SELECT 'csv' AS fmt, COUNT(*) AS n_rows,
-           CAST(SUM(n_customers) AS BIGINT) AS sum_n,
-           ROUND(CAST(SUM(CAST(total_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) + 0 AS sum_v
-    FROM ({REGISTRY['csv_metrics_roundtrip'].sql})
-    UNION ALL
-    SELECT 'json', COUNT(*), CAST(SUM(total_chars) AS BIGINT),
-           CAST(SUM(n_docs) AS DOUBLE)
-    FROM ({REGISTRY['json_artifact_roundtrip'].sql})
-    UNION ALL
-    SELECT 'dict', COUNT(*), CAST(SUM(docfreq) AS BIGINT),
-           CAST(SUM(id) AS DOUBLE)
-    FROM ({REGISTRY['dictionary_text_roundtrip'].sql})
-    UNION ALL
-    SELECT 'mm', COUNT(*), CAST(SUM(col_id) AS BIGINT),
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
-    FROM ({REGISTRY['matrix_market_roundtrip'].sql})
-    UNION ALL
-    SELECT 'xml', COUNT(*), CAST(SUM(n_chars) AS BIGINT),
-           CAST(SUM(doc_id) AS DOUBLE)
-    FROM ({REGISTRY['xml_corpus_roundtrip'].sql})
-    UNION ALL
-    SELECT 'make_wiki', COUNT(*), CAST(SUM(token_id) AS BIGINT),
-           ROUND(CAST(SUM(CAST(tfidf AS DECIMAL(18,6))) AS DOUBLE), 6)
-    FROM ({REGISTRY['make_wiki_pipeline'].sql})
-    """,
-    "S5/S6/S7/S9/S10/S12 (artifact format scans + sinks + make_wiki)",
-    "Driver-coverage suite: every text-format roundtrip (CSV metrics, "
-    "JSON artifact, gensim dictionary text, Matrix Market corpus, XML "
-    "dump) actually writes + reads its format, then reduces to a "
-    "per-format digest row (row count + exact decimal checksums) so one "
-    "driver verdict covers the five format codecs. Components: "
-    "csv_metrics_roundtrip, json_artifact_roundtrip, "
-    "dictionary_text_roundtrip, matrix_market_roundtrip, "
-    "xml_corpus_roundtrip, and (r6) the make_wiki_pipeline composition "
-    "— XML ingest → tokenize → dictionary file → TF-IDF — digested the "
-    "same way (each still registered individually).",
-)
-def q_formats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def digest(df: DataFrame, fmt: str, n_col: str, v_col: str,
-               prec: str = "decimal(18,2)", nd: int = 2,
-               v_is_decimal: bool = True) -> DataFrame:
-        v = (
-            _dsum(_dec(v_col, prec), nd)
-            if v_is_decimal
-            else F.sum(v_col).cast("double")
-        )
-        return df.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(n_col).cast("long").alias("sum_n"),
-            v.alias("sum_v"),
-        ).select(F.lit(fmt).alias("fmt"), "n_rows", "sum_n", "sum_v")
-
-    csv = digest(q_csv_roundtrip(spark, sf_dir), "csv", "n_customers",
-                 "total_acctbal")
-    jsn = digest(q_json_roundtrip(spark, sf_dir), "json", "total_chars",
-                 "n_docs", v_is_decimal=False)
-    dct = digest(q_dictionary_roundtrip(spark, sf_dir), "dict", "docfreq",
-                 "id", v_is_decimal=False)
-    mm = digest(q_matrix_market_roundtrip(spark, sf_dir), "mm", "col_id",
-                "value", prec="decimal(18,6)", nd=6)
-    xml = digest(q_xml_roundtrip(spark, sf_dir), "xml", "n_chars",
-                 "doc_id", v_is_decimal=False)
-    wiki = digest(q_make_wiki_pipeline(spark, sf_dir), "make_wiki",
-                  "token_id", "tfidf", prec="decimal(18,6)", nd=6)
-    return (
-        csv.unionByName(jsn).unionByName(dct).unionByName(mm)
-        .unionByName(xml).unionByName(wiki)
-    )
-
-
-_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-
-
-@_register(
-    "column_profile",
-    " UNION ALL ".join(
-        f"""
-    SELECT '{c}' AS column_name,
-           COUNT(*) AS n_rows,
-           COUNT(*) - COUNT({c}) AS n_null,
-           COUNT(DISTINCT {c}) AS n_distinct,
-           ROUND(MIN({c}), 2) AS min_val,
-           ROUND(MAX({c}), 2) AS max_val,
-           ROUND(CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_val
-    FROM lineitem
-    """
-        for c in _PROFILE_COLS
-    ),
-    "§2.11 data profiling (one-pass multi-column dataset statistics)",
-    "Training-data profiling: row count, null count, EXACT distinct "
-    "count, min/max, and exact-decimal sum for every numeric lineitem "
-    "measure, computed in ONE aggregate over one scan (the wide 1-row "
-    "aggregate is exploded into a per-column report). The multiple "
-    "COUNT(DISTINCT) expressions plan as Spark's Expand-based "
-    "multi-distinct aggregate — still a single pass with partial "
-    "aggregation, data duplicated once per distinct column, which is "
-    "the exact-profile cost at any scale; approx_distinct_sketch is "
-    "the registered HLL alternative when 4× expansion is too much at "
-    "100 TB. The DuckDB oracle re-states it as per-column aggregates.",
-)
-def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    aggs = []
-    for c in _PROFILE_COLS:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__rows"),
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
-            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
-            F.round(F.min(c), 2).alias(f"{c}__min"),
-            F.round(F.max(c), 2).alias(f"{c}__max"),
-            F.round(F.sum(_dec(c)).cast("double"), 2).alias(f"{c}__sum"),
-        ]
-    wide = li.agg(*aggs)
-    per_col = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("column_name"),
-                F.col(f"{c}__rows").alias("n_rows"),
-                F.col(f"{c}__null").alias("n_null"),
-                F.col(f"{c}__ndv").alias("n_distinct"),
-                F.col(f"{c}__min").alias("min_val"),
-                F.col(f"{c}__max").alias("max_val"),
-                F.col(f"{c}__sum").alias("sum_val"),
-            )
-            for c in _PROFILE_COLS
-        ]
-    )
-    return wide.select(F.explode(per_col).alias("p")).select("p.*")
-
-
-@_register(
-    "decile_bucketing",
-    """
-    WITH ranked AS (
-        SELECT l_extendedprice,
-               NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
-                               l_linenumber) AS bucket
-        FROM lineitem
-    )
-    SELECT bucket,
-           COUNT(*) AS n_rows,
-           ROUND(MIN(l_extendedprice), 2) AS min_price,
-           ROUND(MAX(l_extendedprice), 2) AS max_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
-               AS sum_price
-    FROM ranked GROUP BY bucket
-    """,
-    "§2.11 feature engineering (exact global equi-depth bucketing)",
-    "Exact NTILE(10) equi-depth price deciles WITHOUT a single-"
-    "partition global window: rows get a global rank from the "
-    "two-phase range-partitioned ordered_dense_rank (repartitionByRange "
-    "on the unique (price, orderkey, linenumber) struct, per-partition "
-    "row_number + broadcast partition offsets — the "
-    "training_order_shuffle machinery), and the rank is mapped to "
-    "NTILE's exact bucket boundaries in integer arithmetic: with "
-    "q = n div k, r = n mod k, the first r buckets take q+1 rows. "
-    "Bit-identical to the oracle's NTILE window (formula verified for "
-    "n mod k != 0), scales as a range shuffle + tiny rollup instead of "
-    "one executor sorting the world. The scale knob is n_parts on the "
-    "range partitioning; the only driver state is 32 partition counts "
-    "and the scalar n.",
-)
-def q_decile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.indexing import ordered_dense_rank
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice"
-    )
-    keyed = li.withColumn(
-        "__ord",
-        F.struct("l_extendedprice", "l_orderkey", "l_linenumber"),
-    )
-    ranked = ordered_dense_rank(keyed, "__ord", rank_col="rank")
-    k = 10
-    n = ranked.count()  # scalar over the checkpointed frame
-    q, r = divmod(n, k)
-    # integer `div`, never floor(double/double): at extreme n a float
-    # quotient one ulp below an integer would floor into the wrong
-    # bucket; long division is exact at any rank
-    bucket = (
-        F.when(
-            F.col("rank") <= r * (q + 1),
-            F.expr(f"(rank - 1) div {q + 1}") + 1,
-        )
-        .otherwise(r + F.expr(f"(rank - 1 - {r * (q + 1)}) div {q}") + 1)
-        .cast("long")
-    )
-    return (
-        ranked.select(bucket.alias("bucket"), "l_extendedprice")
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias(
-                "sum_price"
-            ),
-        )
-    )
-
-
-@_register(
-    "training_prep_manifest",
-    f"""
-    SELECT 'packing' AS component, CAST(pack_id AS VARCHAR) AS k,
-           n_docs AS n, CAST(pack_tokens AS DOUBLE) AS a, 0.0 AS b
-    FROM ({REGISTRY['document_packing'].sql})
-    UNION ALL
-    SELECT 'split', split, n_docs, CAST(min_doc AS DOUBLE), CAST(max_doc AS DOUBLE)
-    FROM ({REGISTRY['dataset_split_manifest'].sql})
-    UNION ALL
-    SELECT 'quant', CAST(vec_id AS VARCHAR), CAST(0 AS BIGINT),
-           dequant_rms, quant_err_rms
-    FROM ({REGISTRY['embedding_quantization'].sql})
-    UNION ALL
-    SELECT 'shuffle', CAST(doc_id AS VARCHAR), epoch_pos,
-           CAST(shard AS DOUBLE), 0.0
-    FROM ({REGISTRY['training_order_shuffle'].sql})
-    UNION ALL
-    SELECT 'semdedup', CAST(vec_id AS VARCHAR), CAST(bucket AS BIGINT),
-           CAST(keep AS DOUBLE), 0.0
-    FROM ({REGISTRY['semantic_dedup_srp'].sql})
-    UNION ALL
-    SELECT 'profile', column_name, n_distinct, sum_val,
-           CAST(n_null AS DOUBLE)
-    FROM ({REGISTRY['column_profile'].sql})
-    UNION ALL
-    SELECT 'decile', CAST(bucket AS VARCHAR), n_rows, min_price, sum_price
-    FROM ({REGISTRY['decile_bucketing'].sql})
-    UNION ALL
-    SELECT 'outliers', segment, n_outliers, lo_fence, hi_fence
-    FROM ({REGISTRY['iqr_outlier_fences'].sql})
-    UNION ALL
-    SELECT 'corr', l_returnflag, n, corr_qty_price, 0.0
-    FROM ({REGISTRY['measure_correlation'].sql})
-    UNION ALL
-    SELECT 'hist', CAST(bin AS VARCHAR), n_rows, min_price, max_price
-    FROM ({REGISTRY['value_histogram'].sql})
-    UNION ALL
-    SELECT 'leakage', split, n_vecs, CAST(n_clusters AS DOUBLE),
-           CAST(cross_split_pairs AS DOUBLE)
-    FROM ({REGISTRY['leakage_safe_split'].sql})
-    """,
-    "§2.11 training-data ops (packing + splits + quantization + "
-    "shuffle order + semantic dedup + profiling + bucketing + "
-    "leakage-safe cluster split)",
-    "Driver-coverage suite: sequence packing, deterministic split "
-    "manifest, int8 embedding quantization, the reproducible global "
-    "shuffle/shard manifest, SRP-bucketed semantic dedup, the one-pass "
-    "column profile, and exact decile bucketing tagged into one "
-    "relation (exact values preserved per component). Components: "
-    "document_packing, dataset_split_manifest, embedding_quantization, "
-    "training_order_shuffle, semantic_dedup_srp, column_profile, "
-    "decile_bucketing (each still registered individually).",
-)
-def q_training_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pack = q_document_packing(spark, sf_dir).select(
-        F.lit("packing").alias("component"),
-        F.col("pack_id").cast("string").alias("k"),
-        F.col("n_docs").cast("long").alias("n"),
-        F.col("pack_tokens").cast("double").alias("a"),
-        F.lit(0.0).alias("b"),
-    )
-    split = q_split_manifest(spark, sf_dir).select(
-        F.lit("split").alias("component"),
-        F.col("split").alias("k"),
-        F.col("n_docs").cast("long").alias("n"),
-        F.col("min_doc").cast("double").alias("a"),
-        F.col("max_doc").cast("double").alias("b"),
-    )
-    quant = q_embedding_quant(spark, sf_dir).select(
-        F.lit("quant").alias("component"),
-        F.col("vec_id").cast("string").alias("k"),
-        F.lit(0).cast("long").alias("n"),
-        F.col("dequant_rms").alias("a"),
-        F.col("quant_err_rms").alias("b"),
-    )
-    shuffle = q_training_order_shuffle(spark, sf_dir).select(
-        F.lit("shuffle").alias("component"),
-        F.col("doc_id").cast("string").alias("k"),
-        F.col("epoch_pos").alias("n"),
-        F.col("shard").cast("double").alias("a"),
-        F.lit(0.0).alias("b"),
-    )
-    semded = q_semantic_dedup_srp(spark, sf_dir).select(
-        F.lit("semdedup").alias("component"),
-        F.col("vec_id").cast("string").alias("k"),
-        F.col("bucket").cast("long").alias("n"),
-        F.col("keep").cast("double").alias("a"),
-        F.lit(0.0).alias("b"),
-    )
-    profile = q_column_profile(spark, sf_dir).select(
-        F.lit("profile").alias("component"),
-        F.col("column_name").alias("k"),
-        F.col("n_distinct").cast("long").alias("n"),
-        F.col("sum_val").alias("a"),
-        F.col("n_null").cast("double").alias("b"),
-    )
-    decile = q_decile_bucketing(spark, sf_dir).select(
-        F.lit("decile").alias("component"),
-        F.col("bucket").cast("string").alias("k"),
-        F.col("n_rows").cast("long").alias("n"),
-        F.col("min_price").alias("a"),
-        F.col("sum_price").alias("b"),
-    )
-    outliers = q_iqr_outliers(spark, sf_dir).select(
-        F.lit("outliers").alias("component"),
-        F.col("segment").alias("k"),
-        F.col("n_outliers").alias("n"),
-        F.col("lo_fence").alias("a"),
-        F.col("hi_fence").alias("b"),
-    )
-    corr = q_measure_correlation(spark, sf_dir).select(
-        F.lit("corr").alias("component"),
-        F.col("l_returnflag").alias("k"),
-        F.col("n").cast("long").alias("n"),
-        F.col("corr_qty_price").alias("a"),
-        F.lit(0.0).alias("b"),
-    )
-    hist = q_value_histogram(spark, sf_dir).select(
-        F.lit("hist").alias("component"),
-        F.col("bin").cast("string").alias("k"),
-        F.col("n_rows").cast("long").alias("n"),
-        F.col("min_price").alias("a"),
-        F.col("max_price").alias("b"),
-    )
-    leak = q_leakage_safe_split(spark, sf_dir).select(
-        F.lit("leakage").alias("component"),
-        F.col("split").alias("k"),
-        F.col("n_vecs").cast("long").alias("n"),
-        F.col("n_clusters").cast("double").alias("a"),
-        F.col("cross_split_pairs").cast("double").alias("b"),
-    )
-    return (
-        pack.unionByName(split)
-        .unionByName(quant)
-        .unionByName(shuffle)
-        .unionByName(semded)
-        .unionByName(profile)
-        .unionByName(decile)
-        .unionByName(outliers)
-        .unionByName(corr)
-        .unionByName(hist)
-        .unionByName(leak)
-    )
-
-
-@_register(
-    "streaming_windowed_suite",
-    f"""
-    SELECT 'sliding' AS component, CAST(win_start_us AS VARCHAR) AS k1,
-           event_type AS k2, n_events AS n, 0.0 AS val
-    FROM ({REGISTRY['events_sliding_window'].sql})
-    UNION ALL
-    SELECT 'session', CAST(user_id AS VARCHAR), '', n_events,
-           CAST(n_sessions AS DOUBLE)
-    FROM ({REGISTRY['events_sessionization'].sql})
-    UNION ALL
-    SELECT 'funnel', CAST(user_id AS VARCHAR), '',
-           CAST(stages_completed AS BIGINT),
-           CAST(COALESCE(purchase_us, click_us, view_us, 0) AS DOUBLE)
-    FROM ({REGISTRY['funnel_conversion'].sql})
-    UNION ALL
-    SELECT 'cohort', CAST(cohort_week_us AS VARCHAR),
-           CAST(week_offset AS VARCHAR), n_active, retention
-    FROM ({REGISTRY['cohort_retention'].sql})
-    UNION ALL
-    SELECT 'attribution', entry_type, '', n_sessions, attributed_value
-    FROM ({REGISTRY['session_attribution'].sql})
-    UNION ALL
-    SELECT 'rolling', CAST(user_id AS VARCHAR), '',
-           COUNT(*),
-           ROUND(CAST(SUM(CAST(roll_mean AS DECIMAL(18,6))) AS DOUBLE), 6)
-    FROM ({REGISTRY['rolling_user_features'].sql})
-    GROUP BY user_id
-    UNION ALL
-    SELECT 'gapfill', CAST(hour_start_us AS VARCHAR), event_type,
-           n_events, sum_value
-    FROM ({REGISTRY['events_hourly_gapfill'].sql})
-    UNION ALL
-    SELECT 'paths', path, '', n_sessions, 0.0
-    FROM ({REGISTRY['session_paths'].sql})
-    """,
-    "§2.9/§2.11 event-time windowing (sliding windows + sessionization "
-    "+ staged funnel + cohort retention + attribution + rolling "
-    "features)",
-    "Driver-coverage suite: sliding event-time windows, gap-based "
-    "sessionization, strict-order funnel conversion, cohort retention, "
-    "first-touch session attribution, and the per-event rolling "
-    "feature frame tagged into one relation. Components: "
-    "events_sliding_window, events_sessionization, funnel_conversion, "
-    "cohort_retention, session_attribution, rolling_user_features "
-    "(each still registered individually; streaming_sessionization is "
-    "the state-store variant).",
-)
-def q_streaming_windowed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sliding = q_sliding_window(spark, sf_dir).select(
-        F.lit("sliding").alias("component"),
-        F.col("win_start_us").cast("string").alias("k1"),
-        F.col("event_type").alias("k2"),
-        F.col("n_events").cast("long").alias("n"),
-        F.lit(0.0).alias("val"),
-    )
-    sessions = q_sessionization(spark, sf_dir).select(
-        F.lit("session").alias("component"),
-        F.col("user_id").cast("string").alias("k1"),
-        F.lit("").alias("k2"),
-        F.col("n_events").cast("long").alias("n"),
-        F.col("n_sessions").cast("double").alias("val"),
-    )
-    funnel = q_funnel_conversion(spark, sf_dir).select(
-        F.lit("funnel").alias("component"),
-        F.col("user_id").cast("string").alias("k1"),
-        F.lit("").alias("k2"),
-        F.col("stages_completed").cast("long").alias("n"),
-        F.coalesce("purchase_us", "click_us", "view_us", F.lit(0))
-        .cast("double")
-        .alias("val"),
-    )
-    cohort = q_cohort_retention(spark, sf_dir).select(
-        F.lit("cohort").alias("component"),
-        F.col("cohort_week_us").cast("string").alias("k1"),
-        F.col("week_offset").cast("string").alias("k2"),
-        F.col("n_active").cast("long").alias("n"),
-        F.col("retention").alias("val"),
-    )
-    attribution = q_session_attribution(spark, sf_dir).select(
-        F.lit("attribution").alias("component"),
-        F.col("entry_type").alias("k1"),
-        F.lit("").alias("k2"),
-        F.col("n_sessions").cast("long").alias("n"),
-        F.col("attributed_value").alias("val"),
-    )
-    # per-user exact checksum of the rolling frame (roll_mean is already
-    # 6-decimal-rounded, so the DECIMAL(18,6) sum is order-independent):
-    # the full window plan executes, but the suite stays ~150 rows
-    rolling = (
-        q_rolling_user_features(spark, sf_dir)
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("roll_mean").cast("decimal(18,6)")).cast(
-                    "double"
-                ),
-                6,
-            ).alias("val"),
-        )
-        .select(
-            F.lit("rolling").alias("component"),
-            F.col("user_id").cast("string").alias("k1"),
-            F.lit("").alias("k2"),
-            F.col("n").cast("long"),
-            "val",
-        )
-    )
-    gapfill = q_events_gapfill(spark, sf_dir).select(
-        F.lit("gapfill").alias("component"),
-        F.col("hour_start_us").cast("string").alias("k1"),
-        F.col("event_type").alias("k2"),
-        F.col("n_events").cast("long").alias("n"),
-        F.col("sum_value").alias("val"),
-    )
-    pth = q_session_paths(spark, sf_dir).select(
-        F.lit("paths").alias("component"),
-        F.col("path").alias("k1"),
-        F.lit("").alias("k2"),
-        F.col("n_sessions").cast("long").alias("n"),
-        F.lit(0.0).alias("val"),
-    )
-    return (
-        sliding.unionByName(sessions)
-        .unionByName(funnel)
-        .unionByName(cohort)
-        .unionByName(attribution)
-        .unionByName(rolling)
-        .unionByName(gapfill)
-        .unionByName(pth)
-    )
-
-
-@_register(
-    "streaming_stateful_suite",
-    f"""
-    SELECT 'stateful' AS component, CAST(user_id AS VARCHAR) AS k,
-           n_events AS n, sum_value AS val
-    FROM ({REGISTRY['stateful_user_counts'].sql})
-    UNION ALL
-    SELECT 'segment_join', segment, n_events, sum_value
-    FROM ({REGISTRY['streaming_events_by_segment'].sql})
-    UNION ALL
-    SELECT 'dedup', event_type, n_users, 0.0
-    FROM ({REGISTRY['streaming_first_event_per_user_type'].sql})
-    UNION ALL
-    SELECT 'interval_join', CAST(user_id AS VARCHAR), n_pairs,
-           sum_purchase_value
-    FROM ({REGISTRY['streaming_interval_join'].sql})
-    UNION ALL
-    SELECT 'cms_topk', CAST(user_id AS VARCHAR), n_events,
-           CAST(rank AS DOUBLE)
-    FROM ({REGISTRY['streaming_heavy_hitters'].sql})
-    WHERE ok_cms_ge_exact AND ok_cms_within_eps AND ok_stream_equals_batch
-    UNION ALL
-    SELECT 'attribution', entry_type, n_sessions, attributed_value
-    FROM ({REGISTRY['streaming_session_attribution'].sql})
-    """,
-    "§2.9 streaming (stateful op + stream-static join + dedup + "
-    "stream-stream interval join + bounded-state CMS top-k)",
-    "Driver-coverage suite: five REAL Structured Streaming runs — "
-    "applyInPandasWithState per-user counters, stream-static broadcast "
-    "join per segment, watermarked dropDuplicates, the two-watermark "
-    "stream-stream interval join, and the bounded-state streaming CMS "
-    "heavy-hitter report (rows appear only if every sketch contract "
-    "holds, so a violated contract breaks the row-count match) — each "
-    "drained to its final result and tagged into one relation whose "
-    "oracle is the exact batch twin. Components: stateful_user_counts, "
-    "streaming_events_by_segment, streaming_first_event_per_user_type, "
-    "streaming_interval_join, streaming_heavy_hitters (each still "
-    "registered individually).",
-)
-def q_streaming_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stateful = q_stateful_user_counts(spark, sf_dir).select(
-        F.lit("stateful").alias("component"),
-        F.col("user_id").cast("string").alias("k"),
-        F.col("n_events").cast("long").alias("n"),
-        F.col("sum_value").cast("double").alias("val"),
-    )
-    segment = q_streaming_segment(spark, sf_dir).select(
-        F.lit("segment_join").alias("component"),
-        F.col("segment").alias("k"),
-        F.col("n_events").cast("long").alias("n"),
-        F.col("sum_value").cast("double").alias("val"),
-    )
-    dedup = q_streaming_dedup(spark, sf_dir).select(
-        F.lit("dedup").alias("component"),
-        F.col("event_type").alias("k"),
-        F.col("n_users").cast("long").alias("n"),
-        F.lit(0.0).alias("val"),
-    )
-    ij = q_streaming_interval_join(spark, sf_dir).select(
-        F.lit("interval_join").alias("component"),
-        F.col("user_id").cast("string").alias("k"),
-        F.col("n_pairs").cast("long").alias("n"),
-        F.col("sum_purchase_value").cast("double").alias("val"),
-    )
-    cms = (
-        q_streaming_heavy_hitters(spark, sf_dir)
-        .where(
-            F.col("ok_cms_ge_exact")
-            & F.col("ok_cms_within_eps")
-            & F.col("ok_stream_equals_batch")
-        )
-        .select(
-            F.lit("cms_topk").alias("component"),
-            F.col("user_id").cast("string").alias("k"),
-            F.col("n_events").cast("long").alias("n"),
-            F.col("rank").cast("double").alias("val"),
-        )
-    )
-    attr = q_streaming_session_attribution(spark, sf_dir).select(
-        F.lit("attribution").alias("component"),
-        F.col("entry_type").alias("k"),
-        F.col("n_sessions").cast("long").alias("n"),
-        F.col("attributed_value").alias("val"),
-    )
-    return (
-        stateful.unionByName(segment).unionByName(dedup).unionByName(ij)
-        .unionByName(cms).unionByName(attr)
-    )
-
-
-@_register(
-    "mixture_temperature_weights",
-    """
-    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
-    t AS (SELECT SUM(n) AS total, SUM(POW(n, 0.5)) AS z FROM c)
-    SELECT c.source,
-           c.n AS n_docs,
-           ROUND(c.n / t.total, 6) AS natural_share,
-           ROUND(POW(c.n, 0.5) / t.z, 6) AS temp_share,
-           ROUND((POW(c.n, 0.5) / t.z) / (c.n / t.total), 6)
-               AS upsample_factor
-    FROM c CROSS JOIN t
-    """,
-    "§2.11 curation (temperature-scaled domain mixture)",
-    "Temperature-scaled mixture weights — the multilingual/multi-domain "
-    "rebalancing rule (w_i ∝ n_i^α, here α=0.5): small domains are "
-    "upsampled, dominant ones damped, per-domain upsample factor "
-    "reported so a sampler can consume it directly. One count "
-    "aggregate + a 1-row total (broadcast) — closed-form and "
-    "hash-exact on both engines; the md5-draw sampler "
-    "(mixture_sampling_manifest) is the executable twin.",
-)
-def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    t = c.agg(
-        F.sum("n").alias("total"), F.sum(F.pow("n", 0.5)).alias("z")
-    )
-    nat = F.col("n") / F.col("total")
-    tmp = F.pow("n", 0.5) / F.col("z")
-    return c.crossJoin(F.broadcast(t)).select(
-        "source",
-        F.col("n").alias("n_docs"),
-        F.round(nat, 6).alias("natural_share"),
-        F.round(tmp, 6).alias("temp_share"),
-        F.round(tmp / nat, 6).alias("upsample_factor"),
-    )
-
-
-@_register(
-    "mixture_sampling_manifest",
-    """
-    WITH w AS (
-        SELECT source,
-               ROUND(0.25 + 0.5 * (('0x' || substring(md5(source), 1, 4))::INT / 65535.0), 6) AS weight
-        FROM (SELECT DISTINCT source FROM documents)
-    ),
-    u AS (
-        SELECT doc_id, source,
-               ('0x' || substring(md5('mix/' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u
-        FROM documents
-    )
-    SELECT u.source,
-           w.weight,
-           COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN u.u < w.weight THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-           ROUND(CAST(SUM(CASE WHEN u.u < w.weight THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS sample_rate
-    FROM u JOIN w USING (source)
-    GROUP BY u.source, w.weight
-    """,
-    "§2.11 training-data ops (mixture-sampling manifest)",
-    "Data-mixing step of an LLM training pipeline: each source gets a "
-    "deterministic mixture weight, each document a content-stable "
-    "uniform draw (md5 of a salted id — NO rand(), so the sample is "
-    "reproducible across runs/engines and survives re-partitioning), "
-    "and the manifest reports realized sampling rates per source. Pure "
-    "map + one aggregation; the weight table is dimension-sized and "
-    "broadcast.",
-)
-def q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    weight = F.round(
-        0.25
-        + 0.5
-        * (
-            F.conv(F.substring(F.md5(F.col("source")), 1, 4), 16, 10).cast("double")
-            / 65535.0
-        ),
-        6,
-    )
-    weights = docs.select("source").distinct().select("source", weight.alias("weight"))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("mix/"), F.col("doc_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(4294967296.0)
-    )
-    draws = docs.select("doc_id", "source", u.alias("u"))
-    sampled = (F.col("u") < F.col("weight")).cast("int")
-    return (
-        draws.join(F.broadcast(weights), "source")
-        .groupBy("source", "weight")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(sampled).cast("long").alias("n_sampled"),
-            F.round(F.sum(sampled).cast("double") / F.count(F.lit(1)), 6).alias(
-                "sample_rate"
-            ),
-        )
-    )
-
-
-@_register(
-    "multimodal_pipeline",
-    f"""
-    SELECT 'decode' AS component, doc_id, 0 AS idx, n_bytes,
-           sha256 AS sha, width AS w, height AS h, feature
-    FROM ({REGISTRY['multimodal_decode'].sql})
-    UNION ALL
-    SELECT 'frame', doc_id, frame_idx, CAST(frame_bytes AS BIGINT),
-           frame_sha256, 0, 0, ''
-    FROM ({REGISTRY['multimodal_frame_sample'].sql})
-    """,
-    "§2.11 multimodal (decode + frame sampling)",
-    "Driver-coverage suite: the stub decode (Arrow-batched mapInPandas, "
-    "sha256-derived metadata/features) and the relational frame-sampling "
-    "plan tagged into one relation, both halves hash-exact against "
-    "DuckDB. Components: multimodal_decode, multimodal_frame_sample "
-    "(each still registered individually).",
-)
-def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dec = q_multimodal(spark, sf_dir).select(
-        F.lit("decode").alias("component"),
-        "doc_id",
-        F.lit(0).cast("int").alias("idx"),
-        F.col("n_bytes").cast("long").alias("n_bytes"),
-        F.col("sha256").alias("sha"),
-        F.col("width").cast("int").alias("w"),
-        F.col("height").cast("int").alias("h"),
-        "feature",
-    )
-    frm = q_frame_sample(spark, sf_dir).select(
-        F.lit("frame").alias("component"),
-        "doc_id",
-        F.col("frame_idx").cast("int").alias("idx"),
-        F.col("frame_bytes").cast("long").alias("n_bytes"),
-        F.col("frame_sha256").alias("sha"),
-        F.lit(0).cast("int").alias("w"),
-        F.lit(0).cast("int").alias("h"),
-        F.lit("").alias("feature"),
-    )
-    return dec.unionByName(frm)
-
-
-# Deterministic PII fixture: the synthetic documents carry no PII, so a
-# per-row block (email always; phone when doc_id%3=0; IP when doc_id%5=0)
-# is appended identically by both engines — redaction then observably
-# fires with varied per-row counts, and the md5 of the redacted text is
-# hash-exact.
-_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
-_PII_IP_RE = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
-
-_SQL_PII_AUG = (
-    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
-    "'@mail.example.com' || "
-    "CASE WHEN doc_id % 3 = 0 THEN ' call 555-01' || "
-    "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END || "
-    "CASE WHEN doc_id % 5 = 0 THEN ' ip 10.' || "
-    "CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END"
-)
-
-
-@_register(
-    "pii_redaction",
-    f"""
-    WITH aug AS (SELECT doc_id, {_SQL_PII_AUG} AS t FROM documents)
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS INT)
-               AS n_emails,
-           CAST(len(regexp_extract_all(t, '{_PII_PHONE_RE}')) AS INT)
-               AS n_phones,
-           CAST(len(regexp_extract_all(t, '{_PII_IP_RE}')) AS INT) AS n_ips,
-           md5(regexp_replace(regexp_replace(regexp_replace(t,
-               '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
-               '{_PII_IP_RE}', '<IP>', 'g'),
-               '{_PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
-    FROM aug
-    """,
-    "§2.11 curation (PII detection + redaction)",
-    "PII scrub — the redaction pass every LLM corpus runs before "
-    "training: detect emails / phone numbers / IPv4 addresses by regex, "
-    "count them per document, and replace them with typed placeholders "
-    "(md5 of the redacted text keeps the rewrite hash-checkable). Pure "
-    "JVM regex Column expressions inside whole-stage codegen — a "
-    "map-only scan with zero shuffle, so at 100 TB it runs at parquet "
-    "read speed and writes back partition-local. The synthetic corpus "
-    "has no PII, so a deterministic doc_id-derived block is appended "
-    "first (same expression on both engines) to make redaction "
-    "observable.",
-)
-def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    aug = F.concat(
-        F.col("text"),
-        F.lit(" contact user"),
-        did.cast("string"),
-        F.lit("@mail.example.com"),
-        F.when(
-            did % 3 == 0,
-            F.concat(
-                F.lit(" call 555-01"),
-                F.lpad((did % 100).cast("string"), 2, "0"),
-            ),
-        ).otherwise(""),
-        F.when(
-            did % 5 == 0,
-            F.concat(
-                F.lit(" ip 10."), (did % 256).cast("string"), F.lit(".0.1")
-            ),
-        ).otherwise(""),
-    )
-    t = docs.select("doc_id", aug.alias("t"))
-
-    def n_matches(pat: str) -> F.Column:
-        return F.size(
-            F.regexp_extract_all(F.col("t"), F.lit(pat), F.lit(0))
-        ).cast("int")
-
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("t"), _PII_EMAIL_RE, "<EMAIL>"),
-            _PII_IP_RE,
-            "<IP>",
-        ),
-        _PII_PHONE_RE,
-        "<PHONE>",
-    )
-    return t.select(
-        "doc_id",
-        n_matches(_PII_EMAIL_RE).alias("n_emails"),
-        n_matches(_PII_PHONE_RE).alias("n_phones"),
-        n_matches(_PII_IP_RE).alias("n_ips"),
-        F.md5(redacted).alias("redacted_md5"),
-    )
-
-
-_CHUNK_SIZE = 16
-_CHUNK_STRIDE = 12
-
-
-@_register(
-    "document_chunking",
-    f"""
-    WITH tk AS (
-        SELECT doc_id, {sql_simple_tokens('text')} AS t FROM documents
-    ),
-    st AS (
-        SELECT doc_id, t,
-               unnest(range(1, len(t) + 1, {_CHUNK_STRIDE})) AS start
-        FROM tk WHERE len(t) > 0
-    )
-    SELECT doc_id,
-           CAST((start - 1) // {_CHUNK_STRIDE} AS INT) AS chunk_id,
-           CAST(len(list_slice(t, start,
-                least(start + {_CHUNK_SIZE - 1}, len(t)))) AS INT)
-               AS chunk_tokens,
-           md5(array_to_string(list_slice(t, start,
-                least(start + {_CHUNK_SIZE - 1}, len(t))), ' '))
-               AS chunk_md5
-    FROM st
-    """,
-    "§2.11 training prep (overlapping sequence chunking)",
-    f"Sliding-window document chunking for training-sequence prep: "
-    f"each doc's token list is cut into chunks of {_CHUNK_SIZE} tokens "
-    f"at stride {_CHUNK_STRIDE} (overlap {_CHUNK_SIZE - _CHUNK_STRIDE} "
-    f"preserves cross-boundary context), with per-chunk token count and "
-    f"an md5 chunk key for downstream chunk-level dedup. "
-    f"sequence()+explode generates chunk starts row-locally — a map-only "
-    f"plan with no shuffle; at 100 TB the ~{_CHUNK_SIZE}/"
-    f"{_CHUNK_STRIDE}x row fan-out stays partition-local and streams "
-    f"straight to a partitioned manifest write.",
-)
-def q_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokenize
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    st = toks.filter(F.size("t") > 0).select(
-        "doc_id",
-        "t",
-        F.explode(
-            F.sequence(F.lit(1), F.size("t"), F.lit(_CHUNK_STRIDE))
-        ).alias("start"),
-    )
-    chunk = F.slice(F.col("t"), F.col("start"), _CHUNK_SIZE)
-    return st.select(
-        "doc_id",
-        F.floor((F.col("start") - 1) / _CHUNK_STRIDE).cast("int").alias(
-            "chunk_id"
-        ),
-        F.size(chunk).cast("int").alias("chunk_tokens"),
-        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
-    )
-
-
-@_register(
-    "curation_suite",
-    f"""
-    SELECT 'contamination' AS component, CAST(doc_id AS VARCHAR) AS k,
-           n_shingles AS n1, n_contaminated AS n2,
-           contamination_ratio AS ratio
-    FROM ({REGISTRY['benchmark_contamination'].sql})
-    UNION ALL
-    SELECT 'repetition', CAST(doc_id AS VARCHAR), n_bigrams, top_bigram_n,
-           rep_ratio
-    FROM ({REGISTRY['repetition_quality'].sql})
-    UNION ALL
-    SELECT 'canonical', CAST(vec_id AS VARCHAR), cluster_id,
-           CAST(keep AS BIGINT), 0.0
-    FROM ({REGISTRY['dedup_canonical'].sql})
-    UNION ALL
-    SELECT 'containment', source, n_docs, n_dup_prior, carryover_ratio
-    FROM ({REGISTRY['cross_source_containment'].sql})
-    UNION ALL
-    SELECT 'mixture', source, n_docs, n_sampled, sample_rate
-    FROM ({REGISTRY['mixture_sampling_manifest'].sql})
-    UNION ALL
-    SELECT 'pii', redacted_md5, CAST(doc_id AS BIGINT),
-           CAST(n_emails + n_phones + n_ips AS BIGINT), 0.0
-    FROM ({REGISTRY['pii_redaction'].sql})
-    UNION ALL
-    SELECT 'chunk', chunk_md5, CAST(doc_id AS BIGINT),
-           CAST(chunk_tokens AS BIGINT), CAST(chunk_id AS DOUBLE)
-    FROM ({REGISTRY['document_chunking'].sql})
-    UNION ALL
-    SELECT 'paragraph', dedup_fingerprint, CAST(doc_id AS BIGINT),
-           blocks_kept, CAST(blocks_total AS DOUBLE)
-    FROM ({REGISTRY['paragraph_dedup'].sql})
-    UNION ALL
-    SELECT 'heavy_hitter', CAST(user_id AS VARCHAR), n_events,
-           CAST(rank AS BIGINT), 0.0
-    FROM ({REGISTRY['heavy_hitters_sketch'].sql})
-    UNION ALL
-    SELECT 'index', term || ':' || postings_md5, df, tf_total, 0.0
-    FROM ({REGISTRY['inverted_index_postings'].sql})
-    UNION ALL
-    SELECT 'bm25', CAST(doc_id AS VARCHAR), CAST(doc_id AS BIGINT),
-           CAST(0 AS BIGINT), bm25
-    FROM ({REGISTRY['bm25_retrieval'].sql})
-    UNION ALL
-    SELECT 'pagerank', CAST(vec_id AS VARCHAR), rank_e12,
-           CAST(0 AS BIGINT), 0.0
-    FROM ({REGISTRY['neardup_pagerank'].sql})
-    UNION ALL
-    SELECT 'triangles', CAST(vec_id AS VARCHAR), degree, n_triangles,
-           clustering_coeff
-    FROM ({REGISTRY['neardup_triangles'].sql})
-    UNION ALL
-    SELECT 'linkage', block, n_pairs, n_matches, top_sim
-    FROM ({REGISTRY['blocked_jw_linkage'].sql})
-    UNION ALL
-    SELECT 'gopher', source, n_docs, n_admitted, admission_rate
-    FROM ({REGISTRY['gopher_admission'].sql})
-    UNION ALL
-    SELECT 'sparse_cosine',
-           CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR),
-           doc_a, doc_b, CAST(cosine_sim AS DOUBLE)
-    FROM ({REGISTRY['sparse_cosine_pairs'].sql})
-    """,
-    "§2.11 curation (contamination + repetition + canonical dedup + "
-    "incremental containment + mixture sampling + PII redaction + "
-    "sequence chunking + paragraph-level dedup + CMS heavy hitters + "
-    "near-dup PageRank centrality + Gopher/C4 admission battery + "
-    "sparse TF-IDF cosine pairs)",
-    "Driver-coverage suite: the corpus-curation operators — "
-    "benchmark-contamination audit, repetition-based quality filter, "
-    "canonical-representative dedup output, cross-snapshot containment "
-    "accounting, mixture-sampling manifest, PII redaction, overlapping "
-    "sequence chunking — tagged into one relation with exact "
-    "per-component values. Components: benchmark_contamination, "
-    "repetition_quality, dedup_canonical, cross_source_containment, "
-    "mixture_sampling_manifest, pii_redaction, document_chunking (each "
-    "still registered individually).",
-)
-def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cont = q_benchmark_contamination(spark, sf_dir).select(
-        F.lit("contamination").alias("component"),
-        F.col("doc_id").cast("string").alias("k"),
-        F.col("n_shingles").cast("long").alias("n1"),
-        F.col("n_contaminated").cast("long").alias("n2"),
-        F.col("contamination_ratio").alias("ratio"),
-    )
-    rep = q_repetition_quality(spark, sf_dir).select(
-        F.lit("repetition").alias("component"),
-        F.col("doc_id").cast("string").alias("k"),
-        F.col("n_bigrams").cast("long").alias("n1"),
-        F.col("top_bigram_n").cast("long").alias("n2"),
-        F.col("rep_ratio").alias("ratio"),
-    )
-    canon = q_dedup_canonical(spark, sf_dir).select(
-        F.lit("canonical").alias("component"),
-        F.col("vec_id").cast("string").alias("k"),
-        F.col("cluster_id").cast("long").alias("n1"),
-        F.col("keep").cast("long").alias("n2"),
-        F.lit(0.0).alias("ratio"),
-    )
-    inc = q_cross_source_containment(spark, sf_dir).select(
-        F.lit("containment").alias("component"),
-        F.col("source").alias("k"),
-        F.col("n_docs").cast("long").alias("n1"),
-        F.col("n_dup_prior").cast("long").alias("n2"),
-        F.col("carryover_ratio").alias("ratio"),
-    )
-    mix = q_mixture_sampling(spark, sf_dir).select(
-        F.lit("mixture").alias("component"),
-        F.col("source").alias("k"),
-        F.col("n_docs").cast("long").alias("n1"),
-        F.col("n_sampled").cast("long").alias("n2"),
-        F.col("sample_rate").alias("ratio"),
-    )
-    pii = q_pii_redaction(spark, sf_dir).select(
-        F.lit("pii").alias("component"),
-        F.col("redacted_md5").alias("k"),
-        F.col("doc_id").cast("long").alias("n1"),
-        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips"))
-        .cast("long")
-        .alias("n2"),
-        F.lit(0.0).alias("ratio"),
-    )
-    chk = q_document_chunking(spark, sf_dir).select(
-        F.lit("chunk").alias("component"),
-        F.col("chunk_md5").alias("k"),
-        F.col("doc_id").cast("long").alias("n1"),
-        F.col("chunk_tokens").cast("long").alias("n2"),
-        F.col("chunk_id").cast("double").alias("ratio"),
-    )
-    para = q_paragraph_dedup(spark, sf_dir).select(
-        F.lit("paragraph").alias("component"),
-        F.col("dedup_fingerprint").alias("k"),
-        F.col("doc_id").cast("long").alias("n1"),
-        F.col("blocks_kept").cast("long").alias("n2"),
-        F.col("blocks_total").cast("double").alias("ratio"),
-    )
-    hh = q_heavy_hitters_sketch(spark, sf_dir).select(
-        F.lit("heavy_hitter").alias("component"),
-        F.col("user_id").cast("string").alias("k"),
-        F.col("n_events").cast("long").alias("n1"),
-        F.col("rank").cast("long").alias("n2"),
-        F.lit(0.0).alias("ratio"),
-    )
-    idx = q_inverted_index(spark, sf_dir).select(
-        F.lit("index").alias("component"),
-        F.concat_ws(":", "term", "postings_md5").alias("k"),
-        F.col("df").cast("long").alias("n1"),
-        F.col("tf_total").cast("long").alias("n2"),
-        F.lit(0.0).alias("ratio"),
-    )
-    bm = q_bm25(spark, sf_dir).select(
-        F.lit("bm25").alias("component"),
-        F.col("doc_id").cast("string").alias("k"),
-        F.col("doc_id").cast("long").alias("n1"),
-        F.lit(0).cast("long").alias("n2"),
-        F.col("bm25").alias("ratio"),
-    )
-    pgr = q_neardup_pagerank(spark, sf_dir).select(
-        F.lit("pagerank").alias("component"),
-        F.col("vec_id").cast("string").alias("k"),
-        F.col("rank_e12").alias("n1"),
-        F.lit(0).cast("long").alias("n2"),
-        F.lit(0.0).alias("ratio"),
-    )
-    tri = q_neardup_triangles(spark, sf_dir).select(
-        F.lit("triangles").alias("component"),
-        F.col("vec_id").cast("string").alias("k"),
-        F.col("degree").cast("long").alias("n1"),
-        F.col("n_triangles").alias("n2"),
-        F.col("clustering_coeff").alias("ratio"),
-    )
-    lnk = q_blocked_jw(spark, sf_dir).select(
-        F.lit("linkage").alias("component"),
-        F.col("block").alias("k"),
-        F.col("n_pairs").cast("long").alias("n1"),
-        F.col("n_matches").alias("n2"),
-        F.col("top_sim").alias("ratio"),
-    )
-    gop = q_gopher_admission(spark, sf_dir).select(
-        F.lit("gopher").alias("component"),
-        F.col("source").alias("k"),
-        F.col("n_docs").cast("long").alias("n1"),
-        F.col("n_admitted").cast("long").alias("n2"),
-        F.col("admission_rate").alias("ratio"),
-    )
-    spc = q_sparse_cosine_pairs(spark, sf_dir).select(
-        F.lit("sparse_cosine").alias("component"),
-        F.concat_ws(
-            ":",
-            F.col("doc_a").cast("string"),
-            F.col("doc_b").cast("string"),
-        ).alias("k"),
-        F.col("doc_a").cast("long").alias("n1"),
-        F.col("doc_b").cast("long").alias("n2"),
-        F.col("cosine_sim").cast("double").alias("ratio"),
-    )
-    return (
-        cont.unionByName(rep).unionByName(canon).unionByName(inc)
-        .unionByName(mix).unionByName(pii).unionByName(chk)
-        .unionByName(para).unionByName(hh)
-        .unionByName(idx).unionByName(bm).unionByName(pgr)
-        .unionByName(tri).unionByName(lnk).unionByName(gop)
-        .unionByName(spc)
-    )
-
-
-@_register(
-    "topic_quality_suite",
-    None,
-    "M2, M25, M26 (HDP emulation, log-perplexity, u_mass coherence)",
-    "Driver-coverage suite: the three topic-model quality metrics over "
-    "the session-shared corpus/LDA fit (coherence_log_perplexity.py:36-55, "
-    "wiki_hdp.py:19-26) as one (metric, key, value) relation; rows-only "
-    "(iterative EM fits are seed/implementation-sensitive; "
-    "harness-enforced ok_value invariants per metric family: positive "
-    "finite perplexity, finite coherence, topic masses in [0,1]). "
-    "Components: "
-    "lda_log_perplexity, topic_coherence_umass, hdp_topic_mass (each "
-    "still registered individually).",
-)
-def q_topic_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.shared import shared_corpus, shared_lda
-    from ..ml.topic_quality import hdp_emulation, log_perplexity, umass_coherence
-
-    model, corpus = shared_lda(spark, sf_dir, k=5, max_iter=5)
-    lp_df = spark.createDataFrame(
-        [("log_perplexity", "", float(log_perplexity(model, corpus)))],
-        "metric string, key string, value double",
-    )
-    um = umass_coherence(model, corpus, top_n=5).select(
-        F.lit("umass").alias("metric"),
-        F.col("topic").cast("string").alias("key"),
-        F.col("coherence").cast("double").alias("value"),
-    )
-    _, c2 = shared_corpus(spark, sf_dir)
-    _, masses = hdp_emulation(c2, truncation_k=20, max_iter=5)
-    hm = masses.select(
-        F.lit("hdp_mass").alias("metric"),
-        F.col("topic").cast("string").alias("key"),
-        F.round(F.col("corpus_mass").cast("double"), 6).alias("value"),
-    )
-    out = lp_df.unionByName(um).unionByName(hm)
-    # hard per-metric invariants (ok_* = harness-enforced): perplexity
-    # bound is a positive finite per-token nat count; coherence is a
-    # finite log-ratio mean; topic masses are probabilities
-    finite = ~F.isnan("value") & F.col("value").isNotNull()
-    return out.withColumn(
-        "ok_value",
-        F.when(F.col("metric") == "log_perplexity", finite & (F.col("value") > 0))
-        .when(F.col("metric") == "hdp_mass",
-              finite & (F.col("value") >= 0) & (F.col("value") <= 1))
-        .otherwise(finite),
-    )
-
-
-@_register(
-    "resampling_report",
-    f"""
-    SELECT 'smote' AS method, label, n_before, n_after, n_synthetic
-    FROM ({REGISTRY['smote_class_balance'].sql})
-    UNION ALL
-    SELECT 'tomek', label, n_before, n_after, CAST(0 AS BIGINT)
-    FROM ({REGISTRY['tomek_link_removal'].sql})
-    """,
-    "M20, M21 (SMOTE oversampling + Tomek-links undersampling)",
-    "Driver-coverage suite: per-class counts before/after SMOTE "
-    "(supervised_classifier.py:578-581) and after Tomek-link removal "
-    "(supervised_classifier.py:582-584), tagged by method. Oracle-exact "
-    "since round 3: SMOTE's quota accounting is closed-form and the "
-    "Tomek link set is deterministic mutual-1-NN, so DuckDB replays "
-    "both halves (see the component queries). Components: "
-    "smote_class_balance, tomek_link_removal (each still registered "
-    "individually).",
-)
-def q_resampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sm = q_smote(spark, sf_dir).select(
-        F.lit("smote").alias("method"),
-        F.col("label").cast("int").alias("label"),
-        F.col("n_before").cast("long").alias("n_before"),
-        F.col("n_after").cast("long").alias("n_after"),
-        F.col("n_synthetic").cast("long").alias("n_synthetic"),
-    )
-    tk = q_tomek(spark, sf_dir).select(
-        F.lit("tomek").alias("method"),
-        F.col("label").cast("int").alias("label"),
-        F.col("n_before").cast("long").alias("n_before"),
-        F.col("n_after").cast("long").alias("n_after"),
-        F.lit(0).cast("long").alias("n_synthetic"),
-    )
-    return sm.unionByName(tk)
-
-
-@_register(
-    "streaming_throughput_report",
-    None,
-    "§2.9 streaming (multi-micro-batch state-store evidence)",
-    "r6 verdict task 5: the sessionization + interval-join pair driven "
-    "through 12 time-ordered file-drop micro-batches "
-    "(maxFilesPerTrigger=1 over a sequentially-written time-sliced "
-    "events table) instead of the usual single-batch drain. One row "
-    "per (provider, query, micro-batch) with input rows, trigger latency, and "
-    "state rows, under four HARD invariants: >=10 data batches per "
-    "query, flat per-batch latency (last-3 median <= 3x early median), "
-    "watermark actually evicting two-stream join state, and the "
-    "multi-batch join retaining EXACTLY the batch self-join's pairs "
-    "(in-order replay loses nothing to eviction). Since r8 the whole "
-    "replay runs TWICE — default HDFS-backed provider AND RocksDB "
-    "(the 100 TB state backend), swapped by session conf alone — and "
-    "every invariant must hold under both; rows carry provider and "
-    "reported state bytes.",
-)
-def q_streaming_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.throughput import streaming_throughput_report
-
-    return streaming_throughput_report(spark, sf_dir)
-
-
-_SPAN_K = 8  # tokens per duplicate-span window
-
-
-@_register(
-    "duplicate_span_coverage",
-    f"""
-    WITH toks AS (
-        SELECT doc_id, str_split(text, ' ') AS tk FROM documents
-    ),
-    wins AS (
-        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, CAST(i AS INT) AS pos,
-               md5(array_to_string(tk[(i+1):(i+{_SPAN_K})], ' ')) AS h
-        FROM toks,
-             UNNEST(range(CAST(greatest(len(tk) - {_SPAN_K - 1}, 0) AS BIGINT))) AS t(i)
-    ),
-    marked AS (
-        SELECT doc_id, n_tokens, pos, h,
-               COUNT(*) OVER (PARTITION BY h) AS c,
-               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
-        FROM wins
-    ),
-    rem AS (
-        SELECT doc_id, n_tokens, pos AS s, pos + {_SPAN_K - 1} AS e
-        FROM marked WHERE c >= 2 AND rn >= 2
-    ),
-    isl AS (
-        SELECT doc_id, n_tokens, s, e,
-               CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
-                    THEN 1 ELSE 0 END AS nf
-        FROM rem
-        WINDOW w AS (PARTITION BY doc_id ORDER BY s
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-    ),
-    isl2 AS (
-        SELECT doc_id, n_tokens, s, e,
-               SUM(nf) OVER (PARTITION BY doc_id ORDER BY s
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-        FROM isl
-    ),
-    spans AS (
-        SELECT doc_id, MAX(n_tokens) AS n_tokens, island,
-               COUNT(*) AS n_win, MIN(s) AS s, MAX(e) AS e
-        FROM isl2 GROUP BY doc_id, island
-    )
-    SELECT doc_id,
-           MAX(n_tokens) AS n_tokens,
-           CAST(SUM(n_win) AS BIGINT) AS n_dup_windows,
-           COUNT(*) AS n_spans,
-           CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens,
-           ROUND(CAST(SUM(e - s + 1) AS DOUBLE) / MAX(n_tokens), 6) AS coverage_ratio,
-           md5(string_agg(CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR),
-                          ',' ORDER BY s)) AS spans_md5
-    FROM spans
-    GROUP BY doc_id
-    """,
-    "§2.11 dedup (exact substring-span dedup, Lee et al. 2021)",
-    "Arbitrary-offset duplicate SPANS — the dedup modality exact-doc / "
-    "paragraph-block / MinHash / SimHash dedup all miss (Lee et al. "
-    "2021, 'Deduplicating Training Data Makes Language Models "
-    "Better'): an 8-token window is a duplicate when its content "
-    "recurs anywhere in the corpus at any offset. Per window an md5 "
-    "over the token slice (content-exact, no collision risk, same "
-    "bytes on both engines); occurrences beyond the first in the "
-    "global (doc_id, pos) order are the removal manifest (keep-first "
-    "policy). Marked windows merge into maximal spans per doc "
-    "(overlap-or-adjacent islands via running-max + running-sum "
-    "windows — exact interval union, no k-times explode), yielding "
-    "per-doc duplicate-token coverage + a spans_md5 removal manifest "
-    "digest. Spark shape: window generation is map-only (transform + "
-    "posexplode over one token projection); exactly TWO exchanges "
-    "move (16-byte hash, doc_id, pos) triples — one on the window "
-    "hash for global dup marking, one on doc_id for the interval "
-    "merge — and the two island windows plus both final aggregations "
-    "reuse the doc_id partitioning with no further shuffle. n_tokens "
-    "rides along as a column so no join back to the corpus is needed. "
-    "At 100 TB the hash exchange is the cost driver and carries 3 "
-    "narrow columns, never text; K is the recall/volume knob.",
-)
-def q_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    k = _SPAN_K
-    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
-    # guard: sequence(0, -1) counts DOWN in Spark ([0, -1]) — docs
-    # shorter than the window must yield an EMPTY position list, as
-    # DuckDB's range(greatest(n-k+1, 0)) does
-    positions = F.when(
-        F.size("tk") >= k, F.sequence(F.lit(0), F.size("tk") - k)
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    hashes = F.transform(
-        positions,
-        lambda i: F.md5(
-            F.concat_ws(" ", F.slice("tk", i + 1, k)).cast("binary")
-        ),
-    )
-    wins = toks.select(
-        "doc_id",
-        F.size("tk").cast("long").alias("n_tokens"),
-        F.posexplode(hashes).alias("pos", "h"),
-    )
-    wh = Window.partitionBy("h")
-    who = wh.orderBy("doc_id", "pos")
-    rem = (
-        wins.withColumn("c", F.count(F.lit(1)).over(wh))
-        .withColumn("rn", F.row_number().over(who))
-        .filter((F.col("c") >= 2) & (F.col("rn") >= 2))
-        .select(
-            "doc_id", "n_tokens",
-            F.col("pos").alias("s"), (F.col("pos") + (k - 1)).alias("e"),
-        )
-    )
-    wprev = (
-        Window.partitionBy("doc_id")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wrun = (
-        Window.partitionBy("doc_id")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    isl = rem.withColumn(
-        "nf",
-        F.when(
-            F.max("e").over(wprev).isNull()
-            | (F.col("s") > F.max("e").over(wprev) + 1),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn("island", F.sum("nf").over(wrun))
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.max("n_tokens").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_win"),
-        F.min("s").alias("s"),
-        F.max("e").alias("e"),
-    )
-    arr = F.array_sort(F.collect_list(F.struct("s", "e")))
-    span_str = F.array_join(
-        F.transform(
-            arr,
-            lambda x: F.concat_ws(
-                "-", x["s"].cast("string"), x["e"].cast("string")
-            ),
-        ),
-        ",",
-    )
-    return spans.groupBy("doc_id").agg(
-        F.max("n_tokens").alias("n_tokens"),
-        F.sum("n_win").cast("long").alias("n_dup_windows"),
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("covered_tokens"),
-        F.round(
-            F.sum(F.col("e") - F.col("s") + 1).cast("double")
-            / F.max("n_tokens"),
-            6,
-        ).alias("coverage_ratio"),
-        F.md5(span_str.cast("binary")).alias("spans_md5"),
-    )
-
-
-def _pq_subspace_ctes(j: int, lo: int, hi: int, k: int, cap: int) -> str:
-    """One subspace's unrolled 2-iteration Lloyd CTE chain (same
-    contract as the embedding_kmeans oracle, suffixed per subspace,
-    over the quantized slice embedding[lo:hi]). Training assignments
-    (d1/d2 → a1/a2 → cent1/cent2) are restricted to the bounded
-    training sample ``vec_id < cap`` — mirroring
-    ml.cluster.pq_train's Faiss-style sampled trainer — while the
-    final encode (dF/aF) covers the whole corpus."""
-    return f"""
-    q{j} AS (
-        SELECT vec_id,
-               list_transform(embedding[{lo}:{hi}],
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
-        FROM embeddings
-    ),
-    qx{j} AS (
-        SELECT vec_id, unnest(range(len(qv))) AS pos, unnest(qv) AS val FROM q{j}
-    ),
-    c0{j} AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vec_id
-        FROM (SELECT vec_id FROM q{j} ORDER BY vec_id LIMIT {k})
-    ),
-    cent0{j} AS (
-        SELECT c0{j}.cid, qx{j}.pos, qx{j}.val AS cval
-        FROM c0{j} JOIN qx{j} USING (vec_id)
-    ),
-    d1{j} AS (
-        SELECT qx{j}.vec_id, cent0{j}.cid,
-               SUM((qx{j}.val - cent0{j}.cval) * (qx{j}.val - cent0{j}.cval)) AS d
-        FROM qx{j} JOIN cent0{j} USING (pos)
-        WHERE qx{j}.vec_id < {cap}
-        GROUP BY qx{j}.vec_id, cent0{j}.cid
-    ),
-    a1{j} AS (
-        SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-            FROM d1{j}
-        ) WHERE rn = 1
-    ),
-    cent1{j} AS (
-        SELECT a1{j}.cid, qx{j}.pos,
-               CAST(floor(CAST(SUM(qx{j}.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
-        FROM a1{j} JOIN qx{j} USING (vec_id)
-        GROUP BY a1{j}.cid, qx{j}.pos
-    ),
-    cent1f{j} AS (
-        SELECT * FROM cent1{j}
-        UNION ALL
-        SELECT cid, pos, cval FROM cent0{j}
-        WHERE cid NOT IN (SELECT DISTINCT cid FROM a1{j})
-    ),
-    d2{j} AS (
-        SELECT qx{j}.vec_id, cent1f{j}.cid,
-               SUM((qx{j}.val - cent1f{j}.cval) * (qx{j}.val - cent1f{j}.cval)) AS d
-        FROM qx{j} JOIN cent1f{j} USING (pos)
-        WHERE qx{j}.vec_id < {cap}
-        GROUP BY qx{j}.vec_id, cent1f{j}.cid
-    ),
-    a2{j} AS (
-        SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-            FROM d2{j}
-        ) WHERE rn = 1
-    ),
-    cent2{j} AS (
-        SELECT a2{j}.cid, qx{j}.pos,
-               CAST(floor(CAST(SUM(qx{j}.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
-        FROM a2{j} JOIN qx{j} USING (vec_id)
-        GROUP BY a2{j}.cid, qx{j}.pos
-    ),
-    cent2f{j} AS (
-        SELECT * FROM cent2{j}
-        UNION ALL
-        SELECT cid, pos, cval FROM cent1f{j}
-        WHERE cid NOT IN (SELECT DISTINCT cid FROM a2{j})
-    ),
-    dF{j} AS (
-        SELECT qx{j}.vec_id, cent2f{j}.cid,
-               SUM((qx{j}.val - cent2f{j}.cval) * (qx{j}.val - cent2f{j}.cval)) AS d
-        FROM qx{j} JOIN cent2f{j} USING (pos)
-        GROUP BY qx{j}.vec_id, cent2f{j}.cid
-    ),
-    aF{j} AS (
-        SELECT vec_id, cid, d FROM (
-            SELECT vec_id, cid, d,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-            FROM dF{j}
-        ) WHERE rn = 1
-    )"""
-
-
-def _pq_oracle_sql(m: int = 4, sub: int = 16, k: int = 8) -> str:
-    from ..ml.cluster import PQ_TRAIN_SAMPLE_CAP
-
-    ctes = ",".join(
-        _pq_subspace_ctes(j, j * sub + 1, (j + 1) * sub, k, PQ_TRAIN_SAMPLE_CAP)
-        for j in range(m)
-    )
-    joins = " ".join(f"JOIN aF{j} USING (vec_id)" for j in range(1, m))
-    codes = ", ".join(f"aF{j}.cid AS code{j}" for j in range(m))
-    err = " + ".join(f"aF{j}.d" for j in range(m))
-    return f"""
-    WITH {ctes}
-    SELECT aF0.vec_id, {codes}, CAST({err} AS BIGINT) AS qerr_q
-    FROM aF0 {joins}
-    """
-
-
-@_register(
-    "pq_encode_codes",
-    _pq_oracle_sql(m=8, sub=8, k=16),
-    "§2.11 similarity search (product quantization, Jégou et al. 2011)",
-    "Product-quantization codebook training + full-corpus encode: each "
-    "64-dim embedding splits into 8 subspaces, each subspace gets a "
-    "16-centroid codebook via the SAME engine-portable integer Lloyd "
-    "contract as embedding_kmeans (floor(x*1e4) int64 coords, "
-    "min-vec_id seeds, floor-div updates, ties to smaller code), and "
-    "every vector is encoded as its 8 argmin codes plus the exact "
-    "integer quantization error. HASH-EXACT over the whole corpus "
-    "against a DuckDB replay that unrolls all 8 per-subspace Lloyd "
-    "chains (programmatically generated — the chain is the "
-    "embedding_kmeans CTE parameterized by slice bounds). This is the "
-    "compression arm the ANN family (brute/LSH/IVF) was missing: at "
-    "100 TB the 8 nibble codes (4 bits each at k=16) stand in for 256 "
-    "bytes of float32, a 64x read reduction for ADC candidate "
-    "scoring. Training follows the production (Faiss) shape: ONE "
-    "bounded deterministic sample collect (vec_id < 10k) and an exact "
-    "integer numpy Lloyd on the driver — cost independent of corpus "
-    "size — while the encode is one map-only literal-baked projection "
-    "over the full corpus (vectors never shuffle); the oracle's "
-    "training CTEs carry the same sample cap.",
-)
-def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.shared import shared_pq_codes
-
-    return shared_pq_codes(spark, sf_dir, m=8, k=16, iters=2)
-
-
-@_register(
-    "pq_ann_recall",
-    """
-    WITH quant AS (
-        SELECT vec_id,
-               list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
-        FROM embeddings
-    ),
-    qx AS (
-        SELECT vec_id, unnest(range(len(qv))) AS pos, unnest(qv) AS val FROM quant
-    ),
-    px AS (SELECT vec_id AS probe_id, pos, val FROM qx WHERE vec_id < 20),
-    d AS (
-        SELECT px.probe_id, qx.vec_id AS neighbor_id,
-               SUM((px.val - qx.val) * (px.val - qx.val)) AS d_q
-        FROM px JOIN qx ON px.pos = qx.pos AND qx.vec_id != px.probe_id
-        GROUP BY px.probe_id, qx.vec_id
-    ),
-    topk AS (
-        SELECT probe_id, neighbor_id FROM (
-            SELECT *, row_number() OVER (PARTITION BY probe_id
-                                         ORDER BY d_q, neighbor_id) AS rn
-            FROM d
-        ) WHERE rn <= 5
-    )
-    SELECT probe_id, COUNT(*) AS n_exact,
-           md5(string_agg(CAST(neighbor_id AS VARCHAR), ','
-                          ORDER BY neighbor_id)) AS exact_top5_md5,
-           TRUE AS ok_mean_recall
-    FROM topk GROUP BY probe_id
-    """,
-    "§2.11 similarity search (PQ asymmetric-distance search)",
-    "The search arm of product quantization: probes precompute m x k "
-    "integer distance tables to the codebooks (m=8 subspaces, k=16 "
-    "codes), then every corpus vector is scored by SUM of table "
-    "lookups indexed by its codes — the scan touches the 8-int code "
-    "tuple, never the raw 64-float vector. Verified the ivf_ann_recall "
-    "way: the EXACT integer-euclidean top-5 per probe (both sides rank "
-    "the same floor(x*1e4) space, so recall isolates quantization "
-    "loss, and the all-integer ranking lets DuckDB replay it "
-    "hash-exactly via the md5 of the sorted neighbor set), plus the "
-    "ADC side's aggregate ok_mean_recall >= 0.2 contract — far above "
-    "the 0.001 random baseline on these UNSTRUCTURED synthetic "
-    "embeddings (iid noise is PQ's worst case: no cluster structure "
-    "for the codebooks to exploit; real text embeddings sit on "
-    "low-dimensional manifolds where the same code budget recalls far "
-    "more). On a cluster the distance tables broadcast and the code "
-    "scan is map-only + one per-probe top-k.",
-)
-def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.cluster import pq_recall_candidates
-
-    from ..ml.shared import shared_pq, shared_pq_codes
-
-    trained = shared_pq(spark, sf_dir, m=8, k=16, iters=2)
-    codes = shared_pq_codes(spark, sf_dir, m=8, k=16, iters=2)
-    # exact ground truth + ADC ranking fused into one probe-broadcast
-    # scan and ONE probe_id exchange (r8: the split form compiled and
-    # ran the corpus scan twice); semantics per ranking unchanged
-    cand = pq_recall_candidates(spark, trained, codes, probe_cap=20, topk=5)
-    exact = cand.filter(F.col("rn_exact") <= 5).select(
-        "probe_id", "neighbor_id"
-    )
-    approx = cand.filter(F.col("rn_adc") <= 5).select(
-        "probe_id", "neighbor_id"
-    )
-    return _ann_recall_report(exact, approx, k=5, mean_floor=0.2)
-
-
-@_register(
-    "embedding_kmeans",
-    """
-    WITH quant AS (
-        SELECT vec_id,
-               list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
-        FROM embeddings
-    ),
-    qx AS (
-        SELECT vec_id, unnest(range(len(qv))) AS pos, unnest(qv) AS val FROM quant
-    ),
-    c0 AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vec_id
-        FROM (SELECT vec_id FROM quant ORDER BY vec_id LIMIT 4)
-    ),
-    cent0 AS (
-        SELECT c0.cid, qx.pos, qx.val AS cval FROM c0 JOIN qx USING (vec_id)
-    ),
-    d1 AS (
-        SELECT qx.vec_id, cent0.cid,
-               SUM((qx.val - cent0.cval) * (qx.val - cent0.cval)) AS d
-        FROM qx JOIN cent0 USING (pos)
-        GROUP BY qx.vec_id, cent0.cid
-    ),
-    a1 AS (
-        SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-            FROM d1
-        ) WHERE rn = 1
-    ),
-    cent1 AS (
-        SELECT a1.cid, qx.pos,
-               CAST(floor(CAST(SUM(qx.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
-        FROM a1 JOIN qx USING (vec_id)
-        GROUP BY a1.cid, qx.pos
-    ),
-    cent1f AS (
-        SELECT * FROM cent1
-        UNION ALL
-        SELECT cid, pos, cval FROM cent0
-        WHERE cid NOT IN (SELECT DISTINCT cid FROM a1)
-    ),
-    d2 AS (
-        SELECT qx.vec_id, cent1f.cid,
-               SUM((qx.val - cent1f.cval) * (qx.val - cent1f.cval)) AS d
-        FROM qx JOIN cent1f USING (pos)
-        GROUP BY qx.vec_id, cent1f.cid
-    ),
-    a2 AS (
-        SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-            FROM d2
-        ) WHERE rn = 1
-    ),
-    cent2 AS (
-        SELECT a2.cid, qx.pos,
-               CAST(floor(CAST(SUM(qx.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
-        FROM a2 JOIN qx USING (vec_id)
-        GROUP BY a2.cid, qx.pos
-    ),
-    cent2f AS (
-        SELECT * FROM cent2
-        UNION ALL
-        SELECT cid, pos, cval FROM cent1f
-        WHERE cid NOT IN (SELECT DISTINCT cid FROM a2)
-    ),
-    dF AS (
-        SELECT qx.vec_id, cent2f.cid,
-               SUM((qx.val - cent2f.cval) * (qx.val - cent2f.cval)) AS d
-        FROM qx JOIN cent2f USING (pos)
-        GROUP BY qx.vec_id, cent2f.cid
-    ),
-    aF AS (
-        SELECT vec_id, cid, d FROM (
-            SELECT vec_id, cid, d,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-            FROM dF
-        ) WHERE rn = 1
-    ),
-    md5s AS (
-        SELECT cid,
-               md5(string_agg(CAST(cval AS VARCHAR), ',' ORDER BY pos)) AS centroid_md5
-        FROM cent2f GROUP BY cid
-    )
-    SELECT aF.cid AS cluster_id,
-           COUNT(*) AS n_members,
-           CAST(SUM(aF.d) AS BIGINT) AS inertia_q,
-           ANY_VALUE(md5s.centroid_md5) AS centroid_md5
-    FROM aF JOIN md5s USING (cid)
-    GROUP BY aF.cid
-    ORDER BY aF.cid
-    """,
-    "§2.11 semantic curation (k-means clustering arm of SemDeDup)",
-    "Deterministic integer Lloyd's k-means (k=4, 2 iterations) over "
-    "int64-quantized embeddings — the clustering stage SemDeDup (Abbas "
-    "et al. 2023) runs before within-cluster cosine pruning; "
-    "semantic_dedup_srp covers the SRP-bucket variant, this is the "
-    "k-means-faithful arm. Iterative ML is normally the rows-only "
-    "class; this one is HASH-EXACT because every step obeys the "
-    "engine-portable contract in ml/cluster.py: floor(x*1e4) int64 "
-    "coordinates (exact integer distances, immune to summation order), "
-    "seeds = k smallest vec_ids, centroid update floor(double(sum)/"
-    "count) (int/int double division is bit-identical across engines), "
-    "argmin ties to the smaller cid, empty clusters keep their "
-    "centroid. Spark shape: centroids are k x d literals baked into a "
-    "codegen'd argmin expression, so each iteration is one map-only "
-    "scan plus a (cid,pos)-keyed partial aggregation returning exactly "
-    "k x d rows to the driver — the vectors themselves never shuffle "
-    "and no collect grows with the data. At 100 TB: ITERS+1 scans of a "
-    "cached quantized projection; promote centroid sums to DECIMAL "
-    "past ~2^53 rows (documented in the module).",
-)
-def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.cluster import kmeans_cluster_stats
-
-    return kmeans_cluster_stats(spark, _t(spark, sf_dir, "embeddings"))
-
-
-@_register(
-    "dsir_selection",
-    f"""
-    WITH inst AS (
-        SELECT doc_id, lang,
-               ('0x' || substring(md5(tok), 1, 8))::BIGINT % 256 AS bucket
-        FROM (SELECT doc_id, lang, unnest({sql_simple_tokens('text')}) AS tok
-              FROM documents)
-    ),
-    qc AS (SELECT bucket, COUNT(*) AS cq FROM inst GROUP BY bucket),
-    tc AS (SELECT bucket, COUNT(*) AS ct FROM inst WHERE lang = 'en'
-           GROUP BY bucket),
-    tot AS (
-        SELECT COUNT(*) AS tq,
-               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
-        FROM inst
-    ),
-    ratio AS (
-        SELECT qc.bucket,
-               CAST(ROUND(ln(((COALESCE(tc.ct, 0) + 1.0) * (tot.tq + 256.0))
-                            / ((qc.cq + 1.0) * (tot.tt + 256.0))), 9)
-                    AS DECIMAL(18,9)) AS lr9
-        FROM qc LEFT JOIN tc USING (bucket) CROSS JOIN tot
-    ),
-    per_doc AS (
-        SELECT doc_id, COUNT(*) AS n_tokens,
-               CAST(ROUND(CAST(SUM(lr9) AS DOUBLE), 6) AS DECIMAL(18,6)) AS logw6
-        FROM inst JOIN ratio USING (bucket)
-        GROUP BY doc_id
-    ),
-    scored AS (
-        SELECT d.doc_id,
-               COALESCE(p.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
-               COALESCE(p.logw6, CAST(0 AS DECIMAL(18,6))) AS logw6,
-               CAST(ROUND(-ln(-ln(
-                   (('0x' || substring(md5('dsir/' || CAST(d.doc_id AS VARCHAR)),
-                              1, 8))::BIGINT + 0.5) / 4294967296.0)), 9)
-                    AS DECIMAL(18,9)) AS g9
-        FROM documents d LEFT JOIN per_doc p USING (doc_id)
-    ),
-    ranked AS (
-        SELECT doc_id, n_tokens, logw6,
-               row_number() OVER (ORDER BY logw6 + g9 DESC, doc_id) AS sel_rank,
-               COUNT(*) OVER () AS n_docs
-        FROM scored
-    )
-    SELECT doc_id, n_tokens,
-           ROUND(CAST(logw6 AS DOUBLE), 6) + 0 AS log_weight,
-           sel_rank,
-           CAST(CASE WHEN sel_rank <= (n_docs + 4) // 5 THEN 1 ELSE 0 END AS INT)
-               AS is_selected
-    FROM ranked
-    """,
-    "§2.11 training-data ops (DSIR importance resampling)",
-    "Data Selection via Importance Resampling (Xie et al. 2023): score "
-    "every raw document by the log importance weight between a TARGET "
-    "feature distribution (here the lang='en' slice, standing in for "
-    "the paper's Wiki/books formal-text target) and the RAW corpus "
-    "distribution, both as add-1-smoothed multinomials over 256 hashed "
-    "unigram buckets (md5-derived — the engine-portable hash; the "
-    "paper hashes unigrams+bigrams into 10k buckets, bucket count is "
-    "the scale/fidelity knob), then resample without replacement via "
-    "the paper's Gumbel-top-k trick: rank by logw + Gumbel(0,1) noise "
-    "g = -ln(-ln(u)) with a content-stable md5 uniform (NO rand() — "
-    "reproducible across runs, engines, partitionings) and keep the "
-    "top 20%. Determinism: per-bucket log-ratios and the Gumbel term "
-    "are 9-decimal-quantized and summed/added as DECIMAL (exact, "
-    "order-independent — distributed float sums are partition-order-"
-    "dependent), and the global top-k rank avoids a single-partition "
-    "window via the two-phase range-partitioned ordered_dense_rank "
-    "(the decile_bucketing machinery). Spark shape: one token "
-    "projection feeds three bounded aggregates (256-row bucket tables "
-    "+ a 1-row total, all broadcast); the scoring join shuffles "
-    "(doc_id, bucket) ints only; vectors of text never move. At "
-    "100 TB: the bucket tables stay KB-sized at any corpus size, "
-    "scoring is map-side-combined, and the rank is a range shuffle of "
-    "(key, doc_id) pairs — the selection threshold can also be read "
-    "off the bucket-weight CDF to skip ranking entirely.",
-)
-def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokenize
-
-    B = 256
-    docs = _t(spark, sf_dir, "documents")
-    inst = docs.select(
-        "doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("tok")
-    ).select(
-        "doc_id",
-        "lang",
-        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % B)
-        .alias("bucket"),
-    )
-    qc = inst.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
-    tc = (
-        inst.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
-    tot = inst.agg(
-        F.count(F.lit(1)).alias("tq"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("long")
-        .alias("tt"),
-    )
-    lr9 = F.round(
-        F.log(
-            ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) * (F.col("tq") + float(B)))
-            / ((F.col("cq") + 1.0) * (F.col("tt") + float(B)))
-        ),
-        9,
-    ).cast("decimal(18,9)")
-    ratio = (
-        qc.join(tc, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
-        .select("bucket", lr9.alias("lr9"))
-    )
-    per_doc = (
-        inst.join(F.broadcast(ratio), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum("lr9").cast("double"), 6)
-            .cast("decimal(18,6)")
-            .alias("logw6"),
-        )
-    )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("dsir/"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        + 0.5
-    ) / F.lit(4294967296.0)
-    g9 = F.round(-F.log(-F.log(u)), 9).cast("decimal(18,9)")
-    scored = (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
-            F.coalesce(F.col("logw6"), F.lit(0).cast("decimal(18,6)"))
-            .alias("logw6"),
-            g9.alias("g9"),
-        )
-        .withColumn(
-            "__ord",
-            F.struct(
-                (-(F.col("logw6") + F.col("g9"))).alias("negkey"), F.col("doc_id")
-            ),
-        )
-    )
-    ranked = ordered_dense_rank(scored, "__ord", rank_col="sel_rank")
-    n = ranked.count()  # scalar over the checkpointed frame
-    k = (n + 4) // 5  # ceil(n/5) in exact integer arithmetic
-    return ranked.select(
-        "doc_id",
-        "n_tokens",
-        (F.round(F.col("logw6").cast("double"), 6) + F.lit(0.0)).alias(
-            "log_weight"
-        ),
-        "sel_rank",
-        F.when(F.col("sel_rank") <= k, 1).otherwise(0).cast("int")
-        .alias("is_selected"),
-    )
-
-
-@_register(
-    "cdc_merge_upsert",
-    """
-    WITH ev AS (
-        SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
-        FROM events
-    ),
-    bounds AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
-    base AS (
-        SELECT user_id, event_type AS b_type, value AS b_value, n_base
-        FROM (
-            SELECT ev.user_id, ev.event_type, ev.value,
-                   row_number() OVER (PARTITION BY ev.user_id
-                                      ORDER BY ev.us DESC,
-                                               ev.event_id DESC) AS rn,
-                   COUNT(*) OVER (PARTITION BY ev.user_id) AS n_base
-            FROM ev CROSS JOIN bounds WHERE ev.us <= bounds.mid
-        ) WHERE rn = 1
-    ),
-    cdc AS (
-        SELECT user_id, event_type AS c_type, value AS c_value, n_cdc
-        FROM (
-            SELECT ev.user_id, ev.event_type, ev.value,
-                   row_number() OVER (PARTITION BY ev.user_id
-                                      ORDER BY ev.us DESC,
-                                               ev.event_id DESC) AS rn,
-                   COUNT(*) OVER (PARTITION BY ev.user_id) AS n_cdc
-            FROM ev CROSS JOIN bounds WHERE ev.us > bounds.mid
-        ) WHERE rn = 1
-    )
-    SELECT COALESCE(base.user_id, cdc.user_id) AS user_id,
-           CASE WHEN cdc.user_id IS NULL THEN base.b_type
-                ELSE cdc.c_type END AS last_event_type,
-           ROUND(CASE WHEN cdc.user_id IS NULL THEN base.b_value
-                      ELSE cdc.c_value END, 2) + 0 AS last_value,
-           COALESCE(base.n_base, CAST(0 AS BIGINT)) AS n_base_ops,
-           COALESCE(cdc.n_cdc, CAST(0 AS BIGINT)) AS n_cdc_ops,
-           CASE WHEN cdc.user_id IS NULL THEN 'unchanged'
-                WHEN base.user_id IS NULL THEN 'insert'
-                ELSE 'update' END AS merge_action
-    FROM base FULL OUTER JOIN cdc ON base.user_id = cdc.user_id
-    WHERE NOT (cdc.user_id IS NOT NULL AND cdc.c_type = 'error')
-    """,
-    "§2.11 lakehouse ops (CDC MERGE / upsert-delete apply)",
-    "The MERGE INTO shape every lakehouse table-maintenance job runs "
-    "(Delta/Iceberg upsert semantics), expressed over the events "
-    "table: the first half of the time range (split at the integer "
-    "midpoint of epoch-micros, computed FROM the data so both engines "
-    "agree exactly) is the base snapshot's per-key latest state; the "
-    "second half is the CDC batch. Latest-op-per-key wins (us DESC, "
-    "event_id DESC — a deterministic total order), a trailing "
-    "event_type='error' op is the tombstone (DELETE: the key leaves "
-    "the snapshot, including delete-of-nonexistent as a no-op), "
-    "otherwise the op upserts — WHEN MATCHED UPDATE / WHEN NOT "
-    "MATCHED INSERT / untouched keys pass through as 'unchanged'. "
-    "Spark shape: each half is one user_id-keyed exchange carrying "
-    "TWO window functions (the latest-row rank and the per-key op "
-    "count ride the same shuffle), then a user_id full-outer join — "
-    "at 100 TB this is the standard sort-merge MERGE with AQE skew "
-    "handling, and the CDC side is typically orders of magnitude "
-    "smaller (broadcastable). No collects; the only driver value is "
-    "the 1-row bounds aggregate, cross-joined as a broadcast.",
-)
-def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "value",
-        F.unix_micros("ts").alias("us"),
-    )
-    bounds = F.broadcast(
-        ev.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
-    )
-
-    def latest_per_key(pred, type_a: str, value_a: str, n_a: str) -> DataFrame:
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("us").desc(), F.col("event_id").desc()
-        )
-        wc = Window.partitionBy("user_id")
-        return (
-            ev.crossJoin(bounds)
-            .filter(pred)
-            .withColumn("__rn", F.row_number().over(w))
-            .withColumn(n_a, F.count(F.lit(1)).over(wc))
-            .filter(F.col("__rn") == 1)
-            .select(
-                "user_id",
-                F.col("event_type").alias(type_a),
-                F.col("value").alias(value_a),
-                n_a,
-            )
-        )
-
-    base = latest_per_key(F.col("us") <= F.col("mid"), "b_type", "b_value", "n_base")
-    cdc = latest_per_key(F.col("us") > F.col("mid"), "c_type", "c_value", "n_cdc")
-    merged = base.withColumnRenamed("user_id", "b_user").join(
-        cdc.withColumnRenamed("user_id", "c_user"),
-        F.col("b_user") == F.col("c_user"),
-        "full_outer",
-    )
-    survives = ~(F.col("c_user").isNotNull() & (F.col("c_type") == "error"))
-    return merged.filter(survives).select(
-        F.coalesce("b_user", "c_user").alias("user_id"),
-        F.when(F.col("c_user").isNull(), F.col("b_type"))
-        .otherwise(F.col("c_type"))
-        .alias("last_event_type"),
-        (
-            F.round(
-                F.when(F.col("c_user").isNull(), F.col("b_value")).otherwise(
-                    F.col("c_value")
-                ),
-                2,
-            )
-            + F.lit(0.0)
-        ).alias("last_value"),
-        F.coalesce(F.col("n_base"), F.lit(0).cast("long")).alias("n_base_ops"),
-        F.coalesce(F.col("n_cdc"), F.lit(0).cast("long")).alias("n_cdc_ops"),
-        F.when(F.col("c_user").isNull(), "unchanged")
-        .when(F.col("b_user").isNull(), "insert")
-        .otherwise("update")
-        .alias("merge_action"),
-    )
-
-
-@_register(
-    "scd2_state_intervals",
-    """
-    WITH ev AS (
-        SELECT event_id, user_id, event_type, epoch_us(ts) AS us
-        FROM events
-    ),
-    runs AS (
-        SELECT user_id, event_type, us, event_id,
-               CASE WHEN lag(event_type) OVER w IS NULL
-                         OR lag(event_type) OVER w != event_type
-                    THEN 1 ELSE 0 END AS is_start
-        FROM ev
-        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-    ),
-    grp AS (
-        SELECT user_id, event_type, us, event_id,
-               SUM(is_start) OVER (PARTITION BY user_id
-                                   ORDER BY us, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS run_id
-        FROM runs
-    ),
-    intervals AS (
-        SELECT user_id, event_type AS state, run_id,
-               MIN(us) AS valid_from_us,
-               COUNT(*) AS n_events
-        FROM grp GROUP BY user_id, event_type, run_id
-    )
-    SELECT user_id, state,
-           CAST(run_id AS BIGINT) AS version_no,
-           valid_from_us,
-           COALESCE(lead(valid_from_us)
-                        OVER (PARTITION BY user_id
-                              ORDER BY valid_from_us, run_id),
-                    CAST(9223372036854775807 AS BIGINT)) AS valid_to_us,
-           CAST(CASE WHEN lead(valid_from_us)
-                         OVER (PARTITION BY user_id
-                               ORDER BY valid_from_us, run_id)
-                         IS NULL
-                     THEN 1 ELSE 0 END AS INT) AS is_current,
-           n_events
-    FROM intervals
-    """,
-    "§2.11 lakehouse ops (SCD Type-2 dimension history build)",
-    "Slowly-Changing-Dimension Type-2 history from an event log — the "
-    "standard warehouse dimension-versioning shape and the temporal "
-    "complement of cdc_merge_upsert (which keeps only the latest "
-    "state): collapse each user's event stream into maximal runs of "
-    "equal state (gaps-and-islands: a lag-based change flag + running "
-    "sum assigns run ids), then emit one versioned row per run with "
-    "[valid_from, valid_to) half-open validity — valid_to is the next "
-    "version's valid_from via lead, the open current version carries "
-    "int64-max and is_current=1. Timestamps as epoch micros, run ids "
-    "as version numbers; the deterministic (us, event_id) total order "
-    "makes the row set hash-exact. Spark shape: ONE user_id exchange "
-    "carries the lag window, the running-sum window, the per-run "
-    "aggregate, AND the lead window (all partition on user_id — "
-    "plan-tested single shuffle); state per row is O(1). At 100 TB "
-    "this is the canonical no-join history build: the only shuffle "
-    "moves (user_id, type, us, event_id) tuples, and a point-in-time "
-    "lookup becomes a range predicate on [valid_from_us, valid_to_us) "
-    "— the asof-join (events_asof_join) consumes exactly this layout.",
-)
-def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
-    )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    prev = F.lag("event_type").over(w)
-    is_start = F.when(
-        prev.isNull() | (prev != F.col("event_type")), 1
-    ).otherwise(0)
-    grp = ev.withColumn(
-        "run_id",
-        F.sum(is_start).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    intervals = grp.groupBy(
-        "user_id", F.col("event_type").alias("state"), "run_id"
-    ).agg(
-        F.min("us").alias("valid_from_us"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    # run_id tiebreaker: two runs share valid_from_us when a user has
-    # different-typed events at the same timestamp (common in the
-    # duplicated scale corpus) — without it lead()/is_current are
-    # nondeterministic within the tie block (same fix in the oracle)
-    wv = Window.partitionBy("user_id").orderBy("valid_from_us", "run_id")
-    nxt = F.lead("valid_from_us").over(wv)
-    return intervals.select(
-        "user_id",
-        "state",
-        F.col("run_id").cast("long").alias("version_no"),
-        "valid_from_us",
-        F.coalesce(nxt, F.lit(9223372036854775807).cast("long")).alias(
-            "valid_to_us"
-        ),
-        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
-        "n_events",
-    )
-
-
-@_register(
-    "ewma_user_value",
-    """
-    WITH ev AS (
-        SELECT user_id, value, epoch_us(ts) AS us, event_id FROM events
-    ),
-    ranked AS (
-        SELECT user_id, value,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY us, event_id) AS rn,
-               COUNT(*) OVER (PARTITION BY user_id) AS n
-        FROM ev
-    ),
-    terms AS (
-        SELECT user_id, n,
-               CASE WHEN rn = n THEN value END AS last_v,
-               CAST(ROUND(CASE WHEN rn = 1 THEN pow(0.8, n - 1) * value
-                               ELSE 0.2 * pow(0.8, n - rn) * value END, 9)
-                    AS DECIMAL(18,9)) AS t9
-        FROM ranked
-    )
-    SELECT user_id,
-           CAST(ANY_VALUE(n) AS BIGINT) AS n_events,
-           ROUND(MAX(last_v), 2) + 0 AS last_value,
-           ROUND(CAST(SUM(t9) AS DOUBLE), 6) + 0 AS ewma
-    FROM terms GROUP BY user_id
-    """,
-    "§2.11 feature engineering (exponentially-weighted moving average)",
-    "Per-user EWMA of event values (alpha=0.2, init = first value — the "
-    "pandas adjust=False recursion ewma_i = 0.2*x_i + 0.8*ewma_{i-1}), "
-    "computed by its CLOSED FORM instead of the sequential recursion: "
-    "each event contributes weight 0.8^(n-i)*0.2 (the first 0.8^(n-1)) "
-    "toward the final smoothed value, so the per-event terms are "
-    "independent, 9-decimal-quantized, and summed as DECIMAL — exact "
-    "and order-independent where the textbook recursion would force a "
-    "sequential per-key fold (the per-term quantization perturbs the "
-    "sum by < n*5e-10, far inside the 6-decimal output round). One "
-    "user_id exchange carries the rank window, the count window, and "
-    "the final aggregate (plan-tested single shuffle, no joins); at "
-    "100 TB this is a map-side-combinable aggregate over narrow "
-    "(user_id, weight-indexed value) rows — the streaming twin is a "
-    "trivial applyInPandasWithState fold, but the batch path never "
-    "needs per-key sequential state at all.",
-)
-def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "value", F.unix_micros("ts").alias("us"), "event_id"
-    )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    wc = Window.partitionBy("user_id")
-    ranked = ev.select(
-        "user_id",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
-    weight = F.when(
-        F.col("rn") == 1, F.pow(F.lit(0.8), F.col("n") - 1) * F.col("value")
-    ).otherwise(
-        F.lit(0.2) * F.pow(F.lit(0.8), F.col("n") - F.col("rn")) * F.col("value")
-    )
-    terms = ranked.select(
-        "user_id",
-        "n",
-        F.when(F.col("rn") == F.col("n"), F.col("value")).alias("last_v"),
-        F.round(weight, 9).cast("decimal(18,9)").alias("t9"),
-    )
-    return terms.groupBy("user_id").agg(
-        F.any_value("n").cast("long").alias("n_events"),
-        (F.round(F.max("last_v"), 2) + F.lit(0.0)).alias("last_value"),
-        (F.round(F.sum("t9").cast("double"), 6) + F.lit(0.0)).alias("ewma"),
-    )
-
-
-def _streaming_ewma_parity_sql() -> str:
-    return f"""
-    SELECT user_id, n_events, last_value, ewma,
-           TRUE AS ok_stream_matches_batch
-    FROM ({REGISTRY['ewma_user_value'].sql})
-    """
-
-
-@_register(
-    "streaming_ewma_parity",
-    _streaming_ewma_parity_sql(),
-    "§2.9/§2.11 (custom stateful streaming: per-key EWMA state)",
-    "The streaming twin of ewma_user_value, checked the "
-    "streaming_heavy_hitters way: the hashed VALUES are the batch "
-    "closed form's (oracle-exact), and the stream evidence is the "
-    "ok_stream_matches_batch flag — an applyInPandasWithState query "
-    "folds the textbook per-key recursion (one (n, ewma) state row per "
-    "user, O(1) per event, event-time order enforced inside each "
-    "batch) and every user's streamed result must agree with the batch "
-    "closed form to 1e-5 (they are the same real-number quantity "
-    "evaluated in different float orders; observed agreement ~1e-9 "
-    "relative). A flag flipped false hash-mismatches the oracle's TRUE "
-    "— stream divergence fails the correctness gate, not just a test. "
-    "This is the batch-avoids-what-streams-need pairing: the batch "
-    "path has no sequential fold at all, the stream keeps exactly the "
-    "O(keys) state Structured Streaming is designed to carry.",
-)
-def q_streaming_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.stateful import streaming_ewma
-
-    batch = q_ewma_user_value(spark, sf_dir)
-    stream = streaming_ewma(spark, sf_dir).select(
-        "user_id",
-        F.col("n_events").alias("s_n"),
-        F.col("ewma").alias("s_ewma"),
-    )
-    ok = (F.col("s_n") == F.col("n_events")) & (
-        F.abs(F.col("s_ewma") - F.col("ewma")) < F.lit(1e-5)
-    )
-    return batch.join(stream, "user_id").select(
-        "user_id", "n_events", "last_value", "ewma",
-        ok.alias("ok_stream_matches_batch"),
-    )
-
-
-_RRF_K = 60  # Cormack et al.'s constant; dampens high-rank dominance
-
-
-def _hybrid_rrf_sql() -> str:
-    # built lazily so it sees bm25_retrieval's registered SQL
-    return f"""
-    WITH bm AS (
-        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
-        FROM ({REGISTRY['bm25_retrieval'].sql})
-    ),
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
-    cs AS (
-        SELECT e.vec_id AS doc_id,
-               list_dot_product(pv, e.v)
-                 / (sqrt(list_dot_product(pv, pv))
-                    * sqrt(list_dot_product(e.v, e.v))) AS sim
-        FROM e CROSS JOIN p
-        WHERE e.vec_id != 0
-    ),
-    dn AS (
-        SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r_dense
-        FROM cs ORDER BY sim DESC, doc_id LIMIT 20
-    ),
-    fused AS (
-        SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
-               COALESCE(bm.r_lex, CAST(0 AS BIGINT)) AS lex_rank,
-               COALESCE(dn.r_dense, CAST(0 AS BIGINT)) AS dense_rank,
-               ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + bm.r_lex), 0.0)
-                     + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + dn.r_dense),
-                                0.0), 9) AS rrf_score
-        FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
-    )
-    SELECT doc_id, lex_rank, dense_rank, rrf_score
-    FROM fused
-    ORDER BY rrf_score DESC, doc_id
-    LIMIT 10
-    """
-
-
-@_register(
-    "hybrid_retrieval_rrf",
-    _hybrid_rrf_sql(),
-    "§2.11 retrieval (hybrid lexical+dense fusion, reciprocal-rank)",
-    "Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of the "
-    "two retrieval arms the engine already serves: the BM25 top-20 for "
-    "the fixed lexical query (bm25_retrieval's exact scoring, ranks "
-    "from the unrounded DECIMAL-summed score) and the dense top-20 by "
-    "exact cosine to the probe embedding (vec_id 0 — vec_id aligns "
-    "with doc_id in the corpus; the same sequential float64 fold as "
-    "knn_bruteforce_cosine, bit-identical between Spark's aggregate "
-    "HOF and DuckDB's list kernels). Fused score = sum over arms of "
-    "1/(60 + rank), missing membership contributing 0 and rank 0 in "
-    "the report — each term is ONE IEEE division and the sum ONE "
-    "addition, so the fusion is deterministic without decimal "
-    "scaffolding; top-10 by (score, doc_id). The hybrid-search shape "
-    "every RAG ingestion stack runs: at 100 TB both arms stay "
-    "distributed (BM25's pruned term shuffle, the dense arm a "
-    "broadcast-probe map + top-k — or the IVF/PQ path for big probe "
-    "sets) while the fusion itself joins two k-row lists — "
-    "driver-trivial at any corpus size.",
-)
-def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.similarity import cosine_similarity
-    from ..operators.indexing import rank_bounded
-
-    # Both arms rank a BOUNDED top-20 list via rank_bounded — no
-    # window anywhere, so no corpus funnels through one partition
-    # (the r7 version ranked the full dense corpus through a single
-    # unpartitioned WindowExec) and no `No Partition Defined` noise.
-    # localCheckpoint pins the 20-row lists so rank_bounded's
-    # self-join reads them once instead of re-running the arm twice
-    bm = REGISTRY["bm25_retrieval"].fn(spark, sf_dir).localCheckpoint(
-        eager=True
-    )  # already top-20
-    lex = rank_bounded(
-        bm, [("bm25", "desc"), ("doc_id", "asc")], "r_lex"
-    ).select("doc_id", "r_lex")
-
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    probe = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
-    )
-    sim = cosine_similarity(F.col("pv"), F.col("v"))
-    cs = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(probe)
-        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
-    )
-    # distributed TakeOrdered (per-partition top-20 → merge), THEN
-    # rank the 20 surviving rows — the corpus never sees a window
-    top_dense = (
-        cs.orderBy(F.col("sim").desc(), "doc_id")
-        .limit(20)
-        .localCheckpoint(eager=True)
-    )
-    dense = rank_bounded(
-        top_dense, [("sim", "desc"), ("doc_id", "asc")], "r_dense"
-    ).select("doc_id", "r_dense")
-    rrf = F.round(
-        F.coalesce(F.lit(1.0) / (_RRF_K + F.col("r_lex")), F.lit(0.0))
-        + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("r_dense")), F.lit(0.0)),
-        9,
-    )
-    fused = lex.join(dense, "doc_id", "full_outer").select(
-        "doc_id",
-        F.coalesce(F.col("r_lex").cast("long"), F.lit(0).cast("long"))
-        .alias("lex_rank"),
-        F.coalesce(F.col("r_dense").cast("long"), F.lit(0).cast("long"))
-        .alias("dense_rank"),
-        rrf.alias("rrf_score"),
-    )
-    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
-
-
-# -------------------------------------------------------------------------
-# Lakehouse table materialization (sources/lakehouse.py consumers)
-# -------------------------------------------------------------------------
-
-# Shared oracle CTE chain: the events table split into three equal-width
-# epoch-micro eras (boundaries from integer arithmetic both engines
-# compute identically); era 0's latest-per-key state is the CREATE
-# snapshot, eras 1/2 are sequential CDC MERGE batches with a trailing
-# 'error' op as the tombstone — the exact fold the copy-on-write table
-# build in _lakehouse_table_dir materializes on disk.
-_LAKEHOUSE_SQL_PREFIX = """
-    WITH ev AS (
-        SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
-        FROM events
-    ),
-    b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
-    tagged AS (
-        SELECT ev.*, CASE WHEN us <= lo + (hi - lo) // 3 THEN 0
-                          WHEN us <= lo + 2 * ((hi - lo) // 3) THEN 1
-                          ELSE 2 END AS era
-        FROM ev CROSS JOIN b
-    ),
-    latest AS (
-        SELECT era, user_id, event_type AS last_event_type,
-               value AS last_value
-        FROM (SELECT t.*, row_number() OVER (PARTITION BY era, user_id
-                                             ORDER BY us DESC,
-                                                      event_id DESC) AS rn
-              FROM tagged t) WHERE rn = 1
-    ),
-    v1 AS (SELECT user_id, last_event_type, last_value
-           FROM latest WHERE era = 0),
-    v2 AS (
-        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
-               CASE WHEN c.user_id IS NULL THEN p.last_event_type
-                    ELSE c.last_event_type END AS last_event_type,
-               CASE WHEN c.user_id IS NULL THEN p.last_value
-                    ELSE c.last_value END AS last_value
-        FROM v1 p FULL OUTER JOIN
-             (SELECT * FROM latest WHERE era = 1) c
-          ON p.user_id = c.user_id
-        WHERE NOT (c.user_id IS NOT NULL AND c.last_event_type = 'error')
-    ),
-    v3 AS (
-        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
-               CASE WHEN c.user_id IS NULL THEN p.last_event_type
-                    ELSE c.last_event_type END AS last_event_type,
-               CASE WHEN c.user_id IS NULL THEN p.last_value
-                    ELSE c.last_value END AS last_value
-        FROM v2 p FULL OUTER JOIN
-             (SELECT * FROM latest WHERE era = 2) c
-          ON p.user_id = c.user_id
-        WHERE NOT (c.user_id IS NOT NULL AND c.last_event_type = 'error')
-    )
-"""
-
-_LAKEHOUSE_POINT_KEYS = [1, 18, 35]
-
-
-def _dataset_cache_path(sf_dir: str, name: str, salt: str = "") -> str:
-    """/tmp path keyed by abs dataset path + events-table mtime (+
-    variant salt) — a new dataset or rewritten events file gets a fresh
-    cache dir, never a mutation of the shared one."""
-    import hashlib
-    import os
-    import tempfile
-
-    ev_path = os.path.join(sf_dir, "events.parquet")
-    try:
-        mtime = int(os.path.getmtime(ev_path))
-    except OSError:
-        mtime = 0
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}{salt}".encode()
-    ).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"{name}_{key}")
-
-
-def _lakehouse_table_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per dataset — cache keyed by abs path + events
-    mtime; staged-rename published, so concurrent processes are safe)
-    the 3-version copy-on-write table the lakehouse queries read: v1
-    CREATE from era-0 latest state, v2/v3 MERGE of the era-1/era-2 CDC
-    batches."""
-    from ..cachedir import staged_cache_dir
-
-    tdir = _dataset_cache_path(sf_dir, "umt_lakehouse")
-    return staged_cache_dir(
-        tdir, "_UMT_BUILD_DONE",
-        lambda stage: _build_lakehouse_table(spark, sf_dir, stage),
-    )
-
-
-def _build_lakehouse_table(
-    spark: SparkSession, sf_dir: str, tdir: str
-) -> None:
-    from ..sources.lakehouse import create_table, merge_table
-
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value",
-        F.unix_micros("ts").alias("us"),
-    )
-    bounds = F.broadcast(
-        ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
-    )
-    era = (
-        F.when(F.col("us") <= F.col("lo") + F.expr("(hi - lo) div 3"), 0)
-        .when(
-            F.col("us") <= F.col("lo") + F.expr("2 * ((hi - lo) div 3)"), 1
-        )
-        .otherwise(2)
-    )
-    w = Window.partitionBy("era", "user_id").orderBy(
-        F.col("us").desc(), F.col("event_id").desc()
-    )
-    latest = (
-        ev.crossJoin(bounds)
-        .withColumn("era", era)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "era",
-            "user_id",
-            F.col("event_type").alias("last_event_type"),
-            F.col("value").alias("last_value"),
-        )
-        .localCheckpoint(eager=True)  # one scan feeds all three versions
-    )
-    create_table(latest.filter(F.col("era") == 0).drop("era"), tdir, "user_id")
-    for e in (1, 2):
-        cdc = (
-            latest.filter(F.col("era") == e)
-            .drop("era")
-            .withColumn("__delete", F.col("last_event_type") == "error")
-        )
-        merge_table(spark, tdir, cdc, "user_id", "__delete")
-
-
-@_register(
-    "lakehouse_merge_roundtrip",
-    _LAKEHOUSE_SQL_PREFIX + """
-    SELECT user_id, last_event_type,
-           ROUND(last_value, 2) + 0 AS last_value
-    FROM v3
-    """,
-    "§2.11 lakehouse ops (copy-on-write MERGE materialized as a table)",
-    "The missing half of the cdc_merge_upsert story: the MERGE output "
-    "LIVES as an ACID table, not just a DataFrame. Three equal-width "
-    "time eras of the events log become CREATE + two sequential MERGE "
-    "commits of a copy-on-write versioned parquet table "
-    "(sources/lakehouse.py): hash-bucket-partitioned snapshots, a "
-    "per-version JSON manifest carrying unchanged buckets by "
-    "REFERENCE (a merge rewrites only the buckets its CDC keys "
-    "touch), and an os.replace-atomic _LATEST commit point — the "
-    "Delta/Iceberg shape from Spark-shipped parts. This query reads "
-    "the final committed version back OFF DISK; the oracle recomputes "
-    "the same era fold relationally, so any write/manifest/read "
-    "defect (lost bucket, stale reference, partial commit) breaks "
-    "the hash. At 100 TB the CoW granularity is the entire point: a "
-    "CDC batch touching 0.1% of keys rewrites ~0.1% of buckets "
-    "while the manifest carries the rest forward untouched.",
-)
-def q_lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.lakehouse import read_table
-
-    tdir = _lakehouse_table_dir(spark, sf_dir)
-    return read_table(spark, tdir).select(
-        "user_id",
-        "last_event_type",
-        (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
-    )
-
-
-@_register(
-    "lakehouse_time_travel",
-    _LAKEHOUSE_SQL_PREFIX + """
-    SELECT 1 AS version, user_id, last_event_type,
-           ROUND(last_value, 2) + 0 AS last_value FROM v1
-    UNION ALL
-    SELECT 2, user_id, last_event_type,
-           ROUND(last_value, 2) + 0 FROM v2
-    UNION ALL
-    SELECT 3, user_id, last_event_type,
-           ROUND(last_value, 2) + 0 FROM v3
-    """,
-    "§2.11 lakehouse ops (time travel / snapshot isolation reads)",
-    "VERSION AS OF over the copy-on-write table: every manifest is "
-    "immutable, so any session can reconstruct any committed snapshot "
-    "from the directory alone. Reads versions 1, 2 AND 3 of the "
-    "3-commit table and stacks them; the oracle recomputes each "
-    "era-fold state independently — a reader observing version N "
-    "must see exactly the pre-merge state, byte-for-byte, or the "
-    "hash breaks (this is the snapshot-isolation contract that makes "
-    "concurrent readers safe during a merge).",
-)
-def q_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.lakehouse import read_table
-
-    tdir = _lakehouse_table_dir(spark, sf_dir)
-    parts = [
-        read_table(spark, tdir, version=v).select(
-            F.lit(v).cast("int").alias("version"),
-            "user_id",
-            "last_event_type",
-            (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
-        )
-        for v in (1, 2, 3)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
-@_register(
-    "lakehouse_manifest_pruning",
-    _LAKEHOUSE_SQL_PREFIX + f"""
-    SELECT user_id, last_event_type,
-           ROUND(last_value, 2) + 0 AS last_value
-    FROM v3 WHERE user_id IN ({", ".join(map(str, _LAKEHOUSE_POINT_KEYS))})
-    """,
-    "§2.11 lakehouse ops (manifest-level data skipping)",
-    "Point lookups against the versioned table route each key to its "
-    "hash bucket and consult the manifest's per-bucket min/max key "
-    "stats BEFORE planning the scan — only the (few) directories that "
-    "can hold the keys are read, the rest are skipped at the manifest "
-    "level (the file-skipping that makes lakehouse point queries "
-    "feasible at 100 TB; a plan test asserts inputFiles() shrinks vs "
-    "the full-table read). The exact key predicate still applies on "
-    "the surviving buckets, so results are identical to a full scan — "
-    "which is exactly what the oracle computes.",
-)
-def q_lakehouse_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.lakehouse import read_table
-
-    tdir = _lakehouse_table_dir(spark, sf_dir)
-    keys = _LAKEHOUSE_POINT_KEYS
-    return (
-        read_table(spark, tdir, point_keys=keys)
-        .filter(F.col("user_id").isin(*keys))
-        .select(
-            "user_id",
-            "last_event_type",
-            (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
-        )
-    )
-
-
-@_register(
-    "lakehouse_history",
-    _LAKEHOUSE_SQL_PREFIX + """
-    SELECT 1 AS version, 'create' AS op, 0 AS parent,
-           CAST(COUNT(DISTINCT user_id % 16) AS INT) AS n_buckets,
-           COUNT(*) AS n_rows
-    FROM v1
-    UNION ALL
-    SELECT 2, 'merge', 1, CAST(COUNT(DISTINCT user_id % 16) AS INT),
-           COUNT(*) FROM v2
-    UNION ALL
-    SELECT 3, 'merge', 2, CAST(COUNT(DISTINCT user_id % 16) AS INT),
-           COUNT(*) FROM v3
-    """,
-    "§2.11 lakehouse ops (DESCRIBE HISTORY / commit log audit)",
-    "The table's commit log surfaced as a relation: one row per "
-    "committed version with op, parent pointer, live-bucket count and "
-    "row count — all read from the immutable manifests, no data files "
-    "touched (KB-sized driver reads, any table size). The oracle "
-    "recomputes every column from the raw events fold — bucket counts "
-    "as COUNT(DISTINCT user_id % 16) — so the manifests' bookkeeping "
-    "(carried-forward references, delete-emptied buckets dropping "
-    "out, per-version row totals) is hash-verified against first "
-    "principles.",
-)
-def q_lakehouse_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.lakehouse import table_history
-
-    tdir = _lakehouse_table_dir(spark, sf_dir)
-    return table_history(spark, tdir)
-
-
-@_register(
-    "lakehouse_change_feed",
-    _LAKEHOUSE_SQL_PREFIX + """
-    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
-           CASE WHEN a.user_id IS NULL THEN 'insert'
-                WHEN b.user_id IS NULL THEN 'delete'
-                ELSE 'update' END AS change_op,
-           a.last_event_type AS before_event_type,
-           ROUND(a.last_value, 2) + 0 AS before_value,
-           b.last_event_type AS after_event_type,
-           ROUND(b.last_value, 2) + 0 AS after_value
-    FROM v1 a FULL OUTER JOIN v3 b ON a.user_id = b.user_id
-    WHERE a.user_id IS NULL OR b.user_id IS NULL
-       OR a.last_event_type <> b.last_event_type
-       OR a.last_value <> b.last_value
-    """,
-    "§2.11 lakehouse ops (change data feed / version diff)",
-    "How downstream incrementals consume a lakehouse table: the "
-    "CHANGES between two committed versions as a relation — one row "
-    "per key whose state differs, tagged insert/update/delete with "
-    "before/after payloads. Reconstructed as a full-outer key join of "
-    "the two immutable snapshots (both sides share the same bucket "
-    "layout, so the join is one co-located key exchange; per-commit "
-    "CDC batches are the free fast path this diff reconstructs when "
-    "those batches have been vacuumed). The oracle recomputes the "
-    "v1-vs-v3 era-fold diff relationally — a key wrongly tagged, a "
-    "missed delete, or an unchanged key leaking into the feed breaks "
-    "the hash.",
-)
-def q_lakehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.lakehouse import table_changes
-
-    tdir = _lakehouse_table_dir(spark, sf_dir)
-    ch = table_changes(spark, tdir, 1, 3, "user_id")
-    return ch.select(
-        "user_id",
-        "change_op",
-        F.col("before.last_event_type").alias("before_event_type"),
-        (F.round("before.last_value", 2) + F.lit(0.0)).alias("before_value"),
-        F.col("after.last_event_type").alias("after_event_type"),
-        (F.round("after.last_value", 2) + F.lit(0.0)).alias("after_value"),
-    )
-
-
-def _derived_lakehouse_dir(
-    spark: SparkSession,
-    sf_dir: str,
-    suffix: str,
-    build,
-    copy_shared: bool = True,
+from . import _shared
+from . import q_relational, q_text, q_similarity, q_events
+from . import q_lakehouse, q_sources, q_ml, q_curation
+from . import q_suites  # LAST: suites compose other queries' oracle SQL
+
+for _mod in (
+    _shared, q_relational, q_text, q_similarity, q_events,
+    q_lakehouse, q_sources, q_ml, q_curation, q_suites,
 ):
-    """Materialize a PRIVATE derived table once per dataset (cache key:
-    abs sf_dir + events mtime + suffix; staged-rename published, so
-    concurrent processes are safe). The shared cached table the other
-    lakehouse queries read is never mutated — lifecycle builders either
-    work on a full copy of it or start from an empty dir
-    (``copy_shared=False``); ``build(tdir)`` applies the
-    suffix-specific commits."""
-    import os
-    import shutil
-
-    from ..cachedir import staged_cache_dir
-
-    base = _lakehouse_table_dir(spark, sf_dir) if copy_shared else None
-    tdir = _dataset_cache_path(
-        sf_dir, f"umt_lakehouse_{suffix}", salt=f":{suffix}"
-    )
-
-    def _build(stage: str) -> None:
-        if copy_shared:
-            shutil.copytree(base, stage, dirs_exist_ok=True)
-            os.remove(os.path.join(stage, "_UMT_BUILD_DONE"))
-        build(stage)
-
-    return staged_cache_dir(tdir, f"_UMT_{suffix.upper()}_DONE", _build)
-
-
-def _lakehouse_ov_table_dir(spark: SparkSession, sf_dir: str) -> str:
-    """A private copy of the 3-version table taken through the full
-    maintenance lifecycle: OPTIMIZE (v4 — compact, self-contained
-    rewrite) then VACUUM (retain only v4's files). The vacuum
-    accounting is persisted beside the table so cached rebuilds report
-    identical numbers."""
-    import json
-    import os
-
-    from ..sources.lakehouse import optimize_table, vacuum_table
-
-    def build(tdir: str) -> None:
-        optimize_table(spark, tdir, "user_id")
-        stats = vacuum_table(tdir, retain_versions=1)
-        with open(os.path.join(tdir, "_UMT_OV_STATS.json"), "w") as f:
-            json.dump(stats, f)
-
-    return _derived_lakehouse_dir(spark, sf_dir, "ov", build)
-
-
-@_register(
-    "lakehouse_read_after_vacuum",
-    _LAKEHOUSE_SQL_PREFIX + """
-    SELECT user_id, last_event_type,
-           ROUND(last_value, 2) + 0 AS last_value
-    FROM v3
-    """,
-    "§2.11 lakehouse ops (OPTIMIZE compaction + VACUUM retention)",
-    "The maintenance lifecycle a long-lived MERGE table needs: "
-    "OPTIMIZE rewrites the latest snapshot into one self-contained "
-    "compacted version (each bucket ONE file via a bucket-aligned "
-    "repartition; no references into older snapshots), then VACUUM "
-    "deletes every bucket directory outside the retention window "
-    "(manifests stay — the commit log is KB audit history; reads of "
-    "vacuumed versions fail explicitly). This query reads the table "
-    "back AFTER both: the hash against the raw era fold proves "
-    "compaction moved bytes without changing a row and vacuum "
-    "deleted only unreferenced files — a stale manifest reference or "
-    "an over-eager delete breaks it. At 100 TB this is the nightly "
-    "OPTIMIZE/VACUUM pair that keeps file counts and storage bounded "
-    "under continuous CDC.",
-)
-def q_lakehouse_read_after_vacuum(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from ..sources.lakehouse import read_table
-
-    tdir = _lakehouse_ov_table_dir(spark, sf_dir)
-    return read_table(spark, tdir).select(
-        "user_id",
-        "last_event_type",
-        (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
-    )
-
-
-@_register(
-    "lakehouse_optimize_vacuum",
-    _LAKEHOUSE_SQL_PREFIX + """
-    , era_buckets AS (
-        SELECT era, user_id % 16 AS b FROM latest
-    )
-    SELECT 4 AS latest_version,
-           (SELECT COUNT(DISTINCT user_id % 16) FROM v1)
-         + (SELECT COUNT(DISTINCT user_id % 16) FROM v2
-            WHERE user_id % 16 IN (SELECT b FROM era_buckets WHERE era = 1))
-         + (SELECT COUNT(DISTINCT user_id % 16) FROM v3
-            WHERE user_id % 16 IN (SELECT b FROM era_buckets WHERE era = 2))
-               AS removed_dirs,
-           (SELECT COUNT(DISTINCT user_id % 16) FROM v3) AS live_dirs,
-           (SELECT COUNT(*) FROM v3) AS latest_rows
-    """,
-    "§2.11 lakehouse ops (VACUUM file accounting, first-principles)",
-    "VACUUM's filesystem effect verified against first principles: "
-    "the oracle derives, from the raw event fold alone, exactly how "
-    "many bucket directories each commit physically wrote (v1 = the "
-    "create state's distinct buckets; each merge = the buckets its "
-    "CDC keys touched that still held rows afterwards) and therefore "
-    "how many dirs a retain-latest-only vacuum after OPTIMIZE must "
-    "remove, and how many live dirs the self-contained optimized "
-    "version keeps. The engine reports what the filesystem walk "
-    "actually counted and deleted — over-deletion, under-deletion, "
-    "or a compaction that silently dropped/duplicated a bucket all "
-    "break the hash.",
-)
-def q_lakehouse_optimize_vacuum(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    import json
-    import os
-
-    from ..sources.lakehouse import latest_version, read_table
-
-    tdir = _lakehouse_ov_table_dir(spark, sf_dir)
-    with open(os.path.join(tdir, "_UMT_OV_STATS.json")) as f:
-        stats = json.load(f)
-    n_rows = read_table(spark, tdir).count()
-    return spark.createDataFrame(
-        [(latest_version(tdir), stats["removed_dirs"], stats["live_dirs"],
-          n_rows)],
-        "latest_version int, removed_dirs long, live_dirs long, "
-        "latest_rows long",
-    )
-
-
-def _lakehouse_evo_table_dir(spark: SparkSession, sf_dir: str) -> str:
-    """A private copy of the 3-version table taken through schema
-    evolution + rollback: v4 = ALTER TABLE ADD COLUMN value_tier
-    (metadata-only), v5 = MERGE populating the new column for the
-    user_id % 4 == 0 keys, v6 = RESTORE to version 2 (metadata-only
-    rollback; v5 stays time-travel readable)."""
-    from ..sources.lakehouse import add_column, merge_table, read_table, \
-        restore_table
-
-    def build(tdir: str) -> None:
-        add_column(tdir, "value_tier", "string")  # v4: KB manifest only
-        cdc = (
-            read_table(spark, tdir)  # v4 read: value_tier null-filled
-            .filter((F.col("user_id") % 4) == 0)
-            .withColumn(
-                "value_tier",
-                F.when(F.col("last_value") >= 50.0, F.lit("high"))
-                .otherwise(F.lit("low")),
-            )
-            .withColumn("__delete", F.lit(False))
-        )
-        merge_table(spark, tdir, cdc, "user_id", "__delete")  # v5
-        restore_table(tdir, 2)  # v6: re-references v2's buckets+schema
-
-    return _derived_lakehouse_dir(spark, sf_dir, "evo", build)
-
-
-@_register(
-    "lakehouse_schema_evolution",
-    _LAKEHOUSE_SQL_PREFIX + """
-    SELECT user_id, last_event_type,
-           ROUND(last_value, 2) + 0 AS last_value,
-           CASE WHEN user_id % 4 = 0 THEN
-                CASE WHEN last_value >= 50.0 THEN 'high' ELSE 'low' END
-           END AS value_tier
-    FROM v3
-    """,
-    "§2.11 lakehouse ops (metadata-only schema evolution)",
-    "ALTER TABLE ADD COLUMN on the copy-on-write table: the evolution "
-    "commit is METADATA-ONLY (a plan test asserts zero new data "
-    "directories) — the widened schema lives in the manifest and the "
-    "parquet reader null-fills the column for every file written "
-    "before it; a follow-up MERGE then populates the column for the "
-    "quarter of keys it touches, rewriting only their buckets. This "
-    "query reads the post-merge version back off disk; the oracle "
-    "derives the same relation from the raw era fold (tier for the "
-    "merged keys, NULL for untouched rows), so a wrong null-fill, a "
-    "schema applied to the wrong files, or a merge that rewrote more "
-    "than its buckets all break the hash. At 100 TB this is why "
-    "column adds cost a KB manifest write instead of a table rewrite.",
-)
-def q_lakehouse_schema_evolution(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from ..sources.lakehouse import read_table
-
-    tdir = _lakehouse_evo_table_dir(spark, sf_dir)
-    return read_table(spark, tdir, version=5).select(
-        "user_id",
-        "last_event_type",
-        (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
-        "value_tier",
-    )
-
-
-@_register(
-    "lakehouse_restore",
-    _LAKEHOUSE_SQL_PREFIX + """
-    SELECT 5 AS version, 'merge' AS op, user_id, last_event_type,
-           ROUND(last_value, 2) + 0 AS last_value
-    FROM v3
-    UNION ALL
-    SELECT 6, 'restore', user_id, last_event_type,
-           ROUND(last_value, 2) + 0
-    FROM v2
-    """,
-    "§2.11 lakehouse ops (RESTORE / rollback as a new commit)",
-    "RESTORE TABLE ... VERSION AS OF 2 on the evolved table: the "
-    "rollback is a NEW metadata-only commit (v6) that re-references "
-    "version 2's buckets AND its pre-evolution schema — nothing is "
-    "deleted, so the bad history (v5, the post-evolution merge) stays "
-    "time-travel readable for audit. The query stacks the "
-    "still-readable v5 beside the restored latest; the oracle "
-    "recomputes both states from the raw era fold, so a restore that "
-    "copied data instead of references, resurrected the dropped "
-    "column, or clobbered intermediate history breaks the hash. This "
-    "is the Delta RESTORE contract: bad-deploy rollback in O(KB) on "
-    "a table of any size.",
-)
-def q_lakehouse_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.lakehouse import latest_version, read_table
-
-    tdir = _lakehouse_evo_table_dir(spark, sf_dir)
-    latest = latest_version(tdir)  # 6 — pinned by the oracle's literal
-    v5 = read_table(spark, tdir, version=5).select(
-        F.lit(5).cast("int").alias("version"),
-        F.lit("merge").alias("op"),
-        "user_id",
-        "last_event_type",
-        (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
-    )
-    restored = read_table(spark, tdir, version=latest).select(
-        F.lit(latest).cast("int").alias("version"),
-        F.lit("restore").alias("op"),
-        "user_id",
-        "last_event_type",
-        (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
-    )
-    return v5.unionByName(restored)
-
-
-def _lakehouse_mv_table_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Incrementally-maintained aggregate table: per-user (n_events,
-    exact-decimal value sum) built as CREATE from era 0 then TWO
-    ``upsert_combine`` refreshes folding the era-1/era-2 partial
-    aggregates into stored state — never a full recompute."""
-    from ..cachedir import staged_cache_dir
-
-    tdir = _dataset_cache_path(sf_dir, "umt_lakehouse_mv", salt=":mv")
-    return staged_cache_dir(
-        tdir, "_UMT_MV_DONE",
-        lambda stage: _build_mv_table(spark, sf_dir, stage),
-    )
-
-
-def _build_mv_table(spark: SparkSession, sf_dir: str, tdir: str) -> None:
-    from ..sources.lakehouse import create_table, upsert_combine
-
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "value", F.unix_micros("ts").alias("us")
-    )
-    bounds = F.broadcast(
-        ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
-    )
-    era = (
-        F.when(F.col("us") <= F.col("lo") + F.expr("(hi - lo) div 3"), 0)
-        .when(
-            F.col("us") <= F.col("lo") + F.expr("2 * ((hi - lo) div 3)"), 1
-        )
-        .otherwise(2)
-    )
-    partials = (
-        ev.crossJoin(bounds)
-        .withColumn("era", era)
-        .groupBy("era", "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value")).cast("decimal(18,2)").alias("sum_value"),
-        )
-        .localCheckpoint(eager=True)  # one scan feeds all three commits
-    )
-    create_table(
-        partials.filter(F.col("era") == 0).drop("era"), tdir, "user_id"
-    )
-    for e in (1, 2):
-        upsert_combine(
-            spark,
-            tdir,
-            partials.filter(F.col("era") == e).drop("era"),
-            "user_id",
-            ["n_events", "sum_value"],
-        )
-
-
-@_register(
-    "lakehouse_incremental_mv",
-    """
-    SELECT user_id,
-           COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
-               AS total_value
-    FROM events GROUP BY user_id
-    """,
-    "§2.11 lakehouse ops (incremental materialized-view maintenance)",
-    "The aggregate table nobody can afford to recompute at 100 TB, "
-    "maintained incrementally instead: per-user event count + "
-    "exact-decimal value sum stored AS a versioned lakehouse table, "
-    "CREATEd from the first time-era and then refreshed by "
-    "upsert_combine (sources/lakehouse.py) folding each later era's "
-    "PARTIAL aggregates into stored state — the state read is "
-    "bucket-pruned to the delta's bucket set and the commit rewrites "
-    "only touched buckets, so refresh cost scales with the delta, "
-    "not the table. The oracle is the full recompute over ALL "
-    "events: the incremental fold must be indistinguishable from it "
-    "(decimal partials make the sum order-independent, so "
-    "delta-order cannot leak into the hash). This is the "
-    "incremental-view-maintenance contract behind every streaming "
-    "gold table.",
-)
-def q_lakehouse_incremental_mv(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from ..sources.lakehouse import read_table
-
-    tdir = _lakehouse_mv_table_dir(spark, sf_dir)
-    return read_table(spark, tdir).select(
-        "user_id",
-        "n_events",
-        F.round(F.col("sum_value").cast("double"), 2).alias("total_value"),
-    )
-
-
-@_register(
-    "streaming_lakehouse_sink",
-    """
-    WITH latest AS (
-        SELECT user_id, event_type, value
-        FROM (SELECT user_id, event_type, value,
-                     row_number() OVER (
-                         PARTITION BY user_id
-                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-              FROM events)
-        WHERE rn = 1
-    )
-    SELECT user_id,
-           event_type AS last_event_type,
-           ROUND(CAST(value AS DOUBLE), 2) + 0 AS last_value,
-           TRUE AS ok_multi_batch,
-           TRUE AS ok_commit_per_batch
-    FROM latest WHERE event_type <> 'error'
-    """,
-    "§2.9/§2.11 (streaming CDC upsert sink into the lakehouse table)",
-    "The bronze-to-silver pipeline as it actually runs in production: "
-    "a Structured Streaming query replays the event log as >=5 "
-    "time-ordered micro-batches and foreachBatch MERGEs each batch's "
-    "CDC reduction (latest state per key, 'error' as tombstone) into "
-    "the copy-on-write lakehouse table — one table version per "
-    "non-empty micro-batch, sequential commit order guaranteed by "
-    "the streaming engine. Because merges are per-key "
-    "last-writer-wins and batches arrive in (ts, event_id) order, "
-    "the final table must equal the GLOBAL latest-event-per-key fold "
-    "regardless of batch boundaries — the oracle computes exactly "
-    "that fold, so a lost commit, out-of-order batch, or tombstone "
-    "leak breaks the hash. ok_multi_batch pins that the run really "
-    "was incremental (>=5 data batches — CREATE plus sequential "
-    "MERGEs; the count trades test-scale wall-clock, never the "
-    "exactly-once contract); ok_commit_per_batch pins "
-    "the version-per-batch commit-log shape. At 100 TB this is the "
-    "standard Delta streaming-upsert sink: per-batch cost is one "
-    "key shuffle plus a rewrite of only the touched buckets.",
-)
-def q_streaming_lakehouse_sink(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
-    from ..sources.lakehouse import read_table
-    from ..streaming.lakehouse_sink import stream_cdc_into_table
-
-    tdir = os.path.join(
-        tempfile.mkdtemp(prefix="umt_stream_sink_"), "tbl"
-    )
-    try:
-        ev = stream_cdc_into_table(spark, sf_dir, tdir)
-        final = (
-            read_table(spark, tdir)
-            .select(
-                "user_id",
-                "last_event_type",
-                (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
-            )
-            # pin before the table dir is deleted below
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(os.path.dirname(tdir), ignore_errors=True)
-    return final.select(
-        "*",
-        F.lit(ev["n_data_batches"] >= 5).alias("ok_multi_batch"),
-        F.lit(ev["n_versions"] == ev["n_data_batches"]).alias(
-            "ok_commit_per_batch"
-        ),
-    )
-
-
-# -------------------------------------------------------------------------
-# BPE merge training (ml/bpe.py)
-# -------------------------------------------------------------------------
-
-_BPE_N_MERGES = 8
-
-
-def _bpe_oracle_cte(n_merges: int) -> str:
-    """Unrolled DuckDB twin of ml.bpe.bpe_train — deliberately a
-    DIFFERENT algorithm for the merge application. The Spark engine
-    walks each word with an index fold (skip flag); the oracle explodes
-    token positions and applies greedy left-to-right selection
-    relationally: among each run of CONSECUTIVE match positions
-    (gaps-and-islands per word), exactly the even-offset ones merge —
-    ``a a a a`` under (a,a) merges positions {1,3}, yielding ``aa aa``.
-    Hash agreement therefore certifies the trajectory, not a shared
-    transliteration. Every CTE is MATERIALIZED — each is referenced
-    more than once, and inlining would re-evaluate the whole prefix
-    chain per reference (exponential blowup). Returns the WITH chain
-    alone; ``t{n_merges}`` is the final (word, s, freq) tokenizer
-    state the encode query joins against."""
-    parts = [
-        """
-    WITH w AS MATERIALIZED (
-        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
-                  AS word
-              FROM documents)
-        GROUP BY word
-    ),
-    t0 AS MATERIALIZED (
-        SELECT row_number() OVER (ORDER BY word) AS wid,
-               word,
-               array_to_string(regexp_extract_all(word, '.'), ' ')
-                   || ' </w>' AS s,
-               freq
-        FROM w
-    )"""
-    ]
-    # per step: tk = exploded (pos, tok, next-tok) triples; p = weighted
-    # pair counts; m = deterministic argmax; ch = greedily-chosen merge
-    # positions; t = reassembled symbol strings
-    for i in range(1, n_merges + 1):
-        parts.append(f""",
-    tk{i} AS MATERIALIZED (
-        SELECT wid, word, freq, u.pos AS pos, u.tok AS tok, u.nxt AS nxt
-        FROM (SELECT wid, word, freq,
-                     unnest(list_transform(
-                         range(1, len(str_split(s, ' ')) + 1),
-                         j -> struct_pack(
-                             pos := j,
-                             tok := str_split(s, ' ')[j],
-                             nxt := CASE WHEN j < len(str_split(s, ' '))
-                                         THEN str_split(s, ' ')[j + 1]
-                                         END))) AS u
-              FROM t{i - 1})
-    ),
-    p{i} AS MATERIALIZED (
-        SELECT tok AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
-        FROM tk{i} WHERE nxt IS NOT NULL
-        GROUP BY tok, nxt
-    ),
-    m{i} AS MATERIALIZED (
-        SELECT lhs, rhs, cnt FROM p{i}
-        ORDER BY cnt DESC, lhs, rhs LIMIT 1
-    ),
-    ch{i} AS MATERIALIZED (
-        SELECT wid, pos
-        FROM (SELECT wid, pos,
-                     MIN(pos) OVER (PARTITION BY wid, isl) AS run_start
-              FROM (SELECT wid, pos,
-                           pos - row_number()
-                               OVER (PARTITION BY wid ORDER BY pos)
-                               AS isl
-                    FROM tk{i}
-                    WHERE tok = (SELECT lhs FROM m{i})
-                      AND nxt = (SELECT rhs FROM m{i})))
-        WHERE (pos - run_start) % 2 = 0
-    ),
-    t{i} AS MATERIALIZED (
-        SELECT tk.wid,
-               ANY_VALUE(tk.word) AS word,
-               ANY_VALUE(tk.freq) AS freq,
-               string_agg(
-                   CASE WHEN c.pos IS NOT NULL
-                        THEN tk.tok || tk.nxt ELSE tk.tok END,
-                   ' ' ORDER BY tk.pos) AS s
-        FROM tk{i} tk
-        LEFT JOIN ch{i} c  ON tk.wid = c.wid AND tk.pos = c.pos
-        LEFT JOIN ch{i} cp ON tk.wid = cp.wid AND tk.pos = cp.pos + 1
-        WHERE cp.pos IS NULL
-        GROUP BY tk.wid
-    )""")
-    return "".join(parts)
-
-
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """CTE chain + the training output: the merge-table rows."""
-    selects = "\n    UNION ALL\n".join(
-        f"    SELECT {i} AS step, lhs, rhs, cnt AS pair_count, "
-        f"lhs || rhs AS merged FROM m{i}"
-        for i in range(1, n_merges + 1)
-    )
-    return _bpe_oracle_cte(n_merges) + "\n" + selects
-
-
-@_register(
-    "bpe_merge_training",
-    _bpe_oracle_sql(_BPE_N_MERGES),
-    "§2.11 text analysis (BPE merge-table training, Sennrich 2016)",
-    "TRAINS the subword merge table the reference's BPE-ish counting "
-    "presupposes: the corpus collapses once to a word-frequency dict "
-    "(the scale lever — pair statistics over 100 TB equal pair "
-    "statistics over its word dict weighted by freq), then each of 8 "
-    "merge steps is one distributed job: explode adjacent symbol "
-    "pairs, weighted-count (map-side partials on the pair key), "
-    "deterministic argmax (count desc, lexicographic tie-break) via "
-    "TakeOrdered — ONE row per step reaches the driver — and a "
-    "literal greedy left-to-right replace applied as a chained "
-    "column expression. The oracle unrolls the identical loop as "
-    "materialized DuckDB CTEs, so counts, tie-breaks and merge "
-    "applications are hash-exact across engines — any divergence in "
-    "the training trajectory (a wrong count, an unstable tie, an "
-    "overlapping-merge bug) surfaces as a hash break.",
-)
-def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _trained_bpe(spark, sf_dir)[0]
-
-
-# trained tokenizer state shared between the training and encode
-# queries (both run the same deterministic loop; the two final dict
-# frames are localCheckpoint-pinned word dicts, KB-to-MB-scale)
-_BPE_TRAINED_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
-
-
-def _trained_bpe(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    import os
-
-    from ..ml.bpe import bpe_train_full, word_dictionary
-
-    key = (id(spark), os.path.abspath(sf_dir))
-    if key not in _BPE_TRAINED_CACHE:
-        docs = _t(spark, sf_dir, "documents")
-        _BPE_TRAINED_CACHE[key] = bpe_train_full(
-            spark, word_dictionary(docs), _BPE_N_MERGES
-        )
-    return _BPE_TRAINED_CACHE[key]
-
-
-@_register(
-    "bpe_encode_documents",
-    _bpe_oracle_cte(_BPE_N_MERGES) + f""",
-    dw AS MATERIALIZED (
-        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM (SELECT doc_id,
-                     unnest(regexp_extract_all(lower(text), '[a-z]+'))
-                         AS word
-              FROM documents)
-        GROUP BY doc_id, word
-    )
-    SELECT doc_id,
-           CAST(SUM(cnt) AS BIGINT) AS n_words,
-           CAST(SUM(cnt * len(str_split(t.s, ' '))) AS BIGINT)
-               AS n_subwords,
-           ROUND(CAST(SUM(cnt * len(str_split(t.s, ' '))) AS DOUBLE)
-                 / SUM(cnt), 4) AS subwords_per_word
-    FROM dw JOIN t{_BPE_N_MERGES} t USING (word)
-    GROUP BY doc_id
-    """,
-    "§2.11 text analysis (BPE encode: corpus tokenization with the "
-    "trained vocab)",
-    "The other half of the tokenizer lifecycle: APPLY the trained "
-    "merge table to the corpus. Encoding never touches documents "
-    "directly — per-doc word counts join the fully-merged symbol "
-    "dictionary (word → subword count), so the cost is one word-key "
-    "shuffle of (doc_id, word, cnt) triples plus a dict join, exactly "
-    "how a 100 TB corpus gets tokenized for budget accounting (the "
-    "dict is orders of magnitude smaller than the text and "
-    "broadcast/AQE-joinable). Output is per-doc word count, subword "
-    "count under the 8-merge vocab, and the fertility ratio "
-    "(subwords/word — the metric tokenizer quality is judged by). "
-    "The oracle re-derives the trained dictionary through its own "
-    "gaps-and-islands chain, so train-state reuse between the two "
-    "queries cannot mask a training defect.",
-)
-def q_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, final = _trained_bpe(spark, sf_dir)
-    docs = _t(spark, sf_dir, "documents")
-    dw = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-            ).alias("word"),
-        )
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    toks = final.select(
-        "word", F.size(F.split("s", " ")).alias("n_toks")
-    )
-    return (
-        dw.join(toks, "word")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_words"),
-            F.sum(F.col("cnt") * F.col("n_toks")).alias("n_subwords"),
-        )
-        .select(
-            "doc_id",
-            "n_words",
-            "n_subwords",
-            F.round(
-                F.col("n_subwords").cast("double") / F.col("n_words"), 4
-            ).alias("subwords_per_word"),
-        )
-    )
-
-
-def _zorder_table_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Events Z-ORDER-clustered on (user_id, value) with file-level
-    zone maps (built once per dataset; staged-rename published)."""
-    from ..cachedir import staged_cache_dir
-    from ..sources.lakehouse import create_zordered_table
-
-    def build(stage: str) -> None:
-        ev = _t(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value"
-        )
-        create_zordered_table(ev, stage, ("user_id", "value"))
-
-    tdir = _dataset_cache_path(sf_dir, "umt_zorder", salt=":z")
-    return staged_cache_dir(tdir, "_UMT_Z_DONE", build)
-
-
-_Z_USER_RANGE = (10, 25)
-_Z_VALUE_RANGE = (20.0, 80.0)
-
-
-@_register(
-    "zorder_zone_map_pruning",
-    f"""
-    SELECT event_type,
-           COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
-               AS total_value
-    FROM events
-    WHERE user_id BETWEEN {_Z_USER_RANGE[0]} AND {_Z_USER_RANGE[1]}
-      AND value BETWEEN {_Z_VALUE_RANGE[0]} AND {_Z_VALUE_RANGE[1]}
-    GROUP BY event_type
-    """,
-    "§2.11 lakehouse ops (Z-order clustering + file-level zone maps)",
-    "OPTIMIZE ZORDER BY, from Spark-shipped parts: the events table "
-    "rewritten clustered on a Morton interleave of (user_id, value) "
-    "— range-partitioned and sorted on the code, so each output file "
-    "covers a tight rectangle in the two-column space — with per-FILE "
-    "min/max zone maps of BOTH raw columns in the manifest. A "
-    "two-sided range query then prunes at file granularity before "
-    "the scan is planned (read_zordered; a single-column sort can "
-    "only skip on its leading column — the Morton interleave is what "
-    "buys simultaneous skipping on both). The exact predicate still "
-    "applies to the surviving files, and the oracle computes the "
-    "same aggregate over the raw table — over-pruning (zone map too "
-    "tight, quantization bug, lost file) surfaces as missing rows "
-    "and breaks the hash. Plan-tested: the pruned read scans fewer "
-    "files than the full table. At 100 TB this is the layout that "
-    "turns selective two-column analytics from full-scan into "
-    "touched-rectangles.",
-)
-def q_zorder_zone_map_pruning(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from ..sources.lakehouse import read_zordered
-
-    tdir = _zorder_table_dir(spark, sf_dir)
-    lo_u, hi_u = _Z_USER_RANGE
-    lo_v, hi_v = _Z_VALUE_RANGE
-    pruned = read_zordered(
-        spark, tdir,
-        ranges={"user_id": (lo_u, hi_u), "value": (lo_v, hi_v)},
-    )
-    return (
-        pruned.filter(
-            F.col("user_id").between(lo_u, hi_u)
-            & F.col("value").between(lo_v, hi_v)
-        )
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            _dsum(_dec("value")).alias("total_value"),
-        )
-    )
-
-
-# -------------------------------------------------------------------------
-# Skew-safe join (operators/relational.py:salted_join surfaced)
-# -------------------------------------------------------------------------
-
-
-@_register(
-    "skewed_join_salted",
-    """
-    SELECT c.c_mktsegment AS segment,
-           COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
-               AS total_value
-    FROM events e JOIN customer c ON e.user_id = c.c_custkey
-    GROUP BY c.c_mktsegment
-    """,
-    "§2.11 skew-safe joins (manual salting beyond AQE)",
-    "The event log's user_id key is Zipf-ish (power users hold a "
-    "disproportionate share of events); a plain shuffle join lands "
-    "each hot key on ONE reducer. salted_join "
-    "(operators/relational.py) spreads every large-side row across "
-    "n_salts=8 sub-keys via a deterministic full-row hash and "
-    "explodes the small dim x8 so all pairs still meet — the manual "
-    "skew spread for when AQE's skew splitting isn't enough (AQE "
-    "splits oversized PARTITIONS; a single hot KEY inside one "
-    "partition is indivisible without a salt). The oracle is the "
-    "PLAIN join: salting must be a pure physical rewrite with "
-    "byte-identical results. At 100 TB the x8 dim replication is "
-    "noise (dims are MBs) while the hot-key reducer ceiling drops "
-    "8x.",
-)
-def q_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.relational import salted_join
-
-    ev = _t(spark, sf_dir, "events")
-    dim = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment"
-    )
-    return (
-        salted_join(ev, dim, "user_id", n_salts=8)
-        .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            _dsum(_dec("value")).alias("total_value"),
-        )
-    )
-
-
-# -------------------------------------------------------------------------
-# Bloom-filter semi-join pruning (operators/sketches.py surfaced)
-# -------------------------------------------------------------------------
-
-
-@_register(
-    "bloom_semijoin_pruning",
-    """
-    SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
-                 2) AS total_price
-    FROM orders o
-    WHERE EXISTS (SELECT 1 FROM customer c
-                  WHERE c.c_custkey = o.o_custkey
-                    AND c.c_mktsegment = 'BUILDING'
-                    AND c.c_acctbal > 9000)
-    GROUP BY o_orderpriority
-    """,
-    "§2.11 runtime filters (bloom-filter semi-join pruning)",
-    "The runtime-filter pattern behind every selective fact-dim semi "
-    "join at scale: the build side (high-balance BUILDING customers) "
-    "folds DISTRIBUTED into a bloom bitset via a bit_or monoid "
-    "aggregate (operators/sketches.py:bloom_build — auto-sized from "
-    "an approx_count_distinct of the build side at ~16 bits/key, so "
-    "the fill factor stays useful instead of saturating, and it works "
-    "where a broadcast hash relation can't), and the probe side "
-    "pre-filters with a row-local "
-    "whole-stage-codegen predicate BEFORE any exchange "
-    "(bloom_might_contain: the bitset rides the plan as an array "
-    "literal). The exact semi join behind it removes the (possible) "
-    "false positives, so the oracle is the PLAIN EXISTS semi join — "
-    "the bloom must be a pure physical pre-filter with byte-identical "
-    "results; one false NEGATIVE (a dropped order) breaks the hash. "
-    "At 100 TB the win is shuffle-input reduction: orders rows that "
-    "cannot match never enter the semi-join exchange.",
-)
-def q_bloom_semijoin_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketches import bloom_build, bloom_might_contain
-
-    keys = (
-        _t(spark, sf_dir, "customer")
-        .filter(
-            (F.col("c_mktsegment") == "BUILDING")
-            & (F.col("c_acctbal") > 9000)
-        )
-        .select(F.col("c_custkey").alias("k"))
-    )
-    words = bloom_build(keys, "k")
-    orders = _t(spark, sf_dir, "orders")
-    candidates = orders.filter(
-        bloom_might_contain(F.col("o_custkey"), words)
-    )
-    exact = candidates.join(
-        keys, candidates["o_custkey"] == keys["k"], "left_semi"
-    )
-    return exact.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        _dsum(_dec("o_totalprice")).alias("total_price"),
-    )
-
-
-# -------------------------------------------------------------------------
-# Data-quality expectations (operators/expectations.py surfaced)
-# -------------------------------------------------------------------------
-
-
-@_register(
-    "data_quality_expectations",
-    """
-    WITH m AS (
-        SELECT 'completeness_o_custkey' AS constraint_name,
-               CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*) AS metric,
-               CAST(1.0 AS DOUBLE) AS threshold FROM orders
-        UNION ALL
-        SELECT 'completeness_o_orderdate',
-               CAST(COUNT(o_orderdate) AS DOUBLE) / COUNT(*),
-               CAST(1.0 AS DOUBLE) FROM orders
-        UNION ALL
-        SELECT 'uniqueness_o_orderkey',
-               CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*),
-               CAST(1.0 AS DOUBLE) FROM orders
-        UNION ALL
-        SELECT 'compliance_totalprice_positive',
-               CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
-                    AS DOUBLE) / COUNT(*),
-               CAST(1.0 AS DOUBLE) FROM orders
-        UNION ALL
-        SELECT 'membership_orderstatus',
-               CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1
-                             ELSE 0 END) AS DOUBLE) / COUNT(*),
-               CAST(1.0 AS DOUBLE) FROM orders
-        UNION ALL
-        SELECT 'compliance_priority_format',
-               CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
-                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
-               CAST(1.0 AS DOUBLE) FROM orders
-        UNION ALL
-        SELECT 'distribution_status_F_share',
-               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
-                    AS DOUBLE) / COUNT(*),
-               CAST(0.25 AS DOUBLE) FROM orders
-        UNION ALL
-        SELECT 'ref_integrity_o_custkey',
-               CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
-                    AS DOUBLE) / COUNT(*),
-               CAST(1.0 AS DOUBLE)
-        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-    )
-    SELECT constraint_name, metric, threshold,
-           metric >= threshold AS passed
-    FROM m
-    """,
-    "§2.11 data-quality expectations (declarative constraint suite)",
-    "The Deequ/Great-Expectations admission gate a 100 TB ingest runs "
-    "before data enters the lake: a SUITE of declared constraints "
-    "(completeness, key uniqueness, value compliance, set membership, "
-    "format regex, distribution floor) validated in ONE aggregation "
-    "pass — every metric is a commutative partial aggregate, so the "
-    "whole suite costs a single map-side-combined exchange of one row "
-    "regardless of table size or suite length "
-    "(operators/expectations.py). Referential integrity (every "
-    "o_custkey resolves in customer) is the one join-shaped check: a "
-    "broadcast left join folded to the same one-row fraction. Metrics "
-    "are CAST(exact-int AS DOUBLE)/COUNT(*) — one IEEE division, "
-    "bit-identical distributed vs sequential, so the suite hashes "
-    "against the oracle with NO rounding rescue; the pass/fail flags "
-    "ride the same hash.",
-)
-def q_data_quality_expectations(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from ..operators.expectations import (
-        completeness,
-        compliance,
-        referential_integrity,
-        run_checks,
-        uniqueness,
-    )
-
-    o = _t(spark, sf_dir, "orders")
-    suite = [
-        completeness("completeness_o_custkey", "o_custkey"),
-        completeness("completeness_o_orderdate", "o_orderdate"),
-        uniqueness("uniqueness_o_orderkey", "o_orderkey"),
-        compliance(
-            "compliance_totalprice_positive", F.col("o_totalprice") > 0
-        ),
-        compliance(
-            "membership_orderstatus",
-            F.col("o_orderstatus").isin("O", "F", "P"),
-        ),
-        compliance(
-            "compliance_priority_format",
-            F.col("o_orderpriority").rlike("^[1-5]-"),
-        ),
-        compliance(
-            "distribution_status_F_share",
-            F.col("o_orderstatus") == "F",
-            threshold=0.25,
-        ),
-    ]
-    ref = referential_integrity(
-        o, _t(spark, sf_dir, "customer"), "o_custkey", "c_custkey",
-        "ref_integrity_o_custkey",
-    )
-    return run_checks(o, suite).unionByName(ref)
-
-
-# -------------------------------------------------------------------------
-# Approximate-quantile sketch contract (GK percentile_approx)
-# -------------------------------------------------------------------------
-
-_AQ_PROBS = (0.25, 0.5, 0.9, 0.99)
-_AQ_ACCURACY = 1000  # GK sketch: rank error <= n / accuracy
-
-
-@_register(
-    "approx_quantile_contract",
-    """
-    WITH t AS (SELECT o_totalprice FROM orders)
-    """
-    + "\nUNION ALL\n".join(
-        f"""
-    SELECT CAST({p} AS DOUBLE) AS prob,
-           ROUND(quantile_cont(o_totalprice, {p}), 4) + 0 AS exact_value,
-           TRUE AS ok_rank_error
-    FROM t"""
-        for p in _AQ_PROBS
-    ),
-    "§2.11 sketches (Greenwald-Khanna approximate quantiles, "
-    "rank-error contract)",
-    "The single-pass mergeable-quantile path for 100 TB profiling: "
-    "percentile_approx (Spark's Greenwald-Khanna sketch — bounded "
-    "memory, map-side mergeable, one exchange of sketch state) "
-    "checked against its published guarantee. The engine computes the "
-    "approximate quantiles, then measures each answer's TRUE rank "
-    "with conditional sums (the approx values fold into the plan as "
-    "literals — one extra scan, no join) and asserts "
-    "|rank - p*n| <= n/accuracy + 1. The hashed output carries the "
-    "EXACT interpolated percentiles (Spark percentile ≡ DuckDB "
-    "quantile_cont, the acctbal_percentiles parity) plus the "
-    "genuinely-computed ok flags, so a sketch drifting outside its "
-    "rank bound — or an exact-percentile divergence — breaks the "
-    "hash. The exact twin is the verification path; at scale only "
-    "the sketch runs.",
-)
-def q_approx_quantile_contract(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").select("o_totalprice")
-    first = o.agg(
-        F.percentile_approx(
-            "o_totalprice", list(_AQ_PROBS), _AQ_ACCURACY
-        ).alias("a"),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
-    approx, n = first["a"], first["n"]  # O(len(probs)) driver values
-    eps = n / float(_AQ_ACCURACY) + 1.0
-    agged = o.agg(
-        *[
-            F.sum((F.col("o_totalprice") <= F.lit(float(a))).cast("long"))
-            .alias(f"__r{i}")
-            for i, a in enumerate(approx)
-        ],
-        *[
-            F.expr(f"percentile(o_totalprice, {p})").alias(f"__e{i}")
-            for i, p in enumerate(_AQ_PROBS)
-        ],
-    )
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(p).cast("double").alias("prob"),
-                F.round(F.col(f"__e{i}"), 4).alias("exact_value"),
-                (
-                    F.abs(F.col(f"__r{i}").cast("double") - F.lit(p * n))
-                    <= F.lit(eps)
-                ).alias("ok_rank_error"),
-            )
-            for i, p in enumerate(_AQ_PROBS)
-        ]
-    )
-    return agged.select(F.explode(rows).alias("r")).select(
-        "r.prob", "r.exact_value", "r.ok_rank_error"
-    )
-
-
-# -------------------------------------------------------------------------
-# Rendezvous (HRW) sharding + exact-k stratified sampling
-# -------------------------------------------------------------------------
-
-_HRW_N = 8  # baseline shard count; the contract checks the N -> N+1 step
-
-
-def _hrw_score(doc_id: F.Column, shard: int) -> F.Column:
-    """Highest-random-weight score of (key, shard): the first 8 hex
-    digits of md5(key || '/' || shard) as an integer — exact integer
-    math, engine-portable (the mixture_sampling draw discipline)."""
-    return F.conv(
-        F.substring(
-            F.md5(F.concat(doc_id.cast("string"), F.lit(f"/{shard}"))),
-            1, 8,
-        ),
-        16, 10,
-    ).cast("long")
-
-
-def _hrw_shard(doc_id: F.Column, n_shards: int) -> F.Column:
-    """argmax_s score(key, s) via array_max over (score, shard)
-    structs — ties (never at 32-bit scores, but defined anyway) break
-    toward the larger shard id, matching the oracle's ORDER BY score
-    DESC, shard DESC."""
-    return F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    _hrw_score(doc_id, s).alias("score"),
-                    F.lit(s).cast("int").alias("shard"),
-                )
-                for s in range(n_shards)
-            ]
-        )
-    )["shard"]
-
-
-@_register(
-    "rendezvous_sharding",
-    f"""
-    WITH a8 AS (
-        SELECT doc_id, shard AS shard8 FROM (
-            SELECT d.doc_id, t.s AS shard,
-                   row_number() OVER (
-                       PARTITION BY d.doc_id
-                       ORDER BY ('0x' || substring(md5(
-                                     CAST(d.doc_id AS VARCHAR) || '/' ||
-                                     CAST(t.s AS VARCHAR)), 1, 8))::BIGINT
-                                DESC, t.s DESC) AS rn
-            FROM documents d CROSS JOIN generate_series(0, {_HRW_N - 1})
-                 AS t(s)
-        ) WHERE rn = 1
-    ),
-    a9 AS (
-        SELECT doc_id, shard AS shard9 FROM (
-            SELECT d.doc_id, t.s AS shard,
-                   row_number() OVER (
-                       PARTITION BY d.doc_id
-                       ORDER BY ('0x' || substring(md5(
-                                     CAST(d.doc_id AS VARCHAR) || '/' ||
-                                     CAST(t.s AS VARCHAR)), 1, 8))::BIGINT
-                                DESC, t.s DESC) AS rn
-            FROM documents d CROSS JOIN generate_series(0, {_HRW_N})
-                 AS t(s)
-        ) WHERE rn = 1
-    )
-    SELECT a8.shard8 AS shard, COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN a9.shard9 <> a8.shard8 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_moved_out,
-           SUM(CASE WHEN a9.shard9 <> a8.shard8
-                     AND a9.shard9 <> {_HRW_N} THEN 1 ELSE 0 END) = 0
-               AS ok_moves_to_new
-    FROM a8 JOIN a9 USING (doc_id)
-    GROUP BY a8.shard8
-    """,
-    "§2.11 training-data ops (rendezvous/HRW consistent sharding)",
-    "Stable shard assignment for a corpus that outlives its cluster "
-    "topology: each key goes to argmax_s md5(key || shard) — "
-    "highest-random-weight hashing, computed as a row-local "
-    "whole-stage-codegen array_max (no shuffle, no shard ring state). "
-    "The query assigns every document at N=8 AND N=9 shards and "
-    "hash-verifies HRW's minimal-movement theorem per shard: a "
-    "resize from 8 to 9 may move keys ONLY onto the new shard "
-    "(ok_moves_to_new), never between survivors — the property that "
-    "makes shard-count changes cheap at 100 TB (an N->N+1 resize "
-    "relocates ~1/(N+1) of the data, vs nearly all of it under "
-    "key % N). Scores are exact 32-bit integers from md5 prefixes, "
-    "so assignment is engine-portable and the oracle recomputes it "
-    "bit-for-bit.",
-)
-def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select("doc_id")
-    assigned = d.select(
-        "doc_id",
-        _hrw_shard(F.col("doc_id"), _HRW_N).alias("shard8"),
-        _hrw_shard(F.col("doc_id"), _HRW_N + 1).alias("shard9"),
-    )
-    moved = F.col("shard9") != F.col("shard8")
-    return assigned.groupBy(F.col("shard8").alias("shard")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(moved.cast("long")).alias("n_moved_out"),
-        (
-            F.sum(
-                (moved & (F.col("shard9") != _HRW_N)).cast("long")
-            )
-            == 0
-        ).alias("ok_moves_to_new"),
-    )
-
-
-_STRAT_K = 10  # exact per-stratum sample quota
-
-
-@_register(
-    "stratified_sample_exact",
-    f"""
-    WITH r AS (
-        SELECT doc_id, source,
-               row_number() OVER (
-                   PARTITION BY source
-                   ORDER BY ('0x' || substring(md5(
-                                 'strat/' || CAST(doc_id AS VARCHAR)),
-                             1, 8))::BIGINT, doc_id) AS rn
-        FROM documents
-    )
-    SELECT source, COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN rn <= {_STRAT_K} THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_sampled,
-           CAST(SUM(CASE WHEN rn <= {_STRAT_K} THEN doc_id ELSE 0 END)
-                AS BIGINT) AS sel_checksum
-    FROM r GROUP BY source
-    """,
-    "§2.11 training-data ops (exact-k stratified reservoir sample)",
-    "Deterministic without-replacement sampling with an exact per-"
-    "stratum quota: every document draws a content-stable md5 rank "
-    "and each source keeps its k lowest — the distributed equivalent "
-    "of a per-stratum reservoir, with NO rand() (reproducible across "
-    "runs, engines, and partitionings; the same draw discipline as "
-    "mixture_sampling_manifest, which does RATE-based Bernoulli "
-    "sampling — this is its exact-count complement for quota-balanced "
-    "eval/calibration sets). One partitioned window per stratum (never "
-    "global), one aggregation; the hashed output pins the selected "
-    "membership itself via a doc_id checksum, so one swapped sample "
-    "breaks the hash.",
-)
-def q_stratified_sample_exact(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    draw = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("strat/"), F.col("doc_id").cast("string"))),
-            1, 8,
-        ),
-        16, 10,
-    ).cast("long")
-    w = Window.partitionBy("source").orderBy(draw.asc(), F.col("doc_id"))
-    r = d.withColumn("__rn", F.row_number().over(w))
-    sel = F.col("__rn") <= _STRAT_K
-    return r.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(sel.cast("long")).alias("n_sampled"),
-        F.sum(F.when(sel, F.col("doc_id")).otherwise(0)).alias(
-            "sel_checksum"
-        ),
-    )
-
-
-def _lakehouse_rb_table_dir(spark: SparkSession, sf_dir: str) -> str:
-    """A private copy of the 3-version table taken through partition
-    evolution: v4 = REBUCKET 16 -> 32 (self-contained rewrite, new
-    layout in the manifest), v5 = MERGE doubling last_value for the
-    user_id % 10 == 7 keys — copy-on-write at the NEW granularity."""
-    from ..sources.lakehouse import merge_table, read_table, rebucket_table
-
-    def build(tdir: str) -> None:
-        rebucket_table(spark, tdir, "user_id", 32)  # v4
-        cdc = (
-            read_table(spark, tdir)
-            .filter((F.col("user_id") % 10) == 7)
-            .withColumn("last_value", F.round(F.col("last_value") * 2, 2))
-            .withColumn("__delete", F.lit(False))
-        )
-        merge_table(spark, tdir, cdc, "user_id", "__delete")  # v5
-
-    return _derived_lakehouse_dir(spark, sf_dir, "rb", build)
-
-
-@_register(
-    "lakehouse_rebucket",
-    _LAKEHOUSE_SQL_PREFIX + """
-    SELECT user_id, last_event_type,
-           CASE WHEN user_id % 10 = 7 THEN ROUND(last_value * 2, 2) + 0
-                ELSE ROUND(last_value, 2) + 0 END AS last_value
-    FROM v3
-    """,
-    "§2.11 lakehouse ops (partition evolution / bucket-spec change)",
-    "The Iceberg partition-evolution move: when a table's volume "
-    "outgrows its bucket width, REBUCKET rewrites the latest snapshot "
-    "under a new bucket count as one self-contained version — and "
-    "every version keeps ITS OWN layout in its manifest, so time "
-    "travel to a pre-evolution snapshot still routes point lookups "
-    "with the old modulus (unit-tested) while the follow-up MERGE "
-    "copy-on-writes at the NEW granularity (a CDC batch touching "
-    "user_id % 10 == 7 rewrites only its buckets-of-32). The query "
-    "reads the post-evolution merged state off disk; the oracle "
-    "derives it from the raw era fold, so a row lost or duplicated "
-    "in the re-layout — or a merge routed with the wrong modulus, "
-    "which would orphan updates into unreferenced buckets — breaks "
-    "the hash.",
-)
-def q_lakehouse_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.lakehouse import read_table
-
-    tdir = _lakehouse_rb_table_dir(spark, sf_dir)
-    return read_table(spark, tdir).select(
-        "user_id",
-        "last_event_type",
-        (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
-    )
-
-
-_QG_ARMS = """
-        SELECT {v} AS version, 'uniqueness_user_id' AS constraint_name,
-               CAST(COUNT(DISTINCT user_id) AS DOUBLE) / COUNT(*) AS metric,
-               CAST(1.0 AS DOUBLE) AS threshold FROM v{v}
-        UNION ALL
-        SELECT {v}, 'completeness_last_event_type',
-               CAST(COUNT(last_event_type) AS DOUBLE) / COUNT(*),
-               CAST(1.0 AS DOUBLE) FROM v{v}
-        UNION ALL
-        SELECT {v}, 'compliance_value_positive',
-               CAST(SUM(CASE WHEN last_value > 0 THEN 1 ELSE 0 END)
-                    AS DOUBLE) / COUNT(*),
-               CAST(1.0 AS DOUBLE) FROM v{v}"""
-
-
-@_register(
-    "lakehouse_quality_gate",
-    _LAKEHOUSE_SQL_PREFIX
-    + ", m AS ("
-    + "\n    UNION ALL\n".join(_QG_ARMS.format(v=v) for v in (1, 2, 3))
-    + """
-    )
-    SELECT version, constraint_name, metric, threshold,
-           metric >= threshold AS passed
-    FROM m
-    """,
-    "§2.11 lakehouse ops × data quality (per-commit expectation gate)",
-    "The CI gate a production lakehouse runs on every commit: the "
-    "declarative expectation suite (operators/expectations.py) "
-    "validated against EACH committed version of the copy-on-write "
-    "table — key uniqueness (a MERGE that duplicates or loses a key "
-    "fails here before any consumer sees it), completeness of the "
-    "payload, and value compliance, one single-pass aggregation per "
-    "version over its manifest-reconstructed snapshot. The oracle "
-    "recomputes all nine (version, constraint) metrics from the raw "
-    "era folds, so the gate verifies BOTH the table's commit "
-    "integrity and the expectation engine's arithmetic in one hash. "
-    "At 100 TB the gate reads each commit's CHANGED buckets plus "
-    "carried references — the same pruned paths the merge wrote.",
-)
-def q_lakehouse_quality_gate(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from ..operators.expectations import (
-        completeness,
-        compliance,
-        run_checks,
-        uniqueness,
-    )
-    from ..sources.lakehouse import read_table
-
-    tdir = _lakehouse_table_dir(spark, sf_dir)
-    suite = lambda: [  # noqa: E731 — fresh Columns per version
-        uniqueness("uniqueness_user_id", "user_id"),
-        completeness(
-            "completeness_last_event_type", "last_event_type"
-        ),
-        compliance(
-            "compliance_value_positive", F.col("last_value") > 0
-        ),
-    ]
-    parts = [
-        run_checks(read_table(spark, tdir, version=v), suite())
-        .select(
-            F.lit(v).cast("int").alias("version"),
-            "constraint_name", "metric", "threshold", "passed",
-        )
-        for v in (1, 2, 3)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
-@_register(
-    "quality_quarantine_split",
-    """
-    WITH tagged AS (
-        SELECT *,
-               CASE WHEN o_totalprice <= 0 THEN 'nonpositive_price'
-                    WHEN o_orderstatus NOT IN ('O', 'F', 'P')
-                         THEN 'bad_status'
-                    WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
-                         THEN 'bad_priority'
-                    WHEN o_custkey IS NULL THEN 'null_custkey'
-                    WHEN o_totalprice > 450000.0 THEN 'price_outlier'
-                    ELSE 'ok' END AS reason
-        FROM orders
-    )
-    SELECT reason, COUNT(*) AS n_rows,
-           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
-    FROM tagged GROUP BY reason
-    """,
-    "§2.11 data quality (row-level quarantine routing)",
-    "The row-level complement of the aggregate expectation suite: "
-    "every record is tagged with its FIRST failing rule (a CASE "
-    "cascade — one map-side pass, whole-stage codegen, no shuffle "
-    "until the per-reason accounting), so bad rows route to a "
-    "quarantine sink with a reason while clean rows flow on — the "
-    "split every ingest pipeline puts in front of the lake. The "
-    "hashed output pins per-reason counts AND an order-key checksum, "
-    "so one row routed to the wrong bucket breaks the hash. At "
-    "100 TB this is a zero-extra-scan tag on the existing ingest "
-    "pass; the quarantine side is typically 1e-4 of volume and "
-    "writes to its own partition.",
-)
-def q_quality_quarantine_split(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    reason = (
-        F.when(F.col("o_totalprice") <= 0, "nonpositive_price")
-        .when(~F.col("o_orderstatus").isin("O", "F", "P"), "bad_status")
-        .when(
-            ~F.col("o_orderpriority").rlike("^[1-5]-"), "bad_priority"
-        )
-        .when(F.col("o_custkey").isNull(), "null_custkey")
-        .when(F.col("o_totalprice") > 450000.0, "price_outlier")
-        .otherwise("ok")
-    )
-    return (
-        o.withColumn("reason", reason)
-        .groupBy("reason")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("o_orderkey").alias("key_checksum"),
-        )
-    )
-
-
-def _incremental_dedup_metrics(spark: SparkSession, sf_dir: str) -> list:
-    """Drive three 'crawl snapshots' (doc_id % 3) through a lakehouse
-    fingerprint STORE: era 0 creates it, each later era bucket-prunes
-    the store read to its batch's buckets, splits the batch into
-    carryover vs new fingerprints, and MERGEs only the new ones in.
-    Returns the per-era accounting (3 tuples — bounded driver data);
-    cached beside the store since merges mutate state. Keyed by the
-    DOCUMENTS mtime (the input it derives from), staged-rename
-    published like the other /tmp builders."""
-    import hashlib
-    import json as _json
-    import os
-    import tempfile
-
-    from ..cachedir import staged_cache_dir
-
-    doc_path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        mtime = int(os.path.getmtime(doc_path))
-    except OSError:
-        mtime = 0
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}:idd".encode()
-    ).hexdigest()[:10]
-    tdir = os.path.join(tempfile.gettempdir(), f"umt_lakehouse_idd_{key}")
-    stats_name = "_UMT_IDD_STATS.json"
-    staged_cache_dir(
-        tdir, stats_name,
-        lambda stage: _build_incremental_dedup_store(spark, sf_dir, stage,
-                                                     stats_name),
-    )
-    with open(os.path.join(tdir, stats_name)) as f:
-        return [tuple(r) for r in _json.load(f)]
-
-
-def _build_incremental_dedup_store(
-    spark: SparkSession, sf_dir: str, tdir: str, stats_name: str
-) -> None:
-    import json as _json
-    import os
-
-    from ..sources.lakehouse import (
-        _bucket_expr, create_table, merge_table, read_table,
-    )
-
-    fp_num = F.conv(
-        F.substring(F.md5("text"), 1, 15), 16, 10
-    ).cast("long")  # 60-bit positive fingerprint key
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", (F.col("doc_id") % 3).alias("era"), fp_num.alias("fp")
-    ).localCheckpoint(eager=True)  # one text scan feeds all three eras
-
-    rows = []
-    for era in (0, 1, 2):
-        batch = (
-            docs.filter(F.col("era") == era)
-            .groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.min("doc_id").alias("first_doc_id"))
-            .localCheckpoint(eager=True)  # feeds counts + join + merge
-        )
-        agg = batch.agg(
-            F.sum("n").alias("docs"), F.count(F.lit(1)).alias("fps")
-        ).first()
-        n_docs, n_fps = int(agg["docs"]), int(agg["fps"])
-        if era == 0:
-            create_table(
-                batch.select("fp", "first_doc_id"), tdir, "fp"
-            )
-            n_carry = 0
-        else:
-            dbuckets = sorted(
-                r[0]
-                for r in batch.select(_bucket_expr("fp")).distinct().collect()
-            )
-            state = read_table(spark, tdir, buckets=dbuckets)
-            n_carry = batch.join(state, "fp", "left_semi").count()
-            new = (
-                batch.join(state, "fp", "left_anti")
-                .select("fp", "first_doc_id")
-                .withColumn("__delete", F.lit(False))
-            )
-            merge_table(spark, tdir, new, "fp", "__delete")
-        rows.append(
-            (era, n_docs, n_docs - n_fps, n_carry, n_fps - n_carry)
-        )
-    with open(os.path.join(tdir, stats_name), "w") as f:
-        _json.dump(rows, f)
-
-
-@_register(
-    "incremental_dedup_commit",
-    """
-    WITH fp AS (
-        SELECT doc_id, doc_id % 3 AS era,
-               substring(md5(text), 1, 15) AS f
-        FROM documents
-    ),
-    by_era AS (
-        SELECT era, f, COUNT(*) AS n FROM fp GROUP BY era, f
-    ),
-    firsts AS (SELECT f, MIN(era) AS first_era FROM by_era GROUP BY f)
-    SELECT era,
-           CAST(SUM(n) AS BIGINT) AS n_docs,
-           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_intra_batch_dup,
-           CAST(SUM(CASE WHEN first_era < era THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_carryover_fps,
-           CAST(SUM(CASE WHEN first_era = era THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_new_fps
-    FROM by_era JOIN firsts USING (f)
-    GROUP BY era
-    """,
-    "§2.11 dedup × lakehouse (incremental dedup against a versioned "
-    "fingerprint store)",
-    "How dedup actually runs at 100 TB: never corpus-vs-corpus, but "
-    "each incoming batch against a PERSISTED fingerprint store. Three "
-    "crawl snapshots stream through a lakehouse table keyed by a "
-    "60-bit md5 fingerprint: the batch first dedups internally, then "
-    "anti/semi-joins a BUCKET-PRUNED store read (the upsert_combine "
-    "read path — cost scales with the batch's bucket set, not "
-    "accumulated history), and MERGEs only genuinely-new fingerprints "
-    "in (copy-on-write, touched buckets only). The oracle derives "
-    "every per-era count (docs, intra-batch dups, carryover vs the "
-    "store, new fingerprints) from first principles on the raw "
-    "corpus, so a store that loses, duplicates, or resurrects a "
-    "fingerprint across commits breaks the hash. Text never shuffles "
-    "— one scan feeds all eras; everything downstream moves 16-byte "
-    "keys.",
-)
-def q_incremental_dedup_commit(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    rows = _incremental_dedup_metrics(spark, sf_dir)
-    return spark.createDataFrame(
-        rows,
-        "era long, n_docs long, n_intra_batch_dup long, "
-        "n_carryover_fps long, n_new_fps long",
-    )
-
-
-def _lakehouse_clone_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Shallow clone of the shared 3-version table + one divergent
-    MERGE (tombstones for user_id % 5 == 2) applied to the CLONE only.
-    The clone references the source's files by absolute path — nothing
-    is copied; its merge writes land under its own data/ dir."""
-    from ..sources.lakehouse import clone_table, merge_table, read_table
-
-    base = _lakehouse_table_dir(spark, sf_dir)
-
-    def build(tdir: str) -> None:
-        clone_table(base, tdir)
-        cdc = (
-            read_table(spark, tdir)
-            .filter((F.col("user_id") % 5) == 2)
-            .withColumn("__delete", F.lit(True))
-        )
-        merge_table(spark, tdir, cdc, "user_id", "__delete")
-
-    return _derived_lakehouse_dir(spark, sf_dir, "cl", build,
-                                  copy_shared=False)
-
-
-@_register(
-    "lakehouse_shallow_clone",
-    _LAKEHOUSE_SQL_PREFIX + """
-    SELECT 'source' AS rel, user_id, last_event_type,
-           ROUND(last_value, 2) + 0 AS last_value
-    FROM v3
-    UNION ALL
-    SELECT 'clone', user_id, last_event_type,
-           ROUND(last_value, 2) + 0
-    FROM v3 WHERE user_id % 5 <> 2
-    """,
-    "§2.11 lakehouse ops (zero-copy SHALLOW CLONE + divergence)",
-    "Delta SHALLOW CLONE from manifest parts: the clone's v1 "
-    "references the source's current data files by absolute path — "
-    "O(KB) metadata, zero bytes copied (unit test: the clone has no "
-    "data directory until its first own write) — and a divergent "
-    "MERGE (deleting every fifth user) copy-on-writes into the "
-    "CLONE's directory only. The query stacks both tables' latest "
-    "states; the oracle recomputes them independently, so clone "
-    "leakage in either direction (source rows mutated, or the "
-    "clone still showing deleted keys through stale references) "
-    "breaks the hash. At 100 TB this is how dev/test/experiment "
-    "copies of production tables cost nothing until they diverge.",
-)
-def q_lakehouse_shallow_clone(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from ..sources.lakehouse import read_table
-
-    src = _lakehouse_table_dir(spark, sf_dir)
-    clone = _lakehouse_clone_dir(spark, sf_dir)
-    cols = lambda rel: [  # noqa: E731
-        F.lit(rel).alias("rel"),
-        F.col("user_id"),
-        F.col("last_event_type"),
-        (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
-    ]
-    return read_table(spark, src).select(*cols("source")).unionByName(
-        read_table(spark, clone).select(*cols("clone"))
-    )
-
-
-_GDPR_USER = 7
-
-
-def _lakehouse_gdpr_dir(spark: SparkSession, sf_dir: str) -> str:
-    """A private copy of the 3-version table taken through a privacy
-    purge of one user: tombstone MERGE (v4) -> OPTIMIZE into a
-    self-contained v5 -> VACUUM retaining only v5. The user's pre-purge
-    row count is persisted beside the table (post-vacuum history is
-    deliberately unreadable)."""
-    import json as _json
-    import os
-
-    from ..sources.lakehouse import (
-        merge_table, optimize_table, read_table, vacuum_table,
-    )
-
-    def build(tdir: str) -> None:
-        pre = (
-            read_table(spark, tdir)
-            .filter(F.col("user_id") == _GDPR_USER)
-            .count()
-        )
-        cdc = (
-            read_table(spark, tdir)
-            .filter(F.col("user_id") == _GDPR_USER)
-            .withColumn("__delete", F.lit(True))
-        )
-        merge_table(spark, tdir, cdc, "user_id", "__delete")  # tombstone
-        optimize_table(spark, tdir, "user_id")  # self-contained
-        vacuum_table(tdir, retain_versions=1)   # physical erase
-        with open(os.path.join(tdir, "_UMT_GD_STATS.json"), "w") as f:
-            _json.dump({"prepurge_rows": pre}, f)
-
-    return _derived_lakehouse_dir(spark, sf_dir, "gd", build)
-
-
-@_register(
-    "lakehouse_gdpr_purge",
-    _LAKEHOUSE_SQL_PREFIX + f"""
-    SELECT (SELECT COUNT(*) FROM v3 WHERE user_id <> {_GDPR_USER})
-               AS n_rows_latest,
-           (SELECT COUNT(*) FROM v3 WHERE user_id = {_GDPR_USER})
-               AS n_user_rows_prepurge,
-           CAST(0 AS BIGINT) AS trace_rows,
-           TRUE AS ok_history_unreadable
-    """,
-    "§2.11 lakehouse ops (GDPR right-to-be-forgotten purge)",
-    "The privacy delete a versioned table must support DESPITE "
-    "immutable history: tombstone MERGE, then OPTIMIZE into a "
-    "self-contained version, then VACUUM to the latest — after which "
-    "the engine PROVES physical erasure two ways: a recursive scan of "
-    "every parquet file still on disk finds zero rows for the user "
-    "(trace_rows, genuinely counted), and time travel to any "
-    "pre-purge version fails explicitly (ok_history_unreadable from "
-    "the raised read error, not an assumption). The oracle pins the "
-    "surviving row count and the user's pre-purge footprint from the "
-    "raw fold. This is the Delta deletion-compliance recipe "
-    "(DELETE + VACUUM) — at 100 TB the optimize step runs only on "
-    "the tombstoned buckets' partitions, not the whole table.",
-)
-def q_lakehouse_gdpr_purge(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    import json as _json
-    import os
-
-    from ..sources.lakehouse import read_table
-
-    tdir = _lakehouse_gdpr_dir(spark, sf_dir)
-    with open(os.path.join(tdir, "_UMT_GD_STATS.json")) as f:
-        pre = _json.load(f)["prepurge_rows"]
-    n_latest = read_table(spark, tdir).count()
-    # physical-trace audit: every parquet file left under the table
-    trace = (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(os.path.join(tdir, "data"))
-        .filter(F.col("user_id") == _GDPR_USER)
-        .count()
-    )
-    try:
-        read_table(spark, tdir, version=3).count()
-        unreadable = False
-    except FileNotFoundError:
-        unreadable = True
-    return spark.createDataFrame(
-        [(n_latest, pre, trace, unreadable)],
-        "n_rows_latest long, n_user_rows_prepurge long, "
-        "trace_rows long, ok_history_unreadable boolean",
-    )
-
-
-@_register(
-    "levenshtein_blocked_pairs",
-    """
-    WITH pairs AS (
-        SELECT a.p_brand AS brand, a.p_partkey AS k1, b.p_partkey AS k2,
-               levenshtein(a.p_name, b.p_name) AS d
-        FROM part a JOIN part b
-          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-         AND a.p_partkey < b.p_partkey
-    )
-    SELECT brand, COUNT(*) AS n_pairs,
-           CAST(SUM(CASE WHEN d <= 5 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_close,
-           CAST(MIN(d) AS BIGINT) AS min_distance,
-           CAST(SUM(CASE WHEN d <= 5 THEN k1 + k2 ELSE 0 END) AS BIGINT)
-               AS close_checksum
-    FROM pairs GROUP BY brand
-    """,
-    "§2.11 record linkage (blocked edit-distance matching, JVM-native)",
-    "The Levenshtein twin of blocked_jw_linkage, deliberately built "
-    "the OTHER way: where Jaro-Winkler needed the sanctioned "
-    "Arrow-vectorized pandas_udf (Spark ships no JW), edit distance "
-    "uses the built-in F.levenshtein — whole-stage codegen, zero "
-    "Python in the hot path, the engine's UDFs-are-the-slow-path rule "
-    "made concrete. Candidate pairs come from (brand, size) "
-    "equi-join blocking, never all-pairs: the join IS the blocking "
-    "index, so pair count scales with block-size^2 x blocks, not "
-    "corpus^2, and the blocks shuffle on their key like any equi-join "
-    "at 100 TB. Matched-pair membership is pinned via a key checksum "
-    "— one pair crossing the threshold breaks the hash.",
-)
-def q_levenshtein_blocked_pairs(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    p = _t(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand", "p_size", "p_name"
-    )
-    a, b = p.alias("a"), p.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.p_brand") == F.col("b.p_brand"))
-        & (F.col("a.p_size") == F.col("b.p_size"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-    ).select(
-        F.col("a.p_brand").alias("brand"),
-        F.col("a.p_partkey").alias("k1"),
-        F.col("b.p_partkey").alias("k2"),
-        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("d"),
-    )
-    close = F.col("d") <= 5
-    return pairs.groupBy("brand").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(close.cast("long")).alias("n_close"),
-        F.min("d").cast("long").alias("min_distance"),
-        F.sum(
-            F.when(close, F.col("k1") + F.col("k2")).otherwise(0)
-        ).alias("close_checksum"),
-    )
-
-
-@_register(
-    "multimodal_resize",
-    """
-    WITH d AS (
-        SELECT doc_id,
-               CAST(64 + ('0x' || substring(sha256(text), 1, 2))::INT
-                    % 192 AS INT) AS width,
-               CAST(64 + ('0x' || substring(sha256(text), 3, 2))::INT
-                    % 192 AS INT) AS height
-        FROM documents
-    )
-    SELECT doc_id, width, height,
-           CAST(FLOOR(width * LEAST(224.0 / width, 224.0 / height, 1.0))
-                AS INT) AS out_width,
-           CAST(FLOOR(height * LEAST(224.0 / width, 224.0 / height, 1.0))
-                AS INT) AS out_height,
-           TRUE AS ok_fits
-    FROM d
-    """,
-    "§2.11 multimodal columns (aspect-preserving resize geometry)",
-    "The resize stage of the multimodal family (decode / resize / "
-    "frame-sample / feature-extract): each payload's decoded "
-    "dimensions fit aspect-preserved into a 224-box, downscale-only — "
-    "the preprocessing every ViT-style image model needs. The pixel "
-    "resample is the stubbed step (PIL not in container; BASELINE "
-    "scope note), but the Arrow-batched mapInPandas plumbing and the "
-    "fit GEOMETRY are real — and the geometry is pure IEEE double "
-    "math off the sha256-derived dims, so the oracle replays every "
-    "output dimension exactly (a floor/scale disagreement of one "
-    "pixel breaks the hash). At 100 TB this is the same "
-    "embarrassingly-parallel one-Arrow-crossing shape as the "
-    "decoder.",
-)
-def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import (
-        documents_as_binary,
-        resize_binary_column,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    return resize_binary_column(documents_as_binary(docs))
-
-
-@_register(
-    "skew_detection_report",
-    """
-    WITH k AS (
-        SELECT 'events.user_id' AS key_name,
-               CAST(user_id AS VARCHAR) AS key FROM events
-        UNION ALL
-        SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR)
-        FROM lineitem
-        UNION ALL
-        SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
-    ),
-    f AS (
-        SELECT key_name, key, COUNT(*) AS n FROM k GROUP BY key_name, key
-    )
-    SELECT key_name,
-           CAST(SUM(n) AS BIGINT) AS n_rows,
-           CAST(COUNT(*) AS BIGINT) AS n_keys,
-           CAST(MAX(n) AS BIGINT) AS max_key_rows,
-           FLOOR(MAX(n) * COUNT(*) * 10000.0 / SUM(n) + 0.5) / 10000
-               AS skew_factor,
-           MAX(n) * COUNT(*) * 1.0 / SUM(n) > 4.0 AS needs_salting
-    FROM f GROUP BY key_name
-    """,
-    "§2.11 ops tooling (join-key skew detection report)",
-    "The diagnostic that decides when skewed_join_salted's manual "
-    "salting (or AQE skew split) is worth invoking: for each join-key "
-    "family, one aggregation pass computes the hot-key ceiling "
-    "(max single-key rows — the indivisible reducer floor a plain "
-    "shuffle join hits) and the skew factor max/mean; keys above the "
-    "4x advisory threshold get flagged. Two stacked exchanges of "
-    "(key, partial count) pairs — the report costs one pass per key "
-    "family regardless of table size, and at 100 TB it runs on a "
-    "sample or the stats store first. skew_factor is quantized "
-    "mode-free (floor(x*1e4+0.5)) for engine parity.",
-)
-def q_skew_detection_report(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    fams = [
-        ("events.user_id", _t(spark, sf_dir, "events"), "user_id"),
-        ("lineitem.l_orderkey", _t(spark, sf_dir, "lineitem"),
-         "l_orderkey"),
-        ("orders.o_custkey", _t(spark, sf_dir, "orders"), "o_custkey"),
-    ]
-    parts = [
-        t.select(
-            F.lit(name).alias("key_name"),
-            F.col(col).cast("string").alias("key"),
-        )
-        for name, t, col in fams
-    ]
-    k = parts[0]
-    for p in parts[1:]:
-        k = k.unionByName(p)
-    f = k.groupBy("key_name", "key").agg(F.count(F.lit(1)).alias("n"))
-    ratio = (
-        F.max("n") * F.count(F.lit(1)) * F.lit(1.0) / F.sum("n")
-    )
-    return f.groupBy("key_name").agg(
-        F.sum("n").alias("n_rows"),
-        F.count(F.lit(1)).alias("n_keys"),
-        F.max("n").alias("max_key_rows"),
-        (
-            F.floor(
-                F.max("n") * F.count(F.lit(1)) * F.lit(10000.0)
-                / F.sum("n")
-                + F.lit(0.5)
-            )
-            / F.lit(10000.0)
-        ).alias("skew_factor"),
-        (ratio > 4.0).alias("needs_salting"),
-    )
-
-
-_MRL_DIM = 16  # truncated prefix dimensionality (of 64)
-
-
-@_register(
-    "matryoshka_truncation_overlap",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    probes AS (SELECT vec_id AS probe_id, v AS pv FROM e
-               WHERE vec_id < 5),
-    pairs AS (
-        SELECT probe_id, e.vec_id AS nid,
-               list_dot_product(pv, e.v)
-                 / (sqrt(list_dot_product(pv, pv))
-                    * sqrt(list_dot_product(e.v, e.v))) AS sf,
-               list_dot_product(pv[1:{_MRL_DIM}], e.v[1:{_MRL_DIM}])
-                 / (sqrt(list_dot_product(pv[1:{_MRL_DIM}],
-                                          pv[1:{_MRL_DIM}]))
-                    * sqrt(list_dot_product(e.v[1:{_MRL_DIM}],
-                                            e.v[1:{_MRL_DIM}]))) AS st
-        FROM probes CROSS JOIN e WHERE e.vec_id != probe_id
-    ),
-    r AS (
-        SELECT probe_id, nid,
-               ROW_NUMBER() OVER (PARTITION BY probe_id
-                                  ORDER BY sf DESC, nid) AS rf,
-               ROW_NUMBER() OVER (PARTITION BY probe_id
-                                  ORDER BY st DESC, nid) AS rt
-        FROM pairs
-    )
-    SELECT probe_id,
-           CAST(SUM(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_overlap_at_10
-    FROM r GROUP BY probe_id
-    """,
-    "§2.11 similarity search (Matryoshka prefix-truncation contract)",
-    "The MRL deployment question answered with data: how much of the "
-    "full-dimension top-10 survives when retrieval runs on the first "
-    f"{_MRL_DIM} of 64 dims (4x cheaper dot products, 4x smaller "
-    "index)? Both rankings compute over ONE pair frame — full and "
-    "truncated cosines side by side, two windows on the same probe "
-    "partitioning (one exchange, two sorts, the asof-nearest "
-    "discipline) — and the per-probe top-10 overlap is hashed. "
-    "Cosines use the bit-identical sequential HOF fold ≡ DuckDB "
-    "list_dot_product (the knn_bruteforce parity), so a one-position "
-    "rank flip breaks the hash. The bounded probe panel is the "
-    "verification twin; at 100 TB the truncated arm IS the serving "
-    "index and this contract is the offline acceptance gate.",
-)
-def q_matryoshka_truncation_overlap(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    probes = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
-    )
-    pairs = probes.crossJoin(emb).filter(
-        F.col("vec_id") != F.col("probe_id")
-    )
-    pt = F.slice("pv", 1, _MRL_DIM)
-    vt = F.slice("v", 1, _MRL_DIM)
-    scored = pairs.select(
-        "probe_id",
-        F.col("vec_id").alias("nid"),
-        cosine_similarity(F.col("pv"), F.col("v")).alias("sf"),
-        cosine_similarity(pt, vt).alias("st"),
-    )
-    wf = Window.partitionBy("probe_id").orderBy(
-        F.col("sf").desc(), F.col("nid")
-    )
-    wt = Window.partitionBy("probe_id").orderBy(
-        F.col("st").desc(), F.col("nid")
-    )
-    r = scored.select(
-        "probe_id",
-        F.row_number().over(wf).alias("rf"),
-        F.row_number().over(wt).alias("rt"),
-    )
-    return r.groupBy("probe_id").agg(
-        F.sum(
-            ((F.col("rf") <= 10) & (F.col("rt") <= 10)).cast("long")
-        ).alias("n_overlap_at_10")
-    )
-
-
-@_register(
-    "hard_negative_mining",
-    """
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-               FROM embeddings),
-    probes AS (SELECT vec_id AS probe_id, label AS plabel, v AS pv
-               FROM e WHERE vec_id < 8),
-    pairs AS (
-        SELECT probe_id, plabel, e.vec_id AS nid, e.label AS nlabel,
-               list_dot_product(pv, e.v)
-                 / (sqrt(list_dot_product(pv, pv))
-                    * sqrt(list_dot_product(e.v, e.v))) AS sim
-        FROM probes CROSS JOIN e WHERE e.vec_id != probe_id
-    ),
-    ranked AS (
-        SELECT *,
-               ROW_NUMBER() OVER (
-                   PARTITION BY probe_id, (nlabel = plabel)
-                   ORDER BY sim DESC, nid) AS rn
-        FROM pairs
-    )
-    SELECT p.probe_id,
-           p.nid AS positive_id, ROUND(p.sim, 6) AS positive_sim,
-           n.nid AS hard_negative_id, ROUND(n.sim, 6) AS negative_sim,
-           ROUND(p.sim - n.sim, 6) AS margin
-    FROM (SELECT * FROM ranked WHERE nlabel = plabel AND rn = 1) p
-    JOIN (SELECT * FROM ranked WHERE nlabel <> plabel AND rn = 1) n
-      USING (probe_id)
-    """,
-    "§2.11 training-data ops (contrastive hard-negative mining)",
-    "The pair-mining step of contrastive embedding training: per "
-    "anchor, the most-similar SAME-label vector (positive) and the "
-    "most-similar OTHER-label vector (the hard negative — the "
-    "near-miss that carries the gradient) with the margin between "
-    "them. Both selections fold in ONE aggregation pass (max over "
-    "(sim, -id) structs per arm — no window, no ranked-frame "
-    "self-join that would execute the pair frame twice); the "
-    "oracle's window program lands on identical picks because the "
-    "struct order equals its (sim DESC, id) total order. Cosines are "
-    "bit-identical HOF fold, so the mined pair IDENTITIES — not just "
-    "counts — hash against the oracle. The bounded anchor panel is "
-    "the verification twin; at 100 TB the candidate set comes from "
-    "the LSH/IVF/PQ index (the repo's ANN family), never a cross "
-    "join, and mining is one ranked pass over index candidates.",
-)
-def q_hard_negative_mining(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label",
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
-    probes = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("label").alias("plabel"),
-        F.col("v").alias("pv"),
-    )
-    pairs = (
-        probes.crossJoin(emb)
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "plabel",
-            F.col("vec_id").alias("nid"),
-            F.col("label").alias("nlabel"),
-            cosine_similarity(F.col("pv"), F.col("v")).alias("sim"),
-        )
-    )
-    same = F.col("nlabel") == F.col("plabel")
-    # best-per-arm via ONE aggregation pass (no self-join, no window —
-    # a ranked-frame self-join would execute the pair frame twice):
-    # max over (sim, -nid, nid) structs = highest sim, ties to the
-    # smallest nid, the same total order the oracle's window uses
-    best = F.struct(
-        F.col("sim"), (-F.col("nid")).alias("__nn"), F.col("nid")
-    )
-    agged = pairs.groupBy("probe_id").agg(
-        F.max(F.when(same, best)).alias("p"),
-        F.max(F.when(~same, best)).alias("n"),
-    )
-    # a probe whose label is unique (no positive) or universal (no
-    # negative) has no mineable pair — drop it, matching the oracle's
-    # inner join of the two ranked arms
-    agged = agged.filter(F.col("p").isNotNull() & F.col("n").isNotNull())
-    return agged.select(
-        "probe_id",
-        F.col("p.nid").alias("positive_id"),
-        F.round("p.sim", 6).alias("positive_sim"),
-        F.col("n.nid").alias("hard_negative_id"),
-        F.round("n.sim", 6).alias("negative_sim"),
-        F.round(F.col("p.sim") - F.col("n.sim"), 6).alias("margin"),
-    )
-
-
-@_register(
-    "curriculum_interleave",
-    """
-    WITH q AS (
-        SELECT quantile_cont(n_chars, 0.25) AS q1,
-               quantile_cont(n_chars, 0.50) AS q2,
-               quantile_cont(n_chars, 0.75) AS q3
-        FROM documents
-    ),
-    banded AS (
-        SELECT doc_id,
-               CASE WHEN n_chars <= q1 THEN 0
-                    WHEN n_chars <= q2 THEN 1
-                    WHEN n_chars <= q3 THEN 2
-                    ELSE 3 END AS band
-        FROM documents CROSS JOIN q
-    ),
-    ranked AS (
-        SELECT doc_id, band,
-               ROW_NUMBER() OVER (
-                   PARTITION BY band
-                   ORDER BY ('0x' || substring(md5(
-                       'curr/' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
-                            doc_id) AS rn
-        FROM banded
-    )
-    SELECT CAST((rn - 1) * 4 + band AS BIGINT) AS global_pos,
-           band, doc_id
-    FROM ranked WHERE (rn - 1) * 4 + band < 40
-    """,
-    "§2.11 training-data ops (curriculum band interleave)",
-    "Curriculum data ordering without a global sort: documents band "
-    "into difficulty quartiles via plan-literal percentile thresholds "
-    "(one scalar aggregate — no unpartitioned window, the "
-    "indexing.py discipline), shuffle WITHIN each band by a "
-    "content-stable md5 draw (banded window — partitioned), and the "
-    "serving order round-robins across bands "
-    "(pos = band_rank*4 + band), so every training window sees the "
-    "full difficulty mix while order stays reproducible across "
-    "runs/engines/partitionings. The hashed top-40 manifest pins the "
-    "actual order, not just counts. At 100 TB this is one banded "
-    "exchange; the interleave position is row-local arithmetic.",
-)
-def q_curriculum_interleave(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    q = docs.agg(
-        F.expr("percentile(n_chars, 0.25)").alias("q1"),
-        F.expr("percentile(n_chars, 0.50)").alias("q2"),
-        F.expr("percentile(n_chars, 0.75)").alias("q3"),
-    ).first()  # 3 scalars folded into the plan as literals
-    band = (
-        F.when(F.col("n_chars") <= q["q1"], 0)
-        .when(F.col("n_chars") <= q["q2"], 1)
-        .when(F.col("n_chars") <= q["q3"], 2)
-        .otherwise(3)
-    )
-    draw = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("curr/"), F.col("doc_id").cast("string"))),
-            1, 8,
-        ),
-        16, 10,
-    ).cast("long")
-    banded = docs.select("doc_id", band.alias("band"))
-    w = Window.partitionBy("band").orderBy(draw.asc(), F.col("doc_id"))
-    ranked = banded.withColumn("rn", F.row_number().over(w))
-    pos = (F.col("rn") - 1) * 4 + F.col("band")
-    return (
-        ranked.withColumn("global_pos", pos.cast("long"))
-        .filter(F.col("global_pos") < 40)
-        .select("global_pos", "band", "doc_id")
-    )
-
-
-@_register(
-    "join_cardinality_estimate",
-    """
-    WITH ec AS (SELECT user_id AS k, COUNT(*) AS n FROM events
-                GROUP BY user_id),
-    cc AS (SELECT c_custkey AS k, COUNT(*) AS n FROM customer
-           GROUP BY c_custkey),
-    pred AS (
-        SELECT CAST(SUM(ec.n * cc.n) AS BIGINT) AS predicted_rows,
-               CAST(COUNT(*) AS BIGINT) AS n_join_keys,
-               CAST(MAX(ec.n * cc.n) AS BIGINT) AS max_key_contribution
-        FROM ec JOIN cc USING (k)
-    ),
-    act AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
-        FROM events e JOIN customer c ON e.user_id = c.c_custkey
-    )
-    SELECT predicted_rows, actual_rows, n_join_keys,
-           max_key_contribution,
-           predicted_rows = actual_rows AS ok_exact
-    FROM pred CROSS JOIN act
-    """,
-    "§2.11 ops tooling (join cardinality estimation from key "
-    "histograms)",
-    "The planner question answered before the join runs: the output "
-    "size of events JOIN customer is exactly the dot product of the "
-    "two sides' per-key count vectors — computed from two partial-"
-    "aggregated key histograms joined on the key (narrow (key, count) "
-    "tuples, never payloads). The engine then RUNS the join and "
-    "hashes prediction == actual, plus the max single-key "
-    "contribution (the same hot-key ceiling the skew report flags — "
-    "a fan-out misprediction here is how shuffle-explosion joins "
-    "sneak into production). At 100 TB the histograms come from a "
-    "sample or the stats store and this exact contract is the "
-    "offline calibration check.",
-)
-def q_join_cardinality_estimate(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    cust = _t(spark, sf_dir, "customer")
-    ec = ev.groupBy(F.col("user_id").alias("k")).agg(
-        F.count(F.lit(1)).alias("en")
-    )
-    cc = cust.groupBy(F.col("c_custkey").alias("k")).agg(
-        F.count(F.lit(1)).alias("cn")
-    )
-    pred = ec.join(cc, "k").agg(
-        F.sum(F.col("en") * F.col("cn")).alias("predicted_rows"),
-        F.count(F.lit(1)).alias("n_join_keys"),
-        F.max(F.col("en") * F.col("cn")).alias("max_key_contribution"),
-    )
-    act = ev.join(cust, ev["user_id"] == cust["c_custkey"]).agg(
-        F.count(F.lit(1)).alias("actual_rows")
-    )
-    return pred.crossJoin(act).select(
-        "predicted_rows",
-        "actual_rows",
-        "n_join_keys",
-        "max_key_contribution",
-        (F.col("predicted_rows") == F.col("actual_rows")).alias(
-            "ok_exact"
-        ),
-    )
-
-
-@_register(
-    "ranking_function_surface",
-    """
-    WITH r AS (
-        SELECT c_mktsegment AS segment, c_custkey, c_acctbal,
-               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-                                  ORDER BY c_acctbal DESC, c_custkey)
-                   AS sel,
-               RANK() OVER w AS rnk,
-               DENSE_RANK() OVER w AS drnk,
-               ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
-               ROUND(CUME_DIST() OVER w, 6) AS cdist,
-               NTILE(4) OVER (PARTITION BY c_mktsegment
-                              ORDER BY c_acctbal DESC, c_custkey)
-                   AS quartile
-        FROM customer
-        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+    globals().update(
+        {k: v for k, v in vars(_mod).items() if not k.startswith("__")}
     )
-    SELECT segment, c_custkey, ROUND(c_acctbal, 2) + 0 AS acctbal,
-           CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
-           prnk, cdist, quartile
-    FROM r WHERE sel <= 3
-    """,
-    "§2.9 windows (full ranking-function surface)",
-    "The five SQL ranking functions over one partitioned window "
-    "family: rank / dense_rank (value-tie sensitive, ordered by the "
-    "measure alone), percent_rank and cume_dist (their normalized "
-    "forms — one exact-integer division each, so they hash with no "
-    "rounding rescue beyond display), and ntile (which NEEDS the "
-    "total tie-broken order to be deterministic — ordered by "
-    "(measure, key)). Selection is a separate row_number on the "
-    "total order. Every window is partitioned by segment — one "
-    "exchange, three sorts, zero global windows (the indexing.py "
-    "rule) — and DuckDB runs the identical window program.",
-)
-def q_ranking_function_surface(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(
-        F.col("c_mktsegment").alias("segment"), "c_custkey", "c_acctbal"
-    )
-    w_total = Window.partitionBy("segment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
-    )
-    w_val = Window.partitionBy("segment").orderBy(
-        F.col("c_acctbal").desc()
-    )
-    r = c.select(
-        "segment",
-        "c_custkey",
-        "c_acctbal",
-        F.row_number().over(w_total).alias("sel"),
-        F.rank().over(w_val).alias("rnk"),
-        F.dense_rank().over(w_val).alias("drnk"),
-        F.round(F.percent_rank().over(w_val), 6).alias("prnk"),
-        F.round(F.cume_dist().over(w_val), 6).alias("cdist"),
-        F.ntile(4).over(w_total).alias("quartile"),
-    )
-    return r.filter(F.col("sel") <= 3).select(
-        "segment",
-        "c_custkey",
-        (F.round("c_acctbal", 2) + F.lit(0.0)).alias("acctbal"),
-        F.col("rnk").cast("long"),
-        F.col("drnk").cast("long"),
-        "prnk",
-        "cdist",
-        "quartile",
-    )
-
-
-@_register(
-    "plan_invariant_audit",
-    None,  # rows-only: physical-plan shapes have no SQL twin
-    "§2.11 ops tooling (runtime physical-plan invariant audit)",
-    "The repo's plan discipline surfaced as a QUERY instead of only a "
-    "pytest: a panel of registered queries is PLANNED (never "
-    "executed) and each one's executed-plan string is checked against "
-    "the scale invariant its docstring claims — the bucketed join "
-    "must consume its on-disk partitioning (no join-key exchange), "
-    "the bloom probe must be a join-free row-local filter, "
-    "hard-negative mining must stay window-free, the salted join "
-    "must actually carry the salt, and the nearest as-of join must "
-    "ride ONE key exchange. A Catalyst upgrade or a careless edit "
-    "that silently re-plans any of these flips its ok_ flag in the "
-    "driver's artifact — plan regressions become data, not just CI. "
-    "Planning cost only; no query runs.",
-)
-def q_plan_invariant_audit(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    def plan_of(name: str) -> str:
-        df = REGISTRY[name].fn(spark, sf_dir)
-        return df._jdf.queryExecution().executedPlan().toString()
-
-    checks = [
-        (
-            "bucketed_colocated_join",
-            "join_consumes_bucket_layout",
-            lambda p: "SortMergeJoin" in p
-            and "SelectedBucketsCount" in p
-            and "Exchange hashpartitioning(o_custkey" not in p
-            and "Exchange hashpartitioning(c_custkey" not in p,
-        ),
-        (
-            "bloom_semijoin_pruning",
-            "bloom_probe_is_row_local",
-            # the bitset rides the plan as a literal expression over the
-            # orders scan: assert the shiftright/bitwiseAND probe is
-            # PRESENT in a Filter (scoped positively — a Catalyst
-            # runtime bloom filter legitimately adds its own
-            # might_contain, so absence tests would false-flag)
-            lambda p: "shiftright" in p and "Filter" in p,
-        ),
-        (
-            "hard_negative_mining",
-            "mining_is_window_free",
-            lambda p: "Window" not in p,
-        ),
-        (
-            "skewed_join_salted",
-            "salt_reaches_the_join_key",
-            lambda p: "__salt" in p and "Generate explode" in p,
-        ),
-        (
-            "events_asof_nearest",
-            "single_key_exchange",
-            lambda p: p.count("Exchange hashpartitioning(user_id") == 1,
-        ),
-    ]
-    rows = []
-    for qname, invariant, pred in checks:
-        plan = plan_of(qname)
-        rows.append((qname, invariant, bool(pred(plan))))
-    return spark.createDataFrame(
-        rows, "query string, invariant string, ok_invariant boolean"
-    )
-
-
-_BEAM_DEGREE = 8     # kNN-graph out-degree
-_BEAM_WIDTH = 16
-_BEAM_HOPS = 3
-_BEAM_TABLES = 4     # SRP hash tables feeding graph candidates
-# adaptive plane count: plane p is ACTIVE iff p < 4 (the floor) or
-# 2^p * TARGET <= corpus_count — so expected bucket population stays
-# ~TARGET and the within-bucket pair stage is LINEAR in the corpus
-# (fixed planes would go quadratic as buckets fill). Both engines
-# evaluate the same rule: Spark folds the count into the plan as
-# literals, the oracle gates each plane term on a scalar COUNT(*).
-_BEAM_TARGET_BUCKET = 32
-_BEAM_MAX_PLANES = 24
-
-
-def _beam_graph_weights() -> list[list[list[int]]]:
-    """One independent SRP weight set per candidate table, sized at the
-    plane ceiling (callers activate a corpus-dependent prefix)."""
-    return [
-        _srp_weights(tag=f"srpg{t}", planes=_BEAM_MAX_PLANES)
-        for t in range(_BEAM_TABLES)
-    ]
-
-
-def _beam_active_planes(n: int) -> list[int]:
-    return [
-        p
-        for p in range(_BEAM_MAX_PLANES)
-        if p < 4 or (1 << p) * _BEAM_TARGET_BUCKET <= n
-    ]
-
-
-def _sql_srp_bucket_adaptive(qcol: str, weights: list[list[int]]) -> str:
-    """Bucket id with the adaptive plane rule: each plane's bit is
-    gated on the corpus count (``nn.n`` from the cross-joined count
-    CTE) exactly like the Spark side's literal-folded rule."""
-    terms = []
-    for p, w in enumerate(weights):
-        lit = "[" + ", ".join(str(x) for x in w) + "]"
-        gate = (
-            "TRUE" if p < 4
-            else f"{(1 << p) * _BEAM_TARGET_BUCKET} <= nn.n"
-        )
-        terms.append(
-            f"CASE WHEN ({gate}) AND list_dot_product({qcol}, {lit}) >= 0 "
-            f"THEN {1 << p} ELSE 0 END"
-        )
-    return "(" + " + ".join(terms) + ")"
-
-
-def _beam_cand_sql() -> str:
-    """Candidate edges from the SRP bucket tables (the banded-LSH
-    discipline): a pair is a candidate iff it collides in ANY table —
-    a UNION of per-table bucket equi-joins, never corpus × corpus."""
-    buckets = ", ".join(
-        f"{_sql_srp_bucket_adaptive('q', w)} AS b{t}"
-        for t, w in enumerate(_beam_graph_weights())
-    )
-    joins = "\n        UNION SELECT a.vec_id AS src, b.vec_id AS dst ".join(
-        f"FROM bk a JOIN bk b ON a.b{t} = b.b{t} AND a.vec_id != b.vec_id"
-        for t in range(_BEAM_TABLES)
-    )
-    return f"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
-    bk AS MATERIALIZED (
-        SELECT vec_id, {buckets} FROM e CROSS JOIN nn
-    ),
-    cand AS MATERIALIZED (
-        SELECT a.vec_id AS src, b.vec_id AS dst {joins}
-    )"""
-
-
-_BEAM_SQL = f"""
-    WITH e AS MATERIALIZED (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-               list_transform(embedding::DOUBLE[],
-                              x -> CAST(round(x * 1000000) AS BIGINT)) AS q
-        FROM embeddings
-    ),
-    {_beam_cand_sql()},
-    sims AS (
-        SELECT c.src, c.dst,
-               list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))) AS s
-        FROM cand c
-        JOIN e a ON a.vec_id = c.src
-        JOIN e b ON b.vec_id = c.dst
-    ),
-    graph AS (
-        SELECT src, dst FROM (
-            SELECT src, dst,
-                   ROW_NUMBER() OVER (PARTITION BY src
-                                      ORDER BY s DESC, dst) AS rn
-            FROM sims) WHERE rn <= {_BEAM_DEGREE}
-    ),
-    probes AS (SELECT vec_id AS probe_id, v AS pv FROM e
-               WHERE vec_id < 5),
-    psim AS (
-        SELECT p.probe_id, e.vec_id AS node,
-               list_dot_product(p.pv, e.v)
-                 / (sqrt(list_dot_product(p.pv, p.pv))
-                    * sqrt(list_dot_product(e.v, e.v))) AS s
-        FROM probes p CROSS JOIN e
-    ),
-    beam0 AS (
-        SELECT probe_id, node, s FROM psim WHERE node = 0
-    ),
-    exp1 AS (
-        SELECT DISTINCT b.probe_id, g.dst AS node FROM beam0 b
-        JOIN graph g ON g.src = b.node
-        UNION SELECT probe_id, node FROM beam0
-    ),
-    beam1 AS (
-        SELECT probe_id, node, s FROM (
-            SELECT x.probe_id, x.node, ps.s,
-                   ROW_NUMBER() OVER (PARTITION BY x.probe_id
-                                      ORDER BY ps.s DESC, x.node) AS rn
-            FROM exp1 x JOIN psim ps
-              ON ps.probe_id = x.probe_id AND ps.node = x.node
-        ) WHERE rn <= {_BEAM_WIDTH}
-    ),
-    exp2 AS (
-        SELECT DISTINCT b.probe_id, g.dst AS node FROM beam1 b
-        JOIN graph g ON g.src = b.node
-        UNION SELECT probe_id, node FROM beam1
-    ),
-    beam2 AS (
-        SELECT probe_id, node, s FROM (
-            SELECT x.probe_id, x.node, ps.s,
-                   ROW_NUMBER() OVER (PARTITION BY x.probe_id
-                                      ORDER BY ps.s DESC, x.node) AS rn
-            FROM exp2 x JOIN psim ps
-              ON ps.probe_id = x.probe_id AND ps.node = x.node
-        ) WHERE rn <= {_BEAM_WIDTH}
-    ),
-    exp3 AS (
-        SELECT DISTINCT b.probe_id, g.dst AS node FROM beam2 b
-        JOIN graph g ON g.src = b.node
-        UNION SELECT probe_id, node FROM beam2
-    ),
-    beam3 AS (
-        SELECT probe_id, node, s FROM (
-            SELECT x.probe_id, x.node, ps.s,
-                   ROW_NUMBER() OVER (PARTITION BY x.probe_id
-                                      ORDER BY ps.s DESC, x.node) AS rn
-            FROM exp3 x JOIN psim ps
-              ON ps.probe_id = x.probe_id AND ps.node = x.node
-        ) WHERE rn <= {_BEAM_WIDTH}
-    ),
-    found AS (
-        SELECT probe_id, node FROM (
-            SELECT probe_id, node,
-                   ROW_NUMBER() OVER (PARTITION BY probe_id
-                                      ORDER BY s DESC, node) AS rn
-            FROM beam3) WHERE rn <= 10
-    ),
-    truth AS (
-        SELECT probe_id, node FROM (
-            SELECT probe_id, node,
-                   ROW_NUMBER() OVER (PARTITION BY probe_id
-                                      ORDER BY s DESC, node) AS rn
-            FROM psim WHERE node != probe_id) WHERE rn <= 10
-    )
-    SELECT t.probe_id,
-           CAST(SUM(CASE WHEN f.node IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_found_of_10
-    FROM truth t LEFT JOIN found f
-      ON f.probe_id = t.probe_id AND f.node = t.node
-    GROUP BY t.probe_id
-"""
-
-
-@_register(
-    "graph_ann_beam_search",
-    _BEAM_SQL,
-    "§2.11 similarity search (graph-ANN beam search, HNSW layer-0 "
-    "shape)",
-    "The fourth ANN family beside LSH/IVF/PQ: greedy BEAM SEARCH over "
-    f"a degree-{_BEAM_DEGREE} kNN graph — enter at a fixed node, "
-    f"expand every beam member's neighbors, keep the best "
-    f"{_BEAM_WIDTH} by true similarity, {_BEAM_HOPS} hops (the HNSW "
-    "base-layer search, which at scale visits O(beam x degree x hops) "
-    "vectors instead of the corpus). Hops are DataFrame joins against "
-    "the edge relation — frontier tuples shuffle, vectors don't move "
-    "(similarity lookups join a precomputed probe-sim relation). "
-    "Deterministic throughout ((sim DESC, id) tie-breaks), so the "
-    "oracle unrolls the identical three hops in SQL and the hashed "
-    "output is per-probe recall@10 vs the exact top-10 — one beam "
-    "member diverging breaks the hash. The graph builds over the FULL "
-    f"corpus from the SRP candidate machinery ({_BEAM_TABLES} "
-    "independent 4-plane hash tables, candidate = any-table bucket "
-    "collision — the semantic_dedup_srp discipline): per-table bucket "
-    "equi-joins, never corpus × corpus (plan-tested), exactly how an "
-    "HNSW/NN-descent graph seeds its neighbor lists at 100 TB.",
-)
-def q_graph_ann_beam_search(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from ..operators.relational import topk_per_group
-
-    v = F.col("embedding").cast("array<double>")
-    qv = F.transform(v, lambda x: F.round(x * 1_000_000, 0).cast("long"))
-    emb = _t(spark, sf_dir, "embeddings")
-    # adaptive plane prefix from ONE scalar count (folded into the plan
-    # as literals — the curriculum_interleave discipline); keeps bucket
-    # population ~TARGET so the pair stage stays linear in the corpus
-    active = _beam_active_planes(emb.count())
-    # ONE materialized pass computes vectors + all 4 tables' bucket ids;
-    # it feeds the 4 bucket joins, both sims vector lookups, and the
-    # probe panel without recomputing anything
-    e = (
-        emb.select(
-            "vec_id",
-            v.alias("v"),
-            *[
-                _srp_bucket_col(
-                    qv, [w[p] for p in active], bits=[1 << p for p in active]
-                ).alias(f"b{t}")
-                for t, w in enumerate(_beam_graph_weights())
-            ],
-        )
-        .localCheckpoint(eager=True)
-    )
-    bk = e
-    cand = None
-    for t in range(_BEAM_TABLES):
-        a = bk.select(F.col("vec_id").alias("src"), F.col(f"b{t}").alias("b"))
-        b = bk.select(F.col("vec_id").alias("dst"), F.col(f"b{t}").alias("b"))
-        pairs_t = (
-            a.join(b, "b")
-            # score each unordered pair ONCE (cosine is symmetric);
-            # the mirror below restores both edge directions
-            .filter(F.col("src") < F.col("dst"))
-            .select("src", "dst")
-        )
-        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
-    cand = cand.distinct()
-    va = e.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
-    vb = e.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
-    half = (
-        cand.join(va, "src")
-        .join(vb, "dst")
-        .select(
-            "src", "dst",
-            cosine_similarity(F.col("va"), F.col("vb")).alias("s"),
-        )
-    )
-    sims = half.unionByName(
-        half.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "s"
-        )
-    )
-    graph = topk_per_group(
-        sims, ["src"], [F.col("s").desc(), F.col("dst")], _BEAM_DEGREE
-    ).select("src", "dst")
-    probes = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
-    )
-    psim = probes.crossJoin(e).select(
-        "probe_id",
-        F.col("vec_id").alias("node"),
-        cosine_similarity(F.col("pv"), F.col("v")).alias("s"),
-    ).localCheckpoint(eager=True)  # looked up by every hop; bounded
-    graph = graph.localCheckpoint(eager=True)
-
-    beam = psim.filter(F.col("node") == 0)  # fixed entry point
-    for _ in range(_BEAM_HOPS):
-        expanded = (
-            beam.select("probe_id", "node")
-            .join(graph, beam["node"] == graph["src"])
-            .select("probe_id", F.col("dst").alias("node"))
-            .unionByName(beam.select("probe_id", "node"))
-            .distinct()
-        )
-        scored = expanded.join(psim, ["probe_id", "node"])
-        beam = topk_per_group(
-            scored, ["probe_id"], [F.col("s").desc(), F.col("node")],
-            _BEAM_WIDTH,
-        )
-    found = topk_per_group(
-        beam, ["probe_id"], [F.col("s").desc(), F.col("node")], 10
-    ).select("probe_id", "node")
-    truth = topk_per_group(
-        psim.filter(F.col("node") != F.col("probe_id")),
-        ["probe_id"], [F.col("s").desc(), F.col("node")], 10,
-    ).select("probe_id", "node")
-    hit = found.withColumn("__hit", F.lit(1))
-    return (
-        truth.join(hit, ["probe_id", "node"], "left")
-        .groupBy("probe_id")
-        .agg(
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-            .cast("long")
-            .alias("n_found_of_10")
-        )
-    )
-
-
-@_register(
-    "pseudonymized_export",
-    """
-    WITH p AS (
-        SELECT substring(md5('pseud/' || CAST(o_custkey AS VARCHAR)),
-                         1, 16) AS pseudonym,
-               o_custkey,
-               CAST(FLOOR(o_totalprice / 100000.0) AS BIGINT) AS band
-        FROM orders
-    )
-    SELECT band, COUNT(*) AS n_orders,
-           CAST(COUNT(DISTINCT pseudonym) AS BIGINT) AS n_pseudonyms,
-           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
-           COUNT(DISTINCT pseudonym) = COUNT(DISTINCT o_custkey)
-               AS ok_joinability
-    FROM p GROUP BY band
-    """,
-    "§2.11 governance (stable pseudonymization export)",
-    "The privacy-preserving export that pairs with the GDPR purge: "
-    "direct identifiers are replaced by STABLE salted-md5 pseudonyms "
-    "(row-local, whole-stage codegen — the same key always maps to "
-    "the same token, so downstream joins and per-entity analytics "
-    "still work on the exported data) and the sensitive measure is "
-    "coarsened to bands. The hashed output proves joinability "
-    "survived (distinct pseudonyms == distinct keys per band, "
-    "genuinely counted) — a pseudonym collision, which would silently "
-    "merge two customers' histories, breaks both the flag and the "
-    "hash. At 100 TB this is a map-only pass; the salt lives in a "
-    "secret store, never the data.",
-)
-def q_pseudonymized_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    pseudonym = F.substring(
-        F.md5(F.concat(F.lit("pseud/"), F.col("o_custkey").cast("string"))),
-        1, 16,
-    )
-    p = o.select(
-        pseudonym.alias("pseudonym"),
-        "o_custkey",
-        F.floor(F.col("o_totalprice") / 100000.0).cast("long").alias("band"),
-    )
-    return p.groupBy("band").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.countDistinct("pseudonym").alias("n_pseudonyms"),
-        F.countDistinct("o_custkey").alias("n_custkeys"),
-        (
-            F.countDistinct("pseudonym") == F.countDistinct("o_custkey")
-        ).alias("ok_joinability"),
-    )
-
-
-_KANON_K = 5
-
+del _mod
 
-@_register(
-    "k_anonymity_audit",
-    f"""
-    WITH g AS (
-        SELECT c_nationkey, c_mktsegment, COUNT(*) AS grp_n
-        FROM customer GROUP BY c_nationkey, c_mktsegment
-    )
-    SELECT CAST({_KANON_K} AS BIGINT) AS k,
-           CAST(COUNT(*) AS BIGINT) AS n_groups,
-           CAST(MIN(grp_n) AS BIGINT) AS min_group_size,
-           CAST(SUM(CASE WHEN grp_n < {_KANON_K} THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_groups_below_k,
-           CAST(SUM(CASE WHEN grp_n < {_KANON_K} THEN grp_n ELSE 0 END)
-                AS BIGINT) AS n_rows_suppressed,
-           MIN(grp_n) >= {_KANON_K} AS ok_k_anonymous
-    FROM g
-    """,
-    "§2.11 governance (k-anonymity audit over quasi-identifiers)",
-    "The release gate for the pseudonymized export: even with direct "
-    "identifiers tokenized, quasi-identifier combinations "
-    "(nation x market segment here) can re-identify members of small "
-    "groups. One aggregation computes every group's size and the "
-    "k={0}-anonymity verdict: how many groups fall below k and how "
-    "many rows a suppress-small-groups policy would withhold. "
-    "Hash-exact against the oracle — an equivalence class miscounted "
-    "by one flips the suppression accounting. At 100 TB this is one "
-    "partial-aggregated exchange of the quasi-identifier tuple, and "
-    "the audit runs per export, not per query.".format(_KANON_K),
-)
-def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = (
-        _t(spark, sf_dir, "customer")
-        .groupBy("c_nationkey", "c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("grp_n"))
-    )
-    return g.agg(
-        F.lit(_KANON_K).cast("long").alias("k"),
-        F.count(F.lit(1)).alias("n_groups"),
-        F.min("grp_n").alias("min_group_size"),
-        F.sum((F.col("grp_n") < _KANON_K).cast("long")).alias(
-            "n_groups_below_k"
-        ),
-        F.sum(
-            F.when(F.col("grp_n") < _KANON_K, F.col("grp_n")).otherwise(0)
-        ).alias("n_rows_suppressed"),
-        (F.min("grp_n") >= _KANON_K).alias("ok_k_anonymous"),
-    )
-
-
-# -------------------------------------------------------------------------
-# Bucketed co-located join (bucketBy tables, shuffle-free sort-merge)
-# -------------------------------------------------------------------------
-
-_BKT_N = 8
-
-
-def _bucketed_join_tables(
-    spark: SparkSession, sf_dir: str
-) -> tuple[str, str]:
-    """Persist orders + customer as BUCKETED tables (bucketBy on the
-    join keys, same bucket count, one file per bucket via a
-    bucket-aligned repartition) — the layout that lets repeated joins
-    on the key skip their exchanges entirely. Built once per session
-    per dataset (catalog-guarded); saveAsTable because bucket metadata
-    lives in the catalog, not the files."""
-    import hashlib
-    import os
-    import shutil
-    from urllib.parse import urlparse
-
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    t_orders, t_cust = f"umt_bkt_orders_{key}", f"umt_bkt_customer_{key}"
-
-    def _clear_stale_location(table: str) -> None:
-        # the in-memory catalog dies with the process but the managed
-        # location survives; an orphaned dir blocks re-creation
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        loc = os.path.join(wh, table.lower())
-        if os.path.isdir(loc):
-            shutil.rmtree(loc, ignore_errors=True)
-
-    if not spark.catalog.tableExists(t_orders):
-        _clear_stale_location(t_orders)
-        (
-            _t(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_custkey", "o_totalprice")
-            .repartition(_BKT_N, "o_custkey")  # task==bucket -> 1 file each
-            .write.bucketBy(_BKT_N, "o_custkey")
-            .sortBy("o_custkey")
-            .mode("overwrite")
-            .saveAsTable(t_orders)
-        )
-    if not spark.catalog.tableExists(t_cust):
-        _clear_stale_location(t_cust)
-        (
-            _t(spark, sf_dir, "customer")
-            .select("c_custkey", "c_mktsegment")
-            .repartition(_BKT_N, "c_custkey")
-            .write.bucketBy(_BKT_N, "c_custkey")
-            .sortBy("c_custkey")
-            .mode("overwrite")
-            .saveAsTable(t_cust)
-        )
-    return t_orders, t_cust
-
-
-@_register(
-    "bucketed_colocated_join",
-    """
-    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
-           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
-                 AS DOUBLE), 2) AS total_price
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_mktsegment
-    """,
-    "§2.11 storage-aligned joins (bucketBy tables, zero-exchange "
-    "sort-merge)",
-    "The co-located join a 100 TB star schema is laid out for: both "
-    "sides persisted as bucketed tables (bucketBy on their join keys, "
-    "equal bucket counts, bucket-aligned one-file-per-bucket writes), "
-    "so the sort-merge join consumes the ON-DISK partitioning and "
-    "plans with ZERO shuffle exchanges — the join cost every "
-    "subsequent query on these keys stops paying (a plan test pins "
-    "Exchange-free SortMergeJoin with bucketed scans; the query "
-    "hints merge to keep Catalyst from broadcasting the bench-scale "
-    "dim, which would hide the layout property under test). This is "
-    "the Spark-native twin of the lakehouse module's manual bucket "
-    "manifests: there the engine owns the routing, here the catalog "
-    "does. The oracle is the plain join — layout must never change a "
-    "row.",
-)
-def q_bucketed_colocated_join(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    t_orders, t_cust = _bucketed_join_tables(spark, sf_dir)
-    o = spark.table(t_orders)
-    c = spark.table(t_cust)
-    return (
-        o.hint("merge")
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            _dsum(_dec("o_totalprice")).alias("total_price"),
-        )
-    )
-
-
-# -------------------------------------------------------------------------
-# Byte-level fuzzy dedup of binary payloads (operators/binary_dedup.py)
-# -------------------------------------------------------------------------
-
-
-def _sql_binary_neardup(
-    window: int = 8, divisor: int = 16,
-    n_sig: int = 8, n_bands: int = 4, threshold: float = 0.5,
-) -> str:
-    """DuckDB twin of operators.binary_dedup.binary_neardup_pairs —
-    the identical stateless window-hash boundary rule, chunk digests,
-    md5-permutation MinHash bands, and exact chunk-Jaccard verify.
-    (The engine slices the BINARY payload; the oracle slices the
-    VARCHAR — byte-identical on the all-ASCII fixture, asserted by
-    tests/test_round9_ops.py on the real table.)"""
-    rows = n_sig // n_bands
-    sig_cols = ", ".join(
-        f"list_min(list_transform(ts, t -> md5(t || '#{s}'))) AS s{s}"
-        for s in range(1, n_sig + 1)
-    )
-    band_selects = "\n        UNION ALL ".join(
-        f"SELECT id, {b} AS band, "
-        f"md5({' || '.join(f's{b * rows + r}' for r in range(1, rows + 1))}) AS bh "
-        "FROM sigs"
-        for b in range(n_bands)
-    )
-    start_k = "CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END"
-    return f"""
-    WITH p AS (
-        SELECT doc_id AS id, text AS s, length(text) AS n
-        FROM documents WHERE length(text) > 0
-    ),
-    bnd AS (
-        SELECT id, s, n,
-               [i for i in generate_series({window}, n)
-                  if ('0x' || substring(md5(substring(
-                          s, i - {window - 1}, {window})), 1, 4))::BIGINT
-                     % {divisor} = 0] AS bpos
-        FROM p
-    ),
-    seg AS (
-        SELECT id, s,
-               CASE WHEN len(bpos) > 0 AND bpos[-1] = n THEN bpos
-                    ELSE list_append(bpos, n) END AS ends
-        FROM bnd
-    ),
-    ch AS (
-        SELECT id,
-               list_transform(
-                   generate_series(1, len(ends)),
-                   k -> md5(substring(s, {start_k},
-                                      ends[k] - ({start_k}) + 1))
-               ) AS chunks
-        FROM seg
-    ),
-    ts AS (SELECT id, list_distinct(chunks) AS ts FROM ch),
-    sigs AS (SELECT id, {sig_cols} FROM ts),
-    bands AS (
-        {band_selects}
-    ),
-    cand AS (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
-    ),
-    scored AS (
-        SELECT id_a, id_b,
-               len(x.ts) AS n_chunks_a, len(y.ts) AS n_chunks_b,
-               ROUND(1.0 - len(list_intersect(x.ts, y.ts))::DOUBLE
-                     / (len(x.ts) + len(y.ts)
-                        - len(list_intersect(x.ts, y.ts))),
-                     6) AS jaccard_dist
-        FROM cand
-        JOIN ts x ON cand.id_a = x.id
-        JOIN ts y ON cand.id_b = y.id
-    )
-    SELECT id_a, id_b, n_chunks_a, n_chunks_b, jaccard_dist FROM scored
-    WHERE jaccard_dist <= {threshold}
-    """
 
-
-@_register(
-    "binary_neardup_pairs",
-    _sql_binary_neardup(),
-    "§2.11 dedup (byte-level fuzzy dedup of binary payloads: "
-    "content-defined chunking + MinHash over chunk digests)",
-    "Fuzzy dedup where text shingling can't go: opaque BINARY "
-    "payloads (the multimodal column). Each payload chunks at "
-    "content-defined boundaries — a stateless rolling-window hash "
-    "(md5 of the trailing 8 bytes, divisor condition), so an edit "
-    "anywhere re-synchronizes at the next unmodified window and "
-    "near-dup payloads share most chunk digests; fixed-width "
-    "blocking would lose every block after one inserted byte. The "
-    "per-payload digest SET then rides the standard banded-MinHash "
-    "candidate join + exact chunk-Jaccard verify "
-    "(operators/binary_dedup.py over dedup.minhash_banded_pairs). "
-    "Chunking is a pure Column expression (no UDF) on the binary "
-    "column itself; the oracle replays boundaries, digests, bands, "
-    "and Jaccard on the VARCHAR twin — byte-identical on the "
-    "all-ASCII fixture — so one drifted boundary or digest breaks "
-    "the hash. At 100 TB: payload bytes never leave their "
-    "partition; only (band, hash, id) tuples and 16-byte chunk "
-    "fingerprints of candidate survivors shuffle — generalizes D1 "
-    "(supervised_classifier.py:174-175) to payloads.",
-)
-def q_binary_neardup_pairs(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from ..operators.binary_dedup import binary_neardup_pairs
-    from ..operators.multimodal import documents_as_binary
-
-    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    payloads = documents_as_binary(docs)
-    return binary_neardup_pairs(payloads)
-
-
-# -------------------------------------------------------------------------
-# Persisted IVF ANN index in the lakehouse (ml/ann_index.py)
-# -------------------------------------------------------------------------
-
-
-def _ivf_oracle_ctes(k: int = 8, iters: int = 2) -> str:
-    """DuckDB twin of ml/ann_index.py's index build: the
-    embedding_kmeans integer-Lloyd chain (same contract, programmatic
-    like the PQ oracle), trained on the EVEN-vec_id half, with the
-    final assignment ``aF`` covering ALL vectors. Multi-referenced
-    CTEs are MATERIALIZED."""
-    parts = [
-        """quant AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
-        FROM embeddings
-    ),
-    qx AS MATERIALIZED (
-        SELECT vec_id, unnest(range(len(qv))) AS pos, unnest(qv) AS val
-        FROM quant
-    ),
-    tx AS MATERIALIZED (SELECT * FROM qx WHERE vec_id % 2 = 0),
-    c0 AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-               vec_id
-        FROM (SELECT DISTINCT vec_id FROM tx ORDER BY vec_id LIMIT """
-        + str(k)
-        + """)
-    ),
-    cent0 AS MATERIALIZED (
-        SELECT c0.cid, tx.pos, tx.val AS cval FROM c0 JOIN tx USING (vec_id)
-    )"""
-    ]
-    prev = "cent0"
-    for i in range(1, iters + 1):
-        parts.append(f"""d{i} AS (
-        SELECT tx.vec_id, {prev}.cid,
-               SUM((tx.val - {prev}.cval) * (tx.val - {prev}.cval)) AS d
-        FROM tx JOIN {prev} USING (pos)
-        GROUP BY tx.vec_id, {prev}.cid
-    ),
-    a{i} AS MATERIALIZED (
-        SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY d, cid) AS rn
-            FROM d{i}
-        ) WHERE rn = 1
-    ),
-    cent{i} AS (
-        SELECT a{i}.cid, tx.pos,
-               CAST(floor(CAST(SUM(tx.val) AS DOUBLE) / COUNT(*)) AS BIGINT)
-                   AS cval
-        FROM a{i} JOIN tx USING (vec_id)
-        GROUP BY a{i}.cid, tx.pos
-    ),
-    cent{i}f AS MATERIALIZED (
-        SELECT * FROM cent{i}
-        UNION ALL
-        SELECT cid, pos, cval FROM {prev}
-        WHERE cid NOT IN (SELECT DISTINCT cid FROM a{i})
-    )""")
-        prev = f"cent{i}f"
-    parts.append(f"""dF AS (
-        SELECT qx.vec_id, {prev}.cid,
-               SUM((qx.val - {prev}.cval) * (qx.val - {prev}.cval)) AS d
-        FROM qx JOIN {prev} USING (pos)
-        GROUP BY qx.vec_id, {prev}.cid
-    ),
-    aF AS MATERIALIZED (
-        SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY d, cid) AS rn
-            FROM dF
-        ) WHERE rn = 1
-    )""")
-    return ",\n    ".join(parts), prev
-
-
-_IVF_CTES, _IVF_CENT_FINAL = _ivf_oracle_ctes()
-
-
-@_register(
-    "ann_index_build",
-    f"""
-    WITH {_IVF_CTES},
-    md5s AS (
-        SELECT cid,
-               md5(string_agg(CAST(cval AS VARCHAR), ',' ORDER BY pos))
-                   AS centroid_md5
-        FROM {_IVF_CENT_FINAL} GROUP BY cid
-    )
-    SELECT aF.cid AS cell,
-           CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_vectors_initial,
-           COUNT(*) AS n_vectors_current,
-           ANY_VALUE(md5s.centroid_md5) AS centroid_md5
-    FROM aF JOIN md5s USING (cid)
-    GROUP BY aF.cid
-    """,
-    "§2.11 similarity search × lakehouse (persisted, versioned IVF "
-    "index build + refresh)",
-    "The serving index stops being a per-query throwaway: IVF "
-    "centroids and per-cell posting lists live as VERSIONED lakehouse "
-    "tables (ml/ann_index.py over sources/lakehouse.py). Build = "
-    "deterministic integer Lloyd (the embedding_kmeans contract, "
-    "k=8) on the even-vec_id corpus half + CREATE; refresh = the odd "
-    "half assigned to the SAME centroids and MERGEd per cell "
-    "(bucket-pruned state read, copy-on-write commit — index "
-    "maintenance cost scales with the delta, not the corpus). This "
-    "query reads the build evidence OFF DISK — the time-traveled v1 "
-    "counts, the current counts, the stored centroid md5s — while "
-    "the oracle re-derives all three from the raw embeddings "
-    "relationally, so a lost posting, double-counted refresh, or "
-    "drifted centroid breaks the hash. At 100 TB this is how a "
-    "serving index actually ships: versioned artifacts, incremental "
-    "refresh, rollback via time travel.",
-)
-def q_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.ann_index import index_summary
-
-    return index_summary(spark, _ann_index_dir(spark, sf_dir))
-
-
-@_register(
-    "ann_query_from_index",
-    f"""
-    WITH {_IVF_CTES},
-    d_pc AS (
-        SELECT qx.vec_id AS probe_id, {_IVF_CENT_FINAL}.cid,
-               SUM((qx.val - {_IVF_CENT_FINAL}.cval)
-                   * (qx.val - {_IVF_CENT_FINAL}.cval)) AS d
-        FROM qx JOIN {_IVF_CENT_FINAL} USING (pos)
-        WHERE qx.vec_id < 5
-        GROUP BY qx.vec_id, {_IVF_CENT_FINAL}.cid
-    ),
-    pc AS (
-        SELECT probe_id, cid FROM (
-            SELECT probe_id, cid,
-                   row_number() OVER (PARTITION BY probe_id
-                                      ORDER BY d, cid) AS rn
-            FROM d_pc
-        ) WHERE rn <= 2
-    ),
-    cand AS (
-        SELECT pc.probe_id, aF.vec_id AS neighbor_id
-        FROM pc JOIN aF ON aF.cid = pc.cid AND aF.vec_id != pc.probe_id
-    ),
-    dists AS (
-        SELECT c.probe_id, c.neighbor_id,
-               SUM((px.val - nx.val) * (px.val - nx.val)) AS d_q
-        FROM cand c
-        JOIN qx px ON px.vec_id = c.probe_id
-        JOIN qx nx ON nx.vec_id = c.neighbor_id AND nx.pos = px.pos
-        GROUP BY c.probe_id, c.neighbor_id
-    )
-    SELECT probe_id, neighbor_id, CAST(d_q AS BIGINT) AS d_q FROM (
-        SELECT probe_id, neighbor_id, d_q,
-               row_number() OVER (PARTITION BY probe_id
-                                  ORDER BY d_q, neighbor_id) AS rn
-        FROM dists
-    ) WHERE rn <= 5
-    """,
-    "§2.11 similarity search × lakehouse (ANN served from the "
-    "persisted index only)",
-    "The query half of the persisted-index story: probe vectors come "
-    "OUT OF the postings table, candidate cells out of the stored "
-    "centroids, and the candidate scan is a bucket-pruned "
-    "read_table(point_keys=probed_cells) — the query plan touches "
-    "ONLY the two index tables, never the raw embeddings parquet "
-    "(inputFiles plan-tested, the lakehouse_manifest_pruning "
-    "discipline). Scoring is exact int64 L2 in the quantized space "
-    "with (distance, id) tie-breaks, so the DuckDB oracle — which "
-    "re-derives the same index state relationally — hash-matches the "
-    "full per-probe top-5, proving the STORED index serves exactly "
-    "what a fresh build would. At 100 TB the probed-cell point read "
-    "is the entire point of IVF: the scan touches n_probe/k of the "
-    "corpus, routed by the manifest before planning.",
-)
-def q_ann_query_from_index(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from ..ml.ann_index import query_ivf_index
-
-    return query_ivf_index(spark, _ann_index_dir(spark, sf_dir))
-
-
-def _ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build the persisted IVF index once per dataset (keyed by the
-    EMBEDDINGS mtime; staged-rename published like every /tmp cache)."""
-    import hashlib
-    import os
-    import tempfile
-
-    from ..cachedir import staged_cache_dir
-    from ..ml.ann_index import build_ivf_index
-
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        mtime = int(os.path.getmtime(emb_path))
-    except OSError:
-        mtime = 0
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}:ann".encode()
-    ).hexdigest()[:10]
-    tdir = os.path.join(tempfile.gettempdir(), f"umt_ann_index_{key}")
-    return staged_cache_dir(
-        tdir, "_UMT_ANN_DONE",
-        lambda stage: build_ivf_index(
-            spark, _t(spark, sf_dir, "embeddings"), stage
-        ),
-    )
 
 
 # =========================================================================
