@@ -608,7 +608,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                        "verify + keep-one cluster manifest "
                        "(connected components; singletons keep "
                        "themselves); payload bytes never shuffle",
-                       ["binary_neardup_pairs", "binary_dedup_manifest"]),
+                       ["binary_neardup_pairs", "binary_dedup_manifest",
+                        "binary_chunk_savings"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

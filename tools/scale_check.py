@@ -179,6 +179,8 @@ _QUERIES = [
     "binary_neardup_pairs",
     "ann_index_build",
     "ann_query_from_index",
+    "binary_dedup_manifest",
+    "binary_chunk_savings",
 ]
 
 

@@ -162,3 +162,31 @@ def binary_neardup_pairs(
         )
         .select("id_a", "id_b", "n_chunks_a", "n_chunks_b", "jaccard_dist")
     )
+
+
+def cdc_chunks_with_len(
+    payload: Column, window: int = CDC_WINDOW, divisor: int = CDC_DIVISOR
+) -> Column:
+    """Array of (digest, byte-length) structs for the content-defined
+    chunks — the unit of chunk-store accounting: identical digests are
+    stored once, so the dedup saving is total bytes minus the byte sum
+    over DISTINCT digests."""
+    n = F.length(payload)
+    bpos = cdc_boundary_positions(payload, window, divisor)
+    ends = F.when(
+        (F.size(bpos) > 0) & (F.element_at(bpos, -1) == n), bpos
+    ).otherwise(F.concat(bpos, F.array(n)))
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.transform(
+            F.slice(ends, F.lit(1), F.size(ends) - 1), lambda e: e + 1
+        ),
+    )
+    return F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            F.md5(payload.substr(s, e - s + 1)).alias("d"),
+            (e - s + 1).alias("l"),
+        ),
+    )

@@ -2720,3 +2720,89 @@ def q_binary_dedup_manifest(
         (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
         F.sum("node").cast("long").alias("member_checksum"),
     )
+
+
+@_register(
+    "binary_chunk_savings",
+    f"""
+    WITH {_sql_binary_chain()},
+    chx AS (
+        SELECT id, s, ends, unnest(generate_series(1, len(ends))) AS k
+        FROM seg
+    ),
+    chunks2 AS (
+        SELECT id,
+               md5(substring(s, CASE WHEN k = 1 THEN 1
+                                     ELSE ends[k-1] + 1 END,
+                             ends[k] - (CASE WHEN k = 1 THEN 1
+                                             ELSE ends[k-1] + 1 END) + 1))
+                   AS d,
+               ends[k] - (CASE WHEN k = 1 THEN 1
+                               ELSE ends[k-1] + 1 END) + 1 AS l
+        FROM chx
+    ),
+    uniq AS (SELECT d, MIN(l) AS l FROM chunks2 GROUP BY d),
+    tot AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_bytes
+        FROM p
+    )
+    SELECT tot.n_docs,
+           tot.total_bytes,
+           (SELECT COUNT(*) FROM chunks2) AS n_chunks,
+           (SELECT COUNT(*) FROM uniq) AS n_unique_chunks,
+           (SELECT CAST(SUM(l) AS BIGINT) FROM uniq) AS unique_bytes,
+           ROUND(100.0 * (tot.total_bytes
+                          - (SELECT SUM(l) FROM uniq))
+                 / tot.total_bytes, 6) AS pct_saved
+    FROM tot
+    """,
+    "§2.11 dedup (chunk-store savings accounting over binary payloads)",
+    "The metric a content-addressed chunk store (borg/restic shape) "
+    "actually reports: store every content-defined chunk ONCE and the "
+    "corpus costs unique-chunk bytes instead of total bytes. One "
+    "explode of the (digest, length) chunk structs → distinct-digest "
+    "byte sum vs total payload bytes, with the saving percentage from "
+    "a single identical double division in both engines. Exercises "
+    "the same chunker as the near-dup pairs, so a boundary drift "
+    "shows up HERE as a changed chunk census even if no pair flips. "
+    "At 100 TB: the explode carries (16B digest, int) — never payload "
+    "bytes — and the census is one map-side-combined aggregation; "
+    "this is the number that justifies the chunk store's existence.",
+)
+def q_binary_chunk_savings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.binary_dedup import cdc_chunks_with_len
+    from ..operators.multimodal import documents_as_binary
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    par = spark.sparkContext.defaultParallelism
+    payloads = documents_as_binary(docs).repartition(par, "doc_id")
+    ch = payloads.select(
+        F.length("payload").alias("n"),
+        cdc_chunks_with_len(F.col("payload")).alias("chunks"),
+    ).localCheckpoint(eager=True)  # one CDC pass feeds both aggregates
+    tot = ch.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("total_bytes"),
+        F.sum(F.size("chunks")).cast("long").alias("n_chunks"),
+    )
+    uniq = (
+        ch.select(F.explode("chunks").alias("c"))
+        .groupBy("c.d")
+        .agg(F.min("c.l").alias("l"))
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_chunks"),
+            F.sum("l").cast("long").alias("unique_bytes"),
+        )
+    )
+    return tot.crossJoin(uniq).select(
+        "n_docs", "total_bytes", "n_chunks", "n_unique_chunks",
+        "unique_bytes",
+        F.round(
+            100.0
+            * (F.col("total_bytes") - F.col("unique_bytes"))
+            / F.col("total_bytes"),
+            6,
+        ).alias("pct_saved"),
+    )
