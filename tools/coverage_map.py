@@ -589,9 +589,12 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                             "VERSIONED lakehouse tables: deterministic "
                             "integer-Lloyd build (even-id half), "
                             "same-centroid MERGE refresh (odd half), "
+                            "vector-level GDPR delete (touched cells "
+                            "rewrite, emptied cells tombstone, prior "
+                            "version is the audit trail), "
                             "time-travelable history; build evidence "
                             "read off disk, hash-exact",
-                            ["ann_index_build"]),
+                            ["ann_index_build", "ann_index_delete"]),
     "X-ann-index-serve": ("ml.ann_index:query_ivf_index  # ANN served "
                           "from the persisted index ONLY (probes out "
                           "of postings, cells out of centroids, "

@@ -236,3 +236,42 @@ def query_ivf_index(
         .filter(F.col("__rn") <= topk)
         .select("probe_id", "neighbor_id", F.col("d_q").cast("long"))
     )
+
+
+def delete_vectors(
+    spark: SparkSession, post_dir: str, vec_ids: list[int]
+) -> int:
+    """GDPR-style deletion from the SERVING index: remove the given
+    vectors from their posting lists with a per-cell copy-on-write
+    MERGE — only the cells that actually hold a deleted vector
+    rewrite; a cell emptied entirely tombstones out of the snapshot.
+    Returns the new version. Older versions still contain the vectors
+    (time travel is the audit trail); pair with the lakehouse vacuum
+    for physical erasure, exactly like the row-level GDPR purge."""
+    from ..sources.lakehouse import merge_table, read_table
+
+    ids = sorted(set(int(v) for v in vec_ids))
+    id_arr = F.array(*[F.lit(v).cast("long") for v in ids])
+    # a cell is touched iff any deleted id appears in its CURRENT
+    # postings; only those cells become CDC rows
+    current = read_table(spark, post_dir)
+    touched = (
+        current.filter(
+            F.arrays_overlap(
+                F.transform("postings", lambda p: p["vec_id"]), id_arr
+            )
+        )
+        .select(
+            "cell",
+            F.filter(
+                "postings", lambda p: ~p["vec_id"].isin(ids)
+            ).alias("postings"),
+        )
+        .select(
+            "cell",
+            F.size("postings").cast("long").alias("n_vectors"),
+            "postings",
+            (F.size("postings") == 0).alias("__delete"),
+        )
+    )
+    return merge_table(spark, post_dir, touched, "cell", "__delete")

@@ -2806,3 +2806,96 @@ def q_binary_chunk_savings(
             6,
         ).alias("pct_saved"),
     )
+
+
+_ANN_DELETE_IDS = list(range(10))  # the purge panel: vec_id < 10
+
+
+def _ann_deleted_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A PRIVATE copy of the persisted IVF index taken through a
+    vector-level GDPR purge (delete vec_id < 10 from the posting
+    lists) — the shared cached index is never mutated; staged-rename
+    published like every /tmp cache."""
+    import os
+    import shutil
+
+    from ..cachedir import staged_cache_dir
+    from ..ml.ann_index import delete_vectors
+    from .q_lakehouse import _dataset_cache_path  # runtime: all loaded
+
+    src = _ann_index_dir(spark, sf_dir)
+
+    def build(stage: str) -> None:
+        shutil.copytree(src, stage, dirs_exist_ok=True)
+        os.remove(os.path.join(stage, "_UMT_ANN_DONE"))
+        delete_vectors(
+            spark, os.path.join(stage, "postings"), _ANN_DELETE_IDS
+        )
+
+    tdir = _dataset_cache_path(sf_dir, "umt_ann_del", salt=":anndel")
+    return staged_cache_dir(tdir, "_UMT_ANNDEL_DONE", build)
+
+
+@_register(
+    "ann_index_delete",
+    f"""
+    WITH {_IVF_CTES}
+    SELECT aF.cid AS cell,
+           COUNT(*) AS n_before,
+           CAST(SUM(CASE WHEN vec_id >= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after,
+           TRUE AS ok_deleted_absent,
+           TRUE AS ok_history_intact
+    FROM aF GROUP BY aF.cid
+    """,
+    "§2.11 similarity search × governance (vector deletion from the "
+    "persisted index)",
+    "GDPR for vectors: deleting a user's embeddings from the SERVING "
+    "index, not just the raw table. delete_vectors (ml/ann_index.py) "
+    "rewrites ONLY the cells whose posting lists hold a purged id "
+    "(copy-on-write MERGE; an emptied cell tombstones out), so the "
+    "purge costs the touched cells, not the index. This query reads "
+    "the purged index back OFF DISK: per-cell before/after counts "
+    "(before = time-traveled pre-delete version — the audit trail), "
+    "plus engine-verified flags that the purged ids are ABSENT from "
+    "the latest version and STILL PRESENT in the prior one (the same "
+    "tombstone-then-vacuum contract as the row-level GDPR purge; "
+    "vacuum gives physical erasure). The oracle re-derives the "
+    "per-cell census from the raw embeddings, so a lost survivor or "
+    "leaked purged vector breaks the hash.",
+)
+def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.lakehouse import latest_version, read_table
+
+    post = os.path.join(
+        _ann_deleted_index_dir(spark, sf_dir), "postings"
+    )
+    latest = latest_version(post)
+    ids = _ANN_DELETE_IDS
+
+    def vec_ids(version: int):
+        return (
+            read_table(spark, post, version=version)
+            .select("cell", F.explode("postings").alias("p"))
+            .select("cell", F.col("p.vec_id").alias("vec_id"))
+        )
+
+    before = vec_ids(latest - 1)
+    after = vec_ids(latest)
+    # engine-verified purge flags (bounded: two tiny aggregates)
+    n_leaked = after.filter(F.col("vec_id").isin(ids)).count()
+    n_audit = before.filter(F.col("vec_id").isin(ids)).count()
+    b = before.groupBy("cell").agg(F.count(F.lit(1)).alias("n_before"))
+    a = after.groupBy("cell").agg(F.count(F.lit(1)).alias("n_after"))
+    return (
+        b.join(a, "cell", "left")
+        .select(
+            "cell",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.lit(n_leaked == 0).alias("ok_deleted_absent"),
+            F.lit(n_audit == len(ids)).alias("ok_history_intact"),
+        )
+    )
