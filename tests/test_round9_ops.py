@@ -396,3 +396,61 @@ def test_forest_ei_finds_the_interior_optimum(spark):
     assert out["best_f1"] >= rnd["best_f1"]
     again = forest_ei_search(scored)
     assert again == out  # seeded determinism
+
+
+# -- vector deletion from the persisted index ---------------------------------
+
+def test_delete_vectors_tombstones_emptied_cells(spark, tmp_path):
+    from uni_mannheim_masters_thesis_spark.ml.ann_index import (
+        delete_vectors,
+    )
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        create_table, latest_version, read_table,
+    )
+
+    post = str(tmp_path / "postings")
+    rows = [
+        (0, 2, [(1, [1, 2]), (3, [3, 4])]),
+        (1, 1, [(5, [5, 6])]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "cell int, n_vectors long, "
+        "postings array<struct<vec_id:bigint,qv:array<bigint>>>",
+    )
+    create_table(df, post, "cell")
+    # deleting cell 1's only vector tombstones the cell; cell 0 loses
+    # one entry and rewrites
+    v = delete_vectors(spark, post, [3, 5])
+    assert v == latest_version(post) == 2
+    cur = {
+        r["cell"]: [p["vec_id"] for p in r["postings"]]
+        for r in read_table(spark, post).collect()
+    }
+    assert cur == {0: [1]}
+    # the prior version still holds everything — the audit trail
+    old = {
+        r["cell"]: [p["vec_id"] for p in r["postings"]]
+        for r in read_table(spark, post, version=1).collect()
+    }
+    assert old == {0: [1, 3], 1: [5]}
+
+
+def test_delete_vectors_missing_ids_change_nothing(spark, tmp_path):
+    from uni_mannheim_masters_thesis_spark.ml.ann_index import (
+        delete_vectors,
+    )
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        create_table, read_table,
+    )
+
+    post = str(tmp_path / "postings")
+    df = spark.createDataFrame(
+        [(0, 1, [(1, [1, 2])])],
+        "cell int, n_vectors long, "
+        "postings array<struct<vec_id:bigint,qv:array<bigint>>>",
+    )
+    create_table(df, post, "cell")
+    delete_vectors(spark, post, [999])
+    cur = read_table(spark, post).collect()
+    assert [p["vec_id"] for p in cur[0]["postings"]] == [1]
