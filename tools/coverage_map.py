@@ -602,6 +602,15 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                           "inputFiles plan-tested); exact int64-L2 "
                           "top-5 hash-exact vs relational re-derivation",
                           ["ann_query_from_index"]),
+    "X-stream-ann-refresh": ("ml.ann_index:stream_ivf_index  # "
+                             "streaming maintenance of the persisted "
+                             "IVF index: foreachBatch assigns each "
+                             "micro-batch to the stored centroids and "
+                             "MERGEs per cell, batch_id watermark on "
+                             "the atomic manifest commit = exactly-"
+                             "once (live replay proof); final state "
+                             "hash-equals the one-shot build",
+                             ["streaming_ann_index_refresh"]),
     "X-dedup-binary": ("operators.binary_dedup:binary_neardup_pairs  # "
                        "byte-level fuzzy dedup of binary payloads: "
                        "content-defined chunking (stateless "

@@ -98,13 +98,27 @@ def build_ivf_index(
 
 
 def refresh_ivf_postings(
-    spark: SparkSession, post_dir: str, delta: DataFrame
+    spark: SparkSession, post_dir: str, delta: DataFrame,
+    batch_id: int | None = None,
 ) -> int:
     """Fold a new batch's per-cell posting rows into the stored index:
     bucket-pruned read of ONLY the touched cells' current rows, array
-    union, one-row-per-cell MERGE (copy-on-write)."""
-    from ..sources.lakehouse import merge_table, read_table
+    union, one-row-per-cell MERGE (copy-on-write).
 
+    With ``batch_id`` the refresh is EXACTLY-ONCE under streaming
+    replay: the id rides the commit's manifest note (atomic with the
+    data, the streaming-sink recipe), and a batch at or below the last
+    committed id is skipped — a foreachBatch replay after a crash
+    neither duplicates postings nor mints phantom versions. Returns
+    the (possibly unchanged) latest version."""
+    from ..sources.lakehouse import (
+        last_committed_note, latest_version, merge_table, read_table,
+    )
+
+    if batch_id is not None:
+        last = last_committed_note(post_dir).get("batch_id")
+        if last is not None and batch_id <= last:
+            return latest_version(post_dir)  # replayed batch
     delta = delta.localCheckpoint(eager=True)  # cells + join + merge
     cells = sorted(
         r["cell"] for r in delta.select("cell").distinct().collect()
@@ -132,7 +146,10 @@ def refresh_ivf_postings(
         )
         .withColumn("__delete", F.lit(False))
     )
-    return merge_table(spark, post_dir, combined, "cell", "__delete")
+    note = None if batch_id is None else {"batch_id": int(batch_id)}
+    return merge_table(
+        spark, post_dir, combined, "cell", "__delete", note=note
+    )
 
 
 def index_summary(
@@ -275,3 +292,116 @@ def delete_vectors(
         )
     )
     return merge_table(spark, post_dir, touched, "cell", "__delete")
+
+
+def stream_ivf_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    work_dir: str,
+    n_slices: int = 4,
+) -> dict:
+    """Streaming index maintenance, exactly-once: CREATE the index
+    from the even-vec_id half, then REPLAY the odd half as
+    ``n_slices`` file-drop micro-batches (``maxFilesPerTrigger=1``)
+    whose ``foreachBatch`` assigns each batch to the STORED centroids
+    and folds it in via the batch_id-watermarked refresh — one table
+    version per non-empty batch, replays skipped transactionally (the
+    streaming-lakehouse-sink contract, applied to the serving index).
+
+    Because refreshes union per-cell posting sets, the final state is
+    arrival-order independent and must equal the one-shot build. The
+    returned evidence dict carries batch/version counts and a LIVE
+    replay proof (batch 0 re-applied; the version must not move)."""
+    import glob
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from ..session import ensure_engine_confs
+    from ..sources.lakehouse import create_table, latest_version
+    from ..streaming.runtime import _CKPT_ROOT
+    from .cluster import lloyd_centroids, quantize_vectors
+
+    ensure_engine_confs(spark)
+    quant = quantize_vectors(embeddings).localCheckpoint(eager=True)
+    initial = quant.filter(F.col("vec_id") % 2 == 0)
+    centroids = lloyd_centroids(initial, k=IVF_K, iters=IVF_ITERS)
+    index_dir = os.path.join(work_dir, "index")
+    cent_df = spark.createDataFrame(
+        [(cid, [int(v) for v in vec]) for cid, vec in centroids],
+        "cell int, centroid array<bigint>",
+    )
+    create_table(cent_df, os.path.join(index_dir, "centroids"), "cell")
+    post_dir = os.path.join(index_dir, "postings")
+    create_table(_postings_rows(initial, centroids), post_dir, "cell")
+
+    # the odd half as n deterministic vec_id-sliced file drops with
+    # strictly increasing mtimes (FileStreamSource orders by mtime)
+    slices = os.path.join(work_dir, "slices")
+    os.makedirs(slices, exist_ok=True)
+    odd = embeddings.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding"
+    )
+    t0 = time.time() - 2 * n_slices
+    for i in range(n_slices):
+        staging = tempfile.mkdtemp(prefix="umt_annslice_")
+        (
+            odd.filter((F.col("vec_id") / 2).cast("long") % n_slices == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        parts = glob.glob(os.path.join(staging, "part-*.parquet"))
+        if parts:
+            dest = os.path.join(slices, f"batch_{i:02d}.parquet")
+            shutil.move(parts[0], dest)
+            os.utime(dest, (t0 + i, t0 + i))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    static = spark.read.parquet(slices)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(slices)
+    )
+    state = {"n_data_batches": 0}
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        delta = _postings_rows(quantize_vectors(batch), centroids)
+        if delta.isEmpty():
+            return
+        refresh_ivf_postings(spark, post_dir, delta, batch_id=batch_id)
+        state["n_data_batches"] += 1
+
+    name = f"ann_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_", dir=_CKPT_ROOT)
+    try:
+        query = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            try:
+                query.stop()
+            finally:
+                sc = spark.sparkContext
+                sc.setLocalProperty("spark.sql.execution.id", None)
+                sc.setLocalProperty("spark.sql.execution.root.id", None)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    # LIVE replay proof: re-apply batch 0's delta under its original
+    # batch_id — the watermark must skip it without minting a version
+    v_before = latest_version(post_dir)
+    first = spark.read.parquet(os.path.join(slices, "batch_00.parquet"))
+    replay_delta = _postings_rows(quantize_vectors(first), centroids)
+    refresh_ivf_postings(spark, post_dir, replay_delta, batch_id=0)
+    return {
+        "n_data_batches": state["n_data_batches"],
+        "n_versions": latest_version(post_dir),
+        "replay_skipped": latest_version(post_dir) == v_before,
+    }

@@ -2899,3 +2899,79 @@ def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_audit == len(ids)).alias("ok_history_intact"),
         )
     )
+
+
+def _ann_streamed_index_stats(spark: SparkSession, sf_dir: str):
+    """Build (once per dataset; staged-rename published) a fresh IVF
+    index maintained by the STREAMING refresh path, and return
+    (per-cell counts via the table read, run-evidence dict)."""
+    import json
+    import os
+
+    from ..cachedir import staged_cache_dir
+    from ..ml.ann_index import stream_ivf_index
+    from .q_lakehouse import _dataset_cache_path
+
+    def build(stage: str) -> None:
+        ev = stream_ivf_index(
+            spark, _t(spark, sf_dir, "embeddings"), stage
+        )
+        with open(os.path.join(stage, "_UMT_ANNSTREAM_STATS.json"), "w") as f:
+            json.dump(ev, f)
+
+    tdir = _dataset_cache_path(
+        sf_dir, "umt_ann_stream", salt=":annstream"
+    )
+    staged_cache_dir(tdir, "_UMT_ANNSTREAM_STATS.json", build)
+    with open(os.path.join(tdir, "_UMT_ANNSTREAM_STATS.json")) as f:
+        return tdir, json.load(f)
+
+
+@_register(
+    "streaming_ann_index_refresh",
+    f"""
+    WITH {_IVF_CTES}
+    SELECT aF.cid AS cell,
+           COUNT(*) AS n_vectors,
+           TRUE AS ok_multi_batch,
+           TRUE AS ok_commit_per_batch,
+           TRUE AS ok_replay_skipped
+    FROM aF GROUP BY aF.cid
+    """,
+    "§2.9/§2.11 (streaming maintenance of the persisted ANN index, "
+    "exactly-once)",
+    "The three pillars joined: a Structured Streaming query replays "
+    "the odd-vec_id corpus half as file-drop micro-batches and "
+    "foreachBatch folds each batch into the PERSISTED IVF index — "
+    "assign to the stored centroids, per-cell copy-on-write MERGE, "
+    "one version per non-empty batch, with the batch_id watermark "
+    "riding the atomic manifest commit so replays are skipped "
+    "transactionally (the streaming-lakehouse-sink contract applied "
+    "to the serving index; ml/ann_index.py:stream_ivf_index). Because "
+    "refreshes union posting sets, the final table state is "
+    "arrival-order independent and must equal the one-shot build: the "
+    "oracle re-derives the per-cell census from raw embeddings, so a "
+    "lost batch, duplicated replay, or drifted assignment breaks the "
+    "hash. ok_replay_skipped is a LIVE proof — batch 0 re-applied "
+    "under its original id after the run, version must not move. At "
+    "100 TB this is how a serving index tracks a live corpus: "
+    "incremental, versioned, exactly-once.",
+)
+def q_streaming_ann_index_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from ..sources.lakehouse import read_table
+
+    tdir, ev = _ann_streamed_index_stats(spark, sf_dir)
+    post = os.path.join(tdir, "index", "postings")
+    return read_table(spark, post).select(
+        "cell",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.lit(ev["n_data_batches"] >= 3).alias("ok_multi_batch"),
+        F.lit(ev["n_versions"] == 1 + ev["n_data_batches"]).alias(
+            "ok_commit_per_batch"
+        ),
+        F.lit(bool(ev["replay_skipped"])).alias("ok_replay_skipped"),
+    )
