@@ -181,6 +181,8 @@ _QUERIES = [
     "ann_query_from_index",
     "binary_dedup_manifest",
     "binary_chunk_savings",
+    "ann_index_delete",
+    "streaming_ann_index_refresh",
 ]
 
 
