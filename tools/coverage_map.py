@@ -594,7 +594,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                             "version is the audit trail), "
                             "time-travelable history; build evidence "
                             "read off disk, hash-exact",
-                            ["ann_index_build", "ann_index_delete"]),
+                            ["ann_index_build", "ann_index_delete",
+                             "ann_index_purge_vacuum"]),
     "X-ann-index-serve": ("ml.ann_index:query_ivf_index  # ANN served "
                           "from the persisted index ONLY (probes out "
                           "of postings, cells out of centroids, "

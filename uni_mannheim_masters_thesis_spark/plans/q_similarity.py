@@ -2975,3 +2975,107 @@ def q_streaming_ann_index_refresh(
         ),
         F.lit(bool(ev["replay_skipped"])).alias("ok_replay_skipped"),
     )
+
+
+def _ann_purged_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A private index copy taken through the FULL vector-erasure
+    lifecycle: delete the purge panel from the postings, OPTIMIZE
+    (compact, self-contained rewrite), VACUUM to the latest version —
+    physical erasure, the audit trail intentionally destroyed. The
+    pre-purge census is persisted beside the table (the post-vacuum
+    table can no longer answer it)."""
+    import json
+    import os
+    import shutil
+
+    from ..cachedir import staged_cache_dir
+    from ..ml.ann_index import delete_vectors
+    from ..sources.lakehouse import (
+        optimize_table, read_table, vacuum_table,
+    )
+    from .q_lakehouse import _dataset_cache_path
+
+    src = _ann_index_dir(spark, sf_dir)
+
+    def build(stage: str) -> None:
+        shutil.copytree(src, stage, dirs_exist_ok=True)
+        os.remove(os.path.join(stage, "_UMT_ANN_DONE"))
+        post = os.path.join(stage, "postings")
+        n_purged = (
+            read_table(spark, post)
+            .select(F.explode("postings").alias("p"))
+            .filter(F.col("p.vec_id").isin(_ANN_DELETE_IDS))
+            .count()
+        )
+        delete_vectors(spark, post, _ANN_DELETE_IDS)
+        optimize_table(spark, post, "cell")
+        vacuum_table(post, retain_versions=1)
+        with open(os.path.join(stage, "_UMT_ANNPURGE_STATS.json"), "w") as f:
+            json.dump({"n_purged_prepurge": n_purged}, f)
+
+    tdir = _dataset_cache_path(sf_dir, "umt_ann_purge", salt=":annpurge")
+    return staged_cache_dir(tdir, "_UMT_ANNPURGE_STATS.json", build)
+
+
+@_register(
+    "ann_index_purge_vacuum",
+    f"""
+    WITH {_IVF_CTES}
+    SELECT CAST(SUM(CASE WHEN vec_id >= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_vectors_latest,
+           CAST(SUM(CASE WHEN vec_id < 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purged_prepurge,
+           CAST(0 AS BIGINT) AS trace_vectors,
+           TRUE AS ok_history_unreadable
+    FROM aF
+    """,
+    "§2.11 similarity search × governance (physical vector erasure "
+    "from the index)",
+    "The erasure half of the vector-GDPR story: ann_index_delete "
+    "tombstones purged vectors but keeps the audit trail readable; "
+    "this query completes the lifecycle — delete, OPTIMIZE (compact "
+    "self-contained rewrite), VACUUM to the latest version — and then "
+    "PROVES physical erasure the lakehouse_gdpr_purge way: a "
+    "recursive scan of every parquet file left under the postings "
+    "table (not just manifest-reachable ones) explodes the posting "
+    "arrays and counts purged ids (must be 0), and time travel to the "
+    "pre-purge version must now FAIL (the audit trail is gone by "
+    "design — keep it on a legal-hold clone if required). The "
+    "surviving census is hash-checked against the oracle's "
+    "re-derivation. At 100 TB the cost is the one OPTIMIZE rewrite; "
+    "the purge itself touched only the purged vectors' cells.",
+)
+def q_ann_index_purge_vacuum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+    import os
+
+    from ..sources.lakehouse import read_table
+
+    tdir = _ann_purged_index_dir(spark, sf_dir)
+    post = os.path.join(tdir, "postings")
+    with open(os.path.join(tdir, "_UMT_ANNPURGE_STATS.json")) as f:
+        pre = _json.load(f)["n_purged_prepurge"]
+    n_latest = (
+        read_table(spark, post)
+        .select(F.explode("postings").alias("p"))
+        .count()
+    )
+    trace = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(post, "data"))
+        .select(F.explode("postings").alias("p"))
+        .filter(F.col("p.vec_id").isin(_ANN_DELETE_IDS))
+        .count()
+    )
+    try:
+        read_table(spark, post, version=1).count()
+        unreadable = False
+    except Exception:
+        unreadable = True
+    return spark.createDataFrame(
+        [(n_latest, pre, trace, unreadable)],
+        "n_vectors_latest long, n_purged_prepurge long, "
+        "trace_vectors long, ok_history_unreadable boolean",
+    )
