@@ -454,3 +454,38 @@ def test_delete_vectors_missing_ids_change_nothing(spark, tmp_path):
     delete_vectors(spark, post, [999])
     cur = read_table(spark, post).collect()
     assert [p["vec_id"] for p in cur[0]["postings"]] == [1]
+
+
+def test_refresh_batch_watermark_skips_replays(spark, tmp_path):
+    """The exactly-once contract on the index refresh: a replayed
+    batch_id neither changes postings nor mints a version; the next
+    batch_id applies normally."""
+    from uni_mannheim_masters_thesis_spark.ml.ann_index import (
+        refresh_ivf_postings,
+    )
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        create_table, latest_version, read_table,
+    )
+
+    post = str(tmp_path / "postings")
+    schema = (
+        "cell int, n_vectors long, "
+        "postings array<struct<vec_id:bigint,qv:array<bigint>>>"
+    )
+    create_table(
+        spark.createDataFrame([(0, 1, [(0, [1])])], schema), post, "cell"
+    )
+    delta = spark.createDataFrame([(0, 1, [(2, [2])])], schema)
+    assert refresh_ivf_postings(spark, post, delta, batch_id=1) == 2
+    # replay of batch 1: skipped, version unchanged
+    assert refresh_ivf_postings(spark, post, delta, batch_id=1) == 2
+    ids = sorted(
+        p["vec_id"]
+        for r in read_table(spark, post).collect()
+        for p in r["postings"]
+    )
+    assert ids == [0, 2]  # no duplicate from the replay
+    # the NEXT batch applies
+    d2 = spark.createDataFrame([(0, 1, [(4, [4])])], schema)
+    assert refresh_ivf_postings(spark, post, d2, batch_id=2) == 3
+    assert latest_version(post) == 3
