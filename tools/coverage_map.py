@@ -603,6 +603,14 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                           "inputFiles plan-tested); exact int64-L2 "
                           "top-5 hash-exact vs relational re-derivation",
                           ["ann_query_from_index"]),
+    "X-ts-downsample": ("plans.q_events:q_m4_downsample  # M4 "
+                        "visualization downsampling (Jugel et al. "
+                        "VLDB 2014): per (series, pixel-bucket) "
+                        "min/max/first/last with integer bucketing "
+                        "and (ts,id)-deterministic edge picks; one "
+                        "key exchange, output bounded by "
+                        "series x width x 4; hash-exact",
+                        ["m4_downsample"]),
     "X-stream-ann-refresh": ("ml.ann_index:stream_ivf_index  # "
                              "streaming maintenance of the persisted "
                              "IVF index: foreachBatch assigns each "

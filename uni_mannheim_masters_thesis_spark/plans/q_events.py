@@ -1525,3 +1525,81 @@ def q_streaming_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "n_events", "last_value", "ewma",
         ok.alias("ok_stream_matches_batch"),
     )
+
+
+_M4_WIDTH = 100  # target "pixel columns" (the rendering width)
+
+
+@_register(
+    "m4_downsample",
+    f"""
+    WITH ev AS (
+        SELECT event_type, event_id, value, epoch_us(ts) AS us FROM events
+    ),
+    b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+    bucketed AS (
+        SELECT event_type, event_id, value, us,
+               CAST((us - lo) * {_M4_WIDTH} // (hi - lo + 1) AS INT)
+                   AS bucket
+        FROM ev CROSS JOIN b
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY us, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY us DESC, event_id DESC) AS rn_z
+        FROM bucketed
+    )
+    SELECT event_type, bucket,
+           COUNT(*) AS n_points,
+           MIN(value) AS v_min,
+           MAX(value) AS v_max,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+           MAX(CASE WHEN rn_z = 1 THEN value END) AS v_last
+    FROM ranked
+    GROUP BY event_type, bucket
+    """,
+    "§2.11 time-series (M4 visualization-driven downsampling, Jugel "
+    "et al. VLDB 2014)",
+    "The error-free way to draw a billion-point series on a "
+    f"{_M4_WIDTH}-pixel-wide chart: per (series, pixel-bucket) keep "
+    "exactly the min, max, first, and last values — the M4 "
+    "aggregation, which reproduces the pixel-perfect line rendering "
+    "of the full data at 4 points per pixel column. Buckets come "
+    "from one broadcast bounds row and integer arithmetic (no float "
+    "edge drift); first/last are deterministic (ts, event_id) "
+    "tie-broken — the engine picks them with one min/max over "
+    "(us, event_id, value) structs per group (a single key exchange, "
+    "map-side combined), the oracle with rank-1 window rows, and the "
+    "hash proves the picks identical. At 100 TB this is THE "
+    "dashboard-serving aggregation: output is bounded by "
+    "series × width × 4 regardless of input size, unlike LTTB whose "
+    "selected-point chain is inherently sequential.",
+)
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    bounds = F.broadcast(
+        ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    )
+    bucketed = ev.crossJoin(bounds).select(
+        "event_type", "event_id", "value", "us",
+        F.expr(
+            f"CAST((us - lo) * {_M4_WIDTH} DIV (hi - lo + 1) AS INT)"
+        ).alias("bucket"),
+    )
+    first_s = F.min(F.struct("us", "event_id", "value"))
+    last_s = F.max(F.struct("us", "event_id", "value"))
+    return (
+        bucketed.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            first_s.getField("value").alias("v_first"),
+            last_s.getField("value").alias("v_last"),
+        )
+    )

@@ -165,7 +165,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # hashed suite/sibling queries) or multi-second streaming twins.
     # --- NEW round-9 operators --------------------------------------
     "binary_neardup_pairs", "ann_index_build", "ann_query_from_index",
-    "streaming_ann_index_refresh",
+    "streaming_ann_index_refresh", "m4_downsample",
     # --- 49 never-driver-hashed oracle rotations (round 9) -----------
     "acctbal_percentiles", "approx_distinct_sketch", "approx_quantile_sketch",
     "blocked_jw_linkage", "bpe_subword_counts", "cohort_retention",
@@ -177,7 +177,9 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "fold_assignment", "funnel_conversion", "grouped_trend_pandas",
     "iqr_outlier_fences", "json_artifact_roundtrip", "knn_classifier_vote",
     "matrix_market_roundtrip", "measure_correlation", "membership_classification",
-    "mixture_temperature_weights", "multimodal_decode",
+    "mixture_temperature_weights",
+    # (multimodal_decode ceded its slot to m4_downsample; its operator
+    # keeps driver evidence via the r1-r6-hashed multimodal_pipeline)
     # (minhash_signatures ceded its slot to streaming_ann_index_refresh;
     # its operator keeps driver evidence via the r1-r6-hashed
     # minhash_neardup_pairs, and the full walk still covers it)
