@@ -489,3 +489,48 @@ def test_refresh_batch_watermark_skips_replays(spark, tmp_path):
     d2 = spark.createDataFrame([(0, 1, [(4, [4])])], schema)
     assert refresh_ivf_postings(spark, post, d2, batch_id=2) == 3
     assert latest_version(post) == 3
+
+
+def test_prefix_filter_is_lossless(spark):
+    """The AllPairs/PPJoin guarantee: prefix-filtered candidates find
+    EVERY pair with Jaccard >= 0.8 — output must equal the exact
+    all-pairs join on the same panel."""
+    from uni_mannheim_masters_thesis_spark.plans.registry import REGISTRY
+    from uni_mannheim_masters_thesis_spark.sources.testdata import load_table
+    from uni_mannheim_masters_thesis_spark.functions.text import (
+        tokens_pipeline,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard_dist"])
+        for r in REGISTRY["prefix_filter_neardup"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    ts = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(tokens_pipeline(F.col("text"))).alias("ts"),
+        )
+        .filter(F.size("ts") > 0)
+    )
+    a = ts.select(F.col("id").alias("id_a"), F.col("ts").alias("ta"))
+    b = ts.select(F.col("id").alias("id_b"), F.col("ts").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    na, nb = F.size("ta"), F.size("tb")
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard_dist"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(9 * inter >= 4 * (na + nb))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.lit(1.0) - inter.cast("double") / (na + nb - inter), 6
+            ).alias("jaccard_dist"),
+        )
+        .collect()
+    }
+    assert exact  # the panel genuinely contains near-dups
+    assert got == exact  # zero missed pairs, zero spurious survivors

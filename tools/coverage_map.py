@@ -603,6 +603,14 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                           "inputFiles plan-tested); exact int64-L2 "
                           "top-5 hash-exact vs relational re-derivation",
                           ["ann_query_from_index"]),
+    "X-dedup-prefix-filter": ("plans.q_similarity:q_prefix_filter_neardup"
+                              "  # AllPairs/PPJoin prefix filtering "
+                              "(Bayardo et al. WWW'07): global df order, "
+                              "integer prefix bound, equi-join on prefix "
+                              "tokens — LOSSLESS (pytest proves output "
+                              "identity with the exact all-pairs join); "
+                              "integer thresholding, hash-exact",
+                              ["prefix_filter_neardup"]),
     "X-ts-downsample": ("plans.q_events:q_m4_downsample  # M4 "
                         "visualization downsampling (Jugel et al. "
                         "VLDB 2014): per (series, pixel-bucket) "

@@ -3079,3 +3079,113 @@ def q_ann_index_purge_vacuum(
         "n_vectors_latest long, n_purged_prepurge long, "
         "trace_vectors long, ok_history_unreadable boolean",
     )
+
+
+@_register(
+    "prefix_filter_neardup",
+    f"""
+    WITH ts AS MATERIALIZED (
+        SELECT doc_id AS id, list_distinct({sql_tokens_pipeline('text')}) AS ts
+        FROM documents WHERE doc_id < 300
+    ),
+    ne AS MATERIALIZED (SELECT * FROM ts WHERE len(ts) > 0),
+    tok AS MATERIALIZED (SELECT id, unnest(ts) AS token FROM ne),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+    ranked AS (
+        SELECT t.id, t.token,
+               row_number() OVER (PARTITION BY t.id
+                                  ORDER BY d.df, t.token) AS rn,
+               COUNT(*) OVER (PARTITION BY t.id) AS n
+        FROM tok t JOIN dfreq d USING (token)
+    ),
+    pref AS (SELECT id, token FROM ranked
+             WHERE rn <= n - (4 * n + 4) // 5 + 1),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM pref a JOIN pref b
+          ON a.token = b.token AND a.id < b.id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               len(list_intersect(x.ts, y.ts)) AS i,
+               len(x.ts) AS na, len(y.ts) AS nb
+        FROM cand
+        JOIN ne x ON cand.id_a = x.id
+        JOIN ne y ON cand.id_b = y.id
+    )
+    SELECT id_a, id_b,
+           ROUND(1.0 - i::DOUBLE / (na + nb - i), 6) AS jaccard_dist
+    FROM scored WHERE 9 * i >= 4 * (na + nb)
+    """,
+    "§2.11 dedup (exact set-similarity join via prefix filtering — "
+    "AllPairs/PPJoin, Bayardo et al. WWW'07)",
+    "The LOSSLESS candidate generator beside the probabilistic ones "
+    "(MinHash banding, SRP buckets): order every token set by global "
+    "document frequency (rarest first, ties by token), and for "
+    "Jaccard ≥ 0.5 two sets MUST share a token within their first "
+    "n//2+1 ordered tokens — so candidates come from an equi-join on "
+    "PREFIX tokens only, with a guarantee of zero missed pairs "
+    "(pytest proves output identity with the exact all-pairs join). "
+    "Thresholding is pure integer arithmetic (9·|∩| ≥ 4·(|a|+|b|) ⇔ "
+    "J ≥ 4/5 — no float edge; the prefix bound uses the integer "
+    "⌈0.8n⌉ = (4n+4)//5) and the frequency order is a "
+    "deterministic total order, so the DuckDB twin replays candidates "
+    "and survivors exactly. Shuffles carry (token, id) pairs and the "
+    "per-id ranking rides one id-keyed window — rare tokens make "
+    "short candidate lists, which is the entire point of the "
+    "frequency order at 100 TB.",
+)
+def q_prefix_filter_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # the 300-doc verification panel shared with neardup_clusters /
+    # pagerank: the synthetic corpus is a deliberate duplicate soup, so
+    # an unbounded pair OUTPUT grows quadratically with corpus dups —
+    # the algorithm itself is the full-corpus path (shuffles carry
+    # (token, id) pairs only) and its losslessness is what the panel
+    # proves
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ts = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(tokens_pipeline(F.col("text"))).alias("ts"),
+        )
+        .filter(F.size("ts") > 0)
+        .localCheckpoint(eager=True)  # feeds tok explode + both verify joins
+    )
+    tok = ts.select("id", F.explode("ts").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "token")
+    ranked = (
+        tok.join(dfreq, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    pref = ranked.filter(
+        F.expr("rn <= n - (4 * n + 4) DIV 5 + 1")
+    ).select("id", "token")
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    xa = ts.select(F.col("id").alias("id_a"), F.col("ts").alias("ta"))
+    xb = ts.select(F.col("id").alias("id_b"), F.col("ts").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    na, nb = F.size("ta"), F.size("tb")
+    return (
+        cand.join(xa, "id_a")
+        .join(xb, "id_b")
+        .filter(9 * inter >= 4 * (na + nb))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.lit(1.0) - inter.cast("double") / (na + nb - inter), 6
+            ).alias("jaccard_dist"),
+        )
+    )

@@ -166,6 +166,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # --- NEW round-9 operators --------------------------------------
     "binary_neardup_pairs", "ann_index_build", "ann_query_from_index",
     "streaming_ann_index_refresh", "m4_downsample",
+    "prefix_filter_neardup",
     # --- 49 never-driver-hashed oracle rotations (round 9) -----------
     "acctbal_percentiles", "approx_distinct_sketch", "approx_quantile_sketch",
     "blocked_jw_linkage", "bpe_subword_counts", "cohort_retention",
@@ -175,7 +176,10 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "embedding_quantization", "events_asof_nearest", "events_hourly_gapfill",
     "events_sessionization", "events_sliding_window", "ewma_user_value",
     "fold_assignment", "funnel_conversion", "grouped_trend_pandas",
-    "iqr_outlier_fences", "json_artifact_roundtrip", "knn_classifier_vote",
+    "iqr_outlier_fences", "json_artifact_roundtrip",
+    # (knn_classifier_vote ceded its slot to prefix_filter_neardup; its
+    # operator M14 keeps driver evidence via the r1-r6-hashed
+    # lsh_ann_neighbors)
     "matrix_market_roundtrip", "measure_correlation", "membership_classification",
     "mixture_temperature_weights",
     # (multimodal_decode ceded its slot to m4_downsample; its operator
