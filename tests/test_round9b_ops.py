@@ -1,0 +1,229 @@
+"""Round-9 session-2 operator semantics: Markov transition matrix,
+distribution drift (PSI/JSD/KS), RFM segmentation, market-basket
+mining, chi-square independence, Benford audit, PMI collocations,
+Heaps vocabulary growth, and A-ES weighted sampling."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from conftest import SF_DIR
+from uni_mannheim_masters_thesis_spark.plans.registry import REGISTRY
+
+
+def _run(spark, name):
+    return REGISTRY[name].fn(spark, SF_DIR)
+
+
+def _plan(spark, name) -> str:
+    je = _run(spark, name)._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return je.explainString(mode)
+
+
+# -- markov_transitions -------------------------------------------------------
+
+def test_markov_rows_are_row_stochastic(spark):
+    rows = _run(spark, "markov_transitions").collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.prob
+        assert 0.0 <= r.prob <= 1.0
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)
+
+
+def test_markov_counts_match_manual_lag(spark):
+    rows = _run(spark, "markov_transitions").collect()
+    n_trans = sum(r.n_trans for r in rows)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every event except each user's first contributes one transition
+    assert n_trans == n_events - n_users
+
+
+# -- distribution_drift_report ------------------------------------------------
+
+def test_drift_stats_nonnegative_and_bounded(spark):
+    r = _run(spark, "distribution_drift_report").collect()[0]
+    assert r.n_ref > 0 and r.n_cur > 0
+    assert r.psi >= 0.0  # PSI is a symmetrized KL — nonnegative
+    assert 0.0 <= r.jsd <= math.log(2.0) + 1e-9
+    assert 0.0 <= r.ks_binned <= 1.0
+
+
+def test_drift_self_comparison_is_zero(spark, tmp_path):
+    """Same population on both arms => all three stats collapse to 0."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    pur = ev.filter(F.col("event_type") == "purchase")
+    fake = pur.withColumn("event_type", F.lit("click"))
+    pur.unionByName(fake).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = REGISTRY["distribution_drift_report"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.n_ref == r.n_cur
+    assert r.psi == 0.0 and r.jsd == 0.0 and r.ks_binned == 0.0
+
+
+# -- rfm_segments -------------------------------------------------------------
+
+def test_rfm_scores_partition_customers_into_quintiles(spark):
+    rows = _run(spark, "rfm_segments").collect()
+    assert all(1 <= r.r_score <= 5 for r in rows)
+    assert all(1 <= r.f_score <= 5 for r in rows)
+    assert all(1 <= r.m_score <= 5 for r in rows)
+    total = sum(r.n_customers for r in rows)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert total == orders.select("o_custkey").distinct().count()
+    # quintile marginals: each R score holds ~n/5 customers (exact
+    # within 1 by the floor formula)
+    per_r: dict[int, int] = {}
+    for r in rows:
+        per_r[r.r_score] = per_r.get(r.r_score, 0) + r.n_customers
+    lo, hi = min(per_r.values()), max(per_r.values())
+    assert hi - lo <= 1
+
+
+def test_rfm_m5_outspends_m1(spark):
+    rows = _run(spark, "rfm_segments").collect()
+    m5 = [r for r in rows if r.m_score == 5]
+    m1 = [r for r in rows if r.m_score == 1]
+    avg5 = sum(r.avg_monetary * r.n_customers for r in m5) / sum(
+        r.n_customers for r in m5
+    )
+    avg1 = sum(r.avg_monetary * r.n_customers for r in m1) / sum(
+        r.n_customers for r in m1
+    )
+    assert avg5 > avg1
+
+
+# -- market_basket_pairs ------------------------------------------------------
+
+def test_basket_pairs_ordered_and_support_consistent(spark):
+    rows = _run(spark, "market_basket_pairs").collect()
+    assert rows, "min-support threshold pruned everything"
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert r.support > 0 and r.confidence > 0 and r.lift > 0
+        assert r.confidence >= r.support - 1e-9  # n_ab/n_a >= n_ab/N
+
+
+def test_basket_pair_generation_is_not_a_self_join(spark):
+    plan = _plan(spark, "market_basket_pairs")
+    # the part dim joins broadcast; pair expansion happens in-row
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# -- chi_square_independence --------------------------------------------------
+
+def test_chi2_matches_scipy_free_reference(spark):
+    r = _run(spark, "chi_square_independence").collect()[0]
+    assert r.dof == 16  # 5 segments x 5 priorities
+    assert r.chi2 >= 0.0
+    assert 0.0 <= r.cramers_v <= 1.0
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert r.n == orders.count()
+
+
+# -- benford_digit_audit ------------------------------------------------------
+
+def test_benford_shares_sum_to_one(spark):
+    rows = _run(spark, "benford_digit_audit").collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        expected = math.log10(1 + 1 / r.digit)
+        assert abs(r.benford_share - expected) < 1e-6
+        assert abs(r.deviation - (r.obs_share - r.benford_share)) < 1e-5
+
+
+# -- pmi_collocations ---------------------------------------------------------
+
+def test_pmi_collocations_respect_min_count_and_order(spark):
+    rows = _run(spark, "pmi_collocations").collect()
+    assert len(rows) <= 20
+    assert all(r.n_ab >= 5 for r in rows)
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_pmi_value_matches_manual_count(spark):
+    rows = _run(spark, "pmi_collocations").collect()
+    if not rows:
+        pytest.skip("corpus too small for min-count-5 bigrams")
+    top = rows[0]
+    from uni_mannheim_masters_thesis_spark.functions.text import tokens_pipeline
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(tokens_pipeline(F.col("text")).alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    tu = uni.count()
+    ca = uni.filter(F.col("w") == top.w1).count()
+    cb = uni.filter(F.col("w") == top.w2).count()
+    sz = F.size("t")
+    bi = toks.filter(sz >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", F.lit(1), sz - 1),
+                F.slice("t", F.lit(2), sz - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    )
+    tb = bi.count()
+    cab = bi.filter(
+        (F.col("p.w1") == top.w1) & (F.col("p.w2") == top.w2)
+    ).count()
+    manual = math.log((cab / tb) / ((ca / tu) * (cb / tu)))
+    assert abs(manual - top.pmi) < 1e-5
+
+
+# -- heaps_vocab_growth -------------------------------------------------------
+
+def test_heaps_curve_is_monotone(spark):
+    rows = sorted(_run(spark, "heaps_vocab_growth").collect(), key=lambda r: r.cutoff)
+    assert len(rows) == 4
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_docs <= b.n_docs
+        assert a.n_tokens <= b.n_tokens
+        assert a.vocab <= b.vocab
+    full = rows[-1]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert full.n_docs == docs.count()
+    # sublinear growth: TTR falls as the corpus grows (Heaps beta < 1)
+    assert rows[-1].type_token_ratio <= rows[0].type_token_ratio + 1e-9
+
+
+# -- weighted_sample_aes ------------------------------------------------------
+
+def test_aes_sample_is_deterministic_and_sized(spark):
+    a = {r.doc_id for r in _run(spark, "weighted_sample_aes").collect()}
+    b = {r.doc_id for r in _run(spark, "weighted_sample_aes").collect()}
+    assert a == b
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(a) == min(100, docs.count())
+
+
+def test_aes_sample_favors_heavy_documents(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    if n <= 100:
+        pytest.skip("sample is the whole corpus at this sf")
+    sampled = {r.doc_id for r in _run(spark, "weighted_sample_aes").collect()}
+    rows = docs.select("doc_id", "n_chars").collect()
+    in_w = [r.n_chars for r in rows if r.doc_id in sampled]
+    out_w = [r.n_chars for r in rows if r.doc_id not in sampled]
+    assert sum(in_w) / len(in_w) > sum(out_w) / len(out_w)
+
+
+def test_aes_topk_plans_as_take_ordered(spark):
+    plan = _plan(spark, "weighted_sample_aes")
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowExec" not in plan

@@ -639,6 +639,62 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                        "themselves); payload bytes never shuffle",
                        ["binary_neardup_pairs", "binary_dedup_manifest",
                         "binary_chunk_savings"]),
+    "X-event-markov": ("plans.q_events:q_markov_transitions  # "
+                       "first-order Markov transition matrix over "
+                       "per-user event streams: lag window on the "
+                       "shared user-keyed exchange, map-side-"
+                       "combinable |types|^2 cells, row-stochastic "
+                       "normalization; hash-exact",
+                       ["markov_transitions"]),
+    "X-quality-drift": ("plans.q_events:q_distribution_drift  # "
+                        "two-sample drift monitor: PSI + JSD "
+                        "(Laplace-smoothed 20-bin) + binned KS via a "
+                        "bounded triangular self-join ECDF — two "
+                        "scans, only (bin,count) cells shuffle; "
+                        "hash-exact",
+                        ["distribution_drift_report"]),
+    "X-analytics-rfm": ("plans.q_relational:q_rfm_segments  # RFM "
+                        "quintile segmentation: three range-"
+                        "partitioned global ranks "
+                        "(ordered_dense_rank), explicit quintile "
+                        "formula bit-equal to the oracle's "
+                        "ROW_NUMBER windows; hash-exact",
+                        ["rfm_segments"]),
+    "X-mining-basket": ("plans.q_relational:q_market_basket_pairs  # "
+                        "market-basket pair mining (a-priori first "
+                        "pass): broadcast dim lookup, in-row pair "
+                        "comb over sorted basket arrays (no fact "
+                        "self-join), support/confidence/lift at 1% "
+                        "min-support; hash-exact",
+                        ["market_basket_pairs"]),
+    "X-stats-chi2": ("plans.q_relational:q_chi_square_independence  # "
+                     "Pearson chi-square of independence + Cramer's V "
+                     "on the segment x priority contingency table; "
+                     "zero-observed cells materialized from the "
+                     "margin cross; hash-exact",
+                     ["chi_square_independence"]),
+    "X-quality-benford": ("plans.q_relational:q_benford_digit_audit  # "
+                          "Benford first-digit audit of order totals: "
+                          "one scan into <=9 cells vs log10(1+1/d); "
+                          "hash-exact",
+                          ["benford_digit_audit"]),
+    "X-text-collocations": ("plans.q_text:q_pmi_collocations  # PMI "
+                            "collocations: in-row bigram zip_with "
+                            "(no posexplode self-join), broadcast "
+                            "unigram margins, TakeOrdered top-20; "
+                            "hash-exact",
+                            ["pmi_collocations"]),
+    "X-text-heaps": ("plans.q_text:q_heaps_vocab_growth  # Heaps-law "
+                     "vocabulary growth at 4 corpus prefixes from ONE "
+                     "pass (first-occurrence doc per type); "
+                     "hash-exact",
+                     ["heaps_vocab_growth"]),
+    "X-sample-weighted": ("plans.q_curation:q_weighted_sample_aes  # "
+                          "Efraimidis-Spirakis A-ES weighted sampling "
+                          "without replacement, content-stable "
+                          "md5-seeded uniforms, distributed "
+                          "TakeOrdered top-k; hash-exact",
+                          ["weighted_sample_aes"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -183,6 +183,18 @@ _QUERIES = [
     "binary_chunk_savings",
     "ann_index_delete",
     "streaming_ann_index_refresh",
+    # round-9 session 2: Markov matrix, drift monitor, RFM quintiles,
+    # basket mining, chi-square, Benford, PMI bigrams, Heaps curve,
+    # A-ES weighted sampling
+    "markov_transitions",
+    "distribution_drift_report",
+    "rfm_segments",
+    "market_basket_pairs",
+    "chi_square_independence",
+    "benford_digit_audit",
+    "pmi_collocations",
+    "heaps_vocab_growth",
+    "weighted_sample_aes",
 ]
 
 

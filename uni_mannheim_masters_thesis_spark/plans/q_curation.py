@@ -1295,3 +1295,63 @@ def q_curriculum_interleave(
         .filter(F.col("global_pos") < 40)
         .select("global_pos", "band", "doc_id")
     )
+
+
+@_register(
+    "weighted_sample_aes",
+    """
+    WITH keyed AS (
+        SELECT doc_id,
+               GREATEST(n_chars, 1) AS weight,
+               LN((('0x' || SUBSTRING(md5('aes42_' || CAST(doc_id AS VARCHAR)),
+                                      1, 8))::BIGINT % 1000000 + 0.5)
+                  / 1000000.0)
+                   / GREATEST(n_chars, 1) AS sel_key
+        FROM documents
+    )
+    SELECT doc_id, weight, ROUND(sel_key, 9) AS sel_key
+    FROM keyed
+    ORDER BY sel_key DESC, doc_id
+    LIMIT 100
+    """,
+    "§2.11 training-data ops (weighted sampling without replacement)",
+    "Efraimidis-Spirakis A-ES weighted sampling without replacement: "
+    "each document gets key u^(1/w) — equivalently ln(u)/w, which is "
+    "what both engines order by — with weight w = n_chars and u a "
+    "CONTENT-STABLE uniform from md5(seed, doc_id), and the sample is "
+    "the top-100 keys. No rand() anywhere: the same corpus and seed "
+    "reproduce the identical sample on any engine and any partitioning "
+    "(the property a resumable training pipeline needs), and inclusion "
+    "probability stays proportional to weight. Plan shape: one "
+    "projection computes the key, the top-100 plans as distributed "
+    "TakeOrdered (per-partition heaps, k rows to the driver) — no "
+    "global sort, no window. At 100 TB this samples a corpus in one "
+    "scan; for k in the millions swap the LIMIT for the "
+    "threshold-refine pass the dsir_selection entry documents.",
+)
+def q_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("aes42_"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+        + 0.5
+    ) / 1000000.0
+    keyed = docs.select(
+        "doc_id",
+        w.alias("weight"),
+        (F.log(u) / w).alias("__k"),
+    )
+    return (
+        keyed.orderBy(F.desc("__k"), "doc_id")
+        .limit(100)
+        .select("doc_id", "weight", F.round("__k", 9).alias("sel_key"))
+    )

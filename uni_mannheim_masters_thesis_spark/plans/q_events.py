@@ -1603,3 +1603,206 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             last_s.getField("value").alias("v_last"),
         )
     )
+
+
+@_register(
+    "markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_trans,
+           ROUND(CAST(n_trans AS DOUBLE)
+                 / SUM(n_trans) OVER (PARTITION BY prev_type), 6) + 0.0
+               AS prob
+    FROM c
+    """,
+    "§2.11 event analytics (first-order Markov transition matrix)",
+    "First-order Markov chain over each user's event stream: the "
+    "row-stochastic transition matrix P(next | prev) that session_paths "
+    "(full journeys) and funnel_conversion (one fixed sequence) both "
+    "marginalize. Plan shape: one user-keyed exchange carries the lag "
+    "window (same partitioning session_paths rides), then a 25-cell "
+    "aggregate; the per-prev normalization is a window over 5-row "
+    "partitions of a 25-row relation. At 100 TB the transition counting "
+    "is map-side combinable into at most |types|^2 cells — the matrix "
+    "never grows with the corpus, only the one ordered-per-user "
+    "exchange does, and that shuffle is shared with every other "
+    "sessionization operator in the family.",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = trans.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n_trans"))
+    wp = Window.partitionBy("prev_type")
+    prob = F.round(
+        F.col("n_trans").cast("double") / F.sum("n_trans").over(wp), 6
+    ) + F.lit(0.0)
+    return counts.select(
+        "prev_type", "next_type", "n_trans", prob.alias("prob")
+    )
+
+
+_DRIFT_BINS = 20
+
+
+@_register(
+    "distribution_drift_report",
+    f"""
+    WITH pop AS (
+        SELECT value AS v, CAST(event_type = 'purchase' AS INT) AS is_a
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM pop),
+    binned AS (
+        SELECT LEAST({_DRIFT_BINS - 1},
+                     CAST(FLOOR((v - lo) / (hi - lo) * {_DRIFT_BINS})
+                          AS INT)) AS b,
+               is_a
+        FROM pop, bounds
+    ),
+    sizes AS (SELECT SUM(is_a) AS na, SUM(1 - is_a) AS nb FROM binned),
+    cells AS (
+        SELECT t.b,
+               COALESCE(SUM(binned.is_a), 0) AS ca,
+               COALESCE(SUM(1 - binned.is_a), 0) AS cb
+        FROM range(0, {_DRIFT_BINS}) t(b)
+        LEFT JOIN binned ON binned.b = t.b
+        GROUP BY t.b
+    ),
+    probs AS (
+        SELECT b,
+               (ca + 0.5) / (na + {_DRIFT_BINS} * 0.5) AS pa,
+               (cb + 0.5) / (nb + {_DRIFT_BINS} * 0.5) AS pb,
+               CAST(ca AS DOUBLE) / na AS fa,
+               CAST(cb AS DOUBLE) / nb AS fb
+        FROM cells, sizes
+    ),
+    ks AS (
+        SELECT MAX(ABS(ca.cum_fa - ca.cum_fb)) AS ks_stat
+        FROM (
+            SELECT p1.b,
+                   SUM(p2.fa) AS cum_fa,
+                   SUM(p2.fb) AS cum_fb
+            FROM probs p1 JOIN probs p2 ON p2.b <= p1.b
+            GROUP BY p1.b
+        ) ca
+    ),
+    scalars AS (
+        SELECT ROUND(SUM((pa - pb) * LN(pa / pb)), 6) AS psi,
+               ROUND(0.5 * SUM(pa * LN(pa / ((pa + pb) / 2)))
+                     + 0.5 * SUM(pb * LN(pb / ((pa + pb) / 2))), 6) AS jsd
+        FROM probs
+    )
+    SELECT CAST(sizes.na AS BIGINT) AS n_ref,
+           CAST(sizes.nb AS BIGINT) AS n_cur,
+           scalars.psi AS psi,
+           scalars.jsd AS jsd,
+           ROUND(ks.ks_stat, 6) AS ks_binned
+    FROM sizes, scalars, ks
+    """,
+    "§2.11 data-quality ops (two-sample distribution drift: PSI / JSD / KS)",
+    "Training-data drift detection between two populations of the "
+    "events value column (reference = purchase, current = click): "
+    "Population Stability Index and Jensen-Shannon divergence over "
+    f"{_DRIFT_BINS} equal-width bins (Laplace 0.5-smoothed so empty "
+    "bins are defined), plus the binned Kolmogorov-Smirnov statistic "
+    "max|ECDF_a - ECDF_b| on the raw (unsmoothed) bin frequencies. "
+    "Plan shape: one pass computes global min/max (broadcast back via "
+    "crossJoin of a 1-row aggregate), one map-side-combinable groupBy "
+    f"folds N rows into {_DRIFT_BINS} cells, and every downstream "
+    "statistic — including the ECDF cumsum, done as a bounded "
+    "triangular self-join on the bin table rather than an "
+    "unpartitioned ORDER BY window — runs on a "
+    f"{_DRIFT_BINS}-row relation. At 100 TB the only full-data costs "
+    "are two scans (bounds, then binning); nothing but (bin, count) "
+    "pairs ever shuffles, so the monitor is as cheap as a histogram.",
+)
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    nb = _DRIFT_BINS
+    pop = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_a"),
+    )
+    bounds = pop.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = pop.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(nb - 1),
+            F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * nb)
+            .cast("int"),
+        ).alias("b"),
+        "is_a",
+    )
+    cells = (
+        spark.range(nb)
+        .select(F.col("id").cast("int").alias("b"))
+        .join(binned, "b", "left")
+        .groupBy("b")
+        .agg(
+            F.coalesce(F.sum("is_a"), F.lit(0)).alias("ca"),
+            F.coalesce(F.sum(F.lit(1) - F.col("is_a")), F.lit(0)).alias("cb"),
+        )
+    )
+    sizes = binned.agg(
+        F.sum("is_a").alias("na"), F.sum(F.lit(1) - F.col("is_a")).alias("nb")
+    )
+    probs = cells.crossJoin(F.broadcast(sizes)).select(
+        "b",
+        ((F.col("ca") + 0.5) / (F.col("na") + nb * 0.5)).alias("pa"),
+        ((F.col("cb") + 0.5) / (F.col("nb") + nb * 0.5)).alias("pb"),
+        (F.col("ca").cast("double") / F.col("na")).alias("fa"),
+        (F.col("cb").cast("double") / F.col("nb")).alias("fb"),
+        F.col("na"),
+        F.col("nb"),
+    )
+    # bounded triangular self-join ECDF (20x20) — no unpartitioned window
+    p2 = probs.select(
+        F.col("b").alias("b2"), F.col("fa").alias("fa2"), F.col("fb").alias("fb2")
+    )
+    ks = (
+        probs.join(F.broadcast(p2), F.col("b2") <= F.col("b"))
+        .groupBy("b")
+        .agg(F.sum("fa2").alias("cum_fa"), F.sum("fb2").alias("cum_fb"))
+        .agg(
+            F.round(F.max(F.abs(F.col("cum_fa") - F.col("cum_fb"))), 6).alias(
+                "ks_binned"
+            )
+        )
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    scalars = probs.agg(
+        F.max("na").alias("n_ref"),
+        F.max("nb").alias("n_cur"),
+        F.round(
+            F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))),
+            6,
+        ).alias("psi"),
+        F.round(
+            0.5 * F.sum(F.col("pa") * F.log(F.col("pa") / m))
+            + 0.5 * F.sum(F.col("pb") * F.log(F.col("pb") / m)),
+            6,
+        ).alias("jsd"),
+    )
+    return scalars.crossJoin(F.broadcast(ks)).select(
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        "psi",
+        "jsd",
+        "ks_binned",
+    )

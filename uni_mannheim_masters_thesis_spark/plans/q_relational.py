@@ -2048,3 +2048,340 @@ def q_bucketed_colocated_join(
             _dsum(_dec("o_totalprice")).alias("total_price"),
         )
     )
+
+
+@_register(
+    "rfm_segments",
+    """
+    WITH base AS (
+        SELECT o_custkey AS c_custkey,
+               DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                         (SELECT CAST(MAX(o_orderdate) AS DATE)
+                          FROM orders)) AS recency_days,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY recency_days, c_custkey) AS rr,
+               ROW_NUMBER() OVER (ORDER BY n_orders DESC, c_custkey) AS rf,
+               ROW_NUMBER() OVER (ORDER BY monetary DESC, c_custkey) AS rm,
+               COUNT(*) OVER () AS n
+        FROM base
+    ),
+    scored AS (
+        SELECT CAST(5 - FLOOR((rr - 1) * 5.0 / n) AS INT) AS r_score,
+               CAST(5 - FLOOR((rf - 1) * 5.0 / n) AS INT) AS f_score,
+               CAST(5 - FLOOR((rm - 1) * 5.0 / n) AS INT) AS m_score,
+               recency_days, n_orders, monetary
+        FROM ranked
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(CAST(recency_days AS DOUBLE)), 6) AS avg_recency_days,
+           ROUND(AVG(CAST(n_orders AS DOUBLE)), 6) AS avg_orders,
+           ROUND(AVG(monetary), 6) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    "§2.11 customer analytics (RFM quintile segmentation)",
+    "Classic RFM segmentation: per customer, recency (days since last "
+    "order, against the corpus max date), frequency (order count) and "
+    "monetary (total spend); each metric is quintile-scored 1-5 (5 = "
+    "best) and segments are the (R,F,M) cells with size and metric "
+    "means. The quintile is an explicit rank formula 5 - "
+    "floor((rank-1)*5/n) over the deterministic total order (metric, "
+    "custkey) — identical arithmetic in both engines, so the hash is "
+    "exact without NTILE's remainder ambiguity. The three global ranks "
+    "come from operators.indexing.ordered_dense_rank (range-partitioned "
+    "two-phase rank, broadcast offsets) — NOT single-partition ORDER BY "
+    "windows — so customer scoring runs at full cluster parallelism; "
+    "the oracle's ROW_NUMBER() windows are bit-equal. At 100 TB the "
+    "per-customer base aggregate is map-side combinable and each rank "
+    "pass is one range exchange of (metric, custkey) pairs.",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._shared import ordered_dense_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("ref_date")
+    )
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_date"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "c_custkey",
+            F.datediff("ref_date", "last_date").alias("recency_days"),
+            "n_orders",
+            "monetary",
+        )
+    )
+    base = base.withColumn(
+        "__kr", F.struct(F.col("recency_days"), F.col("c_custkey"))
+    ).withColumn(
+        "__kf", F.struct((-F.col("n_orders")).alias("nf"), F.col("c_custkey"))
+    ).withColumn(
+        "__km", F.struct((-F.col("monetary")).alias("nm"), F.col("c_custkey"))
+    )
+    ranked = ordered_dense_rank(base, "__kr", rank_col="rr")
+    ranked = ordered_dense_rank(ranked, "__kf", rank_col="rf")
+    ranked = ordered_dense_rank(ranked, "__km", rank_col="rm")
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+
+    def score(rank_col: str) -> F.Column:
+        return (
+            F.lit(5)
+            - F.floor((F.col(rank_col) - 1) * 5.0 / F.col("n"))
+        ).cast("int")
+
+    scored = ranked.crossJoin(F.broadcast(n)).select(
+        score("rr").alias("r_score"),
+        score("rf").alias("f_score"),
+        score("rm").alias("m_score"),
+        "recency_days",
+        "n_orders",
+        "monetary",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg(F.col("recency_days").cast("double")), 6).alias(
+            "avg_recency_days"
+        ),
+        F.round(F.avg(F.col("n_orders").cast("double")), 6).alias("avg_orders"),
+        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+    )
+
+
+@_register(
+    "market_basket_pairs",
+    """
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM ob),
+    bc AS (SELECT brand, COUNT(*) AS nb FROM ob GROUP BY 1),
+    pc AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+        FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_ab,
+           ROUND(CAST(n_ab AS DOUBLE) / n.n_orders, 6) AS support,
+           ROUND(CAST(n_ab AS DOUBLE) / ba.nb, 6) AS confidence,
+           ROUND(CAST(n_ab AS DOUBLE) * n.n_orders / (ba.nb * bb.nb), 6)
+               AS lift
+    FROM pc, n
+    JOIN bc ba ON ba.brand = pc.brand_a
+    JOIN bc bb ON bb.brand = pc.brand_b
+    WHERE n_ab * 100 >= n.n_orders
+    """,
+    "§2.11 training-data ops (market-basket co-occurrence mining)",
+    "Frequent-pair mining over order baskets: which part brands "
+    "co-occur in the same order, with support / confidence(a->b) / "
+    "lift, kept at min-support 1% of orders. Plan shape: the part dim "
+    "joins broadcast (brand lookup never shuffles the fact table's "
+    "rows beyond the basket grouping); baskets form via one "
+    "orderkey-keyed exchange into sorted distinct-brand arrays; pair "
+    "generation is an in-row array comb (transform x slice -> "
+    "flatten -> explode), NOT a fact-table self-join, so a k-item "
+    "basket emits its k(k-1)/2 pairs map-side and the only pair "
+    "shuffle is the map-side-combined (brand_a, brand_b) count with "
+    "at most |brands|^2 cells. Margins and the order count ride the "
+    "same basket relation; both join back broadcast. At 100 TB "
+    "nothing but (pair, count) cells and two tiny broadcasts move — "
+    "the classic a-priori first pass as one DataFrame chain.",
+)
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
+    )
+    # ONE orderkey exchange: dedup happens in-row (collect_set) instead
+    # of a separate distinct() — a distinct-then-regroup plan pays two
+    # full exchanges of the (order, brand) relation for the same result
+    # (measured 2x wall at the 10x scale protocol). Margins and the
+    # order count re-derive from the deduped basket arrays (explode is
+    # in-row; its groupBy shuffles only |brands| cells).
+    baskets = ob.groupBy("ok").agg(
+        F.sort_array(F.collect_set("brand")).alias("bs")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "bs",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("bs"), i + 2, F.size("bs")),
+                        lambda y: F.struct(
+                            x.alias("brand_a"), y.alias("brand_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.brand_a", "p.brand_b")
+    pc = pairs.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    bc = (
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    ba = bc.select(F.col("brand").alias("brand_a"), F.col("nb").alias("na"))
+    bb = bc.select(F.col("brand").alias("brand_b"), F.col("nb").alias("nb_"))
+    out = (
+        pc.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .filter(F.col("n_ab") * 100 >= F.col("n_orders"))
+    )
+    nab = F.col("n_ab").cast("double")
+    return out.select(
+        "brand_a",
+        "brand_b",
+        "n_ab",
+        F.round(nab / F.col("n_orders"), 6).alias("support"),
+        F.round(nab / F.col("na"), 6).alias("confidence"),
+        F.round(nab * F.col("n_orders") / (F.col("na") * F.col("nb_")), 6).alias(
+            "lift"
+        ),
+    )
+
+
+@_register(
+    "chi_square_independence",
+    """
+    WITH obs AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+               COUNT(*) AS o
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    rm AS (SELECT seg, SUM(o) AS rt FROM obs GROUP BY 1),
+    cm AS (SELECT prio, SUM(o) AS ct FROM obs GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+        SELECT rm.seg, cm.prio, rm.rt, cm.ct,
+               COALESCE(obs.o, 0) AS o,
+               CAST(rm.rt AS DOUBLE) * cm.ct / tot.n AS e
+        FROM rm CROSS JOIN cm CROSS JOIN tot
+        LEFT JOIN obs ON obs.seg = rm.seg AND obs.prio = cm.prio
+    )
+    SELECT CAST(SUM(o) AS BIGINT) AS n,
+           CAST((COUNT(DISTINCT seg) - 1)
+                * (COUNT(DISTINCT prio) - 1) AS INT) AS dof,
+           ROUND(SUM((o - e) * (o - e) / e), 4) AS chi2,
+           ROUND(SQRT(SUM((o - e) * (o - e) / e) / (SUM(o) *
+                 LEAST(COUNT(DISTINCT seg) - 1,
+                       COUNT(DISTINCT prio) - 1))), 6) AS cramers_v
+    FROM cells
+    """,
+    "§2.11 statistics (chi-square test of independence + Cramer's V)",
+    "Is order priority independent of customer market segment? "
+    "Pearson chi-square over the 5x5 contingency table of the "
+    "customer-orders join, with degrees of freedom and Cramer's V "
+    "effect size. Plan shape: the fact-side join aggregates straight "
+    "into |seg|x|prio| observed cells (map-side combinable, the "
+    "customer dim would broadcast at any scale); margins, the "
+    "expected counts e = rt*ct/n, and zero-observed cells all "
+    "materialize by crossing the two tiny margin relations — a "
+    "25-row bounded cross, never a window over the fact table. "
+    "Everything after the first aggregate is driver-scale.",
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rm = obs.groupBy("seg").agg(F.sum("o").alias("rt"))
+    cm = obs.groupBy("prio").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        rm.crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(obs), ["seg", "prio"], "left")
+        .select(
+            "seg",
+            "prio",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (F.col("rt").cast("double") * F.col("ct") / F.col("n")).alias("e"),
+        )
+    )
+    dev = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    r1 = F.countDistinct("seg") - 1
+    c1 = F.countDistinct("prio") - 1
+    return cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        (r1 * c1).cast("int").alias("dof"),
+        F.round(F.sum(dev), 4).alias("chi2"),
+        F.round(
+            F.sqrt(F.sum(dev) / (F.sum("o") * F.least(r1, c1))), 6
+        ).alias("cramers_v"),
+    )
+
+
+@_register(
+    "benford_digit_audit",
+    """
+    WITH d AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+    tot AS (SELECT SUM(n) AS nt FROM c)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / nt, 6) AS obs_share,
+           ROUND(LN(1.0 + 1.0 / digit) / LN(10.0), 6) AS benford_share,
+           ROUND(CAST(n AS DOUBLE) / nt
+                 - LN(1.0 + 1.0 / digit) / LN(10.0), 6) AS deviation
+    FROM c, tot
+    """,
+    "§2.11 data-quality ops (Benford first-digit audit)",
+    "First-significant-digit audit of order totals against Benford's "
+    "law P(d) = log10(1 + 1/d): per digit, observed share vs the "
+    "Benford expectation and the signed deviation — the classic "
+    "fraud / synthetic-data smell test. Plan shape: one projection "
+    "computes the digit (string head of the integer part, pure "
+    "column ops), one map-side-combinable groupBy folds the corpus "
+    "into <= 9 cells, and the total joins back broadcast. At 100 TB "
+    "this is a single scan emitting 9 rows.",
+)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    c = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.agg(F.sum("n").alias("nt"))
+    benford = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("nt"), 6).alias("obs_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(F.col("n").cast("double") / F.col("nt") - benford, 6).alias(
+            "deviation"
+        ),
+    )

@@ -1330,3 +1330,185 @@ def q_levenshtein_blocked_pairs(
             F.when(close, F.col("k1") + F.col("k2")).otherwise(0)
         ).alias("close_checksum"),
     )
+
+
+@_register(
+    "pmi_collocations",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens_pipeline('text')} AS t
+        FROM documents
+    ),
+    uni AS (
+        SELECT unnest(t) AS w FROM toks
+    ),
+    uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+    tu AS (SELECT SUM(c) AS n FROM uc),
+    bi AS (
+        SELECT unnest(t[1:len(t)-1]) AS w1,
+               unnest(t[2:len(t)]) AS w2
+        FROM toks WHERE len(t) >= 2
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bi GROUP BY 1, 2),
+    tb AS (SELECT SUM(n_ab) AS n FROM bc)
+    SELECT w1, w2, n_ab,
+           ROUND(LN((CAST(n_ab AS DOUBLE) / tb.n)
+                 / ((CAST(ua.c AS DOUBLE) / tu.n)
+                    * (CAST(ub.c AS DOUBLE) / tu.n))), 6) AS pmi
+    FROM bc, tb, tu
+    JOIN uc ua ON ua.w = bc.w1
+    JOIN uc ub ON ub.w = bc.w2
+    WHERE n_ab >= 5
+    ORDER BY LN((CAST(n_ab AS DOUBLE) / tb.n)
+                / ((CAST(ua.c AS DOUBLE) / tu.n)
+                   * (CAST(ub.c AS DOUBLE) / tu.n))) DESC, w1, w2
+    LIMIT 20
+    """,
+    "§2.11 corpus analytics (PMI collocation extraction)",
+    "Top-20 collocations: adjacent-token bigrams over the standard "
+    "cleaning pipeline scored by pointwise mutual information "
+    "ln(p(ab) / (p(a) p(b))), min count 5 — the classic "
+    "corpus-linguistics phrase detector (and word2vec-style phrase "
+    "merge rule). Plan shape: bigrams are generated IN-ROW by "
+    "zip_with over two shifted array slices (no posexplode self-join), "
+    "so a d-token document emits its d-1 pairs map-side; bigram and "
+    "unigram counting are both map-side-combinable groupBys; the "
+    "unigram margins join back broadcast (vocab-sized), and the "
+    "top-20 plans as TakeOrdered on the exact (unrounded) PMI with a "
+    "(w1, w2) tiebreak — no global sort materialization. At 100 TB "
+    "only (token, count) and (bigram, count) cells shuffle.",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_pipeline(F.col("text")).alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tu = uc.agg(F.sum("c").alias("n_uni"))
+    sz = F.size("t")
+    bi = toks.filter(sz >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", F.lit(1), sz - 1),
+                F.slice("t", F.lit(2), sz - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    tb = bc.agg(F.sum("n_ab").alias("n_bi"))
+    ua = uc.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    ub = uc.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    scored = (
+        bc.filter(F.col("n_ab") >= 5)
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(tu))
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .withColumn(
+            "__pmi",
+            F.log(
+                (F.col("n_ab").cast("double") / F.col("n_bi"))
+                / (
+                    (F.col("ca").cast("double") / F.col("n_uni"))
+                    * (F.col("cb").cast("double") / F.col("n_uni"))
+                )
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("__pmi"), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", "n_ab", F.round("__pmi", 6).alias("pmi"))
+    )
+
+
+@_register(
+    "heaps_vocab_growth",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens_pipeline('text')} AS t
+        FROM documents
+    ),
+    fd AS (
+        SELECT w, MIN(doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+        GROUP BY 1
+    ),
+    mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    cp AS (
+        SELECT v.denom, CAST(FLOOR(CAST(mx.m AS DOUBLE) / v.denom)
+                             AS BIGINT) AS cutoff
+        FROM (VALUES (8), (4), (2), (1)) v(denom), mx
+    )
+    SELECT cp.denom,
+           cp.cutoff,
+           (SELECT COUNT(*) FROM toks WHERE doc_id <= cp.cutoff) AS n_docs,
+           (SELECT CAST(SUM(len(t)) AS BIGINT) FROM toks
+             WHERE doc_id <= cp.cutoff) AS n_tokens,
+           (SELECT COUNT(*) FROM fd WHERE first_doc <= cp.cutoff) AS vocab,
+           ROUND((SELECT COUNT(*) FROM fd WHERE first_doc <= cp.cutoff)
+                 / CAST((SELECT SUM(len(t)) FROM toks
+                          WHERE doc_id <= cp.cutoff) AS DOUBLE), 6)
+               AS type_token_ratio
+    FROM cp
+    """,
+    "§2.11 corpus analytics (Heaps-law vocabulary growth curve)",
+    "Vocabulary growth at 4 corpus prefixes (1/8, 1/4, 1/2, full by "
+    "doc_id): distinct-type count, token count, and type-token ratio "
+    "— the Heaps-law curve V(n) ~ K n^beta that sizes vocabularies, "
+    "dictionaries, and hash domains before a full build. The key "
+    "trick is ONE pass over the corpus: each type's first-occurrence "
+    "doc (min doc_id, map-side combinable) makes 'vocab at prefix c' "
+    "a count of first_doc <= c — no per-prefix rescan, no ordered "
+    "accumulation. The 4 cutoffs broadcast against the type relation "
+    "and the per-doc token counts. At 100 TB: one exploded groupBy "
+    "for first occurrences plus a doc-level aggregate, both one "
+    "shuffle of (key, long) pairs.",
+)
+def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_pipeline(F.col("text")).alias("t")
+    )
+    fd = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    cp = (
+        spark.createDataFrame([(8,), (4,), (2,), (1,)], "denom int")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("denom").cast("int").alias("denom"),
+            F.floor(F.col("m").cast("double") / F.col("denom"))
+            .cast("long")
+            .alias("cutoff"),
+        )
+    )
+    per_doc = toks.select("doc_id", F.size("t").alias("n_t"))
+    doc_stats = (
+        per_doc.join(F.broadcast(cp), per_doc.doc_id <= cp.cutoff)
+        .groupBy("denom", "cutoff")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_t").cast("long").alias("n_tokens"),
+        )
+    )
+    vocab = (
+        fd.join(F.broadcast(cp), fd.first_doc <= cp.cutoff)
+        .groupBy("denom", "cutoff")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    return doc_stats.join(vocab, ["denom", "cutoff"]).select(
+        "denom",
+        "cutoff",
+        "n_docs",
+        "n_tokens",
+        "vocab",
+        F.round(
+            F.col("vocab") / F.col("n_tokens").cast("double"), 6
+        ).alias("type_token_ratio"),
+    )

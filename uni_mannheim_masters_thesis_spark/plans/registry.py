@@ -167,36 +167,51 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "binary_neardup_pairs", "ann_index_build", "ann_query_from_index",
     "streaming_ann_index_refresh", "m4_downsample",
     "prefix_filter_neardup",
-    # --- 49 never-driver-hashed oracle rotations (round 9) -----------
+    # --- NEW round-9 session-2 operators (each is its operator's ONLY
+    # query, so each must sit in the window for driver evidence) ------
+    "markov_transitions", "distribution_drift_report", "rfm_segments",
+    "market_basket_pairs", "chi_square_independence",
+    "benford_digit_audit", "pmi_collocations", "heaps_vocab_growth",
+    "weighted_sample_aes",
+    # --- never-driver-hashed oracle rotations (round 9) --------------
     "acctbal_percentiles", "approx_distinct_sketch", "approx_quantile_sketch",
     "blocked_jw_linkage", "bpe_subword_counts", "cohort_retention",
     "column_profile", "csv_metrics_roundtrip", "custom_lexicon_tokens",
     "customers_without_orders", "dataset_split_manifest", "decile_bucketing",
     "dictionary_text_roundtrip", "document_jaccard_neardup", "document_packing",
     "embedding_quantization", "events_asof_nearest", "events_hourly_gapfill",
-    "events_sessionization", "events_sliding_window", "ewma_user_value",
-    "fold_assignment", "funnel_conversion", "grouped_trend_pandas",
-    "iqr_outlier_fences", "json_artifact_roundtrip",
+    "events_sessionization", "ewma_user_value",
+    "fold_assignment",
+    "iqr_outlier_fences",
     # (knn_classifier_vote ceded its slot to prefix_filter_neardup; its
     # operator M14 keeps driver evidence via the r1-r6-hashed
     # lsh_ann_neighbors)
-    "matrix_market_roundtrip", "measure_correlation", "membership_classification",
+    "matrix_market_roundtrip", "measure_correlation",
     "mixture_temperature_weights",
     # (multimodal_decode ceded its slot to m4_downsample; its operator
     # keeps driver evidence via the r1-r6-hashed multimodal_pipeline)
     # (minhash_signatures ceded its slot to streaming_ann_index_refresh;
     # its operator keeps driver evidence via the r1-r6-hashed
     # minhash_neardup_pairs, and the full walk still covers it)
-    "multimodal_frame_sample", "nation_presence_intersect", "orc_corpus_roundtrip",
-    "order_window_functions", "orders_with_returns_exists", "quality_perplexity",
-    "region_nation_rollup", "rolling_user_features", "segment_balance_unpivot",
+    "multimodal_frame_sample", "orc_corpus_roundtrip",
+    "quality_perplexity",
+    "region_nation_rollup", "rolling_user_features",
     "segment_counts_pivot", "session_attribution", "session_paths",
     "value_histogram", "winnowing_fingerprint",
     # (xml_corpus_roundtrip and union_all_entity_counts ceded their
     # slots to the two new ANN-index queries; both defer to round 10 —
-    # the format family keeps csv/json/orc/matrix-market/dictionary
+    # the format family keeps csv/orc/matrix-market/dictionary
     # representatives in this window, the union-all shape has hashed
     # set-op siblings)
+    # (funnel_conversion, grouped_trend_pandas, membership_classification,
+    # nation_presence_intersect, orders_with_returns_exists,
+    # segment_balance_unpivot, events_sliding_window,
+    # json_artifact_roundtrip and order_window_functions ceded their
+    # slots to the nine session-2 operators above; all nine are
+    # family-redundant — their operators keep driver evidence through
+    # hashed siblings (user_value_trend, set-op suite, pivot twin,
+    # window suites, artifact_formats_roundtrip) — and defer to the
+    # round-10 rotation)
 })
 
 _COST_HINT: dict[str, float] = {
@@ -318,6 +333,12 @@ _COST_HINT: dict[str, float] = {
     "iqr_outlier_fences": 0.5, "blocked_jw_linkage": 1.5,
     "events_hourly_gapfill": 0.8, "measure_correlation": 0.5,
     "value_histogram": 0.6, "session_paths": 0.9,
+    # round-9 session-2 additions — measured sf0.01 wall-clock
+    "markov_transitions": 1.8, "distribution_drift_report": 1.6,
+    "rfm_segments": 3.0, "market_basket_pairs": 1.9,
+    "chi_square_independence": 0.8, "benford_digit_audit": 0.4,
+    "pmi_collocations": 1.7, "heaps_vocab_growth": 1.5,
+    "weighted_sample_aes": 0.4,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 9.0, "training_prep_manifest": 13.5,
