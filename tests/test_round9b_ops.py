@@ -227,3 +227,126 @@ def test_aes_topk_plans_as_take_ordered(spark):
     plan = _plan(spark, "weighted_sample_aes")
     assert "TakeOrderedAndProject" in plan
     assert "WindowExec" not in plan
+
+
+# -- zipf_law_fit -------------------------------------------------------------
+
+def test_zipf_slope_is_negative_with_good_fit(spark):
+    r = _run(spark, "zipf_law_fit").collect()[0]
+    assert r.n_terms > 0
+    assert r.zipf_slope < 0  # frequency falls with rank
+    assert 0.0 <= r.r_squared <= 1.0
+
+
+def test_zipf_slope_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    from uni_mannheim_masters_thesis_spark.functions.text import (
+        tokens_pipeline,
+    )
+
+    r = _run(spark, "zipf_law_fit").collect()[0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(F.explode(tokens_pipeline(F.col("text"))).alias("w"))
+    counts = sorted(
+        ((row.w, row.c) for row in
+         toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )[:500]
+    x = np.log(np.arange(1, len(counts) + 1))
+    y = np.log(np.array([c for _, c in counts], dtype=float))
+    slope, _ = np.polyfit(x, y, 1)
+    assert abs(slope - r.zipf_slope) < 1e-4  # 1e-9 quantization slack
+
+
+# -- gini_concentration -------------------------------------------------------
+
+def test_gini_matches_brute_force(spark):
+    r = _run(spark, "gini_concentration").collect()[0]
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    spend = sorted(
+        row.s
+        for row in orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .collect()
+    )
+    n = len(spend)
+    sx = sum(spend)
+    swx = sum((i + 1) * v for i, v in enumerate(spend))
+    gini = (2 * swx - (n + 1) * sx) / (n * sx)
+    assert r.n_customers == n
+    assert abs(r.gini - gini) < 1e-4
+    assert 0.0 <= r.gini <= 1.0
+    assert 0.1 - 1e-9 <= r.top_decile_share <= 1.0  # top 10% hold >= 10%
+
+
+# -- revenue_yoy_growth -------------------------------------------------------
+
+def test_yoy_growth_arithmetic_and_first_year_null(spark):
+    rows = _run(spark, "revenue_yoy_growth").collect()
+    by_nation: dict[str, list] = {}
+    for r in rows:
+        by_nation.setdefault(r.nation, []).append(r)
+    for nation, rs in by_nation.items():
+        rs.sort(key=lambda r: r.year)
+        assert rs[0].prev_revenue is None and rs[0].yoy_growth is None
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.prev_revenue == prev.revenue
+            expected = (cur.revenue - prev.revenue) / prev.revenue
+            assert abs(cur.yoy_growth - expected) < 1e-5
+
+
+def test_yoy_window_runs_on_cells_not_facts(spark):
+    plan = _plan(spark, "revenue_yoy_growth")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# -- streaming_drift_monitor --------------------------------------------------
+
+def test_streaming_drift_one_row_per_day_and_counts(spark):
+    rows = _run(spark, "streaming_drift_monitor").collect()
+    assert rows
+    days = [r.day_start_us for r in rows]
+    assert len(days) == len(set(days))
+    for r in rows:
+        assert r.day_start_us % 86_400_000_000 == 0  # epoch-aligned days
+        assert r.n_cur > 0
+        assert r.psi >= 0.0
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_clicks = ev.filter(F.col("event_type") == "click").count()
+    assert sum(r.n_cur for r in rows) == n_clicks
+
+
+# -- seasonal_anomaly_report --------------------------------------------------
+
+def test_seasonal_anomaly_covers_dense_grid(spark):
+    rows = _run(spark, "seasonal_anomaly_report").collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_types = ev.select("event_type").distinct().count()
+    assert len(rows) == n_types
+    cells = {r.n_cells for r in rows}
+    assert len(cells) == 1  # every type scores the same dense spine
+    for r in rows:
+        assert 0 <= r.n_anomalies <= r.n_cells
+        assert r.max_abs_z >= 0.0
+
+
+def test_seasonal_anomaly_flags_injected_spike(spark, tmp_path):
+    """Cloning one hour's purchases 30x must flag at least one
+    anomalous cell for that type."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    base = _run(spark, "seasonal_anomaly_report").collect()
+    base_anoms = {r.event_type: r.n_anomalies for r in base}
+    one_hour = (
+        ev.filter(F.col("event_type") == "purchase")
+        .orderBy("ts")
+        .limit(20)
+    )
+    spiked = ev.unionByName(one_hour)
+    for _ in range(4):
+        spiked = spiked.unionByName(one_hour)
+    spiked.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    rows = REGISTRY["seasonal_anomaly_report"].fn(spark, str(tmp_path)).collect()
+    spiked_purchase = [r for r in rows if r.event_type == "purchase"][0]
+    assert spiked_purchase.n_anomalies >= max(1, base_anoms.get("purchase", 0))

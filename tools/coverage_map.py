@@ -695,6 +695,37 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                           "md5-seeded uniforms, distributed "
                           "TakeOrdered top-k; hash-exact",
                           ["weighted_sample_aes"]),
+    "X-text-zipf": ("plans.q_text:q_zipf_law_fit  # Zipf rank-"
+                    "frequency log-log OLS over the top-500 ranks: "
+                    "1e-9-quantized log coordinates, DECIMAL(38,0)/"
+                    "HUGEINT sufficient statistics, two-phase global "
+                    "rank; hash-exact",
+                    ["zipf_law_fit"]),
+    "X-stats-gini": ("plans.q_relational:q_gini_concentration  # "
+                     "exact Gini coefficient + top-decile share of "
+                     "per-customer spend: integer-cent partials, "
+                     "range-partitioned global rank, DECIMAL(38,0) "
+                     "rank-weighted sums; hash-exact",
+                     ["gini_concentration"]),
+    "X-time-yoy": ("plans.q_relational:q_revenue_yoy_growth  # "
+                   "year-over-year growth per nation: broadcast dim "
+                   "joins, cell-level lag window (never over fact "
+                   "rows); hash-exact",
+                   ["revenue_yoy_growth"]),
+    "X-stream-drift": ("streaming.events:streaming_daily_drift  # "
+                       "streaming twin of the drift monitor: per-day "
+                       "PSI of the arriving click distribution vs the "
+                       "static purchase reference; stream state "
+                       "bounded at windows x 20 bin-count rows, PSI "
+                       "math batch-side on the drained cells; "
+                       "hash-exact vs the batch replay",
+                       ["streaming_drift_monitor"]),
+    "X-ts-anomaly": ("plans.q_events:q_seasonal_anomaly_report  # "
+                     "hour-of-day seasonal z-score anomaly scan over "
+                     "the dense (calendar-spine) hourly series; "
+                     "integer sufficient statistics, IEEE-exact z "
+                     "(no transcendentals); hash-exact",
+                     ["seasonal_anomaly_report"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

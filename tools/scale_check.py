@@ -195,6 +195,11 @@ _QUERIES = [
     "pmi_collocations",
     "heaps_vocab_growth",
     "weighted_sample_aes",
+    "zipf_law_fit",
+    "gini_concentration",
+    "revenue_yoy_growth",
+    "streaming_drift_monitor",
+    "seasonal_anomaly_report",
 ]
 
 

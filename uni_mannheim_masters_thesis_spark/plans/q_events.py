@@ -1806,3 +1806,176 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jsd",
         "ks_binned",
     )
+
+
+@_register(
+    "streaming_drift_monitor",
+    """
+    WITH bounds AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    ref AS (
+        SELECT LEAST(19, CAST(FLOOR((value - lo) / (hi - lo) * 20) AS INT))
+                   AS b,
+               COUNT(*) AS ca
+        FROM events, bounds WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    na AS (SELECT SUM(ca) AS na FROM ref),
+    cur AS (
+        SELECT epoch_us(date_trunc('day', ts)) AS day_start_us,
+               LEAST(19, CAST(FLOOR((value - lo) / (hi - lo) * 20) AS INT))
+                   AS b,
+               COUNT(*) AS cb
+        FROM events, bounds WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    nd AS (SELECT day_start_us, SUM(cb) AS n_cur FROM cur GROUP BY 1),
+    grid AS (SELECT day_start_us, n_cur, t.b FROM nd, range(0, 20) t(b)),
+    cells AS (
+        SELECT g.day_start_us, g.n_cur,
+               (COALESCE(ref.ca, 0) + 0.5) / (na.na + 10.0) AS pa,
+               (COALESCE(cur.cb, 0) + 0.5) / (g.n_cur + 10.0) AS pb
+        FROM grid g
+        LEFT JOIN ref ON ref.b = g.b
+        LEFT JOIN cur ON cur.day_start_us = g.day_start_us AND cur.b = g.b
+        CROSS JOIN na
+    )
+    SELECT day_start_us, CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+           ROUND(SUM((pb - pa) * LN(pb / pa)), 6) AS psi
+    FROM cells GROUP BY 1
+    """,
+    "§2.9/§2.11 streaming twin of the drift monitor (per-window PSI)",
+    "The production drift shape: a STATIC reference distribution "
+    "(purchase values, 20 Laplace-smoothed bins) against a STREAM of "
+    "current data (clicks), one PSI per event-time day. The stream "
+    "maintains only (day-window, bin) counts — state is bounded at "
+    "windows x 20 rows regardless of input volume, the same "
+    "bounded-state discipline as the streaming CMS — and the PSI "
+    "arithmetic runs batch-side on the drained cell relation. Bin "
+    "bounds are a 1-row min/max pull baked into the stream's bin "
+    "expression as plan literals. Oracle-exact: epoch-aligned 1-day "
+    "tumbling windows are date_trunc('day') buckets, so the batch SQL "
+    "replays the drained result bit-for-bit.",
+)
+def q_streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import streaming_daily_drift
+
+    return streaming_daily_drift(spark, sf_dir)
+
+
+@_register(
+    "seasonal_anomaly_report",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT t.h FROM b,
+               UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(h)
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cells AS (
+        SELECT s.h, s.event_type,
+               CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n,
+               CAST(EXTRACT(hour FROM s.h) AS INT) AS hod
+        FROM (SELECT h, event_type FROM hours CROSS JOIN types) s
+        LEFT JOIN hourly ON hourly.h = s.h
+                        AND hourly.event_type = s.event_type
+    ),
+    stats AS (
+        SELECT event_type, hod, COUNT(*) AS k,
+               SUM(n) AS s, SUM(n * n) AS ss
+        FROM cells GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.event_type, c.n, st.k, st.s, st.ss,
+               CASE WHEN st.k > 1 AND st.k * st.ss > st.s * st.s THEN
+                   (CAST(c.n AS DOUBLE) - CAST(st.s AS DOUBLE) / st.k)
+                   / SQRT(CAST(st.k * st.ss - st.s * st.s AS DOUBLE)
+                          / (CAST(st.k AS DOUBLE) * (st.k - 1)))
+               ELSE 0.0 END AS z
+        FROM cells c
+        JOIN stats st ON st.event_type = c.event_type AND st.hod = c.hod
+    )
+    SELECT event_type,
+           COUNT(*) AS n_cells,
+           CAST(SUM(CASE WHEN ABS(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalies,
+           ROUND(MAX(ABS(z)), 4) AS max_abs_z
+    FROM scored GROUP BY 1
+    """,
+    "§2.11 time series (seasonal-baseline anomaly detection)",
+    "Hour-of-day seasonal anomaly scan: every (type, hour) cell of the "
+    "DENSE hourly series (calendar spine — a missing hour is a zero "
+    "observation, not a missing row) is z-scored against that type's "
+    "hour-of-day baseline (mean/std over the ~30 daily samples of the "
+    "same wall-clock hour), and cells with |z| > 3 are counted per "
+    "type. Determinism: counts are exact integers, the sufficient "
+    "statistics (k, sum, sum-of-squares) are exact integer sums, and "
+    "z evaluates in one identical expression of +-*/ and sqrt — all "
+    "IEEE-correctly-rounded ops, so the score is bit-equal across "
+    "engines and partitionings (no transcendentals; the std=0 and "
+    "k=1 degenerate baselines clamp z to 0 on both). Plan shape: the "
+    "hourly aggregate is the only corpus-sized pass; baseline stats "
+    "group 720 cells into 120, and scoring is a broadcast join back "
+    "onto the cells. At 100 TB the window never sees fact rows.",
+)
+def q_seasonal_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    cells = (
+        hours.crossJoin(F.broadcast(types))
+        .join(hourly, ["h", "event_type"], "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.hour("h").cast("int").alias("hod"),
+        )
+    )
+    stats = cells.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    scored = cells.join(F.broadcast(stats), ["event_type", "hod"]).select(
+        "event_type",
+        F.when(
+            (F.col("k") > 1)
+            & (F.col("k") * F.col("ss") > F.col("s") * F.col("s")),
+            (
+                F.col("n").cast("double")
+                - F.col("s").cast("double") / F.col("k")
+            )
+            / F.sqrt(
+                (F.col("k") * F.col("ss") - F.col("s") * F.col("s")).cast(
+                    "double"
+                )
+                / (F.col("k").cast("double") * (F.col("k") - 1))
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum((F.abs("z") > 3.0).cast("long")).alias("n_anomalies"),
+        F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
+    )

@@ -2385,3 +2385,158 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deviation"
         ),
     )
+
+
+@_register(
+    "gini_concentration",
+    """
+    WITH base AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS HUGEINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey)
+                    AS HUGEINT) AS r
+        FROM base
+    ),
+    nn AS (SELECT COUNT(*) AS n_rows FROM ranked),
+    agg AS (
+        SELECT COUNT(*) AS n, SUM(cents) AS sx, SUM(r * cents) AS swx,
+               SUM(CASE WHEN r > n_rows - FLOOR(n_rows / 10)
+                        THEN cents ELSE 0 END) AS top_cents
+        FROM ranked, nn
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           ROUND(CAST(sx AS DOUBLE) / 100, 2) AS total_revenue,
+           ROUND((2.0 * CAST(swx AS DOUBLE)
+                  - (CAST(n AS DOUBLE) + 1) * CAST(sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS gini,
+           ROUND(CAST(top_cents AS DOUBLE) / CAST(sx AS DOUBLE), 6)
+               AS top_decile_share
+    FROM agg
+    """,
+    "§2.11 statistics (Gini coefficient / revenue concentration)",
+    "Revenue-concentration report: the exact Gini coefficient of "
+    "per-customer spend (rank formulation G = (2*sum(r*x) - (n+1)*"
+    "sum(x)) / (n*sum(x)) over the ascending-spend order) plus the "
+    "top-decile revenue share. Determinism discipline: spend is exact "
+    "integer cents (DECIMAL partials), the ascending rank is the "
+    "range-partitioned two-phase global rank on the unique (cents, "
+    "custkey) key, and sum(r*x) accumulates in DECIMAL(38,0)/HUGEINT "
+    "— every statistic is an exact integer until the two final double "
+    "divisions, evaluated in the same expression shape on both "
+    "engines. One customer-keyed aggregate + one range exchange of "
+    "(cents, custkey) pairs; the Gini itself reduces to three "
+    "numbers. At 100 TB the per-customer relation is the small side.",
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._shared import ordered_dense_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    keyed = base.withColumn(
+        "__k", F.struct(F.col("cents"), F.col("o_custkey"))
+    )
+    ranked = ordered_dense_rank(keyed, "__k", rank_col="r")
+    n1 = ranked.agg(F.count(F.lit(1)).alias("n_rows"))
+    r = F.col("r").cast("decimal(38,0)")
+    agg = ranked.crossJoin(F.broadcast(n1)).agg(
+        F.max("n_rows").alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(r * F.col("cents")).alias("swx"),
+        F.sum(
+            F.when(
+                F.col("r")
+                > F.col("n_rows") - F.floor(F.col("n_rows") / 10),
+                F.col("cents"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("top_cents"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(sxd / 100, 2).alias("total_revenue"),
+        F.round(
+            (2.0 * F.col("swx").cast("double") - (nd + 1) * sxd) / (nd * sxd),
+            6,
+        ).alias("gini"),
+        F.round(F.col("top_cents").cast("double") / sxd, 6).alias(
+            "top_decile_share"
+        ),
+    )
+
+
+@_register(
+    "revenue_yoy_growth",
+    """
+    WITH rev AS (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS year,
+               ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT nation, year, revenue,
+           LAG(revenue) OVER (PARTITION BY nation ORDER BY year)
+               AS prev_revenue,
+           ROUND((revenue - LAG(revenue) OVER (PARTITION BY nation
+                                               ORDER BY year))
+                 / LAG(revenue) OVER (PARTITION BY nation ORDER BY year),
+                 6) + 0.0 AS yoy_growth
+    FROM rev
+    """,
+    "§2.11 time intelligence (year-over-year growth per group)",
+    "The standard time-intelligence shape: revenue per (nation, year) "
+    "with the prior-year comparison and relative growth via a lag "
+    "window — the YoY complement to the rolling (rolling_week_order_"
+    "value) and trend (user_value_trend) operators. Plan shape: two "
+    "broadcast dim joins onto the fact scan, one map-side-combinable "
+    "aggregate into |nations|x|years| cells, and the lag window runs "
+    "partitioned BY NATION over <=7-row partitions of that tiny cell "
+    "relation — the window never sees fact rows. Revenue sums in "
+    "exact DECIMAL before the one rounded cast. First year per nation "
+    "reports NULL growth on both engines.",
+)
+def q_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("year")
+    prev = F.lag("revenue").over(w)
+    return rev.select(
+        "nation",
+        "year",
+        "revenue",
+        prev.alias("prev_revenue"),
+        (F.round((F.col("revenue") - prev) / prev, 6) + F.lit(0.0)).alias(
+            "yoy_growth"
+        ),
+    )

@@ -1512,3 +1512,113 @@ def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vocab") / F.col("n_tokens").cast("double"), 6
         ).alias("type_token_ratio"),
     )
+
+
+@_register(
+    "zipf_law_fit",
+    f"""
+    WITH tc AS (
+        SELECT w, COUNT(*) AS c
+        FROM (
+            SELECT unnest({sql_tokens_pipeline('text')}) AS w
+            FROM documents
+        )
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+        FROM tc
+    ),
+    pts AS (
+        SELECT CAST(ROUND(LN(CAST(r AS DOUBLE)) * 1000000000) AS HUGEINT)
+                   AS x,
+               CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000000) AS HUGEINT)
+                   AS y
+        FROM ranked WHERE r <= 500
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE),
+                 6) + 0 AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                    / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                 / n / 1000000000.0, 6) + 0 AS zipf_intercept_ln,
+           ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                 * CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                 / (CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                    * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+                 6) + 0 AS r_squared
+    FROM agg
+    """,
+    "§2.11 corpus analytics (Zipf-law rank-frequency fit)",
+    "Zipf's law check: log-log OLS of term frequency against frequency "
+    "rank over the top-500 ranks — slope ~ -1 on natural language, and "
+    "deviations flag templated/synthetic corpora (the Heaps twin: that "
+    "one sizes the vocabulary, this one shapes it). Determinism "
+    "discipline is measure_correlation's: both log coordinates are "
+    "quantized to exact 1e-9 integers, the five sufficient statistics "
+    "sum EXACTLY (DECIMAL(38,0) / HUGEINT — order-independent under "
+    "any partitioning), and slope/intercept/R^2 evaluate in an "
+    "identical double expression on both engines (slope and R^2 are "
+    "scale-invariant in the quantized units; the intercept divides the "
+    "quantum back out once). The rank comes from the range-partitioned "
+    "two-phase global rank, not a single-partition window. At 100 TB "
+    "the only corpus-sized cost is the term-count groupBy; the fit "
+    "runs on 500 rows.",
+)
+def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._shared import ordered_dense_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(tokens_pipeline(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keyed = tc.withColumn(
+        "__k", F.struct((-F.col("c")).alias("nc"), F.col("w"))
+    )
+    ranked = ordered_dense_rank(keyed, "__k", rank_col="r")
+    q = 1_000_000_000
+    pts = ranked.filter(F.col("r") <= 500).select(
+        F.round(F.log(F.col("r").cast("double")) * q)
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * q)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dxx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dyy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / dxx
+    return agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
+        (
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("n")
+                / float(q),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("zipf_intercept_ln"),
+        (F.round(num * num / (dxx * dyy), 6) + F.lit(0.0)).alias("r_squared"),
+    )

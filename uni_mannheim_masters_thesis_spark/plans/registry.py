@@ -172,17 +172,16 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "markov_transitions", "distribution_drift_report", "rfm_segments",
     "market_basket_pairs", "chi_square_independence",
     "benford_digit_audit", "pmi_collocations", "heaps_vocab_growth",
-    "weighted_sample_aes",
+    "weighted_sample_aes", "zipf_law_fit", "gini_concentration",
+    "revenue_yoy_growth", "streaming_drift_monitor",
+    "seasonal_anomaly_report",
     # --- never-driver-hashed oracle rotations (round 9) --------------
     "acctbal_percentiles", "approx_distinct_sketch", "approx_quantile_sketch",
     "blocked_jw_linkage", "bpe_subword_counts", "cohort_retention",
     "column_profile", "csv_metrics_roundtrip", "custom_lexicon_tokens",
     "customers_without_orders", "dataset_split_manifest", "decile_bucketing",
     "dictionary_text_roundtrip", "document_jaccard_neardup", "document_packing",
-    "embedding_quantization", "events_asof_nearest", "events_hourly_gapfill",
-    "events_sessionization", "ewma_user_value",
-    "fold_assignment",
-    "iqr_outlier_fences",
+    "embedding_quantization", "events_hourly_gapfill",
     # (knn_classifier_vote ceded its slot to prefix_filter_neardup; its
     # operator M14 keeps driver evidence via the r1-r6-hashed
     # lsh_ann_neighbors)
@@ -206,12 +205,15 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # (funnel_conversion, grouped_trend_pandas, membership_classification,
     # nation_presence_intersect, orders_with_returns_exists,
     # segment_balance_unpivot, events_sliding_window,
-    # json_artifact_roundtrip and order_window_functions ceded their
-    # slots to the nine session-2 operators above; all nine are
+    # json_artifact_roundtrip, order_window_functions, ewma_user_value,
+    # fold_assignment, iqr_outlier_fences, events_asof_nearest and
+    # events_sessionization ceded their slots to the
+    # fourteen session-2 operators above; all fourteen rotations are
     # family-redundant — their operators keep driver evidence through
     # hashed siblings (user_value_trend, set-op suite, pivot twin,
-    # window suites, artifact_formats_roundtrip) — and defer to the
-    # round-10 rotation)
+    # window suites, artifact_formats_roundtrip, streaming_ewma_parity,
+    # stratified_fold_balance, approx-quantile family) — and defer to
+    # the round-10 rotation)
 })
 
 _COST_HINT: dict[str, float] = {
@@ -338,7 +340,9 @@ _COST_HINT: dict[str, float] = {
     "rfm_segments": 3.0, "market_basket_pairs": 1.9,
     "chi_square_independence": 0.8, "benford_digit_audit": 0.4,
     "pmi_collocations": 1.7, "heaps_vocab_growth": 1.5,
-    "weighted_sample_aes": 0.4,
+    "weighted_sample_aes": 0.4, "zipf_law_fit": 2.0,
+    "gini_concentration": 1.4, "revenue_yoy_growth": 1.3,
+    "streaming_drift_monitor": 3.5, "seasonal_anomaly_report": 1.5,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 9.0, "training_prep_manifest": 13.5,

@@ -158,3 +158,79 @@ def streaming_cms_counters(
     stream = event_stream(spark, sf_dir)
     counters = cms_counter_table(stream, "user_id")
     return drain(counters, "complete", name_prefix="cms_counters")
+
+
+def streaming_daily_drift(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bins: int = 20,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming drift monitor: per event-time DAY, the PSI of the
+    arriving click-value distribution against the static purchase
+    reference — the production shape of distribution_drift_report
+    (one fixed reference table, a stream of current data, one drift
+    number per window).
+
+    The stream maintains only (day-window, bin) counts — state is
+    bounded at windows x n_bins rows regardless of input volume; the
+    PSI arithmetic runs batch-side on the drained cell relation
+    (Laplace 0.5-smoothing, identical to the batch monitor). Bin
+    bounds come from a 1-row min/max aggregate over the static table
+    (a bounded driver pull, baked into the stream's bin expression as
+    plan literals).
+    """
+    from ..sources.testdata import load_table
+
+    ensure_engine_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pop = ev.filter(F.col("event_type").isin("purchase", "click"))
+    row = pop.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    lo, hi = float(row["lo"]), float(row["hi"])
+
+    def bin_col(c: F.Column) -> F.Column:
+        return F.least(
+            F.lit(n_bins - 1),
+            F.floor((c - F.lit(lo)) / F.lit(hi - lo) * n_bins).cast("int"),
+        )
+
+    ref = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(bin_col(F.col("value")).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    stream = event_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            bin_col(F.col("value")).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    cur = drain(agg, "complete", name_prefix="daily_drift").select(
+        F.unix_micros(F.col("w.start")).alias("day_start_us"), "b", "cb"
+    )
+    na = ref.agg(F.sum("ca").alias("na"))
+    nd = cur.groupBy("day_start_us").agg(F.sum("cb").alias("n_cur"))
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("b"))
+    grid = nd.crossJoin(F.broadcast(bins))
+    cells = (
+        grid.join(F.broadcast(ref), "b", "left")
+        .join(cur, ["day_start_us", "b"], "left")
+        .crossJoin(F.broadcast(na))
+        .select(
+            "day_start_us",
+            "n_cur",
+            ((F.coalesce(F.col("ca"), F.lit(0)) + 0.5) / (F.col("na") + n_bins * 0.5)).alias("pa"),
+            ((F.coalesce(F.col("cb"), F.lit(0)) + 0.5) / (F.col("n_cur") + n_bins * 0.5)).alias("pb"),
+        )
+    )
+    return cells.groupBy("day_start_us").agg(
+        F.max("n_cur").cast("long").alias("n_cur"),
+        F.round(
+            F.sum((F.col("pb") - F.col("pa")) * F.log(F.col("pb") / F.col("pa"))),
+            6,
+        ).alias("psi"),
+    )
