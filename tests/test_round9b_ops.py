@@ -350,3 +350,53 @@ def test_seasonal_anomaly_flags_injected_spike(spark, tmp_path):
     rows = REGISTRY["seasonal_anomaly_report"].fn(spark, str(tmp_path)).collect()
     spiked_purchase = [r for r in rows if r.event_type == "purchase"][0]
     assert spiked_purchase.n_anomalies >= max(1, base_anoms.get("purchase", 0))
+
+
+# -- winsorized_stats ---------------------------------------------------------
+
+def test_winsorized_std_not_above_raw_std(spark):
+    rows = _run(spark, "winsorized_stats").collect()
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    import statistics
+
+    raw = {}
+    for r in cust.select("c_mktsegment", "c_acctbal").collect():
+        raw.setdefault(r.c_mktsegment, []).append(r.c_acctbal)
+    for r in rows:
+        vals = raw[r.segment]
+        assert r.n_rows == len(vals)
+        assert r.n_clipped_lo + r.n_clipped_hi <= len(vals)
+        if len(vals) > 1:
+            assert r.w_std <= statistics.stdev(vals) + 1e-6
+            assert min(vals) - 1e-6 <= r.w_mean <= max(vals) + 1e-6
+
+
+# -- conversion_lag_percentiles -----------------------------------------------
+
+def test_conversion_lag_ordering_and_bounds(spark):
+    r = _run(spark, "conversion_lag_percentiles").collect()[0]
+    assert r.n_converted > 0
+    assert 0 < r.p50_sec <= r.p90_sec <= r.max_sec
+    assert 0 < r.mean_sec <= r.max_sec
+
+
+def test_conversion_lag_matches_manual(spark):
+    r = _run(spark, "conversion_lag_percentiles").collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    first_view: dict[int, int] = {}
+    for e in sorted(ev, key=lambda e: e.ts):
+        if e.event_type == "view" and e.user_id not in first_view:
+            first_view[e.user_id] = e.ts
+    lags = {}
+    for e in sorted(ev, key=lambda e: e.ts):
+        if (
+            e.event_type == "purchase"
+            and e.user_id in first_view
+            and e.ts > first_view[e.user_id]
+            and e.user_id not in lags
+        ):
+            lags[e.user_id] = (
+                e.ts - first_view[e.user_id]
+            ).total_seconds()
+    assert r.n_converted == len(lags)
+    assert abs(r.max_sec - max(lags.values())) < 0.01

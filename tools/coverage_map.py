@@ -726,6 +726,18 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                      "integer sufficient statistics, IEEE-exact z "
                      "(no transcendentals); hash-exact",
                      ["seasonal_anomaly_report"]),
+    "X-clean-winsorize": ("plans.q_relational:q_winsorized_stats  # "
+                          "winsorized mean/std per group: exact p01/"
+                          "p99 fences (6-decimal rounded on both "
+                          "engines), DECIMAL micro-unit sufficient "
+                          "statistics; hash-exact",
+                          ["winsorized_stats"]),
+    "X-event-conversion-lag": ("plans.q_events:q_conversion_lag  # "
+                               "first-view to first-purchase lag "
+                               "distribution: integer-micro lags, "
+                               "exact interpolated p50/p90; "
+                               "hash-exact",
+                               ["conversion_lag_percentiles"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

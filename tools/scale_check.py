@@ -200,6 +200,8 @@ _QUERIES = [
     "revenue_yoy_growth",
     "streaming_drift_monitor",
     "seasonal_anomaly_report",
+    "winsorized_stats",
+    "conversion_lag_percentiles",
 ]
 
 

@@ -1979,3 +1979,77 @@ def q_seasonal_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.abs("z") > 3.0).cast("long")).alias("n_anomalies"),
         F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
     )
+
+
+@_register(
+    "conversion_lag_percentiles",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS v_us
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.v_us
+        GROUP BY 1
+    ),
+    lags AS (
+        SELECT p.p_us - v.v_us AS lag_us
+        FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT COUNT(*) AS n_converted,
+           ROUND(quantile_cont(lag_us, 0.5) / 1000000.0, 2) AS p50_sec,
+           ROUND(quantile_cont(lag_us, 0.9) / 1000000.0, 2) AS p90_sec,
+           ROUND(CAST(SUM(lag_us) AS DOUBLE) / COUNT(*) / 1000000.0, 2)
+               AS mean_sec,
+           ROUND(MAX(lag_us) / 1000000.0, 2) AS max_sec
+    FROM lags
+    """,
+    "§2.11 event analytics (conversion-lag distribution)",
+    "Time-to-convert: for every user, the lag from their FIRST view to "
+    "their first purchase strictly after it, summarized as exact "
+    "interpolated p50/p90 (Spark percentile ≡ DuckDB quantile_cont on "
+    "integer microsecond lags — the acctbal_percentiles parity), an "
+    "exact-integer mean, and the max — the duration complement to "
+    "funnel_conversion's step counts. Plan shape: two conditional "
+    "per-user min-aggregates on the SAME user_id exchange (first view; "
+    "first qualifying purchase via one equi-join + filter), then a "
+    "single global aggregate over the per-user lag relation. Lags stay "
+    "integer micros end-to-end; only the four final summaries divide "
+    "to seconds. At 100 TB the exact global percentile over one value "
+    "per converted user is driver-safe by construction (users, not "
+    "events); approx_quantile_sketch remains the registered "
+    "unbounded-cardinality path.",
+)
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"), F.min("v_us").alias("v_us2"))
+    )
+    lags = p.select((F.col("p_us") - F.col("v_us2")).alias("lag_us"))
+    n = F.count(F.lit(1))
+    return lags.agg(
+        n.alias("n_converted"),
+        F.round(F.expr("percentile(lag_us, 0.5)") / 1000000.0, 2).alias(
+            "p50_sec"
+        ),
+        F.round(F.expr("percentile(lag_us, 0.9)") / 1000000.0, 2).alias(
+            "p90_sec"
+        ),
+        F.round(
+            F.sum("lag_us").cast("double") / n / 1000000.0, 2
+        ).alias("mean_sec"),
+        F.round(F.max("lag_us") / 1000000.0, 2).alias("max_sec"),
+    )

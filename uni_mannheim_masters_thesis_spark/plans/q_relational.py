@@ -2540,3 +2540,79 @@ def q_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_growth"
         ),
     )
+
+
+@_register(
+    "winsorized_stats",
+    """
+    WITH q AS (
+        SELECT c_mktsegment,
+               ROUND(quantile_cont(c_acctbal, 0.01), 6) AS lo,
+               ROUND(quantile_cont(c_acctbal, 0.99), 6) AS hi
+        FROM customer GROUP BY 1
+    ),
+    clipped AS (
+        SELECT c.c_mktsegment,
+               CAST(CAST(LEAST(GREATEST(c.c_acctbal, q.lo), q.hi)
+                         AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS m,
+               CAST(c.c_acctbal < q.lo AS INT) AS clip_lo,
+               CAST(c.c_acctbal > q.hi AS INT) AS clip_hi
+        FROM customer c JOIN q ON c.c_mktsegment = q.c_mktsegment
+    )
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(clip_lo) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(clip_hi) AS BIGINT) AS n_clipped_hi,
+           ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+               AS w_mean,
+           ROUND(SQRT(CAST(COUNT(*) * SUM(m * m) - SUM(m) * SUM(m)
+                           AS DOUBLE)
+                      / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1)))
+                 / 1000000.0, 6) AS w_std
+    FROM clipped GROUP BY 1
+    """,
+    "§2.11 data cleaning (winsorized moments per group)",
+    "Winsorized mean/std per segment: exact interpolated p01/p99 "
+    "(Spark percentile ≡ DuckDB quantile_cont, rounded to 6 decimals "
+    "on both engines before clipping so no last-ulp fence flip — the "
+    "iqr_outlier_fences discipline), values clipped to the fences, "
+    "and the moments computed from EXACT integer micro-unit "
+    "sufficient statistics (DECIMAL(18,6) quantization is per-value "
+    "deterministic; DECIMAL(38,0)/HUGEINT sums are order-independent) "
+    "with one identical double expression per moment — the robust "
+    "replacement for outlier-dropping when row counts must be "
+    "preserved. Plan: one exact-percentile pass, then the 5-row fence "
+    "table broadcasts back onto the scan; approx_quantile_sketch is "
+    "the registered 100 TB fence path.",
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    q = cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.01)"), 6).alias("lo"),
+        F.round(F.expr("percentile(c_acctbal, 0.99)"), 6).alias("hi"),
+    )
+    clip = F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi"))
+    m = (clip.cast("decimal(18,6)") * 1000000).cast("decimal(38,0)")
+    clipped = cust.join(F.broadcast(q), "c_mktsegment").select(
+        "c_mktsegment",
+        m.alias("m"),
+        (F.col("c_acctbal") < F.col("lo")).cast("int").alias("clip_lo"),
+        (F.col("c_acctbal") > F.col("hi")).cast("int").alias("clip_hi"),
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("m")
+    ss = F.sum(F.col("m") * F.col("m"))
+    return clipped.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        n.alias("n_rows"),
+        F.sum("clip_lo").cast("long").alias("n_clipped_lo"),
+        F.sum("clip_hi").cast("long").alias("n_clipped_hi"),
+        F.round(s.cast("double") / n / 1000000.0, 6).alias("w_mean"),
+        F.round(
+            F.sqrt(
+                (n.cast("decimal(38,0)") * ss - s * s).cast("double")
+                / (n.cast("double") * (n - 1))
+            )
+            / 1000000.0,
+            6,
+        ).alias("w_std"),
+    )

@@ -174,14 +174,15 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "benford_digit_audit", "pmi_collocations", "heaps_vocab_growth",
     "weighted_sample_aes", "zipf_law_fit", "gini_concentration",
     "revenue_yoy_growth", "streaming_drift_monitor",
-    "seasonal_anomaly_report",
+    "seasonal_anomaly_report", "winsorized_stats",
+    "conversion_lag_percentiles",
     # --- never-driver-hashed oracle rotations (round 9) --------------
-    "acctbal_percentiles", "approx_distinct_sketch", "approx_quantile_sketch",
+    "approx_distinct_sketch", "approx_quantile_sketch",
     "blocked_jw_linkage", "bpe_subword_counts", "cohort_retention",
     "column_profile", "csv_metrics_roundtrip", "custom_lexicon_tokens",
     "customers_without_orders", "dataset_split_manifest", "decile_bucketing",
     "dictionary_text_roundtrip", "document_jaccard_neardup", "document_packing",
-    "embedding_quantization", "events_hourly_gapfill",
+    "embedding_quantization",
     # (knn_classifier_vote ceded its slot to prefix_filter_neardup; its
     # operator M14 keeps driver evidence via the r1-r6-hashed
     # lsh_ann_neighbors)
@@ -206,9 +207,10 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # nation_presence_intersect, orders_with_returns_exists,
     # segment_balance_unpivot, events_sliding_window,
     # json_artifact_roundtrip, order_window_functions, ewma_user_value,
-    # fold_assignment, iqr_outlier_fences, events_asof_nearest and
-    # events_sessionization ceded their slots to the
-    # fourteen session-2 operators above; all fourteen rotations are
+    # fold_assignment, iqr_outlier_fences, events_asof_nearest,
+    # events_sessionization, acctbal_percentiles and
+    # events_hourly_gapfill ceded their slots to the
+    # sixteen session-2 operators above; all sixteen rotations are
     # family-redundant — their operators keep driver evidence through
     # hashed siblings (user_value_trend, set-op suite, pivot twin,
     # window suites, artifact_formats_roundtrip, streaming_ewma_parity,
@@ -343,6 +345,7 @@ _COST_HINT: dict[str, float] = {
     "weighted_sample_aes": 0.4, "zipf_law_fit": 2.0,
     "gini_concentration": 1.4, "revenue_yoy_growth": 1.3,
     "streaming_drift_monitor": 3.5, "seasonal_anomaly_report": 1.5,
+    "winsorized_stats": 0.7, "conversion_lag_percentiles": 0.9,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 9.0, "training_prep_manifest": 13.5,
