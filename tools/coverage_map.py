@@ -738,6 +738,19 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                                "exact interpolated p50/p90; "
                                "hash-exact",
                                ["conversion_lag_percentiles"]),
+    "X-stats-bootstrap": ("plans.q_events:q_bootstrap_mean_ci  # "
+                          "Poisson(1) bootstrap CI (Chamandy et al. "
+                          "2012): map-side per-replicate weights from "
+                          "content-stable md5 uniforms, micro-unit "
+                          "integer replicate sums, exact percentile "
+                          "CI over B means; hash-exact",
+                          ["bootstrap_mean_ci"]),
+    "X-retrieval-metrics": ("plans.q_text:q_retrieval_metrics  # "
+                            "nDCG@10 / MRR / P@10 per query term over "
+                            "the BM25-scored match lists (9-decimal "
+                            "score rounding + doc_id tiebreak before "
+                            "ranking); hash-exact",
+                            ["retrieval_metrics_ndcg"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -202,6 +202,8 @@ _QUERIES = [
     "seasonal_anomaly_report",
     "winsorized_stats",
     "conversion_lag_percentiles",
+    "bootstrap_mean_ci",
+    "retrieval_metrics_ndcg",
 ]
 
 

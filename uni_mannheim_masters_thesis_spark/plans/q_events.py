@@ -2053,3 +2053,151 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_sec"),
         F.round(F.max("lag_us") / 1000000.0, 2).alias("max_sec"),
     )
+
+
+_BOOT_B = 100
+# Poisson(1) inverse-CDF thresholds on a 6-digit uniform: P(X<=k) for
+# k=0..5; draws past the last threshold clamp to 6 (P ~ 8e-5). The SAME
+# literal ladder evaluates in both engines, so the weight field is
+# deterministic given (replicate, event_id).
+_POIS_CDF = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406)
+
+
+def _poisson_weight(u: "F.Column") -> "F.Column":
+    w = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def _sql_poisson_weight(u_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_expr} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@_register(
+    "bootstrap_mean_ci",
+    f"""
+    WITH base AS (
+        SELECT event_type,
+               ('0x' || SUBSTRING(md5('bs42_' || CAST(event_id AS VARCHAR)),
+                                  1, 15))::BIGINT % 2147483647 AS h,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+                   AS v6
+        FROM events
+    ),
+    pt AS (
+        SELECT event_type, COUNT(*) AS n_rows,
+               ROUND(CAST(SUM(v6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+                   AS mean_value
+        FROM base GROUP BY 1
+    ),
+    rep AS (
+        SELECT base.event_type, t.b,
+               {_sql_poisson_weight(
+                   "(((base.h * (t.b + 12345)) % 2147483647) % 1000000"
+                   " + 0.5) / 1000000.0")} AS w,
+               base.v6
+        FROM base, range(0, {_BOOT_B}) t(b)
+    ),
+    means AS (
+        SELECT event_type, b,
+               CAST(SUM(w * v6) AS DOUBLE) / SUM(w) / 1000000.0 AS m
+        FROM rep GROUP BY 1, 2 HAVING SUM(w) > 0
+    )
+    SELECT pt.event_type, pt.n_rows, pt.mean_value,
+           ROUND(quantile_cont(means.m, 0.025), 6) AS boot_lo,
+           ROUND(quantile_cont(means.m, 0.975), 6) AS boot_hi
+    FROM means JOIN pt USING (event_type)
+    GROUP BY pt.event_type, pt.n_rows, pt.mean_value
+    """,
+    "§2.11 statistics (Poisson-bootstrap confidence intervals)",
+    f"Distributed bootstrap: a 95% CI on each event type's mean value "
+    f"from {_BOOT_B} Poisson(1) resamples — the scale-standard "
+    "replacement for multinomial resampling (each row draws an "
+    "independent Poisson weight per replicate, so resampling is a "
+    "MAP-SIDE expression over one pass of the data instead of B "
+    "shuffled samples; Chamandy et al., 'Estimating Uncertainty for "
+    "Massive Data Streams', Google 2012). Determinism: each row is "
+    "md5-hashed ONCE (content-stable, seeded, no rand()); the B "
+    "replicate uniforms derive from that hash by exact multiplicative "
+    "integer mixing mod 2^31-1 — identical integer arithmetic on both "
+    "engines and ~100x cheaper than a per-(row, replicate) md5, which "
+    "is what the per-replicate weight ladder actually costs at scale; "
+    "values quantize to exact integer micro-units so every replicate "
+    "sum is order-independent; the CI is the exact interpolated "
+    "2.5/97.5 percentile over the B replicate means. Plan shape: the "
+    f"{_BOOT_B}x fan-out is an in-row explode whose groupBy folds "
+    "map-side into types x B cells — shuffle is B x |types| longs, "
+    "never the fanned rows. At 100 TB the same plan holds: one scan, "
+    "bounded cells.",
+)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bs42_"), F.col("event_id").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2147483647
+        ).alias("h"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("decimal(38,0)")
+        .alias("v6"),
+    )
+    pt = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum("v6").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("mean_value"),
+    )
+    u = (
+        ((F.col("h") * (F.col("b") + 12345)) % 2147483647) % 1000000 + 0.5
+    ) / 1000000.0
+    rep = base.select(
+        "event_type",
+        "h",
+        "v6",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).select(
+        "event_type",
+        "b",
+        _poisson_weight(u).cast("decimal(38,0)").alias("w"),
+        "v6",
+    )
+    means = (
+        rep.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("v6")).alias("swv"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            (
+                F.col("swv").cast("double")
+                / F.col("sw").cast("double")
+                / 1000000.0
+            ).alias("m"),
+        )
+    )
+    ci = means.groupBy("event_type").agg(
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("boot_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("boot_hi"),
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type", "n_rows", "mean_value", "boot_lo", "boot_hi"
+    )

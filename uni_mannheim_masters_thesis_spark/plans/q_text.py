@@ -17,6 +17,7 @@ from ._shared import (
     STOPWORDS,
     SparkSession,
     TS,
+    Window,
     _register,
     _t,
     clean_string,
@@ -1621,4 +1622,154 @@ def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("zipf_intercept_ln"),
         (F.round(num * num / (dxx * dyy), 6) + F.lit(0.0)).alias("r_squared"),
+    )
+
+
+_IR_TERMS = ("spark", "query", "merge")
+
+
+@_register(
+    "retrieval_metrics_ndcg",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {sql_simple_tokens('text')} AS tk FROM documents
+    ),
+    dl AS (SELECT doc_id, len(tk) AS dl FROM tok),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
+                   AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, t.tok AS term, COUNT(*) AS tf
+        FROM tok, UNNEST(tk) AS t(tok)
+        WHERE t.tok IN {tuple(_IR_TERMS)!r}
+        GROUP BY doc_id, t.tok
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.term, tf.doc_id, tf.tf,
+               ROUND(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+                   9) AS s
+        FROM tf JOIN df USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    ),
+    ranked AS (
+        SELECT term, doc_id, tf, s,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY s DESC, doc_id) AS r,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY tf DESC, doc_id) AS ir
+        FROM scored
+    )
+    SELECT term,
+           COUNT(*) AS n_matched,
+           ROUND(SUM(CASE WHEN r <= 10
+                          THEN tf / (LN(r + 1.0) / LN(2.0)) ELSE 0 END)
+                 / SUM(CASE WHEN ir <= 10
+                            THEN tf / (LN(ir + 1.0) / LN(2.0)) ELSE 0 END),
+                 6) AS ndcg10,
+           ROUND(COALESCE(1.0 / MIN(CASE WHEN tf >= 2 THEN r END), 0.0), 6)
+               AS mrr,
+           ROUND(SUM(CASE WHEN r <= 10 AND tf >= 2 THEN 1 ELSE 0 END)
+                 / 10.0, 6) AS p_at_10
+    FROM ranked GROUP BY term
+    """,
+    "§2.11 retrieval evaluation (nDCG@10 / MRR / P@10 per query)",
+    "Ranking-quality metrics for the BM25 retrieval arm: per query "
+    "term, nDCG@10 with graded gains (gain = raw term frequency; ideal "
+    "ranking = gain order), reciprocal rank of the first highly-"
+    "relevant hit (tf >= 2), and precision@10 — the evaluation "
+    "operators a retrieval pipeline runs next to the index build "
+    "(inverted_index_postings) and ranker (bm25_retrieval, same "
+    "Lucene-variant scoring formula and constants). Determinism: "
+    "scores round to 9 decimals before ranking with a doc_id "
+    "tiebreak, so both engines rank identically; log2 discounts are "
+    "ln ratios in one shared expression. Plan shape: the query-term "
+    "filter prunes the explode BEFORE any shuffle; both rank windows "
+    "partition BY TERM over the matched postings only; every "
+    "downstream aggregate is per-term. At 100 TB per-query match "
+    "lists are top-k-pruned first (takeOrdered per term) — the "
+    "metric arithmetic itself is rank-bounded.",
+)
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokenize(F.col("text")).alias("tk"))
+    dl = tok.select("doc_id", F.size("tk").alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("dl").cast("decimal(18,0)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avgdl"),
+        )
+    )
+    tf = (
+        tok.select("doc_id", F.explode("tk").alias("term"))
+        .where(F.col("term").isin(*_IR_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = F.broadcast(tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    scored = (
+        tf.join(df_t, "term")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                9,
+            ).alias("s"),
+        )
+    )
+    wr = Window.partitionBy("term").orderBy(F.desc("s"), "doc_id")
+    wi = Window.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
+    ranked = scored.select(
+        "term",
+        "tf",
+        F.row_number().over(wr).alias("r"),
+        F.row_number().over(wi).alias("ir"),
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    dcg = F.sum(
+        F.when(F.col("r") <= 10, F.col("tf") / log2(F.col("r") + 1.0)).otherwise(
+            0.0
+        )
+    )
+    idcg = F.sum(
+        F.when(
+            F.col("ir") <= 10, F.col("tf") / log2(F.col("ir") + 1.0)
+        ).otherwise(0.0)
+    )
+    first_rel = F.min(F.when(F.col("tf") >= 2, F.col("r")))
+    return ranked.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.round(dcg / idcg, 6).alias("ndcg10"),
+        F.round(F.coalesce(1.0 / first_rel, F.lit(0.0)), 6).alias("mrr"),
+        F.round(
+            F.sum(
+                ((F.col("r") <= 10) & (F.col("tf") >= 2)).cast("int")
+            )
+            / 10.0,
+            6,
+        ).alias("p_at_10"),
     )

@@ -175,11 +175,12 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "weighted_sample_aes", "zipf_law_fit", "gini_concentration",
     "revenue_yoy_growth", "streaming_drift_monitor",
     "seasonal_anomaly_report", "winsorized_stats",
-    "conversion_lag_percentiles",
+    "conversion_lag_percentiles", "bootstrap_mean_ci",
+    "retrieval_metrics_ndcg",
     # --- never-driver-hashed oracle rotations (round 9) --------------
-    "approx_distinct_sketch", "approx_quantile_sketch",
+    "approx_distinct_sketch",
     "blocked_jw_linkage", "bpe_subword_counts", "cohort_retention",
-    "column_profile", "csv_metrics_roundtrip", "custom_lexicon_tokens",
+    "column_profile", "csv_metrics_roundtrip",
     "customers_without_orders", "dataset_split_manifest", "decile_bucketing",
     "dictionary_text_roundtrip", "document_jaccard_neardup", "document_packing",
     "embedding_quantization",
@@ -208,9 +209,10 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # segment_balance_unpivot, events_sliding_window,
     # json_artifact_roundtrip, order_window_functions, ewma_user_value,
     # fold_assignment, iqr_outlier_fences, events_asof_nearest,
-    # events_sessionization, acctbal_percentiles and
-    # events_hourly_gapfill ceded their slots to the
-    # sixteen session-2 operators above; all sixteen rotations are
+    # events_sessionization, acctbal_percentiles,
+    # events_hourly_gapfill, approx_quantile_sketch and
+    # custom_lexicon_tokens ceded their slots to the
+    # eighteen session-2 operators above; all eighteen rotations are
     # family-redundant — their operators keep driver evidence through
     # hashed siblings (user_value_trend, set-op suite, pivot twin,
     # window suites, artifact_formats_roundtrip, streaming_ewma_parity,
@@ -346,6 +348,7 @@ _COST_HINT: dict[str, float] = {
     "gini_concentration": 1.4, "revenue_yoy_growth": 1.3,
     "streaming_drift_monitor": 3.5, "seasonal_anomaly_report": 1.5,
     "winsorized_stats": 0.7, "conversion_lag_percentiles": 0.9,
+    "bootstrap_mean_ci": 3.0, "retrieval_metrics_ndcg": 1.2,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 9.0, "training_prep_manifest": 13.5,
