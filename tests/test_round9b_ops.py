@@ -457,3 +457,21 @@ def test_ndcg_is_one_when_ranking_matches_gain_order(spark):
     idcg = sum(g / math.log2(i + 2) for i, g in enumerate(gains))
     assert idcg > 0
     assert rows["spark"].ndcg10 <= 1.0 + 1e-9
+
+
+# -- ab_test_welch ------------------------------------------------------------
+
+def test_welch_matches_textbook_formula(spark):
+    import statistics
+
+    r = _run(spark, "ab_test_welch").collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    a = [e.value for e in ev if e.event_type == "purchase"]
+    b = [e.value for e in ev if e.event_type == "click"]
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    va, vb = statistics.variance(a), statistics.variance(b)
+    ma, mb = statistics.fmean(a), statistics.fmean(b)
+    t = (ma - mb) / (va / len(a) + vb / len(b)) ** 0.5
+    assert abs(r.mean_diff - (ma - mb)) < 1e-4
+    assert abs(r.t_stat - t) < 1e-3
+    assert r.welch_dof > min(len(a), len(b)) / 2  # sane dof magnitude

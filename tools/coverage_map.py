@@ -751,6 +751,12 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                             "score rounding + doc_id tiebreak before "
                             "ranking); hash-exact",
                             ["retrieval_metrics_ndcg"]),
+    "X-stats-ab-test": ("plans.q_events:q_ab_test_welch  # Welch "
+                        "two-sample t + Welch-Satterthwaite dof + "
+                        "Cohen's d from exact micro-unit integer "
+                        "sufficient statistics, one aggregate pass; "
+                        "hash-exact",
+                        ["ab_test_welch"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

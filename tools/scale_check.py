@@ -204,6 +204,7 @@ _QUERIES = [
     "conversion_lag_percentiles",
     "bootstrap_mean_ci",
     "retrieval_metrics_ndcg",
+    "ab_test_welch",
 ]
 
 

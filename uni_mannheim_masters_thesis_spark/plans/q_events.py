@@ -2201,3 +2201,106 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pt.join(ci, "event_type").select(
         "event_type", "n_rows", "mean_value", "boot_lo", "boot_hi"
     )
+
+
+@_register(
+    "ab_test_welch",
+    """
+    WITH base AS (
+        SELECT CAST(event_type = 'purchase' AS INT) AS is_a,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+                   AS m
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    g AS (
+        SELECT is_a, COUNT(*) AS n, SUM(m) AS s, SUM(m * m) AS ss
+        FROM base GROUP BY 1
+    ),
+    w AS (
+        SELECT a.n AS na, b.n AS nb,
+               CAST(a.s AS DOUBLE) / a.n AS ma,
+               CAST(b.s AS DOUBLE) / b.n AS mb,
+               CAST(a.n * a.ss - a.s * a.s AS DOUBLE)
+                   / (CAST(a.n AS DOUBLE) * (a.n - 1)) AS va,
+               CAST(b.n * b.ss - b.s * b.s AS DOUBLE)
+                   / (CAST(b.n AS DOUBLE) * (b.n - 1)) AS vb
+        FROM (SELECT * FROM g WHERE is_a = 1) a,
+             (SELECT * FROM g WHERE is_a = 0) b
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND((ma - mb) / 1000000.0, 6) AS mean_diff,
+           ROUND((ma - mb) / SQRT(va / na + vb / nb), 6) + 0 AS t_stat,
+           ROUND((va / na + vb / nb) * (va / na + vb / nb)
+                 / ((va / na) * (va / na) / (na - 1)
+                    + (vb / nb) * (vb / nb) / (nb - 1)), 4) AS welch_dof,
+           ROUND((ma - mb) / SQRT(((na - 1) * va + (nb - 1) * vb)
+                                  / (na + nb - 2)), 6) + 0 AS cohens_d
+    FROM w
+    """,
+    "§2.11 statistics (Welch two-sample t-test + effect size)",
+    "A/B comparison of the purchase vs click value distributions: "
+    "Welch's unequal-variance t statistic, the Welch-Satterthwaite "
+    "degrees of freedom, and Cohen's d — the continuous-outcome "
+    "complement to chi_square_independence's categorical test. "
+    "Determinism: values quantize to exact integer micro-units, the "
+    "per-arm sufficient statistics (n, sum, sum-of-squares) are exact "
+    "DECIMAL(38,0)/HUGEINT sums, and every output evaluates in one "
+    "identical expression of +-*/ and sqrt (IEEE-exact, no "
+    "transcendentals) — the t statistic is scale-invariant in the "
+    "quantized units, the mean difference divides the quantum out "
+    "once. Plan: ONE map-side-combinable aggregate into two cells; "
+    "everything downstream is driver-scale. At 100 TB this is a "
+    "single scan.",
+)
+def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        (F.col("event_type") == "purchase").cast("int").alias("is_a"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("decimal(38,0)")
+        .alias("m"),
+    )
+    g = base.groupBy("is_a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("s"),
+        F.sum(F.col("m") * F.col("m")).alias("ss"),
+    )
+    a = g.filter(F.col("is_a") == 1).select(
+        F.col("n").alias("na_"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
+    )
+    b = g.filter(F.col("is_a") == 0).select(
+        F.col("n").alias("nb_"), F.col("s").alias("sb"), F.col("ss").alias("ssb")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    ma = F.col("sa").cast("double") / F.col("na_")
+    mb = F.col("sb").cast("double") / F.col("nb_")
+    va = (F.col("na_") * F.col("ssa") - F.col("sa") * F.col("sa")).cast(
+        "double"
+    ) / (F.col("na_").cast("double") * (F.col("na_") - 1))
+    vb = (F.col("nb_") * F.col("ssb") - F.col("sb") * F.col("sb")).cast(
+        "double"
+    ) / (F.col("nb_").cast("double") * (F.col("nb_") - 1))
+    sea = va / F.col("na_")
+    seb = vb / F.col("nb_")
+    pooled = (
+        (F.col("na_") - 1) * va + (F.col("nb_") - 1) * vb
+    ) / (F.col("na_") + F.col("nb_") - 2)
+    return w.select(
+        F.col("na_").cast("long").alias("n_a"),
+        F.col("nb_").cast("long").alias("n_b"),
+        F.round((ma - mb) / 1000000.0, 6).alias("mean_diff"),
+        (F.round((ma - mb) / F.sqrt(sea + seb), 6) + F.lit(0.0)).alias(
+            "t_stat"
+        ),
+        F.round(
+            (sea + seb) * (sea + seb)
+            / (
+                sea * sea / (F.col("na_") - 1)
+                + seb * seb / (F.col("nb_") - 1)
+            ),
+            4,
+        ).alias("welch_dof"),
+        (F.round((ma - mb) / F.sqrt(pooled), 6) + F.lit(0.0)).alias(
+            "cohens_d"
+        ),
+    )

@@ -176,9 +176,8 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "revenue_yoy_growth", "streaming_drift_monitor",
     "seasonal_anomaly_report", "winsorized_stats",
     "conversion_lag_percentiles", "bootstrap_mean_ci",
-    "retrieval_metrics_ndcg",
+    "retrieval_metrics_ndcg", "ab_test_welch",
     # --- never-driver-hashed oracle rotations (round 9) --------------
-    "approx_distinct_sketch",
     "blocked_jw_linkage", "bpe_subword_counts", "cohort_retention",
     "column_profile", "csv_metrics_roundtrip",
     "customers_without_orders", "dataset_split_manifest", "decile_bucketing",
@@ -210,9 +209,11 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # json_artifact_roundtrip, order_window_functions, ewma_user_value,
     # fold_assignment, iqr_outlier_fences, events_asof_nearest,
     # events_sessionization, acctbal_percentiles,
-    # events_hourly_gapfill, approx_quantile_sketch and
-    # custom_lexicon_tokens ceded their slots to the
-    # eighteen session-2 operators above; all eighteen rotations are
+    # events_hourly_gapfill, approx_quantile_sketch,
+    # custom_lexicon_tokens and approx_distinct_sketch ceded their
+    # slots to the nineteen session-2 operators above (the sketch
+    # family keeps heavy_hitters_sketch hashed and both approx
+    # sketches verified in the full walk); all nineteen rotations are
     # family-redundant — their operators keep driver evidence through
     # hashed siblings (user_value_trend, set-op suite, pivot twin,
     # window suites, artifact_formats_roundtrip, streaming_ewma_parity,
@@ -349,6 +350,7 @@ _COST_HINT: dict[str, float] = {
     "streaming_drift_monitor": 3.5, "seasonal_anomaly_report": 1.5,
     "winsorized_stats": 0.7, "conversion_lag_percentiles": 0.9,
     "bootstrap_mean_ci": 3.0, "retrieval_metrics_ndcg": 1.2,
+    "ab_test_welch": 0.6,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 9.0, "training_prep_manifest": 13.5,
