@@ -475,3 +475,40 @@ def test_welch_matches_textbook_formula(spark):
     assert abs(r.mean_diff - (ma - mb)) < 1e-4
     assert abs(r.t_stat - t) < 1e-3
     assert r.welch_dof > min(len(a), len(b)) / 2  # sane dof magnitude
+
+
+# -- label_centroid_similarity ------------------------------------------------
+
+def test_centroid_cosine_matches_numpy(spark):
+    import numpy as np
+
+    rows = _run(spark, "label_centroid_similarity").collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    by_label: dict[int, list] = {}
+    for e in emb:
+        by_label.setdefault(e.label, []).append(np.array(e.embedding))
+    cents = {l: np.mean(v, axis=0) for l, v in by_label.items()}
+    n_labels = len(cents)
+    assert len(rows) == n_labels * (n_labels - 1) // 2
+    for r in rows:
+        assert r.label_a < r.label_b
+        a, b = cents[r.label_a], cents[r.label_b]
+        ref = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.centroid_cosine - ref) < 1e-4  # 1e-7 quantization
+        assert -1.0 - 1e-9 <= r.centroid_cosine <= 1.0 + 1e-9
+
+
+# -- share_of_parent_rollup ---------------------------------------------------
+
+def test_share_of_parent_sums_to_one(spark):
+    rows = _run(spark, "share_of_parent_rollup").collect()
+    by_region: dict[str, list] = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r)
+    region_pcts = {}
+    for region, rs in by_region.items():
+        assert abs(sum(r.pct_of_region for r in rs) - 1.0) < 1e-3
+        assert len({r.region_revenue for r in rs}) == 1
+        assert abs(sum(x.revenue for x in rs) - rs[0].region_revenue) < 0.1
+        region_pcts[region] = rs[0].region_pct_of_total
+    assert abs(sum(region_pcts.values()) - 1.0) < 1e-3

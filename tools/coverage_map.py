@@ -757,6 +757,16 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                         "sufficient statistics, one aggregate pass; "
                         "hash-exact",
                         ["ab_test_welch"]),
+    "X-sim-centroids": ("plans.q_similarity:q_label_centroid_similarity"
+                        "  # exact pairwise label-centroid cosine: 1/n "
+                        "cancels, so integer 1e-7-quantized SUM vectors "
+                        "stay exact until one divide+sqrt; hash-exact",
+                        ["label_centroid_similarity"]),
+    "X-olap-share-of-parent": ("plans.q_relational:q_share_of_parent  # "
+                               "nation-in-region / region-in-total "
+                               "contribution shares, DECIMAL-exact "
+                               "cells, window over 25 rows; hash-exact",
+                               ["share_of_parent_rollup"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -205,6 +205,8 @@ _QUERIES = [
     "bootstrap_mean_ci",
     "retrieval_metrics_ndcg",
     "ab_test_welch",
+    "label_centroid_similarity",
+    "share_of_parent_rollup",
 ]
 
 

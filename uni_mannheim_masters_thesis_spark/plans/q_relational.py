@@ -2616,3 +2616,73 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("w_std"),
     )
+
+
+@_register(
+    "share_of_parent_rollup",
+    """
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rd
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(rd) AS grand FROM rev)
+    SELECT region, nation,
+           ROUND(CAST(rd AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(SUM(rd) OVER (PARTITION BY region) AS DOUBLE), 2)
+               AS region_revenue,
+           ROUND(CAST(rd AS DOUBLE)
+                 / CAST(SUM(rd) OVER (PARTITION BY region) AS DOUBLE), 6)
+               AS pct_of_region,
+           ROUND(CAST(SUM(rd) OVER (PARTITION BY region) AS DOUBLE)
+                 / CAST(tot.grand AS DOUBLE), 6) AS region_pct_of_total
+    FROM rev, tot
+    """,
+    "§2.11 OLAP (share-of-parent hierarchical contribution)",
+    "The share-of-parent OLAP shape: each nation's revenue as a share "
+    "of its region, and each region as a share of the grand total — "
+    "the percentage view the region_nation_rollup subtotals don't "
+    "give. Determinism: revenue aggregates in exact DECIMAL end to "
+    "end (the per-nation cells, the region window sum, and the grand "
+    "total are all exact before the two rounded divisions). Plan "
+    "shape: three broadcast dim joins onto the fact scan, one "
+    "map-side-combinable aggregate into |nation| cells, a window "
+    "partitioned BY REGION over that 25-row cell relation, and the "
+    "grand total crosses back from a 1-row aggregate — the window "
+    "never sees fact rows.",
+)
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(_dec("o_totalprice")).alias("rd"))
+    )
+    tot = rev.agg(F.sum("rd").alias("grand"))
+    w = Window.partitionBy("region")
+    reg = F.sum("rd").over(w)
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "region",
+        "nation",
+        F.round(F.col("rd").cast("double"), 2).alias("revenue"),
+        F.round(reg.cast("double"), 2).alias("region_revenue"),
+        F.round(F.col("rd").cast("double") / reg.cast("double"), 6).alias(
+            "pct_of_region"
+        ),
+        F.round(
+            reg.cast("double") / F.col("grand").cast("double"), 6
+        ).alias("region_pct_of_total"),
+    )

@@ -3189,3 +3189,106 @@ def q_prefix_filter_neardup(
             ).alias("jaccard_dist"),
         )
     )
+
+
+@_register(
+    "label_centroid_similarity",
+    """
+    WITH comps AS (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000000)
+                    AS HUGEINT) AS q
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT label, dim, SUM(q) AS s
+        FROM comps GROUP BY 1, 2
+    ),
+    dots AS (
+        SELECT a.label AS la, b.label AS lb,
+               SUM(a.s * b.s) AS dot
+        FROM sums a JOIN sums b ON a.dim = b.dim AND a.label <= b.label
+        GROUP BY 1, 2
+    )
+    SELECT p.la AS label_a, p.lb AS label_b,
+           ROUND(CAST(p.dot AS DOUBLE)
+                 / SQRT(CAST(na.dot AS DOUBLE) * CAST(nb.dot AS DOUBLE)),
+                 6) + 0 AS centroid_cosine
+    FROM dots p
+    JOIN dots na ON na.la = p.la AND na.lb = p.la
+    JOIN dots nb ON nb.la = p.lb AND nb.lb = p.lb
+    WHERE p.la < p.lb
+    """,
+    "§2.11 similarity (exact pairwise label-centroid cosine)",
+    "Class-separation diagnostic: the cosine between every pair of "
+    "label centroids over the embedding corpus — which classes are "
+    "entangled BEFORE training a classifier (the summary that sizes "
+    "hard-negative mining and guides curriculum ordering). The "
+    "determinism trick: the centroid's 1/n factors CANCEL in cosine, "
+    "so the exact answer is the cosine of the per-label SUM vectors — "
+    "components quantize to integer 1e-7 units (one double-rounding "
+    "per value, bit-identical on both engines), the (label, dim) sums "
+    "are exact integers under any partitioning, and the pairwise dot "
+    "products stay exact integers until ONE final divide+sqrt. Plan "
+    "shape: posexplode fans out map-side; one (label, dim) groupBy "
+    "folds the corpus into labels x dims cells; the pairwise join is "
+    "a bounded self-join on that tiny cell relation. At 100 TB only "
+    "(label, dim, partial-sum) triples shuffle.",
+)
+def q_label_centroid_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "e")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("e").cast("double") * 10000000)
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    sums = comps.groupBy("label", "dim").agg(F.sum("q").alias("s"))
+    a = sums.select(
+        F.col("label").alias("la"), "dim", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("lb"),
+        F.col("dim").alias("dim_b"),
+        F.col("s").alias("sb"),
+    )
+    dots = (
+        a.join(
+            F.broadcast(b),
+            (F.col("dim") == F.col("dim_b")) & (F.col("la") <= F.col("lb")),
+        )
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    pairs = dots.filter(F.col("la") < F.col("lb"))
+    na = dots.filter(F.col("la") == F.col("lb")).select(
+        F.col("la").alias("n_la"), F.col("dot").alias("dot_a")
+    )
+    nb = dots.filter(F.col("la") == F.col("lb")).select(
+        F.col("la").alias("n_lb"), F.col("dot").alias("dot_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), pairs.la == na.n_la)
+        .join(F.broadcast(nb), pairs.lb == nb.n_lb)
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            (
+                F.round(
+                    F.col("dot").cast("double")
+                    / F.sqrt(
+                        F.col("dot_a").cast("double")
+                        * F.col("dot_b").cast("double")
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("centroid_cosine"),
+        )
+    )

@@ -177,9 +177,10 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "seasonal_anomaly_report", "winsorized_stats",
     "conversion_lag_percentiles", "bootstrap_mean_ci",
     "retrieval_metrics_ndcg", "ab_test_welch",
+    "label_centroid_similarity", "share_of_parent_rollup",
     # --- never-driver-hashed oracle rotations (round 9) --------------
-    "blocked_jw_linkage", "bpe_subword_counts", "cohort_retention",
-    "column_profile", "csv_metrics_roundtrip",
+    "bpe_subword_counts", "cohort_retention",
+    "column_profile",
     "customers_without_orders", "dataset_split_manifest", "decile_bucketing",
     "dictionary_text_roundtrip", "document_jaccard_neardup", "document_packing",
     "embedding_quantization",
@@ -210,10 +211,13 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # fold_assignment, iqr_outlier_fences, events_asof_nearest,
     # events_sessionization, acctbal_percentiles,
     # events_hourly_gapfill, approx_quantile_sketch,
-    # custom_lexicon_tokens and approx_distinct_sketch ceded their
-    # slots to the nineteen session-2 operators above (the sketch
+    # custom_lexicon_tokens, approx_distinct_sketch,
+    # blocked_jw_linkage and csv_metrics_roundtrip ceded their
+    # slots to the twenty-one session-2 operators above (the sketch
     # family keeps heavy_hitters_sketch hashed and both approx
-    # sketches verified in the full walk); all nineteen rotations are
+    # sketches verified in the full walk; the linkage family keeps
+    # levenshtein_blocked_pairs hashed in r8; the format family keeps
+    # orc/dictionary/matrix-market in the window); all rotations are
     # family-redundant — their operators keep driver evidence through
     # hashed siblings (user_value_trend, set-op suite, pivot twin,
     # window suites, artifact_formats_roundtrip, streaming_ewma_parity,
@@ -350,7 +354,8 @@ _COST_HINT: dict[str, float] = {
     "streaming_drift_monitor": 3.5, "seasonal_anomaly_report": 1.5,
     "winsorized_stats": 0.7, "conversion_lag_percentiles": 0.9,
     "bootstrap_mean_ci": 3.0, "retrieval_metrics_ndcg": 1.2,
-    "ab_test_welch": 0.6,
+    "ab_test_welch": 0.6, "label_centroid_similarity": 1.6,
+    "share_of_parent_rollup": 0.9,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 9.0, "training_prep_manifest": 13.5,
