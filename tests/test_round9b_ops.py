@@ -512,3 +512,32 @@ def test_share_of_parent_sums_to_one(spark):
         assert abs(sum(x.revenue for x in rs) - rs[0].region_revenue) < 0.1
         region_pcts[region] = rs[0].region_pct_of_total
     assert abs(sum(region_pcts.values()) - 1.0) < 1e-3
+
+
+# -- scd2_point_in_time_join --------------------------------------------------
+
+def test_pit_join_covers_purchases_after_first_state(spark):
+    rows = _run(spark, "scd2_point_in_time_join").collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    states = {r.state for r in rows}
+    assert "purchase" not in states  # facts never join to themselves
+
+
+def test_pit_join_matches_manual_replay(spark):
+    rows = {r.state: r.n_purchases for r in
+            _run(spark, "scd2_point_in_time_join").collect()}
+    ev = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").collect(),
+        key=lambda e: (e.ts, e.event_id),
+    )
+    state: dict[int, str] = {}
+    manual: dict[str, int] = {}
+    for e in ev:
+        if e.event_type == "purchase":
+            s = state.get(e.user_id)
+            if s is not None:
+                manual[s] = manual.get(s, 0) + 1
+        else:
+            state[e.user_id] = e.event_type
+    assert manual == rows

@@ -767,6 +767,11 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                                "contribution shares, DECIMAL-exact "
                                "cells, window over 25 rows; hash-exact",
                                ["share_of_parent_rollup"]),
+    "X-scd2-pit-join": ("plans.q_lakehouse:q_scd2_pit_join  # point-in-"
+                        "time join of facts against SCD2 validity "
+                        "intervals: entity-key equi-join with interval "
+                        "containment as residual filter; hash-exact",
+                        ["scd2_point_in_time_join"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

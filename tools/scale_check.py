@@ -207,6 +207,7 @@ _QUERIES = [
     "ab_test_welch",
     "label_centroid_similarity",
     "share_of_parent_rollup",
+    "scd2_point_in_time_join",
 ]
 
 

@@ -1484,3 +1484,133 @@ def q_lakehouse_gdpr_purge(
         "n_rows_latest long, n_user_rows_prepurge long, "
         "trace_rows long, ok_history_unreadable boolean",
     )
+
+
+@_register(
+    "scd2_point_in_time_join",
+    """
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+        FROM events
+    ),
+    dims AS (SELECT * FROM ev WHERE event_type != 'purchase'),
+    runs AS (
+        SELECT user_id, event_type, us, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w != event_type
+                    THEN 1 ELSE 0 END AS is_start
+        FROM dims
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    grp AS (
+        SELECT user_id, event_type, us, event_id,
+               SUM(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM runs
+    ),
+    iv AS (
+        SELECT user_id, event_type AS state, run_id,
+               MIN(us) AS valid_from_us
+        FROM grp GROUP BY 1, 2, 3
+    ),
+    intervals AS (
+        SELECT user_id, state, valid_from_us,
+               COALESCE(lead(valid_from_us)
+                            OVER (PARTITION BY user_id
+                                  ORDER BY valid_from_us, run_id),
+                        CAST(9223372036854775807 AS BIGINT)) AS valid_to_us
+        FROM iv
+    ),
+    joined AS (
+        SELECT intervals.state,
+               CAST(p.value AS DECIMAL(18,2)) AS vd
+        FROM ev p
+        JOIN intervals ON p.user_id = intervals.user_id
+                      AND p.us >= intervals.valid_from_us
+                      AND p.us < intervals.valid_to_us
+        WHERE p.event_type = 'purchase'
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM joined)
+    SELECT state,
+           COUNT(*) AS n_purchases,
+           ROUND(CAST(SUM(vd) AS DOUBLE), 2) AS purchase_value,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / tot.n, 6) AS share
+    FROM joined, tot
+    GROUP BY state, tot.n
+    """,
+    "§2.11 warehouse (point-in-time join against SCD2 intervals)",
+    "The point-in-time lookup every warehouse needs over slowly "
+    "changing dimensions: each purchase joins the state interval "
+    "(the user's current non-purchase activity run, SCD2-shaped from "
+    "the scd2_state_intervals machinery) that was VALID AT the "
+    "purchase's timestamp — no state leaks forward or backward, "
+    "purchases before any state are dropped by the inner join. Plan "
+    "shape: the interval build rides the one user-keyed window "
+    "exchange; the PIT join is a user_id equi-join with the interval "
+    "containment as a residual filter, so nothing resembling an "
+    "interval cross product forms — per user the interval list is "
+    "activity-bounded. Values sum in exact DECIMAL. At 100 TB this "
+    "is the standard dimension-snapshot join: fact and dimension "
+    "co-partition on the entity key.",
+)
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    dims = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("event_type").over(w)
+    runs = dims.withColumn(
+        "is_start",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    )
+    grp = runs.withColumn(
+        "run_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = grp.groupBy("user_id", F.col("event_type").alias("state"), "run_id").agg(
+        F.min("us").alias("valid_from_us")
+    )
+    wl = Window.partitionBy("user_id").orderBy("valid_from_us", "run_id")
+    intervals = iv.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        F.coalesce(
+            F.lead("valid_from_us").over(wl),
+            F.lit(9223372036854775807),
+        ).alias("valid_to_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("us").alias("p_us"),
+        F.col("value").cast("decimal(18,2)").alias("vd"),
+    )
+    joined = p.join(
+        intervals,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_us") >= F.col("valid_from_us"))
+        & (F.col("p_us") < F.col("valid_to_us")),
+    ).select("state", "vd")
+    tot = joined.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        joined.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("vd").cast("double"), 2).alias("purchase_value"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "state",
+            "n_purchases",
+            "purchase_value",
+            F.round(
+                F.col("n_purchases").cast("double") / F.col("n"), 6
+            ).alias("share"),
+        )
+    )
