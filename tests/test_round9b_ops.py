@@ -541,3 +541,37 @@ def test_pit_join_matches_manual_replay(spark):
         else:
             state[e.user_id] = e.event_type
     assert manual == rows
+
+
+# -- multimodal_container_parse -----------------------------------------------
+
+def test_container_roundtrip_is_lossless(spark):
+    rows = _run(spark, "multimodal_container_parse").collect()
+    assert rows
+    total = sum(r.n_docs for r in rows)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert total == docs.count()
+    for r in rows:
+        assert r.n_magic_ok == r.n_docs
+        assert r.n_dims_ok == r.n_docs
+        assert r.n_payload_intact == r.n_docs
+        # parsed u16 dims stay in the stub's contract range
+        assert 64 * r.n_docs <= r.sum_width <= 255 * r.n_docs
+        assert 64 * r.n_docs <= r.sum_height <= 255 * r.n_docs
+
+
+def test_container_header_matches_decode_stub(spark):
+    """The packed width/height must equal the decode stub's metadata
+    (same digest-derived contract)."""
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20).collect()
+    from uni_mannheim_masters_thesis_spark.operators.multimodal import (
+        _decode_stub,
+    )
+
+    for d in docs:
+        w, h, _ = _decode_stub(d.text.encode("utf-8"))
+        digest = hashlib.sha256(d.text.encode("utf-8")).hexdigest()
+        assert w == 64 + int(digest[0:2], 16) % 192
+        assert h == 64 + int(digest[2:4], 16) % 192

@@ -772,6 +772,12 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                         "intervals: entity-key equi-join with interval "
                         "containment as residual filter; hash-exact",
                         ["scd2_point_in_time_join"]),
+    "X-multimodal-container": ("plans.q_sources:q_multimodal_container"
+                               "  # RIFF-style container pack + header "
+                               "parse roundtrip as pure binary column "
+                               "expressions (magic, u16 dims, sha256 "
+                               "payload integrity); hash-exact",
+                               ["multimodal_container_parse"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -208,6 +208,7 @@ _QUERIES = [
     "label_centroid_similarity",
     "share_of_parent_rollup",
     "scd2_point_in_time_join",
+    "multimodal_container_parse",
 ]
 
 

@@ -596,3 +596,136 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return resize_binary_column(documents_as_binary(docs))
+
+
+@_register(
+    "multimodal_container_parse",
+    """
+    WITH packed AS (
+        SELECT doc_id, source,
+               encode(text) AS payload,
+               sha256(text) AS sha,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    hdr AS (
+        SELECT doc_id, source, payload, sha, n_bytes,
+               64 + ('0x' || substring(sha, 1, 2))::INT % 192 AS width,
+               64 + ('0x' || substring(sha, 3, 2))::INT % 192 AS height
+        FROM packed
+    ),
+    container AS (
+        SELECT doc_id, source, sha, n_bytes, width, height,
+               from_hex('4D4D3031'
+                        || lpad(to_hex(width), 4, '0')
+                        || lpad(to_hex(height), 4, '0')) || payload AS c
+        FROM hdr
+    ),
+    hexed AS (
+        SELECT source, width, height, sha, n_bytes,
+               upper(to_hex(c)) AS ch
+        FROM container
+    ),
+    parsed AS (
+        SELECT source, width, height, sha, n_bytes,
+               substring(ch, 1, 8) = '4D4D3031' AS ok_magic,
+               ('0x' || substring(ch, 9, 4))::INT AS p_width,
+               ('0x' || substring(ch, 13, 4))::INT AS p_height,
+               sha256(decode(from_hex(substring(ch, 17, n_bytes * 2))))
+                   = sha AS ok_payload
+        FROM hexed
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN ok_magic THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_magic_ok,
+           CAST(SUM(CASE WHEN p_width = width AND p_height = height
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dims_ok,
+           CAST(SUM(CASE WHEN ok_payload THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_payload_intact,
+           CAST(SUM(p_width) AS BIGINT) AS sum_width,
+           CAST(SUM(p_height) AS BIGINT) AS sum_height
+    FROM parsed GROUP BY 1
+    """,
+    "§2.11 multimodal (binary container pack + header parse roundtrip)",
+    "Byte-level container surgery on the opaque BINARY column, no UDF: "
+    "each payload is packed into a RIFF-style container (4-byte magic "
+    "'MM01' + big-endian u16 width/height derived from the payload "
+    "digest — the decode stub's metadata contract) and then PARSED "
+    "BACK with pure column byte functions (binary substring, hex/"
+    "unhex, integer conv), verifying magic, dimension fields, and "
+    "payload integrity (sha256 of the sliced-back body equals the "
+    "original digest — one lost or shifted byte breaks the hash). "
+    "This is the schema-on-byte plumbing a real media lakehouse needs "
+    "before any codec runs, and it stays entirely inside whole-stage "
+    "codegen: pack, slice and verify are per-row expressions; the "
+    "only aggregate is the per-source report. At 100 TB payload bytes "
+    "never shuffle — the report moves counts.",
+)
+def q_multimodal_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    sha = F.sha2(payload, 256)
+    packed = docs.select(
+        "doc_id",
+        "source",
+        payload.alias("payload"),
+        sha.alias("sha"),
+        F.octet_length(payload).alias("n_bytes"),
+    )
+    hx = lambda s, p: F.conv(F.substring(s, p, 2), 16, 10).cast("int")  # noqa: E731
+    hdr = packed.select(
+        "*",
+        (64 + hx(F.col("sha"), 1) % 192).alias("width"),
+        (64 + hx(F.col("sha"), 3) % 192).alias("height"),
+    )
+    header_hex = F.concat(
+        F.lit("4D4D3031"),
+        F.lpad(F.conv(F.col("width").cast("string"), 10, 16), 4, "0"),
+        F.lpad(F.conv(F.col("height").cast("string"), 10, 16), 4, "0"),
+    )
+    container = hdr.select(
+        "source",
+        "sha",
+        "n_bytes",
+        "width",
+        "height",
+        F.concat(F.unhex(header_hex), F.col("payload")).alias("c"),
+    )
+    parsed = container.select(
+        "source",
+        "width",
+        "height",
+        (F.upper(F.hex(F.substring(F.col("c"), 1, 4))) == "4D4D3031").alias(
+            "ok_magic"
+        ),
+        F.conv(F.hex(F.substring(F.col("c"), 5, 2)), 16, 10)
+        .cast("int")
+        .alias("p_width"),
+        F.conv(F.hex(F.substring(F.col("c"), 7, 2)), 16, 10)
+        .cast("int")
+        .alias("p_height"),
+        (
+            F.sha2(
+                F.expr("substring(c, 9, n_bytes)"), 256
+            )
+            == F.col("sha")
+        ).alias("ok_payload"),
+    )
+    return parsed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("ok_magic").cast("int")).cast("long").alias("n_magic_ok"),
+        F.sum(
+            (
+                (F.col("p_width") == F.col("width"))
+                & (F.col("p_height") == F.col("height"))
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_dims_ok"),
+        F.sum(F.col("ok_payload").cast("int"))
+        .cast("long")
+        .alias("n_payload_intact"),
+        F.sum("p_width").cast("long").alias("sum_width"),
+        F.sum("p_height").cast("long").alias("sum_height"),
+    )

@@ -178,10 +178,9 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "conversion_lag_percentiles", "bootstrap_mean_ci",
     "retrieval_metrics_ndcg", "ab_test_welch",
     "label_centroid_similarity", "share_of_parent_rollup",
-    "scd2_point_in_time_join",
+    "scd2_point_in_time_join", "multimodal_container_parse",
     # --- never-driver-hashed oracle rotations (round 9) --------------
     "cohort_retention",
-    "column_profile",
     "customers_without_orders", "dataset_split_manifest", "decile_bucketing",
     "dictionary_text_roundtrip", "document_jaccard_neardup", "document_packing",
     "embedding_quantization",
@@ -214,7 +213,9 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # events_hourly_gapfill, approx_quantile_sketch,
     # custom_lexicon_tokens, approx_distinct_sketch,
     # blocked_jw_linkage and csv_metrics_roundtrip ceded their
-    # slots to the session-2 operators above, as did bpe_subword_counts
+    # slots to the session-2 operators above, as did column_profile
+    # (X-profile-columns keeps the r8-hashed approx_quantile_contract
+    # family sibling and the full-walk verdict) and bpe_subword_counts
     # (its X-text-tokens operator keeps token_stats/text_profile hashed
     # in r1-r6 and bpe_merge_training/bpe_encode_documents hashed in
     # r8) (the sketch
@@ -360,6 +361,7 @@ _COST_HINT: dict[str, float] = {
     "bootstrap_mean_ci": 3.0, "retrieval_metrics_ndcg": 1.2,
     "ab_test_welch": 0.6, "label_centroid_similarity": 1.6,
     "share_of_parent_rollup": 0.9, "scd2_point_in_time_join": 1.8,
+    "multimodal_container_parse": 1.0,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 9.0, "training_prep_manifest": 13.5,
