@@ -575,3 +575,28 @@ def test_container_header_matches_decode_stub(spark):
         digest = hashlib.sha256(d.text.encode("utf-8")).hexdigest()
         assert w == 64 + int(digest[0:2], 16) % 192
         assert h == 64 + int(digest[2:4], 16) % 192
+
+
+# -- sole_blame_suppliers -----------------------------------------------------
+
+def test_sole_blame_matches_bruteforce(spark):
+    rows = {r.supplier: r.n_orders for r in
+            _run(spark, "sole_blame_suppliers").collect()}
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    supp = {
+        s.s_suppkey: s.s_name
+        for s in spark.read.parquet(f"{SF_DIR}/supplier.parquet").collect()
+    }
+    orders: dict[int, dict] = {}
+    for l in li:
+        o = orders.setdefault(l.l_orderkey, {"supps": set(), "r": set()})
+        o["supps"].add(l.l_suppkey)
+        if l.l_returnflag == "R":
+            o["r"].add(l.l_suppkey)
+    manual: dict[str, int] = {}
+    for o in orders.values():
+        if len(o["supps"]) > 1 and len(o["r"]) == 1:
+            name = supp[next(iter(o["r"]))]
+            manual[name] = manual.get(name, 0) + 1
+    top = dict(sorted(manual.items(), key=lambda kv: (-kv[1], kv[0]))[:20])
+    assert rows == top

@@ -778,6 +778,12 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                                "expressions (magic, u16 dims, sha256 "
                                "payload integrity); hash-exact",
                                ["multimodal_container_parse"]),
+    "X-subquery-multi-exists": ("plans.q_relational:"
+                                "q_sole_blame_suppliers  # TPC-H Q21 "
+                                "shape (correlated EXISTS + NOT "
+                                "EXISTS) decorrelated to one per-order "
+                                "profile aggregate; hash-exact",
+                                ["sole_blame_suppliers"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -209,6 +209,7 @@ _QUERIES = [
     "share_of_parent_rollup",
     "scd2_point_in_time_join",
     "multimodal_container_parse",
+    "sole_blame_suppliers",
 ]
 
 

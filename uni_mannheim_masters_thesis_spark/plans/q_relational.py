@@ -2686,3 +2686,74 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             reg.cast("double") / F.col("grand").cast("double"), 6
         ).alias("region_pct_of_total"),
     )
+
+
+@_register(
+    "sole_blame_suppliers",
+    """
+    SELECT s.s_name AS supplier, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey != l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey != l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY 1
+    ORDER BY n_orders DESC, supplier
+    LIMIT 20
+    """,
+    "§2.11 relational core (TPC-H Q21 shape: correlated EXISTS / NOT EXISTS)",
+    "The Q21 'suppliers who kept orders waiting' pattern mapped onto "
+    "this schema: suppliers who were the SOLE returned-flag ('R') "
+    "supplier in a multi-supplier order — one correlated EXISTS (other "
+    "suppliers participated) and one correlated NOT EXISTS (none of "
+    "them was also at fault). The oracle keeps the textbook "
+    "EXISTS/NOT-EXISTS form; the Spark plan is the aggregation-based "
+    "decorrelation a distributed engine wants: the fact rows shuffle "
+    "ONCE into the distinct (order, supplier, any_R) pair relation "
+    "(map-side combined — no Expand-doubled multi-count-distinct, no "
+    "separate distinct pass), the order profile (n_suppliers, "
+    "n_R_suppliers) is a second aggregate over pairs only, and the "
+    "qualifying condition becomes (ns > 1 AND nr = 1) on the joined "
+    "profile — no repeated correlated probes, no fact-table self-join "
+    "per subquery. Per-supplier counting is map-side combinable with "
+    "top-20 as TakeOrdered. De-dup discipline: a supplier with "
+    "several R lines in one order counts that order ONCE (the pair "
+    "relation is distinct), matching COUNT(DISTINCT orderkey) over "
+    "the EXISTS form exactly.",
+)
+def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    # one (order, supplier) exchange replaces the Expand-doubled
+    # two-count-distinct profile + a separate distinct: the fact rows
+    # shuffle ONCE (map-side combined), every later stage runs on the
+    # distinct-pair relation
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("any_r")
+    )
+    prof = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("ns"), F.sum("any_r").alias("nr")
+    )
+    cand = (
+        pairs.filter(F.col("any_r") == 1)
+        .join(prof, "l_orderkey")
+        .filter((F.col("ns") > 1) & (F.col("nr") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        cand.join(F.broadcast(supp), cand.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "supplier")
+        .limit(20)
+    )

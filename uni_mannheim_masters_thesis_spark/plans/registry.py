@@ -179,8 +179,8 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "retrieval_metrics_ndcg", "ab_test_welch",
     "label_centroid_similarity", "share_of_parent_rollup",
     "scd2_point_in_time_join", "multimodal_container_parse",
+    "sole_blame_suppliers",
     # --- never-driver-hashed oracle rotations (round 9) --------------
-    "cohort_retention",
     "customers_without_orders", "dataset_split_manifest", "decile_bucketing",
     "dictionary_text_roundtrip", "document_jaccard_neardup", "document_packing",
     "embedding_quantization",
@@ -213,7 +213,9 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # events_hourly_gapfill, approx_quantile_sketch,
     # custom_lexicon_tokens, approx_distinct_sketch,
     # blocked_jw_linkage and csv_metrics_roundtrip ceded their
-    # slots to the session-2 operators above, as did column_profile
+    # slots to the session-2 operators above, as did cohort_retention
+    # (X-event-cohort keeps funnel/attribution family hashes and the
+    # full-walk verdict), column_profile
     # (X-profile-columns keeps the r8-hashed approx_quantile_contract
     # family sibling and the full-walk verdict) and bpe_subword_counts
     # (its X-text-tokens operator keeps token_stats/text_profile hashed
@@ -361,7 +363,7 @@ _COST_HINT: dict[str, float] = {
     "bootstrap_mean_ci": 3.0, "retrieval_metrics_ndcg": 1.2,
     "ab_test_welch": 0.6, "label_centroid_similarity": 1.6,
     "share_of_parent_rollup": 0.9, "scd2_point_in_time_join": 1.8,
-    "multimodal_container_parse": 1.0,
+    "multimodal_container_parse": 1.0, "sole_blame_suppliers": 1.2,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 9.0, "training_prep_manifest": 13.5,
