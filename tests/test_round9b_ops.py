@@ -600,3 +600,39 @@ def test_sole_blame_matches_bruteforce(spark):
             manual[name] = manual.get(name, 0) + 1
     top = dict(sorted(manual.items(), key=lambda kv: (-kv[1], kv[0]))[:20])
     assert rows == top
+
+
+# -- customer_order_histogram -------------------------------------------------
+
+def test_q13_histogram_preserves_zero_bucket(spark):
+    rows = {r.n_orders: r.n_customers for r in
+            _run(spark, "customer_order_histogram").collect()}
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_cust = cust.count()
+    assert sum(rows.values()) == n_cust  # every customer lands in a bucket
+    with_orders = orders.select("o_custkey").distinct().count()
+    assert rows.get(0, 0) == n_cust - with_orders  # zero bucket exact
+
+
+# -- cumulative_unique_users --------------------------------------------------
+
+def test_adoption_curve_is_monotone_and_exact_at_the_end(spark):
+    rows = _run(spark, "cumulative_unique_users").collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.day_start_us)
+        run = 0
+        for r in rs:
+            run += r.new_users
+            assert r.cumulative_users == run  # cumsum consistency
+        expect = (
+            ev.filter(F.col("event_type") == et)
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert rs[-1].cumulative_users == expect

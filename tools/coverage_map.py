@@ -784,6 +784,18 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                                 "EXISTS) decorrelated to one per-order "
                                 "profile aggregate; hash-exact",
                                 ["sole_blame_suppliers"]),
+    "X-join-outer-histogram": ("plans.q_relational:"
+                               "q_customer_order_histogram  # TPC-H "
+                               "Q13 shape: LEFT OUTER join preserving "
+                               "the zero bucket + double aggregate; "
+                               "hash-exact",
+                               ["customer_order_histogram"]),
+    "X-event-adoption": ("plans.q_relational:q_cumulative_unique_users"
+                         "  # per-type cumulative distinct users via "
+                         "first-seen-day collapse + bounded triangular "
+                         "cumsum (no running distinct, no global "
+                         "window); hash-exact",
+                         ["cumulative_unique_users"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

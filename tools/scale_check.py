@@ -210,6 +210,8 @@ _QUERIES = [
     "scd2_point_in_time_join",
     "multimodal_container_parse",
     "sole_blame_suppliers",
+    "customer_order_histogram",
+    "cumulative_unique_users",
 ]
 
 

@@ -2757,3 +2757,107 @@ def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "supplier")
         .limit(20)
     )
+
+
+@_register(
+    "customer_order_histogram",
+    """
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust GROUP BY 1
+    """,
+    "§2.11 relational core (TPC-H Q13 shape: outer join + double aggregate)",
+    "Customer distribution by order count INCLUDING the zero bucket — "
+    "the Q13 pattern whose whole point is the LEFT OUTER join "
+    "(customers with no orders must appear as n_orders = 0, which an "
+    "inner join silently drops; COUNT(o_orderkey) counts non-null "
+    "matches only). Plan shape: one outer join on the customer key, "
+    "a per-customer count riding the same exchange, then a map-side-"
+    "combinable second aggregate into at most max(n_orders)+1 cells. "
+    "At 100 TB the orders side pre-aggregates per custkey before the "
+    "join (Catalyst pushes the partial aggregate), so the outer join "
+    "carries one row per customer on each side.",
+)
+def q_customer_order_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@_register(
+    "cumulative_unique_users",
+    """
+    WITH fs AS (
+        SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT event_type, first_day AS day, COUNT(*) AS new_users
+        FROM fs GROUP BY 1, 2
+    )
+    SELECT d1.event_type,
+           epoch_us(CAST(d1.day AS TIMESTAMP)) AS day_start_us,
+           d1.new_users,
+           CAST(SUM(d2.new_users) AS BIGINT) AS cumulative_users
+    FROM daily d1 JOIN daily d2 ON d2.event_type = d1.event_type
+                               AND d2.day <= d1.day
+    GROUP BY 1, 2, 3
+    """,
+    "§2.11 event analytics (cumulative distinct users over time)",
+    "The adoption curve: per (event type, day), newly converted users "
+    "(first time that user performed that action) and the running "
+    "count of distinct users who ever have — computed WITHOUT a "
+    "running distinct (which would need per-day state over the whole "
+    "id space): each (user, type) collapses to a first-seen day "
+    "(map-side-combinable min), daily new-user counts are a "
+    "types x days cell relation, and the cumulative sum is a bounded "
+    "per-type triangular self-join on those cells (the drift-monitor "
+    "ECDF discipline — no unpartitioned ORDER BY window). At 100 TB "
+    "the only corpus-sized cost is the per-(user, type) min; the "
+    "curve math runs on cells.",
+)
+def q_cumulative_unique_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = fs.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    d2 = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("new_users").alias("nu2"),
+    )
+    return (
+        daily.join(
+            F.broadcast(d2),
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("day2") <= F.col("day")),
+        )
+        .groupBy("event_type", "day", "new_users")
+        .agg(F.sum("nu2").cast("long").alias("cumulative_users"))
+        .select(
+            "event_type",
+            F.unix_micros(F.col("day").cast("timestamp")).alias(
+                "day_start_us"
+            ),
+            "new_users",
+            "cumulative_users",
+        )
+    )

@@ -179,10 +179,11 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "retrieval_metrics_ndcg", "ab_test_welch",
     "label_centroid_similarity", "share_of_parent_rollup",
     "scd2_point_in_time_join", "multimodal_container_parse",
-    "sole_blame_suppliers",
+    "sole_blame_suppliers", "customer_order_histogram",
+    "cumulative_unique_users",
     # --- never-driver-hashed oracle rotations (round 9) --------------
-    "customers_without_orders", "dataset_split_manifest", "decile_bucketing",
-    "dictionary_text_roundtrip", "document_jaccard_neardup", "document_packing",
+    "dataset_split_manifest", "decile_bucketing",
+    "document_jaccard_neardup", "document_packing",
     "embedding_quantization",
     # (knn_classifier_vote ceded its slot to prefix_filter_neardup; its
     # operator M14 keeps driver evidence via the r1-r6-hashed
@@ -213,7 +214,12 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # events_hourly_gapfill, approx_quantile_sketch,
     # custom_lexicon_tokens, approx_distinct_sketch,
     # blocked_jw_linkage and csv_metrics_roundtrip ceded their
-    # slots to the session-2 operators above, as did cohort_retention
+    # slots to the session-2 operators above, as did
+    # customers_without_orders (anti-join evidence continues via the
+    # r1-r6-hashed set-op family and the new Q13-shape zero bucket),
+    # dictionary_text_roundtrip (format family keeps orc +
+    # matrix-market in-window and the r1-r6-hashed
+    # artifact_formats_roundtrip), cohort_retention
     # (X-event-cohort keeps funnel/attribution family hashes and the
     # full-walk verdict), column_profile
     # (X-profile-columns keeps the r8-hashed approx_quantile_contract
@@ -364,6 +370,7 @@ _COST_HINT: dict[str, float] = {
     "ab_test_welch": 0.6, "label_centroid_similarity": 1.6,
     "share_of_parent_rollup": 0.9, "scd2_point_in_time_join": 1.8,
     "multimodal_container_parse": 1.0, "sole_blame_suppliers": 1.2,
+    "customer_order_histogram": 0.4, "cumulative_unique_users": 0.8,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 9.0, "training_prep_manifest": 13.5,
