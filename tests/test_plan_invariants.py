@@ -163,3 +163,70 @@ def test_lakehouse_point_read_is_bucket_pruned(spark):
     full = read_table(spark, tdir)
     point = read_table(spark, tdir, point_keys=[1])
     assert 0 < len(point.inputFiles()) < len(full.inputFiles())
+
+
+# -- widened (r9 session 2): the new analytics operators ----------------------
+
+_R9S2_WINDOW_SWEEP = [
+    "markov_transitions", "distribution_drift_report", "rfm_segments",
+    "market_basket_pairs", "chi_square_independence",
+    "benford_digit_audit", "pmi_collocations", "heaps_vocab_growth",
+    "weighted_sample_aes", "zipf_law_fit", "gini_concentration",
+    "revenue_yoy_growth", "seasonal_anomaly_report", "winsorized_stats",
+    "conversion_lag_percentiles", "bootstrap_mean_ci",
+    "retrieval_metrics_ndcg", "ab_test_welch",
+    "label_centroid_similarity", "share_of_parent_rollup",
+    "scd2_point_in_time_join", "multimodal_container_parse",
+    "sole_blame_suppliers", "customer_order_histogram",
+    "cumulative_unique_users",
+]
+
+
+def test_r9s2_operators_are_window_clean(spark):
+    """None of the session-2 analytics operators may plan an
+    unpartitioned window — the cumsum/rank/ntile shapes they cover are
+    exactly the ones that tempt a global ORDER BY window (ECDFs,
+    quintiles, Zipf ranks, Gini ranks, adoption curves)."""
+    offenders = {}
+    for name in _R9S2_WINDOW_SWEEP:
+        hits = unpartitioned_windows(_plan(spark, name))
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"global-window funnels: {offenders}"
+
+
+def test_r9s2_no_cartesian_products(spark):
+    """The pair-generating operators (basket comb, centroid dots,
+    drift ECDF, PIT join) must never plan an unconstrained cartesian
+    product — broadcast nested loop against a bounded side is fine,
+    CartesianProduct against the fact side is not."""
+    for name in (
+        "market_basket_pairs",
+        "label_centroid_similarity",
+        "distribution_drift_report",
+        "scd2_point_in_time_join",
+        "sole_blame_suppliers",
+    ):
+        assert "CartesianProduct" not in _plan(spark, name), name
+
+
+def test_r9s2_dim_joins_broadcast(spark):
+    """Every session-2 operator that joins a dimension must broadcast
+    it (no SortMergeJoin against 25-row relations)."""
+    for name in (
+        "revenue_yoy_growth",
+        "share_of_parent_rollup",
+        "market_basket_pairs",
+        "chi_square_independence",
+    ):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_r9s2_topk_plans_take_ordered(spark):
+    """The bounded top-k operators must plan TakeOrdered, not a global
+    sort materialization."""
+    for name in ("pmi_collocations", "weighted_sample_aes",
+                 "sole_blame_suppliers"):
+        assert "TakeOrderedAndProject" in _plan(spark, name), name
