@@ -636,3 +636,23 @@ def test_adoption_curve_is_monotone_and_exact_at_the_end(spark):
             .count()
         )
         assert rs[-1].cumulative_users == expect
+
+
+# -- behavioral_topk_similarity -----------------------------------------------
+
+def test_behavioral_topk_is_exact_within_blocks(spark):
+    rows = _run(spark, "behavioral_topk_similarity").collect()
+    for r in rows:
+        assert r.user_a < r.user_b
+        assert 0.0 <= r.cosine <= 1.0 + 1e-9  # count vectors: nonneg cos
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_behavioral_block_join_is_not_cartesian(spark):
+    je = _run(spark, "behavioral_topk_similarity")._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = je.explainString(mode)
+    assert "CartesianProduct" not in plan

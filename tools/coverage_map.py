@@ -796,6 +796,14 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                          "cumsum (no running distinct, no global "
                          "window); hash-exact",
                          ["cumulative_unique_users"]),
+    "X-sim-behavioral-topk": ("plans.q_events:q_behavioral_topk  # "
+                              "blocked top-k user similarity (REPOSE/"
+                              "EDBT'20 shape): quantized share "
+                              "signature equi-join prunes candidates, "
+                              "exact integer-dot cosine ranks them, "
+                              "TakeOrdered bounds the result; "
+                              "hash-exact",
+                              ["behavioral_topk_similarity"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

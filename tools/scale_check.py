@@ -212,6 +212,7 @@ _QUERIES = [
     "sole_blame_suppliers",
     "customer_order_histogram",
     "cumulative_unique_users",
+    "behavioral_topk_similarity",
 ]
 
 

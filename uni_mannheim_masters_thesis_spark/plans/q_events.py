@@ -2304,3 +2304,107 @@ def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohens_d"
         ),
     )
+
+
+@_register(
+    "behavioral_topk_similarity",
+    """
+    WITH prof AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c2,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c4,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c5,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    sig AS (
+        SELECT *,
+               CAST(FLOOR(c1 * 5.0 / n) AS INT) || '_' ||
+               CAST(FLOOR(c2 * 5.0 / n) AS INT) || '_' ||
+               CAST(FLOOR(c3 * 5.0 / n) AS INT) || '_' ||
+               CAST(FLOOR(c4 * 5.0 / n) AS INT) || '_' ||
+               CAST(FLOOR(c5 * 5.0 / n) AS INT) AS block
+        FROM prof
+    ),
+    pairs AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               CAST(a.c1 * b.c1 + a.c2 * b.c2 + a.c3 * b.c3
+                    + a.c4 * b.c4 + a.c5 * b.c5 AS DOUBLE)
+                   / SQRT(CAST(a.c1 * a.c1 + a.c2 * a.c2 + a.c3 * a.c3
+                               + a.c4 * a.c4 + a.c5 * a.c5 AS DOUBLE)
+                          * CAST(b.c1 * b.c1 + b.c2 * b.c2 + b.c3 * b.c3
+                                 + b.c4 * b.c4 + b.c5 * b.c5 AS DOUBLE))
+                   AS cos
+        FROM sig a JOIN sig b
+          ON a.block = b.block AND a.user_id < b.user_id
+    )
+    SELECT user_a, user_b, ROUND(cos, 6) AS cosine
+    FROM pairs
+    ORDER BY cos DESC, user_a, user_b
+    LIMIT 20
+    """,
+    "§2.11 similarity search (blocked top-k behavioral similarity)",
+    "Top-20 most behaviorally similar user pairs: each user collapses "
+    "to a 5-dim event-type count vector, candidates are generated ONLY "
+    "within blocks sharing the integer-quantized share signature "
+    "(floor(count*5/total) per type — the 5-dim analog of an SRP "
+    "bucket: near-identical mixes collide, dissimilar mixes never "
+    "pair), and exact cosine ranks candidates (integer dot products, "
+    "one final divide+sqrt — bit-equal across engines). The blocked "
+    "top-k shape follows the retrieved distributed top-k similarity "
+    "search literature (REPOSE ICDE'21 / incremental top-k EDBT'20): "
+    "prune by a cheap signature equi-join, score exactly only within "
+    "blocks, TakeOrdered the bounded result. Plan: one user-keyed "
+    "aggregate, one block equi-join (zero cartesian — plan-tested), "
+    "top-20 as TakeOrdered. At 100 TB block population is controlled "
+    "by the signature resolution (the SRP plane-count knob's analog).",
+)
+def q_behavioral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    aggs = [
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"c{i+1}")
+        for i, t in enumerate(types)
+    ]
+    prof = ev.groupBy("user_id").agg(*aggs, F.count(F.lit(1)).alias("n"))
+    block = F.concat_ws(
+        "_",
+        *[
+            F.floor(F.col(f"c{i+1}") * 5.0 / F.col("n"))
+            .cast("int")
+            .cast("string")
+            for i in range(5)
+        ],
+    )
+    sig = prof.withColumn("block", block)
+    a = sig.select(
+        F.col("user_id").alias("user_a"),
+        F.col("block").alias("block_a"),
+        *[F.col(f"c{i+1}").alias(f"a{i+1}") for i in range(5)],
+    )
+    b = sig.select(
+        F.col("user_id").alias("user_b"),
+        F.col("block").alias("block_b"),
+        *[F.col(f"c{i+1}").alias(f"b{i+1}") for i in range(5)],
+    )
+    dot = sum(F.col(f"a{i+1}") * F.col(f"b{i+1}") for i in range(5))
+    na = sum(F.col(f"a{i+1}") * F.col(f"a{i+1}") for i in range(5))
+    nb = sum(F.col(f"b{i+1}") * F.col(f"b{i+1}") for i in range(5))
+    pairs = a.join(
+        b,
+        (F.col("block_a") == F.col("block_b"))
+        & (F.col("user_a") < F.col("user_b")),
+    ).select(
+        "user_a",
+        "user_b",
+        (dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))).alias(
+            "cos"
+        ),
+    )
+    return (
+        pairs.orderBy(F.desc("cos"), "user_a", "user_b")
+        .limit(20)
+        .select("user_a", "user_b", F.round("cos", 6).alias("cosine"))
+    )
