@@ -656,3 +656,34 @@ def test_behavioral_block_join_is_not_cartesian(spark):
     )
     plan = je.explainString(mode)
     assert "CartesianProduct" not in plan
+
+
+# -- replica_merkle_diff ------------------------------------------------------
+
+def test_merkle_diff_flags_exactly_the_changed_buckets(spark):
+    """v1 vs v3 of the lakehouse table: a bucket is in_sync iff its
+    row set is IDENTICAL — cross-check against a direct row-level
+    anti-join of the two time-travel snapshots."""
+    from uni_mannheim_masters_thesis_spark.plans.q_lakehouse import (
+        _lakehouse_table_dir,
+    )
+    from uni_mannheim_masters_thesis_spark.sources.lakehouse import (
+        read_table,
+    )
+
+    rows = {r.bucket: r for r in _run(spark, "replica_merkle_diff").collect()}
+    tdir = _lakehouse_table_dir(spark, SF_DIR)
+
+    def snap(v):
+        t = read_table(spark, tdir, version=v)
+        return {
+            ((r.user_id, r.last_event_type, round(r.last_value, 2)))
+            for r in t.collect()
+        }
+
+    s1, s3 = snap(1), snap(3)
+    changed_buckets = {
+        k[0] % 16 for k in (s1 ^ s3)  # symmetric difference
+    }
+    for bucket, r in rows.items():
+        assert bool(r.in_sync) == (bucket not in changed_buckets), bucket

@@ -804,6 +804,15 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                               "TakeOrdered bounds the result; "
                               "hash-exact",
                               ["behavioral_topk_similarity"]),
+    "X-lakehouse-anti-entropy": ("plans.q_lakehouse:"
+                                 "q_replica_merkle_diff  # merkle-"
+                                 "style replica reconciliation: "
+                                 "commutative per-bucket content-hash "
+                                 "digests of two snapshots, bucket-"
+                                 "level diff without a change log; "
+                                 "hash-exact vs first-principles "
+                                 "rebuild",
+                                 ["replica_merkle_diff"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

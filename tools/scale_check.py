@@ -213,6 +213,7 @@ _QUERIES = [
     "customer_order_histogram",
     "cumulative_unique_users",
     "behavioral_topk_similarity",
+    "replica_merkle_diff",
 ]
 
 

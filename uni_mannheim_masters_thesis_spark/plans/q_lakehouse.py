@@ -1614,3 +1614,89 @@ def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@_register(
+    "replica_merkle_diff",
+    _LAKEHOUSE_SQL_PREFIX + """
+    ,
+    h1 AS (
+        SELECT user_id % 16 AS bucket,
+               ('0x' || SUBSTRING(md5('mk|' || CAST(user_id AS VARCHAR)
+                   || '|' || last_event_type || '|'
+                   || CAST(CAST(CAST(last_value AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM v1
+    ),
+    h3 AS (
+        SELECT user_id % 16 AS bucket,
+               ('0x' || SUBSTRING(md5('mk|' || CAST(user_id AS VARCHAR)
+                   || '|' || last_event_type || '|'
+                   || CAST(CAST(CAST(last_value AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM v3
+    ),
+    d1 AS (SELECT bucket, COUNT(*) AS n1, SUM(h) AS dig1
+           FROM h1 GROUP BY 1),
+    d3 AS (SELECT bucket, COUNT(*) AS n3, SUM(h) AS dig3
+           FROM h3 GROUP BY 1)
+    SELECT COALESCE(d1.bucket, d3.bucket) AS bucket,
+           CAST(COALESCE(n1, 0) AS BIGINT) AS n_v1,
+           CAST(COALESCE(n3, 0) AS BIGINT) AS n_v3,
+           CAST(COALESCE(dig1, 0) = COALESCE(dig3, 0) AS INT) AS in_sync
+    FROM d1 FULL OUTER JOIN d3 ON d1.bucket = d3.bucket
+    """,
+    "§2.11 lakehouse ops (merkle-style anti-entropy replica diff)",
+    "Which buckets of two table snapshots differ, WITHOUT a change "
+    "log: every row folds into a content hash (md5 of the canonical "
+    "key|state|cents string), per-bucket digests are COMMUTATIVE "
+    "integer sums of those hashes (order- and partitioning-"
+    "independent, exactly the anti-entropy digest a replicated store "
+    "compares), and a bucket-level full outer join reports per-bucket "
+    "row counts and sync status. This is how replicas reconcile when "
+    "no CDF exists (the change-feed operator covers the logged case): "
+    "compare 16 digests, re-ship only the differing buckets. The "
+    "oracle rebuilds BOTH snapshots from first principles (the events "
+    "fold) and recomputes the digests — a bookkeeping error anywhere "
+    "in MERGE/time-travel surfaces as a digest mismatch. At 100 TB "
+    "each side is one scan folding into |buckets| cells; the compare "
+    "moves 16 rows. Deepens X-lakehouse-timetravel/X-lakehouse-cdf.",
+)
+def q_replica_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.lakehouse import read_table
+
+    tdir = _lakehouse_table_dir(spark, sf_dir)
+
+    def digests(version: int, nc: str, dc: str) -> DataFrame:
+        t = read_table(spark, tdir, version=version)
+        canon = F.concat(
+            F.lit("mk|"),
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.col("last_event_type"),
+            F.lit("|"),
+            (F.col("last_value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .cast("string"),
+        )
+        h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+        return (
+            t.select((F.col("user_id") % 16).alias("bucket"), h.alias("h"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(nc), F.sum("h").alias(dc))
+        )
+
+    d1 = digests(1, "n1", "dig1")
+    d3 = digests(3, "n3", "dig3")
+    j = d1.join(d3, "bucket", "full")
+    return j.select(
+        "bucket",
+        F.coalesce(F.col("n1"), F.lit(0)).cast("long").alias("n_v1"),
+        F.coalesce(F.col("n3"), F.lit(0)).cast("long").alias("n_v3"),
+        (
+            F.coalesce(F.col("dig1"), F.lit(0))
+            == F.coalesce(F.col("dig3"), F.lit(0))
+        )
+        .cast("int")
+        .alias("in_sync"),
+    )
