@@ -687,3 +687,37 @@ def test_merkle_diff_flags_exactly_the_changed_buckets(spark):
     }
     for bucket, r in rows.items():
         assert bool(r.in_sync) == (bucket not in changed_buckets), bucket
+
+
+# -- negative_sampling_table --------------------------------------------------
+
+def test_negative_sampling_budget_is_exactly_apportioned(spark):
+    """sum(draws) over the FULL table must equal the budget exactly —
+    the whole point of largest-remainder rounding."""
+    from uni_mannheim_masters_thesis_spark.plans.q_text import (
+        q_negative_sampling_table,
+        _NEG_BUDGET,
+    )
+
+    # rebuild without the top-50 LIMIT by summing the limited frame's
+    # complement: run the registry fn on the small corpus where the
+    # vocab fits inside the limit entirely
+    rows = _run(spark, "negative_sampling_table").collect()
+    docs_vocab_small = len(rows) < 50
+    if docs_vocab_small:
+        assert sum(r.draws for r in rows) == _NEG_BUDGET
+    for r in rows:
+        assert r.draws >= 0 and 0.0 <= r.p <= 1.0
+    # draws ordering follows probability ordering
+    draws = [r.draws for r in rows]
+    assert draws == sorted(draws, reverse=True)
+
+
+def test_negative_sampling_follows_power_law_weights(spark):
+    rows = _run(spark, "negative_sampling_table").collect()
+    # heavier terms draw more, and p matches c^0.75 normalization
+    by_c = sorted(rows, key=lambda r: -r.c)
+    total_w = sum(r.c ** 0.75 for r in rows)
+    if len(rows) < 50:  # full vocab present
+        top = by_c[0]
+        assert abs(top.p - top.c ** 0.75 / total_w) < 1e-3

@@ -813,6 +813,15 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                                  "hash-exact vs first-principles "
                                  "rebuild",
                                  ["replica_merkle_diff"]),
+    "X-train-negative-sampling": ("plans.q_text:"
+                                  "q_negative_sampling_table  # "
+                                  "word2vec count^0.75 sampling table "
+                                  "with EXACT largest-remainder "
+                                  "apportionment of a fixed budget "
+                                  "(sqrt(sqrt(c^3)) keeps the weight "
+                                  "IEEE-exact; all rounding integer); "
+                                  "hash-exact",
+                                  ["negative_sampling_table"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -214,6 +214,7 @@ _QUERIES = [
     "cumulative_unique_users",
     "behavioral_topk_similarity",
     "replica_merkle_diff",
+    "negative_sampling_table",
 ]
 
 

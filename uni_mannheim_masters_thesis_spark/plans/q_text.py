@@ -1773,3 +1773,119 @@ def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_at_10"),
     )
+
+
+_NEG_BUDGET = 1_000_000
+
+
+@_register(
+    "negative_sampling_table",
+    f"""
+    WITH tc AS (
+        SELECT w AS term, COUNT(*) AS c
+        FROM (
+            SELECT unnest({sql_tokens_pipeline('text')}) AS w
+            FROM documents
+        )
+        GROUP BY 1
+    ),
+    wq AS (
+        SELECT term, c,
+               CAST(ROUND(SQRT(SQRT(CAST(c AS DOUBLE) * c * c)) * 1000000)
+                    AS HUGEINT) AS wq
+        FROM tc
+    ),
+    sw AS (SELECT SUM(wq) AS sw FROM wq),
+    base AS (
+        SELECT term, c, wq, sw,
+               CAST({_NEG_BUDGET} AS HUGEINT) * wq // sw AS base_draws,
+               CAST({_NEG_BUDGET} AS HUGEINT) * wq % sw AS rem
+        FROM wq, sw
+    ),
+    k AS (
+        SELECT CAST({_NEG_BUDGET} AS HUGEINT) - SUM(base_draws) AS k
+        FROM base
+    ),
+    ranked AS (
+        SELECT base.*, k.k,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, term) AS rr
+        FROM base, k
+    )
+    SELECT term, c,
+           ROUND(CAST(wq AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS p,
+           CAST(base_draws + CASE WHEN rr <= k THEN 1 ELSE 0 END
+                AS BIGINT) AS draws
+    FROM ranked
+    ORDER BY draws DESC, term
+    LIMIT 50
+    """,
+    "§2.11 training-data ops (negative-sampling table, exact apportionment)",
+    "The word2vec negative-sampling distribution P(t) ∝ count^0.75, "
+    f"apportioned EXACTLY over a fixed budget of {_NEG_BUDGET} draws "
+    "via largest-remainder (Hamilton) rounding — the table a training "
+    "pipeline ships to samplers, with sum(draws) == budget exactly "
+    "(floor rounding alone under-allocates; naive per-term rounding "
+    "over- or under-shoots). Determinism discipline: count^0.75 is "
+    "computed as sqrt(sqrt(c^3)) — c^3 is integer-exact below 2^53 "
+    "and sqrt is IEEE-correctly-rounded, so unlike pow()'s "
+    "transcendental path the weight is bit-equal on both engines; "
+    "weights quantize to 1e-6 integer units, every downstream "
+    "quantity (sum, base draws, remainders, the shortfall k) is EXACT "
+    "INTEGER arithmetic, and the +1 top-up goes to the k largest "
+    "remainders under a total (remainder, term) order via the "
+    "range-partitioned two-phase global rank. Plan: one token-count "
+    "groupBy, one 1-row weight-sum broadcast, one rank exchange over "
+    "the vocab relation; top-50 as TakeOrdered.",
+)
+def q_negative_sampling_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ._shared import ordered_dense_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(tokens_pipeline(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = F.sqrt(F.sqrt(F.col("c").cast("double") * F.col("c") * F.col("c")))
+    wq = tc.select(
+        "term",
+        "c",
+        F.round(w * 1000000).cast("decimal(38,0)").alias("wq"),
+    )
+    sw = wq.agg(F.sum("wq").alias("sw"))
+    n = F.lit(_NEG_BUDGET).cast("decimal(38,0)")
+    base = wq.crossJoin(F.broadcast(sw)).select(
+        "term",
+        "c",
+        "wq",
+        "sw",
+        F.floor((n * F.col("wq")) / F.col("sw"))
+        .cast("decimal(38,0)")
+        .alias("base_draws"),
+        (n * F.col("wq") % F.col("sw")).alias("rem"),
+    )
+    k = base.agg((n - F.sum("base_draws")).alias("k"))
+    keyed = base.withColumn(
+        "__k", F.struct((-F.col("rem")).alias("nr"), F.col("term"))
+    )
+    ranked = ordered_dense_rank(keyed, "__k", rank_col="rr")
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .select(
+            "term",
+            "c",
+            F.round(
+                F.col("wq").cast("double") / F.col("sw").cast("double"), 6
+            ).alias("p"),
+            (
+                F.col("base_draws")
+                + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("draws"),
+        )
+        .orderBy(F.desc("draws"), "term")
+        .limit(50)
+    )

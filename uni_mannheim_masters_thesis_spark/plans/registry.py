@@ -181,9 +181,8 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "scd2_point_in_time_join", "multimodal_container_parse",
     "sole_blame_suppliers", "customer_order_histogram",
     "cumulative_unique_users", "behavioral_topk_similarity",
-    "replica_merkle_diff",
+    "replica_merkle_diff", "negative_sampling_table",
     # --- never-driver-hashed oracle rotations (round 9) --------------
-    "decile_bucketing",
     "document_packing",
     "embedding_quantization",
     # (knn_classifier_vote ceded its slot to prefix_filter_neardup; its
@@ -216,6 +215,8 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # custom_lexicon_tokens, approx_distinct_sketch,
     # blocked_jw_linkage and csv_metrics_roundtrip ceded their
     # slots to the session-2 operators above, as did
+    # decile_bucketing (X-feature-bucketing keeps the r8-hashed
+    # approx_quantile_contract's family and the full-walk verdict),
     # document_jaccard_neardup (X-dedup-ngram-jaccard keeps the
     # r1-r6-hashed ngram_jaccard_pairs),
     # dataset_split_manifest (X-train-splits keeps the r1-r6-hashed
@@ -377,6 +378,7 @@ _COST_HINT: dict[str, float] = {
     "multimodal_container_parse": 1.0, "sole_blame_suppliers": 1.2,
     "customer_order_histogram": 0.4, "cumulative_unique_users": 0.8,
     "behavioral_topk_similarity": 0.9, "replica_merkle_diff": 1.0,
+    "negative_sampling_table": 1.3,
     # consolidated suites — measured sf0.01 wall-clock (run_oracle_check)
     "set_ops_nations": 1.2, "text_profile": 0.7,
     "artifact_formats_roundtrip": 9.0, "training_prep_manifest": 13.5,
