@@ -178,7 +178,8 @@ _R9S2_WINDOW_SWEEP = [
     "label_centroid_similarity", "share_of_parent_rollup",
     "scd2_point_in_time_join", "multimodal_container_parse",
     "sole_blame_suppliers", "customer_order_histogram",
-    "cumulative_unique_users",
+    "cumulative_unique_users", "behavioral_topk_similarity",
+    "replica_merkle_diff", "negative_sampling_table",
 ]
 
 
