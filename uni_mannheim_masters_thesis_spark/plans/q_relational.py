@@ -1966,13 +1966,26 @@ def _bucketed_join_tables(
     bucket-aligned repartition) — the layout that lets repeated joins
     on the key skip their exchanges entirely. Built once per session
     per dataset (catalog-guarded); saveAsTable because bucket metadata
-    lives in the catalog, not the files."""
+    lives in the catalog, not the files.
+
+    The table name is PROCESS-unique (pid in the key): the in-memory
+    catalog dies with the process, so a second concurrent process sees
+    tableExists() == False for a name whose managed location is alive
+    and being read by the first — sharing the name would make process
+    B rmtree + rebuild the directory under process A's cached file
+    listing (observed: FAILED_READ_FILE.FILE_NOT_EXIST in a pytest
+    run concurrent with an oracle walk). Per-process tables cost one
+    ~1 s rebuild per process and make cross-process interference
+    structurally impossible; within a process the catalog guard still
+    caches across sessions."""
     import hashlib
     import os
     import shutil
     from urllib.parse import urlparse
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{os.getpid()}".encode()
+    ).hexdigest()[:8]
     t_orders, t_cust = f"umt_bkt_orders_{key}", f"umt_bkt_customer_{key}"
 
     def _clear_stale_location(table: str) -> None:
