@@ -62,16 +62,31 @@ def _lexicon_words(lexicon: DataFrame) -> list[str]:
 def filter_tokens_inline(
     tokens: Column, lexicon_words: Sequence[str], mode: str = "drop"
 ) -> Column:
-    """HOF token filter against a literal word array (no shuffle).
+    """HOF token filter against a literal word map (no shuffle).
 
     ``mode='drop'`` removes lexicon members (stopword semantics, P4);
     ``mode='keep'`` retains only members (spellcheck semantics, P6/P7).
+
+    Membership is a hash-map probe — ``map_contains_key`` against a
+    constant-folded literal map — not a linear ``array_contains`` scan,
+    so per-token cost is O(1) regardless of lexicon size (the previous
+    O(|lexicon|) scan made a 10k-word lexicon ~10000 comparisons per
+    token). Null tokens are dropped in both modes, matching the old
+    ``array_contains`` null semantics.
     """
-    lex = F.array(*[F.lit(w) for w in sorted(set(lexicon_words))])
+    if mode not in ("drop", "keep"):
+        raise ValueError(f"mode must be 'drop' or 'keep', got {mode!r}")
+    words = sorted(set(lexicon_words))
+    if not words:  # empty literal map has no concrete key type
+        return tokens if mode == "drop" else F.filter(tokens, lambda t: F.lit(False))
+    lex = F.map_from_arrays(
+        F.array(*[F.lit(w) for w in words]),
+        F.array_repeat(F.lit(True), len(words)),
+    )
     if mode == "drop":
-        return F.filter(tokens, lambda t: ~F.array_contains(lex, t))
+        return F.filter(tokens, lambda t: ~F.map_contains_key(lex, t))
     if mode == "keep":
-        return F.filter(tokens, lambda t: F.array_contains(lex, t))
+        return F.filter(tokens, lambda t: F.map_contains_key(lex, t))
     raise ValueError(f"mode must be 'drop' or 'keep', got {mode!r}")
 
 
@@ -114,35 +129,41 @@ def filter_tokens_with_lexicon(
     lex = F.broadcast(
         lexicon.select(F.col(word_col).alias("__lex_word")).distinct()
     )
-    join_type = "left_anti" if mode == "drop" else "left_semi"
     ids = [F.col(c) for c in id_cols]
     exploded = df.select(
         *ids, F.posexplode(F.col(tokens_col)).alias("__pos", "__tok")
     )
-    kept = exploded.join(
-        lex, exploded["__tok"] == F.col("__lex_word"), join_type
+    # Shuffle only the REMOVED positions, never the survivors: in drop
+    # mode the removals are the lexicon hits (semi join), in keep mode
+    # the lexicon misses (anti join) — the semantically sparse side in
+    # both real uses (stopword hits / spellcheck unknowns). The old
+    # shape regrouped every SURVIVING (id, pos, token) row through a
+    # collect_list shuffle — O(corpus tokens); this one shuffles
+    # (id, pos) pairs for the removals only, and the original array is
+    # filtered in place by position (order and multiplicity free).
+    removed = exploded.join(
+        lex,
+        exploded["__tok"] == F.col("__lex_word"),
+        "left_semi" if mode == "drop" else "left_anti",
     )
-    # Reassemble in original order: sort (pos, token) structs per doc.
-    # collect_list is order-nondeterministic across partitions; the
-    # array_sort on pos makes the result deterministic regardless.
-    regrouped = kept.groupBy(*id_cols).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
-            lambda s: s["__tok"],
-        ).alias("__filtered")
+    # NULL tokens never match the join condition, so they land in the
+    # anti (keep-mode) removals and stay out of the semi (drop-mode)
+    # ones — exactly the inline strategy's array_contains null
+    # semantics.
+    pos_agg = removed.groupBy(*id_cols).agg(
+        F.collect_list("__pos").alias("__rm")
     )
-    # Docs whose every token was filtered away vanish from the regroup;
-    # restore them with an empty array via a left join on the id base.
-    # NULL token arrays must stay NULL (the inline strategy's F.filter
-    # of NULL is NULL), so only coalesce to [] when the source array is
-    # non-null — otherwise strategy='auto' would yield [] or NULL for
-    # the same input depending on lexicon size.
-    base = df
-    out = base.join(regrouped, list(id_cols), "left").withColumn(
+    out = df.join(pos_agg, list(id_cols), "left").withColumn(
         out_col,
         F.when(
             F.col(tokens_col).isNotNull(),
-            F.coalesce(F.col("__filtered"), F.array().cast("array<string>")),
+            F.filter(
+                F.col(tokens_col),
+                lambda t, i: F.when(
+                    F.col("__rm").isNotNull(),
+                    ~F.array_contains(F.col("__rm"), i),
+                ).otherwise(F.lit(True)),
+            ),
         ),
     )
-    return out.drop("__filtered")
+    return out.drop("__rm")

@@ -1749,14 +1749,24 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
         "is_a",
     )
+    # aggregate FIRST (map-side-combinable groupBy folds N rows into
+    # <= nb cells), then left-join the nb-row spine against the tiny
+    # cell relation (broadcast). Joining the spine against the raw
+    # corpus-sized `binned` would shuffle every event row across at
+    # most nb join keys — a skewed SortMergeJoin doing the aggregation
+    # work AFTER the shuffle instead of before it.
+    cell_agg = binned.groupBy("b").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
+    )
     cells = (
         spark.range(nb)
         .select(F.col("id").cast("int").alias("b"))
-        .join(binned, "b", "left")
-        .groupBy("b")
-        .agg(
-            F.coalesce(F.sum("is_a"), F.lit(0)).alias("ca"),
-            F.coalesce(F.sum(F.lit(1) - F.col("is_a")), F.lit(0)).alias("cb"),
+        .join(F.broadcast(cell_agg), "b", "left")
+        .select(
+            "b",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
         )
     )
     sizes = binned.agg(

@@ -1503,15 +1503,25 @@ def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("denom", "cutoff")
         .agg(F.count(F.lit(1)).alias("vocab"))
     )
-    return doc_stats.join(vocab, ["denom", "cutoff"]).select(
-        "denom",
-        "cutoff",
-        "n_docs",
-        "n_tokens",
-        "vocab",
-        F.round(
-            F.col("vocab") / F.col("n_tokens").cast("double"), 6
-        ).alias("type_token_ratio"),
+    # build from the cutoff spine with LEFT joins: a cutoff preceding
+    # every doc_id (re-keyed corpora, max(doc_id) < 8) has no doc_stats
+    # or vocab row, but the oracle's scalar subqueries still emit it
+    # (COUNT -> 0, SUM -> NULL) — an inner join would drop the row.
+    return (
+        cp.join(doc_stats, ["denom", "cutoff"], "left")
+        .join(vocab, ["denom", "cutoff"], "left")
+        .select(
+            "denom",
+            "cutoff",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            F.col("n_tokens"),  # NULL on empty prefixes, like oracle SUM
+            F.coalesce(F.col("vocab"), F.lit(0)).cast("long").alias("vocab"),
+            F.round(
+                F.coalesce(F.col("vocab"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("type_token_ratio"),
+        )
     )
 
 
@@ -1856,15 +1866,22 @@ def q_negative_sampling_table(
     )
     sw = wq.agg(F.sum("wq").alias("sw"))
     n = F.lit(_NEG_BUDGET).cast("decimal(38,0)")
+    # base_draws must be the EXACT integer quotient (n*wq) // sw: Spark
+    # decimal division rounds the quotient to scale 6 (HALF_UP) BEFORE
+    # floor, so a term whose true fractional part is >= 1-5e-7 would
+    # floor one too high — and exactly those terms have rem ~= sw, so
+    # the Hamilton top-up would double-allocate them. rem = (n*wq) % sw
+    # is exact, hence (n*wq - rem) is an exact multiple of sw and its
+    # decimal quotient is the exact integer — no rounding can move it.
+    prod = n * F.col("wq")
+    rem = prod % F.col("sw")
     base = wq.crossJoin(F.broadcast(sw)).select(
         "term",
         "c",
         "wq",
         "sw",
-        F.floor((n * F.col("wq")) / F.col("sw"))
-        .cast("decimal(38,0)")
-        .alias("base_draws"),
-        (n * F.col("wq") % F.col("sw")).alias("rem"),
+        ((prod - rem) / F.col("sw")).cast("decimal(38,0)").alias("base_draws"),
+        rem.alias("rem"),
     )
     k = base.agg((n - F.sum("base_draws")).alias("k"))
     keyed = base.withColumn(
