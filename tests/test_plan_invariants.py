@@ -231,3 +231,59 @@ def test_r9s2_topk_plans_take_ordered(spark):
     for name in ("pmi_collocations", "weighted_sample_aes",
                  "sole_blame_suppliers"):
         assert "TakeOrderedAndProject" in _plan(spark, name), name
+
+
+# -- SMOTE / knn_within dispatch: no driver materialization above budget ------
+
+def test_knn_auto_dispatch_never_collects_above_budget(spark):
+    """knn_within(method='auto') must plan the blocked distributed
+    kernel (FlatMapGroupsInPandas), NOT the driver-broadcast numpy path
+    (MapInPandas), whenever the dense build side exceeds the broadcast
+    budget — a minority class too big to collect gets a distributed
+    plan, not a driver OOM. Both kernels are exact with the same
+    (dist, id) tie-break, so dispatch must not change results."""
+    from uni_mannheim_masters_thesis_spark.ml.resample import knn_within
+    from uni_mannheim_masters_thesis_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    over = knn_within(emb, k=3, broadcast_budget_bytes=0)
+    plan_over = over._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan_over
+    assert "MapInPandas" not in plan_over
+    under = knn_within(emb, k=3, broadcast_budget_bytes=1 << 40)
+    plan_under = under._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_under
+    cols = ["id", "nn_id", "nn_rank"]
+    assert sorted(map(tuple, over.select(*cols).collect())) == sorted(
+        map(tuple, under.select(*cols).collect())
+    )
+
+
+def test_smote_goes_distributed_above_module_budget(spark, monkeypatch):
+    """smote() resolves the kNN broadcast budget at CALL time: with the
+    module constant forced to 0 the synthesis plan contains no
+    driver-broadcast MapInPandas stage, and the synthetic rows are
+    IDENTICAL to the broadcast path's (both kernels exact, same seeded
+    interpolation) — dispatch changes the plan, never the data."""
+    from uni_mannheim_masters_thesis_spark.ml import resample
+    from uni_mannheim_masters_thesis_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding", (F.col("label") == 0).cast("int").alias("label")
+    )
+
+    def first_elems(out):
+        return sorted(
+            r["x"]
+            for r in out.filter(F.col("vec_id") < 0)
+            .select(F.round(F.element_at("embedding", 1), 9).alias("x"))
+            .collect()
+        )
+
+    baseline = resample.smote(emb, minority_label=1)
+    monkeypatch.setattr(resample, "KNN_BROADCAST_BUDGET_BYTES", 0)
+    distributed = resample.smote(emb, minority_label=1)
+    plan = distributed._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert first_elems(distributed) == first_elems(baseline)

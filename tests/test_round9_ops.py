@@ -159,16 +159,16 @@ def test_bloom_auto_sizes_above_the_floor(spark):
 
 # -- byte-level fuzzy dedup (content-defined chunking) ------------------------
 
-def _py_chunks(payload: bytes, window: int = 8, divisor: int = 16):
-    """Independent reference implementation (hashlib, per-byte loop)."""
+def _py_chunks(payload: bytes, window: int = 6, divisor: int = 19):
+    """Independent reference implementation (int.from_bytes, per-byte
+    loop) — the window bytes big-endian as one integer, prime divisor."""
     import hashlib
 
     n = len(payload)
     bpos = [
         i
         for i in range(window, n + 1)
-        if int(hashlib.md5(payload[i - window:i]).hexdigest()[:4], 16)
-        % divisor == 0
+        if int.from_bytes(payload[i - window:i], "big") % divisor == 0
     ]
     ends = bpos if (bpos and bpos[-1] == n) else bpos + [n]
     starts = [1] + [e + 1 for e in ends[:-1]]
@@ -208,7 +208,14 @@ def test_cdc_resynchronizes_after_an_edit():
     fixed-width blocking would share nothing past the insertion."""
     import hashlib
 
-    base = hashlib.sha256(b"seed").digest() * 40   # 1280 pseudo-random bytes
+    # 1280 NON-repeating pseudo-random bytes: a repeated single digest
+    # has only 32 distinct windows, so a stateless boundary rule can
+    # legitimately find zero boundaries in it ((1-1/d)^32 is ~18% for
+    # d=19) — the dedup property must be asserted on a payload with
+    # enough distinct windows that no-boundary is a ~impossible event.
+    base = b"".join(
+        hashlib.sha256(str(i).encode()).digest() for i in range(40)
+    )
     edited = base[:600] + b"INSERTED" + base[600:]
     a, b = set(_py_chunks(base)), set(_py_chunks(edited))
     jacc = len(a & b) / len(a | b)

@@ -66,7 +66,7 @@ def knn_within(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "auto",
-    broadcast_budget_bytes: int = KNN_BROADCAST_BUDGET_BYTES,
+    broadcast_budget_bytes: int | None = None,
 ) -> DataFrame:
     """k nearest same-set neighbors by squared euclidean distance.
 
@@ -95,6 +95,11 @@ def knn_within(
     ``method='join'``: pure-DataFrame O(n²) pair join, no numpy — the
     semantics reference.
     """
+    if broadcast_budget_bytes is None:
+        # resolved at CALL time (not def time) so tests and deployments
+        # can retune the module constant and every auto-dispatch caller
+        # — including smote()'s internal kNN — picks it up
+        broadcast_budget_bytes = KNN_BROADCAST_BUDGET_BYTES
     if method == "join":
         return _knn_within_join(df, k, id_col, vec_col)
     if method == "lsh":

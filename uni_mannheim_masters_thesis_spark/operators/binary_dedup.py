@@ -12,14 +12,23 @@ The standard fuzzy-file-dedup shape, from Spark-shipped parts only:
    shifts every later block).
 
    The boundary rule here is STATELESS: position ``i`` ends a chunk
-   iff ``md5(payload[i-w+1 .. i]) % divisor == 0``. Unlike
-   gear/FastCDC (whose min/max chunk clamps make each boundary depend
-   on the previous one — an inherently sequential fold), every
+   iff ``int(payload[i-w+1 .. i]) % divisor == 0`` — the window bytes
+   read big-endian as one integer (w <= 7 keeps it under 2^56, exact
+   in both engines' signed 64-bit arithmetic), tested against a PRIME
+   divisor. A prime makes the test order-sensitive: 256^k mod 19
+   cycles through distinct residues, so every byte position carries a
+   distinct weight (divisor 16 would read only the last byte's low
+   nibble; divisor 17 would reduce to an order-blind byte sum, since
+   256 = 15*17 + 1). This replaced an md5-per-position rule — one
+   digest + 32-char hex per byte of corpus — with integer arithmetic
+   at identical dedup semantics; the hex+conv window read is the
+   cheapest byte→int path available to a pure Column expression.
+   Unlike gear/FastCDC (whose min/max chunk clamps make each boundary
+   depend on the previous one — an inherently sequential fold), every
    boundary is decidable from ``w`` local bytes alone, which keeps the
-   kernel a pure per-row Column expression (whole-stage codegen, no
-   UDF, no Python) AND makes it exactly replayable by a relational
-   oracle. Content-locality — the dedup property that matters — is
-   identical.
+   kernel a pure per-row Column expression (no UDF, no Python) AND
+   makes it exactly replayable by a relational oracle.
+   Content-locality — the dedup property that matters — is identical.
 
 2. **MinHash over the chunk-digest set** — the per-payload digest set
    feeds the same md5-permutation MinHash + banded-bucket candidate
@@ -40,21 +49,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-CDC_WINDOW = 8     # rolling-window width in bytes
-CDC_DIVISOR = 16   # boundary iff window-hash % divisor == 0 (~16B chunks
-                   # on random bytes; real payloads land near that too)
+CDC_WINDOW = 6     # rolling-window width in bytes (<= 7: the window
+                   # must read as an exact signed-64-bit integer)
+CDC_DIVISOR = 19   # boundary iff window-int % divisor == 0. PRIME so
+                   # the test weighs every byte (256^k mod 19 cycles
+                   # through 9 distinct residues); ~19B chunks on
+                   # random bytes, real payloads land near that too
 
 
 def cdc_boundary_positions(
     payload: Column, window: int = CDC_WINDOW, divisor: int = CDC_DIVISOR
 ) -> Column:
-    """Array of chunk END positions (1-based, ascending) for a binary
-    (or string) payload — pure Column expression, no UDF.
+    """Array of chunk END positions (1-based, ascending) for a BINARY
+    payload — pure Column expression, no UDF.
 
     Position ``i`` (from ``window`` to ``len``) is a boundary iff the
-    first 16 bits of ``md5(payload[i-window+1 .. i])`` are divisible by
-    ``divisor``. Payloads shorter than ``window`` have no boundaries
-    (one whole-payload chunk)."""
+    window bytes ``payload[i-window+1 .. i]``, read big-endian as one
+    integer (``hex`` + ``conv`` — exact for ``window <= 7``), are
+    divisible by ``divisor``. Payloads shorter than ``window`` have no
+    boundaries (one whole-payload chunk). The oracle twin parses the
+    same hex literal (``('0x' || hex(window))::BIGINT``), so boundary
+    decisions are bit-identical across engines."""
+    if window > 7:
+        raise ValueError(
+            f"window must be <= 7 bytes (signed-64-bit exact), got {window}"
+        )
     n = F.length(payload)
     positions = F.when(
         n >= window, F.sequence(F.lit(window), n)
@@ -62,7 +81,7 @@ def cdc_boundary_positions(
 
     def is_boundary(i: Column) -> Column:
         win = payload.substr(i - F.lit(window - 1), F.lit(window))
-        h = F.conv(F.substring(F.md5(win), 1, 4), 16, 10).cast("long")
+        h = F.conv(F.hex(win), 16, 10).cast("long")
         return h % divisor == 0
 
     return F.filter(positions, is_boundary)

@@ -1968,33 +1968,65 @@ def _bucketed_join_tables(
     per dataset (catalog-guarded); saveAsTable because bucket metadata
     lives in the catalog, not the files.
 
-    The table name is PROCESS-unique (pid in the key): the in-memory
-    catalog dies with the process, so a second concurrent process sees
-    tableExists() == False for a name whose managed location is alive
-    and being read by the first — sharing the name would make process
-    B rmtree + rebuild the directory under process A's cached file
-    listing (observed: FAILED_READ_FILE.FILE_NOT_EXIST in a pytest
-    run concurrent with an oracle walk). Per-process tables cost one
-    ~1 s rebuild per process and make cross-process interference
-    structurally impossible; within a process the catalog guard still
-    caches across sessions."""
+    The table name is PROCESS-unique (pid as a READABLE suffix): the
+    in-memory catalog dies with the process, so a second concurrent
+    process sees tableExists() == False for a name whose managed
+    location is alive and being read by the first — sharing the name
+    would make process B rmtree + rebuild the directory under process
+    A's cached file listing (observed: FAILED_READ_FILE.FILE_NOT_EXIST
+    in a pytest run concurrent with an oracle walk). Per-process
+    tables cost one ~1 s rebuild per process and make cross-process
+    interference structurally impossible; within a process the catalog
+    guard still caches across sessions.
+
+    Orphan reclamation: every build (a) registers an atexit rmtree for
+    its own two locations, and (b) sweeps sibling ``umt_bkt_*_<pid>``
+    directories whose embedded pid is no longer alive — so killed
+    processes' leaks are reclaimed by the next builder instead of
+    accumulating in spark-warehouse forever. Liveness is structural
+    (/proc/<pid>), never mtime, so a long-running concurrent walk's
+    live tables are untouchable."""
+    import atexit
     import hashlib
     import os
+    import re
     import shutil
     from urllib.parse import urlparse
 
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{os.getpid()}".encode()
-    ).hexdigest()[:8]
+    key = (
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:6]
+        + f"_{os.getpid()}"
+    )
     t_orders, t_cust = f"umt_bkt_orders_{key}", f"umt_bkt_customer_{key}"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    def _sweep_dead_siblings() -> None:
+        pat = re.compile(r"^umt_bkt_\w+_[0-9a-f]{6}_(\d+)$")
+        try:
+            entries = os.listdir(wh)
+        except OSError:
+            return
+        for name in entries:
+            m = pat.match(name)
+            if m and not os.path.exists(f"/proc/{m.group(1)}"):
+                shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
 
     def _clear_stale_location(table: str) -> None:
         # the in-memory catalog dies with the process but the managed
         # location survives; an orphaned dir blocks re-creation
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         loc = os.path.join(wh, table.lower())
         if os.path.isdir(loc):
             shutil.rmtree(loc, ignore_errors=True)
+
+    if not (
+        spark.catalog.tableExists(t_orders)
+        and spark.catalog.tableExists(t_cust)
+    ):
+        _sweep_dead_siblings()
+        for t in (t_orders, t_cust):
+            atexit.register(
+                shutil.rmtree, os.path.join(wh, t.lower()), ignore_errors=True
+            )
 
     if not spark.catalog.tableExists(t_orders):
         _clear_stale_location(t_orders)

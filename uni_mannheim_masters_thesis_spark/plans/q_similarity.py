@@ -2347,7 +2347,7 @@ def q_graph_ann_beam_search(
 
 
 def _sql_binary_neardup(
-    window: int = 8, divisor: int = 16,
+    window: int = 6, divisor: int = 19,
     n_sig: int = 8, n_bands: int = 4, threshold: float = 0.5,
 ) -> str:
     """DuckDB twin of operators.binary_dedup.binary_neardup_pairs —
@@ -2364,7 +2364,7 @@ def _sql_binary_neardup(
 
 
 def _sql_binary_chain(
-    window: int = 8, divisor: int = 16,
+    window: int = 6, divisor: int = 19,
     n_sig: int = 8, n_bands: int = 4,
 ) -> str:
     """The shared CTE chain (payload → CDC chunks → MinHash bands →
@@ -2389,8 +2389,8 @@ def _sql_binary_chain(
     bnd AS (
         SELECT id, s, n,
                [i for i in generate_series({window}, n)
-                  if ('0x' || substring(md5(substring(
-                          s, i - {window - 1}, {window})), 1, 4))::BIGINT
+                  if ('0x' || hex(substring(
+                          s, i - {window - 1}, {window})))::BIGINT
                      % {divisor} = 0] AS bpos
         FROM p
     ),
@@ -2440,7 +2440,8 @@ def _sql_binary_chain(
     "Fuzzy dedup where text shingling can't go: opaque BINARY "
     "payloads (the multimodal column). Each payload chunks at "
     "content-defined boundaries — a stateless rolling-window hash "
-    "(md5 of the trailing 8 bytes, divisor condition), so an edit "
+    "(the trailing 6 bytes read as one big-endian integer, prime "
+    "divisor condition), so an edit "
     "anywhere re-synchronizes at the next unmodified window and "
     "near-dup payloads share most chunk digests; fixed-width "
     "blocking would lose every block after one inserted byte. The "
