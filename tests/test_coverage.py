@@ -63,6 +63,7 @@ def test_cumulative_driver_evidence_covers_every_operator():
         _DRIVER_VERIFIED_R1_R6,
         _DRIVER_VERIFIED_R7,
         _DRIVER_VERIFIED_R8,
+        _DRIVER_VERIFIED_R9,
     )
 
     evidenced = (
@@ -70,6 +71,7 @@ def test_cumulative_driver_evidence_covers_every_operator():
         | _DRIVER_VERIFIED_R1_R6
         | _DRIVER_VERIFIED_R7
         | _DRIVER_VERIFIED_R8
+        | _DRIVER_VERIFIED_R9
     )
     # plan_invariant_audit is rows-only by design (never hash-evidenced)
     # and was rotated out of the window per the r8 verdict; its primary

@@ -48,8 +48,8 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "T1": ("functions.text:clean_string", ["clean_documents"]),
     "T2": ("functions.text:clean_string", ["clean_documents"]),
     "T3": ("functions.text:remove_numbers", ["tokenized_documents"]),
-    "T4": ("functions.text:tokenize", ["tokenized_documents"]),
-    "T5": ("functions.text:morphy_lemmatize", ["lemmatized_tokens"]),
+    "T4": ("functions.text:tokenize  # NLTK-parity golden: tests/test_nltk_parity_golden.py (spec-derived word_tokenize goldens; divergence bounded to the 8 Treebank alpha contractions)", ["tokenized_documents"]),
+    "T5": ("functions.text:morphy_lemmatize  # NLTK-parity golden: tests/test_nltk_parity_golden.py (morphy(7WN) goldens; divergences bounded to pos-priority + oov-stem classes)", ["lemmatized_tokens"]),
     "T6": ("pipeline:fix_dataset_uris", ["replace_rewrite"]),
     "T7": ("functions.text:tokenize", ["tokenized_documents", "lemmatized_tokens"]),
     "T8": ("plans.registry:q_concat", ["concat_segment_name"]),
@@ -96,7 +96,7 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     # --- §2.8 ML ---------------------------------------------------------
     "M1": ("ml.topics:fit_lda",
            ["flagship_polysemy", "lda_log_perplexity", "lda_k_sweep"]),
-    "M2": ("ml.topic_quality:hdp_emulation", ["topic_quality_suite", "hdp_topic_mass"]),
+    "M2": ("ml.topic_quality:hdp_emulation  # shipped-model pin: tests/test_reference_gold.py validates the k=10 operating point (all 10 shipped topics alive/distinct) against the emulation premise", ["topic_quality_suite", "hdp_topic_mass"]),
     "M3": ("ml.topics:infer_topics", ["flagship_polysemy"]),
     "M4": ("ml.topics:polysemy_flag", ["polysemy_rule_vectors", "flagship_polysemy"]),
     "M5": ("ml.classify:assemble_features", ["classifier_battery"]),
@@ -219,6 +219,14 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                          "mixture_temperature_weights"]),
     "X-curation-pii": ("plans.registry:q_pii_redaction",
                        ["curation_suite", "pii_redaction"]),
+    "X-curation-e2e": (
+        "plans.q_curation:q_curation_pipeline_e2e  # the full DAG: "
+        "clean -> Gopher gate -> exact dedup -> shingle-MinHash fuzzy "
+        "dedup (connected components, keep-one) -> Hamilton "
+        "temperature mixture -> hash-shard manifest, hash-exact "
+        "incl. the funnel counts",
+        ["curation_pipeline_e2e"],
+    ),
     "X-train-chunking": ("plans.registry:q_document_chunking",
                          ["curation_suite", "document_chunking"]),
     "X-dedup-paragraph": ("plans.registry:q_paragraph_dedup",

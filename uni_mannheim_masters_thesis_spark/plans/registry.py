@@ -153,95 +153,76 @@ _DRIVER_VERIFIED_R8: frozenset[str] = frozenset({
     "streaming_sessionization", "zorder_zone_map_pruning",
 })
 
-_DRIVER_PRIORITY: frozenset[str] = frozenset({
-    # --- round-9 window: every slot is a query the driver has NEVER
-    # hashed, all oracle-backed (the r8 verdict flagged the 3 rows-only
-    # slots as wasted; this round the artifact can read 50/50 hashed).
-    # Former anchors/rotations all live in _DRIVER_VERIFIED_R1_R6 ∪ R7
-    # ∪ R8, so cumulative operator evidence only grows —
-    # test_cumulative_driver_evidence asserts exactly that. The ~28
-    # still-never-hashed oracle queries deferred to round 10 are
-    # family-redundant siblings (their operators keep evidence through
-    # hashed suite/sibling queries) or multi-second streaming twins.
-    # --- NEW round-9 operators --------------------------------------
-    "binary_neardup_pairs", "ann_index_build", "ann_query_from_index",
-    "streaming_ann_index_refresh", "m4_downsample",
-    "prefix_filter_neardup",
-    # --- NEW round-9 session-2 operators (each is its operator's ONLY
-    # query, so each must sit in the window for driver evidence) ------
-    "markov_transitions", "distribution_drift_report", "rfm_segments",
-    "market_basket_pairs", "chi_square_independence",
-    "benford_digit_audit", "pmi_collocations", "heaps_vocab_growth",
-    "weighted_sample_aes", "zipf_law_fit", "gini_concentration",
-    "revenue_yoy_growth", "streaming_drift_monitor",
-    "seasonal_anomaly_report", "winsorized_stats",
-    "conversion_lag_percentiles", "bootstrap_mean_ci",
-    "retrieval_metrics_ndcg", "ab_test_welch",
-    "label_centroid_similarity", "share_of_parent_rollup",
-    "scd2_point_in_time_join", "multimodal_container_parse",
-    "sole_blame_suppliers", "customer_order_histogram",
-    "cumulative_unique_users", "behavioral_topk_similarity",
-    "replica_merkle_diff", "negative_sampling_table",
-    # --- never-driver-hashed oracle rotations (round 9) --------------
-    "document_packing",
-    "embedding_quantization",
-    # (knn_classifier_vote ceded its slot to prefix_filter_neardup; its
-    # operator M14 keeps driver evidence via the r1-r6-hashed
-    # lsh_ann_neighbors)
+_DRIVER_VERIFIED_R9: frozenset[str] = frozenset({
+    # Queries hashed green in the round-9 driver artifact
+    # (CORRECTNESS_r09: 50/50 hash-exact, zero err rows) — joins the
+    # cumulative rotation baseline. binary_neardup_pairs /
+    # distribution_drift_report / negative_sampling_table /
+    # heaps_vocab_growth re-enter the round-10 window anyway because
+    # their implementations changed in round 10 (CDC window hash, the
+    # aggregate-before-spine-join fix, the exact Hamilton quotient,
+    # the left-join spine) and deserve fresh driver evidence.
+    "ab_test_welch", "ann_index_build", "ann_query_from_index",
+    "behavioral_topk_similarity", "benford_digit_audit",
+    "binary_neardup_pairs", "bootstrap_mean_ci",
+    "chi_square_independence", "conversion_lag_percentiles",
+    "cumulative_unique_users", "customer_order_histogram",
+    "distribution_drift_report", "document_packing",
+    "embedding_quantization", "gini_concentration",
+    "heaps_vocab_growth", "label_centroid_similarity", "m4_downsample",
+    "market_basket_pairs", "markov_transitions",
     "matrix_market_roundtrip", "measure_correlation",
-    "mixture_temperature_weights",
-    # (multimodal_decode ceded its slot to m4_downsample; its operator
-    # keeps driver evidence via the r1-r6-hashed multimodal_pipeline)
-    # (minhash_signatures ceded its slot to streaming_ann_index_refresh;
-    # its operator keeps driver evidence via the r1-r6-hashed
-    # minhash_neardup_pairs, and the full walk still covers it)
-    "multimodal_frame_sample", "orc_corpus_roundtrip",
-    "quality_perplexity",
-    "region_nation_rollup", "rolling_user_features",
-    "segment_counts_pivot", "session_attribution", "session_paths",
-    "value_histogram", "winnowing_fingerprint",
-    # (xml_corpus_roundtrip and union_all_entity_counts ceded their
-    # slots to the two new ANN-index queries; both defer to round 10 —
-    # the format family keeps csv/orc/matrix-market/dictionary
-    # representatives in this window, the union-all shape has hashed
-    # set-op siblings)
-    # (funnel_conversion, grouped_trend_pandas, membership_classification,
-    # nation_presence_intersect, orders_with_returns_exists,
-    # segment_balance_unpivot, events_sliding_window,
-    # json_artifact_roundtrip, order_window_functions, ewma_user_value,
-    # fold_assignment, iqr_outlier_fences, events_asof_nearest,
-    # events_sessionization, acctbal_percentiles,
-    # events_hourly_gapfill, approx_quantile_sketch,
-    # custom_lexicon_tokens, approx_distinct_sketch,
-    # blocked_jw_linkage and csv_metrics_roundtrip ceded their
-    # slots to the session-2 operators above, as did
-    # decile_bucketing (X-feature-bucketing keeps the r8-hashed
-    # approx_quantile_contract's family and the full-walk verdict),
-    # document_jaccard_neardup (X-dedup-ngram-jaccard keeps the
-    # r1-r6-hashed ngram_jaccard_pairs),
-    # dataset_split_manifest (X-train-splits keeps the r1-r6-hashed
-    # training_prep_manifest suite hash),
-    # customers_without_orders (anti-join evidence continues via the
-    # r1-r6-hashed set-op family and the new Q13-shape zero bucket),
-    # dictionary_text_roundtrip (format family keeps orc +
-    # matrix-market in-window and the r1-r6-hashed
-    # artifact_formats_roundtrip), cohort_retention
-    # (X-event-cohort keeps funnel/attribution family hashes and the
-    # full-walk verdict), column_profile
-    # (X-profile-columns keeps the r8-hashed approx_quantile_contract
-    # family sibling and the full-walk verdict) and bpe_subword_counts
-    # (its X-text-tokens operator keeps token_stats/text_profile hashed
-    # in r1-r6 and bpe_merge_training/bpe_encode_documents hashed in
-    # r8) (the sketch
-    # family keeps heavy_hitters_sketch hashed and both approx
-    # sketches verified in the full walk; the linkage family keeps
-    # levenshtein_blocked_pairs hashed in r8; the format family keeps
-    # orc/dictionary/matrix-market in the window); all rotations are
-    # family-redundant — their operators keep driver evidence through
-    # hashed siblings (user_value_trend, set-op suite, pivot twin,
-    # window suites, artifact_formats_roundtrip, streaming_ewma_parity,
-    # stratified_fold_balance, approx-quantile family) — and defer to
-    # the round-10 rotation)
+    "mixture_temperature_weights", "multimodal_container_parse",
+    "multimodal_frame_sample", "negative_sampling_table",
+    "orc_corpus_roundtrip", "pmi_collocations", "prefix_filter_neardup",
+    "quality_perplexity", "region_nation_rollup", "replica_merkle_diff",
+    "retrieval_metrics_ndcg", "revenue_yoy_growth", "rfm_segments",
+    "rolling_user_features", "scd2_point_in_time_join",
+    "seasonal_anomaly_report", "segment_counts_pivot",
+    "session_attribution", "session_paths", "share_of_parent_rollup",
+    "sole_blame_suppliers", "streaming_ann_index_refresh",
+    "streaming_drift_monitor", "value_histogram", "weighted_sample_aes",
+    "winnowing_fingerprint", "winsorized_stats", "zipf_law_fit",
+})
+
+_DRIVER_PRIORITY: frozenset[str] = frozenset({
+    # --- round-10 window: drains the driver-sample blind spot (r9
+    # verdict task 8). All 45 oracle-backed queries the driver has
+    # NEVER hashed across r1-r9 artifacts get a slot, so after this
+    # round every oracle-backed query in the registry has appeared in
+    # a driver CORRECTNESS window at least once. The 16 remaining
+    # never-hashed queries are rows-only BY DESIGN (seed-sensitive ML
+    # surface + plan_invariant_audit) and would waste hash slots (r8
+    # verdict); they keep full-walk + ok_-invariant evidence.
+    # Former anchors live in _DRIVER_VERIFIED_R1_R6 ∪ R7 ∪ R8 ∪ R9 —
+    # test_cumulative_driver_evidence asserts evidence only grows.
+    "bpe_subword_counts", "dataset_split_manifest",
+    "segment_balance_unpivot", "approx_distinct_sketch",
+    "approx_quantile_sketch", "embedding_centroid_norm",
+    "events_sliding_window", "fold_assignment", "orders_grouping_sets",
+    "orders_with_returns_exists", "rolling_week_order_value",
+    "cohort_retention", "ewma_user_value", "funnel_conversion",
+    "json_artifact_roundtrip", "xml_corpus_roundtrip",
+    "csv_metrics_roundtrip", "iqr_outlier_fences",
+    "nation_presence_except", "nation_presence_intersect",
+    "events_asof_nearest", "membership_classification",
+    "minhash_signatures", "shipping_priority", "supplier_part_reach",
+    "column_profile", "grouped_trend_pandas", "custom_lexicon_tokens",
+    "events_hourly_gapfill", "knn_classifier_vote", "ann_index_delete",
+    "ann_index_purge_vacuum", "binary_chunk_savings",
+    "binary_dedup_manifest", "curation_pipeline_e2e",
+    "multimodal_decode", "dictionary_text_roundtrip",
+    "blocked_jw_linkage", "decile_bucketing",
+    "streaming_events_by_segment", "document_jaccard_neardup",
+    "knn_vote_lsh", "streaming_events_hourly",
+    "winnowing_fingerprint_set", "stateful_user_counts",
+    # --- round-10 re-verification picks: implementations changed this
+    # round, so their r1-r9 hashes no longer evidence the new code ----
+    "binary_neardup_pairs",        # CDC boundary hash replaced
+    "distribution_drift_report",   # aggregate-before-spine-join fix
+    "negative_sampling_table",     # exact integer Hamilton quotient
+    "heaps_vocab_growth",          # left-join spine fix
+    "spellcheck_filtered",         # lexicon join strategy rebuilt
 })
 
 _COST_HINT: dict[str, float] = {
@@ -385,6 +366,12 @@ _COST_HINT: dict[str, float] = {
     "streaming_windowed_suite": 11.1, "streaming_stateful_suite": 17.2,
     "topic_quality_suite": 11.7, "resampling_report": 3.7,
     "multimodal_pipeline": 1.5, "curation_suite": 26.0,
+    # --- round-10 additions (engine-side seconds at sf0.1) ---------------
+    "curation_pipeline_e2e": 7.1,
+    "binary_dedup_manifest": 3.8, "binary_chunk_savings": 1.6,
+    "binary_neardup_pairs": 2.0,
+    # index-lifecycle reads over the shared persisted IVF index
+    "ann_index_delete": 1.0, "ann_index_purge_vacuum": 1.5,
 }
 
 
