@@ -215,6 +215,15 @@ _QUERIES = [
     "behavioral_topk_similarity",
     "replica_merkle_diff",
     "negative_sampling_table",
+    # round-10 additions: the e2e curation DAG + the five most
+    # expensive bench queries (r9 verdict task 9's sf1 spot set)
+    "curation_pipeline_e2e",
+    "rule_point_search",
+    "graph_ann_beam_search",
+    "classifier_battery",
+    "streaming_lakehouse_sink",
+    "spellcheck_filtered",
+    "smote_class_balance",
 ]
 
 
