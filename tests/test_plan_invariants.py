@@ -287,3 +287,25 @@ def test_smote_goes_distributed_above_module_budget(spark, monkeypatch):
     assert "MapInPandas" not in plan
     assert "FlatMapGroupsInPandas" in plan
     assert first_elems(distributed) == first_elems(baseline)
+
+
+# -- round-10 plan shapes ------------------------------------------------------
+
+def test_drift_report_aggregates_before_spine_join(spark):
+    """distribution_drift_report must fold the corpus into <=20 cells
+    BEFORE the bin spine joins (r9 ADVICE): the executed plan carries
+    no SortMergeJoin anywhere — the only joins are broadcasts of 1-row
+    bounds/size aggregates and the <=20-row cell relation."""
+    p = _plan(spark, "distribution_drift_report")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_curation_e2e_composes_without_cartesian_or_global_window(spark):
+    """The end-to-end curation DAG: no CartesianProduct (the funnel
+    crossJoins are 1-row broadcast loops), and every window partitions
+    (fingerprint / source) — nothing funnels the corpus through one
+    partition."""
+    p = _plan(spark, "curation_pipeline_e2e")
+    assert "CartesianProduct" not in p
+    assert not unpartitioned_windows(p)

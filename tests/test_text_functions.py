@@ -253,3 +253,50 @@ def test_bm25_matches_hand_computation(spark, tmp_path):
         for r in REGISTRY["bm25_retrieval"].fn(spark, str(tmp_path)).collect()
     }
     assert got == expected
+
+
+# -- lexicon strategy equivalence (round-10 join-path rewrite) ----------------
+
+def test_lexicon_join_and_inline_strategies_agree_on_random_arrays(spark):
+    """The join strategy (shuffle only REMOVED positions, filter the
+    original array in place) must be EXTENSIONALLY identical to the
+    inline literal-map filter for both modes on hostile inputs:
+    duplicate tokens, all-removed docs, no-removed docs, empty arrays,
+    NULL arrays, and NULL tokens inside arrays."""
+    import random
+
+    from uni_mannheim_masters_thesis_spark.functions.lexicon import (
+        filter_tokens_with_lexicon,
+        lexicon_from_words,
+    )
+
+    rng = random.Random(42)
+    alphabet = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    lex_words = ["bb", "dd", "zz"]  # zz never occurs (no-match path)
+    rows = []
+    for i in range(200):
+        if i % 17 == 0:
+            rows.append((i, None))  # NULL array
+            continue
+        n = rng.randint(0, 8)
+        toks = [rng.choice(alphabet) for _ in range(n)]
+        if i % 11 == 0 and toks:
+            toks[rng.randrange(len(toks))] = None  # NULL token
+        if i % 13 == 0:
+            toks = ["bb", "dd"] * 2  # all-removed (drop) / all-kept (keep)
+        rows.append((i, toks))
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    lex = lexicon_from_words(spark, lex_words)
+
+    for mode in ("drop", "keep"):
+        inline = filter_tokens_with_lexicon(
+            df, "tokens", lex, id_cols=["doc_id"], mode=mode,
+            out_col="out", strategy="inline",
+        ).select("doc_id", "out")
+        joined = filter_tokens_with_lexicon(
+            df, "tokens", lex, id_cols=["doc_id"], mode=mode,
+            out_col="out", strategy="join",
+        ).select("doc_id", "out")
+        a = {r["doc_id"]: r["out"] for r in inline.collect()}
+        b = {r["doc_id"]: r["out"] for r in joined.collect()}
+        assert a == b, mode

@@ -219,6 +219,12 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                          "mixture_temperature_weights"]),
     "X-curation-pii": ("plans.registry:q_pii_redaction",
                        ["curation_suite", "pii_redaction"]),
+    "X-train-truncation": (
+        "plans.q_curation:q_truncation_loss  # context-length overflow "
+        "pricing: per ctx_len docs truncated / tokens lost / pct of "
+        "token budget, map-only + 4-cell aggregate",
+        ["truncation_loss_report"],
+    ),
     "X-curation-e2e": (
         "plans.q_curation:q_curation_pipeline_e2e  # the full DAG: "
         "clean -> Gopher gate -> exact dedup -> shingle-MinHash fuzzy "

@@ -218,6 +218,7 @@ _QUERIES = [
     # round-10 additions: the e2e curation DAG + the five most
     # expensive bench queries (r9 verdict task 9's sf1 spot set)
     "curation_pipeline_e2e",
+    "truncation_loss_report",
     "rule_point_search",
     "graph_ann_beam_search",
     "classifier_battery",

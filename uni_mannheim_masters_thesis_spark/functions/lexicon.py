@@ -141,15 +141,19 @@ def filter_tokens_with_lexicon(
     # collect_list shuffle — O(corpus tokens); this one shuffles
     # (id, pos) pairs for the removals only, and the original array is
     # filtered in place by position (order and multiplicity free).
-    removed = exploded.join(
-        lex,
-        exploded["__tok"] == F.col("__lex_word"),
-        "left_semi" if mode == "drop" else "left_anti",
-    )
-    # NULL tokens never match the join condition, so they land in the
-    # anti (keep-mode) removals and stay out of the semi (drop-mode)
-    # ones — exactly the inline strategy's array_contains null
-    # semantics.
+    if mode == "drop":
+        # NULL tokens never match the semi-join condition, but the
+        # inline strategy's predicate is NULL for them (filter drops) —
+        # add their positions to the removed set explicitly so both
+        # strategies drop NULL tokens in BOTH modes.
+        removed = exploded.join(
+            lex, exploded["__tok"] == F.col("__lex_word"), "left_semi"
+        ).unionByName(exploded.filter(F.col("__tok").isNull()))
+    else:
+        # anti join already counts NULL tokens as non-members → removed
+        removed = exploded.join(
+            lex, exploded["__tok"] == F.col("__lex_word"), "left_anti"
+        )
     pos_agg = removed.groupBy(*id_cols).agg(
         F.collect_list("__pos").alias("__rm")
     )

@@ -1544,16 +1544,29 @@ def _sql_curation_e2e(
 def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    from ..functions.text import tokenize, tokens_pipeline
+    from ..functions.text import (
+        drop_empty,
+        drop_short_tokens,
+        remove_numbers,
+        remove_stopwords,
+        tokenize,
+    )
     from ..operators.dedup import connected_components, minhash_banded_pairs
 
     n_shards = 16
     docs = _t(spark, sf_dir, "documents")
+    # ONE clean+split pass: rt materializes in its own projection (the
+    # gopher_admission CSE discipline — CollapseProject won't inline a
+    # multiply-referenced non-trivial alias), and the clean token
+    # pipeline derives from rt per tokens_pipeline's own definition
+    # instead of re-running the cleaning regex on the raw text.
     raw = docs.select(
-        "doc_id",
-        "source",
-        tokenize(F.col("text")).alias("rt"),
-        tokens_pipeline(F.col("text")).alias("t"),
+        "doc_id", "source", tokenize(F.col("text")).alias("rt")
+    ).withColumn(
+        "t",
+        drop_empty(
+            drop_short_tokens(remove_stopwords(remove_numbers(F.col("rt"))))
+        ),
     )
     n_rt = F.size("rt")
     mean_len = F.when(n_rt == 0, F.lit(0.0)).otherwise(
@@ -1681,4 +1694,71 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact_unique",
         "n_fuzzy_unique",
         "n_selected",
+    )
+
+
+_TRUNC_LENGTHS = (512, 1024, 2048, 4096)
+
+
+@_register(
+    "truncation_loss_report",
+    f"""
+    WITH toks AS (
+        SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ls AS (SELECT unnest({list(_TRUNC_LENGTHS)}) AS ctx_len)
+    SELECT CAST(ctx_len AS BIGINT) AS ctx_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_tokens > ctx_len THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(GREATEST(n_tokens - ctx_len, 0)) AS BIGINT)
+               AS tokens_lost,
+           ROUND(CAST(SUM(GREATEST(n_tokens - ctx_len, 0)) AS DOUBLE)
+                 / SUM(n_tokens), 6) AS pct_lost
+    FROM toks CROSS JOIN ls
+    GROUP BY ctx_len
+    """,
+    "§2.11 training-data ops (context-length truncation-loss report)",
+    "The sizing question asked before every pre-training run: at "
+    f"context lengths {_TRUNC_LENGTHS}, how many documents overflow "
+    "and what fraction of the token budget falls off the end? One "
+    "map-only pass computes the whitespace token estimator (the same "
+    "tokenizer-free count document_packing uses), a 4-row literal "
+    "length spine broadcast-crosses it, and a single "
+    "map-side-combinable groupBy folds N docs into 4 cells — the "
+    "complement of document_packing (which packs short docs; this "
+    "prices truncating long ones). At 100 TB: two narrow columns "
+    "scanned, 4x partial-aggregated rows shuffled, nothing else "
+    "moves. Oracle recomputes the identical integer arithmetic; "
+    "pct_lost is one integer-ratio double division on both engines.",
+)
+def q_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    toks = docs.select(n_tokens.alias("n_tokens"))
+    spine = spark.createDataFrame(
+        [(int(l),) for l in _TRUNC_LENGTHS], "ctx_len long"
+    )
+    lost = F.greatest(F.col("n_tokens") - F.col("ctx_len"), F.lit(0))
+    return (
+        toks.crossJoin(F.broadcast(spine))
+        .groupBy("ctx_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_tokens") > F.col("ctx_len")).cast("int"))
+            .cast("long")
+            .alias("n_truncated"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(lost).cast("long").alias("tokens_lost"),
+            F.round(
+                F.sum(lost).cast("double") / F.sum("n_tokens"), 6
+            ).alias("pct_lost"),
+        )
     )

@@ -187,10 +187,13 @@ _DRIVER_VERIFIED_R9: frozenset[str] = frozenset({
 
 _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # --- round-10 window: drains the driver-sample blind spot (r9
-    # verdict task 8). All 45 oracle-backed queries the driver has
-    # NEVER hashed across r1-r9 artifacts get a slot, so after this
-    # round every oracle-backed query in the registry has appeared in
-    # a driver CORRECTNESS window at least once. The 16 remaining
+    # verdict task 8). 44 of the 45 oracle-backed queries the driver
+    # has NEVER hashed across r1-r9 artifacts get a slot (the one
+    # deferral is minhash_signatures, whose operator keeps hashed
+    # evidence via the r1-r6 minhash_neardup_pairs and whose slot goes
+    # to the NEW r10 operator truncation_loss_report), so after this
+    # round every oracle-backed query except that one sibling has
+    # appeared in a driver CORRECTNESS window at least once. The 16 remaining
     # never-hashed queries are rows-only BY DESIGN (seed-sensitive ML
     # surface + plan_invariant_audit) and would waste hash slots (r8
     # verdict); they keep full-walk + ok_-invariant evidence.
@@ -206,7 +209,8 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "csv_metrics_roundtrip", "iqr_outlier_fences",
     "nation_presence_except", "nation_presence_intersect",
     "events_asof_nearest", "membership_classification",
-    "minhash_signatures", "shipping_priority", "supplier_part_reach",
+    "truncation_loss_report",   # new r10 operator (X-train-truncation)
+    "shipping_priority", "supplier_part_reach",
     "column_profile", "grouped_trend_pandas", "custom_lexicon_tokens",
     "events_hourly_gapfill", "knn_classifier_vote", "ann_index_delete",
     "ann_index_purge_vacuum", "binary_chunk_savings",
@@ -372,6 +376,7 @@ _COST_HINT: dict[str, float] = {
     "binary_neardup_pairs": 2.0,
     # index-lifecycle reads over the shared persisted IVF index
     "ann_index_delete": 1.0, "ann_index_purge_vacuum": 1.5,
+    "truncation_loss_report": 0.3,
 }
 
 
