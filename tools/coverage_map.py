@@ -219,6 +219,12 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                          "mixture_temperature_weights"]),
     "X-curation-pii": ("plans.registry:q_pii_redaction",
                        ["curation_suite", "pii_redaction"]),
+    "X-text-entropy": (
+        "plans.q_text:q_unigram_entropy  # per-doc unigram Shannon "
+        "entropy (ln(n) - sum c*ln c / n, doc-rounded), per-source "
+        "rollup + low-entropy boilerplate count",
+        ["unigram_entropy_quality"],
+    ),
     "X-train-truncation": (
         "plans.q_curation:q_truncation_loss  # context-length overflow "
         "pricing: per ctx_len docs truncated / tokens lost / pct of "

@@ -219,6 +219,7 @@ _QUERIES = [
     # expensive bench queries (r9 verdict task 9's sf1 spot set)
     "curation_pipeline_e2e",
     "truncation_loss_report",
+    "unigram_entropy_quality",
     "rule_point_search",
     "graph_ann_beam_search",
     "classifier_battery",

@@ -212,7 +212,12 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "truncation_loss_report",   # new r10 operator (X-train-truncation)
     "shipping_priority", "supplier_part_reach",
     "column_profile", "grouped_trend_pandas", "custom_lexicon_tokens",
-    "events_hourly_gapfill", "knn_classifier_vote", "ann_index_delete",
+    "events_hourly_gapfill",
+    "unigram_entropy_quality",  # new r10 operator (X-text-entropy);
+    # knn_classifier_vote cedes its slot again — M14 keeps hashed
+    # evidence via lsh_ann_neighbors (r1-r6) and knn_vote_lsh is in
+    # THIS window
+    "ann_index_delete",
     "ann_index_purge_vacuum", "binary_chunk_savings",
     "binary_dedup_manifest", "curation_pipeline_e2e",
     "multimodal_decode", "dictionary_text_roundtrip",
@@ -376,7 +381,7 @@ _COST_HINT: dict[str, float] = {
     "binary_neardup_pairs": 2.0,
     # index-lifecycle reads over the shared persisted IVF index
     "ann_index_delete": 1.0, "ann_index_purge_vacuum": 1.5,
-    "truncation_loss_report": 0.3,
+    "truncation_loss_report": 0.3, "unigram_entropy_quality": 1.0,
 }
 
 
