@@ -1,0 +1,117 @@
+"""Property tests for the round-10 exact kernels: Hamilton
+apportionment (hypothesis) and the CDC chunker on arbitrary BINARY
+payloads (seeded random bytes, full 0-255 range — the existing golden
+only exercises ASCII document text)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from uni_mannheim_masters_thesis_spark.functions.apportion import (
+    hamilton_apportion,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    weights=st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=30,
+    ),
+    budget=st.integers(min_value=0, max_value=100_000),
+)
+def test_hamilton_sums_exactly_and_stays_within_one_of_exact_share(
+    weights, budget
+):
+    sw = sum(weights.values())
+    if sw == 0:
+        return
+    out = hamilton_apportion(weights, budget)
+    assert sum(out.values()) == budget          # the whole point
+    for k, w in weights.items():
+        base = (budget * w) // sw
+        assert out[k] in (base, base + 1), (k, w, budget, sw)
+    # deterministic
+    assert out == hamilton_apportion(dict(reversed(list(weights.items()))), budget)
+
+
+def test_hamilton_zero_weight_parties_only_topped_up_never_floored():
+    out = hamilton_apportion({"a": 0, "b": 1}, 5)
+    assert out == {"a": 0, "b": 5}
+
+
+# -- CDC chunker on arbitrary bytes -------------------------------------------
+
+
+def _py_chunks(payload: bytes, window: int = 6, divisor: int = 19):
+    """Same reference loop as tests/test_round9_ops.py."""
+    n = len(payload)
+    bpos = [
+        i
+        for i in range(window, n + 1)
+        if int.from_bytes(payload[i - window:i], "big") % divisor == 0
+    ]
+    ends = bpos if (bpos and bpos[-1] == n) else bpos + [n]
+    starts = [1] + [e + 1 for e in ends[:-1]]
+    return [
+        hashlib.md5(payload[s - 1:e]).hexdigest()
+        for s, e in zip(starts, ends)
+    ]
+
+
+def test_cdc_engine_matches_reference_on_random_binary(spark):
+    """cdc_chunk_digests on 150 seeded random payloads covering the
+    FULL byte range (zeros, high bytes, window-length edge cases) —
+    one Spark job, element-wise equality with the hashlib loop."""
+    from uni_mannheim_masters_thesis_spark.operators.binary_dedup import (
+        cdc_chunk_digests,
+    )
+
+    rng = random.Random(1234)
+    payloads = []
+    for i in range(150):
+        n = rng.choice([1, 2, 5, 6, 7, 8, 19, 37] + [rng.randint(9, 400)])
+        payloads.append((i, bytes(rng.randrange(256) for _ in range(n))))
+    # edge: runs of identical bytes (every window in the run hashes
+    # identically -> all-or-nothing boundaries), and a zero payload
+    payloads.append((150, b"\x00" * 64))
+    payloads.append((151, b"\xabZ" * 40))
+    df = spark.createDataFrame(payloads, "pid int, payload binary")
+    rows = df.select(
+        "pid", cdc_chunk_digests(F.col("payload")).alias("chunks")
+    ).collect()
+    got = {r["pid"]: r["chunks"] for r in rows}
+    by_pid = dict(payloads)
+    assert len(got) == len(payloads)
+    for pid, payload in payloads:
+        assert got[pid] == _py_chunks(payload), (pid, payload[:20])
+
+
+def test_cdc_chunks_partition_the_payload():
+    """Reference-loop invariant on random bytes: chunk boundaries are
+    strictly increasing and chunks exactly tile the payload."""
+    rng = random.Random(99)
+    for _ in range(300):
+        n = rng.randint(0, 200)
+        payload = bytes(rng.randrange(256) for _ in range(n))
+        if not payload:
+            continue
+        W, D = 6, 19
+        bpos = [
+            i
+            for i in range(W, n + 1)
+            if int.from_bytes(payload[i - W:i], "big") % D == 0
+        ]
+        ends = bpos if (bpos and bpos[-1] == n) else bpos + [n]
+        assert all(a < b for a, b in zip(ends, ends[1:]))
+        assert ends[-1] == n
+        starts = [1] + [e + 1 for e in ends[:-1]]
+        rebuilt = b"".join(payload[s - 1:e] for s, e in zip(starts, ends))
+        assert rebuilt == payload

@@ -1544,6 +1544,7 @@ def _sql_curation_e2e(
 def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
+    from ..functions.apportion import hamilton_apportion
     from ..functions.text import (
         drop_empty,
         drop_short_tokens,
@@ -1633,14 +1634,9 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s, n in counts:
         x = math.sqrt(n) * 1e6
         f = math.floor(x)
+        # frac >= 0.5 replicates ROUND-half-away exactly for positives
         wqs.append((s, int(f) + (1 if x - f >= 0.5 else 0)))
-    sw_sum = sum(w for _, w in wqs) or 1
-    based = [(s, (budget * w) // sw_sum, (budget * w) % sw_sum) for s, w in wqs]
-    k = budget - sum(bd for _, bd, _ in based)
-    topped = sorted(based, key=lambda r: (-r[2], r[0]))
-    quotas = {s: bd for s, bd, _ in based}
-    for s, _, _ in topped[: max(0, k)]:
-        quotas[s] += 1
+    quotas = hamilton_apportion(dict(wqs), budget)
     quota_df = spark.createDataFrame(
         [(s, int(q)) for s, q in sorted(quotas.items())], "source string, q long"
     )
