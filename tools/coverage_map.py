@@ -103,7 +103,7 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "M6": ("ml.classify:classifier_battery", ["classifier_battery"]),
     "M7": ("ml.classify:classifier_battery  # deviation: ≡ M6 (solver ≠ semantics)",
            ["classifier_battery"]),
-    "M8": ("ml.classify:classifier_battery  # deviation: LinearSVC",
+    "M8": ("ml.classify:ModifiedHuberGD  # REAL modified-Huber loss (r10): deterministic full-batch GD, one distributed d+1-sum aggregation per iteration; formerly a LinearSVC stand-in",
            ["classifier_battery"]),
     "M9": ("ml.kernel:kernel_svm_report  # rbf via Random Fourier Features",
            ["kernel_svm_rff", "classifier_battery"]),
