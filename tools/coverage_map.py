@@ -225,6 +225,12 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
         "rollup + low-entropy boilerplate count",
         ["unigram_entropy_quality"],
     ),
+    "X-train-waterfill": (
+        "plans.q_curation:q_token_budget_waterfill  # exact integer "
+        "waterfill of a token budget over sources under per-source "
+        "epoch caps: HUGEINT threshold split + Hamilton remainder",
+        ["token_budget_waterfill"],
+    ),
     "X-train-truncation": (
         "plans.q_curation:q_truncation_loss  # context-length overflow "
         "pricing: per ctx_len docs truncated / tokens lost / pct of "

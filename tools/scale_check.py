@@ -220,6 +220,7 @@ _QUERIES = [
     "curation_pipeline_e2e",
     "truncation_loss_report",
     "unigram_entropy_quality",
+    "token_budget_waterfill",
     "rule_point_search",
     "graph_ann_beam_search",
     "classifier_battery",

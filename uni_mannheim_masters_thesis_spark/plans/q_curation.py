@@ -1758,3 +1758,171 @@ def q_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_lost"),
         )
     )
+
+
+@_register(
+    "token_budget_waterfill",
+    """
+    WITH src AS MATERIALIZED (
+        SELECT source,
+               CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                    AS HUGEINT) AS n
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS HUGEINT) AS nt,
+               (9 * CAST(SUM(n) AS HUGEINT)) // 5 AS b
+        FROM src
+    ),
+    w AS MATERIALIZED (
+        SELECT source, n, (19 * n) // 10 AS cap,
+               CAST(ROUND(sqrt(CAST(n AS DOUBLE)) * 1000000) AS HUGEINT)
+                   AS wq,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST((19 * n) // 10 AS DOUBLE)
+                            / CAST(ROUND(sqrt(CAST(n AS DOUBLE)) * 1000000)
+                                   AS DOUBLE),
+                            source) AS rk
+        FROM src
+    ),
+    splits AS (
+        SELECT CAST(unnest(range(0, (SELECT COUNT(*) FROM w) + 1))
+                    AS BIGINT) AS i
+    ),
+    agg AS (
+        SELECT s.i,
+               MIN(tot.b) - COALESCE(SUM(CASE WHEN w.rk <= s.i
+                                              THEN w.cap END), 0) AS r,
+               COALESCE(SUM(CASE WHEN w.rk > s.i THEN w.wq END), 0) AS sw
+        FROM splits s CROSS JOIN w CROSS JOIN tot
+        GROUP BY s.i
+    ),
+    valid AS MATERIALIZED (
+        SELECT a.i, a.r, a.sw FROM agg a
+        WHERE a.r >= 0
+          AND NOT EXISTS (SELECT 1 FROM w
+                          WHERE w.rk <= a.i AND w.cap * a.sw > a.r * w.wq)
+          AND NOT EXISTS (SELECT 1 FROM w
+                          WHERE w.rk > a.i AND w.cap * a.sw <= a.r * w.wq)
+        ORDER BY a.i LIMIT 1
+    ),
+    based AS MATERIALIZED (
+        SELECT w.source, w.wq, valid.r, valid.sw,
+               (valid.r * w.wq) // valid.sw AS bd,
+               (valid.r * w.wq) % valid.sw AS rem
+        FROM w, valid WHERE w.rk > valid.i
+    ),
+    kk AS (SELECT MIN(r) - COALESCE(SUM(bd), 0) AS k FROM based),
+    halloc AS (
+        SELECT source,
+               bd + CASE WHEN ROW_NUMBER()
+                              OVER (ORDER BY rem DESC, source) <= kk.k
+                         THEN 1 ELSE 0 END AS halloc
+        FROM based, kk
+    ),
+    alloc AS MATERIALIZED (
+        SELECT w.source, w.n, w.cap,
+               CASE WHEN w.rk <= valid.i THEN w.cap
+                    ELSE halloc.halloc END AS alloc,
+               w.rk <= valid.i AS saturated
+        FROM w CROSS JOIN valid LEFT JOIN halloc USING (source)
+    )
+    SELECT alloc.source,
+           CAST(alloc.n AS BIGINT) AS n_tokens,
+           CAST(alloc.cap AS BIGINT) AS cap_tokens,
+           CAST(alloc.alloc AS BIGINT) AS alloc_tokens,
+           ROUND(CAST(alloc.alloc AS DOUBLE) / CAST(alloc.n AS DOUBLE), 6)
+               AS epochs,
+           alloc.saturated,
+           CAST(tot.b AS BIGINT) AS budget_tokens,
+           CAST(tot.b - (SELECT SUM(alloc) FROM alloc) AS BIGINT)
+               AS leftover_tokens
+    FROM alloc, tot
+    """,
+    "§2.11 training-data ops (token-budget waterfill under epoch caps)",
+    "The data-recipe allocation every multi-domain pre-training run "
+    "solves (LLaMA/DoReMi-style): split a total token budget "
+    "(1.8x the corpus here) across sources proportional to "
+    "sqrt-temperature weights, but cap every source at 1.9 epochs of "
+    "its own tokens — capped sources saturate and their surplus "
+    "waterfalls to the rest. Solved EXACTLY in integers: the "
+    "saturated set is the unique sorted-by-cap/weight prefix whose "
+    "threshold condition holds under HUGEINT cross-multiplication "
+    "(no float thresholds), and the unsaturated remainder is a "
+    "largest-remainder Hamilton apportionment (functions.apportion), "
+    "so allocations sum to the budget to the TOKEN unless everything "
+    "saturates (leftover_tokens reports the residue). Engine shape: "
+    "the only corpus-sized work is one map-side-combinable per-source "
+    "token aggregate; the 20-row allocation solves exactly on the "
+    "driver (the dimension-collect discipline) while the oracle "
+    "replays split search and apportionment relationally. At 100 TB "
+    "sources are a dimension; this never touches row data twice.",
+)
+def q_token_budget_waterfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    from ..functions.apportion import hamilton_apportion
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    counts = {
+        r["source"]: int(r["n"])
+        for r in docs.select("source", n_tokens.alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    budget = (9 * total) // 5
+    cap = {s: (19 * n) // 10 for s, n in counts.items()}
+    wq = {}
+    for s, n in counts.items():
+        x = math.sqrt(n) * 1e6
+        f = math.floor(x)
+        wq[s] = int(f) + (1 if x - f >= 0.5 else 0)
+    order = sorted(counts, key=lambda s: (cap[s] / wq[s], s))
+    chosen = None
+    for i in range(len(order) + 1):
+        r = budget - sum(cap[s] for s in order[:i])
+        sw = sum(wq[s] for s in order[i:])
+        if r < 0:
+            continue
+        if any(cap[s] * sw > r * wq[s] for s in order[:i]):
+            continue
+        if any(cap[s] * sw <= r * wq[s] for s in order[i:]):
+            continue
+        chosen = (i, r, sw)
+        break
+    assert chosen is not None, "waterfill split must exist"
+    i, r, _sw = chosen
+    saturated = set(order[:i])
+    alloc = {s: cap[s] for s in saturated}
+    if order[i:]:
+        alloc.update(hamilton_apportion({s: wq[s] for s in order[i:]}, r))
+    leftover = budget - sum(alloc.values())
+    rows = [
+        (
+            s,
+            counts[s],
+            cap[s],
+            alloc[s],
+            # floor(x*1e6+0.5)/1e6 == ROUND(x, 6) half-away for positives
+            math.floor(alloc[s] / counts[s] * 1e6 + 0.5) / 1e6,
+            s in saturated,
+            budget,
+            leftover,
+        )
+        for s in sorted(counts)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "source string, n_tokens long, cap_tokens long, alloc_tokens long, "
+        "epochs double, saturated boolean, budget_tokens long, "
+        "leftover_tokens long",
+    )

@@ -222,7 +222,10 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "binary_dedup_manifest", "curation_pipeline_e2e",
     "multimodal_decode", "dictionary_text_roundtrip",
     "blocked_jw_linkage", "decile_bucketing",
-    "streaming_events_by_segment", "document_jaccard_neardup",
+    "streaming_events_by_segment",
+    "token_budget_waterfill",   # new r10 operator (X-train-waterfill);
+    # document_jaccard_neardup cedes its slot — X-dedup-ngram-jaccard
+    # keeps the r1-r6-hashed ngram_jaccard_pairs
     "knn_vote_lsh", "streaming_events_hourly",
     "winnowing_fingerprint_set", "stateful_user_counts",
     # --- round-10 re-verification picks: implementations changed this
@@ -382,6 +385,7 @@ _COST_HINT: dict[str, float] = {
     # index-lifecycle reads over the shared persisted IVF index
     "ann_index_delete": 1.0, "ann_index_purge_vacuum": 1.5,
     "truncation_loss_report": 0.3, "unigram_entropy_quality": 1.0,
+    "token_budget_waterfill": 0.4,
 }
 
 
