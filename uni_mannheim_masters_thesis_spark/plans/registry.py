@@ -187,13 +187,17 @@ _DRIVER_VERIFIED_R9: frozenset[str] = frozenset({
 
 _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # --- round-10 window: drains the driver-sample blind spot (r9
-    # verdict task 8). 44 of the 45 oracle-backed queries the driver
-    # has NEVER hashed across r1-r9 artifacts get a slot (the one
-    # deferral is minhash_signatures, whose operator keeps hashed
-    # evidence via the r1-r6 minhash_neardup_pairs and whose slot goes
-    # to the NEW r10 operator truncation_loss_report), so after this
-    # round every oracle-backed query except that one sibling has
-    # appeared in a driver CORRECTNESS window at least once. The 16 remaining
+    # verdict task 8). 42 of the 45 oracle-backed queries the driver
+    # has NEVER hashed across r1-r9 artifacts get a slot; the three
+    # deferrals are family-redundant siblings whose operators keep
+    # hashed evidence elsewhere (minhash_signatures via the
+    # r1-r6-hashed minhash_neardup_pairs; knn_classifier_vote via
+    # lsh_ann_neighbors + this window's knn_vote_lsh;
+    # document_jaccard_neardup via ngram_jaccard_pairs) and their
+    # slots go to the three NEW r10 operators
+    # (truncation_loss_report, unigram_entropy_quality,
+    # token_budget_waterfill) so the new surface gets driver evidence
+    # immediately. The 16 remaining
     # never-hashed queries are rows-only BY DESIGN (seed-sensitive ML
     # surface + plan_invariant_audit) and would waste hash slots (r8
     # verdict); they keep full-walk + ok_-invariant evidence.
