@@ -300,3 +300,36 @@ def test_lexicon_join_and_inline_strategies_agree_on_random_arrays(spark):
         a = {r["doc_id"]: r["out"] for r in inline.collect()}
         b = {r["doc_id"]: r["out"] for r in joined.collect()}
         assert a == b, mode
+
+
+def test_empty_lexicon_drop_still_removes_null_tokens(spark):
+    """Round-11 advice fix: with an EMPTY lexicon, drop mode must still
+    remove NULL tokens so inline and join strategies agree (the
+    non-empty inline path's ~map_contains_key predicate is NULL for a
+    NULL token, which filter() drops)."""
+    from uni_mannheim_masters_thesis_spark.functions.lexicon import (
+        filter_tokens_inline,
+        filter_tokens_with_lexicon,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, ["aa", None, "bb"]), (2, [None]), (3, []), (4, None)],
+        "doc_id long, tokens array<string>",
+    )
+    empty_lex = spark.createDataFrame([], "word string")
+    expected = {1: ["aa", "bb"], 2: [], 3: [], 4: None}
+
+    inline = df.select(
+        "doc_id",
+        filter_tokens_inline(F.col("tokens"), [], mode="drop").alias("out"),
+    )
+    got_inline = {r["doc_id"]: r["out"] for r in inline.collect()}
+    assert got_inline == expected
+
+    joined = filter_tokens_with_lexicon(
+        df, "tokens", empty_lex, id_cols=["doc_id"], mode="drop",
+        out_col="out", strategy="join",
+    ).select("doc_id", "out")
+    got_join = {r["doc_id"]: r["out"] for r in joined.collect()}
+    assert got_join == expected

@@ -78,7 +78,14 @@ def filter_tokens_inline(
         raise ValueError(f"mode must be 'drop' or 'keep', got {mode!r}")
     words = sorted(set(lexicon_words))
     if not words:  # empty literal map has no concrete key type
-        return tokens if mode == "drop" else F.filter(tokens, lambda t: F.lit(False))
+        # Drop mode still removes NULL tokens (the non-empty path's
+        # ``~map_contains_key`` predicate is NULL for them, and the join
+        # strategy removes NULL-token positions explicitly).
+        return (
+            F.filter(tokens, lambda t: t.isNotNull())
+            if mode == "drop"
+            else F.filter(tokens, lambda t: F.lit(False))
+        )
     lex = F.map_from_arrays(
         F.array(*[F.lit(w) for w in words]),
         F.array_repeat(F.lit(True), len(words)),
@@ -154,8 +161,18 @@ def filter_tokens_with_lexicon(
         removed = exploded.join(
             lex, exploded["__tok"] == F.col("__lex_word"), "left_anti"
         )
+    # Removed positions land in a map<pos,bool> so the per-token probe is
+    # an O(1) hash lookup; in drop mode against a stopword lexicon the
+    # removals are dense (30-40% of tokens), and the previous
+    # array_contains probe cost O(n_tokens x n_removed) per document —
+    # quadratic in document length for long documents.
     pos_agg = removed.groupBy(*id_cols).agg(
-        F.collect_list("__pos").alias("__rm")
+        F.map_from_entries(
+            F.transform(
+                F.collect_list("__pos"),
+                lambda p: F.struct(p.alias("key"), F.lit(True).alias("value")),
+            )
+        ).alias("__rm")
     )
     out = df.join(pos_agg, list(id_cols), "left").withColumn(
         out_col,
@@ -165,7 +182,7 @@ def filter_tokens_with_lexicon(
                 F.col(tokens_col),
                 lambda t, i: F.when(
                     F.col("__rm").isNotNull(),
-                    ~F.array_contains(F.col("__rm"), i),
+                    ~F.map_contains_key(F.col("__rm"), i),
                 ).otherwise(F.lit(True)),
             ),
         ),

@@ -1984,8 +1984,8 @@ def _bucketed_join_tables(
     directories whose embedded pid is no longer alive — so killed
     processes' leaks are reclaimed by the next builder instead of
     accumulating in spark-warehouse forever. Liveness is structural
-    (/proc/<pid>), never mtime, so a long-running concurrent walk's
-    live tables are untouchable."""
+    (``os.kill(pid, 0)``), never mtime, so a long-running concurrent
+    walk's live tables are untouchable."""
     import atexit
     import hashlib
     import os
@@ -2000,6 +2000,21 @@ def _bucketed_join_tables(
     t_orders, t_cust = f"umt_bkt_orders_{key}", f"umt_bkt_customer_{key}"
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
 
+    def _pid_alive(pid: int) -> bool:
+        # Portable liveness: signal 0 probes existence without touching
+        # the process. /proc/<pid> only exists on Linux — on macOS every
+        # sibling would look dead and the sweep would rmtree bucket
+        # tables belonging to LIVE concurrent processes.
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned by someone else
+        except OSError:
+            return True  # unknown — err on the side of keeping it
+        return True
+
     def _sweep_dead_siblings() -> None:
         pat = re.compile(r"^umt_bkt_\w+_[0-9a-f]{6}_(\d+)$")
         try:
@@ -2008,7 +2023,7 @@ def _bucketed_join_tables(
             return
         for name in entries:
             m = pat.match(name)
-            if m and not os.path.exists(f"/proc/{m.group(1)}"):
+            if m and not _pid_alive(int(m.group(1))):
                 shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
 
     def _clear_stale_location(table: str) -> None:
