@@ -2418,3 +2418,180 @@ def q_behavioral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("user_a", "user_b", F.round("cos", 6).alias("cosine"))
     )
+
+
+# =========================================================================
+# Round 11: sequential-statistic time series (CUSUM, time-weighted mean)
+# =========================================================================
+
+
+@_register(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,2))) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu,
+               SQRT((CAST(SUM(x * x) AS DOUBLE)
+                     - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                       / COUNT(*))
+                    / (COUNT(*) - 1)) AS sigma
+        FROM daily GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.event_type, d.day,
+               CAST(d.x AS DOUBLE) - s.mu - 0.5 * s.sigma AS dd,
+               s.sigma
+        FROM daily d JOIN stats s ON s.event_type = d.event_type
+    ),
+    pre1 AS (
+        SELECT event_type, day, sigma,
+               SUM(dd) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS p
+        FROM dev
+    ),
+    pre AS (
+        SELECT event_type, day, sigma, p,
+               MIN(p) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS mp
+        FROM pre1
+    )
+    SELECT event_type,
+           epoch_us(CAST(day AS TIMESTAMP)) AS day_start_us,
+           FLOOR((p - LEAST(mp, 0)) * 10000 + 0.5) / 10000 AS cusum,
+           (p - LEAST(mp, 0)) > 4.0 * sigma AS drifted
+    FROM pre
+    """,
+    "§2.11 event analytics (CUSUM changepoint detection)",
+    "One-sided CUSUM drift detection over each event type's daily "
+    "value series: S_i = max(0, S_{i-1} + (x_i - mu - k)) with "
+    "slack k = sigma/2 and alarm threshold 4*sigma. The recurrence "
+    "looks inherently sequential, but the reflection identity "
+    "S_i = P_i - min(0, min_{j<=i} P_j) (P = prefix sum of the "
+    "deviations) turns it into TWO stacked window functions — a "
+    "running sum and a running min of that sum — so the whole "
+    "detector is one exchange on the series key and a per-type sort "
+    "of BOUNDED daily cells, never a driver loop or a UDF. mu/sigma "
+    "come from exact DECIMAL sufficient statistics (sum, sum of "
+    "squares over daily cells), so both engines derive bit-identical "
+    "doubles and the alarm comparison is hash-stable; the CUSUM value "
+    "itself is quantized mode-free at 1e-4. At 100 TB the only "
+    "corpus-sized stage is the daily pre-aggregation (map-side "
+    "combinable); everything after runs on types x days cells.",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(_dec("value")).alias("x"))
+    n = F.count(F.lit(1))
+    stats = daily.groupBy("event_type").agg(
+        (F.sum("x").cast("double") / n).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("x") * F.col("x")).cast("double")
+                - F.sum("x").cast("double")
+                * F.sum("x").cast("double")
+                / n
+            )
+            / (n - F.lit(1))
+        ).alias("sigma"),
+    )
+    dev = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "sigma",
+        (
+            F.col("x").cast("double")
+            - F.col("mu")
+            - F.lit(0.5) * F.col("sigma")
+        ).alias("dd"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = dev.withColumn("p", F.sum("dd").over(w)).withColumn(
+        "mp", F.min("p").over(w)
+    )
+    cusum = F.col("p") - F.least(F.col("mp"), F.lit(0.0))
+    return pre.select(
+        "event_type",
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_start_us"),
+        (F.floor(cusum * 10000 + F.lit(0.5)) / 10000).alias("cusum"),
+        (cusum > F.lit(4.0) * F.col("sigma")).alias("drifted"),
+    )
+
+
+@_register(
+    "time_weighted_average",
+    """
+    WITH seq AS (
+        SELECT user_id, value, ts,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id,
+               CAST(value AS DECIMAL(18,2))
+                   * (epoch_us(nxt) - epoch_us(ts)) AS wv,
+               epoch_us(nxt) - epoch_us(ts) AS dt
+        FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(dt) AS BIGINT) AS observed_us,
+           FLOOR(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS twap_value
+    FROM seg GROUP BY 1
+    """,
+    "§2.11 event analytics (time-weighted average / TWAP)",
+    "Per-user time-weighted mean value: each event's value holds until "
+    "the user's next event (LEAD over the per-user timeline, total "
+    "order (ts, event_id) so duplicate timestamps cannot flip "
+    "segments), weighted by the segment's exact micros duration; the "
+    "final open-ended segment carries no duration and is excluded — "
+    "the sampling-frequency-bias fix a plain AVG(value) gets wrong "
+    "whenever event rates correlate with value (the standard TWAP/ "
+    "VWAP discipline). Weighted sums stay exact: DECIMAL value x "
+    "BIGINT micros sums losslessly, with ONE double division per "
+    "user, quantized mode-free. One exchange partitions by user; "
+    "segment construction and both sums ride it map-side.",
+)
+def q_time_weighted_average(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "value", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("ts").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    dt = F.unix_micros("nxt") - F.unix_micros("ts")
+    seg = seq.select(
+        "user_id",
+        (_dec("value") * dt).alias("wv"),
+        dt.alias("dt"),
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dt").cast("long").alias("observed_us"),
+        (
+            F.floor(
+                F.sum("wv").cast("double")
+                / F.sum("dt").cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("twap_value"),
+    )

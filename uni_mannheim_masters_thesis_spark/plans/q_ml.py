@@ -999,3 +999,178 @@ def q_cv_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok_finite",
         ~F.isnan("cv_coherence") & F.col("cv_coherence").isNotNull(),
     )
+
+
+# =========================================================================
+# Round 11: exact ranking / calibration metrics (AUC, ECE)
+# =========================================================================
+#
+# The reference reports precision/recall/accuracy/F1 (evaluate.py:
+# 171-186) and BayesSearchCV optimizes scoring='f1'
+# (supervised_classifier.py:227-234) — threshold metrics only. These
+# two close the threshold-FREE half of the standard evaluation
+# surface: ROC-AUC over a score column and expected calibration error,
+# both as exact distributed SQL over bounded cells (never a global
+# per-row sort or a sklearn roundtrip). Score/label here are the
+# deterministic orders-table pair (score = o_totalprice, label =
+# o_orderstatus = 'F') so the DuckDB twin hashes exactly; any model's
+# (score, label) columns plug into the same plan.
+
+
+@_register(
+    "roc_auc_exact",
+    """
+    WITH cells AS (
+        SELECT CAST(FLOOR(o_totalprice / 100.0) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS neg
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT s, pos, neg,
+               COALESCE(SUM(neg) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS neg_below
+        FROM cells
+    ),
+    u AS (
+        SELECT CAST(SUM(pos * (2 * neg_below + neg)) AS BIGINT) AS u2,
+               CAST(SUM(pos) AS BIGINT) AS np,
+               CAST(SUM(neg) AS BIGINT) AS nn
+        FROM cum
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           FLOOR(CAST(u2 AS DOUBLE) / (2.0 * np * nn) * 100000000 + 0.5)
+               / 100000000 AS auc
+    FROM u
+    """,
+    "§2.11 ML evaluation (exact tie-corrected ROC-AUC)",
+    "Exact ROC-AUC as the normalized Mann-Whitney U statistic with the "
+    "standard tie correction: scores collapse to bounded integer cells "
+    "(floor(price/100) — the binning IS the score, both engines bin "
+    "identically), each cell carries (pos, neg) counts, and "
+    "2U = sum(pos_s * (2*neg_below_s + neg_s)) stays in BIGINT — the "
+    "whole statistic is integer-exact until ONE final double division, "
+    "quantized mode-free at 1e-8. Distribution discipline: the only "
+    "corpus-sized stage is the map-side-combinable cell aggregation; "
+    "the running negative count sorts CELLS (thousands), never rows — "
+    "the textbook per-row rank-sum would global-sort 100 TB for a "
+    "single scalar. Closes the threshold-free half of the reference's "
+    "evaluation surface (evaluate.py reports P/R/F1 only).",
+)
+def q_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderstatus"
+    )
+    is_pos = (F.col("o_orderstatus") == "F").cast("int")
+    cells = orders.groupBy(
+        F.floor(F.col("o_totalprice") / 100.0).cast("long").alias("s")
+    ).agg(
+        F.sum(is_pos).cast("long").alias("pos"),
+        F.sum(1 - is_pos).cast("long").alias("neg"),
+    )
+    w = (
+        Window.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = cells.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    u = cum.agg(
+        F.sum(
+            F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))
+        )
+        .cast("long")
+        .alias("u2"),
+        F.sum("pos").cast("long").alias("np"),
+        F.sum("neg").cast("long").alias("nn"),
+    )
+    return u.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        (
+            F.floor(
+                F.col("u2").cast("double")
+                / (F.lit(2.0) * F.col("np") * F.col("nn"))
+                * 100000000
+                + F.lit(0.5)
+            )
+            / 100000000
+        ).alias("auc"),
+    )
+
+
+@_register(
+    "probability_calibration_ece",
+    """
+    WITH scored AS (
+        SELECT LEAST(o_totalprice / 500000.0, 0.9999999) AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders
+    ),
+    bins AS (
+        SELECT CAST(FLOOR(score * 10) AS INT) AS bin,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(score AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*) AS avg_score,
+               CAST(SUM(label) AS DOUBLE) / COUNT(*) AS frac_pos
+        FROM scored GROUP BY 1
+    )
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           FLOOR(avg_score * 1000000 + 0.5) / 1000000 AS avg_score,
+           FLOOR(frac_pos * 1000000 + 0.5) / 1000000 AS frac_pos,
+           FLOOR(ABS(avg_score - frac_pos) * 1000000 + 0.5) / 1000000
+               AS abs_gap
+    FROM bins
+    """,
+    "§2.11 ML evaluation (reliability diagram / calibration bins)",
+    "The reliability-diagram table behind expected calibration error: "
+    "scores (price scaled into [0,1)) land in 10 fixed-width bins; "
+    "each bin reports its mean predicted score, its empirical positive "
+    "rate, and the |gap| whose n-weighted sum is ECE. Fixed-width "
+    "binning (never ntile — quantile bins tie-break differently "
+    "across engines AND hide miscalibration inside wide bins) makes "
+    "the bin key a pure row-local expression, so the whole table is "
+    "ONE map-side-combinable aggregate over <=10 cells; per-bin means "
+    "divide an exact DECIMAL sum by an exact count, then quantize "
+    "mode-free. This is the calibration check the reference's "
+    "classifier battery (supervised_classifier.py:227-234, "
+    "scoring='f1') never runs on its predict_proba outputs.",
+)
+def q_probability_calibration_ece(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderstatus"
+    )
+    score = F.least(
+        F.col("o_totalprice") / 500000.0, F.lit(0.9999999)
+    )
+    scored = orders.select(
+        score.alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    bins = scored.groupBy(
+        F.floor(F.col("score") * 10).cast("int").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("score").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_score"),
+        (F.sum("label").cast("double") / F.count(F.lit(1))).alias(
+            "frac_pos"
+        ),
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    return bins.select(
+        "bin",
+        F.col("n").cast("long").alias("n"),
+        q6(F.col("avg_score")).alias("avg_score"),
+        q6(F.col("frac_pos")).alias("frac_pos"),
+        q6(F.abs(F.col("avg_score") - F.col("frac_pos"))).alias(
+            "abs_gap"
+        ),
+    )

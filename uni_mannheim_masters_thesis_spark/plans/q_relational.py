@@ -2921,3 +2921,480 @@ def q_cumulative_unique_users(
             "cumulative_users",
         )
     )
+
+
+# =========================================================================
+# Round 11: remaining TPC-H query shapes (Q14/Q8/Q11/Q15/Q19/Q22/Q2)
+# =========================================================================
+
+
+@_register(
+    "promo_revenue_share",
+    """
+    SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)
+               AS ship_month,
+           FLOOR(
+             (100.0 * CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2))) END), 0)
+                 AS DOUBLE))
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS promo_share
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1
+    """,
+    "§2.11 relational core (TPC-H Q14 shape: conditional-share aggregate)",
+    "Monthly promo revenue share — the Q14 pattern: one fact-dim join "
+    "feeding a conditional aggregate whose numerator is a CASE-gated "
+    "subset of its denominator, so one pass computes both (never two "
+    "scans or a self-join). The part dim broadcasts (Spark side hints "
+    "it; at 100 TB AQE keeps it broadcast while part stays dim-sized), "
+    "the month rollup is map-side combinable into <=84 cells, and both "
+    "sums are exact DECIMAL before ONE double division per cell — "
+    "quantized mode-free (floor(x*1e6+0.5)) so the oracle hashes "
+    "bit-for-bit. Reference twin: the thesis's per-slice percentage "
+    "reporting (evaluate.py's per-label precision shares) generalized "
+    "to the revenue lattice.",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    prod = _dec("l_extendedprice") * (
+        F.lit(1) - _dec("l_discount", "decimal(4,2)")
+    )
+    g = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("int")
+            .alias("ship_month")
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("p_type") == "PROMO", prod)), F.lit(0)
+            )
+            .cast("double")
+            .alias("__num"),
+            F.sum(prod).cast("double").alias("__den"),
+        )
+    )
+    return g.select(
+        "ship_month",
+        (
+            F.floor(
+                (F.lit(100.0) * F.col("__num")) / F.col("__den") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("promo_share"),
+    )
+
+
+@_register(
+    "national_market_share",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           FLOOR(
+             CAST(COALESCE(SUM(CASE WHEN sn.n_name = 'NATION_7'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2))) END), 0)
+                 AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS mkt_share
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    GROUP BY 1
+    """,
+    "§2.11 relational core (TPC-H Q8 shape: multi-join market share)",
+    "The Q8 'national market share' pattern: within the market defined "
+    "by one dimension path (orders whose CUSTOMER sits in region ASIA), "
+    "the yearly revenue share supplied through another path (supplier "
+    "nation NATION_7). Six joins, two independent snowflake arms off "
+    "the same fact — Catalyst broadcasts every dim (nation/region/"
+    "supplier/customer at bench scale; at 100 TB customer exceeds the "
+    "threshold and AQE picks shuffle-hash for exactly that arm while "
+    "the true dims stay broadcast), so the fact shuffles only for the "
+    "orderkey join. Same one-pass CASE-share discipline as "
+    "promo_revenue_share: numerator subset of denominator, exact "
+    "DECIMAL sums, one quantized double division per year cell.",
+)
+def q_national_market_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    asia_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        ).select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("sn_name"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "sn_name")
+    market_orders = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    prod = _dec("l_extendedprice") * (
+        F.lit(1) - _dec("l_discount", "decimal(4,2)")
+    )
+    g = (
+        li.join(market_orders, li.l_orderkey == market_orders.o_orderkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("sn_name") == "NATION_7", prod)),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("__num"),
+            F.sum(prod).cast("double").alias("__den"),
+        )
+    )
+    return g.select(
+        "order_year",
+        (
+            F.floor(
+                F.col("__num") / F.col("__den") * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mkt_share"),
+    )
+
+
+@_register(
+    "important_parts_share",
+    """
+    WITH pv AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS v
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(v) AS t, COUNT(*) AS n FROM pv)
+    SELECT l_partkey AS partkey,
+           ROUND(CAST(v AS DOUBLE), 2) AS part_value,
+           FLOOR(CAST(v AS DOUBLE) / CAST(t AS DOUBLE) * 100000000 + 0.5)
+               / 100000000 AS value_share
+    FROM pv, tot
+    WHERE CAST(v AS DOUBLE) > CAST(t AS DOUBLE) * 1.5 / n
+    """,
+    "§2.11 relational core (TPC-H Q11 shape: global-scalar HAVING)",
+    "The Q11 'important stock' pattern: per-part revenue value kept "
+    "only where it exceeds a fraction of the GLOBAL total — a grouped "
+    "aggregate filtered against a scalar subquery over the same "
+    "aggregate. One exchange builds the per-part cells; the global "
+    "total is a 1-row re-aggregation of those cells (never a second "
+    "fact scan) cross-joined back as a broadcast — the scalar never "
+    "shuffles the cells again. The admission comparison runs on the "
+    "bit-identical doubles both engines derive from exact DECIMAL "
+    "sums, so the boundary part set is hash-stable; shares are "
+    "quantized mode-free at 1e-8. The admission threshold is relative "
+    "(1.5x the average part share), so the result is non-degenerate at "
+    "every scale factor — Q11's absolute fraction empties out below "
+    "sf1.",
+)
+def q_important_parts_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    prod = _dec("l_extendedprice") * (
+        F.lit(1) - _dec("l_discount", "decimal(4,2)")
+    )
+    pv = li.groupBy("l_partkey").agg(F.sum(prod).alias("v"))
+    tot = pv.agg(F.sum("v").alias("t"), F.count(F.lit(1)).alias("n"))
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(
+            F.col("v").cast("double")
+            > F.col("t").cast("double") * 1.5 / F.col("n")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("v").cast("double"), 2).alias("part_value"),
+            (
+                F.floor(
+                    F.col("v").cast("double")
+                    / F.col("t").cast("double")
+                    * 100000000
+                    + F.lit(0.5)
+                )
+                / 100000000
+            ).alias("value_share"),
+        )
+    )
+
+
+@_register(
+    "top_supplier_by_revenue",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name,
+           ROUND(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    "§2.11 relational core (TPC-H Q15 shape: view + global-max select)",
+    "The Q15 'top supplier' pattern: a quarter-scoped per-supplier "
+    "revenue view, returning every supplier tied at the global maximum "
+    "(Q15's correctness trap — LIMIT 1 silently drops ties; the "
+    "equality predicate keeps them all). The max is a 1-row "
+    "re-aggregation of the view's cells broadcast back — the view is "
+    "computed ONCE (never re-derived per the textbook's repeated-view "
+    "reading), and equality compares exact DECIMALs, so the tie set "
+    "is deterministic. Shipdate predicate pushes to the parquet scan; "
+    "the supplier dim broadcasts onto the surviving row(s).",
+)
+def q_top_supplier_by_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    prod = _dec("l_extendedprice") * (
+        F.lit(1) - _dec("l_discount", "decimal(4,2)")
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(prod).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@_register(
+    "disjunctive_predicate_revenue",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2)
+               AS disc_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    "§2.11 relational core (TPC-H Q19 shape: disjunctive join predicate)",
+    "The Q19 pattern: revenue under an OR-of-ANDs predicate mixing "
+    "fact columns (l_quantity) and dim columns (p_brand, p_size). The "
+    "planner discipline under test: the disjunction must NOT block the "
+    "join pushdown — the dim-only residue (brand IN (...) per arm) "
+    "prunes the broadcast build side, the fact-only bounds "
+    "(l_quantity <= 30 across all arms) push to the parquet scan, and "
+    "the mixed predicate evaluates post-join inside codegen. Spark "
+    "side keeps the whole disjunction as one Column expression so "
+    "Catalyst derives those single-side implications itself "
+    "(constraint propagation), rather than hand-splitting the OR into "
+    "a union of three scans.",
+)
+def q_disjunctive_predicate_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((brand == "Brand#12") & size.between(1, 10) & (qty >= 1) & (qty <= 11))
+        | ((brand == "Brand#23") & size.between(1, 20) & (qty >= 10) & (qty <= 20))
+        | ((brand == "Brand#34") & size.between(1, 30) & (qty >= 20) & (qty <= 30))
+    )
+    prod = _dec("l_extendedprice") * (
+        F.lit(1) - _dec("l_discount", "decimal(4,2)")
+    )
+    return j.filter(pred).agg(
+        _dsum(prod).alias("disc_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@_register(
+    "global_sales_opportunity",
+    """
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS ab
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_acctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+    GROUP BY 1
+    """,
+    "§2.11 relational core (TPC-H Q22 shape: scalar-avg + anti join)",
+    "The Q22 'global sales opportunity' pattern on this schema: "
+    "customers whose balance beats the global positive-balance average "
+    "but who have placed NO orders since 2000-06-01 (lapsed, not "
+    "never-converted — this corpus keeps nearly every customer "
+    "active, so the literal no-orders-ever set is empty below sf1), "
+    "rolled up by market segment. Three "
+    "textbook pieces in one plan: a scalar aggregate subquery "
+    "(broadcast 1-row cross join, computed from exact DECIMAL sum / "
+    "count so the threshold double is bit-identical), a NOT EXISTS "
+    "decorrelated to LEFT ANTI join on the order keys (the anti side "
+    "pre-projects o_custkey only, so the shuffle carries one slim "
+    "column), and a map-side-combinable segment rollup. The balance "
+    "filter applies BEFORE the anti join — the expensive probe runs "
+    "on the filtered minority, not the full customer table.",
+)
+def q_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-06-01")
+        .select("o_custkey")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(_dec("c_acctbal")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ab")
+        )
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _dsum(_dec("c_acctbal")).alias("total_acctbal"),
+    )
+
+
+@_register(
+    "min_cost_supplier_per_part",
+    """
+    WITH ranked AS (
+        SELECT l_partkey, l_suppkey, l_extendedprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_extendedprice, l_suppkey, l_orderkey,
+                            l_linenumber
+               ) AS rn
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_size <= 5
+    )
+    SELECT p.p_partkey AS partkey, p.p_brand AS brand,
+           s.s_name AS supplier, n.n_name AS supplier_nation,
+           ROUND(CAST(CAST(r.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE),
+                 2) AS best_price
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.l_partkey
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE r.rn = 1
+    """,
+    "§2.11 relational core (TPC-H Q2 shape: per-group argmin + dims)",
+    "The Q2 'minimum cost supplier' pattern mapped onto this schema "
+    "(no partsupp table ships): for every small part (p_size <= 5), "
+    "the supplier behind its single cheapest shipped line, decorated "
+    "through the supplier->nation dimension path. The correlated "
+    "MIN subquery becomes a per-group argmin under a TOTAL order "
+    "(price, suppkey, orderkey, linenumber — the tiebreaker chain "
+    "makes the winner unique, Q2's classic nondeterminism trap), "
+    "executed as one row_number window over the size-filtered fact "
+    "partition-pruned by the broadcast part join; dims broadcast onto "
+    "the one-row-per-part result. At 100 TB the window partitions by "
+    "partkey (millions of independent groups — no global sort), and "
+    "the p_size filter prunes before the shuffle.",
+)
+def q_min_cost_supplier_per_part(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber",
+        "l_extendedprice",
+    )
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    small = F.broadcast(part.filter(F.col("p_size") <= 5))
+    j = li.join(small, li.l_partkey == part.p_partkey)
+    best = per_group_first(
+        j,
+        ["l_partkey"],
+        [
+            F.col("l_extendedprice"),
+            F.col("l_suppkey"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_brand").alias("brand"),
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("supplier_nation"),
+            F.round(
+                _dec("l_extendedprice").cast("double"), 2
+            ).alias("best_price"),
+        )
+    )
