@@ -848,6 +848,75 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                                   "IEEE-exact; all rounding integer); "
                                   "hash-exact",
                                   ["negative_sampling_table"]),
+    # --- round 11: remaining TPC-H shapes + sequential stats + metrics --
+    "X-agg-conditional-share": ("plans.q_relational:"
+                                "q_promo_revenue_share  # TPC-H Q14 "
+                                "shape: CASE-gated numerator subset of "
+                                "denominator in ONE pass; hash-exact",
+                                ["promo_revenue_share"]),
+    "X-join-market-share": ("plans.q_relational:"
+                            "q_national_market_share  # TPC-H Q8 "
+                            "shape: two snowflake arms off one fact, "
+                            "yearly share; hash-exact",
+                            ["national_market_share"]),
+    "X-agg-global-scalar-having": ("plans.q_relational:"
+                                   "q_important_parts_share  # TPC-H "
+                                   "Q11 shape: grouped agg filtered vs "
+                                   "1-row broadcast re-aggregation; "
+                                   "hash-exact",
+                                   ["important_parts_share"]),
+    "X-agg-global-max-select": ("plans.q_relational:"
+                                "q_top_supplier_by_revenue  # TPC-H "
+                                "Q15 shape: view computed once, ties "
+                                "at the global max kept via exact-"
+                                "decimal equality; hash-exact",
+                                ["top_supplier_by_revenue"]),
+    "X-pred-disjunctive-join": ("plans.q_relational:"
+                                "q_disjunctive_predicate_revenue  # "
+                                "TPC-H Q19 shape: OR-of-ANDs left as "
+                                "one Column so Catalyst derives "
+                                "single-side implications; hash-exact",
+                                ["disjunctive_predicate_revenue"]),
+    "X-subquery-scalar-anti": ("plans.q_relational:"
+                               "q_global_sales_opportunity  # TPC-H "
+                               "Q22 shape: scalar-avg subquery + LEFT "
+                               "ANTI join after the selective filter; "
+                               "hash-exact",
+                               ["global_sales_opportunity"]),
+    "X-join-argmin-dims": ("plans.q_relational:"
+                           "q_min_cost_supplier_per_part  # TPC-H Q2 "
+                           "shape: per-group argmin under a TOTAL "
+                           "order + dim decoration; hash-exact",
+                           ["min_cost_supplier_per_part"]),
+    "X-ts-cusum": ("plans.q_events:q_cusum_changepoint  # one-sided "
+                   "CUSUM via the reflection identity S=P-min(0,min "
+                   "prefix P): two stacked windows over bounded daily "
+                   "cells, no sequential loop; hash-exact",
+                   ["cusum_changepoint"]),
+    "X-ts-time-weighted": ("plans.q_events:q_time_weighted_average  # "
+                           "LEAD-segment TWAP, exact DECIMAL x micros "
+                           "weighted sums, one division per user; "
+                           "hash-exact",
+                           ["time_weighted_average"]),
+    "X-eval-auc": ("plans.q_ml:q_roc_auc_exact  # tie-corrected "
+                   "Mann-Whitney 2U in BIGINT over bounded score "
+                   "cells (cells sort, rows never do); hash-exact",
+                   ["roc_auc_exact"]),
+    "X-eval-calibration": ("plans.q_ml:q_probability_calibration_ece"
+                           "  # fixed-width reliability bins with "
+                           "exact-decimal bin means (never ntile); "
+                           "hash-exact",
+                           ["probability_calibration_ece"]),
+    "X-stream-cusum": ("streaming.stateful:streaming_cusum  # per-type "
+                       "CUSUM recursion as applyInPandasWithState "
+                       "(O(types) state) vs the batch reflection "
+                       "identity; parity flag hash-gated",
+                       ["streaming_cusum_parity"]),
+    "X-stream-twap": ("streaming.stateful:streaming_twap  # per-user "
+                      "online TWAP fold (O(users) state), integer "
+                      "micros exact vs the batch LEAD-segment form; "
+                      "parity flag hash-gated",
+                      ["streaming_twap_parity"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -2595,3 +2595,112 @@ def q_time_weighted_average(
             / 1000000
         ).alias("twap_value"),
     )
+
+
+def _streaming_cusum_parity_sql() -> str:
+    return f"""
+    SELECT event_type, day_start_us, cusum, drifted,
+           TRUE AS ok_stream_matches_batch
+    FROM ({REGISTRY['cusum_changepoint'].sql})
+    """
+
+
+@_register(
+    "streaming_cusum_parity",
+    _streaming_cusum_parity_sql(),
+    "§2.9/§2.11 (custom stateful streaming: per-key CUSUM monitor)",
+    "The streaming twin of cusum_changepoint, checked the "
+    "streaming_ewma_parity way: hashed values are the batch reflection-"
+    "identity form's (oracle-exact), and the stream evidence is the "
+    "ok_stream_matches_batch flag — an applyInPandasWithState query "
+    "folds the textbook recursion S_i = max(0, S_{i-1} + (x_i - mu - "
+    "k)) with ONE (open-day accumulator, prefix sum, prefix min) state "
+    "row per event type, O(1) per event, against the SAME per-type "
+    "mu/sigma baseline the batch derives from exact DECIMAL daily "
+    "sufficient statistics (collected once, baked into the fold "
+    "closure — the static-reference discipline of "
+    "streaming_drift_monitor: a production monitor pins its "
+    "baseline). Each day's CUSUM emits when the day closes; every "
+    "(type, day) must agree with the batch identity to 5e-4 (same "
+    "real quantity, different float fold order + the batch's 1e-4 "
+    "output grid). A false flag hash-mismatches the oracle's TRUE — "
+    "stream divergence fails the correctness gate. State is O(types), "
+    "independent of volume: the changepoint monitor a 100 TB/day "
+    "pipeline actually deploys.",
+)
+def q_streaming_cusum_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.stateful import streaming_cusum
+
+    batch = q_cusum_changepoint(spark, sf_dir)
+    # the stream's baseline must be the batch's EXACT mu/sigma —
+    # recompute them with the same expressions and collect (5 types)
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(_dec("value")).alias("x"))
+    n = F.count(F.lit(1))
+    stats = daily.groupBy("event_type").agg(
+        (F.sum("x").cast("double") / n).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("x") * F.col("x")).cast("double")
+                - F.sum("x").cast("double") * F.sum("x").cast("double") / n
+            )
+            / (n - F.lit(1))
+        ).alias("sigma"),
+    )
+    refstats = {
+        r["event_type"]: (r["mu"], r["sigma"]) for r in stats.collect()
+    }
+    stream = streaming_cusum(spark, sf_dir, refstats)
+    ok = F.abs(F.col("s_cusum") - F.col("cusum")) < F.lit(5e-4)
+    return batch.join(stream, ["event_type", "day_start_us"]).select(
+        "event_type", "day_start_us", "cusum", "drifted",
+        ok.alias("ok_stream_matches_batch"),
+    )
+
+
+def _streaming_twap_parity_sql() -> str:
+    return f"""
+    SELECT user_id, n_segments, observed_us, twap_value,
+           TRUE AS ok_stream_matches_batch
+    FROM ({REGISTRY['time_weighted_average'].sql})
+    """
+
+
+@_register(
+    "streaming_twap_parity",
+    _streaming_twap_parity_sql(),
+    "§2.9/§2.11 (custom stateful streaming: per-key TWAP state)",
+    "The streaming twin of time_weighted_average: one (last event, "
+    "weighted-sum accumulator) state row per user folds the online "
+    "TWAP — value x elapsed-micros accumulated as each next event "
+    "arrives, O(1) per event, O(users) state. Integer micros "
+    "accumulate EXACTLY, so the parity flag demands "
+    "n_segments and observed_us EQUAL the batch LEAD-segment values "
+    "(any missed/duplicated segment flips the flag, which hash-"
+    "mismatches the oracle's TRUE), and the float weighted mean to "
+    "agree within 1e-4 (same real quantity, different fold order vs "
+    "the batch's exact DECIMAL sums + 1e-6 grid).",
+)
+def q_streaming_twap_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.stateful import streaming_twap
+
+    batch = q_time_weighted_average(spark, sf_dir)
+    stream = streaming_twap(spark, sf_dir)
+    ok = (
+        (F.col("s_n_segments") == F.col("n_segments"))
+        & (F.col("s_observed_us") == F.col("observed_us"))
+        & (F.abs(F.col("s_twap") - F.col("twap_value")) < F.lit(1e-4))
+    )
+    return batch.join(
+        stream, batch.user_id == stream.user_id
+    ).select(
+        batch.user_id.alias("user_id"),
+        "n_segments", "observed_us", "twap_value",
+        ok.alias("ok_stream_matches_batch"),
+    )

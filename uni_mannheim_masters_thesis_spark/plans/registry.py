@@ -185,7 +185,38 @@ _DRIVER_VERIFIED_R9: frozenset[str] = frozenset({
     "winnowing_fingerprint", "winsorized_stats", "zipf_law_fit",
 })
 
-_DRIVER_PRIORITY: frozenset[str] = frozenset({
+_DRIVER_VERIFIED_R10: frozenset[str] = frozenset({
+    # Queries hashed green in the round-10 driver artifact
+    # (CORRECTNESS_r10: 50/50 green, zero err and zero no_oracle rows)
+    # — joins the cumulative rotation baseline. custom_lexicon_tokens /
+    # spellcheck_filtered re-enter the round-11 window anyway because
+    # the lexicon join strategy changed again in round 11 (removed
+    # positions probed via map_contains_key instead of array_contains)
+    # and deserves fresh driver evidence.
+    "ann_index_delete", "ann_index_purge_vacuum", "approx_distinct_sketch",
+    "approx_quantile_sketch", "binary_chunk_savings",
+    "binary_dedup_manifest", "binary_neardup_pairs", "blocked_jw_linkage",
+    "bpe_subword_counts", "cohort_retention", "column_profile",
+    "csv_metrics_roundtrip", "curation_pipeline_e2e",
+    "custom_lexicon_tokens", "dataset_split_manifest", "decile_bucketing",
+    "dictionary_text_roundtrip", "distribution_drift_report",
+    "embedding_centroid_norm", "events_asof_nearest",
+    "events_hourly_gapfill", "events_sliding_window", "ewma_user_value",
+    "fold_assignment", "funnel_conversion", "grouped_trend_pandas",
+    "heaps_vocab_growth", "iqr_outlier_fences", "json_artifact_roundtrip",
+    "knn_vote_lsh", "membership_classification", "multimodal_decode",
+    "nation_presence_except", "nation_presence_intersect",
+    "negative_sampling_table", "orders_grouping_sets",
+    "orders_with_returns_exists", "rolling_week_order_value",
+    "segment_balance_unpivot", "shipping_priority", "spellcheck_filtered",
+    "stateful_user_counts", "streaming_events_by_segment",
+    "streaming_events_hourly", "supplier_part_reach",
+    "token_budget_waterfill", "truncation_loss_report",
+    "unigram_entropy_quality", "winnowing_fingerprint_set",
+    "xml_corpus_roundtrip",
+})
+
+_DRIVER_PRIORITY_R10: frozenset[str] = frozenset({
     # --- round-10 window: drains the driver-sample blind spot (r9
     # verdict task 8). 42 of the 45 oracle-backed queries the driver
     # has NEVER hashed across r1-r9 artifacts get a slot; the three
@@ -241,7 +272,64 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "spellcheck_filtered",         # lexicon join strategy rebuilt
 })
 
+_DRIVER_PRIORITY: frozenset[str] = frozenset({
+    # --- round-11 window. The blind spot is drained: after r10 only
+    # 11 registry queries have never appeared in a driver artifact —
+    # 8 rows-only BY DESIGN (seed-sensitive ML: adaptive_search_lr,
+    # hdp_topic_mass, kernel_svm_rff, lda_k_sweep, lda_log_perplexity,
+    # mlp_classifier, rule_point_search, topic_coherence_umass; they
+    # keep full-walk + ok_-invariant evidence) and the 3 oracle-backed
+    # family-redundant deferrals, which finally get their slots here.
+    # Composition: the 11 NEW round-11 queries (TPC-H Q2/Q8/Q11/Q14/
+    # Q15/Q19/Q22 shapes, CUSUM, TWAP, AUC, calibration), the 2
+    # lexicon-path re-verifications (join strategy changed again this
+    # round), the 3 deferrals, and 34 r1-r6-era refresh slots chosen
+    # cheapest-first (their last hash evidence is 5+ rounds old).
+    # Former members live in _DRIVER_VERIFIED_R1_R6 ∪ R7 ∪ R8 ∪ R9 ∪
+    # R10 — test_cumulative_driver_evidence asserts evidence only grows.
+    # --- new round-11 queries --------------------------------------
+    "promo_revenue_share", "national_market_share",
+    "important_parts_share", "top_supplier_by_revenue",
+    "disjunctive_predicate_revenue", "global_sales_opportunity",
+    "min_cost_supplier_per_part", "cusum_changepoint",
+    "time_weighted_average", "roc_auc_exact",
+    "probability_calibration_ece",
+    # --- re-verification: lexicon join path changed this round ------
+    "custom_lexicon_tokens", "spellcheck_filtered",
+    # --- never-hashed oracle-backed deferrals finally seated --------
+    "minhash_signatures", "document_jaccard_neardup",
+    "knn_classifier_vote",
+    # --- r1-r6-era evidence refresh (cheapest oracle-backed first) --
+    "classification_metrics_events", "clean_documents",
+    "concat_segment_name", "confusion_matrix_events",
+    "dedup_stats_by_source", "distinct_user_event_pairs",
+    "embedding_cosine_neardup", "events_asof_join",
+    "first_order_per_customer", "fold_metric_stats",
+    "jaro_winkler_pairs", "knn_bruteforce_cosine", "language_id",
+    "lemmatized_tokens", "lsh_ann_neighbors", "model_save_load",
+    "multimodal_pipeline", "ngram_jaccard_pairs",
+    "polysemy_rule_vectors", "replace_rewrite", "revenue_by_nation",
+    "small_quantity_revenue",
+    # set_ops_nations and simhash_documents ceded their refresh seats
+    # to the two round-11 streaming twins: both keep r1-r6 hash
+    # evidence and their operators have r10-hashed member queries
+    # (nation_presence_except/intersect, membership_classification).
+    "streaming_cusum_parity", "streaming_twap_parity",
+    "sorted_topic_vectors", "stratified_fold_balance",
+    "term_frequency", "text_profile", "tfidf", "tokenized_documents",
+    "top3_lineitems_per_supplier", "user_value_trend",
+    "value_bucket_range_join", "vocabulary",
+})
+
 _COST_HINT: dict[str, float] = {
+    # --- round-11 additions (sf0.01 oracle-walk seconds) ------------
+    "promo_revenue_share": 1.1, "national_market_share": 2.8,
+    "important_parts_share": 1.4, "top_supplier_by_revenue": 1.0,
+    "disjunctive_predicate_revenue": 1.5, "global_sales_opportunity": 2.0,
+    "min_cost_supplier_per_part": 2.2, "cusum_changepoint": 2.0,
+    "time_weighted_average": 0.9, "roc_auc_exact": 1.5,
+    "probability_calibration_ece": 1.0,
+    "streaming_cusum_parity": 14.0, "streaming_twap_parity": 3.0,
     "pricing_summary": 0.6, "top_brands_by_revenue": 0.6,
     "revenue_by_nation": 0.9, "customer_order_class": 0.9,
     "first_order_per_customer": 0.6, "top3_lineitems_per_supplier": 0.4,

@@ -262,3 +262,193 @@ def streaming_ewma(
         F.max("n_events").alias("n_events"),
         F.max_by("ewma", "n_events").alias("ewma"),
     )
+
+
+# --- round 11: streaming CUSUM + streaming TWAP ---------------------------
+#
+# Both follow the streaming_ewma contract: the batch twin computes the
+# oracle-exact values with NO sequential fold (reflection identity /
+# LEAD segments), while the stream keeps exactly the O(keys) state the
+# recursion needs — the batch-avoids-what-streams-need pairing.
+
+from pyspark.sql.types import BooleanType, StringType  # noqa: E402
+
+_US_PER_DAY = 86_400_000_000
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_day", LongType()),
+        StructField("day_sum", DoubleType()),
+        StructField("p", DoubleType()),
+        StructField("min_p", DoubleType()),
+        StructField("eseq", LongType()),
+    ]
+)
+_CUSUM_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("day_start_us", LongType()),
+        StructField("cusum", DoubleType()),
+        StructField("eseq", LongType()),
+    ]
+)
+
+
+def _make_cusum_update(refstats: dict):
+    """refstats: {event_type: (mu, sigma)} — the static per-type daily
+    baseline, computed batch-side (the streaming_drift_monitor static-
+    reference discipline: a production monitor pins its baseline)."""
+
+    def _update(key, pdfs, state: GroupState):
+        (etype,) = key
+        mu, sigma = refstats[etype]
+        k = 0.5 * sigma
+        if state.exists:
+            cur_day, day_sum, p, min_p, eseq = state.get
+        else:
+            cur_day, day_sum, p, min_p, eseq = -1, 0.0, 0.0, 0.0, 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["us", "event_id"])
+        out_day, out_cusum, out_seq = [], [], []
+        for us, x in zip(pdf["us"].astype("int64"), pdf["value"].astype(float)):
+            d = int(us) // _US_PER_DAY
+            if cur_day >= 0 and d != cur_day:
+                # close cur_day: fold its deviation into the prefix sum
+                p += day_sum - mu - k
+                min_p = min(min_p, p)
+                eseq += 1
+                out_day.append(cur_day * _US_PER_DAY)
+                out_cusum.append(p - min(0.0, min_p))
+                out_seq.append(eseq)
+                day_sum = 0.0
+            cur_day = d
+            day_sum += x
+            eseq += 1
+        state.update((cur_day, day_sum, p, min_p, eseq))
+        # as-if-complete emission for the OPEN day: superseded by its
+        # close emission in a later batch unless this batch holds its
+        # final event — where as-if-complete IS complete, so the last
+        # emission per day (max eseq) always carries the final value
+        if cur_day >= 0:
+            p_v = p + (day_sum - mu - k)
+            min_v = min(min_p, p_v)
+            out_day.append(cur_day * _US_PER_DAY)
+            out_cusum.append(p_v - min(0.0, min_v))
+            out_seq.append(eseq)
+        yield pd.DataFrame(
+            {
+                "event_type": [etype] * len(out_day),
+                "day_start_us": out_day,
+                "cusum": out_cusum,
+                "eseq": out_seq,
+            }
+        )
+
+    return _update
+
+
+def streaming_cusum(
+    spark: SparkSession, sf_dir: str, refstats: dict
+) -> DataFrame:
+    """Per-type streaming CUSUM monitor: the sequential recursion
+    S_i = max(0, S_{i-1} + (x_i - mu - k)) the batch query
+    (``cusum_changepoint``) avoids via the reflection identity is the
+    natural per-key streaming fold — one (open-day accumulator, prefix
+    sum, prefix min) state row per event type, O(1) per event. Emits
+    each day's CUSUM when the day closes (plus an as-if-complete row
+    for the open day, superseded by later emissions); the final
+    per-(type, day) value is the max-eseq row."""
+    ensure_engine_confs(spark)
+    stream = _event_stream(spark, sf_dir).select(
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    folded = stream.groupBy("event_type").applyInPandasWithState(
+        _make_cusum_update(refstats),
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = drain(folded, "update")
+    return out.groupBy("event_type", "day_start_us").agg(
+        F.max_by("cusum", "eseq").alias("s_cusum")
+    )
+
+
+_TWAP_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("last_value", DoubleType()),
+        StructField("acc_wv", DoubleType()),
+        StructField("acc_dt", LongType()),
+        StructField("n_segments", LongType()),
+    ]
+)
+_TWAP_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_segments", LongType()),
+        StructField("observed_us", LongType()),
+        StructField("twap", DoubleType()),
+    ]
+)
+
+
+def _twap_update(key, pdfs, state: GroupState):
+    (user_id,) = key
+    if state.exists:
+        last_us, last_value, acc_wv, acc_dt, n = state.get
+    else:
+        last_us, last_value, acc_wv, acc_dt, n = -1, 0.0, 0.0, 0, 0
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["us", "event_id"])
+    for us, x in zip(pdf["us"].astype("int64"), pdf["value"].astype(float)):
+        us = int(us)
+        if last_us >= 0:
+            dt = us - last_us
+            acc_wv += last_value * dt
+            acc_dt += dt
+            n += 1
+        last_us, last_value = us, x
+    state.update((last_us, last_value, acc_wv, acc_dt, n))
+    if acc_dt > 0:
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "n_segments": [n],
+                "observed_us": [acc_dt],
+                "twap": [acc_wv / acc_dt],
+            }
+        )
+
+
+def streaming_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user streaming time-weighted average: one (last event,
+    weighted-sum accumulator) state row per user, O(1) per event —
+    the online fold of the batch twin's (``time_weighted_average``)
+    LEAD-segment formulation. Integer micros accumulate exactly
+    (observed_us must EQUAL the batch value); the weighted value sum
+    is a float fold whose order the parity flag tolerances."""
+    ensure_engine_confs(spark)
+    stream = _event_stream(spark, sf_dir).select(
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    folded = stream.groupBy("user_id").applyInPandasWithState(
+        _twap_update,
+        outputStructType=_TWAP_OUT_SCHEMA,
+        stateStructType=_TWAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = drain(folded, "update")
+    return out.groupBy("user_id").agg(
+        F.max("n_segments").alias("s_n_segments"),
+        F.max_by("observed_us", "n_segments").alias("s_observed_us"),
+        F.max_by("twap", "n_segments").alias("s_twap"),
+    )
