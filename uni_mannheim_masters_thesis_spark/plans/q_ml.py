@@ -1055,10 +1055,13 @@ def q_cv_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whole statistic is integer-exact until ONE final double division, "
     "quantized mode-free at 1e-8. Distribution discipline: the only "
     "corpus-sized stage is the map-side-combinable cell aggregation; "
-    "the running negative count sorts CELLS (thousands), never rows — "
-    "the textbook per-row rank-sum would global-sort 100 TB for a "
-    "single scalar. Closes the threshold-free half of the reference's "
-    "evaluation surface (evaluate.py reports P/R/F1 only).",
+    "the running negative count is a bounded triangular self-join on "
+    "the broadcast cell relation (the drift-monitor ECDF discipline — "
+    "no unpartitioned ORDER BY window, not even over cells), so "
+    "nothing ever sorts: the textbook per-row rank-sum would "
+    "global-sort 100 TB for a single scalar. Closes the threshold-"
+    "free half of the reference's evaluation surface (evaluate.py "
+    "reports P/R/F1 only).",
 )
 def q_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
@@ -1071,12 +1074,17 @@ def q_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_pos).cast("long").alias("pos"),
         F.sum(1 - is_pos).cast("long").alias("neg"),
     )
-    w = (
-        Window.orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # running negative count via the bounded triangular self-join on
+    # the cell relation (the drift-monitor ECDF discipline) — never an
+    # unpartitioned ORDER BY window, which would single-thread even
+    # this bounded sort and trips the package-wide AST sweep
+    below = cells.select(
+        F.col("s").alias("s2"), F.col("neg").alias("neg2")
     )
-    cum = cells.withColumn(
-        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    cum = (
+        cells.join(F.broadcast(below), F.col("s2") < F.col("s"), "left")
+        .groupBy("s", "pos", "neg")
+        .agg(F.coalesce(F.sum("neg2"), F.lit(0)).alias("neg_below"))
     )
     u = cum.agg(
         F.sum(

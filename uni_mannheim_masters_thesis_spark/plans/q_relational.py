@@ -3178,9 +3178,14 @@ def q_important_parts_share(
 def q_top_supplier_by_revenue(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # the explicit isnotnull mirrors the join's implicit null filter on
+    # the PROBE branch — without it the two rev subtrees canonicalize
+    # differently (one scan carries isnotnull(l_suppkey), one not) and
+    # AQE cannot reuse the shuffle stage: the fact would scan twice
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-04-01")
+        & F.col("l_suppkey").isNotNull()
     )
     prod = _dec("l_extendedprice") * (
         F.lit(1) - _dec("l_discount", "decimal(4,2)")
