@@ -386,16 +386,26 @@ def test_q19_fact_bounds_push_to_scan(spark):
     assert "l_quantity" in pushed or "l_partkey" in pushed, pushed
 
 
-def test_auc_never_sorts_and_joins_cells_only(spark):
-    """roc_auc_exact computes the running negative count as a bounded
-    triangular self-join on the BROADCAST cell relation — the plan must
-    carry no window at all (not even a bounded global sort) and the
-    join build side must be the post-aggregate cells, never raw order
-    rows (the cell HashAggregate sits below the broadcast exchange)."""
-    df = REGISTRY["roc_auc_exact"].fn(spark, SF_DIR)
-    p = df._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in p, "AUC must not plan a window"
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
-    bx = p.index("BroadcastExchange")
-    # an aggregate below the broadcast exchange = cells built first
-    assert "HashAggregate" in p[bx:], "broadcast side is not aggregated cells"
+def test_auc_prefix_scan_is_partitioned_and_quadratic_free(spark):
+    """Both ranking metrics (roc_auc_exact, pr_auc_exact) compute their
+    cumulative counters with the two-phase distributed prefix scan
+    (ordered_prefix_sum): the plan's windows are all
+    __pid-PARTITIONED (never a single-partition global sort) and there
+    is no BroadcastNestedLoopJoin — the O(cells²) triangular self-join
+    that cost ~10 s by a few thousand cells. The offsets join rides a
+    BroadcastHashJoin on __pid."""
+    for name in ["roc_auc_exact", "pr_auc_exact"]:
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert not unpartitioned_windows(p), name
+        # a CONDITIONED nested-loop join (range predicate like s2 >= s)
+        # is the quadratic triangular shape; the bare 1-row totals
+        # cross join prints no predicate and is fine
+        bnlj_cond = [
+            l for l in p.splitlines()
+            if "BroadcastNestedLoopJoin" in l and (">=" in l or "<" in l)
+        ]
+        assert not bnlj_cond, (
+            f"{name}: quadratic triangular join crept back in: {bnlj_cond}"
+        )
+        assert "BroadcastHashJoin" in p, name

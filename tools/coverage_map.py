@@ -900,8 +900,15 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                            ["time_weighted_average"]),
     "X-eval-auc": ("plans.q_ml:q_roc_auc_exact  # tie-corrected "
                    "Mann-Whitney 2U in BIGINT over bounded score "
-                   "cells (cells sort, rows never do); hash-exact",
+                   "cells, cumulated by the two-phase distributed "
+                   "prefix scan (operators.indexing:ordered_prefix_sum"
+                   "); hash-exact",
                    ["roc_auc_exact"]),
+    "X-eval-pr-auc": ("plans.q_ml:q_pr_auc_exact  # step-wise average "
+                      "precision over the same cells: prefix-scan "
+                      "cumulatives, 9-decimal-quantized DECIMAL term "
+                      "sums (order-independent); hash-exact",
+                      ["pr_auc_exact"]),
     "X-eval-calibration": ("plans.q_ml:q_probability_calibration_ece"
                            "  # fixed-width reliability bins with "
                            "exact-decimal bin means (never ntile); "

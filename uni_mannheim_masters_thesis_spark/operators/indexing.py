@@ -108,3 +108,64 @@ def rank_bounded(
     return joined.groupBy(*[F.col(c) for c in df.columns]).agg(
         (F.count(F.col(f"__rk_{keys[0]}")) + 1).cast("int").alias(rank_col)
     )
+
+
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    val_cols: list[str],
+    prefix: str = "ps_",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Append EXCLUSIVE running sums of ``val_cols`` under the global
+    ``order_col`` order (``prefix + c`` = sum of c over all rows with a
+    strictly smaller key) — the distributed scan primitive behind
+    rank-sum statistics (AUC), ECDFs, and quantile boundaries.
+
+    Same two-phase texture as :func:`ordered_dense_rank` (range
+    partition → per-partition window → O(n_parts) driver-cumulated
+    offsets broadcast back), with the same requirements: keys unique,
+    values integral (longs sum exactly, so the result is
+    order-independent; float prefix sums would drift with the range
+    boundaries). Replaces both the single-partition
+    ``Window.orderBy`` (one-executor funnel, banned package-wide) and
+    the O(k²) triangular self-join (fine for dozens of cells, ~10 s by
+    a few thousand).
+    """
+    ranged = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # freeze sampled range boundaries
+    )
+    totals = sorted(
+        (r["__pid"], tuple(r[f"__t_{c}"] for c in val_cols))
+        for r in ranged.groupBy("__pid")
+        .agg(*[F.sum(c).cast("long").alias(f"__t_{c}") for c in val_cols])
+        .collect()
+    )
+    offsets, acc = [], [0] * len(val_cols)
+    for pid, tots in totals:
+        offsets.append((pid, *acc))
+        acc = [a + (t or 0) for a, t in zip(acc, tots)]
+    schema = "__pid int, " + ", ".join(
+        f"__off_{c} long" for c in val_cols
+    )
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, *[0] * len(val_cols))], schema
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = ranged
+    for c in val_cols:
+        out = out.withColumn(
+            f"__lp_{c}", F.coalesce(F.sum(c).over(w), F.lit(0)).cast("long")
+        )
+    out = out.join(F.broadcast(off_df), "__pid")
+    for c in val_cols:
+        out = out.withColumn(
+            prefix + c, (F.col(f"__lp_{c}") + F.col(f"__off_{c}")).cast("long")
+        ).drop(f"__lp_{c}", f"__off_{c}")
+    return out.drop("__pid")

@@ -308,15 +308,17 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "jaro_winkler_pairs", "knn_bruteforce_cosine", "language_id",
     "lemmatized_tokens", "lsh_ann_neighbors", "model_save_load",
     "multimodal_pipeline", "ngram_jaccard_pairs",
-    "polysemy_rule_vectors", "replace_rewrite", "revenue_by_nation",
-    "small_quantity_revenue",
+    "polysemy_rule_vectors", "pr_auc_exact", "replace_rewrite",
+    "revenue_by_nation", "small_quantity_revenue",
     # set_ops_nations and simhash_documents ceded their refresh seats
     # to the two round-11 streaming twins: both keep r1-r6 hash
     # evidence and their operators have r10-hashed member queries
     # (nation_presence_except/intersect, membership_classification).
     "streaming_cusum_parity", "streaming_twap_parity",
     "sorted_topic_vectors", "stratified_fold_balance",
-    "term_frequency", "text_profile", "tfidf", "tokenized_documents",
+    # tokenized_documents ceded its refresh seat to pr_auc_exact
+    # (r1-r6 hash evidence stands; T3/T7 also rides lemmatized_tokens)
+    "term_frequency", "text_profile", "tfidf",
     "top3_lineitems_per_supplier", "user_value_trend",
     "value_bucket_range_join", "vocabulary",
 })
@@ -330,6 +332,7 @@ _COST_HINT: dict[str, float] = {
     "time_weighted_average": 0.9, "roc_auc_exact": 1.5,
     "probability_calibration_ece": 1.0,
     "streaming_cusum_parity": 14.0, "streaming_twap_parity": 3.0,
+    "pr_auc_exact": 2.5,
     "pricing_summary": 0.6, "top_brands_by_revenue": 0.6,
     "revenue_by_nation": 0.9, "customer_order_class": 0.9,
     "first_order_per_customer": 0.6, "top3_lineitems_per_supplier": 0.4,
