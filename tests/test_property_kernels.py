@@ -115,3 +115,36 @@ def test_cdc_chunks_partition_the_payload():
         starts = [1] + [e + 1 for e in ends[:-1]]
         rebuilt = b"".join(payload[s - 1:e] for s, e in zip(starts, ends))
         assert rebuilt == payload
+
+
+def test_ordered_prefix_sum_matches_sequential_reference(spark):
+    """Randomized differential: ordered_prefix_sum (two-phase range
+    partition + per-partition window + driver-cumulated offsets) must
+    EQUAL the sequential exclusive prefix sum for every key, including
+    hostile shapes: duplicate values, zeros, negatives, single rows,
+    and key counts straddling the partition count (so some range
+    partitions are empty or hold one row)."""
+    import random
+
+    from uni_mannheim_masters_thesis_spark.operators.indexing import (
+        ordered_prefix_sum,
+    )
+
+    rng = random.Random(7)
+    for n, n_parts in [(1, 8), (5, 8), (37, 8), (200, 8), (64, 64)]:
+        keys = rng.sample(range(10_000), n)
+        rows = [
+            (k, rng.randint(-50, 50), rng.randint(0, 9)) for k in keys
+        ]
+        df = spark.createDataFrame(rows, "k long, a long, b long")
+        out = {
+            r["k"]: (r["ps_a"], r["ps_b"])
+            for r in ordered_prefix_sum(
+                df, "k", ["a", "b"], n_parts=n_parts
+            ).collect()
+        }
+        acc_a = acc_b = 0
+        for k, a, b in sorted(rows):
+            assert out[k] == (acc_a, acc_b), (n, n_parts, k)
+            acc_a += a
+            acc_b += b

@@ -924,6 +924,25 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                       "micros exact vs the batch LEAD-segment form; "
                       "parity flag hash-gated",
                       ["streaming_twap_parity"]),
+    "X-join-cross-arm-equality": ("plans.q_relational:"
+                                  "q_local_supplier_volume  # TPC-H Q5 "
+                                  "shape: the two dim arms tied to "
+                                  "EACH OTHER (s_nationkey = "
+                                  "c_nationkey); hash-exact",
+                                  ["local_supplier_volume"]),
+    "X-agg-having-semijoin": ("plans.q_relational:"
+                              "q_large_volume_orders  # TPC-H Q18 "
+                              "shape: HAVING filter before any join, "
+                              "survivors decorated + TakeOrdered; "
+                              "hash-exact",
+                              ["large_volume_orders"]),
+    "X-agg-group-share-threshold": ("plans.q_relational:"
+                                    "q_dominant_part_suppliers  # "
+                                    "TPC-H Q20 shape: per-group share "
+                                    "vs profile threshold by EXACT "
+                                    "decimal cross-multiplication; "
+                                    "hash-exact",
+                                    ["dominant_part_suppliers"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

@@ -3403,3 +3403,217 @@ def q_min_cost_supplier_per_part(
             ).alias("best_price"),
         )
     )
+
+
+@_register(
+    "local_supplier_volume",
+    """
+    SELECT n_name AS nation,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2)
+               AS local_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+                 AND s_nationkey = c_nationkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    "§2.11 relational core (TPC-H Q5 shape: cross-arm join equality)",
+    "The Q5 'local supplier volume' pattern: revenue where the "
+    "ordering CUSTOMER and the shipping SUPPLIER sit in the SAME "
+    "nation — Q5's signature is that the two dimension arms are tied "
+    "to each other (s_nationkey = c_nationkey), not just each to the "
+    "fact, so the supplier join carries a compound condition and the "
+    "nation rollup is correct only if the equality binds BEFORE the "
+    "region filter prunes. Year predicate pushes into the orders "
+    "scan; supplier/nation/region broadcast; the fact shuffles once "
+    "on the orderkey join (customer rides broadcast at bench scale, "
+    "AQE shuffles exactly that arm at 100 TB).",
+)
+def q_local_supplier_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    euro_nation = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    prod = _dec("l_extendedprice") * (
+        F.lit(1) - _dec("l_discount", "decimal(4,2)")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(
+            F.broadcast(euro_nation),
+            cust.c_nationkey == euro_nation.n_nationkey,
+        )
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        _dsum(prod).alias("local_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@_register(
+    "large_volume_orders",
+    """
+    WITH oq AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
+    )
+    SELECT c_name AS customer, o_orderkey AS orderkey,
+           epoch_us(o_orderdate) AS orderdate_us,
+           ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+               AS total_price,
+           ROUND(CAST(sum_qty AS DOUBLE), 2) AS sum_qty
+    FROM oq
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_price DESC, orderkey
+    LIMIT 20
+    """,
+    "§2.11 relational core (TPC-H Q18 shape: HAVING semi-join)",
+    "The Q18 'large volume customers' pattern: orders whose total "
+    "lineitem quantity beats a threshold (the IN-subquery-with-HAVING "
+    "form), decorated with order and customer attributes, top-20 by "
+    "price. The engine decorrelates the textbook IN to what it really "
+    "is — ONE map-side-combinable per-order aggregate whose HAVING "
+    "filter runs BEFORE any join, so only qualifying orders (0.6% of "
+    "them at threshold 200) reach the orders join; customer broadcasts "
+    "onto the survivors and the top-20 is TakeOrdered under a total "
+    "order (price desc, orderkey). The aggregate-then-join order is "
+    "the 100 TB discipline: joining first would decorate every order "
+    "only to throw 99.4% away.",
+)
+def q_large_volume_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    oq = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        oq.join(orders, oq.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_name").alias("customer"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.unix_micros("o_orderdate").alias("orderdate_us"),
+            F.round(_dec("o_totalprice").cast("double"), 2).alias(
+                "total_price"
+            ),
+            F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), "orderkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "dominant_part_suppliers",
+    """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pt AS (
+        SELECT l_partkey, SUM(q) AS t, COUNT(*) AS ns FROM ps GROUP BY 1
+    ),
+    dom AS (
+        SELECT ps.l_suppkey, ps.q
+        FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey
+        WHERE pt.ns >= 2 AND ps.q * pt.ns > 2 * pt.t
+    )
+    SELECT s_name AS supplier, n_name AS nation,
+           COUNT(*) AS n_dominated_parts,
+           ROUND(CAST(SUM(q) AS DOUBLE), 2) AS dominated_qty
+    FROM dom
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY 1, 2
+    """,
+    "§2.11 relational core (TPC-H Q20 shape: per-group share threshold)",
+    "The Q20 'excess availability' pattern adapted to this schema (no "
+    "partsupp ships): suppliers who shipped MORE THAN TWICE a part's "
+    "fair per-supplier share (q*ns > 2*t — supply-concentration "
+    "detection), rolled up per supplier with nation decoration. Q20's "
+    "correlated half-sum subquery decorrelates to the two-level "
+    "aggregate (per-(part,supplier) cells, then per-part profile) "
+    "joined back to the cells — the profile join carries cells only, "
+    "never fact rows, and the threshold comparison is EXACT decimal x "
+    "integer cross-multiplication: no float share, no epsilon, the "
+    "boundary set is hash-stable by construction. Same "
+    "aggregate-decorrelation family as sole_blame_suppliers (Q21) — "
+    "the correlated probe becomes one profile relation.",
+)
+def q_dominant_part_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("q")
+    )
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("q").alias("t"), F.count(F.lit(1)).alias("ns")
+    )
+    dom = (
+        ps.join(pt, "l_partkey")
+        .filter(
+            (F.col("ns") >= 2)
+            & (F.col("q") * F.col("ns") > 2 * F.col("t"))
+        )
+        .select("l_suppkey", "q")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        dom.join(F.broadcast(supp), dom.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_dominated_parts"),
+            F.round(F.sum("q").cast("double"), 2).alias("dominated_qty"),
+        )
+    )

@@ -307,7 +307,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "first_order_per_customer", "fold_metric_stats",
     "jaro_winkler_pairs", "knn_bruteforce_cosine", "language_id",
     "lemmatized_tokens", "lsh_ann_neighbors", "model_save_load",
-    "multimodal_pipeline", "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs",
     "polysemy_rule_vectors", "pr_auc_exact", "replace_rewrite",
     "revenue_by_nation", "small_quantity_revenue",
     # set_ops_nations and simhash_documents ceded their refresh seats
@@ -316,9 +316,13 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # (nation_presence_except/intersect, membership_classification).
     "streaming_cusum_parity", "streaming_twap_parity",
     "sorted_topic_vectors", "stratified_fold_balance",
-    # tokenized_documents ceded its refresh seat to pr_auc_exact
-    # (r1-r6 hash evidence stands; T3/T7 also rides lemmatized_tokens)
-    "term_frequency", "text_profile", "tfidf",
+    # tokenized_documents, text_profile, tfidf and multimodal_pipeline
+    # ceded refresh seats to pr_auc_exact + the three late-round TPC-H
+    # shapes (all four have r1-r6 — and tfidf also r7 — hash evidence;
+    # their operators keep hashed member queries elsewhere)
+    "term_frequency",
+    "local_supplier_volume", "large_volume_orders",
+    "dominant_part_suppliers",
     "top3_lineitems_per_supplier", "user_value_trend",
     "value_bucket_range_join", "vocabulary",
 })
@@ -333,6 +337,8 @@ _COST_HINT: dict[str, float] = {
     "probability_calibration_ece": 1.0,
     "streaming_cusum_parity": 14.0, "streaming_twap_parity": 3.0,
     "pr_auc_exact": 2.5,
+    "local_supplier_volume": 1.8, "large_volume_orders": 1.3,
+    "dominant_part_suppliers": 2.5,
     "pricing_summary": 0.6, "top_brands_by_revenue": 0.6,
     "revenue_by_nation": 0.9, "customer_order_class": 0.9,
     "first_order_per_customer": 0.6, "top3_lineitems_per_supplier": 0.4,
