@@ -148,3 +148,28 @@ def test_ordered_prefix_sum_matches_sequential_reference(spark):
             assert out[k] == (acc_a, acc_b), (n, n_parts, k)
             acc_a += a
             acc_b += b
+
+
+def test_cusum_reflection_identity_matches_recursion():
+    """The identity cusum_changepoint relies on: for any real sequence
+    d_i, the recursion S_i = max(0, S_{i-1} + d_i) equals
+    P_i - min(0, min_{j<=i} P_j) where P is the prefix sum of d. The
+    query distributes the right-hand side (two stacked windows); this
+    pins the algebra on random sequences including all-negative,
+    all-positive, and alternating-sign shapes."""
+    import random
+
+    rng = random.Random(1234)
+    cases = [[rng.uniform(-5, 5) for _ in range(rng.randint(1, 200))]
+             for _ in range(200)]
+    cases += [[-1.0] * 50, [1.0] * 50, [(-1.0) ** i * 3 for i in range(99)]]
+    for ds in cases:
+        s = 0.0
+        p = 0.0
+        min_p = 0.0  # min over an EMPTY prefix is capped at 0 by min(0, .)
+        for d in ds:
+            s = max(0.0, s + d)
+            p += d
+            min_p = min(min_p, p)
+            rhs = p - min(0.0, min_p)
+            assert abs(s - rhs) < 1e-9, (ds[:5], s, rhs)

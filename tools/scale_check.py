@@ -227,6 +227,25 @@ _QUERIES = [
     "streaming_lakehouse_sink",
     "spellcheck_filtered",
     "smote_class_balance",
+    # round-11 additions: TPC-H shape closure, sequential stats +
+    # streaming twins, ranking metrics on the prefix-scan kernel
+    "promo_revenue_share",
+    "national_market_share",
+    "important_parts_share",
+    "top_supplier_by_revenue",
+    "disjunctive_predicate_revenue",
+    "global_sales_opportunity",
+    "min_cost_supplier_per_part",
+    "local_supplier_volume",
+    "large_volume_orders",
+    "dominant_part_suppliers",
+    "cusum_changepoint",
+    "time_weighted_average",
+    "streaming_cusum_parity",
+    "streaming_twap_parity",
+    "roc_auc_exact",
+    "pr_auc_exact",
+    "probability_calibration_ece",
 ]
 
 
