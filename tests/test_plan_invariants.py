@@ -409,3 +409,30 @@ def test_auc_prefix_scan_is_partitioned_and_quadratic_free(spark):
             f"{name}: quadratic triangular join crept back in: {bnlj_cond}"
         )
         assert "BroadcastHashJoin" in p, name
+
+
+def test_q6_predicates_and_projection_reach_the_scan(spark):
+    """forecast_revenue_change (Q6 shape) is a scan-only aggregate: all
+    three predicates must appear as PushedFilters and ReadSchema must
+    carry only the needed columns — at scale this query's cost is
+    whatever the pushdown fails to prune."""
+    # the default 100-char metadata budget truncates the filter list
+    # mid-entry ("GreaterThanOrEqual(l_shipda...") — widen it so the
+    # assertion reads the whole pushdown
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        p = _plan(spark, "forecast_revenue_change")
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m, "no PushedFilters"
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert rs, "no ReadSchema"
+    cols = {c.split(":")[0] for c in rs.group(1).split(",")}
+    assert cols <= {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    }, cols
+    assert "Join" not in p

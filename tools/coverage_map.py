@@ -943,6 +943,25 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                                     "decimal cross-multiplication; "
                                     "hash-exact",
                                     ["dominant_part_suppliers"]),
+    "X-scan-only-aggregate": ("plans.q_relational:"
+                              "q_forecast_revenue_change  # TPC-H Q6 "
+                              "shape: all predicates PushedFilters, "
+                              "4-column ReadSchema, no join (plan-"
+                              "tested); hash-exact",
+                              ["forecast_revenue_change"]),
+    "X-pred-symmetric-pair": ("plans.q_relational:"
+                              "q_nation_pair_volume  # TPC-H Q7 "
+                              "shape: (A,B) OR (B,A) across two dim "
+                              "arms, IN-set derived per arm; "
+                              "hash-exact",
+                              ["nation_pair_volume"]),
+    "X-agg-distinct-after-anti": ("plans.q_relational:"
+                                  "q_supplier_count_by_part_attrs  # "
+                                  "TPC-H Q16 shape: NOT-IN as LEFT "
+                                  "ANTI before the distinct-pair "
+                                  "collapse + COUNT DISTINCT; "
+                                  "hash-exact",
+                                  ["supplier_count_by_part_attrs"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

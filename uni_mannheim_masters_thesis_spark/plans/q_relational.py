@@ -3617,3 +3617,182 @@ def q_dominant_part_suppliers(
             F.round(F.sum("q").cast("double"), 2).alias("dominated_qty"),
         )
     )
+
+
+@_register(
+    "forecast_revenue_change",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)
+               AS forecast_revenue_increase,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "§2.11 relational core (TPC-H Q6 shape: scan-only filter aggregate)",
+    "The Q6 'forecast revenue change' pattern — deliberately the "
+    "SIMPLEST shape in the matrix: no join, no group, just conjunctive "
+    "range predicates feeding one aggregate. The plan discipline IS "
+    "the query: all three predicates (shipdate range, discount band, "
+    "quantity cap) must reach the parquet scan as PushedFilters with "
+    "only the 3 needed columns in ReadSchema, and the whole thing is "
+    "one map-side partial + 1-row final — at 100 TB this query's cost "
+    "is the I/O the pushdown leaves behind, nothing else. Money math "
+    "exact: DECIMAL price x DECIMAL discount summed losslessly.",
+)
+def q_forecast_revenue_change(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(
+                _dec("l_extendedprice") * _dec("l_discount", "decimal(4,2)")
+            ).alias("forecast_revenue_increase"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "nation_pair_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2)
+               AS volume,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+       OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+    """,
+    "§2.11 relational core (TPC-H Q7 shape: symmetric nation-pair filter)",
+    "The Q7 'volume shipping' pattern: trade volume between two "
+    "nations in BOTH directions, per year — the symmetric disjunction "
+    "((A,B) OR (B,A)) over attributes from two different dimension "
+    "arms, which no single-side filter can express: each nation arm "
+    "prunes to the 2-row union {A,B} (Catalyst derives "
+    "sn IN (A,B) AND cn IN (A,B) from the disjunction and pushes it "
+    "into each broadcast build side), while the cross-arm correlation "
+    "evaluates post-join. Group cells bounded at 2 directions x "
+    "years; the fact shuffles once on the orderkey join.",
+)
+def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | (
+        (F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3")
+    )
+    prod = _dec("l_extendedprice") * (
+        F.lit(1) - _dec("l_discount", "decimal(4,2)")
+    )
+    return (
+        j.filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            _dsum(prod).alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "supplier_count_by_part_attrs",
+    """
+    WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+    pairs AS (
+        SELECT DISTINCT l_partkey, l_suppkey
+        FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    )
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM pairs JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_size IN (1, 9, 19, 23, 36, 45, 49)
+    GROUP BY 1, 2, 3
+    """,
+    "§2.11 relational core (TPC-H Q16 shape: anti-join + COUNT DISTINCT)",
+    "The Q16 'parts/supplier relationship' pattern: distinct supplier "
+    "counts per part attribute cell, EXCLUDING a blacklisted supplier "
+    "set (the complaints NOT IN subquery — here, negative-balance "
+    "suppliers). The engine order matters: the NOT IN decorrelates to "
+    "a LEFT ANTI broadcast join applied to the fact BEFORE the "
+    "distinct-pair collapse (excluded suppliers never reach the "
+    "expensive stage), the (part, supplier) relation deduplicates "
+    "map-side-combinably, the part dim broadcasts with its brand/size "
+    "residue pruning the build side, and the COUNT DISTINCT runs over "
+    "distinct pairs — already unique per group key, so it degenerates "
+    "to a plain count with no Expand. NULL discipline: NOT IN with a "
+    "non-empty subquery is only sane because s_suppkey is non-null; "
+    "the anti join gives the same semantics without the NULL trap.",
+)
+def q_supplier_count_by_part_attrs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        li.join(
+            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & F.col("p_size").isin(1, 9, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )

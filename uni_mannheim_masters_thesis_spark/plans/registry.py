@@ -301,21 +301,25 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "knn_classifier_vote",
     # --- r1-r6-era evidence refresh (cheapest oracle-backed first) --
     "classification_metrics_events", "clean_documents",
-    "concat_segment_name", "confusion_matrix_events",
+    # concat_segment_name, replace_rewrite and sorted_topic_vectors
+    # ceded refresh seats to the Q6/Q7/Q16 shape closure (all three are
+    # r1-r6-hashed trivial scalar queries)
+    "forecast_revenue_change", "nation_pair_volume",
+    "supplier_count_by_part_attrs", "confusion_matrix_events",
     "dedup_stats_by_source", "distinct_user_event_pairs",
     "embedding_cosine_neardup", "events_asof_join",
     "first_order_per_customer", "fold_metric_stats",
     "jaro_winkler_pairs", "knn_bruteforce_cosine", "language_id",
     "lemmatized_tokens", "lsh_ann_neighbors", "model_save_load",
     "ngram_jaccard_pairs",
-    "polysemy_rule_vectors", "pr_auc_exact", "replace_rewrite",
+    "polysemy_rule_vectors", "pr_auc_exact",
     "revenue_by_nation", "small_quantity_revenue",
     # set_ops_nations and simhash_documents ceded their refresh seats
     # to the two round-11 streaming twins: both keep r1-r6 hash
     # evidence and their operators have r10-hashed member queries
     # (nation_presence_except/intersect, membership_classification).
     "streaming_cusum_parity", "streaming_twap_parity",
-    "sorted_topic_vectors", "stratified_fold_balance",
+    "stratified_fold_balance",
     # tokenized_documents, text_profile, tfidf and multimodal_pipeline
     # ceded refresh seats to pr_auc_exact + the three late-round TPC-H
     # shapes (all four have r1-r6 — and tfidf also r7 — hash evidence;
@@ -338,7 +342,8 @@ _COST_HINT: dict[str, float] = {
     "streaming_cusum_parity": 14.0, "streaming_twap_parity": 3.0,
     "pr_auc_exact": 2.5,
     "local_supplier_volume": 1.8, "large_volume_orders": 1.3,
-    "dominant_part_suppliers": 2.5,
+    "dominant_part_suppliers": 2.5, "forecast_revenue_change": 1.0,
+    "nation_pair_volume": 2.0, "supplier_count_by_part_attrs": 1.8,
     "pricing_summary": 0.6, "top_brands_by_revenue": 0.6,
     "revenue_by_nation": 0.9, "customer_order_class": 0.9,
     "first_order_per_customer": 0.6, "top3_lineitems_per_supplier": 0.4,
