@@ -150,6 +150,29 @@ def test_ordered_prefix_sum_matches_sequential_reference(spark):
             acc_b += b
 
 
+def test_ordered_prefix_sum_rejects_null_and_duplicate_keys(spark):
+    """The kernel's contract (unique non-null total order) is enforced,
+    not advisory: duplicate keys make the row-based window disagree
+    with strictly-smaller-key semantics, NULL keys range-partition
+    unpredictably — both must raise before a wrong prefix escapes."""
+    import pytest
+
+    from uni_mannheim_masters_thesis_spark.operators.indexing import (
+        ordered_prefix_sum,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 30)], "k long, a long"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        ordered_prefix_sum(dup, "k", ["a"], n_parts=4)
+    nul = spark.createDataFrame(
+        [(1, 10), (None, 20), (3, 30)], "k long, a long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        ordered_prefix_sum(nul, "k", ["a"], n_parts=4)
+
+
 def test_cusum_reflection_identity_matches_recursion():
     """The identity cusum_changepoint relies on: for any real sequence
     d_i, the recursion S_i = max(0, S_{i-1} + d_i) equals

@@ -76,3 +76,41 @@ def test_streaming_cms_matches_batch(spark):
     assert all(r["ok_stream_equals_batch"] for r in rows)
     assert all(r["ok_cms_ge_exact"] for r in rows)
     assert all(r["ok_cms_within_eps"] for r in rows)
+
+
+def test_cusum_fold_rejects_out_of_order_day():
+    """The CUSUM fold's cross-batch ordering contract is enforced: a
+    batch that reopens an already-closed day must raise, not silently
+    fold deviations out of order (ADVICE r11)."""
+    import pandas as pd
+    import pytest
+
+    from uni_mannheim_masters_thesis_spark.streaming.stateful import (
+        _US_PER_DAY,
+        _make_cusum_update,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._t = None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self.exists = True
+            self._t = t
+
+    upd = _make_cusum_update({"click": (10.0, 2.0)})
+    state = FakeState()
+    batch1 = pd.DataFrame(
+        {"us": [2 * _US_PER_DAY + 5], "value": [3.0], "event_id": [1]}
+    )
+    list(upd(("click",), [batch1], state))  # closes nothing, opens day 2
+    late = pd.DataFrame(
+        {"us": [1 * _US_PER_DAY + 5], "value": [4.0], "event_id": [2]}
+    )
+    with pytest.raises(ValueError, match="out-of-order day"):
+        list(upd(("click",), [late], state))

@@ -197,6 +197,30 @@ def test_lexicon_auto_strategy_picks_join_for_large(spark):
     assert out_big.collect()[0]["tokens"] == ["zzz"]
 
 
+def test_inline_lexicon_cap_enforced(spark):
+    """filter_tokens_inline raises past INLINE_LEXICON_MAX — the cap is
+    a hard contract for direct callers, not dispatch-only advice."""
+    import pytest
+
+    from uni_mannheim_masters_thesis_spark.functions import lexicon as L
+    from pyspark.sql import functions as F
+
+    oversized = [f"w{i}" for i in range(L.INLINE_LEXICON_MAX + 1)]
+    with pytest.raises(ValueError, match="INLINE_LEXICON_MAX"):
+        L.filter_tokens_inline(F.col("tokens"), oversized, "drop")
+    # forced strategy='inline' hits the same guard through the facade
+    big = spark.range(L.INLINE_LEXICON_MAX + 5).selectExpr(
+        "concat('w', id) AS word"
+    )
+    df = spark.createDataFrame(
+        [(0, ["w1"])], "doc_id int, tokens array<string>"
+    )
+    with pytest.raises(ValueError, match="INLINE_LEXICON_MAX"):
+        L.filter_tokens_with_lexicon(
+            df, "tokens", big, ["doc_id"], strategy="inline"
+        ).collect()
+
+
 def test_bm25_matches_hand_computation(spark, tmp_path):
     """BM25 on a 3-doc corpus vs the formula computed in pure Python."""
     import math

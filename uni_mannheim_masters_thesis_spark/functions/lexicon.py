@@ -77,6 +77,15 @@ def filter_tokens_inline(
     if mode not in ("drop", "keep"):
         raise ValueError(f"mode must be 'drop' or 'keep', got {mode!r}")
     words = sorted(set(lexicon_words))
+    if len(words) > INLINE_LEXICON_MAX:
+        # enforce, not just advise: an oversized literal map bloats the
+        # plan and task binary — direct callers must use the join
+        # strategy (filter_tokens_with_lexicon) past this point
+        raise ValueError(
+            f"filter_tokens_inline: {len(words)} words exceeds "
+            f"INLINE_LEXICON_MAX={INLINE_LEXICON_MAX}; use "
+            "filter_tokens_with_lexicon(strategy='join')"
+        )
     if not words:  # empty literal map has no concrete key type
         # Drop mode still removes NULL tokens (the non-empty path's
         # ``~map_contains_key`` predicate is NULL for them, and the join

@@ -137,11 +137,32 @@ def ordered_prefix_sum(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)  # freeze sampled range boundaries
     )
+    # contract check rides the totals pass for free: range partitioning
+    # co-locates equal keys, so summed per-partition distinct counts ==
+    # global distinct, and any NULL/duplicate key (which would make the
+    # rowsBetween(-1) window disagree with strictly-smaller semantics)
+    # is caught before a wrong prefix can escape
+    stat_rows = (
+        ranged.groupBy("__pid")
+        .agg(
+            *[F.sum(c).cast("long").alias(f"__t_{c}") for c in val_cols],
+            F.count(F.lit(1)).alias("__n"),
+            F.count(order_col).alias("__nn"),
+            F.count_distinct(order_col).alias("__nd"),
+        )
+        .collect()
+    )
+    n_null = sum(r["__n"] - r["__nn"] for r in stat_rows)
+    n_dup = sum(r["__nn"] - r["__nd"] for r in stat_rows)
+    if n_null or n_dup:
+        raise ValueError(
+            f"ordered_prefix_sum: order_col {order_col!r} must be a "
+            f"non-null total order; found {n_null} NULL and {n_dup} "
+            "duplicate key(s)"
+        )
     totals = sorted(
         (r["__pid"], tuple(r[f"__t_{c}"] for c in val_cols))
-        for r in ranged.groupBy("__pid")
-        .agg(*[F.sum(c).cast("long").alias(f"__t_{c}") for c in val_cols])
-        .collect()
+        for r in stat_rows
     )
     offsets, acc = [], [0] * len(val_cols)
     for pid, tots in totals:

@@ -271,7 +271,7 @@ def streaming_ewma(
 # LEAD segments), while the stream keeps exactly the O(keys) state the
 # recursion needs — the batch-avoids-what-streams-need pairing.
 
-from pyspark.sql.types import BooleanType, StringType  # noqa: E402
+from pyspark.sql.types import StringType  # noqa: E402
 
 _US_PER_DAY = 86_400_000_000
 
@@ -311,7 +311,21 @@ def _make_cusum_update(refstats: dict):
         pdf = pdf.sort_values(["us", "event_id"])
         out_day, out_cusum, out_seq = [], [], []
         for us, x in zip(pdf["us"].astype("int64"), pdf["value"].astype(float)):
+            # match the batch twin's DECIMAL(18,2) daily sums exactly:
+            # fold 2-decimal values so per-day accumulation can't drift
+            # past the parity tolerance on high-count days
+            x = round(x, 2)
             d = int(us) // _US_PER_DAY
+            if cur_day >= 0 and d < cur_day:
+                # a closed day reopened: the fold already mixed later
+                # days into the prefix sum, so the recursion is
+                # unrecoverable — fail loudly instead of emitting a
+                # corrupted max-eseq row (see streaming_cusum docstring)
+                raise ValueError(
+                    f"streaming_cusum[{etype}]: out-of-order day "
+                    f"{d} after {cur_day}; per-key event-time order "
+                    "across micro-batches is required"
+                )
             if cur_day >= 0 and d != cur_day:
                 # close cur_day: fold its deviation into the prefix sum
                 p += day_sum - mu - k
@@ -357,7 +371,15 @@ def streaming_cusum(
     sum, prefix min) state row per event type, O(1) per event. Emits
     each day's CUSUM when the day closes (plus an as-if-complete row
     for the open day, superseded by later emissions); the final
-    per-(type, day) value is the max-eseq row."""
+    per-(type, day) value is the max-eseq row.
+
+    ORDERING CONTRACT: the fold assumes events arrive in per-key
+    event-time order ACROSS micro-batches (within a batch it sorts).
+    The file-replay harness satisfies this by draining the parquet
+    source in a single batch; a batch that reopens an already-closed
+    day raises rather than silently folding deviations out of order.
+    Values are rounded to 2 decimals before folding so per-day sums
+    match the batch twin's DECIMAL(18,2) arithmetic exactly."""
     ensure_engine_confs(spark)
     stream = _event_stream(spark, sf_dir).select(
         "event_type",
