@@ -65,6 +65,7 @@ def test_cumulative_driver_evidence_covers_every_operator():
         _DRIVER_VERIFIED_R8,
         _DRIVER_VERIFIED_R9,
         _DRIVER_VERIFIED_R10,
+        _DRIVER_VERIFIED_R11,
     )
 
     evidenced = (
@@ -74,6 +75,7 @@ def test_cumulative_driver_evidence_covers_every_operator():
         | _DRIVER_VERIFIED_R8
         | _DRIVER_VERIFIED_R9
         | _DRIVER_VERIFIED_R10
+        | _DRIVER_VERIFIED_R11
     )
     # plan_invariant_audit is rows-only by design (never hash-evidenced)
     # and was rotated out of the window per the r8 verdict; its primary
@@ -104,6 +106,7 @@ def test_rotated_window_seats_every_unhashed_oracle_query():
         _DRIVER_VERIFIED_R8,
         _DRIVER_VERIFIED_R9,
         _DRIVER_VERIFIED_R10,
+        _DRIVER_VERIFIED_R11,
     )
 
     hashed_ever = set(
@@ -112,6 +115,7 @@ def test_rotated_window_seats_every_unhashed_oracle_query():
         | _DRIVER_VERIFIED_R8
         | _DRIVER_VERIFIED_R9
         | _DRIVER_VERIFIED_R10
+        | _DRIVER_VERIFIED_R11
     )
     # The frozensets track the rotation bookkeeping; the committed
     # driver artifacts are the ground truth (r1-r6 reran one fixed

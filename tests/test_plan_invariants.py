@@ -436,3 +436,22 @@ def test_q6_predicates_and_projection_reach_the_scan(spark):
         "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
     }, cols
     assert "Join" not in p
+
+
+def test_flagged_subsecond_queries_are_exchange_free(spark):
+    """r12 verdict item 2: the two queries that tripped the driver's
+    2x-pin gate on sub-second deltas have PLAN-INVARIANT shapes —
+    bpe_subword_counts is one whole-stage projection over a pruned
+    2-column scan (no Exchange), multimodal_resize exactly one
+    MapInPandas pass over the same pruned scan. Any future plan
+    regression (extra Exchange, lost column pruning, a second Python
+    crossing) fails CI here instead of surfacing as bench jitter."""
+    p = _plan(spark, "bpe_subword_counts")
+    assert "Exchange" not in p, p
+    assert p.count("FileScan") == 1, p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p, p
+
+    p2 = _plan(spark, "multimodal_resize")
+    assert "Exchange" not in p2, p2
+    assert p2.count("MapInPandas") == 1, p2
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p2, p2

@@ -100,25 +100,25 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     "M3": ("ml.topics:infer_topics", ["flagship_polysemy"]),
     "M4": ("ml.topics:polysemy_flag", ["polysemy_rule_vectors", "flagship_polysemy"]),
     "M5": ("ml.classify:assemble_features", ["classifier_battery"]),
-    "M6": ("ml.classify:classifier_battery", ["classifier_battery"]),
+    "M6": ("ml.classify:classifier_battery", ["classifier_battery", "battery_logistic_regression"]),
     "M7": ("ml.classify:classifier_battery  # deviation: ≡ M6 (solver ≠ semantics)",
-           ["classifier_battery"]),
+           ["classifier_battery", "battery_logistic_regression"]),
     "M8": ("ml.classify:ModifiedHuberGD  # REAL modified-Huber loss (r10): deterministic full-batch GD, one distributed d+1-sum aggregation per iteration; formerly a LinearSVC stand-in",
-           ["classifier_battery"]),
+           ["classifier_battery", "battery_modified_huber_sgd"]),
     "M9": ("ml.kernel:kernel_svm_report  # rbf via Random Fourier Features",
-           ["kernel_svm_rff", "classifier_battery"]),
-    "M10": ("ml.classify:classifier_battery", ["classifier_battery"]),
-    "M11": ("ml.classify:classifier_battery", ["classifier_battery"]),
-    "M12": ("ml.classify:classifier_battery", ["classifier_battery"]),
-    "M13": ("ml.classify:classifier_battery", ["classifier_battery"]),
+           ["kernel_svm_rff", "classifier_battery", "battery_linear_svc"]),
+    "M10": ("ml.classify:classifier_battery", ["classifier_battery", "battery_gaussian_nb"]),
+    "M11": ("ml.classify:classifier_battery", ["classifier_battery", "battery_linear_svc"]),
+    "M12": ("ml.classify:classifier_battery", ["classifier_battery", "battery_random_forest"]),
+    "M13": ("ml.classify:classifier_battery", ["classifier_battery", "battery_gbt"]),
     "M14": ("operators.similarity_search:majority_vote",
             ["knn_classifier_vote", "knn_vote_lsh", "lsh_ann_neighbors"]),
-    "M15": ("ml.classify:classifier_battery", ["classifier_battery"]),
+    "M15": ("ml.classify:classifier_battery", ["classifier_battery", "battery_decision_tree"]),
     "M16": ("ml.classify:mlp_spec", ["classifier_battery", "mlp_classifier"]),
-    "M17": ("ml.classify:train_test_split", ["classifier_battery"]),
+    "M17": ("ml.classify:train_test_split", ["classifier_battery", "battery_logistic_regression"]),
     "M18": ("ml.classify:add_stratified_fold",
             ["stratified_fold_balance", "fold_assignment"]),
-    "M19": ("ml.classify:scale_features", ["classifier_battery"]),
+    "M19": ("ml.classify:scale_features", ["classifier_battery", "battery_gaussian_nb"]),
     "M20": ("ml.resample:smote", ["resampling_report", "smote_class_balance"]),
     "M21": ("ml.resample:remove_tomek_links  # blocked exact 1-NN "
             "(distributed BLAS), no driver-side collect",
@@ -137,7 +137,7 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
             "[5,500] x minimum_probability [0.05,0.1] x minimum_topics "
             "[1,5], per-call admission gate on the cached frame",
             ["adaptive_search_lr", "grid_search_lr", "rule_point_search"]),
-    "M23": ("ml.classify:evaluate_binary", ["classifier_battery"]),
+    "M23": ("ml.classify:evaluate_binary", ["classifier_battery", "battery_gbt"]),
     "M24": ("ml.search:holdout_transfer", ["holdout_transfer_report"]),
     "M25": ("ml.topic_quality:log_perplexity", ["topic_quality_suite", "lda_log_perplexity"]),
     "M26": ("ml.topic_quality:umass_coherence",
@@ -962,6 +962,28 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                                   "collapse + COUNT DISTINCT; "
                                   "hash-exact",
                                   ["supplier_count_by_part_attrs"]),
+    # --- round 12: the final three TPC-H shapes -------------------------
+    "X-agg-two-fact-profit": ("plans.q_relational:q_part_type_profit"
+                              "  # TPC-H Q9 shape: dim column mixed "
+                              "into the per-row profit expression "
+                              "(p_retailprice plays ps_supplycost; no "
+                              "partsupp ships), exact scale-4 decimal "
+                              "subtraction; hash-exact",
+                              ["part_type_profit"]),
+    "X-join-topk-returns": ("plans.q_relational:q_returned_item_ranking"
+                            "  # TPC-H Q10 shape: quarter+returnflag "
+                            "filtered 4-way join, top-20 under a "
+                            "TOTAL order on the EXACT decimal "
+                            "revenue; hash-exact",
+                            ["returned_item_ranking"]),
+    "X-agg-two-way-case-count": ("plans.q_relational:"
+                                 "q_shipping_delay_priority_counts"
+                                 "  # TPC-H Q12 shape: complementary "
+                                 "CASE counts in ONE aggregate, mode "
+                                 "class derived from integer day "
+                                 "arithmetic (no l_shipmode ships); "
+                                 "hash-exact",
+                                 ["shipping_delay_priority_counts"]),
 }
 
 # the full SURVEY §2 inventory the map must cover

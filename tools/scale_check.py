@@ -246,6 +246,13 @@ _QUERIES = [
     "roc_auc_exact",
     "pr_auc_exact",
     "probability_calibration_ece",
+    # round-12 additions: the final three TPC-H shapes (Q9 two-fact-
+    # column profit, Q10 returned-item top-k, Q12 two-way CASE count)
+    # + the per-model battery slices' heaviest member
+    "part_type_profit",
+    "returned_item_ranking",
+    "shipping_delay_priority_counts",
+    "battery_modified_huber_sgd",
 ]
 
 

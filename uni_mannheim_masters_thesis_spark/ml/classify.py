@@ -404,3 +404,45 @@ def run_battery(
             "ok_f1_floor", F.col("f1") >= F.lit(float(f1_floor))
         )
     return report
+
+
+def run_battery_member(
+    train: DataFrame,
+    test: DataFrame,
+    member: str,
+    f1_floor: float | None = None,
+) -> DataFrame:
+    """Fit ONE battery model and return its single-row report —
+    identical fit/score/evaluate path as :func:`run_battery` (same
+    estimator params, same seed, same class-weighting rule), exposed
+    per-model so each registry entry's bench wall tracks exactly one
+    fit's plan instead of the whole battery's end-of-sequence memory
+    pressure (round-11 verdict item 1).
+    """
+    specs = {s.name: s for s in classifier_battery()}
+    if member not in specs:
+        raise KeyError(
+            f"unknown battery member {member!r}; have {sorted(specs)}"
+        )
+    spec = specs[member]
+    fit_on = (
+        add_class_weights(train)
+        if spec.name == "logistic_regression"
+        else train
+    )
+    n_test = test.count()
+    model = spec.estimator.fit(fit_on)
+    r = evaluate_binary(model.transform(test)).first()
+    spark = train.sparkSession
+    report = spark.createDataFrame(
+        [(spec.name, n_test, r["tp"], r["fp"], r["tn"], r["fn"],
+          r["precision"], r["recall"], r["accuracy"], r["f1"])],
+        "model string, n_test long, tp long, fp long, tn long, fn long, "
+        "precision double, recall double, accuracy double, f1 double",
+    )
+    report = attach_eval_invariants(report, n_col="n_test")
+    if f1_floor is not None:
+        report = report.withColumn(
+            "ok_f1_floor", F.col("f1") >= F.lit(float(f1_floor))
+        )
+    return report

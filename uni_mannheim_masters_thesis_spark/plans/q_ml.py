@@ -189,6 +189,58 @@ def q_classifier_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supervised_battery_report(spark, sf_dir, include_mlp=True)
 
 
+# Per-model battery slices (round-12, verdict item 1): one fit per
+# registry entry over the SAME session-shared scaled split, so every
+# bench wall tracks exactly one model's plan. The composite
+# classifier_battery above keeps the end-to-end M5-M23 contract (and
+# its concurrent-fit scale pattern) but is bench-skipped as a suite —
+# these seven carry the per-model timing signal.
+_BATTERY_MEMBERS: dict[str, tuple[str, str]] = {
+    "logistic_regression": (
+        "M6/M7 (logistic regression; SGD-log-loss ≡ same loss)",
+        "supervised_classifier.py:216-230,236-249",
+    ),
+    "linear_svc": (
+        "M9/M11 (linear SVM)", "supervised_classifier.py:292-333"),
+    "modified_huber_sgd": (
+        "M8 (REAL modified-Huber loss, deterministic full-batch GD)",
+        "supervised_classifier.py:252-268",
+    ),
+    "gaussian_nb": (
+        "M10 (Gaussian naive Bayes)", "supervised_classifier.py:336-349"),
+    "decision_tree": (
+        "M15 (decision tree)", "supervised_classifier.py:433-446"),
+    "random_forest": (
+        "M12 (random forest, 100 trees)",
+        "supervised_classifier.py:383-400",
+    ),
+    "gbt": ("M13 (gradient-boosted trees)",
+            "supervised_classifier.py:403-417"),
+}
+
+
+def _make_battery_member_query(member: str):
+    def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .supervised import supervised_member_report
+
+        return supervised_member_report(spark, sf_dir, member)
+
+    _q.__name__ = f"q_battery_{member}"
+    return _q
+
+
+for _member, (_survey, _ref) in _BATTERY_MEMBERS.items():
+    _register(
+        f"battery_{_member}",
+        None,
+        _survey,
+        f"Single-model battery slice ({_ref}): fit {_member} on the "
+        "shared scaled 80/20 split, report P/R/Acc/F1 (rows-only: "
+        "fit is seed/implementation-sensitive; ok_* invariants + "
+        "F1 floor 0.75 harness-enforced).",
+    )(_make_battery_member_query(_member))
+
+
 @_register(
     "stratified_fold_balance",
     """

@@ -3796,3 +3796,221 @@ def q_supplier_count_by_part_attrs(
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
+
+
+@_register(
+    "part_type_profit",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(ROUND(SUM(
+               CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))
+               - CAST(p_retailprice AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(9,0))
+           ), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+    """,
+    "§2.11 relational core (TPC-H Q9 shape: two-fact-column profit)",
+    "The Q9 'product type profit' pattern adapted to this schema (no "
+    "partsupp ships, so the part arm's p_retailprice plays "
+    "ps_supplycost's role): revenue minus cost where the COST side "
+    "mixes a dimension column into the per-row fact expression — Q9's "
+    "distinguishing feature vs every pure-revenue shape. Filter "
+    "p_name LIKE '%widget%' prunes the part arm (13% of parts) BEFORE "
+    "it broadcasts; supplier/nation broadcast onto the fact; the only "
+    "fact shuffle is the orderkey join for the year column. "
+    "Arithmetic is exact end-to-end: price x (1-disc) carries scale "
+    "4, retailprice x integral quantity scale 2, the subtraction "
+    "aligns to scale 4 without rounding in BOTH engines, so the "
+    "grouped DECIMAL sums are bit-equal and one final round(double,2) "
+    "per (nation, year) cell closes the hash.",
+)
+def q_part_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _dec("l_extendedprice") * (
+        F.lit(1) - _dec("l_discount", "decimal(4,2)")
+    ) - _dec("p_retailprice") * F.col("l_quantity").cast("decimal(9,0)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            # round the DECIMAL (scale 4 -> 2, exact half-away-from-zero
+            # in BOTH engines) BEFORE the double cast: rounding after
+            # the cast diverges when the binary double of an exact
+            # x.xx5 boundary falls below it (r12: returned_item_ranking
+            # hit 307843.595 -> Spark .60 vs DuckDB .59)
+            F.round(F.sum(profit), 2).cast("double").alias("sum_profit")
+        )
+    )
+
+
+@_register(
+    "returned_item_ranking",
+    """
+    WITH rev AS (
+        SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS r
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate <  TIMESTAMP '1996-04-01'
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT c_custkey AS custkey, c_name AS customer,
+           CAST(ROUND(r, 2) AS DOUBLE) AS revenue,
+           c_acctbal AS acctbal, n_name AS nation,
+           c_mktsegment AS segment
+    FROM rev
+    ORDER BY r DESC, custkey
+    LIMIT 20
+    """,
+    "§2.11 relational core (TPC-H Q10 shape: returned-item ranking)",
+    "The Q10 'returned item reporting' pattern: customers ranked by "
+    "revenue LOST to returns (l_returnflag = 'R') in one quarter, "
+    "decorated with account/nation/segment attributes. The quarter "
+    "predicate rides the orders scan (PushedFilters) and the "
+    "returnflag predicate the lineitem scan, so the orderkey join "
+    "carries ~1/26th of orders x ~1/3rd of lineitems; customer and "
+    "nation broadcast onto the grouped survivors. Top-20 is "
+    "TakeOrdered under a TOTAL order — the EXACT decimal revenue "
+    "first, custkey as tiebreaker — so the LIMIT contents are "
+    "hash-stable; the double rounding happens only in the final "
+    "projection, after the order is fixed.",
+)
+def q_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1) - _dec("l_discount", "decimal(4,2)"))
+            ).alias("r")
+        )
+    )
+    return (
+        rev.orderBy(F.desc("r"), "c_custkey")
+        .limit(20)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("customer"),
+            # decimal-first rounding: see part_type_profit's note
+            F.round(F.col("r"), 2).cast("double").alias("revenue"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+
+
+@_register(
+    "shipping_delay_priority_counts",
+    """
+    SELECT CASE
+             WHEN date_diff('day', o_orderdate, l_shipdate) < 30
+                  THEN 'FAST'
+             WHEN date_diff('day', o_orderdate, l_shipdate) < 60
+                  THEN 'MEDIUM'
+             ELSE 'SLOW'
+           END AS ship_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    "§2.11 relational core (TPC-H Q12 shape: two-way CASE count)",
+    "The Q12 'shipping modes and order priority' pattern adapted to "
+    "this schema (no l_shipmode ships, so the mode class derives from "
+    "the order-to-ship delay: <30d FAST, <60d MEDIUM, else SLOW): one "
+    "pass over the 1997 ship-year lineitems counting urgent/high vs "
+    "other order priorities per mode — the two complementary CASE "
+    "sums in a single aggregate, never two scans. The year predicate "
+    "is PushedFilters on the lineitem scan; orders contributes only "
+    "(orderkey, orderdate, priority) through the one fact shuffle. "
+    "Integer day arithmetic on midnight timestamps is engine-exact "
+    "(Spark datediff == DuckDB date_diff('day')), so bucket "
+    "boundaries cannot drift.",
+)
+def q_shipping_delay_priority_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.when(delay < 30, "FAST")
+            .when(delay < 60, "MEDIUM")
+            .otherwise("SLOW")
+            .alias("ship_bucket")
+        )
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )

@@ -75,3 +75,17 @@ def supervised_battery_report(
         train, test, include_mlp=include_mlp, n_features=n_features,
         f1_floor=0.75,
     )
+
+
+def supervised_member_report(
+    spark: SparkSession, sf_dir: str, member: str
+) -> DataFrame:
+    """Single-model slice of the battery on the SAME shared scaled
+    split — one fit per query so each bench wall is plan-determined
+    (the composite ``classifier_battery`` stays registered for the
+    M5-M23 end-to-end contract but is bench-skipped as a suite)."""
+    from ..ml.classify import run_battery_member
+    from ..ml.shared import shared_scaled_doc_split
+
+    train, test = shared_scaled_doc_split(spark, sf_dir)
+    return run_battery_member(train, test, member, f1_floor=0.75)

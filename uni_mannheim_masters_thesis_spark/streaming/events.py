@@ -94,8 +94,14 @@ def streaming_interval_join(
         ),
         "inner",
     )
+    # cap=2: the stream-stream join keeps FOUR state stores per
+    # partition, and each pays per-micro-batch commit fixed costs; at
+    # drain scale (~25k rows/side) two partitions are already wider
+    # than the data and shave ~10% off the wall vs the default cap
+    # (r12 A/B: warm 2.2s at 4 -> 2.0s at 2, identical results). On a
+    # real cluster this is the same deployment knob as the default.
     return (
-        drain(pairs, "append", name_prefix="ij")
+        drain(pairs, "append", name_prefix="ij", cap=2)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
