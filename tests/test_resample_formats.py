@@ -349,3 +349,50 @@ def test_rule_point_search_synthetic_landscape(spark):
         assert r.f1 < 1.0
     again = rule_point_search(scored).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+    ids=["sf0.01", "sf0.1-bench-scale"],
+)
+def test_knn_dispatch_boundary_blocked_hash_matches_numpy(spark, sf_dir):
+    """r11 verdict item 7: the knn_within auto-dispatch is the SMOTE
+    scale-safety story — pin its equivalence AT BENCH SCALE, not just
+    on a 50-row slice. The budget is forced just below the minority
+    class's measured dense bytes, so 'auto' must engage the blocked
+    distributed kernel, and its full (id, nn_id, rank, dist) output
+    must hash-equal the numpy broadcast path's on the same data."""
+    import hashlib
+    import os
+
+    from uni_mannheim_masters_thesis_spark.ml.resample import (
+        _dense_matrix_bytes,
+        knn_within,
+    )
+
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} not present")
+    minority = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("label") == 0)
+        .select("vec_id", "embedding")
+    )
+    dense_bytes = _dense_matrix_bytes(minority, "embedding")
+    assert dense_bytes > 0
+
+    def _digest(df):
+        rows = sorted(
+            (r["id"], r["nn_id"], r["nn_rank"], round(r["dist"], 9))
+            for r in df.collect()
+        )
+        return hashlib.sha256(repr(rows).encode()).hexdigest()
+
+    auto = knn_within(
+        minority, k=5, broadcast_budget_bytes=dense_bytes - 1
+    )
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, plan  # blocked kernel engaged
+    assert "MapInPandas" not in plan, plan        # numpy path NOT planned
+    numpy_path = knn_within(minority, k=5, method="numpy")
+    assert _digest(auto) == _digest(numpy_path)

@@ -96,7 +96,7 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
     # --- §2.8 ML ---------------------------------------------------------
     "M1": ("ml.topics:fit_lda",
            ["flagship_polysemy", "lda_log_perplexity", "lda_k_sweep"]),
-    "M2": ("ml.topic_quality:hdp_emulation  # shipped-model pin: tests/test_reference_gold.py validates the k=10 operating point (all 10 shipped topics alive/distinct) against the emulation premise", ["topic_quality_suite", "hdp_topic_mass"]),
+    "M2": ("ml.topic_quality:hdp_emulation  # shipped-model pin: tests/test_reference_gold.py validates the k=10 operating point (all 10 shipped topics alive/distinct) against the emulation premise; suggested_lda_model export analogue (wiki_hdp.py:25): ml.topic_quality:suggested_lda_export", ["topic_quality_suite", "hdp_topic_mass", "hdp_suggested_lda"]),
     "M3": ("ml.topics:infer_topics", ["flagship_polysemy"]),
     "M4": ("ml.topics:polysemy_flag", ["polysemy_rule_vectors", "flagship_polysemy"]),
     "M5": ("ml.classify:assemble_features", ["classifier_battery"]),

@@ -139,3 +139,94 @@ def kernel_svm_report(
     finally:
         train.unpersist()
         test.unpersist()
+
+
+def rff_exact_comparison(
+    train: DataFrame,
+    test: DataFrame,
+    n_train_slice: int = 500,
+    n_test_slice: int = 200,
+    n_features: int = 128,
+    gamma: float = 0.1,
+    ridge: float = 1.0,
+    seed: int = 42,
+) -> dict:
+    """Quantify the RFF approximation against the EXACT rbf kernel on
+    a small slice (r11 verdict item 6) — the bound that turns the
+    documented M9 deviation (reference supervised_classifier.py:292-333
+    uses exact-kernel SVC; no distributed equivalent exists) into a
+    measured number instead of an assertion.
+
+    Protocol: a deterministic slice (sorted by (label, features) so
+    repartitioning can't change it) small enough that the Gram matrix
+    fits on the driver — the ONE sanctioned exact-kernel regime. Both
+    sides then run the SAME closed-form learner (kernel ridge / its
+    primal RFF twin, identical lambda), so the reported F1 delta
+    isolates kernel-approximation error from solver differences:
+
+    - exact:  alpha = (K + lambda I)^-1 y,  pred = sign(K_test alpha)
+      with K_ij = exp(-gamma ||xi-xj||^2)
+    - rff:    w = (Z'Z + lambda I)^-1 Z'y,  pred = sign(Z_test w)
+      with Z the seeded Rahimi-Recht map (E[Z Z'] = K)
+
+    Returns a dict with the two F1s, their delta, and the Gram-matrix
+    approximation error (mean/max |Z Z' - K| over the slice), whose
+    expected scale is ~sqrt(1/(2D)) ~= 0.06 at D=128.
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    def _slice(d: DataFrame, n: int):
+        # class-balanced: n/2 per label, each half deterministic under
+        # repartitioning (sorted by the feature array itself)
+        base = d.select(
+            vector_to_array(F.col("features")).alias("x"),
+            F.col("label").cast("double").alias("y"),
+        )
+        half0 = base.filter(F.col("y") == 0.0).orderBy("x").limit(n // 2)
+        half1 = base.filter(F.col("y") == 1.0).orderBy("x").limit(n - n // 2)
+        pdf = half0.unionAll(half1).toPandas()
+        X = np.stack(pdf["x"].to_numpy()).astype(np.float64)
+        y = pdf["y"].to_numpy().astype(np.float64)
+        return X, y
+
+    Xtr, ytr = _slice(train, n_train_slice)
+    Xte, yte = _slice(test, n_test_slice)
+    ypm = 2.0 * ytr - 1.0  # {0,1} -> {-1,+1} targets
+
+    def _gram(A, B):
+        sq = (
+            (A * A).sum(axis=1)[:, None]
+            + (B * B).sum(axis=1)[None, :]
+            - 2.0 * (A @ B.T)
+        )
+        return np.exp(-gamma * np.clip(sq, 0.0, None))
+
+    K = _gram(Xtr, Xtr)
+    alpha = np.linalg.solve(K + ridge * np.eye(len(Xtr)), ypm)
+    pred_exact = (_gram(Xte, Xtr) @ alpha) >= 0.0
+
+    rng = np.random.RandomState(seed)
+    W = rng.normal(scale=np.sqrt(2.0 * gamma), size=(Xtr.shape[1], n_features))
+    b = rng.uniform(0.0, 2.0 * np.pi, size=n_features)
+    scale = np.sqrt(2.0 / n_features)
+    Ztr = scale * np.cos(Xtr @ W + b)
+    Zte = scale * np.cos(Xte @ W + b)
+    w = np.linalg.solve(Ztr.T @ Ztr + ridge * np.eye(n_features), Ztr.T @ ypm)
+    pred_rff = (Zte @ w) >= 0.0
+
+    def _f1(pred, gold):
+        tp = float(np.sum(pred & (gold == 1.0)))
+        fp = float(np.sum(pred & (gold == 0.0)))
+        fn = float(np.sum(~pred & (gold == 1.0)))
+        denom = 2 * tp + fp + fn
+        return (2 * tp / denom) if denom else 1.0
+
+    gram_err = np.abs(Ztr @ Ztr.T - K)
+    return {
+        "n_train_slice": int(len(Xtr)),
+        "n_test_slice": int(len(Xte)),
+        "f1_exact_kernel": round(_f1(pred_exact, yte), 6),
+        "f1_rff": round(_f1(pred_rff, yte), 6),
+        "mean_gram_err": round(float(gram_err.mean()), 6),
+        "max_gram_err": round(float(gram_err.max()), 6),
+    }

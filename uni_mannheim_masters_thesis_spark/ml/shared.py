@@ -280,3 +280,25 @@ def shared_exact_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
         _CACHE[key] = majority_vote(nn, labels).localCheckpoint(eager=True)
     return _CACHE[key]
+
+
+def shared_hdp(
+    spark: SparkSession,
+    sf_dir: str,
+    truncation_k: int = 20,
+    max_iter: int = 5,
+):
+    """One HDP-emulation fit (LDA at truncation + mass table) per
+    session — shared by ``hdp_topic_mass`` and the round-12
+    ``hdp_suggested_lda`` export so the M2 family pays one truncation
+    fit, exactly like the M25/M26 pair shares one LDA."""
+    from .topic_quality import hdp_emulation
+
+    _, corpus = shared_corpus(spark, sf_dir)
+    key = _key(spark, sf_dir, f"hdp/{truncation_k}/{max_iter}")
+    if key not in _CACHE:
+        model, masses = hdp_emulation(
+            corpus, truncation_k=truncation_k, max_iter=max_iter
+        )
+        _CACHE[key] = (model, masses.localCheckpoint(eager=True))
+    return _CACHE[key]

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.ml.clustering import LDA, LDAModel
 from pyspark.ml.stat import Summarizer
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -294,3 +294,68 @@ def cv_coherence(
             sims.append(float(M[i] @ topic_vec / (nv * nt)) if nv > 0 and nt > 0 else 0.0)
         out.append((t, round(float(np.mean(sims)), 6)))
     return spark.createDataFrame(out, "topic int, cv_coherence double")
+
+
+def suggested_lda_export(
+    model: LDAModel,
+    masses: DataFrame,
+    vocabulary: list,
+    top_n: int = 50,
+) -> DataFrame:
+    """M2 completion (round 12): the ``suggested_lda_model`` EXPORT
+    path of ``wiki_hdp.py:25`` — materialize the PRUNED topic set as
+    an LDA initialization artifact.
+
+    gensim's ``HdpModel.suggested_lda_model()`` copies the HDP
+    topic-term distribution into a fresh LDA; the distributed analogue
+    takes the truncation fit's kept topics (mass-pruned, see
+    :func:`hdp_emulation`), renumbers them densely 0..k'-1, and emits
+    one row per (new_topic, term): ``[new_topic, old_topic, term_id,
+    term, init_weight]`` with ``init_weight`` renormalized to sum to 1
+    within each exported topic — a proper row-stochastic topic-term
+    table any LDA implementation can start from. ``top_n`` bounds the
+    per-topic support (sparse init, the practical form at 65k vocab);
+    renormalization happens over the exported support.
+
+    All relations are model-sized (k' x top_n rows), never
+    corpus-sized — the only corpus pass already happened inside the
+    truncation fit.
+    """
+    spark = masses.sparkSession
+    kept = sorted(
+        r["topic"] for r in masses.filter("kept").select("topic").collect()
+    )
+    renumber = {old: new for new, old in enumerate(kept)}
+    if not kept:  # degenerate: nothing survives pruning — empty export
+        return spark.createDataFrame(
+            [],
+            "new_topic int, old_topic int, term_id int, term string, "
+            "init_weight double",
+        )
+    topics = (
+        model.describeTopics(top_n)
+        .filter(F.col("topic").isin(kept))
+        .select(
+            "topic",
+            F.arrays_zip("termIndices", "termWeights").alias("tw"),
+        )
+        .select("topic", F.explode("tw").alias("z"))
+        .select(
+            F.col("topic").alias("old_topic"),
+            F.col("z.termIndices").cast("int").alias("term_id"),
+            F.col("z.termWeights").cast("double").alias("w"),
+        )
+    )
+    renum = spark.createDataFrame(
+        [(o, n) for o, n in renumber.items()], "old_topic int, new_topic int"
+    )
+    vocab_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(vocabulary)], "term_id int, term string"
+    )
+    norm = Window.partitionBy("old_topic")
+    return (
+        topics.join(F.broadcast(renum), "old_topic")
+        .join(F.broadcast(vocab_df), "term_id")
+        .withColumn("init_weight", F.col("w") / F.sum("w").over(norm))
+        .select("new_topic", "old_topic", "term_id", "term", "init_weight")
+    )

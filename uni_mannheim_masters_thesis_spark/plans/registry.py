@@ -413,6 +413,9 @@ _COST_HINT: dict[str, float] = {
     # --- round-12 additions ------------------------------------------
     "part_type_profit": 1.8, "returned_item_ranking": 1.5,
     "shipping_delay_priority_counts": 1.2,
+    # below hdp_topic_mass (0.9) so the mass query pays the shared
+    # truncation fit and the export rides the session cache
+    "hdp_suggested_lda": 0.8,
     # --- round-11 additions (sf0.01 oracle-walk seconds) ------------
     "promo_revenue_share": 1.1, "national_market_share": 2.8,
     "important_parts_share": 1.4, "top_supplier_by_revenue": 1.0,
