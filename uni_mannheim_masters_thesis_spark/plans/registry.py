@@ -462,11 +462,14 @@ _COST_HINT: dict[str, float] = {
     "classifier_battery": 15.4, "stratified_fold_balance": 0.3,
     # per-model battery slices (r12): kernel_svm_rff (hint 10.0) runs
     # before all of them heaviest-first and pays the shared split/scale
-    # build, so each member wall is one fit's plan cost
-    "battery_logistic_regression": 1.2, "battery_linear_svc": 1.2,
-    "battery_modified_huber_sgd": 3.0, "battery_gaussian_nb": 0.8,
-    "battery_decision_tree": 1.0, "battery_random_forest": 2.5,
-    "battery_gbt": 2.0,
+    # build, so each member wall is one fit's plan cost. Hints are the
+    # 3-run sf0.1 medians — accurate hints keep the retime guard from
+    # firing on every run (modified-huber's 30 serial GD barriers and
+    # gbt's 10 sequential trees otherwise triple-execute per bench).
+    "battery_logistic_regression": 1.7, "battery_linear_svc": 2.1,
+    "battery_modified_huber_sgd": 8.0, "battery_gaussian_nb": 1.0,
+    "battery_decision_tree": 1.3, "battery_random_forest": 3.0,
+    "battery_gbt": 3.6,
     "topic_coherence_umass": 3.2, "lda_log_perplexity": 3.1,
     "hdp_topic_mass": 0.9, "multimodal_decode": 1.1,
     "lsh_ann_neighbors": 1.0, "nation_presence_intersect": 0.5,
