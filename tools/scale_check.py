@@ -253,6 +253,8 @@ _QUERIES = [
     "returned_item_ranking",
     "shipping_delay_priority_counts",
     "battery_modified_huber_sgd",
+    "hdp_suggested_lda",
+    "kernel_svm_rff",
 ]
 
 

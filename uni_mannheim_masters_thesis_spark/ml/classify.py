@@ -223,6 +223,19 @@ class ModifiedHuberGD:
             raise ValueError("empty training frame")
         d = len(first["x"])
         n = base.count()  # also settles upstream caches
+        # size the task count to the DATA, not the session default: the
+        # loop schedules maxIter jobs over base's partitions, so 30
+        # iterations x 32 near-empty tasks is pure scheduler overhead
+        # at small n, while at 100 TB the same rule (one partition per
+        # ~50k rows) yields thousands of parallel tasks. Re-persist the
+        # coalesced projection (reads the already-persisted rows once)
+        # and release the wide one.
+        target_parts = max(1, int(n // 50_000) + (1 if n % 50_000 else 0))
+        if base.rdd.getNumPartitions() > 4 * target_parts:
+            slim = base.coalesce(target_parts).persist()
+            slim.count()
+            base.unpersist()
+            base = slim
         w, b = [0.0] * d, 0.0
         for t in range(self._max_iter):
             wx = sum(
