@@ -455,3 +455,27 @@ def test_flagged_subsecond_queries_are_exchange_free(spark):
     assert "Exchange" not in p2, p2
     assert p2.count("MapInPandas") == 1, p2
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p2, p2
+
+
+def test_r12_shapes_push_filters_and_broadcast_dims(spark):
+    """The three round-12 TPC-H shapes keep the scan/broadcast
+    discipline: selective predicates reach the parquet scan, column
+    pruning holds, dimension arms broadcast, and no cartesian product
+    appears anywhere."""
+    p9 = _plan(spark, "part_type_profit")
+    assert re.search(r"Contains\(p_name#\d+, widget\)", p9), p9
+    assert p9.count("BroadcastHashJoin") == 4, p9
+    assert "CartesianProduct" not in p9
+    # fact scan pruned to the 6 needed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," in p9, p9
+
+    p10 = _plan(spark, "returned_item_ranking")
+    assert re.search(r"l_returnflag#\d+ = R\)", p10), p10
+    assert re.search(r"o_orderdate#\d+ >= 1996-01-01", p10), p10
+    assert "CartesianProduct" not in p10
+    assert "TakeOrdered" in p10, p10               # top-20, no global sort
+
+    p12 = _plan(spark, "shipping_delay_priority_counts")
+    assert re.search(r"l_shipdate#\d+ >= 1997-01-01", p12), p12
+    assert "CartesianProduct" not in p12
+    assert unpartitioned_windows(p12) == []
