@@ -114,3 +114,77 @@ def test_cusum_fold_rejects_out_of_order_day():
     )
     with pytest.raises(ValueError, match="out-of-order day"):
         list(upd(("click",), [late], state))
+
+
+def test_cusum_fold_multi_batch_ordered_replay(spark, tmp_path):
+    """Cross-batch state evidence for the CUSUM fold (the single-batch
+    replay blind spot from ADVICE r11): events split into one parquet
+    file PER DAY, streamed with maxFilesPerTrigger=1 so every day
+    arrives in its own micro-batch (oldest first — the fold's ordering
+    contract holds by construction). The max-eseq value per (type,
+    day) must equal the plain-Python CUSUM recursion on the same
+    data, proving day-close folds survive state round-trips instead
+    of riding a single addBatch."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from uni_mannheim_masters_thesis_spark.streaming.runtime import drain
+    from uni_mannheim_masters_thesis_spark.streaming.stateful import (
+        _CUSUM_OUT_SCHEMA,
+        _CUSUM_STATE_SCHEMA,
+        _US_PER_DAY,
+        _make_cusum_update,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    mu, sigma = 10.0, 2.0
+    k = 0.5 * sigma
+    days = {0: [3.0, 4.5], 1: [12.25, 1.0], 2: [30.0], 3: [0.5, 0.5, 0.5]}
+    src = tmp_path / "days"
+    src.mkdir()
+    eid = 0
+    for d, vals in days.items():
+        rows = []
+        for v in vals:
+            rows.append((eid, d * _US_PER_DAY + 1000 + eid, float(v)))
+            eid += 1
+        pdf = pd.DataFrame(rows, columns=["event_id", "us", "value"])
+        pdf["event_type"] = "click"
+        f = src / f"day{d}.parquet"
+        pdf.to_parquet(f)
+        # FileStreamSource orders by modification time: make it strict
+        t = _time.time() + d
+        os.utime(f, (t, t))
+
+    static = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    folded = stream.groupBy("event_type").applyInPandasWithState(
+        _make_cusum_update({"click": (mu, sigma)}),
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    prog = []
+    out = drain(folded, "update", progress_out=prog)
+    got = {
+        int(r["day_start_us"] // _US_PER_DAY): round(r["s_cusum"], 9)
+        for r in out.groupBy("event_type", "day_start_us")
+        .agg(F.max_by("cusum", "eseq").alias("s_cusum"))
+        .collect()
+    }
+    # at least one batch per day file => day-closes crossed state
+    assert len([p for p in prog if p.get("numInputRows", 0) > 0]) >= len(days)
+    s = 0.0
+    want = {}
+    for d in sorted(days):
+        s = max(0.0, s + (sum(days[d]) - mu - k))
+        want[d] = round(s, 9)
+    assert got == want, (got, want)

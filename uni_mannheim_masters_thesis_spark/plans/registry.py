@@ -521,7 +521,7 @@ _COST_HINT: dict[str, float] = {
     "lakehouse_shallow_clone": 1.5, "lakehouse_gdpr_purge": 3.0,
     "pseudonymized_export": 0.5, "k_anonymity_audit": 0.3,
     "events_linear_interpolation": 0.8, "levenshtein_blocked_pairs": 0.5,
-    "multimodal_resize": 0.5, "skew_detection_report": 0.8,
+    "multimodal_resize": 0.33, "skew_detection_report": 0.8,
     "matryoshka_truncation_overlap": 0.7, "hard_negative_mining": 0.7,
     "curriculum_interleave": 0.5, "join_cardinality_estimate": 0.6, "ranking_function_surface": 0.4,
     # plans five panel queries (pays bloom-build + bucketed-table costs)

@@ -378,6 +378,10 @@ def streaming_cusum(
     The file-replay harness satisfies this by draining the parquet
     source in a single batch; a batch that reopens an already-closed
     day raises rather than silently folding deviations out of order.
+    Cross-batch correctness is pinned by
+    ``test_cusum_fold_multi_batch_ordered_replay`` (one file per day,
+    ``maxFilesPerTrigger=1`` — every day-close crosses a state
+    round-trip and the max-eseq values still equal the recursion).
     Values are rounded to 2 decimals before folding so per-day sums
     match the batch twin's DECIMAL(18,2) arithmetic exactly."""
     ensure_engine_confs(spark)
