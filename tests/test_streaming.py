@@ -188,3 +188,135 @@ def test_cusum_fold_multi_batch_ordered_replay(spark, tmp_path):
         s = max(0.0, s + (sum(days[d]) - mu - k))
         want[d] = round(s, 9)
     assert got == want, (got, want)
+
+
+def _day_files(tmp_path, days, us_step):
+    """One parquet file per chunk with strictly increasing mtimes so
+    FileStreamSource at maxFilesPerTrigger=1 replays them in order."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    src = tmp_path / "chunks"
+    src.mkdir()
+    eid = 0
+    for i, vals in enumerate(days):
+        rows = []
+        for v in vals:
+            rows.append((eid, i * us_step + eid, float(v)))
+            eid += 1
+        pdf = pd.DataFrame(rows, columns=["event_id", "us", "value"])
+        pdf["user_id"] = 7
+        f = src / f"chunk{i}.parquet"
+        pdf.to_parquet(f)
+        t = _time.time() + i
+        os.utime(f, (t, t))
+    return src
+
+
+def test_twap_and_ewma_folds_multi_batch_ordered_replay(spark, tmp_path):
+    """Cross-batch state evidence for the TWAP and EWMA folds: chunked
+    one-file-per-batch ordered replay must equal the plain sequential
+    fold — segments that SPAN batch boundaries (TWAP's last_value
+    carried in state) and the order-sensitive EWMA recursion both
+    survive state round-trips."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from uni_mannheim_masters_thesis_spark.streaming.runtime import drain
+    from uni_mannheim_masters_thesis_spark.streaming import stateful as S
+
+    chunks = [[5.0, 7.0], [9.0], [1.0, 3.0, 2.0]]
+    src = _day_files(tmp_path, chunks, us_step=1_000_000)
+    static = spark.read.parquet(str(src))
+
+    def chunk_stream():
+        return (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    # --- TWAP ---
+    folded = chunk_stream().groupBy("user_id").applyInPandasWithState(
+        S._twap_update,
+        outputStructType=S._TWAP_OUT_SCHEMA,
+        stateStructType=S._TWAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    rows = sorted(
+        drain(folded, "update").collect(), key=lambda r: -r["n_segments"]
+    )
+    got = rows[0]
+    flat = [v for c in chunks for v in c]
+    us = []
+    eid = 0
+    for i, c in enumerate(chunks):
+        for _ in c:
+            us.append(i * 1_000_000 + eid)
+            eid += 1
+    acc_wv = acc_dt = 0
+    for j in range(1, len(flat)):
+        dt = us[j] - us[j - 1]
+        acc_wv += flat[j - 1] * dt
+        acc_dt += dt
+    assert got["n_segments"] == len(flat) - 1
+    assert got["observed_us"] == acc_dt
+    assert abs(got["twap"] - acc_wv / acc_dt) < 1e-9
+
+    # --- EWMA ---
+    alpha = 0.2
+    folded = chunk_stream().groupBy("user_id").applyInPandasWithState(
+        S._make_ewma_update(alpha),
+        outputStructType=S._EWMA_OUT_SCHEMA,
+        stateStructType=S._EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    rows = sorted(
+        drain(folded, "update").collect(), key=lambda r: -r["n_events"]
+    )
+    got = rows[0]
+    ewma = None
+    for x in flat:
+        ewma = x if ewma is None else alpha * x + (1 - alpha) * ewma
+    assert got["n_events"] == len(flat)
+    assert abs(got["ewma"] - ewma) < 1e-12
+
+
+def test_twap_and_ewma_folds_reject_out_of_order():
+    """Both order-sensitive folds refuse a batch that time-travels
+    behind their state instead of silently corrupting it."""
+    import pandas as pd
+    import pytest
+
+    from uni_mannheim_masters_thesis_spark.streaming import stateful as S
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._t = None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self.exists = True
+            self._t = t
+
+    # TWAP
+    st = FakeState()
+    b1 = pd.DataFrame({"us": [2_000_000], "value": [5.0], "event_id": [1]})
+    list(S._twap_update((7,), [b1], st))
+    late = pd.DataFrame({"us": [1_000_000], "value": [9.0], "event_id": [2]})
+    with pytest.raises(ValueError, match="out-of-order"):
+        list(S._twap_update((7,), [late], st))
+
+    # EWMA
+    st = FakeState()
+    upd = S._make_ewma_update(0.2)
+    list(upd((7,), [b1], st))
+    with pytest.raises(ValueError, match="out-of-order"):
+        list(upd((7,), [late], st))

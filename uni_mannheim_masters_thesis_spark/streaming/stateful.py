@@ -186,7 +186,15 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EWMA_STATE_SCHEMA = StructType(
-    [StructField("n_events", LongType()), StructField("ewma", DoubleType())]
+    [
+        StructField("n_events", LongType()),
+        StructField("ewma", DoubleType()),
+        # last folded event time: lets the fold detect (and refuse)
+        # out-of-order cross-batch delivery instead of silently folding
+        # the order-sensitive recursion wrong (same contract as
+        # streaming_cusum / streaming_twap)
+        StructField("last_us", LongType()),
+    ]
 )
 _EWMA_OUT_SCHEMA = StructType(
     [
@@ -214,13 +222,31 @@ def _make_ewma_update(alpha: float):
         available file in one batch; the multi-slice replay writes
         slices in time order)."""
         (user_id,) = key
-        n, ewma = state.get if state.exists else (0, None)
+        if state.exists:
+            n, ewma, last_us = state.get
+            if n == 0:
+                ewma = None
+        else:
+            n, ewma, last_us = 0, None, -1
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["us", "event_id"])
-        for x in pdf["value"].astype(float):
+        for us, x in zip(
+            pdf["us"].astype("int64"), pdf["value"].astype(float)
+        ):
+            us = int(us)
+            if us < last_us:
+                # the recursion is order-sensitive: a later batch
+                # delivering an earlier event cannot be folded in
+                # retroactively — fail loudly (cross-batch contract)
+                raise ValueError(
+                    f"streaming_ewma[{user_id}]: out-of-order event at "
+                    f"{us}us after {last_us}us; per-key event-time "
+                    "order across micro-batches is required"
+                )
             ewma = x if ewma is None else alpha * x + beta * ewma
             n += 1
-        state.update((n, float(ewma) if ewma is not None else 0.0))
+            last_us = us
+        state.update((n, float(ewma) if ewma is not None else 0.0, last_us))
         yield pd.DataFrame(
             {"user_id": [int(user_id)], "n_events": [n], "ewma": [ewma]}
         )
@@ -435,6 +461,15 @@ def _twap_update(key, pdfs, state: GroupState):
         us = int(us)
         if last_us >= 0:
             dt = us - last_us
+            if dt < 0:
+                # a later batch delivered an earlier event: the fold
+                # would add a NEGATIVE duration segment — unrecoverable
+                # (same contract as streaming_cusum); fail loudly
+                raise ValueError(
+                    f"streaming_twap[{user_id}]: out-of-order event at "
+                    f"{us}us after {last_us}us; per-key event-time "
+                    "order across micro-batches is required"
+                )
             acc_wv += last_value * dt
             acc_dt += dt
             n += 1
