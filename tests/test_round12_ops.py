@@ -110,3 +110,62 @@ def test_battery_suite_skip_keeps_driver_coverage():
     for m in members:
         assert REGISTRY[m].sql is None  # rows-only by design
         assert m not in _DRIVER_SUITES
+
+
+def test_incremental_fuzzy_dedup_policy_and_stages(spark):
+    """Hand-built micro-case: exact twin in index -> exact_dup with
+    dist 0; fuzzy overlap -> fuzzy_dup with exact Jaccard; disjoint
+    arrival -> admitted; empty-token arrival -> admitted with zero
+    matches; within-batch exact twin -> lower id wins (greedy)."""
+    from uni_mannheim_masters_thesis_spark.operators.dedup import (
+        incremental_fuzzy_dedup,
+        minhash_band_table,
+        minhash_token_sets,
+        token_set_fingerprint,
+    )
+
+    existing = spark.createDataFrame(
+        [
+            (1, ["alpha", "beta", "gamma", "delta"]),
+            (2, ["mu", "nu", "xi", "omicron"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    ets = minhash_token_sets(existing).withColumn(
+        "tsfp", token_set_fingerprint(F.col("ts"))
+    )
+    ebands = minhash_band_table(ets.select("id", "ts"))
+    arriving = spark.createDataFrame(
+        [
+            (10, ["delta", "gamma", "beta", "alpha"]),  # exact set twin of 1
+            (11, ["alpha", "beta", "gamma", "epsilon"]),  # fuzzy vs 1 (J=3/5)
+            (12, ["zeta", "eta", "theta"]),               # disjoint
+            (13, []),                                      # empty
+            (14, ["zeta", "theta", "eta"]),               # exact twin of 12
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in incremental_fuzzy_dedup(arriving, ebands, ets).collect()
+    }
+    assert rows[10]["stage"] == "exact_dup" and not rows[10]["admitted"]
+    assert rows[10]["best_match_id"] == 1
+    assert rows[10]["best_match_dist"] == 0.0
+    assert rows[10]["n_existing_matches"] == 1
+
+    assert rows[11]["stage"] == "fuzzy_dup" and not rows[11]["admitted"]
+    assert rows[11]["best_match_id"] == 1
+    assert abs(rows[11]["best_match_dist"] - (1 - 3 / 5)) < 1e-9
+
+    assert rows[12]["stage"] == "admitted" and rows[12]["admitted"]
+    assert rows[12]["best_match_id"] is None
+
+    assert rows[13]["stage"] == "admitted" and rows[13]["admitted"]
+    assert rows[13]["n_existing_matches"] == 0
+
+    # 14 is an exact twin of batch-mate 12 (lower id, itself admitted)
+    assert rows[14]["stage"] == "exact_dup" and not rows[14]["admitted"]
+    assert rows[14]["best_match_id"] == 12
+    assert rows[14]["n_batch_matches"] == 1
+    assert rows[14]["n_existing_matches"] == 0

@@ -976,6 +976,18 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                             "TOTAL order on the EXACT decimal "
                             "revenue; hash-exact",
                             ["returned_item_ranking"]),
+    "X-dedup-incremental-fuzzy": ("operators.dedup:"
+                                  "incremental_fuzzy_dedup  # nightly-"
+                                  "increment MinHash, STAGED: exact "
+                                  "set-fingerprint bucket stats drop "
+                                  "identical-copy mass first (no pair "
+                                  "enumeration), survivors band-join "
+                                  "the PERSISTED corpus index + "
+                                  "batch-mates, exact-Jaccard verify, "
+                                  "greedy one-pass admission; "
+                                  "hash-exact at sf0.01/10x/sf1, "
+                                  "1.4x wall at 10x",
+                                  ["incremental_fuzzy_dedup"]),
     "X-agg-two-way-case-count": ("plans.q_relational:"
                                  "q_shipping_delay_priority_counts"
                                  "  # TPC-H Q12 shape: complementary "

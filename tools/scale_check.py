@@ -255,6 +255,7 @@ _QUERIES = [
     "battery_modified_huber_sgd",
     "hdp_suggested_lda",
     "kernel_svm_rff",
+    "incremental_fuzzy_dedup",
 ]
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.ml.feature import CountVectorizer, MinHashLSH
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -150,6 +150,62 @@ def add_simhash(
     return counted.withColumn(out_col, acc).drop("__sh_counts")
 
 
+
+def token_set_fingerprint(ts: Column) -> Column:
+    """Canonical md5 fingerprint of a token SET: sort first (the set
+    representation from array_distinct keeps first-occurrence order,
+    which is not canonical across engines), then join on a separator
+    no token contains. The exact-stage key of the incremental dedup;
+    the persisted index stores it precomputed."""
+    return F.md5(F.concat_ws("\x01", F.array_sort(ts)))
+
+
+def minhash_token_sets(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Distinct-token sets for MinHash: DataFrame[id, ts] with empty
+    sets dropped (no signature exists for an empty set)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.col(tokens_col)).alias("ts"),
+    ).filter(F.size("ts") > 0)
+
+
+def minhash_band_table(
+    ts: DataFrame, n_sig: int = 8, n_bands: int = 4
+) -> DataFrame:
+    """md5-permutation MinHash signatures folded into band hashes:
+    DataFrame[id, band, bh] — the engine-portable LSH bucket relation
+    (the same family the DuckDB oracle replays). Shared by the batch
+    pair generator and the incremental path (where the corpus side of
+    this relation is PERSISTED and only arriving docs are re-hashed).
+    """
+    assert n_sig % n_bands == 0, "bands must evenly split the signatures"
+    rows = n_sig // n_bands
+
+    def sig(s: int) -> Column:
+        suffix = F.lit(f"#{s}")
+        return F.array_min(
+            F.transform(F.col("ts"), lambda t: F.md5(F.concat(t, suffix)))
+        )
+
+    sigs = ts.select(
+        "id", *[sig(s).alias(f"s{s}") for s in range(1, n_sig + 1)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(*[F.col(f"s{b * rows + r}") for r in range(1, rows + 1)])
+            ).alias("bh"),
+        )
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_banded_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -175,34 +231,8 @@ def minhash_banded_pairs(
 
     Returns DataFrame[id_a, id_b, jaccard_dist] with id_a < id_b.
     """
-    assert n_sig % n_bands == 0, "bands must evenly split the signatures"
-    rows = n_sig // n_bands
-    ts = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(F.col(tokens_col)).alias("ts"),
-    ).filter(F.size("ts") > 0)
-
-    def sig(s: int) -> Column:
-        suffix = F.lit(f"#{s}")
-        return F.array_min(
-            F.transform(F.col("ts"), lambda t: F.md5(F.concat(t, suffix)))
-        )
-
-    sigs = ts.select(
-        "id", *[sig(s).alias(f"s{s}") for s in range(1, n_sig + 1)]
-    )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat(*[F.col(f"s{b * rows + r}") for r in range(1, rows + 1)])
-            ).alias("bh"),
-        )
-        for b in range(n_bands)
-    ]
-    bands = sigs.select(
-        "id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ts = minhash_token_sets(docs, id_col, tokens_col)
+    bands = minhash_band_table(ts, n_sig=n_sig, n_bands=n_bands)
 
     cand = (
         bands.alias("a")
@@ -310,3 +340,180 @@ def connected_components(
             "max_iter (propagation needs ~component-diameter rounds)"
         )
     return labels.select("node", "cluster")
+
+
+def incremental_fuzzy_dedup(
+    arriving: DataFrame,
+    existing_bands: DataFrame,
+    existing_ts: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_sig: int = 8,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy-dedup an ARRIVING batch against a persisted corpus index —
+    the production nightly-increment shape, STAGED the way real
+    pipelines run it:
+
+    1. **Exact stage** — canonical token-set fingerprints (md5 of the
+       sorted set; the index stores them precomputed as ``tsfp``)
+       equi-join arrivals against the index and their lower-id
+       batch-mates. Identical-copy mass — the dominant duplicate class
+       in an increment — exits here for the cost of a slim hash join,
+       BEFORE any band bucketing: without this stage a clone-heavy
+       batch pays a quadratic verify (r12 scale check: 39x wall at 10x
+       on the clone corpus; staged, the same corpus runs linear
+       because every clone exits at the exact stage).
+    2. **Fuzzy stage** — only arrivals with NO exact match anywhere
+       are re-hashed: MinHash band join vs the persisted index plus a
+       within-batch self-join (lower id = earlier arrival), EXACT
+       Jaccard verification of every candidate.
+
+    Admission is the deterministic one-pass policy: dropped iff
+    matching (exactly, or at jaccard_dist <= threshold) ANY existing
+    doc or ANY lower-id batch-mate — greedy against the union corpus,
+    no recursive cluster chasing, so the verdict is SQL-replayable and
+    partitioning-independent. The corpus side is never re-tokenized or
+    re-hashed: increments cost O(batch + matches), not O(corpus).
+
+    Returns one row PER ARRIVAL (empty-token docs included — nothing
+    to hash means nothing to match): [doc_id, stage ('exact_dup' |
+    'fuzzy_dup' | 'admitted'), n_existing_matches, n_batch_matches,
+    best_match_id, best_match_dist, admitted]. Counts are per-stage:
+    exact rows count fingerprint matches, fuzzy rows count verified
+    fuzzy matches.
+    """
+    arr_ids = arriving.select(F.col(id_col).alias("id")).distinct()
+    # batch-sized and referenced by BOTH stages from ~8 branches
+    # (fingerprint joins, two band tables, verify sides): checkpoint so
+    # the tokenize+hash lineage runs once, not per branch
+    ats = (
+        minhash_token_sets(arriving, id_col, tokens_col)
+        .withColumn("tsfp", token_set_fingerprint(F.col("ts")))
+        .localCheckpoint(eager=True)
+    )
+    ets = existing_ts
+    if "tsfp" not in ets.columns:
+        ets = ets.withColumn("tsfp", token_set_fingerprint(F.col("ts")))
+
+    # ---- stage 1: exact set-fingerprint matches -------------------------
+    # NO pair enumeration: per-match rows would be quadratic on a
+    # clone-heavy batch (10 copies x 10 copies per fingerprint bucket
+    # — measured 67s at 10x before this shape). The exact counts are
+    # fingerprint-bucket statistics instead: one aggregate over the
+    # slim index projection (fp -> count + min id) joined 1:1, and a
+    # per-fp window over the batch for lower-id-mate counts.
+    fp_stats = ets.groupBy("tsfp").agg(
+        F.count(F.lit(1)).alias("__cnt_e"),
+        F.min("id").alias("__min_e"),
+    )
+    w_fp = Window.partitionBy("tsfp").orderBy("id")
+    staged = (
+        ats.select("id", "tsfp")
+        .withColumn("__rn", F.row_number().over(w_fp))
+        .withColumn("__first_mate", F.first("id").over(w_fp))
+        .join(fp_stats, "tsfp", "left")
+    )
+    exact_agg = (
+        staged.filter(
+            (F.coalesce("__cnt_e", F.lit(0)) > 0) | (F.col("__rn") > 1)
+        )
+        .select(
+            F.col("id").alias("aid"),
+            F.coalesce("__cnt_e", F.lit(0))
+            .cast("long")
+            .alias("n_existing_matches"),
+            (F.col("__rn") - 1).cast("long").alias("n_batch_matches"),
+            F.least(
+                "__min_e",
+                F.when(F.col("__rn") > 1, F.col("__first_mate")),
+            ).alias("best_match_id"),
+        )
+        .withColumn("best_match_dist", F.lit(0.0))
+        .withColumn("stage", F.lit("exact_dup"))
+    )
+
+    # ---- stage 2: fuzzy, only for arrivals with no exact match ----------
+    fts = ats.join(exact_agg.select("aid"), ats.id == F.col("aid"), "left_anti")
+    abands = minhash_band_table(
+        fts.select("id", "ts"), n_sig=n_sig, n_bands=n_bands
+    )
+
+    def _verify(cand: DataFrame, left_ts: DataFrame, right_ts: DataFrame):
+        xa = left_ts.select(F.col("id").alias("aid"), F.col("ts").alias("ta"))
+        xb = right_ts.select(
+            F.col("id").alias("mid"), F.col("ts").alias("tb")
+        )
+        inter = F.size(F.array_intersect("ta", "tb"))
+        union = F.size("ta") + F.size("tb") - inter
+        return (
+            cand.join(xa, "aid")
+            .join(xb, "mid")
+            .withColumn(
+                "dist",
+                F.round(F.lit(1.0) - inter.cast("double") / union, 6),
+            )
+            .filter(F.col("dist") <= threshold)
+            .select("aid", "mid", "dist")
+        )
+
+    cand_exist = (
+        abands.alias("a")
+        .join(
+            existing_bands.alias("e"),
+            (F.col("a.band") == F.col("e.band"))
+            & (F.col("a.bh") == F.col("e.bh")),
+        )
+        .select(F.col("a.id").alias("aid"), F.col("e.id").alias("mid"))
+        .dropDuplicates(["aid", "mid"])
+    )
+    # right side: ALL lower-id batch-mates (greedy-vs-union policy),
+    # whose bands come from the full arriving set
+    all_abands = minhash_band_table(
+        ats.select("id", "ts"), n_sig=n_sig, n_bands=n_bands
+    )
+    cand_intra = (
+        abands.alias("a")
+        .join(
+            all_abands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") > F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("aid"), F.col("b.id").alias("mid"))
+        .dropDuplicates(["aid", "mid"])
+    )
+    fuzzy = _verify(
+        cand_exist, fts.select("id", "ts"), ets.select("id", "ts")
+    ).withColumn("from_batch", F.lit(False)).unionByName(
+        _verify(
+            cand_intra, fts.select("id", "ts"), ats.select("id", "ts")
+        ).withColumn("from_batch", F.lit(True))
+    )
+    fuzzy_agg = fuzzy.groupBy("aid").agg(
+        F.sum((~F.col("from_batch")).cast("long")).alias(
+            "n_existing_matches"
+        ),
+        F.sum(F.col("from_batch").cast("long")).alias("n_batch_matches"),
+        F.min_by("mid", F.struct("dist", "mid")).alias("best_match_id"),
+        F.min("dist").alias("best_match_dist"),
+    ).withColumn("stage", F.lit("fuzzy_dup"))
+
+    verdicts = exact_agg.unionByName(fuzzy_agg)
+    return (
+        arr_ids.join(verdicts, arr_ids.id == verdicts.aid, "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("stage", F.lit("admitted")).alias("stage"),
+            F.coalesce("n_existing_matches", F.lit(0))
+            .cast("long")
+            .alias("n_existing_matches"),
+            F.coalesce("n_batch_matches", F.lit(0))
+            .cast("long")
+            .alias("n_batch_matches"),
+            "best_match_id",
+            "best_match_dist",
+            F.col("aid").isNull().alias("admitted"),
+        )
+    )

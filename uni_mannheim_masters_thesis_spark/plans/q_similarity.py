@@ -3293,3 +3293,185 @@ def q_label_centroid_similarity(
             ).alias("centroid_cosine"),
         )
     )
+
+
+def _sql_incremental_fuzzy(n_sig: int = 8, n_bands: int = 4,
+                           threshold: float = 0.5) -> str:
+    """DuckDB twin of operators.dedup.incremental_fuzzy_dedup over the
+    modulo split (arriving = doc_id % 25 = 0): identical canonical
+    set fingerprints (exact stage), md5 MinHash signature family, band
+    hashes, bucket joins, exact-Jaccard verify, and the staged greedy
+    one-pass admission policy."""
+    rows = n_sig // n_bands
+    sig_cols = ", ".join(
+        f"list_min(list_transform(ts, t -> md5(t || '#{s}'))) AS s{s}"
+        for s in range(1, n_sig + 1)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        f"md5({' || '.join(f's{b * rows + r}' for r in range(1, rows + 1))}) AS bh "
+        "FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH all_ts AS (
+        SELECT doc_id AS id, list_distinct({sql_tokens_pipeline('text')}) AS ts
+        FROM documents
+    ),
+    ne AS (
+        SELECT id, ts,
+               md5(array_to_string(list_sort(ts), chr(1))) AS tsfp
+        FROM all_ts WHERE len(ts) > 0
+    ),
+    ets AS (SELECT * FROM ne WHERE id % 25 != 0),
+    ats AS (SELECT * FROM ne WHERE id % 25 = 0),
+    fp_stats AS (
+        SELECT tsfp, CAST(COUNT(*) AS BIGINT) AS cnt_e, MIN(id) AS min_e
+        FROM ets GROUP BY tsfp
+    ),
+    staged AS (
+        SELECT a.id, a.tsfp,
+               ROW_NUMBER() OVER (PARTITION BY a.tsfp ORDER BY a.id) AS rn,
+               FIRST_VALUE(a.id) OVER (PARTITION BY a.tsfp ORDER BY a.id)
+                   AS first_mate,
+               COALESCE(f.cnt_e, 0) AS cnt_e, f.min_e
+        FROM ats a LEFT JOIN fp_stats f ON a.tsfp = f.tsfp
+    ),
+    ex_agg AS (
+        SELECT id AS aid, 'exact_dup' AS stage,
+               cnt_e AS n_existing_matches,
+               CAST(rn - 1 AS BIGINT) AS n_batch_matches,
+               LEAST(COALESCE(min_e, first_mate),
+                     CASE WHEN rn > 1 THEN first_mate
+                          ELSE COALESCE(min_e, first_mate) END)
+                   AS best_match_id,
+               0.0 AS best_match_dist
+        FROM staged
+        WHERE cnt_e > 0 OR rn > 1
+    ),
+    sigs AS (SELECT id, {sig_cols} FROM (SELECT id, ts FROM ne)),
+    bands AS (
+        {band_selects}
+    ),
+    ebands AS (SELECT * FROM bands WHERE id % 25 != 0),
+    abands AS (SELECT * FROM bands WHERE id % 25 = 0),
+    fbands AS (
+        SELECT * FROM abands
+        WHERE id NOT IN (SELECT aid FROM ex_agg)
+    ),
+    cand AS (
+        SELECT aid, mid, FALSE AS from_batch FROM (
+            SELECT DISTINCT f.id AS aid, e.id AS mid
+            FROM fbands f JOIN ebands e
+              ON f.band = e.band AND f.bh = e.bh
+        )
+        UNION ALL
+        SELECT aid, mid, TRUE FROM (
+            SELECT DISTINCT f.id AS aid, b.id AS mid
+            FROM fbands f JOIN abands b
+              ON f.band = b.band AND f.bh = b.bh AND f.id > b.id
+        )
+    ),
+    scored AS (
+        SELECT aid, mid, from_batch,
+               ROUND(1.0 - len(list_intersect(x.ts, y.ts))::DOUBLE
+                     / (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))),
+                     6) AS dist
+        FROM cand
+        JOIN ne x ON cand.aid = x.id
+        JOIN ne y ON cand.mid = y.id
+    ),
+    m AS (SELECT * FROM scored WHERE dist <= {threshold}),
+    fz_agg AS (
+        SELECT aid, 'fuzzy_dup' AS stage,
+               CAST(SUM(CASE WHEN from_batch THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_existing_matches,
+               CAST(SUM(CASE WHEN from_batch THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_batch_matches,
+               first(mid ORDER BY dist, mid) AS best_match_id,
+               MIN(dist) AS best_match_dist
+        FROM m GROUP BY aid
+    ),
+    agg AS (SELECT * FROM ex_agg UNION ALL SELECT * FROM fz_agg)
+    SELECT d.doc_id,
+           COALESCE(stage, 'admitted') AS stage,
+           COALESCE(n_existing_matches, CAST(0 AS BIGINT))
+               AS n_existing_matches,
+           COALESCE(n_batch_matches, CAST(0 AS BIGINT)) AS n_batch_matches,
+           best_match_id, best_match_dist,
+           agg.aid IS NULL AS admitted
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 25 = 0) d
+    LEFT JOIN agg ON agg.aid = d.doc_id
+    """
+
+
+def _incremental_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted corpus-side MinHash index (bands/ + token_sets/
+    parquet, the latter carrying the precomputed canonical set
+    fingerprint ``tsfp``), built ONCE per dataset via the staged-rename
+    cache — the nightly-increment contract: the corpus is never
+    re-tokenized or re-hashed on the serve path."""
+    import os
+
+    from ..cachedir import staged_cache_dir
+    from ..operators.dedup import (
+        minhash_band_table,
+        minhash_token_sets,
+        token_set_fingerprint,
+    )
+    from .q_lakehouse import _dataset_cache_path
+
+    def _build(stage: str) -> None:
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 25 != 0
+        )
+        ts = minhash_token_sets(
+            docs.select(
+                "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
+            )
+        ).withColumn("tsfp", token_set_fingerprint(F.col("ts")))
+        ts.write.mode("overwrite").parquet(os.path.join(stage, "token_sets"))
+        back = spark.read.parquet(os.path.join(stage, "token_sets"))
+        minhash_band_table(back.select("id", "ts")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, "bands"))
+
+    tdir = _dataset_cache_path(sf_dir, "umt_minhash_index", salt=":v3")
+    return staged_cache_dir(tdir, "_UMT_MINHASH_INDEX_DONE", _build)
+
+
+@_register(
+    "incremental_fuzzy_dedup",
+    _sql_incremental_fuzzy(),
+    "§2.11 dedup (incremental staged MinHash vs persisted corpus index)",
+    "The production nightly-increment fuzzy dedup, STAGED: the corpus "
+    "side exists ONLY as its persisted (id, band, bh) bucket relation "
+    "and fingerprinted token sets (staged-rename cache, built once per "
+    "dataset). Stage 1 drops arrivals matching a canonical token-SET "
+    "fingerprint (md5 of the sorted set) in the index or a lower-id "
+    "batch-mate — the identical-copy mass exits on a slim hash join "
+    "before any banding (without it a clone-heavy increment pays a "
+    "quadratic verify: 39x wall at 10x on the clone corpus; staged, "
+    "the same corpus runs linear). Stage 2 re-hashes ONLY the "
+    "survivors: band join vs index + within-batch, exact-Jaccard "
+    "verify, greedy one-pass admission (dropped iff matching any "
+    "existing doc or lower-id batch-mate). One manifest row per "
+    "arrival [stage, match counts, best match, admitted]; the oracle "
+    "replays fingerprints, signatures, joins and policy. At 100 TB: "
+    "increments cost O(batch + matches), the corpus never re-hashes, "
+    "and only (band, hash, id) rows shuffle.",
+)
+def q_incremental_fuzzy_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import incremental_fuzzy_dedup
+
+    idx = _incremental_index_dir(spark, sf_dir)
+    ebands = spark.read.parquet(f"{idx}/bands")
+    ets = spark.read.parquet(f"{idx}/token_sets")
+    arriving = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", tokens_pipeline(F.col("text")).alias("tokens"))
+    )
+    return incremental_fuzzy_dedup(arriving, ebands, ets)

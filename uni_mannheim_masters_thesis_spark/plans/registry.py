@@ -379,9 +379,11 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # members live in _DRIVER_VERIFIED_R1_R6 ∪ R7 ∪ R8 ∪ R9 ∪ R10 ∪
     # R11 — test_cumulative_driver_evidence asserts evidence only
     # grows.
-    # --- new round-12 queries (TPC-H Q9/Q10/Q12 shapes) -------------
+    # --- new round-12 queries (TPC-H Q9/Q10/Q12 shapes + the
+    # incremental fuzzy dedup; neardup_triangles cedes its refresh
+    # seat — it keeps r7 hash evidence) -------------------------------
     "part_type_profit", "returned_item_ranking",
-    "shipping_delay_priority_counts",
+    "shipping_delay_priority_counts", "incremental_fuzzy_dedup",
     # --- r1-era refresh (last hash: CORRECTNESS_r01) -----------------
     "document_fingerprints", "acctbal_percentiles",
     "customers_with_open_order", "embedding_norm_stats",
@@ -406,7 +408,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "tokenized_documents", "scd2_state_intervals",
     "benchmark_contamination", "heavy_hitters_sketch", "tfidf",
     "bm25_retrieval", "semantic_dedup_srp", "leakage_safe_split",
-    "paragraph_dedup", "inverted_index_postings", "neardup_triangles",
+    "paragraph_dedup", "inverted_index_postings",
 })
 
 _COST_HINT: dict[str, float] = {
@@ -415,7 +417,7 @@ _COST_HINT: dict[str, float] = {
     "shipping_delay_priority_counts": 1.2,
     # below hdp_topic_mass (0.9) so the mass query pays the shared
     # truncation fit and the export rides the session cache
-    "hdp_suggested_lda": 0.8,
+    "hdp_suggested_lda": 0.8, "incremental_fuzzy_dedup": 3.5,
     # --- round-11 additions (sf0.01 oracle-walk seconds) ------------
     "promo_revenue_share": 1.1, "national_market_share": 2.8,
     "important_parts_share": 1.4, "top_supplier_by_revenue": 1.0,
