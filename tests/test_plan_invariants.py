@@ -479,3 +479,15 @@ def test_r12_shapes_push_filters_and_broadcast_dims(spark):
     assert re.search(r"l_shipdate#\d+ >= 1997-01-01", p12), p12
     assert "CartesianProduct" not in p12
     assert unpartitioned_windows(p12) == []
+
+
+def test_incremental_dedup_serve_path_never_rescans_corpus(spark):
+    """The nightly-increment contract as a plan assertion: the serve
+    path reads the documents table AT MOST once (the arriving id
+    list; the batch's tokenize+hash lineage is checkpointed), gets
+    the corpus side exclusively from the persisted index parquet,
+    and contains no cartesian product."""
+    p = _plan(spark, "incremental_fuzzy_dedup")
+    assert p.count("documents.parquet") <= 1, p
+    assert "umt_minhash_index" in p, p  # corpus side = the index files
+    assert "CartesianProduct" not in p
