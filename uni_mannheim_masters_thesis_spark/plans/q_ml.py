@@ -1065,8 +1065,8 @@ def q_adaptive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "actual algorithm shape (extra-trees regression surrogate + "
     "expected-improvement acquisition) at the reference's FULL "
     "500-call budget (polysemous_words.py:29-30), proposals scored in "
-    "batches of 20 per distributed pass (q-EI batching — 500 calls ≈ "
-    "25 jobs); tpe — the 15-trial KDE-ratio stand-in of earlier "
+    "batches of 50 per distributed pass (q-EI batching — 500 calls ≈ "
+    "10 jobs); tpe — the 15-trial KDE-ratio stand-in of earlier "
     "rounds (kept for comparison); random — an equal-500-budget "
     "pure-random baseline. ok_surrogate_beats_random pins "
     "forest_best ≥ random_best at equal budget; both surrogate arms "
