@@ -987,7 +987,7 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
                                   "greedy one-pass admission; "
                                   "hash-exact at sf0.01/10x/sf1, "
                                   "1.4x wall at 10x",
-                                  ["incremental_fuzzy_dedup"]),
+                                  ["incremental_fuzzy_dedup", "multi_increment_dedup_replay"]),
     "X-agg-two-way-case-count": ("plans.q_relational:"
                                  "q_shipping_delay_priority_counts"
                                  "  # TPC-H Q12 shape: complementary "

@@ -351,6 +351,8 @@ def incremental_fuzzy_dedup(
     n_sig: int = 8,
     n_bands: int = 4,
     threshold: float = 0.5,
+    prior_bands: DataFrame | None = None,
+    prior_ts: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy-dedup an ARRIVING batch against a persisted corpus index —
     the production nightly-increment shape, STAGED the way real
@@ -383,6 +385,14 @@ def incremental_fuzzy_dedup(
     best_match_id, best_match_dist, admitted]. Counts are per-stage:
     exact rows count fingerprint matches, fuzzy rows count verified
     fuzzy matches.
+
+    ``prior_bands``/``prior_ts`` (optional) carry EARLIER INCREMENTS of
+    the same ingestion run — every id strictly below this batch's (the
+    ordered-replay contract). Their matches count as BATCH matches, so
+    processing one logical batch in N ordered chunks yields manifests
+    IDENTICAL to the single-shot call (the multi-increment replay
+    query pins that equality) — the greedy-vs-union policy is
+    chunking-invariant by construction.
     """
     arr_ids = arriving.select(F.col(id_col).alias("id")).distinct()
     # batch-sized and referenced by BOTH stages from ~8 branches
@@ -415,18 +425,36 @@ def incremental_fuzzy_dedup(
         .withColumn("__first_mate", F.first("id").over(w_fp))
         .join(fp_stats, "tsfp", "left")
     )
+    if prior_ts is not None:
+        pts = prior_ts
+        if "tsfp" not in pts.columns:
+            pts = pts.withColumn("tsfp", token_set_fingerprint(F.col("ts")))
+        prior_stats = pts.groupBy("tsfp").agg(
+            F.count(F.lit(1)).alias("__cnt_p"),
+            F.min("id").alias("__min_p"),
+        )
+        staged = staged.join(prior_stats, "tsfp", "left")
+    else:
+        staged = staged.withColumn(
+            "__cnt_p", F.lit(None).cast("long")
+        ).withColumn("__min_p", F.lit(None).cast("long"))
     exact_agg = (
         staged.filter(
-            (F.coalesce("__cnt_e", F.lit(0)) > 0) | (F.col("__rn") > 1)
+            (F.coalesce("__cnt_e", F.lit(0)) > 0)
+            | (F.coalesce("__cnt_p", F.lit(0)) > 0)
+            | (F.col("__rn") > 1)
         )
         .select(
             F.col("id").alias("aid"),
             F.coalesce("__cnt_e", F.lit(0))
             .cast("long")
             .alias("n_existing_matches"),
-            (F.col("__rn") - 1).cast("long").alias("n_batch_matches"),
+            (F.coalesce("__cnt_p", F.lit(0)) + F.col("__rn") - 1)
+            .cast("long")
+            .alias("n_batch_matches"),
             F.least(
                 "__min_e",
+                "__min_p",
                 F.when(F.col("__rn") > 1, F.col("__first_mate")),
             ).alias("best_match_id"),
         )
@@ -491,6 +519,23 @@ def incremental_fuzzy_dedup(
             cand_intra, fts.select("id", "ts"), ats.select("id", "ts")
         ).withColumn("from_batch", F.lit(True))
     )
+    if prior_bands is not None:
+        cand_prior = (
+            abands.alias("a")
+            .join(
+                prior_bands.alias("p"),
+                (F.col("a.band") == F.col("p.band"))
+                & (F.col("a.bh") == F.col("p.bh")),
+            )
+            .select(F.col("a.id").alias("aid"), F.col("p.id").alias("mid"))
+            .dropDuplicates(["aid", "mid"])
+        )
+        fuzzy = fuzzy.unionByName(
+            _verify(
+                cand_prior, fts.select("id", "ts"),
+                prior_ts.select("id", "ts"),
+            ).withColumn("from_batch", F.lit(True))
+        )
     fuzzy_agg = fuzzy.groupBy("aid").agg(
         F.sum((~F.col("from_batch")).cast("long")).alias(
             "n_existing_matches"

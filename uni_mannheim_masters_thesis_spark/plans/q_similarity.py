@@ -3475,3 +3475,112 @@ def q_incremental_fuzzy_dedup(
         .select("doc_id", tokens_pipeline(F.col("text")).alias("tokens"))
     )
     return incremental_fuzzy_dedup(arriving, ebands, ets)
+
+
+@_register(
+    "multi_increment_dedup_replay",
+    f"""
+    SELECT q.*, TRUE AS ok_replay_matches_batch
+    FROM ({_sql_incremental_fuzzy()}) q
+    """,
+    "§2.11 dedup (multi-increment replay: chunking-invariance proof)",
+    "The nightly-increment contract ACROSS nights: the arriving batch "
+    "is processed as three successive id-ordered increments, each "
+    "deduping against the persisted corpus index PLUS the accumulated "
+    "prior increments (whose matches count as batch matches, exactly "
+    "like same-batch lower-id mates). The concatenated per-increment "
+    "manifests must equal the single-shot manifest COLUMN FOR COLUMN "
+    "— the greedy-vs-union admission policy is chunking-invariant by "
+    "construction, and ok_replay_matches_batch hash-gates that "
+    "equality against the oracle's TRUE (any divergence between "
+    "chunked and single-shot processing fails the correctness gate). "
+    "Hashed values are the single-shot manifest's (oracle-exact). "
+    "Evidence machinery like the streaming parity twins: it re-runs "
+    "the incremental operator's plan four times, so bench skips it "
+    "as a suite.",
+)
+def q_multi_increment_dedup_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import (
+        incremental_fuzzy_dedup,
+        minhash_band_table,
+        minhash_token_sets,
+        token_set_fingerprint,
+    )
+
+    idx = _incremental_index_dir(spark, sf_dir)
+    ebands = spark.read.parquet(f"{idx}/bands")
+    ets = spark.read.parquet(f"{idx}/token_sets")
+    arriving = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", tokens_pipeline(F.col("text")).alias("tokens"))
+        .localCheckpoint(eager=True)
+    )
+    bounds = arriving.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).first()
+    mn, mx = bounds["mn"], bounds["mx"]
+    cut1 = mn + (mx - mn) // 3
+    cut2 = mn + 2 * (mx - mn) // 3
+    chunks = [
+        arriving.filter(F.col("doc_id") <= cut1),
+        arriving.filter(
+            (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)
+        ),
+        arriving.filter(F.col("doc_id") > cut2),
+    ]
+    prior_ts = prior_bands = None
+    manifests = []
+    for chunk in chunks:
+        manifests.append(
+            incremental_fuzzy_dedup(
+                chunk, ebands, ets,
+                prior_bands=prior_bands, prior_ts=prior_ts,
+            )
+        )
+        cts = (
+            minhash_token_sets(chunk)
+            .withColumn("tsfp", token_set_fingerprint(F.col("ts")))
+            .localCheckpoint(eager=True)
+        )
+        cbands = minhash_band_table(cts.select("id", "ts")).localCheckpoint(
+            eager=True
+        )
+        prior_ts = cts if prior_ts is None else prior_ts.unionByName(cts)
+        prior_bands = (
+            cbands if prior_bands is None
+            else prior_bands.unionByName(cbands)
+        )
+    replay = manifests[0]
+    for m in manifests[1:]:
+        replay = replay.unionByName(m)
+    single = incremental_fuzzy_dedup(arriving, ebands, ets)
+    r = replay.select(
+        F.col("doc_id").alias("r_doc_id"),
+        F.col("stage").alias("r_stage"),
+        F.col("n_existing_matches").alias("r_nem"),
+        F.col("n_batch_matches").alias("r_nbm"),
+        F.col("best_match_id").alias("r_bmi"),
+        F.col("best_match_dist").alias("r_bmd"),
+        F.col("admitted").alias("r_adm"),
+    )
+    same = (
+        F.col("stage").eqNullSafe(F.col("r_stage"))
+        & F.col("n_existing_matches").eqNullSafe(F.col("r_nem"))
+        & F.col("n_batch_matches").eqNullSafe(F.col("r_nbm"))
+        & F.col("best_match_id").eqNullSafe(F.col("r_bmi"))
+        & F.col("best_match_dist").eqNullSafe(F.col("r_bmd"))
+        & F.col("admitted").eqNullSafe(F.col("r_adm"))
+    )
+    return (
+        single.join(r, single.doc_id == r.r_doc_id, "left")
+        .select(
+            "doc_id", "stage", "n_existing_matches", "n_batch_matches",
+            "best_match_id", "best_match_dist", "admitted",
+            (F.col("r_doc_id").isNotNull() & same).alias(
+                "ok_replay_matches_batch"
+            ),
+        )
+    )

@@ -88,6 +88,10 @@ _DRIVER_SUITES: frozenset[str] = frozenset({
     # correctness walk (end-to-end M5-M23 contract, incl. MLP and the
     # concurrent-fit scale pattern).
     "classifier_battery",
+    # r12 late: the chunking-invariance replay re-runs the incremental
+    # dedup operator's plan four times (3 increments + single-shot) —
+    # multi-increment evidence, not new plan coverage
+    "multi_increment_dedup_replay",
 })
 
 # Queries hashed green in every CORRECTNESS_r01..r06 driver artifact —
@@ -384,6 +388,9 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     # seat — it keeps r7 hash evidence) -------------------------------
     "part_type_profit", "returned_item_ranking",
     "shipping_delay_priority_counts", "incremental_fuzzy_dedup",
+    # the replay twin also seats (inverted_index_postings cedes, r7
+    # hash evidence kept)
+    "multi_increment_dedup_replay",
     # --- r1-era refresh (last hash: CORRECTNESS_r01) -----------------
     "document_fingerprints", "acctbal_percentiles",
     "customers_with_open_order", "embedding_norm_stats",
@@ -408,7 +415,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
     "tokenized_documents", "scd2_state_intervals",
     "benchmark_contamination", "heavy_hitters_sketch", "tfidf",
     "bm25_retrieval", "semantic_dedup_srp", "leakage_safe_split",
-    "paragraph_dedup", "inverted_index_postings",
+    "paragraph_dedup",
 })
 
 _COST_HINT: dict[str, float] = {
@@ -417,7 +424,7 @@ _COST_HINT: dict[str, float] = {
     "shipping_delay_priority_counts": 1.2,
     # below hdp_topic_mass (0.9) so the mass query pays the shared
     # truncation fit and the export rides the session cache
-    "hdp_suggested_lda": 0.8, "incremental_fuzzy_dedup": 3.5,
+    "hdp_suggested_lda": 0.8, "incremental_fuzzy_dedup": 3.5, "multi_increment_dedup_replay": 5.0,
     # --- round-11 additions (sf0.01 oracle-walk seconds) ------------
     "promo_revenue_share": 1.1, "national_market_share": 2.8,
     "important_parts_share": 1.4, "top_supplier_by_revenue": 1.0,
