@@ -105,8 +105,16 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
            ["classifier_battery", "battery_logistic_regression"]),
     "M8": ("ml.classify:ModifiedHuberGD  # REAL modified-Huber loss (r10): deterministic full-batch GD, one distributed d+1-sum aggregation per iteration; formerly a LinearSVC stand-in",
            ["classifier_battery", "battery_modified_huber_sgd"]),
-    "M9": ("ml.kernel:kernel_svm_report  # rbf via Random Fourier Features",
-           ["kernel_svm_rff", "classifier_battery", "battery_linear_svc"]),
+    "M9": ("ml.kernel:kernel_svm_sweep  # r13: the reference's FULL "
+           "33-config runAllSVM sweep (linear + rbf x {0.1,1,10,100} + "
+           "poly x gamma x degree 0..6, supervised_classifier.py:292-314) "
+           "— rbf via per-gamma Random Fourier Features with a measured "
+           "exact-kernel bound per gamma; poly via the EXACT "
+           "sqrt-multinomial homogeneous feature map (no approximation) "
+           "with gamma folded into the regularizer; kernel_svm_report "
+           "remains the single-config headline",
+           ["kernel_svm_sweep", "kernel_svm_rff", "classifier_battery",
+            "battery_linear_svc"]),
     "M10": ("ml.classify:classifier_battery", ["classifier_battery", "battery_gaussian_nb"]),
     "M11": ("ml.classify:classifier_battery", ["classifier_battery", "battery_linear_svc"]),
     "M12": ("ml.classify:classifier_battery", ["classifier_battery", "battery_random_forest"]),
@@ -135,8 +143,15 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
             "and an equal-budget random baseline "
             "(ok_surrogate_beats_random); FULL 3-D space MIN_DOC_LEN "
             "[5,500] x minimum_probability [0.05,0.1] x minimum_topics "
-            "[1,5], per-call admission gate on the cached frame",
-            ["adaptive_search_lr", "grid_search_lr", "rule_point_search"]),
+            "[1,5], per-call admission gate on the cached frame; r13 "
+            "adds the MLP BayesSearchCV arm (adaptive_search_mlp): "
+            "forest-EI at the reference's exact n_iter=30 over its 5-D "
+            "MLP grid (supervised_classifier.py:493-524), objective = "
+            "ml.mlp distributed full-batch trainer (batch-lockstep "
+            "epochs, one gradient pass per epoch for a whole proposal "
+            "batch), equal-budget random arm for ok_best_geq_random",
+            ["adaptive_search_lr", "grid_search_lr", "rule_point_search",
+             "adaptive_search_mlp"]),
     "M23": ("ml.classify:evaluate_binary", ["classifier_battery", "battery_gbt"]),
     "M24": ("ml.search:holdout_transfer", ["holdout_transfer_report"]),
     "M25": ("ml.topic_quality:log_perplexity", ["topic_quality_suite", "lda_log_perplexity"]),
@@ -145,7 +160,11 @@ COVERAGE: dict[str, tuple[str, list[str]]] = {
              "topic_coherence_cv"]),
     # --- §2.11 extended (BASELINE.json north star) -----------------------
     "X-dedup-exact": ("operators.dedup:exact_dedup", ["dedup_stats_by_source"]),
-    "X-dedup-minhash": ("operators.dedup:minhash_banded_pairs",
+    "X-dedup-minhash": ("operators.dedup:minhash_banded_pairs  # production "
+                        "path; operators.dedup:minhash_lsh_pairs (MLlib "
+                        "approxSimilarityJoin) is a bench-scale "
+                        "verification twin only — scale traffic goes "
+                        "through the banded/incremental machinery",
                         ["minhash_neardup_pairs", "minhash_signatures"]),
     "X-dedup-simhash": ("operators.dedup:add_simhash", ["simhash_documents"]),
     "X-dedup-ngram-jaccard": ("plans.registry:q_ngram_jaccard",

@@ -363,22 +363,33 @@ def rule_point_search(
     n_corners = 8
     trials: list[tuple[float, int, int, float]] = []
     try:
-        for t in range(n_trials):
-            if t < len(warmup):
-                mp, mt, ml = warmup[t]
-            else:
-                obs = sorted(trials, key=lambda r: -r[3])
-                n_good = max(1, int(round(gamma * len(obs))))
-                mp = kde_pick(
-                    [r[0] for r in obs[:n_good]],
-                    [r[0] for r in obs[n_good:]], p_lo, p_hi,
-                )
-                ml = kde_pick(
-                    [r[2] for r in obs[:n_good]],
-                    [r[2] for r in obs[n_good:]], l_lo, l_hi, as_int=True,
-                )
-                good_ts = [r[1] for r in obs[:n_good]]
-                mt = int(max(t_choices, key=lambda c: good_ts.count(c)))
+        # the warmup points are FIXED (corners + center — they condition
+        # on nothing), so score them all in ONE distributed pass via the
+        # same q-EI batch scorer the forest arm uses (r12 verdict item
+        # 7). Bit-identical to the serial loop: both paths aggregate the
+        # same integer tp/fp/fn and apply the same f1 formula
+        # (tests/test_round13_ops.py pins batched == serial per point).
+        wb = [(float(mp), int(mt), int(ml)) for mp, mt, ml in warmup]
+        for (mp, mt, ml), f1 in zip(wb, _rule_f1_batch(base, wb)):
+            trials.append((mp, mt, ml, f1))
+        # the TPE proposals stay sequential BY CONSTRUCTION — each
+        # conditions on every previous trial's score, so batching them
+        # would change the proposal stream (the forest arm is the
+        # batched-acquisition variant; this arm is the faithful
+        # sequential one)
+        for t in range(len(warmup), n_trials):
+            obs = sorted(trials, key=lambda r: -r[3])
+            n_good = max(1, int(round(gamma * len(obs))))
+            mp = kde_pick(
+                [r[0] for r in obs[:n_good]],
+                [r[0] for r in obs[n_good:]], p_lo, p_hi,
+            )
+            ml = kde_pick(
+                [r[2] for r in obs[:n_good]],
+                [r[2] for r in obs[n_good:]], l_lo, l_hi, as_int=True,
+            )
+            good_ts = [r[1] for r in obs[:n_good]]
+            mt = int(max(t_choices, key=lambda c: good_ts.count(c)))
             trials.append(
                 (float(mp), int(mt), int(ml), trial_f1(mp, mt, ml))
             )
@@ -656,3 +667,217 @@ def random_search_baseline(
         "best": X[best_i],
         "n_calls": len(y),
     }
+
+
+# ---------------------------------------------------------------------------
+# Round 13: the M22 MLP search arm (the reference's SECOND BayesSearchCV
+# loop — runMLPClassifierBayesSearchCV, supervised_classifier.py:493-524:
+# n_iter=30 over the 5-D MLP grid). Reuses the forest-EI machinery above
+# over an encoded mixed categorical/continuous space; the objective is
+# the distributed full-batch MLP of ml.mlp, which trains a whole q-EI
+# proposal batch in one set of lockstep epochs (each epoch = ONE
+# distributed gradient pass for ALL configs in the batch).
+# ---------------------------------------------------------------------------
+
+
+def _mlp_space_draw(rng, n):
+    """n random configs over the reference's exact grid (categoricals
+    uniform, alpha log-uniform in [1e-4, 0.9])."""
+    import numpy as np
+
+    from .mlp import (
+        MLP_ACTIVATIONS, MLP_ALPHA_BOUNDS, MLP_HIDDEN, MLP_LEARNING_RATES,
+        MLP_SOLVERS, MLPConfig,
+    )
+
+    lo, hi = np.log(MLP_ALPHA_BOUNDS[0]), np.log(MLP_ALPHA_BOUNDS[1])
+    out = []
+    for _ in range(n):
+        out.append(MLPConfig(
+            hidden=MLP_HIDDEN[rng.randint(len(MLP_HIDDEN))],
+            activation=MLP_ACTIVATIONS[rng.randint(len(MLP_ACTIVATIONS))],
+            solver=MLP_SOLVERS[rng.randint(len(MLP_SOLVERS))],
+            learning_rate=MLP_LEARNING_RATES[
+                rng.randint(len(MLP_LEARNING_RATES))],
+            alpha=float(np.exp(rng.uniform(lo, hi))),
+        ))
+    return out
+
+
+def _mlp_encode(cfg) -> list:
+    """Numeric [0,1]^5 encoding of a config for the tree surrogate."""
+    import numpy as np
+
+    from .mlp import (
+        MLP_ACTIVATIONS, MLP_ALPHA_BOUNDS, MLP_HIDDEN, MLP_LEARNING_RATES,
+        MLP_SOLVERS,
+    )
+
+    lo, hi = np.log(MLP_ALPHA_BOUNDS[0]), np.log(MLP_ALPHA_BOUNDS[1])
+    return [
+        MLP_HIDDEN.index(cfg.hidden) / (len(MLP_HIDDEN) - 1),
+        MLP_ACTIVATIONS.index(cfg.activation) / (len(MLP_ACTIVATIONS) - 1),
+        MLP_SOLVERS.index(cfg.solver) / (len(MLP_SOLVERS) - 1),
+        MLP_LEARNING_RATES.index(cfg.learning_rate)
+        / (len(MLP_LEARNING_RATES) - 1),
+        (np.log(cfg.alpha) - lo) / (hi - lo),
+    ]
+
+
+def adaptive_search_mlp(
+    train: DataFrame,
+    test: DataFrame,
+    n_calls: int = 30,
+    batch: int = 10,
+    epochs: int = 15,
+    n_pool: int = 256,
+    seed: int = SEED,
+    preblocks=None,
+) -> DataFrame:
+    """M22 closure (r12 verdict item 2): surrogate search over the
+    reference's MLP grid at its exact n_iter=30 budget
+    (supervised_classifier.py:493-524) — hidden sizes
+    {(50,50,50),(50,100,50),(100,)}, activation × solver ×
+    learning_rate categoricals, alpha log-uniform [1e-4, 0.9].
+
+    Shape: forest-EI (the same extra-trees surrogate +
+    expected-improvement acquisition as :func:`forest_ei_search`) over
+    the [0,1]^5-encoded space, proposals in q-EI batches of ``batch``
+    — the surrogate conditions on COMPLETED batches only, exactly like
+    skopt's n_points-per-ask mode. Every batch trains ALL its configs
+    simultaneously through ml.mlp's lockstep distributed full-batch
+    trainer (one gradient pass per epoch for the whole batch) and
+    scores them in one confusion pass, so the 30-call budget costs
+    ~(n_calls/batch)·(epochs+1) distributed jobs, not
+    30·epochs.
+
+    A second EQUAL-BUDGET pure-random arm (independent seed, all 30
+    configs as one training batch) anchors ``ok_best_geq_random``:
+    conditioning on history must not do worse than blind sampling.
+    Returns one row per EI-arm trial plus one summary row per arm.
+    """
+    import numpy as np
+
+    from .mlp import mlp_blocks, score_mlp_batch, train_mlp_batch
+
+    spark = train.sparkSession
+    rng = np.random.RandomState(seed)
+    # preblocks=((blocks, n, dim), (test_blocks, n_t, dim)) supplies the
+    # session-shared cached numpy-block RDDs (ml.shared) so repeated
+    # invocations (suite + driver + bench retimes) skip the conversion
+    # pass; ownership stays with the cache in that case
+    if preblocks is not None:
+        (blocks, n_rows, dim), (test_blocks, _, _) = preblocks
+    else:
+        blocks, n_rows, dim = mlp_blocks(train)
+        test_blocks, _, _ = mlp_blocks(test)
+
+    def run_batch(configs):
+        # seed index ties each config's init to its trial position so
+        # re-running the search reproduces every fit exactly
+        models = train_mlp_batch(blocks, n_rows, dim, configs,
+                                 epochs=epochs)
+        return score_mlp_batch(test_blocks, models, configs)
+
+    X_obs: list = []     # encoded configs
+    trials: list = []    # (cfg, f1), EI arm
+    try:
+        # batch 1 trains the EI arm's seeded warmup AND the whole
+        # equal-budget random arm TOGETHER: none of those configs
+        # conditions on history, so one lockstep set of passes serves
+        # both arms (the random arm costs zero extra jobs, only extra
+        # per-partition flops)
+        warm = [
+            c.__class__(**{**c.__dict__, "seed": i})
+            for i, c in enumerate(_mlp_space_draw(rng, batch))
+        ]
+        rng2 = np.random.RandomState(seed + 1)
+        rnd_cfgs = [
+            c.__class__(**{**c.__dict__, "seed": 1000 + i})
+            for i, c in enumerate(_mlp_space_draw(rng2, n_calls))
+        ]
+        joint = run_batch(warm + rnd_cfgs)
+        rnd_f1s = joint[batch:]
+        for cfg, f1 in zip(warm, joint[:batch]):
+            trials.append((cfg, f1))
+            X_obs.append(_mlp_encode(cfg))
+        while len(trials) < n_calls:
+            b = min(batch, n_calls - len(trials))
+            Xn = np.array(X_obs)
+            yn = np.array([f1 for _, f1 in trials])
+            trees = [
+                _extra_tree_fit(Xn, yn, rng)
+                for _ in range(FOREST_TREES)
+            ]
+            pool = _mlp_space_draw(rng, n_pool)
+            Cn = np.array([_mlp_encode(c) for c in pool])
+            preds = np.stack([_tree_predict(t, Cn) for t in trees])
+            mu, sigma = preds.mean(axis=0), preds.std(axis=0) + 1e-9
+            best = float(yn.max())
+            import math
+
+            z = (mu - best) / sigma
+            cdf = 0.5 * (
+                1.0 + np.vectorize(math.erf)(z / math.sqrt(2.0))
+            )
+            pdf = np.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
+            ei = (mu - best) * cdf + sigma * pdf
+            cands = [pool[int(i)] for i in np.argsort(-ei)[:b]]
+            cands = [
+                c.__class__(**{**c.__dict__, "seed": len(trials) + i})
+                for i, c in enumerate(cands)
+            ]
+            for cfg, f1 in zip(cands, run_batch(cands)):
+                trials.append((cfg, f1))
+                X_obs.append(_mlp_encode(cfg))
+    finally:
+        if preblocks is None:
+            blocks.unpersist()
+            test_blocks.unpersist()
+
+    best_f1 = max(f1 for _, f1 in trials)
+    rnd_best = max(rnd_f1s)
+    rows = []
+    for i, (cfg, f1) in enumerate(trials):
+        rows.append((
+            "forest_ei", i + 1,
+            "-".join(str(h) for h in cfg.hidden), cfg.activation,
+            cfg.solver, cfg.learning_rate, round(float(cfg.alpha), 8),
+            round(float(f1), 6), bool(f1 >= best_f1),
+        ))
+    rb = rnd_f1s.index(rnd_best)
+    rows.append((
+        "random_best", n_calls,
+        "-".join(str(h) for h in rnd_cfgs[rb].hidden),
+        rnd_cfgs[rb].activation, rnd_cfgs[rb].solver,
+        rnd_cfgs[rb].learning_rate, round(float(rnd_cfgs[rb].alpha), 8),
+        round(float(rnd_best), 6), False,
+    ))
+    out = spark.createDataFrame(
+        rows,
+        "arm string, trial int, hidden string, activation string, "
+        "solver string, learning_rate string, alpha double, f1 double, "
+        "is_best boolean",
+    )
+    return (
+        out.withColumn(
+            "ok_budget_exact", F.lit(len(trials) == n_calls)
+        )
+        .withColumn(
+            "ok_f1_range", (F.col("f1") >= 0) & (F.col("f1") <= 1)
+        )
+        .withColumn(
+            "ok_best_geq_random",
+            F.lit(round(best_f1, 9) >= round(rnd_best, 9)),
+        )
+        .withColumn(
+            "ok_in_grid",
+            F.col("hidden").isin("50-50-50", "50-100-50", "100")
+            & F.col("activation").isin(
+                "tanh", "relu", "logistic", "identity")
+            & F.col("solver").isin("sgd", "adam", "lbfgs")
+            & F.col("learning_rate").isin(
+                "constant", "adaptive", "invscaling")
+            & (F.col("alpha") >= 1e-4) & (F.col("alpha") <= 0.9),
+        )
+    )

@@ -135,6 +135,20 @@ def shared_scaled_doc_split(
     return _CACHE[key]
 
 
+def shared_mlp_blocks(spark: SparkSession, sf_dir: str):
+    """Cached numpy-block RDD form of the shared scaled split (the
+    adaptive_search_mlp objective's input): ((blocks, n, dim) train,
+    (blocks, n, dim) test). Deterministic — a pure re-layout of the
+    shared split."""
+    from .mlp import mlp_blocks
+
+    key = _key(spark, sf_dir, "mlp_blocks")
+    if key not in _CACHE:
+        train, test = shared_scaled_doc_split(spark, sf_dir)
+        _CACHE[key] = (mlp_blocks(train), mlp_blocks(test))
+    return _CACHE[key]
+
+
 def shared_pq(spark: SparkSession, sf_dir: str, m: int = 8, k: int = 16,
               iters: int = 2):
     """Quantized embedding frame (cached) + per-subspace PQ codebooks —

@@ -57,6 +57,17 @@ def minhash_lsh_pairs(
     """Near-duplicate candidate pairs (Jaccard distance ≤ threshold).
 
     Returns DataFrame[id_a, id_b, jaccard_dist] with id_a < id_b.
+
+    **Verification twin, not the production path** (r12 verdict): this
+    variant rides MLlib's ``MinHashLSH.approxSimilarityJoin`` self-join
+    as the reference-generalization of S8's exact distinct — fine at
+    bench scale and useful as an independent implementation to check
+    the custom machinery against. Production traffic at 100 TB should
+    use :func:`minhash_banded_pairs` (band-hash equi-join candidates,
+    exact-Jaccard verify on candidates only) or the staged
+    :func:`incremental_fuzzy_dedup` against the persisted index —
+    those control the candidate volume explicitly via the banding
+    scheme instead of MLlib's internal OR-amplified join.
     """
     # MinHashLSH requires ≥1 non-zero entry; with minDF=1 every token is
     # in-vocabulary, so non-empty token arrays guarantee that.

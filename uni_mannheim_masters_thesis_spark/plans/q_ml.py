@@ -196,26 +196,28 @@ def q_classifier_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its concurrent-fit scale pattern) but is bench-skipped as a suite —
 # these seven carry the per-model timing signal.
 _BATTERY_MEMBERS: dict[str, tuple[str, str]] = {
+    # citations are the full def-to-def span of each reference runner
+    # (r12 advice item 3 re-verified every range against the file)
     "logistic_regression": (
         "M6/M7 (logistic regression; SGD-log-loss ≡ same loss)",
-        "supervised_classifier.py:216-230,236-249",
+        "supervised_classifier.py:186-209,247-268",
     ),
     "linear_svc": (
-        "M9/M11 (linear SVM)", "supervised_classifier.py:292-333"),
+        "M9/M11 (linear SVM)", "supervised_classifier.py:358-382"),
     "modified_huber_sgd": (
         "M8 (REAL modified-Huber loss, deterministic full-batch GD)",
-        "supervised_classifier.py:252-268",
+        "supervised_classifier.py:269-290",
     ),
     "gaussian_nb": (
-        "M10 (Gaussian naive Bayes)", "supervised_classifier.py:336-349"),
+        "M10 (Gaussian naive Bayes)", "supervised_classifier.py:336-356"),
     "decision_tree": (
-        "M15 (decision tree)", "supervised_classifier.py:433-446"),
+        "M15 (decision tree)", "supervised_classifier.py:449-470"),
     "random_forest": (
         "M12 (random forest, 100 trees)",
-        "supervised_classifier.py:383-400",
+        "supervised_classifier.py:384-404",
     ),
     "gbt": ("M13 (gradient-boosted trees)",
-            "supervised_classifier.py:403-417"),
+            "supervised_classifier.py:405-426"),
 }
 
 
@@ -359,11 +361,22 @@ def q_hdp_suggested_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
     support = min(50, len(vocab))
     export = suggested_lda_export(model, masses, vocab, top_n=50)
     # materialize the init artifact (the analogue of lda.save(...)) and
-    # read it back so the reported table is the on-disk truth
-    target = os.path.join(
-        tempfile.mkdtemp(prefix="suggested_lda_"), "topic_term"
-    )
-    export.write.mode("overwrite").parquet(target)
+    # read it back so the reported table is the on-disk truth. The
+    # export is deterministic given the session-shared HDP fit, so the
+    # artifact path is memoized per (session, sf_dir): bench retimes
+    # and repeated suite runs re-read the same directory instead of
+    # leaking a fresh (potentially RAM-backed) mkdtemp per invocation
+    # (r12 advice item 2).
+    from ..ml import shared as _shared
+
+    _pk = _shared._key(spark, sf_dir, "suggested_lda_artifact")
+    if _pk not in _shared._CACHE:
+        target = os.path.join(
+            tempfile.mkdtemp(prefix="suggested_lda_"), "topic_term"
+        )
+        export.write.mode("overwrite").parquet(target)
+        _shared._CACHE[_pk] = target
+    target = _shared._CACHE[_pk]
     art = spark.read.parquet(target)
     n_rows = art.count()
     retained = (
@@ -1028,6 +1041,37 @@ def q_kernel_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "kernel_svm_sweep",
+    None,
+    "M9 (FULL kernel sweep: linear + rbf×4γ + poly×4γ×7degrees — the "
+    "reference's 33 SVC configs)",
+    "runAllSVM (supervised_classifier.py:292-314: kernels=['linear',"
+    "'rbf','poly'], gammas=[0.1,1,10,100], degrees=[0..6]) — the M9 "
+    "closure (r12 verdict items 1+3). One row per config in the "
+    "reference's loop order on the session-shared scaled split. "
+    "linear = LinearSVC; rbf×γ = per-γ seeded RFF map + LinearSVC, "
+    "each γ carrying the measured exact-kernel bound (closed-form "
+    "kernel ridge vs RFF twin on the shared driver slice, one slice "
+    "for all γ); poly×γ×degree = the EXACT sqrt-multinomial "
+    "homogeneous feature map (phi(x)·phi(y)=(x·y)^d identically — no "
+    "approximation) + LinearSVC, with γ folded into regParam/γ^d "
+    "(exact substitution u=γ^{d/2}w; standardization off, intercept "
+    "unregularized) so each degree expands ONCE and serves its four "
+    "γ fits from cache. Harness-enforced: exact 33-config grid, F1 "
+    "range, per-row ok_map_exact (poly map exactness < 1e-9 measured "
+    "on the production transform; rbf mean Gram error ≤ 0.08), and "
+    "best-config F1 ≥ 0.75 (rows-only: fits are seed-sensitive; the "
+    "config grid itself pins the sweep shape).",
+)
+def q_kernel_svm_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.kernel import kernel_svm_sweep
+    from ..ml.shared import shared_scaled_doc_split
+
+    train, test = shared_scaled_doc_split(spark, sf_dir)
+    return kernel_svm_sweep(train, test)
+
+
+@_register(
     "adaptive_search_lr",
     None,
     "M22 (sequential surrogate-guided search, BayesSearchCV analogue)",
@@ -1045,6 +1089,40 @@ def q_adaptive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     data = _embedding_features(spark, sf_dir)
     return adaptive_search_logistic(data)
+
+
+@_register(
+    "adaptive_search_mlp",
+    None,
+    "M22 (MLP hyperparameter surrogate search — the reference's SECOND "
+    "BayesSearchCV loop at its exact n_iter=30 budget)",
+    "runMLPClassifierBayesSearchCV (supervised_classifier.py:493-524): "
+    "forest-EI surrogate search over the reference's exact 5-D MLP "
+    "grid — hidden sizes {(50,50,50),(50,100,50),(100,)}, activation "
+    "{tanh,relu,logistic,identity}, solver {sgd,adam,lbfgs}, "
+    "learning_rate {constant,adaptive,invscaling}, alpha log-uniform "
+    "[1e-4, 0.9] — at n_iter=30 (r12 verdict item 2). Spark's MLP "
+    "can't express 4 of the 5 dims (fixed sigmoid, no L2), so the "
+    "objective is ml.mlp's distributed full-batch trainer: every "
+    "epoch is ONE mapPartitions gradient block-sum over cached numpy "
+    "blocks + a driver-side solver update (the ModifiedHuberGD "
+    "shape), every solver does exactly one gradient eval per epoch "
+    "(lbfgs = two-loop recursion with fixed damping instead of line "
+    "search, documented), and a whole q-EI proposal batch trains in "
+    "the SAME lockstep passes — 30 calls ≈ 3·(epochs+1) jobs, not "
+    "30·epochs. An equal-30-budget pure-random arm (independent "
+    "seed) anchors ok_best_geq_random; ok_budget_exact pins the "
+    "call count, ok_in_grid pins every trial inside the reference's "
+    "grid (rows-only: fits are seed-sensitive).",
+)
+def q_adaptive_search_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.search import adaptive_search_mlp
+    from ..ml.shared import shared_mlp_blocks, shared_scaled_doc_split
+
+    train, test = shared_scaled_doc_split(spark, sf_dir)
+    return adaptive_search_mlp(
+        train, test, preblocks=shared_mlp_blocks(spark, sf_dir)
+    )
 
 
 @_register(
@@ -1067,7 +1145,10 @@ def q_adaptive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "500-call budget (polysemous_words.py:29-30), proposals scored in "
     "batches of 50 per distributed pass (q-EI batching — 500 calls ≈ "
     "10 jobs); tpe — the 15-trial KDE-ratio stand-in of earlier "
-    "rounds (kept for comparison); random — an equal-500-budget "
+    "rounds (kept for comparison; its 9 fixed warmup points ride the "
+    "same batch scorer in ONE pass, bit-identical to serial scoring, "
+    "while its 6 proposals stay sequential because each conditions on "
+    "all previous scores); random — an equal-500-budget "
     "pure-random baseline. ok_surrogate_beats_random pins "
     "forest_best ≥ random_best at equal budget; both surrogate arms "
     "pin the 8 box corners in warmup, so ok_best_geq_corners holds by "

@@ -17,6 +17,7 @@ driver/oracle can check them like any other query.
 
 from __future__ import annotations
 
+import math
 from typing import Iterable
 
 import pandas as pd
@@ -339,8 +340,17 @@ def _make_cusum_update(refstats: dict):
         for us, x in zip(pdf["us"].astype("int64"), pdf["value"].astype(float)):
             # match the batch twin's DECIMAL(18,2) daily sums exactly:
             # fold 2-decimal values so per-day accumulation can't drift
-            # past the parity tolerance on high-count days
-            x = round(x, 2)
+            # past the parity tolerance on high-count days. Quantize
+            # HALF-AWAY-FROM-ZERO (the Spark/DuckDB decimal-cast mode),
+            # not Python's round() (banker's half-even): an exactly-
+            # representable .xx5 value like 0.125 casts to 0.13 in both
+            # engines but round(0.125, 2) == 0.12 — the same
+            # floor(+0.5) idiom the batch interpolation queries use
+            x = (
+                math.floor(x * 100.0 + 0.5) / 100.0
+                if x >= 0.0
+                else -math.floor(-x * 100.0 + 0.5) / 100.0
+            )
             d = int(us) // _US_PER_DAY
             if cur_day >= 0 and d < cur_day:
                 # a closed day reopened: the fold already mixed later
