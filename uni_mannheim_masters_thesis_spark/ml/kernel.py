@@ -443,6 +443,36 @@ def kernel_svm_sweep(
     )
     arr_test = test.select(vector_to_array("features").alias("xarr"), "label")
 
+    # Scale-adaptive parallelism for the feature builds and fits (guide
+    # §2.5 input skew / §1.2 "the distributed algorithm"): the shared
+    # split arrives as ONE cached partition at bench scale, which would
+    # serialize every mapInPandas expansion AND every LinearSVC gradient
+    # pass on a single core. Each derived frame gets a partition count
+    # sized to ITS width (~32 MB of doubles per partition, capped by the
+    # scheduler's core count) — the degree-6 frame (C(dim+5, 6) doubles
+    # per row) spreads across cores while the 128-dim RFF frames stay at
+    # one partition, whose fits are cheap and would only pay per-task
+    # scheduling overhead for extra splits. Derived from the data and
+    # the grid, never hard-coded to the local master.
+    import math
+
+    n_train = train.count()
+    max_parts = spark.sparkContext.defaultParallelism
+
+    def _parts_for(width: int) -> int:
+        return max(1, min(max_parts,
+                          math.ceil(n_train * width * 8 / (32 << 20))))
+
+    arr_train = arr_train.cache()
+    arr_test = arr_test.cache()
+
+    def _spread(a: DataFrame, width: int) -> DataFrame:
+        p = _parts_for(width)
+        # repartition the NARROW source rows (a tiny shuffle) so the
+        # expensive expansion itself runs p-way and the cached frame
+        # lands at p partitions — never shuffle the expanded features
+        return a.repartition(p) if a.rdd.getNumPartitions() != p else a
+
     # one deterministic driver slice serves every per-γ exact-kernel
     # bound AND the per-degree feature-scale estimate below
     Xtr, ytr = _balanced_slice(train, 500)
@@ -453,14 +483,18 @@ def kernel_svm_sweep(
     # settle the caches concurrently. Stage 2 — run all 30 fits through
     # ONE bounded thread pool: the configs are independent, MLlib fits
     # run in the JVM and release the GIL (CrossValidator's own
-    # parallelism pattern), and on a 32-thread local master the wall
-    # collapses to ~the slowest fit per pool wave instead of the serial
-    # sum. Deterministic: every fit reads its own settled cached frame.
+    # parallelism pattern). The pool is SMALL (guide §2.6: "2-3 jobs in
+    # flight is plenty"): each OWLQN iteration is one short job, so a
+    # wide pool just serializes dozens of concurrent jobs through the
+    # single DAGScheduler event loop — measured 12 workers ≈ 119 s vs
+    # 4 workers ≈ the serial-fit sum / 4. Wide frames already use
+    # multi-partition jobs (_spread), so 4 in flight saturates cores.
+    # Deterministic: every fit reads its own settled cached frame.
     frames: dict[object, tuple[DataFrame, DataFrame]] = {}
 
     for g in gammas:
         frames[("rbf", float(g))] = tuple(
-            rff_features(a, in_col="xarr", out_col="z",
+            rff_features(_spread(a, n_rff), in_col="xarr", out_col="z",
                          n_features=n_rff, gamma=float(g), seed=seed)
             .select(array_to_vector("z").alias("features"), "label")
             .cache()
@@ -485,14 +519,31 @@ def kernel_svm_sweep(
         if d == 0:
             continue
         frames[("poly", int(d))] = tuple(
-            poly_features(a, in_col="xarr", out_col="p", degree=d,
+            poly_features(_spread(a, len(_poly_combos(dim, d)[0])),
+                          in_col="xarr", out_col="p", degree=d,
                           dim=dim, scale=1.0 / np.sqrt(s2_by_degree[d]))
             .select(array_to_vector("p").alias("features"), "label")
             .cache()
             for a in (arr_train, arr_test)
         )
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _prof = bool(_os.environ.get("SPARK_GRAFT_PROF"))
+
     def fit_task(key):
+        if _prof:
+            _t0 = _time.time()
+            try:
+                return _fit_task_inner(key)
+            finally:
+                print(f"[prof] fit {key}: {_time.time() - _t0:.2f}s",
+                      file=_sys.stderr)
+        return _fit_task_inner(key)
+
+    def _fit_task_inner(key):
         kernel = key[0]
         if kernel == "linear":
             mdl = LinearSVC(maxIter=max_iter, regParam=reg_param).fit(train)
@@ -537,14 +588,29 @@ def kernel_svm_sweep(
     tasks += [
         ("poly", float(g), int(d)) for g in gammas for d in degrees if d > 0
     ]
+    # longest-fit-first (LPT): with a small pool the makespan is set by
+    # whatever heavy fit starts last — submit wide-frame fits first.
+    # Cost heuristic: a fit's wall tracks its frame width (rows are
+    # shared), with the 1-partition rbf/linear fits measured around the
+    # d4-width cost. Deterministic, affects scheduling only.
+    def _cost(key) -> float:
+        if key[0] == "poly" and key[2]:
+            return float(len(_poly_combos(dim, key[2])[0]))
+        return 1100.0 if key[0] in ("rbf", "linear") else 500.0
+
+    tasks.sort(key=_cost, reverse=True)
     try:
-        with ThreadPoolExecutor(max_workers=12) as ex:
+        with ThreadPoolExecutor(max_workers=4) as ex:
             # settle every cache first (concurrently) so racing fits
             # never trigger duplicate materialization of one frame
+            _t_settle = _time.time()
             list(ex.map(
                 lambda fr: fr.count(),
                 [f for pair in frames.values() for f in pair],
             ))
+            if _prof:
+                print(f"[prof] cache settle: {_time.time() - _t_settle:.2f}s",
+                      file=_sys.stderr)
             for key, res in ex.map(fit_task, tasks):
                 if key == ("poly", None, 0):
                     for g in gammas:
@@ -555,6 +621,8 @@ def kernel_svm_sweep(
         for pair in frames.values():
             for f in pair:
                 f.unpersist()
+        arr_train.unpersist()
+        arr_test.unpersist()
 
     # --- assemble in the reference's exact loop order -------------------
     # (kernels outer; rbf: gammas; poly: gammas outer, degrees inner —

@@ -33,12 +33,31 @@ sigmoid under binary cross-entropy.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Dispatch budget for the config-parallel training path (r13 guide §1.2
+# "the distributed algorithm" / §2.6 "overlap independent jobs"): when
+# the TRAINING DATA fits comfortably in one broadcast, the parallel axis
+# should be the independent CONFIGS, not the data — one task per config,
+# zero per-epoch barriers — instead of `epochs` lockstep barriers whose
+# per-pass compute (every config's gradient on every block) lands on as
+# few cores as there are data partitions. At 100 TB the estimate blows
+# the budget and the lockstep data-parallel path below runs unchanged —
+# the same size-dispatch discipline as the kNN kernel's blocked path
+# (ml/resample.py). Both paths produce BIT-IDENTICAL models: the
+# config-parallel task walks the same partition-ordered block list and
+# folds gradients in the same left-to-right order as
+# mapPartitions(...).reduce(add) (differentially pinned in
+# tests/test_round13_ops.py).
+MLP_BCAST_BUDGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_MLP_BCAST_BUDGET", str(64 << 20))
+)
 
 MLP_HIDDEN = ((50, 50, 50), (50, 100, 50), (100,))
 MLP_ACTIVATIONS = ("tanh", "relu", "logistic", "identity")
@@ -259,6 +278,66 @@ class _SolverState:
         return flat - lr * grad
 
 
+def _train_one_config(data_blocks, n_rows: int, dim: int, cfg: MLPConfig,
+                      epochs: int):
+    """Full training loop for ONE config over an in-memory block list —
+    the config-parallel task body. Float math is kept IDENTICAL to the
+    lockstep path: blocks are walked in partition order and the
+    per-epoch gradient folds left-to-right exactly like
+    ``mapPartitions(part_grads).reduce(add)`` (each partition holds one
+    block, so the flat left fold IS the reduce's fold), and the
+    grad/loss normalization + solver step reuse the same expressions."""
+    params = _init_params(cfg, dim)
+    shp = [(w.shape, b.shape) for w, b in params]
+    flat = _flatten(params)
+    state = _SolverState(cfg, flat.size)
+    mask = _weight_mask(shp)
+    alpha = float(cfg.alpha)
+    for _ in range(epochs):
+        tot = None
+        for X, y in data_blocks:
+            g, loss = _block_grad(X, y, _unflatten(flat, shp),
+                                  cfg.activation)
+            gv = np.concatenate([g, [loss]])
+            tot = gv if tot is None else tot + gv
+        grad, loss = tot[:-1], float(tot[-1])
+        grad = grad / n_rows + (alpha / n_rows) * mask * flat
+        loss = loss / n_rows + (alpha / (2.0 * n_rows)) * float(
+            np.sum((mask * flat) ** 2)
+        )
+        flat = state.step(flat, grad, loss)
+    return flat, shp
+
+
+def _train_mlp_batch_config_parallel(
+    blocks, n_rows: int, dim: int, configs: list, epochs: int
+) -> list:
+    """One Spark task per config, each training start-to-finish on the
+    broadcast block list — `len(configs)` independent tasks instead of
+    `epochs` barriers (the config axis is embarrassingly parallel; this
+    is CrossValidator's parallelism shape). The collect is bounded by
+    MLP_BCAST_BUDGET_BYTES (checked by the dispatcher)."""
+    sc = blocks.context
+    data = blocks.collect()  # bounded: dispatcher checked the budget
+    bc = sc.broadcast(data)
+    try:
+        def run(i, _cfgs=configs, _n=n_rows, _d=dim, _e=epochs):
+            flat, shp = _train_one_config(bc.value, _n, _d, _cfgs[i], _e)
+            return i, flat, shp
+
+        out = dict(
+            (i, (flat, shp))
+            for i, flat, shp in sc.parallelize(
+                range(len(configs)), len(configs)
+            ).map(run).collect()
+        )
+    finally:
+        bc.unpersist()
+    return [
+        _unflatten(out[i][0], out[i][1]) for i in range(len(configs))
+    ]
+
+
 def train_mlp_batch(
     blocks, n_rows: int, dim: int, configs: list, epochs: int = 20
 ) -> list:
@@ -266,7 +345,15 @@ def train_mlp_batch(
     ``epochs`` distributed passes computes ALL models' block gradients
     (a list of flat arrays per partition, summed pairwise by reduce),
     then each model's solver folds its own update driver-side. Returns
-    the fitted flat parameter vectors, config-aligned."""
+    the fitted flat parameter vectors, config-aligned.
+
+    When the training data fits MLP_BCAST_BUDGET_BYTES, dispatches to
+    the config-parallel path (bit-identical models, one task per config,
+    no per-epoch barriers — see the budget constant's comment)."""
+    if n_rows * (dim + 1) * 8 <= MLP_BCAST_BUDGET_BYTES and len(configs) > 1:
+        return _train_mlp_batch_config_parallel(
+            blocks, n_rows, dim, configs, epochs
+        )
     shapes = []
     flats = []
     states = []
