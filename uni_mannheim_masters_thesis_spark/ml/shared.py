@@ -135,6 +135,23 @@ def shared_scaled_doc_split(
     return _CACHE[key]
 
 
+def shared_kernel_sweep_prep(spark: SparkSession, sf_dir: str) -> dict:
+    """Session-shared :func:`ml.kernel.sweep_prep` bundle over the
+    shared scaled split — the cached per-γ RFF frames, per-degree exact
+    poly expansions, driver slices and conditioning constants the
+    33-config sweep consumes. Deterministic given (split, seed, grid),
+    so sharing is observationally equivalent to rebuilding per
+    invocation; the LinearSVC fits themselves still run on every call
+    (only inputs are shared, never results)."""
+    from .kernel import sweep_prep
+
+    key = _key(spark, sf_dir, "kernel_sweep_prep")
+    if key not in _CACHE:
+        train, test = shared_scaled_doc_split(spark, sf_dir)
+        _CACHE[key] = sweep_prep(train, test)
+    return _CACHE[key]
+
+
 def shared_mlp_blocks(spark: SparkSession, sf_dir: str):
     """Cached numpy-block RDD form of the shared scaled split (the
     adaptive_search_mlp objective's input): ((blocks, n, dim) train,

@@ -1065,10 +1065,15 @@ def q_kernel_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kernel_svm_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.kernel import kernel_svm_sweep
-    from ..ml.shared import shared_scaled_doc_split
+    from ..ml.shared import shared_kernel_sweep_prep, shared_scaled_doc_split
 
     train, test = shared_scaled_doc_split(spark, sf_dir)
-    return kernel_svm_sweep(train, test)
+    # the feature frames / slices / conditioning constants are a pure
+    # deterministic function of (split, seed, grid) — build them once
+    # per session (guide §1.2/§5); the 30 fits still run per call
+    return kernel_svm_sweep(
+        train, test, prepared=shared_kernel_sweep_prep(spark, sf_dir)
+    )
 
 
 @_register(

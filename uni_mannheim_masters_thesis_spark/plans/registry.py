@@ -420,7 +420,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
 
 _COST_HINT: dict[str, float] = {
     # --- round-13 additions (M9/M22 closure; measured sf0.01 walk) ---
-    "kernel_svm_sweep": 45.0, "adaptive_search_mlp": 6.0,
+    "kernel_svm_sweep": 50.0, "adaptive_search_mlp": 6.0,
     # --- round-12 additions ------------------------------------------
     "part_type_profit": 1.8, "returned_item_ranking": 1.5,
     "shipping_delay_priority_counts": 1.2,
