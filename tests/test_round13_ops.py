@@ -385,3 +385,32 @@ def test_mlp_learning_rate_inert_except_sgd(spark):
     base = _flatten(models[0])
     for m in models[1:]:
         assert np.array_equal(base, _flatten(m))
+
+
+def test_huber_gd_local_dispatch_is_bit_identical(spark, monkeypatch):
+    """r13: ModifiedHuberGD's single-partition local loop must produce
+    BIT-IDENTICAL weights to the distributed per-iteration aggregation
+    (the dispatch replays Spark Sum's null-start left fold op-for-op)."""
+    from uni_mannheim_masters_thesis_spark.ml import classify as C
+    from pyspark.ml.functions import array_to_vector
+
+    rng = np.random.RandomState(7)
+    X = rng.normal(size=(60, 5))
+    y = (X[:, 1] + 0.3 * X[:, 2] > 0).astype(float)
+    df = spark.createDataFrame(
+        [(list(map(float, r)), float(t)) for r, t in zip(X, y)],
+        "xarr array<double>, label double",
+    ).select(
+        array_to_vector("xarr").alias("features"), "label"
+    ).coalesce(1)
+
+    gd = C.ModifiedHuberGD(maxIter=7, step=0.5, regParam=0.01)
+    # forced-local (budget huge) vs forced-distributed (budget zero)
+    monkeypatch.setattr(C, "HUBER_LOCAL_BUDGET_BYTES", 1 << 40)
+    m_local = gd.fit(df)
+    monkeypatch.setattr(C, "HUBER_LOCAL_BUDGET_BYTES", 0)
+    m_dist = gd.fit(df)
+    assert m_local.bias == m_dist.bias
+    assert len(m_local.weights) == len(m_dist.weights)
+    for a, b in zip(m_local.weights, m_dist.weights):
+        assert a == b, (a, b, a - b)

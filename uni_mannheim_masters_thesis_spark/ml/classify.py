@@ -45,6 +45,19 @@ from ..operators.evaluation import classification_metrics, confusion_matrix
 
 SEED = 42  # reference uses random_state=42 throughout
 
+# Collect budget for ModifiedHuberGD's single-partition local loop
+# (r13, guide §1.2): below this many bytes of (d+1)-double rows the 30
+# GD iterations run driver-side with bit-identical float folds instead
+# of 30 re-planned/re-compiled distributed aggregations; above it (or
+# multi-partition — the 100 TB shape) the distributed loop runs
+# unchanged. Same dispatch discipline as the kNN kernel's blocked path
+# and the MLP config-parallel trainer.
+import os as _os
+
+HUBER_LOCAL_BUDGET_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_HUBER_LOCAL_BUDGET", str(64 << 20))
+)
+
 
 def assemble_features(
     df: DataFrame,
@@ -223,6 +236,26 @@ class ModifiedHuberGD:
             raise ValueError("empty training frame")
         d = len(first["x"])
         n = base.count()  # also settles upstream caches
+        # Size-dispatched local iteration loop (r13, guide §1.2): each
+        # distributed GD iteration embeds the CURRENT weights as
+        # literals, so Catalyst re-analyzes, re-optimizes and
+        # re-compiles the (d+1)-column aggregate on EVERY pass — at
+        # bench scale ~10 s of the fit is driver-side planning/codegen
+        # for 30 sub-100 ms jobs. When the projection is ONE partition
+        # and fits a bounded collect, run the same 30 iterations on the
+        # driver with an op-for-op replica of the SQL fold
+        # (_fit_single_partition_local) — BIT-IDENTICAL weights, pinned
+        # differentially in tests/test_round13_ops.py. Above the budget
+        # or multi-partition (the 100 TB shape) the distributed loop
+        # below runs unchanged — same dispatch discipline as the kNN
+        # kernel's blocked path and the MLP config-parallel trainer.
+        if (
+            base.rdd.getNumPartitions() == 1
+            and n * (d + 1) * 8 <= HUBER_LOCAL_BUDGET_BYTES
+        ):
+            data = base.collect()
+            base.unpersist()
+            return self._fit_single_partition_local(data, d, n)
         # size the task count to the DATA, not the session default: the
         # loop schedules maxIter jobs over base's partitions, so 30
         # iterations x 32 near-empty tasks is pure scheduler overhead
@@ -267,6 +300,59 @@ class ModifiedHuberGD:
             ]
             b -= step * gb
         base.unpersist()
+        return _ModifiedHuberModel(w, b, self._features_col, self._label_col)
+
+    def _fit_single_partition_local(
+        self, rows, d: int, n: int
+    ) -> _ModifiedHuberModel:
+        """Driver-side replica of the distributed GD loop for a
+        SINGLE-partition projection — float math identical op-for-op:
+
+        - the score is the same left fold ``(((b + x0·w0) + x1·w1) + …``
+          (``wx`` starts at ``b`` and accumulates one ``X[:,j]·w[j]``
+          term per step, exactly the nested Add tree the SQL expression
+          builds);
+        - ``dldz``/``c`` use the same branch expressions and operand
+          order;
+        - each aggregate replays Spark's Sum semantics (first value
+          initializes the accumulator, then a left fold in row order —
+          one partition means ONE fold, no merge) via an explicit row
+          loop, never ``np.sum`` (pairwise summation would change the
+          fold shape);
+        - the parameter updates are the identical driver-side Python
+          expressions.
+
+        All numpy ops are IEEE-754 binary64, the same arithmetic the
+        codegen'd Java expressions execute."""
+        import numpy as np
+
+        X = np.array([r["x"] for r in rows], dtype=np.float64)
+        y = np.array([r["y"] for r in rows], dtype=np.float64)
+        w, b = [0.0] * d, 0.0
+        for t in range(self._max_iter):
+            wx = np.full(len(y), b, dtype=np.float64)
+            for j in range(d):
+                wx = wx + X[:, j] * w[j]
+            z = y * wx
+            dldz = np.where(
+                z < -1.0, -4.0,
+                np.where(z < 1.0, -2.0 * (1.0 - z), 0.0),
+            )
+            c = dldz * y
+            cx = c[:, None] * X
+            gb = None
+            g = None
+            for i in range(len(y)):
+                ci = float(c[i])
+                gb = ci if gb is None else gb + ci
+                g = cx[i].copy() if g is None else g + cx[i]
+            step = self._step / (1.0 + 0.02 * t)
+            gb = gb / n
+            w = [
+                wj - step * (float(g[j]) / n + self._reg * wj)
+                for j, wj in enumerate(w)
+            ]
+            b -= step * gb
         return _ModifiedHuberModel(w, b, self._features_col, self._label_col)
 
 

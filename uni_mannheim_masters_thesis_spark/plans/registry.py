@@ -478,7 +478,7 @@ _COST_HINT: dict[str, float] = {
     # firing on every run (modified-huber's 30 serial GD barriers and
     # gbt's 10 sequential trees otherwise triple-execute per bench).
     "battery_logistic_regression": 1.7, "battery_linear_svc": 2.1,
-    "battery_modified_huber_sgd": 8.0, "battery_gaussian_nb": 1.0,
+    "battery_modified_huber_sgd": 2.0, "battery_gaussian_nb": 1.0,
     "battery_decision_tree": 1.3, "battery_random_forest": 3.0,
     "battery_gbt": 3.6,
     "topic_coherence_umass": 3.2, "lda_log_perplexity": 3.1,
