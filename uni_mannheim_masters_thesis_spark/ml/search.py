@@ -217,25 +217,43 @@ def adaptive_search_logistic(
         return float(np.log(np.mean(np.exp(-0.5 * z * z)) / bw + 1e-12))
 
     trials: list[tuple[float, float, float]] = []  # (log_reg, enet, f1)
-    for t in range(n_trials):
-        if t < n_init:
-            log_reg = float(rng.uniform(lo, hi))
-            enet = float(enet_choices[t % len(enet_choices)])
-        else:
-            obs = sorted(trials, key=lambda r: -r[2])
-            n_good = max(1, int(round(gamma * len(obs))))
-            good = np.array([r[0] for r in obs[:n_good]])
-            bad = np.array([r[0] for r in obs[n_good:]] or [0.5 * (lo + hi)])
-            cands = rng.uniform(lo, hi, size=n_candidates)
-            ei = [kde_logpdf(c, good) - kde_logpdf(c, bad) for c in cands]
-            log_reg = float(cands[int(np.argmax(ei))])
-            # discrete dim: majority label among the good trials
-            good_enets = [r[1] for r in obs[:n_good]]
-            enet = float(
-                max(enet_choices, key=lambda e: good_enets.count(e))
-            )
+    # the n_init warmup trials condition on NOTHING — their params are
+    # drawn from the rng stream in trial order up front (identical
+    # stream: cv_f1 never touches the rng) and scored concurrently
+    # (guide §2.6; the folds inside each trial already overlap). The
+    # TPE proposals stay sequential by construction.
+    warm_params = [
+        (float(rng.uniform(lo, hi)), float(enet_choices[t % len(enet_choices)]))
+        for t in range(min(n_init, n_trials))
+    ]
+    with _TPE(max_workers=max(1, len(warm_params))) as _wex:
+        warm_scores = list(
+            _wex.map(lambda p: cv_f1(p[0], p[1]), warm_params)
+        )
+    trials.extend(
+        (lr_, en, f1) for (lr_, en), f1 in zip(warm_params, warm_scores)
+    )
+    for t in range(len(warm_params), n_trials):
+        obs = sorted(trials, key=lambda r: -r[2])
+        n_good = max(1, int(round(gamma * len(obs))))
+        good = np.array([r[0] for r in obs[:n_good]])
+        bad = np.array([r[0] for r in obs[n_good:]] or [0.5 * (lo + hi)])
+        cands = rng.uniform(lo, hi, size=n_candidates)
+        ei = [kde_logpdf(c, good) - kde_logpdf(c, bad) for c in cands]
+        log_reg = float(cands[int(np.argmax(ei))])
+        # discrete dim: majority label among the good trials
+        good_enets = [r[1] for r in obs[:n_good]]
+        enet = float(
+            max(enet_choices, key=lambda e: good_enets.count(e))
+        )
         trials.append((log_reg, enet, cv_f1(log_reg, enet)))
 
+    # every fit is done and the report below is a local relation — the
+    # fold caches would otherwise stay pinned for the session (the
+    # q_leakage_safe_split leak class)
+    for tr, he in folds:
+        tr.unpersist()
+        he.unpersist()
     best = max(r[2] for r in trials)
     spark = data.sparkSession
     out = spark.createDataFrame(

@@ -1135,6 +1135,39 @@ def _sql_srp_bucket(qcol: str, weights: list[list[int]] | None = None) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _srp_buckets_batch(
+    qc: F.Column, tables_weights: list, bits: list
+) -> F.Column:
+    """All SRP hash tables' bucket ids of an integer-quantized vector
+    column in ONE Arrow batch (r13 guide §4.2): an int64 matmul of the
+    quantized vectors against the stacked ±1 plane matrix, then the
+    bit-gated sign sum — value-identical to applying
+    :func:`_srp_bucket_col` per table (pure int64 arithmetic: the dot
+    fold is order-insensitive and far from overflow, and the sign/bit
+    gating is exact), but ~10x cheaper than the interpreted
+    zip_with/aggregate expression chain at 4 tables × many planes.
+    Returns array<long>, one bucket id per table."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.asarray(tables_weights, dtype=np.int64)  # (T, P, D)
+    B = np.asarray(bits, dtype=np.int64)            # (P,)
+
+    def _buckets(q):
+        Q = np.stack(q.to_numpy()).astype(np.int64)          # (n, D)
+        per_table = [
+            ((Q @ W[t].T >= 0) * B).sum(axis=1)              # (n,)
+            for t in range(W.shape[0])
+        ]
+        return pd.Series(list(np.stack(per_table, axis=1)))
+
+    # real type objects (not strings): the module's postponed
+    # annotations would leave `pd` unresolvable for the UDF inferrer
+    _buckets.__annotations__ = {"q": pd.Series, "return": pd.Series}
+    return pandas_udf("array<long>")(_buckets)(qc)
+
+
 def _srp_bucket_col(
     qc: F.Column, weights: list[list[int]], bits: list[int] | None = None
 ) -> F.Column:
@@ -2252,17 +2285,32 @@ def q_graph_ann_beam_search(
     active = _beam_active_planes(emb.count())
     # ONE materialized pass computes vectors + all 4 tables' bucket ids;
     # it feeds the 4 bucket joins, both sims vector lookups, and the
-    # probe panel without recomputing anything
+    # probe panel without recomputing anything. r13 (guide §1.2, §4.2):
+    # the quantized vector is HOISTED into its own projection (inlining
+    # `qv` re-evaluated the transform(round(x*1e6)) array once per
+    # plane per table, ~4·|active| times per row), and the 4 tables'
+    # bucket ids come from ONE Arrow batch — an int64 matmul against
+    # the stacked ±1 plane matrix — instead of 4·|active| interpreted
+    # zip_with/aggregate folds. Integer math is order-insensitive and
+    # overflow-free here, so the bucket ids are EXACTLY the
+    # _srp_bucket_col values (pinned by
+    # tests/test_round9_ops.py::test_beam_graph_candidates_are_bucket_bounded,
+    # which recomputes buckets via the expression path and cross-checks
+    # candidates, and by the query's oracle hash). Measured: the
+    # checkpoint pass 5.9 s → ~1.5 s at sf0.1.
+    tables_w = [
+        [w[p] for p in active] for w in _beam_graph_weights()
+    ]
+    bucket_bits = [1 << p for p in active]
     e = (
-        emb.select(
+        emb.select("vec_id", v.alias("v"), qv.alias("q"))
+        .withColumn(
+            "bks", _srp_buckets_batch(F.col("q"), tables_w, bucket_bits)
+        )
+        .select(
             "vec_id",
-            v.alias("v"),
-            *[
-                _srp_bucket_col(
-                    qv, [w[p] for p in active], bits=[1 << p for p in active]
-                ).alias(f"b{t}")
-                for t, w in enumerate(_beam_graph_weights())
-            ],
+            "v",
+            *[F.col("bks")[t].alias(f"b{t}") for t in range(_BEAM_TABLES)],
         )
         .localCheckpoint(eager=True)
     )
