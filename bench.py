@@ -320,6 +320,20 @@ def main() -> None:
             100.0 * (steal1 - _cpu0[0]) / (total1 - _cpu0[1]), 2
         )
 
+    # Shared-build honesty (r12 verdict item 5): queries riding
+    # session-shared memoized builds (LDA, scaled split, kernel-sweep
+    # frames, PQ codebooks, ...) report near-zero warm walls; the
+    # one-time build cost lands on whichever query touches the cache
+    # first. Exporting the per-build walls next to the query timings
+    # keeps the two readable separately — a pin measures plan cost,
+    # not cache luck.
+    try:
+        from uni_mannheim_masters_thesis_spark.ml import shared as _ml_shared
+
+        shared_build_s = dict(sorted(_ml_shared.BUILD_WALLS.items()))
+    except Exception:  # noqa: BLE001
+        shared_build_s = {}
+
     full = {
         "metric": "total_registry_query_seconds",
         "value": total,
@@ -331,6 +345,7 @@ def main() -> None:
         "regressions_vs_pinned": regressions,
         "pinned_sf": pinned_sf,
         "host_steal_pct": steal_pct,
+        "shared_build_s": shared_build_s,
     }
     with open(os.path.join(_REPO, "bench_full.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

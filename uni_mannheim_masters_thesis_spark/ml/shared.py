@@ -18,10 +18,43 @@ seed, so sharing is observationally equivalent to re-fitting.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_CACHE: dict[tuple, object] = {}
+
+class _TimedCache(dict):
+    """Build-wall accounting for the shared-artifact cache (r12 verdict
+    item 5: bench numbers for queries riding session-shared memoized
+    builds should be readable next to the build cost they amortize,
+    so a 0.02 s warm wall is never mistaken for per-query cost).
+
+    Every builder follows ``if key not in _CACHE: ... _CACHE[key] =``,
+    so a miss observed via ``in`` stamps the build start and the
+    subsequent insert records the INCLUSIVE wall (nested shared builds
+    count inside their parent) in :data:`BUILD_WALLS` under the key's
+    tag. Pure observability — lookup/insert semantics are unchanged.
+    """
+
+    def __contains__(self, key) -> bool:  # noqa: D105
+        present = super().__contains__(key)
+        if not present:
+            _BUILD_T0[key] = time.time()
+        return present
+
+    def __setitem__(self, key, value) -> None:  # noqa: D105
+        t0 = _BUILD_T0.pop(key, None)
+        if t0 is not None and not super().__contains__(key):
+            BUILD_WALLS[str(key[2])] = round(time.time() - t0, 3)
+        super().__setitem__(key, value)
+
+
+_CACHE: dict[tuple, object] = _TimedCache()
+_BUILD_T0: dict[tuple, float] = {}
+#: tag -> inclusive build seconds, filled the first time a session
+#: builds each shared artifact (bench.py exports it as shared_build_s)
+BUILD_WALLS: dict[str, float] = {}
 
 
 def _key(spark: SparkSession, sf_dir: str, tag: str) -> tuple:
