@@ -961,8 +961,15 @@ def q_streaming_lakehouse_sink(
     from ..sources.lakehouse import read_table
     from ..streaming.lakehouse_sink import stream_cdc_into_table
 
+    # the table lives only for this query (deleted in the finally) —
+    # prefer tmpfs like the streaming checkpoints (_CKPT_ROOT): the 5
+    # sequential CoW MERGE commits then write their parquet versions +
+    # manifests to RAM instead of paying /tmp fsyncs per batch. On a
+    # real deployment the sink targets durable storage; this knob is
+    # test-lifetime only, the commit protocol is unchanged.
+    _shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     tdir = os.path.join(
-        tempfile.mkdtemp(prefix="umt_stream_sink_"), "tbl"
+        tempfile.mkdtemp(prefix="umt_stream_sink_", dir=_shm), "tbl"
     )
     try:
         ev = stream_cdc_into_table(spark, sf_dir, tdir)

@@ -1239,16 +1239,27 @@ def q_semantic_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently zero the affected planes' votes (DuckDB's list_dot_product
     # errors; the Spark side must too, not mis-bucket).
     checked = F.when(
-        F.size(v) == _SRP_DIM, bucket_col(qv)
+        F.size("v") == _SRP_DIM, bucket_col(F.col("q"))
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"semantic_dedup_srp: embedding width != {_SRP_DIM}: "),
-                F.size(v).cast("string"),
+                F.size("v").cast("string"),
             )
         )
     )
-    base = emb.select("vec_id", v.alias("v"), checked.alias("bucket"))
+    # r13 (guide §1.2): hoist the quantized vector into a named column
+    # (inlining `qv` re-evaluated transform(round(x*1e6)) once per
+    # plane) and CHECKPOINT the bucketed relation — base feeds both
+    # self-join sides and the final keep-join, so without the pin the
+    # interpreted SRP bucket fold ran 3x over the corpus. Values are
+    # untouched (same expressions, evaluated once); the query stays
+    # oracle-hash-exact.
+    base = (
+        emb.select("vec_id", v.alias("v"), qv.alias("q"))
+        .select("vec_id", "v", checked.alias("bucket"))
+        .localCheckpoint(eager=True)
+    )
     a = base.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
     )
