@@ -155,13 +155,16 @@ def test_smote_extreme_shortfall_reaches_parity(spark):
     assert len(synth_ids) == len(set(synth_ids)) == 37
 
 
-def test_connected_components_raises_on_non_convergence(spark):
+def test_connected_components_raises_on_non_convergence(spark, monkeypatch):
     import pytest as _pytest
 
     from uni_mannheim_masters_thesis_spark.operators.dedup import (
         connected_components,
     )
 
+    # the guard lives in the distributed loop; pin that path (r13's
+    # small-edge-list dispatch would otherwise resolve the chain locally)
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_BUDGET", "0")
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "id_a long, id_b long"
     )

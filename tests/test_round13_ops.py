@@ -414,3 +414,40 @@ def test_huber_gd_local_dispatch_is_bit_identical(spark, monkeypatch):
     assert len(m_local.weights) == len(m_dist.weights)
     for a, b in zip(m_local.weights, m_dist.weights):
         assert a == b, (a, b, a - b)
+
+
+def test_connected_components_local_dispatch_matches_distributed(
+    spark, monkeypatch
+):
+    """r13: the driver-side union-find the small-edge-list dispatch uses
+    must return EXACTLY the distributed min-label fixpoint's rows —
+    cluster = smallest reachable id, one row per node seen in an edge."""
+    from uni_mannheim_masters_thesis_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = np.random.RandomState(13)
+    # chains, a star, a cycle, isolated pairs, plus random extra edges
+    edges = (
+        [(i, i + 1) for i in range(0, 12)]          # chain 0..12
+        + [(100, j) for j in range(101, 109)]       # star at 100
+        + [(200, 201), (201, 202), (202, 200)]      # triangle
+        + [(300, 301), (400, 401)]                  # isolated pairs
+        + [
+            (int(a), int(b))
+            for a, b in rng.randint(500, 540, size=(25, 2))
+            if a != b
+        ]
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_BUDGET", "1000000")
+    local_rows = sorted(
+        (r["node"], r["cluster"]) for r in connected_components(df).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_BUDGET", "0")
+    dist_rows = sorted(
+        (r["node"], r["cluster"]) for r in connected_components(df).collect()
+    )
+    assert local_rows == dist_rows
+    assert len(local_rows) == len({n for n, _ in local_rows})

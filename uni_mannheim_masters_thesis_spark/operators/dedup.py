@@ -18,11 +18,53 @@ training-data pipeline needs:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.ml.feature import CountVectorizer, MinHashLSH
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _cc_local(both: DataFrame) -> DataFrame:
+    """Driver-side union-find over a collected (u, v) edge list.
+
+    Computes exactly the distributed fixpoint's answer — for every node
+    appearing in an edge, cluster = the smallest node id in its
+    component — with the same [node, cluster] schema. Pure integer
+    arithmetic on the edge SET: deterministic under any edge order or
+    partitioning."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in both.collect():
+        u, v = r[0], r[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    # min id per component root, then node -> component min
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = comp_min.get(root)
+        if cur is None or node < cur:
+            comp_min[root] = node
+    rows = sorted((node, comp_min[find(node)]) for node in parent)
+    schema = both.select(
+        F.col("u").alias("node"), F.col("u").alias("cluster")
+    ).schema
+    return both.sparkSession.createDataFrame(rows, schema)
 
 
 def exact_dedup(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -294,6 +336,15 @@ def connected_components(
     At 100 TB the same loop runs with the label table checkpointed every
     few rounds to cut lineage; iterations are bounded by component
     diameter, which for near-dup graphs is small (dups cluster densely).
+
+    Edge lists small enough to collect (≤ ``SPARK_GRAFT_CC_LOCAL_BUDGET``
+    edges, default 200k — near-dup graphs at bench scale are a few
+    hundred) resolve driver-side with union-find instead: the fixpoint
+    (cluster = smallest reachable id) is a pure function of the edge
+    SET, so the two paths return identical rows, and the multi-round
+    join/checkpoint/convergence-count overhead (~0.4 s/round of fixed
+    scheduling at any data size) collapses to one collect. Above the
+    budget the distributed loop runs unchanged — the 100 TB shape.
     """
     # localCheckpoint (NOT cache+unpersist) is load-bearing here: an
     # iterative loop over cached frames hits cascading cache
@@ -307,6 +358,10 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    budget = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_BUDGET", "200000"))
+    # both holds each edge twice; count is ~free on the checkpoint
+    if both.count() <= 2 * budget:
+        return _cc_local(both)
     labels = (
         both.select(F.col("u").alias("node"))
         .distinct()

@@ -1556,12 +1556,23 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_shards = 16
     docs = _t(spark, sf_dir, "documents")
+    # the test-scale documents table is ONE parquet file = one input
+    # partition, which would serialize the whole CPU-bound token
+    # pipeline (tokenize + 4 array passes per row); spread it first.
+    # At 100 TB the scan already yields a partition per split and this
+    # branch never fires (binary_dedup's cdc_near_duplicates idiom).
+    par = spark.sparkContext.defaultParallelism
+    pipe_src = (
+        docs.repartition(par, "doc_id")
+        if docs.rdd.getNumPartitions() < par
+        else docs
+    )
     # ONE clean+split pass: rt materializes in its own projection (the
     # gopher_admission CSE discipline — CollapseProject won't inline a
     # multiply-referenced non-trivial alias), and the clean token
     # pipeline derives from rt per tokens_pipeline's own definition
     # instead of re-running the cleaning regex on the raw text.
-    raw = docs.select(
+    raw = pipe_src.select(
         "doc_id", "source", tokenize(F.col("text")).alias("rt")
     ).withColumn(
         "t",
@@ -1602,8 +1613,14 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # AQE coalesces the exact-dedup exchange to ONE ~MB-sized partition,
+    # which would serialize the shingle build here and the 8-way md5
+    # MinHash signatures downstream (the pipeline's hottest expressions);
+    # re-spread the NARROW rows before computing either. Result-neutral:
+    # every consumer is an equi-join or aggregation over the row set.
     ts = (
         exact.filter(F.size("t") >= 3)
+        .repartition(par, "doc_id")
         .select("doc_id", "source", "t", shingles.alias("sh"))
         .localCheckpoint(eager=True)
     )

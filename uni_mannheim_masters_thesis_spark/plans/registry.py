@@ -593,7 +593,7 @@ _COST_HINT: dict[str, float] = {
     "topic_quality_suite": 11.7, "resampling_report": 3.7,
     "multimodal_pipeline": 1.5, "curation_suite": 26.0,
     # --- round-10 additions (engine-side seconds at sf0.1) ---------------
-    "curation_pipeline_e2e": 7.1,
+    "curation_pipeline_e2e": 5.5,
     "binary_dedup_manifest": 3.8, "binary_chunk_savings": 1.6,
     "binary_neardup_pairs": 2.0,
     # index-lifecycle reads over the shared persisted IVF index
