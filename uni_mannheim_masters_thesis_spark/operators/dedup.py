@@ -67,6 +67,23 @@ def _cc_local(both: DataFrame) -> DataFrame:
     return both.sparkSession.createDataFrame(rows, schema)
 
 
+def _dedup_pairs_wide(cand: DataFrame, *keys: str) -> DataFrame:
+    """Distinct candidate pairs, partitioned WIDE for the verify stage.
+
+    Candidate-pair relations are slim (two ids) but carry heavy
+    downstream per-row work — the exact-Jaccard verify evaluates
+    array_intersect over both token sets for every pair. AQE coalesces
+    the dropDuplicates exchange by BYTES (one ~MB partition for
+    hundreds of thousands of pairs), which serializes that verify on a
+    single core. Pinning the exchange width to the cluster parallelism
+    keeps the SAME single shuffle (the aggregate reuses the explicit
+    hash partitioning on the pair key) while the verify runs wide. The
+    trade: map-side partial dedup is lost, so up to n_bands× more slim
+    pair rows shuffle — bounded and cheap next to the verify CPU."""
+    par = cand.sparkSession.sparkContext.defaultParallelism
+    return cand.repartition(par, *keys).dropDuplicates(list(keys))
+
+
 def exact_dedup(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Exact dedup on ``cols`` (D1: dropDuplicates)."""
     return df.dropDuplicates(list(cols))
@@ -287,7 +304,7 @@ def minhash_banded_pairs(
     ts = minhash_token_sets(docs, id_col, tokens_col)
     bands = minhash_band_table(ts, n_sig=n_sig, n_bands=n_bands)
 
-    cand = (
+    cand = _dedup_pairs_wide(
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -295,8 +312,9 @@ def minhash_banded_pairs(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")),
+        "id_a",
+        "id_b",
     )
     xa = ts.select(F.col("id").alias("id_a"), F.col("ts").alias("ta"))
     xb = ts.select(F.col("id").alias("id_b"), F.col("ts").alias("tb"))
@@ -552,22 +570,23 @@ def incremental_fuzzy_dedup(
             .select("aid", "mid", "dist")
         )
 
-    cand_exist = (
+    cand_exist = _dedup_pairs_wide(
         abands.alias("a")
         .join(
             existing_bands.alias("e"),
             (F.col("a.band") == F.col("e.band"))
             & (F.col("a.bh") == F.col("e.bh")),
         )
-        .select(F.col("a.id").alias("aid"), F.col("e.id").alias("mid"))
-        .dropDuplicates(["aid", "mid"])
+        .select(F.col("a.id").alias("aid"), F.col("e.id").alias("mid")),
+        "aid",
+        "mid",
     )
     # right side: ALL lower-id batch-mates (greedy-vs-union policy),
     # whose bands come from the full arriving set
     all_abands = minhash_band_table(
         ats.select("id", "ts"), n_sig=n_sig, n_bands=n_bands
     )
-    cand_intra = (
+    cand_intra = _dedup_pairs_wide(
         abands.alias("a")
         .join(
             all_abands.alias("b"),
@@ -575,8 +594,9 @@ def incremental_fuzzy_dedup(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") > F.col("b.id")),
         )
-        .select(F.col("a.id").alias("aid"), F.col("b.id").alias("mid"))
-        .dropDuplicates(["aid", "mid"])
+        .select(F.col("a.id").alias("aid"), F.col("b.id").alias("mid")),
+        "aid",
+        "mid",
     )
     fuzzy = _verify(
         cand_exist, fts.select("id", "ts"), ets.select("id", "ts")
@@ -586,15 +606,16 @@ def incremental_fuzzy_dedup(
         ).withColumn("from_batch", F.lit(True))
     )
     if prior_bands is not None:
-        cand_prior = (
+        cand_prior = _dedup_pairs_wide(
             abands.alias("a")
             .join(
                 prior_bands.alias("p"),
                 (F.col("a.band") == F.col("p.band"))
                 & (F.col("a.bh") == F.col("p.bh")),
             )
-            .select(F.col("a.id").alias("aid"), F.col("p.id").alias("mid"))
-            .dropDuplicates(["aid", "mid"])
+            .select(F.col("a.id").alias("aid"), F.col("p.id").alias("mid")),
+            "aid",
+            "mid",
         )
         fuzzy = fuzzy.unionByName(
             _verify(
