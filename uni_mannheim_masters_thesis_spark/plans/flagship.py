@@ -47,11 +47,27 @@ def flagship_polysemy(
         tokens_pipeline(F.col("text")).alias("tokens"),
     ).filter(F.size("tokens") >= F.lit(MIN_DOC_WORDS))
 
+    # the token pipeline feeds TWO passes (CountVectorizer's vocabulary
+    # count and the transform that materializes the corpus) — cache it
+    # so tokenize runs once; same rows, same partitioning, so the fit
+    # is bit-identical
+    toks = toks.cache()
     # cached across the LDA fit's EM iterations and the final transform
     _, corpus = vectorize(toks, vocab_size=1 << 16)
     corpus = corpus.cache()
     model = fit_lda(corpus, k=k, max_iter=max_iter)
-    dist = infer_topics(model, corpus)
+    toks.unpersist()
+    # the FIT must see the corpus exactly as built (the online
+    # optimizer's mini-batch sampling is partitioning-sensitive — the
+    # rows-only result contract), but per-doc topic inference is
+    # row-local and deterministic: spread the one-file-scan corpus
+    # across cores for the transform only. At 100 TB the cached corpus
+    # already has a partition per split and this branch never fires.
+    par = spark.sparkContext.defaultParallelism
+    inf_src = corpus
+    if corpus.rdd.getNumPartitions() < par:
+        inf_src = corpus.repartition(par)
+    dist = infer_topics(model, inf_src)
     scored = dist.withColumn(
         "n_topics", polysemy_n_topics(F.col("topicDistribution"), min_probability)
     ).withColumn("is_polysemous", F.col("n_topics") > F.lit(min_topics))

@@ -455,7 +455,7 @@ _COST_HINT: dict[str, float] = {
     "embedding_norm_stats": 0.3, "polysemy_rule_vectors": 0.3,
     "events_hourly": 0.3, "events_sessionization": 0.4,
     "events_json_extract": 0.4, "event_type_share": 0.3,
-    "top_users_by_value": 0.3, "flagship_polysemy": 3.9,
+    "top_users_by_value": 0.3, "flagship_polysemy": 3.0,
     "minhash_neardup_pairs": 2.5, "simhash_documents": 1.5,
     "streaming_events_hourly": 2.6, "nquads_provenance": 2.2,
     "lemmatized_tokens": 0.4, "replace_rewrite": 0.1,
