@@ -18,6 +18,7 @@ from ._shared import (
     Window,
     _dec,
     _register,
+    _spread,
     _t,
     ordered_dense_rank,
     sql_simple_tokens,
@@ -1135,13 +1136,23 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     B = 256
     docs = _t(spark, sf_dir, "documents")
-    inst = docs.select(
-        "doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("tok")
-    ).select(
-        "doc_id",
-        "lang",
-        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % B)
-        .alias("bucket"),
+    # tokenize+explode+md5 bucketing is row-local and every downstream
+    # aggregate is exact (counts / decimal sums): spread the one-file
+    # scan, then settle the slim (doc_id, lang, bucket) relation ONCE —
+    # four consumers (qc, tc, tot, per_doc) read it, and re-evaluating
+    # the explode per consumer is exactly the work that dominates
+    inst = (
+        _spread(docs, "doc_id")
+        .select(
+            "doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("tok")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % B)
+            .alias("bucket"),
+        )
+        .localCheckpoint(eager=True)
     )
     qc = inst.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
     tc = (
@@ -1206,6 +1217,10 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (-(F.col("logw6") + F.col("g9"))).alias("negkey"), F.col("doc_id")
             ),
         )
+        # settle the doc-sized score relation: repartitionByRange inside
+        # ordered_dense_rank otherwise evaluates the whole aggregation
+        # lineage TWICE (boundary-sampling pass + shuffle pass)
+        .localCheckpoint(eager=True)
     )
     ranked = ordered_dense_rank(scored, "__ord", rank_col="sel_rank")
     n = ranked.count()  # scalar over the checkpointed frame

@@ -18,6 +18,7 @@ from ._shared import (
     _dec,
     _dsum,
     _register,
+    _spread,
     _t,
     streaming_hourly_event_stats,
 )
@@ -2145,7 +2146,10 @@ def _sql_poisson_weight(u_expr: str) -> str:
     "bounded cells.",
 )
 def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # the ×B in-row fan-out and per-(row, replicate) weight arithmetic
+    # dominate; every aggregate is exact integer/decimal math, so
+    # spreading the one-file scan is value-identical (no-op at scale)
+    ev = _spread(_t(spark, sf_dir, "events"), "event_id")
     base = ev.select(
         "event_type",
         (

@@ -17,6 +17,7 @@ from ._shared import (
     Window,
     _ann_index_dir,
     _register,
+    _spread,
     _t,
     add_simhash,
     cosine_similarity,
@@ -253,7 +254,9 @@ def _sql_simhash60() -> str:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import portable_hash60
 
-    docs = _t(spark, sf_dir, "documents")
+    # tokenize + per-token md5 + bit-majority fold are row-local: spread
+    # the one-file scan so they run a core per split (no-op at scale)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select("doc_id", tokens_pipeline(F.col("text")).alias("tokens"))
     return add_simhash(
         toks, "tokens", hash_fn=portable_hash60, n_bits=60

@@ -19,6 +19,7 @@ from ._shared import (
     TS,
     Window,
     _register,
+    _spread,
     _t,
     clean_string,
     cosine_similarity,
@@ -586,7 +587,9 @@ _WINNOW_W = 4  # winnowing guarantee window (hashes per selection window)
 def q_winnowing_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import POLY_WEIGHTS, POLY_WINDOW
 
-    docs = _t(spark, sf_dir, "documents")
+    # the per-char polynomial + window minima are row-local: spread the
+    # one-file scan so the map work runs a core per split (no-op at scale)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     cleaned = clean_string(F.col("text"))
     cs = F.transform(F.split(cleaned, ""), lambda ch: F.ascii(ch).cast("long"))
     row = F.array(F.struct(cleaned.alias("c"), cs.alias("cs")))

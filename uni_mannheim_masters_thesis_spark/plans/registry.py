@@ -555,7 +555,7 @@ _COST_HINT: dict[str, float] = {
     # interval-join hint tracks the cap=2 steady state (~2.1s warm,
     # r12) so a cold-planning spike (4.7s seen in the r11 driver run)
     # trips the retime guard instead of escaping under the stale 6.0
-    "winnowing_fingerprint_set": 3.4, "streaming_interval_join": 2.4,
+    "winnowing_fingerprint_set": 1.8, "streaming_interval_join": 2.4,
     "partitioned_write_pruning": 0.8, "orc_corpus_roundtrip": 0.5,
     "mixture_temperature_weights": 0.3, "paragraph_dedup": 1.0,
     "streaming_heavy_hitters": 2.5, "inverted_index_postings": 1.2,
@@ -579,7 +579,7 @@ _COST_HINT: dict[str, float] = {
     "gini_concentration": 1.4, "revenue_yoy_growth": 1.3,
     "streaming_drift_monitor": 3.5, "seasonal_anomaly_report": 1.5,
     "winsorized_stats": 0.7, "conversion_lag_percentiles": 0.9,
-    "bootstrap_mean_ci": 3.0, "retrieval_metrics_ndcg": 1.2,
+    "bootstrap_mean_ci": 1.8, "retrieval_metrics_ndcg": 1.2,
     "ab_test_welch": 0.6, "label_centroid_similarity": 1.6,
     "share_of_parent_rollup": 0.9, "scd2_point_in_time_join": 1.8,
     "multimodal_container_parse": 1.0, "sole_blame_suppliers": 1.2,
