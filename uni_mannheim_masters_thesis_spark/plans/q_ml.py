@@ -982,8 +982,18 @@ def q_grouped_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        trend, "user_id long, n_events long, slope_per_sec double"
+    # pin the group exchange wide: AQE otherwise coalesces the tiny
+    # shuffle to one partition and a single Python worker walks all
+    # groups serially. The explicit repartition satisfies the
+    # clustering requirement (same ONE shuffle, explicit width) and the
+    # per-group kernel output is a pure function of the group.
+    par = spark.sparkContext.defaultParallelism
+    return (
+        ev.repartition(par, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            trend, "user_id long, n_events long, slope_per_sec double"
+        )
     )
 
 
