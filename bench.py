@@ -146,6 +146,7 @@ def main() -> None:
         "ann_index_build",          # persisted IVF index tables
         "ann_index_delete",         # deleted-variant index cache
         "streaming_ann_index_refresh",  # streamed-maintenance index cache
+        "incremental_fuzzy_dedup",  # persisted corpus MinHash index
     ):
         try:
             REGISTRY[_prime].fn(spark, sf_dir).write.format("noop").mode(

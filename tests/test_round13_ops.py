@@ -451,3 +451,143 @@ def test_connected_components_local_dispatch_matches_distributed(
     )
     assert local_rows == dist_rows
     assert len(local_rows) == len({n for n, _ in local_rows})
+
+
+def test_ordered_dense_rank_local_dispatch_matches_distributed(
+    spark, monkeypatch
+):
+    """r13: the driver-sort + broadcast-mapping dispatch must return
+    EXACTLY the two-phase range-partitioned rank's rows for every key
+    type the engine ranks (struct-of-ints, strings, struct-of-doubles);
+    NULL keys must fall back to the distributed path, not misrank."""
+    from uni_mannheim_masters_thesis_spark.operators import indexing as IX
+
+    def both(df, col):
+        monkeypatch.setenv("SPARK_GRAFT_RANK_LOCAL_BUDGET", "1000000")
+        loc = sorted(map(tuple, IX.ordered_dense_rank(df, col).collect()))
+        monkeypatch.setenv("SPARK_GRAFT_RANK_LOCAL_BUDGET", "0")
+        dist = sorted(map(tuple, IX.ordered_dense_rank(df, col).collect()))
+        return loc, dist
+
+    rng = np.random.RandomState(5)
+    # struct-of-(int, long) keys (the rfm_segments shape)
+    ints = spark.createDataFrame(
+        [(int(v), i) for i, v in enumerate(rng.permutation(500))],
+        "v int, id long",
+    ).withColumn("__k", F.struct("v", "id"))
+    loc, dist = both(ints, "__k")
+    assert loc == dist and len(loc) == 500
+
+    # unique string keys incl. non-ASCII (UTF-8 byte order == code-point
+    # order, so the driver sort must agree with UTF8String comparison)
+    toks = [f"tok_{i:03d}" for i in range(80)] + ["zz", "ärm", "émigré", "中文"]
+    strs = spark.createDataFrame([(t,) for t in toks], "token string")
+    loc, dist = both(strs, "token")
+    assert loc == dist and len(loc) == len(toks)
+
+    # struct-of-(double, long) keys with negatives/near-ties
+    dbl = spark.createDataFrame(
+        [(float(v), i) for i, v in enumerate(rng.normal(size=300))],
+        "score double, id long",
+    ).withColumn("__k", F.struct((-F.col("score")).alias("ns"), "id"))
+    loc, dist = both(dbl, "__k")
+    assert loc == dist and len(loc) == 300
+
+    # NULL key → local path must decline (fall back) and still rank
+    monkeypatch.setenv("SPARK_GRAFT_RANK_LOCAL_BUDGET", "1000000")
+    withnull = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "token string"
+    )
+    rows = {
+        r["token"]: r["rank"]
+        for r in IX.ordered_dense_rank(withnull, "token").collect()
+    }
+    assert rows["a"] < rows["b"] and len(rows) == 3
+
+
+def test_kernel_sweep_identical_fit_memoization_is_sound(spark):
+    """r13: identical-(degree, rp) poly configs share ONE LinearSVC fit.
+    Soundness rests on fit determinism — the same estimator spec on the
+    same cached frame must yield bit-identical models — pinned here
+    directly, plus the sweep's grid staying complete with clamped
+    configs carrying equal rows."""
+    from uni_mannheim_masters_thesis_spark.ml.kernel import kernel_svm_sweep
+    from pyspark.ml.classification import LinearSVC
+    from pyspark.ml.functions import array_to_vector
+
+    rng = np.random.RandomState(3)
+    X = rng.normal(size=(160, 4))
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(float)
+    mk = lambda A, t: spark.createDataFrame(
+        [(list(map(float, r)), float(v)) for r, v in zip(A, t)],
+        "xarr array<double>, label double",
+    ).select(array_to_vector("xarr").alias("features"), "label")
+    train, test = mk(X[:120], y[:120]), mk(X[120:], y[120:])
+
+    # 1) determinism pin: two fits of the same spec on one cached frame
+    cached = train.cache()
+    cached.count()
+    try:
+        spec = dict(maxIter=20, regParam=1e-10, tol=1e-3,
+                    standardization=False)
+        m1 = LinearSVC(**spec).fit(cached)
+        m2 = LinearSVC(**spec).fit(cached)
+        assert m1.intercept == m2.intercept
+        assert list(m1.coefficients) == list(m2.coefficients)
+    finally:
+        cached.unpersist()
+
+    # 2) sweep with a reg_param small enough that every poly config
+    #    folds below the 1e-10 clamp → one fit per degree, fanned out;
+    #    the grid must stay complete and clamped pairs row-equal
+    out = kernel_svm_sweep(
+        train, test, gammas=(10.0, 100.0), degrees=(0, 2, 3), n_rff=16,
+        reg_param=1e-12,
+    ).collect()
+    rows = {(r["kernel"], r["gamma"], r["degree"]): r for r in out}
+    assert len(out) == 1 + 2 + 6
+    for d in (2, 3):
+        a = rows[("poly", 10.0, d)]
+        b = rows[("poly", 100.0, d)]
+        assert a["f1"] == b["f1"]
+        assert a["feat_dim"] == b["feat_dim"]
+    assert all(r["ok_grid_complete"] for r in out)
+
+
+def test_ordered_prefix_sum_local_dispatch_matches_distributed(
+    spark, monkeypatch
+):
+    """r13: the driver-side exclusive prefix sum must return EXACTLY the
+    two-phase range-partitioned scan's longs, and enforce the same
+    null/duplicate-key contract."""
+    from uni_mannheim_masters_thesis_spark.operators import indexing as IX
+
+    rng = np.random.RandomState(17)
+    df = spark.createDataFrame(
+        [
+            (float(s), int(p), int(n))
+            for s, p, n in zip(
+                rng.permutation(400) / 8.0,
+                rng.randint(0, 5, 400),
+                rng.randint(0, 7, 400),
+            )
+        ],
+        "s double, pos int, neg int",
+    )
+    monkeypatch.setenv("SPARK_GRAFT_RANK_LOCAL_BUDGET", "1000000")
+    loc = sorted(
+        map(tuple, IX.ordered_prefix_sum(df, "s", ["pos", "neg"]).collect())
+    )
+    monkeypatch.setenv("SPARK_GRAFT_RANK_LOCAL_BUDGET", "0")
+    dist = sorted(
+        map(tuple, IX.ordered_prefix_sum(df, "s", ["pos", "neg"]).collect())
+    )
+    assert loc == dist and len(loc) == 400
+
+    # contract: duplicate keys raise on the LOCAL path too
+    monkeypatch.setenv("SPARK_GRAFT_RANK_LOCAL_BUDGET", "1000000")
+    dup = spark.createDataFrame(
+        [(1.0, 1, 1), (1.0, 2, 2)], "s double, pos int, neg int"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        IX.ordered_prefix_sum(dup, "s", ["pos", "neg"])

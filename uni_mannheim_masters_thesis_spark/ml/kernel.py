@@ -668,9 +668,28 @@ def kernel_svm_sweep(
     tasks += [("rbf", float(g), None) for g in gammas]
     # degree 0 fits once (γ-invariant); degrees ≥ 1 fit per γ
     tasks += [("poly", None, 0)]
-    tasks += [
-        ("poly", float(g), int(d)) for g in gammas for d in degrees if d > 0
-    ]
+    # Identical-fit memoization (guide §1.2 "don't compute things you
+    # throw away"): the exact γ-fold maps each poly config to
+    # rp = max(regParam/(γ^d·s2_d), 1e-10) on the SAME cached frame —
+    # every config of one degree whose folded rp lands on the same
+    # value (in particular the 1e-10 clamp, which γ=10 and γ=100 both
+    # hit from degree 2 up) specifies the IDENTICAL LinearSVC fit:
+    # same data, same params, same deterministic OWLQN trajectory.
+    # Fit each distinct (degree, rp) once and share the (feat_dim, f1)
+    # result across its configs — observationally identical to
+    # re-running the fit (the duplicate fits already returned equal
+    # rows), minus the duplicate fit + transform + evaluate jobs.
+    def _poly_rp(g: float, d: int) -> float:
+        return max(reg_param / (float(g) ** d * s2_by_degree[d]), 1e-10)
+
+    rp_groups: dict[tuple, list[tuple]] = {}
+    for g in gammas:
+        for d in degrees:
+            if d > 0:
+                rp_groups.setdefault(
+                    (int(d), _poly_rp(float(g), int(d))), []
+                ).append(("poly", float(g), int(d)))
+    tasks += [members[0] for members in rp_groups.values()]
     # shortest-fit-first (SPT): measured cold-session profile shows the
     # first pool wave pays the JVM's one-time JIT/codegen warm-up for
     # the whole LinearSVC/OWLQN path — a longest-first schedule lands
@@ -689,12 +708,24 @@ def kernel_svm_sweep(
         return 1100.0 if key[0] in ("rbf", "linear") else 500.0
 
     tasks.sort(key=_cost)
+    # pool width: each fit is ~20 sequential sub-100ms OWLQN barrier
+    # jobs, so wall ≈ (sum of fit walls) / width until the DAGScheduler
+    # event loop saturates. r13 interleaved A/B (same session, warm):
+    # width 8 → 15.4/16.8 s vs width 4 → 21.1/21.9/25.5 s; the old
+    # 12-wide measurement (119 s) predates the multi-partition frames.
+    # Env-tunable for deployments where the scheduler is busier.
+    pool_w = int(_os.environ.get("SPARK_GRAFT_SWEEP_POOL", "8"))
     try:
-        with ThreadPoolExecutor(max_workers=4) as ex:
+        with ThreadPoolExecutor(max_workers=pool_w) as ex:
             for key, res in ex.map(fit_task, tasks):
                 if key == ("poly", None, 0):
                     for g in gammas:
                         results[("poly", float(g), 0)] = res
+                elif key[0] == "poly":
+                    # share the representative fit's row with every
+                    # config in its identical-(degree, rp) group
+                    for member in rp_groups[(key[2], _poly_rp(key[1], key[2]))]:
+                        results[member] = res
                 else:
                     results[key] = res
     finally:

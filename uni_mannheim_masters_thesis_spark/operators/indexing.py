@@ -26,16 +26,88 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _nan_free_key(v):
+    """Driver-sort key matching Spark's orderings for the key types the
+    rank/prefix contracts allow (unique, non-null): Row is a tuple
+    subclass → struct keys compare fieldwise; str comparison is
+    code-point order == UTF8String byte order. NULLs and NaNs order
+    differently in Python than Spark's null-first/NaN-last — raise
+    TypeError so the caller falls back to the distributed path."""
+    if v is None:
+        raise TypeError("null key")
+    if isinstance(v, float) and v != v:
+        raise TypeError("NaN key")
+    if isinstance(v, tuple):
+        return tuple(_nan_free_key(x) for x in v)
+    return v
 
 
 def ordered_dense_rank(
-    df: DataFrame, order_col: str, rank_col: str = "rank", n_parts: int = 32
+    df: DataFrame, order_col: str, rank_col: str = "rank", n_parts: int = 32,
+    local_ok: bool = True,
 ) -> DataFrame:
     """Append 1-based ``rank_col`` = global rank of ``order_col``.
 
     Keys must be unique (vocabulary terms, manifest paths, …); with
     duplicates the tie-break within a range partition is undefined.
+
+    Key sets within ``SPARK_GRAFT_RANK_LOCAL_BUDGET`` rows (default
+    200k — vocab/manifest/per-customer frames at bench scale are a few
+    thousand) rank via a DRIVER-side sort + broadcast mapping instead:
+    the rank of a unique key under a total order is a pure function of
+    the key SET, so the two paths return identical rows, and the range
+    shuffle + per-call double lineage evaluation (repartitionByRange's
+    boundary-sampling pass) + checkpoint + counts-collect + window
+    collapse to one materialization and a broadcast hash join. Python's
+    tuple/str comparison matches Spark's struct/UTF8String orderings
+    (UTF-8 byte order equals code-point order) for the unique numeric/
+    string keys the contract allows. Above the budget the two-phase
+    distributed shape runs unchanged — the 100 TB path.
+
+    ``local_ok=False`` keeps a call on the distributed path at any
+    size: the two paths emit the same ROWS but different output
+    partitioning/row order, so a caller whose downstream aggregates
+    raw doubles (order-sensitive float summation) pins the shape its
+    committed values were produced under (A/B evidence: rfm_segments'
+    avg_monetary moved 1 ulp at sf0.1 under the local path; every
+    other consumer is row-identical).
     """
+    import os
+
+    budget = int(os.environ.get("SPARK_GRAFT_RANK_LOCAL_BUDGET", "200000"))
+    if budget > 0 and local_ok:
+        # one materialization of the input (the distributed path pays
+        # this too, via repartitionByRange sampling + shuffle); the
+        # size probe is a count on the materialized snapshot — never a
+        # driver collect of rows that might then be thrown away
+        snap = df.localCheckpoint(eager=True)
+        if snap.count() <= budget:
+            keys = snap.select(order_col).collect()
+            try:
+                ordered = sorted(_nan_free_key(r[0]) for r in keys)
+            except TypeError:
+                ordered = None
+        else:
+            ordered = None
+        if ordered is not None:
+            spark = df.sparkSession
+            key_type = snap.schema[order_col].dataType
+            mapping = spark.createDataFrame(
+                [(k, i) for i, k in enumerate(ordered, start=1)],
+                StructType(
+                    [
+                        StructField(order_col, key_type),
+                        StructField(rank_col, LongType()),
+                    ]
+                ),
+            )
+            return snap.join(F.broadcast(mapping), order_col).select(
+                *df.columns, rank_col
+            )
+        df = snap  # already materialized; reuse for the range shuffle
     # MATERIALIZE the range partitioning exactly once before anything
     # reads it. repartitionByRange picks its boundaries by reservoir-
     # sampling with a seed derived from per-execution RDD ids, so two
@@ -131,7 +203,69 @@ def ordered_prefix_sum(
     ``Window.orderBy`` (one-executor funnel, banned package-wide) and
     the O(k²) triangular self-join (fine for dozens of cells, ~10 s by
     a few thousand).
+
+    Same local dispatch as :func:`ordered_dense_rank`: key sets within
+    ``SPARK_GRAFT_RANK_LOCAL_BUDGET`` prefix-sum on the driver (exact
+    Python-int accumulation over the same strictly-smaller-key order)
+    and broadcast the mapping back — identical longs, minus the range
+    shuffle, double lineage evaluation and window. The null/duplicate
+    contract check is enforced identically on both paths.
     """
+    import os
+
+    budget = int(os.environ.get("SPARK_GRAFT_RANK_LOCAL_BUDGET", "200000"))
+    if budget > 0:
+        snap = df.localCheckpoint(eager=True)
+        if snap.count() <= budget:
+            rows = snap.select(order_col, *val_cols).collect()
+            keys = [r[0] for r in rows]
+            n_null = sum(1 for k in keys if k is None)
+            seen: set = set()
+            try:
+                for k in keys:
+                    if k is not None:
+                        seen.add(k)
+                n_dup = (len(keys) - n_null) - len(seen)
+            except TypeError:  # unhashable key type — let Spark handle
+                n_dup, seen = 0, None
+            if n_null or n_dup:
+                raise ValueError(
+                    f"ordered_prefix_sum: order_col {order_col!r} must "
+                    f"be a non-null total order; found {n_null} NULL "
+                    f"and {n_dup} duplicate key(s)"
+                )
+            if seen is not None:
+                try:
+                    ordered = sorted(
+                        rows,
+                        key=lambda r: _nan_free_key(r[0]),
+                    )
+                except TypeError:
+                    ordered = None
+                if ordered is not None:
+                    spark = df.sparkSession
+                    acc = [0] * len(val_cols)
+                    out_rows = []
+                    for r in ordered:
+                        out_rows.append((r[0], *acc))
+                        acc = [
+                            a + int(v or 0)
+                            for a, v in zip(acc, list(r)[1:])
+                        ]
+                    key_type = snap.schema[order_col].dataType
+                    fields = [StructField(order_col, key_type)] + [
+                        StructField(prefix + c, LongType())
+                        for c in val_cols
+                    ]
+                    mapping = spark.createDataFrame(
+                        out_rows, StructType(fields)
+                    )
+                    return snap.join(
+                        F.broadcast(mapping), order_col
+                    ).select(
+                        *df.columns, *[prefix + c for c in val_cols]
+                    )
+        df = snap
     ranged = (
         df.repartitionByRange(n_parts, F.col(order_col))
         .withColumn("__pid", F.spark_partition_id())

@@ -502,8 +502,19 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokenize
 
+    from ._shared import _spread
+
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    # settle the tokenize pass ONCE, spread across cores: the plan
+    # consumes `toks` three times (bigram instances, bigram counts,
+    # unigram counts) and the one-file scan would run the per-doc
+    # tokenize single-core per consumer. Every downstream aggregate is
+    # an exact count / DECIMAL sum, so partitioning cannot move values
+    # (r13 guide §1.2/§2.5/§5; same discipline as dsir_selection).
+    toks = (
+        _spread(docs.select("doc_id", tokenize(F.col("text")).alias("t")))
+        .localCheckpoint(eager=True)
+    )
     t = F.col("t")
     bigrams = F.when(
         F.size(t) >= 2,
@@ -763,7 +774,12 @@ def q_decile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__ord",
         F.struct("l_extendedprice", "l_orderkey", "l_linenumber"),
     )
-    ranked = ordered_dense_rank(keyed, "__ord", rank_col="rank")
+    # local_ok=False: this ranks the LINEITEM fact table — corpus-sized
+    # at every scale, so the local dispatch never applies and its size
+    # probe would only add a full-table materialization (r13 A/B:
+    # +0.2-0.3 s at sf0.1 for zero benefit)
+    ranked = ordered_dense_rank(keyed, "__ord", rank_col="rank",
+                                local_ok=False)
     k = 10
     n = ranked.count()  # scalar over the checkpointed frame
     q, r = divmod(n, k)

@@ -2189,9 +2189,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "__km", F.struct((-F.col("monetary")).alias("nm"), F.col("c_custkey"))
     )
-    ranked = ordered_dense_rank(base, "__kr", rank_col="rr")
-    ranked = ordered_dense_rank(ranked, "__kf", rank_col="rf")
-    ranked = ordered_dense_rank(ranked, "__km", rank_col="rm")
+    # local_ok=False: the final segment aggregate averages RAW double
+    # monetary values, so its 6th decimal depends on summation order —
+    # the distributed rank path pins the row order the committed
+    # values (and the r13 A/B evidence) were produced under
+    ranked = ordered_dense_rank(base, "__kr", rank_col="rr", local_ok=False)
+    ranked = ordered_dense_rank(ranked, "__kf", rank_col="rf", local_ok=False)
+    ranked = ordered_dense_rank(ranked, "__km", rank_col="rm", local_ok=False)
     n = ranked.agg(F.count(F.lit(1)).alias("n"))
 
     def score(rank_col: str) -> F.Column:

@@ -750,7 +750,11 @@ def q_custom_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         lexicon_from_words,
     )
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # spread the one-file scan before the per-doc token pipeline: the
+    # tokens feed BOTH filter strategies (posexplode+anti-join regroup
+    # and the inline HOF), and the regroup rebuilds each doc's array by
+    # position — content is partitioning-independent (r13, guide §2.5)
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
     )
     lex = lexicon_from_words(spark, CUSTOM_LEXICON)

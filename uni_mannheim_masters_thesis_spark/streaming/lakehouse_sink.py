@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from ..session import ensure_engine_confs
 from ..sources.testdata import normalize_ts
-from .runtime import _CKPT_ROOT
+from .runtime import _CKPT_ROOT, stream_state_partitions
 from .throughput import split_events_dir
 
 
@@ -70,6 +70,11 @@ def apply_cdc_batch(
         merge_table,
     )
 
+    # a micro-batch is empty iff its CDC reduction is (row_number = 1
+    # keeps one row per user present) — test the SOURCE batch, which
+    # answers without paying the window shuffle an extra time
+    if batch.isEmpty():
+        return False
     w = Window.partitionBy("user_id").orderBy(
         F.col("us").desc(), F.col("event_id").desc()
     )
@@ -87,8 +92,6 @@ def apply_cdc_batch(
             (F.col("event_type") == "error").alias("__delete"),
         )
     )
-    if cdc.isEmpty():
-        return False
     note = {"batch_id": batch_id}
     if not os.path.exists(os.path.join(table_dir, "_LATEST")):
         create_table(
@@ -141,20 +144,28 @@ def stream_cdc_into_table(
     name = f"lakehouse_sink_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"{name}_", dir=_CKPT_ROOT)
     try:
-        query = (
-            stream.writeStream.foreachBatch(_apply)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
+        # per-micro-batch plans (CDC window + MERGE join) inherit the
+        # session shuffle width — 32 partitions of scheduling overhead
+        # for KB-scale batches. Cap them like every other drain (the
+        # runtime's state-partition discipline); the CDC reduction and
+        # the MERGE are partitioning-independent (deterministic
+        # row_number total order / equi-join), so the committed table
+        # bytes are unchanged. Production sizes this to stream volume.
+        with stream_state_partitions(spark):
+            query = (
+                stream.writeStream.foreachBatch(_apply)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
             try:
-                query.stop()
+                query.processAllAvailable()
             finally:
-                sc = spark.sparkContext
-                sc.setLocalProperty("spark.sql.execution.id", None)
-                sc.setLocalProperty("spark.sql.execution.root.id", None)
+                try:
+                    query.stop()
+                finally:
+                    sc = spark.sparkContext
+                    sc.setLocalProperty("spark.sql.execution.id", None)
+                    sc.setLocalProperty("spark.sql.execution.root.id", None)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return {
