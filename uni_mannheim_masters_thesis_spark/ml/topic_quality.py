@@ -170,6 +170,14 @@ def cv_coherence(
     import numpy as np
 
     spark = tokens_df.sparkSession
+    # the shared corpus arrives as ONE cached partition at bench scale;
+    # the per-token posexplode + interval folds below are row-local and
+    # every downstream count is an exact integer interval sum, so
+    # spreading is value-neutral (r13, guide §2.5; never touches the
+    # shared cached frame itself — fits stay on the original layout)
+    par = spark.sparkContext.defaultParallelism
+    if tokens_df.rdd.getNumPartitions() < par:
+        tokens_df = tokens_df.repartition(par)
     topics = model.describeTopics(top_n).select(
         "topic", F.posexplode("termIndices").alias("rank", "term_id")
     ).collect()

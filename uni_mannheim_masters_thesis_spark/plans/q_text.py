@@ -531,7 +531,10 @@ _POLY_TERM_SQL_DUCK = " + ".join(
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import winnowing_fingerprint_expr
 
-    docs = _t(spark, sf_dir, "documents")
+    # row-local per-char polynomial over a one-file scan: spread like
+    # the _set variant so the map work runs a core per split (r13;
+    # no-op at scale where the scan already yields many splits)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id", winnowing_fingerprint_expr(F.col("text")).alias("shingle_fp")
     )
@@ -680,7 +683,10 @@ def q_winnowing_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and re-collect per doc (sorted set, deterministic).",
 )
 def q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # spread the one-file scan: tokens_pipeline runs TWICE (vocab build
+    # + semi-join side) and is the per-row cost; downstream is exact
+    # counts and a sorted-set regroup, partitioning-independent (r13)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     # the token explode feeds both the lexicon build and the semi join;
     # recompute it on each side rather than materialize O(tokens) rows —
     # the explode is map-side-cheap, and only the (small) vocab side is
