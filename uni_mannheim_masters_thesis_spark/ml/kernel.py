@@ -708,26 +708,42 @@ def kernel_svm_sweep(
         return 1100.0 if key[0] in ("rbf", "linear") else 500.0
 
     tasks.sort(key=_cost)
+    # Serial JIT pre-warm (guide §1.2 order-of-operations, r13): even
+    # with SPT ordering, a cold pool's FIRST WAVE is N interpreted
+    # LinearSVC/OWLQN fits competing for the JIT compiler — measured
+    # in-bench first runs of 325 s (width 8) / 65-124 s (width 4)
+    # against ~20 s warm. Running the cheapest task (the constant
+    # degree-0 fit, ~2 s) to completion BEFORE the pool opens compiles
+    # the whole fit/transform/evaluate path once, so the wave runs
+    # compiled. Same fits, same results — scheduling only.
+    prewarm = tasks.pop(0)
     # pool width: each fit is ~20 sequential sub-100ms OWLQN barrier
-    # jobs, so wall ≈ (sum of fit walls) / width until the DAGScheduler
-    # event loop saturates. r13 interleaved A/B (same session, warm):
-    # width 8 → 15.4/16.8 s vs width 4 → 21.1/21.9/25.5 s; the old
-    # 12-wide measurement (119 s) predates the multi-partition frames.
-    # Env-tunable for deployments where the scheduler is busier.
-    pool_w = int(_os.environ.get("SPARK_GRAFT_SWEEP_POOL", "8"))
+    # jobs, so warm wall ≈ (sum of fit walls) / width — measured
+    # interleaved warm: width 8 = 15.4/16.8 s vs width 4 =
+    # 21.1-25.5 s. BUT the cold path inverts hard: 8 concurrent
+    # pre-JIT fits thrash the compiler (in-bench first run 325 s at
+    # width 8 vs 23-75 s at width 4 — the same interpreted-wave
+    # pathology the SPT ordering exists for, squared). The bench and
+    # any fresh session hit the cold path first, so the default stays
+    # at the JIT-safe 4; the knob is for long-lived warm sessions.
+    pool_w = int(_os.environ.get("SPARK_GRAFT_SWEEP_POOL", "4"))
+    def _record(key, res):
+        if key == ("poly", None, 0):
+            for g in gammas:
+                results[("poly", float(g), 0)] = res
+        elif key[0] == "poly":
+            # share the representative fit's row with every config in
+            # its identical-(degree, rp) group
+            for member in rp_groups[(key[2], _poly_rp(key[1], key[2]))]:
+                results[member] = res
+        else:
+            results[key] = res
+
     try:
+        _record(*fit_task(prewarm))
         with ThreadPoolExecutor(max_workers=pool_w) as ex:
             for key, res in ex.map(fit_task, tasks):
-                if key == ("poly", None, 0):
-                    for g in gammas:
-                        results[("poly", float(g), 0)] = res
-                elif key[0] == "poly":
-                    # share the representative fit's row with every
-                    # config in its identical-(degree, rp) group
-                    for member in rp_groups[(key[2], _poly_rp(key[1], key[2]))]:
-                        results[member] = res
-                else:
-                    results[key] = res
+                _record(key, res)
     finally:
         if owns_prep:
             sweep_prep_release(prepared)

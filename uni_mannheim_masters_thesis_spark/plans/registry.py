@@ -420,7 +420,7 @@ _DRIVER_PRIORITY: frozenset[str] = frozenset({
 
 _COST_HINT: dict[str, float] = {
     # --- round-13 additions (M9/M22 closure; measured sf0.01 walk) ---
-    "kernel_svm_sweep": 50.0, "adaptive_search_mlp": 6.0,
+    "kernel_svm_sweep": 25.0, "adaptive_search_mlp": 6.0,
     # --- round-12 additions ------------------------------------------
     "part_type_profit": 1.8, "returned_item_ranking": 1.5,
     "shipping_delay_priority_counts": 1.2,
@@ -432,10 +432,10 @@ _COST_HINT: dict[str, float] = {
     "important_parts_share": 1.4, "top_supplier_by_revenue": 1.0,
     "disjunctive_predicate_revenue": 1.5, "global_sales_opportunity": 2.0,
     "min_cost_supplier_per_part": 2.2, "cusum_changepoint": 2.0,
-    "time_weighted_average": 0.9, "roc_auc_exact": 1.5,
+    "time_weighted_average": 0.9, "roc_auc_exact": 0.9,
     "probability_calibration_ece": 1.0,
     "streaming_cusum_parity": 14.0, "streaming_twap_parity": 3.0,
-    "pr_auc_exact": 2.5,
+    "pr_auc_exact": 1.1,
     "local_supplier_volume": 1.8, "large_volume_orders": 1.3,
     "dominant_part_suppliers": 2.5, "forecast_revenue_change": 1.0,
     "nation_pair_volume": 2.0, "supplier_count_by_part_attrs": 1.8,
@@ -495,7 +495,7 @@ _COST_HINT: dict[str, float] = {
     "xml_corpus_roundtrip": 0.4, "fold_metric_stats": 0.4,
     "membership_classification": 0.6, "multimodal_frame_sample": 0.3,
     "streaming_events_by_segment": 1.5, "spellcheck_filtered": 0.9,
-    "custom_lexicon_tokens": 0.8,
+    "custom_lexicon_tokens": 1.6,
     "sorted_topic_vectors": 0.2, "events_asof_join": 0.4,
     "lda_k_sweep": 2.6, "neardup_clusters": 4.7,
     "small_quantity_revenue": 0.5, "orders_with_returns_exists": 0.3,
@@ -561,7 +561,7 @@ _COST_HINT: dict[str, float] = {
     "streaming_heavy_hitters": 2.5, "inverted_index_postings": 1.2,
     "bm25_retrieval": 0.9,
     "heavy_hitters_sketch": 0.8,
-    "semantic_dedup_srp": 0.9, "training_order_shuffle": 0.4,
+    "semantic_dedup_srp": 4.0, "training_order_shuffle": 0.7,
     "funnel_conversion": 0.4, "cohort_retention": 0.4,
     "session_attribution": 0.6, "rolling_user_features": 0.4,
     "column_profile": 0.7, "decile_bucketing": 1.5,
