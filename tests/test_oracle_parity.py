@@ -14,12 +14,15 @@ the precomputed result, so per-query pass/fail granularity and -x
 semantics are unchanged; every query still runs the identical
 ``run_query`` / partition-count comparison as before.
 
-Pool-safety: queries that touch the streaming engine, mutate
-session-wide SQL confs (``stream_state_partitions``), or write catalog
-tables run SERIALLY after the pool — the same serial-execution
-contract the bench and driver give them. DuckDB work uses one cursor
-per worker; shared ML artifact builds are serialized by
-``ml.shared.BUILD_LOCK``.
+Pool-safety: queries that touch the streaming engine or lakehouse
+table lifecycles run in their OWN narrower pool (width 3) after the
+main pool — concurrent drains are safe since ``streaming.runtime``
+scopes the session-conf cap under ``_CAP_LOCK`` to the query-start
+window, each drain owns a unique checkpoint dir + memory-sink name,
+and the table builders publish through the staged-rename protocol.
+The catalog-writing bucketed join runs strictly serially. DuckDB work
+uses one cursor per worker; shared ML artifact builds are serialized
+by ``ml.shared.BUILD_LOCK``.
 """
 
 from __future__ import annotations
@@ -38,16 +41,20 @@ ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.sql is None)
 
 _POOL_WORKERS = int(os.environ.get("UMT_TEST_POOL", "6"))
 
-# serial bucket: streaming/stateful micro-batch queries (engine threads,
-# session-conf caps via stream_state_partitions), lakehouse lifecycle
-# queries (several drive foreachBatch streams / table-dir lifecycles),
-# and the catalog-writing bucketed join
-_SERIAL_PREFIXES = ("streaming_", "stateful_", "lakehouse_")
+# streaming bucket: micro-batch queries + lakehouse lifecycles — pooled
+# narrower (3 concurrent engines is plenty; state stores + foreachBatch
+# sinks are heavier per query than batch plans). The catalog-writing
+# bucketed join stays strictly serial.
+_STREAM_PREFIXES = ("streaming_", "stateful_", "lakehouse_")
 _SERIAL_NAMES = {"bucketed_colocated_join"}
 
 
-def _is_serial(name: str) -> bool:
-    return name.startswith(_SERIAL_PREFIXES) or name in _SERIAL_NAMES
+def _bucket(name: str) -> str:
+    if name in _SERIAL_NAMES:
+        return "serial"
+    if name.startswith(_STREAM_PREFIXES):
+        return "stream"
+    return "batch"
 
 
 def _run_family(names, task) -> dict[str, list[str]]:
@@ -61,12 +68,12 @@ def _run_family(names, task) -> dict[str, list[str]]:
             return name, [f"EXCEPTION {type(e).__name__}: {e}"]
 
     results: dict[str, list[str]] = {}
-    pooled = [n for n in names if not _is_serial(n)]
-    serial = [n for n in names if _is_serial(n)]
-    with ThreadPoolExecutor(max_workers=_POOL_WORKERS) as ex:
-        for name, problems in ex.map(safe, pooled):
-            results[name] = problems
-    for name in serial:
+    for bucket, width in (("batch", _POOL_WORKERS), ("stream", 3)):
+        members = [n for n in names if _bucket(n) == bucket]
+        with ThreadPoolExecutor(max_workers=width) as ex:
+            for name, problems in ex.map(safe, members):
+                results[name] = problems
+    for name in (n for n in names if _bucket(n) == "serial"):
         name, problems = safe(name)
         results[name] = problems
     return results

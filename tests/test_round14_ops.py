@@ -154,6 +154,67 @@ def test_prefix_sum_local_ok_false_skips_probe(spark, monkeypatch):
     assert [r[-1] for r in out] == list(range(20))
 
 
+def test_lda_k_sweep_pooled_fits_match_serial(spark):
+    """r14: q_lda_k_sweep overlaps its three (fit, logPerplexity) pairs
+    in a thread pool. Each fit reads the SAME settled cached corpus, so
+    concurrency must not change any trajectory — pinned by comparing
+    the pooled rows against an explicit serial loop on the same
+    corpus."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from conftest import SF_DIR
+    from uni_mannheim_masters_thesis_spark.functions.text import (
+        tokens_pipeline,
+    )
+    from uni_mannheim_masters_thesis_spark.ml.topics import fit_lda, vectorize
+    from uni_mannheim_masters_thesis_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 1000)
+    toks = docs.select(
+        "doc_id", tokens_pipeline(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    _, corpus = vectorize(toks, vocab_size=1 << 16)
+    corpus = corpus.cache()
+    corpus.count()
+    try:
+        def one(k):
+            m = fit_lda(corpus, k=k, max_iter=3)
+            return (k, float(m.logPerplexity(corpus)))
+
+        serial = [one(k) for k in (5, 10)]
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            pooled = list(ex.map(one, (5, 10)))
+    finally:
+        corpus.unpersist()
+    assert serial == pooled  # bit-identical perplexities
+
+
+def test_neardup_pagerank_local_dispatch_matches_distributed(
+    spark, monkeypatch
+):
+    """r14: the driver-side integer PageRank replica must return
+    BIT-IDENTICAL longs to the distributed 5-iteration loop — the
+    recursion is pure integer arithmetic over the edge set, so any
+    divergence is a replica bug."""
+    from conftest import SF_DIR
+    from uni_mannheim_masters_thesis_spark.plans.registry import REGISTRY
+
+    fn = REGISTRY["neardup_pagerank"].fn
+    monkeypatch.setenv("SPARK_GRAFT_PR_LOCAL_BUDGET", "1000000")
+    loc = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_PR_LOCAL_BUDGET", "0")
+    dist = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert loc == dist and len(loc) > 0
+    # schema parity between the two paths (driver hashes schemas too)
+    monkeypatch.setenv("SPARK_GRAFT_PR_LOCAL_BUDGET", "1000000")
+    s_loc = fn(spark, SF_DIR).schema
+    monkeypatch.setenv("SPARK_GRAFT_PR_LOCAL_BUDGET", "0")
+    s_dist = fn(spark, SF_DIR).schema
+    assert [(f.name, f.dataType) for f in s_loc] == [
+        (f.name, f.dataType) for f in s_dist
+    ]
+
+
 def test_sweep_prep_released_after_kernel_svm_sweep_query(
     spark, monkeypatch
 ):

@@ -247,12 +247,6 @@ def cv_coherence(
         .cache()
     )
     try:
-        wcount = {
-            r["term_id"]: r["n"]
-            for r in spans.groupBy("term_id")
-            .agg(F.sum(F.col("hi") - F.col("lo") + 1).alias("n"))
-            .collect()
-        }
         si = spans.select(
             "d", F.col("term_id").alias("ti"),
             F.col("lo").alias("lo_i"), F.col("hi").alias("hi_i"),
@@ -262,11 +256,17 @@ def cv_coherence(
             F.col("lo").alias("lo_j"), F.col("hi").alias("hi_j"),
         )
         # both sides are disjoint unions, so the pairwise overlap sum is
-        # exactly |windows(ti) ∩ windows(tj)|
+        # exactly |windows(ti) ∩ windows(tj)|. r14 (guide §1.2): the
+        # join keeps ti <= tj so the DIAGONAL rides along — a span's
+        # overlap with itself is its own length, and distinct spans of
+        # one term are disjoint (ov <= 0, filtered) — making
+        # sum(ov | ti == tj) exactly |windows(t)|. One aggregation pass
+        # replaces the separate per-term count job; the integers are
+        # identical by construction.
         overlap = F.least("hi_i", "hi_j") - F.greatest("lo_i", "lo_j") + 1
         pair_rows = (
             si.join(sj, "d")
-            .filter(F.col("ti") < F.col("tj"))
+            .filter(F.col("ti") <= F.col("tj"))
             .withColumn("ov", overlap)
             .filter(F.col("ov") > 0)
             .groupBy("ti", "tj")
@@ -275,7 +275,10 @@ def cv_coherence(
         )
     finally:
         spans.unpersist()
-    co = {(r["ti"], r["tj"]): r["n"] for r in pair_rows}
+    wcount = {r["ti"]: r["n"] for r in pair_rows if r["ti"] == r["tj"]}
+    co = {
+        (r["ti"], r["tj"]): r["n"] for r in pair_rows if r["ti"] < r["tj"]
+    }
 
     eps = 1e-12
     def npmi(i, j):

@@ -703,33 +703,37 @@ _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     "100 TB. The DuckDB oracle re-states it as per-column aggregates.",
 )
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §1.2/§2.3): the old single wide aggregate carried FOUR
+    # COUNT(DISTINCT) expressions, which Catalyst plans as an
+    # Expand-based multi-distinct — every lineitem row duplicated 5×
+    # (once per distinct column + once for the plain stats) through the
+    # hash aggregate; measured 3.8-4.3 s of pure aggregate CPU at sf0.1.
+    # Restated as a UNION of per-column single-distinct aggregates: no
+    # Expand anywhere, each branch scans ONLY its own parquet column
+    # (pruned), and AQE materializes the four independent shuffle
+    # stages concurrently. Identical expressions per column → identical
+    # values; the oracle is already stated per-column.
     li = _t(spark, sf_dir, "lineitem")
-    aggs = []
+    parts = []
     for c in _PROFILE_COLS:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__rows"),
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
-            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
-            F.round(F.min(c), 2).alias(f"{c}__min"),
-            F.round(F.max(c), 2).alias(f"{c}__max"),
-            F.round(F.sum(_dec(c)).cast("double"), 2).alias(f"{c}__sum"),
-        ]
-    wide = li.agg(*aggs)
-    per_col = F.array(
-        *[
-            F.struct(
+        parts.append(
+            li.select(F.col(c)).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.round(F.min(c), 2).alias("min_val"),
+                F.round(F.max(c), 2).alias("max_val"),
+                F.round(F.sum(_dec(c)).cast("double"), 2).alias("sum_val"),
+            ).select(
                 F.lit(c).alias("column_name"),
-                F.col(f"{c}__rows").alias("n_rows"),
-                F.col(f"{c}__null").alias("n_null"),
-                F.col(f"{c}__ndv").alias("n_distinct"),
-                F.col(f"{c}__min").alias("min_val"),
-                F.col(f"{c}__max").alias("max_val"),
-                F.col(f"{c}__sum").alias("sum_val"),
+                "n_rows", "n_null", "n_distinct",
+                "min_val", "max_val", "sum_val",
             )
-            for c in _PROFILE_COLS
-        ]
-    )
-    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 @_register(
@@ -770,16 +774,26 @@ def q_decile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
-    keyed = li.withColumn(
-        "__ord",
-        F.struct("l_extendedprice", "l_orderkey", "l_linenumber"),
+    # r14 (guide §2.3): rank ONLY the order struct — the three flat
+    # columns duplicated every struct field through the range exchange
+    # and its checkpoint (~2x the bytes of the fact-table shuffle);
+    # the price is recovered from the struct after ranking. The key
+    # values — and therefore range boundaries, partition layout and
+    # ranks — are unchanged, and every downstream aggregate is exact
+    # (count/min/max/DECIMAL sum), so the output is identical.
+    keyed = li.select(
+        F.struct("l_extendedprice", "l_orderkey", "l_linenumber").alias(
+            "__ord"
+        )
     )
     # local_ok=False: this ranks the LINEITEM fact table — corpus-sized
     # at every scale, so the local dispatch never applies and its size
     # probe would only add a full-table materialization (r13 A/B:
     # +0.2-0.3 s at sf0.1 for zero benefit)
     ranked = ordered_dense_rank(keyed, "__ord", rank_col="rank",
-                                local_ok=False)
+                                local_ok=False).select(
+        F.col("__ord.l_extendedprice").alias("l_extendedprice"), "rank"
+    )
     k = 10
     n = ranked.count()  # scalar over the checkpointed frame
     q, r = divmod(n, k)

@@ -795,11 +795,23 @@ def q_lda_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("tokens") > 0)
     _, corpus = vectorize(toks, vocab_size=1 << 16)
     corpus = corpus.cache()
+    corpus.count()  # settle ONCE so racing fits never double-materialize
     try:
-        rows = []
-        for k in (5, 10, 15):
+        # the three (fit, logPerplexity) pairs are independent given the
+        # settled cached corpus — overlap them in a small thread pool
+        # (guide §2.6, the rule_point_search discipline): each fit is a
+        # chain of short jobs that leaves cores idle between barriers,
+        # and concurrency never touches the cached corpus layout, so
+        # every fit's trajectory (and its reported perplexity) is
+        # bit-identical to the serial loop
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(k: int):
             model = fit_lda(corpus, k=k, max_iter=3)
-            rows.append((k, float(model.logPerplexity(corpus))))
+            return (k, float(model.logPerplexity(corpus)))
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            rows = list(ex.map(one, (5, 10, 15)))
     finally:
         corpus.unpersist()
     best = min(r[1] for r in rows)

@@ -2141,7 +2141,8 @@ def q_bucketed_colocated_join(
            COUNT(*) AS n_customers,
            ROUND(AVG(CAST(recency_days AS DOUBLE)), 6) AS avg_recency_days,
            ROUND(AVG(CAST(n_orders AS DOUBLE)), 6) AS avg_orders,
-           ROUND(AVG(monetary), 6) AS avg_monetary
+           ROUND(CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_monetary
     FROM scored GROUP BY 1, 2, 3
     """,
     "§2.11 customer analytics (RFM quintile segmentation)",
@@ -2189,13 +2190,19 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "__km", F.struct((-F.col("monetary")).alias("nm"), F.col("c_custkey"))
     )
-    # local_ok=False: the final segment aggregate averages RAW double
-    # monetary values, so its 6th decimal depends on summation order —
-    # the distributed rank path pins the row order the committed
-    # values (and the r13 A/B evidence) were produced under
-    ranked = ordered_dense_rank(base, "__kr", rank_col="rr", local_ok=False)
-    ranked = ordered_dense_rank(ranked, "__kf", rank_col="rf", local_ok=False)
-    ranked = ordered_dense_rank(ranked, "__km", rank_col="rm", local_ok=False)
+    # r13 pinned these ranks to the distributed path (local_ok=False)
+    # because avg_monetary was a raw float AVG whose 6th decimal moved
+    # with row order. r14 made every output aggregate exact /
+    # order-independent (decimal mean above), which un-pins the shape:
+    # the local dispatch applies (per-customer relations sit far below
+    # the 200k budget at bench scale) and collapses three range-shuffle
+    # checkpoints + counts collects into three broadcast mappings; above
+    # budget the distributed two-phase path is unchanged. Verified
+    # hash-exact vs the oracle at sf0.001/0.01/0.1 and under the
+    # 3-vs-64-partition determinism gate.
+    ranked = ordered_dense_rank(base, "__kr", rank_col="rr")
+    ranked = ordered_dense_rank(ranked, "__kf", rank_col="rf")
+    ranked = ordered_dense_rank(ranked, "__km", rank_col="rm")
     n = ranked.agg(F.count(F.lit(1)).alias("n"))
 
     def score(rank_col: str) -> F.Column:
@@ -2218,7 +2225,19 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_recency_days"
         ),
         F.round(F.avg(F.col("n_orders").cast("double")), 6).alias("avg_orders"),
-        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+        # exact decimal mean (r14): monetary is a 2-decimal money value,
+        # so the repo-wide parity rule applies — sum as DECIMAL (exact,
+        # order-independent), ONE double division at the end. The float
+        # AVG it replaces accumulated in partition order and sat 1 ulp
+        # off DuckDB at sf0.1 (avg 2827776.544687 vs .544688) — an
+        # inherited r13 gap below the driver's sf0.01 gate. The oracle
+        # twin computes the identical expression, so the mean is now
+        # bit-equal on both engines at every SF and any partitioning.
+        F.round(
+            F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_monetary"),
     )
 
 
@@ -2506,10 +2525,16 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("cents")
     )
-    keyed = base.withColumn(
-        "__k", F.struct(F.col("cents"), F.col("o_custkey"))
+    # r14 (guide §2.3): rank only the key struct — cents is recovered
+    # from the struct afterwards, so the rank materialization carries
+    # one copy of each value instead of two; key values, hence ranks,
+    # unchanged, and every downstream sum is exact DECIMAL
+    keyed = base.select(
+        F.struct(F.col("cents"), F.col("o_custkey")).alias("__k")
     )
-    ranked = ordered_dense_rank(keyed, "__k", rank_col="r")
+    ranked = ordered_dense_rank(keyed, "__k", rank_col="r").select(
+        F.col("__k.cents").alias("cents"), "r"
+    )
     n1 = ranked.agg(F.count(F.lit(1)).alias("n_rows"))
     r = F.col("r").cast("decimal(38,0)")
     agg = ranked.crossJoin(F.broadcast(n1)).agg(

@@ -1606,10 +1606,16 @@ def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    keyed = tc.withColumn(
-        "__k", F.struct((-F.col("c")).alias("nc"), F.col("w"))
+    # r14 (guide §2.3): rank only the key struct — the count is
+    # recovered from the struct (exact integer negation), so the rank
+    # materialization carries one copy of (count, term) instead of two;
+    # key values, hence ranks and the fitted points, unchanged
+    keyed = tc.select(
+        F.struct((-F.col("c")).alias("nc"), F.col("w")).alias("__k")
     )
-    ranked = ordered_dense_rank(keyed, "__k", rank_col="r")
+    ranked = ordered_dense_rank(keyed, "__k", rank_col="r").select(
+        (-F.col("__k.nc")).alias("c"), "r"
+    )
     q = 1_000_000_000
     pts = ranked.filter(F.col("r") <= 500).select(
         F.round(F.log(F.col("r").cast("double")) * q)

@@ -74,7 +74,10 @@ def get_session(app_name: str = "umt_spark", cpus: int | None = None) -> SparkSe
     return spark
 
 
+import threading as _threading
+
 _PYFILE_SHIPPED: set[str] = set()
+_PYFILE_LOCK = _threading.Lock()
 
 
 def _ship_package_to_workers(spark: SparkSession) -> None:
@@ -94,19 +97,27 @@ def _ship_package_to_workers(spark: SparkSession) -> None:
     key = ctx.applicationId
     if key in _PYFILE_SHIPPED:
         return
-    import shutil
-    import tempfile
+    # r14: the miss-check + zip + addPyFile must be atomic across driver
+    # threads — two concurrent loaders (the pooled test harness, any
+    # §2.6 caller) otherwise both build a zip and race addFile, and the
+    # second byte-different zip (archive timestamps) makes Spark throw
+    # "exists and does not match contents"
+    with _PYFILE_LOCK:
+        if key in _PYFILE_SHIPPED:
+            return
+        import shutil
+        import tempfile
 
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    staging = tempfile.mkdtemp(prefix="umt_pyfiles_")
-    zip_path = shutil.make_archive(
-        os.path.join(staging, "uni_mannheim_masters_thesis_spark"),
-        "zip",
-        root_dir=os.path.dirname(pkg_dir),
-        base_dir=os.path.basename(pkg_dir),
-    )
-    ctx.addPyFile(zip_path)
-    _PYFILE_SHIPPED.add(key)
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        staging = tempfile.mkdtemp(prefix="umt_pyfiles_")
+        zip_path = shutil.make_archive(
+            os.path.join(staging, "uni_mannheim_masters_thesis_spark"),
+            "zip",
+            root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir),
+        )
+        ctx.addPyFile(zip_path)
+        _PYFILE_SHIPPED.add(key)
 
 
 def ensure_engine_confs(spark: SparkSession) -> SparkSession:

@@ -30,12 +30,20 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
 STREAM_STATE_PARTITION_CAP = 4
+
+#: Serializes the session-wide shuffle-partition cap (r13 ADVICE: the
+#: cap mutates a SESSION conf, so two concurrent cap users could clobber
+#: each other's restore value — e.g. restore the other's capped 4 as
+#: the "previous" setting). Reentrant so a capped caller that drains a
+#: nested stream never deadlocks. Serial callers (the bench, the driver
+#: walk) pay one uncontended acquire.
 
 # Checkpoint root for the synchronous drains: prefer tmpfs (/dev/shm)
 # when present — the HDFS-backed state store then writes its delta/
@@ -48,17 +56,22 @@ _CKPT_ROOT = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 _KEY = "spark.sql.shuffle.partitions"
 
+_CAP_LOCK = threading.RLock()
+
 
 @contextmanager
 def stream_state_partitions(spark: SparkSession, cap: int = STREAM_STATE_PARTITION_CAP):
     """Temporarily cap shuffle partitions (= state-store instances) for
-    a streaming query start; restores the session value on exit."""
-    cur = spark.conf.get(_KEY)
-    spark.conf.set(_KEY, str(min(int(cur), cap)))
-    try:
-        yield
-    finally:
-        spark.conf.set(_KEY, cur)
+    a streaming query start; restores the session value on exit. Holds
+    :data:`_CAP_LOCK` for the whole scope so concurrent cap users can
+    never interleave set/restore (r13 ADVICE item 4)."""
+    with _CAP_LOCK:
+        cur = spark.conf.get(_KEY)
+        spark.conf.set(_KEY, str(min(int(cur), cap)))
+        try:
+            yield
+        finally:
+            spark.conf.set(_KEY, cur)
 
 
 def drain(
@@ -82,6 +95,11 @@ def drain(
     # removed on EVERY exit path — including start() raising, or stop()
     # itself throwing — or leaked checkpoints consume memory.
     try:
+        # the cap only matters AT QUERY START (state-store instance
+        # count is fixed then), so the capped-conf window covers just
+        # .start() — r14: this lets independent drains overlap from
+        # driver threads (guide §2.6) instead of serializing the whole
+        # processAllAvailable on the conf lock
         with stream_state_partitions(spark, cap):
             query = (
                 agg.writeStream.outputMode(output_mode)
@@ -90,26 +108,26 @@ def drain(
                 .option("checkpointLocation", ckpt)
                 .start()
             )
+        try:
+            query.processAllAvailable()
+            if progress_out is not None:
+                progress_out.extend(
+                    p if isinstance(p, dict) else json.loads(p.json)
+                    for p in query.recentProgress
+                )
+        finally:
             try:
-                query.processAllAvailable()
-                if progress_out is not None:
-                    progress_out.extend(
-                        p if isinstance(p, dict) else json.loads(p.json)
-                        for p in query.recentProgress
-                    )
+                query.stop()
             finally:
-                try:
-                    query.stop()
-                finally:
-                    # streaming engine threads inherit (and can leave
-                    # behind) SQL-execution thread-locals; a stale
-                    # execution.id without its root.id breaks the next
-                    # nested Dataset.rdd materialization on this thread
-                    # (NumberFormatException in SQLExecution). Reset to
-                    # a clean slate for batch work.
-                    sc = spark.sparkContext
-                    sc.setLocalProperty("spark.sql.execution.id", None)
-                    sc.setLocalProperty("spark.sql.execution.root.id", None)
+                # streaming engine threads inherit (and can leave
+                # behind) SQL-execution thread-locals; a stale
+                # execution.id without its root.id breaks the next
+                # nested Dataset.rdd materialization on this thread
+                # (NumberFormatException in SQLExecution). Reset to
+                # a clean slate for batch work.
+                sc = spark.sparkContext
+                sc.setLocalProperty("spark.sql.execution.id", None)
+                sc.setLocalProperty("spark.sql.execution.root.id", None)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
