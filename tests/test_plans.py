@@ -458,12 +458,27 @@ def test_decile_bucketing_no_global_window(spark):
 
 
 def test_column_profile_single_scan_expand(spark):
-    """The one-pass profile reads lineitem ONCE and uses the
-    Expand-based multi-distinct aggregate (4 distinct columns, still a
-    single scan with partial aggregation)."""
+    """r14: the profile is a UNION of per-column single-distinct
+    aggregates — NO Expand-based multi-distinct anywhere (the old
+    one-pass shape duplicated every lineitem row 5×), one pruned scan
+    per profiled column (same total bytes: each column is still read
+    exactly once), partial aggregation per branch. The original
+    invariant (bounded scans of one table, partial aggregation, exact
+    distinct counts) is preserved in the new shape."""
+    from uni_mannheim_masters_thesis_spark.plans.q_curation import (
+        _PROFILE_COLS,
+    )
+
     plan = _formatted_plan(spark, "column_profile")
-    assert plan.count("InMemoryFileIndex") == 1
-    assert "Expand" in plan
+    assert "Expand" not in plan
+    # one pruned scan per profiled column, not more (each scan's detail
+    # block carries exactly one ReadSchema line)
+    assert plan.count("ReadSchema: struct<") == len(_PROFILE_COLS)
+    # every branch's scan reads ONLY its own column
+    for c in _PROFILE_COLS:
+        assert f"ReadSchema: struct<{c}:" in plan, c
+    # partial aggregation is still in place (two-phase per branch)
+    assert plan.count("HashAggregate") >= 2 * len(_PROFILE_COLS)
 
 
 def test_pagerank_join_shape_splits_hub_skew_under_aqe(spark):

@@ -70,8 +70,11 @@ def ordered_dense_rank(
     duplicates the tie-break within a range partition is undefined.
 
     Key sets within ``SPARK_GRAFT_RANK_LOCAL_BUDGET`` rows (default
-    200k — vocab/manifest/per-customer frames at bench scale are a few
-    thousand) rank via a DRIVER-side sort + broadcast mapping instead:
+    100k — vocab/manifest/per-customer frames at bench scale are a few
+    thousand; the r14 10× crossover probe put driver sort + mapping
+    broadcast ≈ the range-shuffle path at ~100-120k long keys and
+    earlier for struct keys, so the budget sits at the measured
+    crossover) rank via a DRIVER-side sort + broadcast mapping instead:
     the rank of a unique key under a total order is a pure function of
     the key SET, so the two paths return identical rows, and the range
     shuffle + per-call double lineage evaluation (repartitionByRange's
@@ -92,7 +95,7 @@ def ordered_dense_rank(
     """
     import os
 
-    budget = int(os.environ.get("SPARK_GRAFT_RANK_LOCAL_BUDGET", "200000"))
+    budget = int(os.environ.get("SPARK_GRAFT_RANK_LOCAL_BUDGET", "100000"))
     if budget > 0 and local_ok:
         # one materialization of the input (the distributed path pays
         # this too, via repartitionByRange sampling + shuffle); the
@@ -252,7 +255,7 @@ def ordered_prefix_sum(
     """
     import os
 
-    budget = int(os.environ.get("SPARK_GRAFT_RANK_LOCAL_BUDGET", "200000"))
+    budget = int(os.environ.get("SPARK_GRAFT_RANK_LOCAL_BUDGET", "100000"))
     _snap_to_release = None
     if budget > 0 and local_ok:
         snap = df.localCheckpoint(eager=True)

@@ -1019,33 +1019,46 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the r7 version ranked the full dense corpus through a single
     # unpartitioned WindowExec) and no `No Partition Defined` noise.
     # localCheckpoint pins the 20-row lists so rank_bounded's
-    # self-join reads them once instead of re-running the arm twice
-    bm = REGISTRY["bm25_retrieval"].fn(spark, sf_dir).localCheckpoint(
-        eager=True
-    )  # already top-20
+    # self-join reads them once instead of re-running the arm twice.
+    # r14 (guide §2.6): the two arms are independent eager
+    # materializations — overlap them in a 2-thread pool; each arm's
+    # checkpoint content is deterministic, so concurrency changes
+    # nothing downstream.
+    def _lex_arm():
+        return REGISTRY["bm25_retrieval"].fn(spark, sf_dir).localCheckpoint(
+            eager=True
+        )  # already top-20
+
+    def _dense_arm():
+        emb = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        probe = F.broadcast(
+            emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+        )
+        sim = cosine_similarity(F.col("pv"), F.col("v"))
+        cs = (
+            emb.filter(F.col("vec_id") != 0)
+            .crossJoin(probe)
+            .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+        )
+        # distributed TakeOrdered (per-partition top-20 → merge), THEN
+        # rank the 20 surviving rows — the corpus never sees a window
+        return (
+            cs.orderBy(F.col("sim").desc(), "doc_id")
+            .limit(20)
+            .localCheckpoint(eager=True)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _f_lex = _ex.submit(_lex_arm)
+        _f_dense = _ex.submit(_dense_arm)
+        bm, top_dense = _f_lex.result(), _f_dense.result()
     lex = rank_bounded(
         bm, [("bm25", "desc"), ("doc_id", "asc")], "r_lex"
     ).select("doc_id", "r_lex")
-
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    probe = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
-    )
-    sim = cosine_similarity(F.col("pv"), F.col("v"))
-    cs = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(probe)
-        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
-    )
-    # distributed TakeOrdered (per-partition top-20 → merge), THEN
-    # rank the 20 surviving rows — the corpus never sees a window
-    top_dense = (
-        cs.orderBy(F.col("sim").desc(), "doc_id")
-        .limit(20)
-        .localCheckpoint(eager=True)
-    )
     dense = rank_bounded(
         top_dense, [("sim", "desc"), ("doc_id", "asc")], "r_dense"
     ).select("doc_id", "r_dense")
